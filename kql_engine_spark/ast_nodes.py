@@ -1,0 +1,425 @@
+"""Typed AST for KQL queries (SURVEY.md §3.2 stage 2).
+
+Plain dataclasses; the parser builds these, the translator lowers them to
+PySpark DataFrame operations. No Spark imports here — the AST layer is
+engine-agnostic by design so it can also drive the streaming entry point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+# ---------------------------------------------------------------- expressions
+
+
+@dataclass
+class Expr:
+    pass
+
+
+@dataclass
+class Lit(Expr):
+    value: object  # python value
+    ktype: str  # long real string bool datetime timespan dynamic null guid
+
+
+@dataclass
+class Col(Expr):
+    name: str
+    side: Optional[str] = None  # '$left' / '$right' in join conditions
+
+
+@dataclass
+class Star(Expr):
+    pass
+
+
+@dataclass
+class BinOp(Expr):
+    op: str  # + - * / % == != < <= > >= and or =~ !~ contains has ...
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # '-' 'not'
+    operand: Expr
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: list[Expr] = field(default_factory=list)
+
+
+@dataclass
+class InList(Expr):
+    expr: Expr
+    items: list[Expr]
+    negated: bool = False
+    ci: bool = False  # in~ / !in~
+
+
+@dataclass
+class Between(Expr):
+    expr: Expr
+    lo: Expr
+    hi: Expr
+    negated: bool = False
+
+
+@dataclass
+class Property(Expr):
+    """Dynamic access: d.a.b or d["k"] or a[0]."""
+
+    base: Expr
+    key: Expr  # Lit(string) for member, any expr for index
+
+
+@dataclass
+class TypedLit(Expr):
+    """Raw-text literal: datetime(2024-01-01), dynamic([1,2]), guid(...)."""
+
+    ktype: str
+    raw: str
+
+
+# ----------------------------------------------------------- tabular operators
+
+
+@dataclass
+class TabularOp:
+    pass
+
+
+@dataclass
+class NamedExpr:
+    name: Optional[str]  # None -> auto-name
+    expr: Expr
+
+
+@dataclass
+class Where(TabularOp):
+    pred: Expr
+
+
+@dataclass
+class Project(TabularOp):
+    items: list[NamedExpr]
+
+
+@dataclass
+class Extend(TabularOp):
+    items: list[NamedExpr]
+
+
+@dataclass
+class ProjectAway(TabularOp):
+    patterns: list[str]  # may contain * wildcards
+
+
+@dataclass
+class ProjectKeep(TabularOp):
+    patterns: list[str]
+
+
+@dataclass
+class ProjectRename(TabularOp):
+    pairs: list[tuple[str, str]]  # (new, old)
+
+
+@dataclass
+class ProjectReorder(TabularOp):
+    patterns: list[str]
+
+
+@dataclass
+class Distinct(TabularOp):
+    cols: list[str]  # empty -> ['*']
+    star: bool = False
+
+
+@dataclass
+class SortKey:
+    expr: Expr
+    asc: bool = False  # KQL default is desc
+    nulls: Optional[str] = None  # 'first' | 'last' | None (KQL default)
+
+
+@dataclass
+class Sort(TabularOp):
+    keys: list[SortKey]
+
+
+@dataclass
+class Take(TabularOp):
+    n: int
+
+
+@dataclass
+class Top(TabularOp):
+    n: int
+    keys: list[SortKey]
+
+
+@dataclass
+class TopNestedLevel:
+    n: Optional[int]
+    of_name: Optional[str]
+    of_expr: Expr
+    agg_name: Optional[str]
+    agg: Expr
+    with_others: Optional[str] = None  # label
+
+
+@dataclass
+class TopNested(TabularOp):
+    levels: list[TopNestedLevel]
+
+
+@dataclass
+class TopHitters(TabularOp):
+    n: int
+    of_expr: Expr
+    of_name: Optional[str]
+    by_expr: Optional[Expr] = None
+    by_name: Optional[str] = None
+
+
+@dataclass
+class Summarize(TabularOp):
+    aggs: list[NamedExpr]
+    by: list[NamedExpr] = field(default_factory=list)
+    hints: dict = field(default_factory=dict)
+
+
+@dataclass
+class CountOp(TabularOp):
+    as_name: str = "Count"
+
+
+@dataclass
+class JoinOn:
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class Join(TabularOp):
+    kind: str  # inner innerunique leftouter ... cross
+    right: "Pipe"
+    on: list[JoinOn] = field(default_factory=list)
+    hints: dict = field(default_factory=dict)
+
+
+@dataclass
+class Lookup(TabularOp):
+    right: "Pipe"
+    on: list[JoinOn] = field(default_factory=list)
+    kind: str = "leftouter"
+
+
+@dataclass
+class Union(TabularOp):
+    tables: list["Pipe"]
+    kind: str = "outer"
+    withsource: Optional[str] = None
+    is_source: bool = False  # `union T1, T2 | ...` as leading source
+
+
+@dataclass
+class MvExpand(TabularOp):
+    items: list[NamedExpr]  # columns to expand (zipped if multiple)
+    to_type: Optional[str] = None
+    limit: Optional[int] = None
+    with_itemindex: Optional[str] = None
+    bag_expansion: str = "array"  # 'bag' | 'array'
+
+
+@dataclass
+class MvApply(TabularOp):
+    items: list[NamedExpr]
+    subquery: list[TabularOp]
+    to_type: Optional[str] = None
+    with_itemindex: Optional[str] = None
+
+
+@dataclass
+class ParseSlot:
+    name: Optional[str]  # None = wildcard skip '*'
+    ktype: Optional[str]
+
+
+@dataclass
+class ParseOp(TabularOp):
+    source: Expr
+    kind: str  # simple | regex | relaxed
+    segments: list[object]  # alternating str literals and ParseSlot
+    where: bool = False  # parse-where drops non-matching rows
+
+
+@dataclass
+class ParseKv(TabularOp):
+    source: Expr
+    slots: list[tuple[str, str]]  # (name, ktype)
+    pair_delim: str = " "
+    kv_delim: str = "="
+
+
+@dataclass
+class Serialize(TabularOp):
+    items: list[NamedExpr] = field(default_factory=list)
+
+
+@dataclass
+class GetSchema(TabularOp):
+    pass
+
+
+@dataclass
+class SampleOp(TabularOp):
+    n: int
+
+
+@dataclass
+class SampleDistinct(TabularOp):
+    n: int
+    col: str
+
+
+@dataclass
+class MakeSeries(TabularOp):
+    aggs: list[NamedExpr]  # each with optional default via MakeSeriesAgg
+    defaults: list[Optional[Expr]]
+    axis: Expr
+    from_: Optional[Expr]
+    to: Optional[Expr]
+    step: Expr
+    by: list[NamedExpr] = field(default_factory=list)
+
+
+@dataclass
+class Evaluate(TabularOp):
+    plugin: str
+    args: list[Expr] = field(default_factory=list)
+
+
+@dataclass
+class Render(TabularOp):
+    chart: str
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class Invoke(TabularOp):
+    name: str
+    args: list[Expr] = field(default_factory=list)
+
+
+@dataclass
+class AsOp(TabularOp):
+    name: str
+
+
+@dataclass
+class SearchOp(TabularOp):
+    term: Expr
+    ci: bool = True
+
+
+@dataclass
+class PartitionOp(TabularOp):
+    key: str
+    subquery: list[TabularOp]
+
+
+@dataclass
+class Facet(TabularOp):
+    cols: list[str]
+
+
+@dataclass
+class ConsumeOp(TabularOp):
+    pass
+
+
+# ------------------------------------------------------------------- sources
+
+
+@dataclass
+class Source:
+    pass
+
+
+@dataclass
+class TableRef(Source):
+    name: str
+
+
+@dataclass
+class DataTable(Source):
+    schema: list[tuple[str, str]]  # (name, ktype)
+    rows: list[Expr]  # flat value list
+
+
+@dataclass
+class PrintSource(Source):
+    items: list[NamedExpr]
+
+
+@dataclass
+class RangeSource(Source):
+    name: str
+    start: Expr
+    stop: Expr
+    step: Optional[Expr] = None
+
+
+@dataclass
+class UnionSource(Source):
+    pipes: list["Pipe"]
+    kind: str = "outer"
+    withsource: Optional[str] = None
+
+
+@dataclass
+class ExternalData(Source):
+    schema: list[tuple[str, str]]
+    uris: list[str]
+    fmt: str = "csv"
+
+
+@dataclass
+class PipeSource(Source):
+    """Parenthesized sub-pipeline used as a source."""
+
+    pipe: "Pipe"
+
+
+# --------------------------------------------------------------------- query
+
+
+@dataclass
+class Pipe:
+    source: Source
+    ops: list[TabularOp] = field(default_factory=list)
+
+
+@dataclass
+class LetStmt:
+    name: str
+    value: object  # Expr | Pipe | Lambda
+
+
+@dataclass
+class Lambda:
+    params: list[tuple[str, str]]  # (name, ktype) — ktype may be ''
+    body: Expr
+
+
+@dataclass
+class Query:
+    lets: list[LetStmt]
+    pipe: Pipe

@@ -1,0 +1,36 @@
+"""Error types for the KQL-on-Spark engine.
+
+The reference repo (yy-database/kql-engine) ships only an error scaffold
+(ref:projects/kql-core/src/errors/mod.rs:1-24 — a single `UnknownError`
+variant); its intended public surface is errors, so this module is the one
+place our engine mirrors the reference's structure 1:1 while everything
+else is Spark-first design (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+
+class KqlError(Exception):
+    """Base error for all engine failures."""
+
+
+class KqlSyntaxError(KqlError):
+    """Lexer/parser failure. Carries source position for diagnostics."""
+
+    def __init__(self, message: str, text: str = "", pos: int = 0):
+        self.pos = pos
+        if text:
+            line = text.count("\n", 0, pos) + 1
+            col = pos - (text.rfind("\n", 0, pos) + 1) + 1
+            snippet = text[max(0, pos - 30) : pos + 30].replace("\n", " ")
+            message = f"{message} (line {line}, col {col}) near: ...{snippet}..."
+        super().__init__(message)
+
+
+class KqlSemanticError(KqlError):
+    """Analyzer failure: unknown column/table, illegal operator use
+    (e.g. window function on a non-serialized table), bad types."""
+
+
+class KqlUnsupportedError(KqlError):
+    """Recognized KQL construct that this engine does not implement."""

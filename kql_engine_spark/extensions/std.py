@@ -1,0 +1,83 @@
+"""Standard KQL `evaluate` plugins: pivot, narrow, bag_unpack (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..ast_nodes import Col, FuncCall
+from ..errors import KqlSemanticError
+from ..functions.aggregates import AGG_REGISTRY
+from . import plugin
+
+# cap on data-dependent schema expansion: eager key/value discovery must be
+# bounded or it melts at 100 TB (SURVEY.md §4.2 eager-op size guard)
+_MAX_EXPAND = 500
+
+
+@plugin("pivot")
+def _pivot(ptr, df, args):
+    if not args or not isinstance(args[0], Col):
+        raise KqlSemanticError("evaluate pivot(column [, agg(...)])")
+    pivot_col = args[0].name
+    rest = [c for c in df.columns if c != pivot_col]
+    if len(args) > 1 and isinstance(args[1], FuncCall):
+        agg_call = args[1]
+        agg_arg_cols = [a.name for a in agg_call.args if isinstance(a, Col)]
+        rest = [c for c in rest if c not in agg_arg_cols]
+        tr = ptr.expr_tr(df)
+        agg_cols = AGG_REGISTRY[agg_call.name](tr, agg_call.args, None)
+        agg_expr = agg_cols[0][1]
+    else:
+        agg_expr = F.count(F.lit(1))
+    return df.groupBy(*rest).pivot(pivot_col).agg(agg_expr)
+
+
+@plugin("narrow")
+def _narrow(ptr, df, args):
+    # unpivot all to (Row, Column, Value) [KQL narrow plugin]
+    work = df.withColumn("Row", F.monotonically_increasing_id())
+    cols = [c for c in df.columns]
+    pairs = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    stacked = work.select(
+        "Row", F.explode(F.create_map(*pairs)).alias("Column", "Value")
+    )
+    return stacked
+
+
+@plugin("bag_unpack")
+def _bag_unpack(ptr, df, args):
+    if not args or not isinstance(args[0], Col):
+        raise KqlSemanticError("evaluate bag_unpack(column [, prefix])")
+    col_name = args[0].name
+    prefix = ""
+    if len(args) > 1:
+        prefix = ptr.expr_tr(df).const_string(args[1])
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.MapType):
+        keys_rows = (
+            df.select(F.explode(F.map_keys(F.col(col_name))).alias("k"))
+            .distinct().limit(_MAX_EXPAND).collect()
+        )
+        keys = sorted(r["k"] for r in keys_rows)
+        out = df
+        for k in keys:
+            out = out.withColumn(prefix + k, F.element_at(F.col(col_name), k))
+        return out.drop(col_name)
+    # JSON-text carrier: discover keys eagerly (documented eager op §3.2)
+    keys_rows = (
+        df.select(
+            F.explode(F.json_object_keys(F.col(col_name).cast("string"))).alias("k")
+        )
+        .distinct().limit(_MAX_EXPAND).collect()
+    )
+    keys = sorted(r["k"] for r in keys_rows)
+    out = df
+    for k in keys:
+        out = out.withColumn(
+            prefix + k, F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
+        )
+    return out.drop(col_name)

@@ -1,0 +1,359 @@
+"""KQL aggregation function registry for `summarize` (SURVEY.md §2.6).
+
+Contract: AGG_REGISTRY[name](tr, args, out_name) -> list[(col_name, Column)].
+Most aggs yield one column; arg_max/arg_min/percentiles expand to several.
+All lower to built-in Catalyst aggregates, so Spark's two-phase
+partial/final HashAggregate applies automatically — map-side combine is the
+scale story for 100 TB `summarize` (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..ast_nodes import Col, Expr, FuncCall, Lit, Star
+from ..errors import KqlSemanticError
+
+AGG_REGISTRY: dict[str, object] = {}
+
+# dcount accuracy level 0-4 -> relative standard deviation (SURVEY.md §2.6)
+_DCOUNT_RSD = {0: 0.1, 1: 0.05, 2: 0.016, 3: 0.008, 4: 0.004}
+
+
+def agg(*names):
+    def deco(f):
+        for n in names:
+            AGG_REGISTRY[n] = f
+        return f
+
+    return deco
+
+
+def _auto(prefix: str, args: list[Expr]) -> str:
+    if args and isinstance(args[0], Col):
+        return f"{prefix}_{args[0].name}"
+    return f"{prefix}_"
+
+
+@agg("count")
+def _count(tr, args, name):
+    return [(name or "count_", F.count(F.lit(1)))]
+
+
+@agg("countif")
+def _countif(tr, args, name):
+    return [(name or "countif_", F.count(F.when(tr.to_col(args[0]), 1)))]
+
+
+@agg("sum")
+def _sum(tr, args, name):
+    return [(name or _auto("sum", args), F.sum(tr.to_col(args[0])))]
+
+
+@agg("sumif")
+def _sumif(tr, args, name):
+    return [
+        (
+            name or _auto("sumif", args),
+            F.sum(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("avg")
+def _avg(tr, args, name):
+    return [(name or _auto("avg", args), F.avg(tr.to_col(args[0])))]
+
+
+@agg("avgif")
+def _avgif(tr, args, name):
+    return [
+        (
+            name or _auto("avgif", args),
+            F.avg(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("min")
+def _min(tr, args, name):
+    return [(name or _auto("min", args), F.min(tr.to_col(args[0])))]
+
+
+@agg("max")
+def _max(tr, args, name):
+    return [(name or _auto("max", args), F.max(tr.to_col(args[0])))]
+
+
+@agg("minif")
+def _minif(tr, args, name):
+    return [
+        (
+            name or _auto("minif", args),
+            F.min(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("maxif")
+def _maxif(tr, args, name):
+    return [
+        (
+            name or _auto("maxif", args),
+            F.max(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("dcount")
+def _dcount(tr, args, name):
+    out = name or _auto("dcount", args)
+    if tr.exact_dcount:
+        return [(out, F.count_distinct(tr.to_col(args[0])))]
+    rsd = _DCOUNT_RSD.get(int(tr.const_value(args[1])) if len(args) > 1 else 1, 0.05)
+    return [(out, F.approx_count_distinct(tr.to_col(args[0]), rsd))]
+
+
+@agg("dcountif")
+def _dcountif(tr, args, name):
+    out = name or _auto("dcountif", args)
+    filtered = F.when(tr.to_col(args[1]), tr.to_col(args[0]))
+    if tr.exact_dcount:
+        return [(out, F.count_distinct(filtered))]
+    return [(out, F.approx_count_distinct(filtered, 0.05))]
+
+
+@agg("count_distinct")
+def _count_distinct(tr, args, name):
+    return [
+        (name or _auto("count_distinct", args), F.count_distinct(tr.to_col(args[0])))
+    ]
+
+
+@agg("count_distinctif")
+def _count_distinctif(tr, args, name):
+    return [
+        (
+            name or _auto("count_distinctif", args),
+            F.count_distinct(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("hll")
+def _hll(tr, args, name):
+    # no portable sketch interop (SURVEY.md §2.6) — approx count at use-site
+    return [(name or _auto("hll", args), F.approx_count_distinct(tr.to_col(args[0])))]
+
+
+@agg("arg_max", "argmax")
+def _arg_max(tr, args, name):
+    return _arg_extreme(tr, args, name, F.max_by, "max")
+
+
+@agg("arg_min", "argmin")
+def _arg_min(tr, args, name):
+    return _arg_extreme(tr, args, name, F.min_by, "min")
+
+
+def _arg_extreme(tr, args, name, by_fn, label):
+    key_ast = args[0]
+    key = tr.to_col(key_ast)
+    key_name = key_ast.name if isinstance(key_ast, Col) else f"{label}_arg"
+    out: list[tuple[str, Column]] = []
+    agg_of_key = F.max(key) if label == "max" else F.min(key)
+    out.append((name or key_name, agg_of_key))
+    for a in args[1:]:
+        if isinstance(a, Star):
+            for c in tr.current_columns():
+                if c != key_name:
+                    out.append((c, by_fn(F.col(c), key)))
+            continue
+        a_name = a.name if isinstance(a, Col) else None
+        out.append((a_name or f"{label}_by", by_fn(tr.to_col(a), key)))
+    return out
+
+
+@agg("take_any", "any")
+def _take_any(tr, args, name):
+    out = []
+    for a in args:
+        if isinstance(a, Star):
+            for c in tr.current_columns():
+                out.append((c, F.any_value(F.col(c), True)))
+            continue
+        a_name = a.name if isinstance(a, Col) else None
+        out.append((name or a_name or "any_", F.any_value(tr.to_col(a), True)))
+    return out
+
+
+@agg("take_anyif", "anyif")
+def _take_anyif(tr, args, name):
+    a_name = args[0].name if isinstance(args[0], Col) else None
+    return [
+        (
+            name or a_name or "anyif_",
+            F.any_value(F.when(tr.to_col(args[1]), tr.to_col(args[0])), True),
+        )
+    ]
+
+
+@agg("make_list", "makelist")
+def _make_list(tr, args, name):
+    col = F.collect_list(tr.to_col(args[0]))
+    if len(args) > 1:
+        col = F.slice(col, 1, int(tr.const_value(args[1])))
+    return [(name or _auto("list", args), col)]
+
+
+@agg("make_list_if")
+def _make_list_if(tr, args, name):
+    col = F.collect_list(F.when(tr.to_col(args[1]), tr.to_col(args[0])))
+    if len(args) > 2:
+        col = F.slice(col, 1, int(tr.const_value(args[2])))
+    return [(name or _auto("list", args), col)]
+
+
+@agg("make_set", "makeset")
+def _make_set(tr, args, name):
+    col = F.array_sort(F.collect_set(tr.to_col(args[0])))
+    if len(args) > 1:
+        col = F.slice(col, 1, int(tr.const_value(args[1])))
+    return [(name or _auto("set", args), col)]
+
+
+@agg("make_set_if")
+def _make_set_if(tr, args, name):
+    col = F.array_sort(F.collect_set(F.when(tr.to_col(args[1]), tr.to_col(args[0]))))
+    if len(args) > 2:
+        col = F.slice(col, 1, int(tr.const_value(args[2])))
+    return [(name or _auto("set", args), col)]
+
+
+@agg("make_list_with_nulls")
+def _make_list_with_nulls(tr, args, name):
+    # collect_list drops nulls; struct-wrap to keep them (SURVEY.md §2.6)
+    wrapped = F.collect_list(F.struct(tr.to_col(args[0]).alias("v")))
+    return [(name or _auto("list", args), F.transform(wrapped, lambda s: s["v"]))]
+
+
+@agg("make_bag", "make_bag_if")
+def _make_bag(tr, args, name):
+    col = tr.to_col(args[0])
+    if len(args) > 1 and not isinstance(args[1], Lit):
+        col = F.when(tr.to_col(args[1]), col)
+    merged = F.aggregate(
+        F.collect_list(col.cast("string")),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, x: F.map_zip_with(
+            acc,
+            F.from_json(x, "map<string,string>"),
+            lambda k, v1, v2: F.coalesce(v2, v1),
+        ),
+    )
+    return [(name or "bag_", F.to_json(merged))]
+
+
+@agg("percentile")
+def _percentile(tr, args, name):
+    c = tr.to_col(args[0])
+    p = float(tr.const_value(args[1])) / 100.0
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    pname = _fmt_pct(tr.const_value(args[1]))
+    if tr.exact_percentile:
+        col = F.percentile(c, F.lit(p))
+    else:
+        col = F.percentile_approx(c, p)
+    return [(name or f"percentile_{colname}_{pname}", col)]
+
+
+@agg("percentiles")
+def _percentiles(tr, args, name):
+    c = tr.to_col(args[0])
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    out = []
+    for a in args[1:]:
+        p = float(tr.const_value(a)) / 100.0
+        col = F.percentile(c, F.lit(p)) if tr.exact_percentile else F.percentile_approx(c, p)
+        out.append((f"percentile_{colname}_{_fmt_pct(tr.const_value(a))}", col))
+    if name and len(out) == 1:
+        out[0] = (name, out[0][1])
+    return out
+
+
+@agg("percentilew")
+def _percentilew(tr, args, name):
+    c = tr.to_col(args[0])
+    w = tr.to_col(args[1]).cast("bigint")
+    p = float(tr.const_value(args[2])) / 100.0
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    return [
+        (
+            name or f"percentile_{colname}_{_fmt_pct(tr.const_value(args[2]))}",
+            F.percentile(c, F.lit(p), w),
+        )
+    ]
+
+
+def _fmt_pct(v) -> str:
+    s = str(v)
+    return s.replace(".", "_").replace("-", "m")
+
+
+@agg("stdev")
+def _stdev(tr, args, name):
+    return [(name or _auto("stdev", args), F.stddev_samp(tr.to_col(args[0])))]
+
+
+@agg("stdevp")
+def _stdevp(tr, args, name):
+    return [(name or _auto("stdevp", args), F.stddev_pop(tr.to_col(args[0])))]
+
+
+@agg("variance")
+def _variance(tr, args, name):
+    return [(name or _auto("variance", args), F.var_samp(tr.to_col(args[0])))]
+
+
+@agg("variancep")
+def _variancep(tr, args, name):
+    return [(name or _auto("variancep", args), F.var_pop(tr.to_col(args[0])))]
+
+
+@agg("covariance")
+def _covariance(tr, args, name):
+    return [
+        (name or "covariance_", F.covar_samp(tr.to_col(args[0]), tr.to_col(args[1])))
+    ]
+
+
+@agg("covariancep")
+def _covariancep(tr, args, name):
+    return [
+        (name or "covariancep_", F.covar_pop(tr.to_col(args[0]), tr.to_col(args[1])))
+    ]
+
+
+@agg("correlation")
+def _correlation(tr, args, name):
+    return [(name or "correlation_", F.corr(tr.to_col(args[0]), tr.to_col(args[1])))]
+
+
+@agg("binary_all_and")
+def _binary_all_and(tr, args, name):
+    return [(name or "binary_all_and_", F.bit_and(tr.to_col(args[0])))]
+
+
+@agg("binary_all_or")
+def _binary_all_or(tr, args, name):
+    return [(name or "binary_all_or_", F.bit_or(tr.to_col(args[0])))]
+
+
+@agg("binary_all_xor")
+def _binary_all_xor(tr, args, name):
+    return [(name or "binary_all_xor_", F.bit_xor(tr.to_col(args[0])))]
+
+
+def is_aggregate_call(e: Expr) -> bool:
+    return isinstance(e, FuncCall) and e.name in AGG_REGISTRY

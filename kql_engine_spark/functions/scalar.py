@@ -1,0 +1,800 @@
+"""KQL scalar function registry -> PySpark Column builders (SURVEY.md §2.9).
+
+Every function stays JVM-side (`pyspark.sql.functions` compositions inside
+whole-stage codegen) — no Python UDFs in this module, so the hot path never
+crosses the Arrow boundary. KQL semantic deltas (0-based indexing, -1
+not-found, natural log, regex trim) are encoded here once.
+
+Registry contract: REGISTRY[name](tr, args) -> Column, where `tr` is the
+ExprTranslator (gives .to_col(ast), .const_seconds(ast), .dtype_of(col))
+and `args` is the raw AST argument list.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import KqlSemanticError
+from ..semantics import KQL_CAST_NAME, interval_seconds, kql_type_name
+
+REGISTRY: dict[str, object] = {}
+
+
+def fn(*names):
+    """Register with raw signature (tr, args_ast)."""
+
+    def deco(f):
+        for n in names:
+            REGISTRY[n] = f
+        return f
+
+    return deco
+
+
+def simple(*names):
+    """Register with translated-column signature (*cols)."""
+
+    def deco(f):
+        def wrapper(tr, args):
+            return f(*[tr.to_col(a) for a in args])
+
+        for n in names:
+            REGISTRY[n] = wrapper
+        return f
+
+    return deco
+
+
+# --------------------------------------------------------------------- string
+
+simple("strlen")(F.length)
+simple("toupper")(F.upper)
+simple("tolower")(F.lower)
+simple("reverse")(F.reverse)
+simple("strrep")(lambda s, n: F.repeat(s, n.cast("int")))
+simple("strcat")(lambda *cs: F.concat(*[c.cast("string") for c in cs]))
+simple("strcmp")(
+    lambda a, b: F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+)
+
+
+@fn("translate")
+def _translate(tr, args):
+    frm = tr.const_string(args[0])
+    to = tr.const_string(args[1])
+    return F.translate(tr.to_col(args[2]), frm, to)
+
+
+@fn("strcat_delim")
+def _strcat_delim(tr, args):
+    delim = tr.const_string(args[0])
+    return F.concat_ws(delim, *[tr.to_col(a).cast("string") for a in args[1:]])
+
+
+@fn("substring")
+def _substring(tr, args):
+    s = tr.to_col(args[0])
+    start = tr.to_col(args[1]).cast("int") + F.lit(1)  # KQL 0-based [KQL]
+    if len(args) >= 3:
+        return F.substring(s, start, tr.to_col(args[2]).cast("int"))
+    return F.substring(s, start, F.lit(2147483647))
+
+
+@fn("split")
+def _split(tr, args):
+    s = tr.to_col(args[0])
+    delim = tr.const_string(args[1])
+    arr = F.split(s, _re.escape(delim))
+    if len(args) >= 3:
+        # requestedIndex -> single-element behavior: KQL returns the element
+        idx = tr.to_col(args[2]).cast("int")
+        return F.element_at(arr, idx + F.lit(1))
+    return arr
+
+
+@fn("indexof")
+def _indexof(tr, args):
+    # KQL is 0-based with -1 for not-found [KQL]; Spark instr is 1-based/0
+    s = tr.to_col(args[0])
+    sub = tr.to_col(args[1])
+    if len(args) >= 3:
+        start0 = tr.to_col(args[2]).cast("int")
+        # emulate via substring search on the suffix
+        suffix = F.substring(s, start0 + F.lit(1), F.lit(2147483647))
+        found = F.instr(suffix, sub)
+        return F.when(found > 0, found - F.lit(1) + start0).otherwise(F.lit(-1))
+    return F.instr(s, sub) - F.lit(1)
+
+
+@fn("countof")
+def _countof(tr, args):
+    s = tr.to_col(args[0])
+    search = tr.const_string(args[1])
+    kind = tr.const_string(args[2]) if len(args) >= 3 else "normal"
+    pattern = search if kind == "regex" else _re.escape(search)
+    return F.size(F.split(s, pattern)) - F.lit(1)
+
+
+@fn("replace_string")
+def _replace_string(tr, args):
+    return F.replace(tr.to_col(args[0]), tr.to_col(args[1]), tr.to_col(args[2]))
+
+
+@fn("replace_regex")
+def _replace_regex(tr, args):
+    return F.regexp_replace(tr.to_col(args[0]), tr.to_col(args[1]), tr.to_col(args[2]))
+
+
+@fn("trim")
+def _trim(tr, args):
+    pat = tr.const_string(args[0])
+    s = tr.to_col(args[1])
+    return F.regexp_replace(s, f"^(?:{pat})+|(?:{pat})+$", "")
+
+
+@fn("trim_start")
+def _trim_start(tr, args):
+    pat = tr.const_string(args[0])
+    return F.regexp_replace(tr.to_col(args[1]), f"^(?:{pat})+", "")
+
+
+@fn("trim_end")
+def _trim_end(tr, args):
+    pat = tr.const_string(args[0])
+    return F.regexp_replace(tr.to_col(args[1]), f"(?:{pat})+$", "")
+
+
+@fn("extract")
+def _extract(tr, args):
+    regex = tr.const_string(args[0])
+    group = int(tr.const_value(args[1]))
+    s = tr.to_col(args[2])
+    out = F.regexp_extract(s, regex, group)
+    # KQL: no match -> null (regexp_extract gives ''); typed capture casts
+    out = F.when(F.regexp_like(s, F.lit(regex)), out)
+    if len(args) >= 4:
+        out = out.cast(KQL_CAST_NAME[tr.const_typename(args[3])])
+    return out
+
+
+@fn("extract_all")
+def _extract_all(tr, args):
+    regex = tr.const_string(args[0])
+    s = tr.to_col(args[-1])
+    return F.regexp_extract_all(s, F.lit(regex), 1 if "(" in regex else 0)
+
+
+@fn("extractjson")
+def _extractjson(tr, args):
+    path = tr.const_string(args[0])
+    s = tr.to_col(args[1])
+    out = F.get_json_object(s, path)
+    if len(args) >= 3:
+        out = out.cast(KQL_CAST_NAME[tr.const_typename(args[2])])
+    return out
+
+
+simple("isempty")(lambda c: c.isNull() | (c.cast("string") == ""))
+simple("isnotempty")(lambda c: c.isNotNull() & (c.cast("string") != ""))
+simple("isnull")(lambda c: c.isNull())
+simple("isnotnull")(lambda c: c.isNotNull())
+simple("coalesce")(F.coalesce)
+simple("base64_encode_tostring")(lambda c: F.base64(c.cast("binary")))
+simple("base64_decode_tostring")(lambda c: F.unbase64(c).cast("string"))
+simple("url_encode", "url_encode_component")(F.url_encode)
+simple("url_decode")(F.url_decode)
+
+
+@fn("parse_url")
+def _parse_url(tr, args):
+    u = tr.to_col(args[0])
+    return F.to_json(
+        F.struct(
+            F.parse_url(u, F.lit("PROTOCOL")).alias("Scheme"),
+            F.parse_url(u, F.lit("HOST")).alias("Host"),
+            F.coalesce(
+                F.regexp_extract(u, r"://[^/]*:(\d+)", 1), F.lit("")
+            ).alias("Port"),
+            F.parse_url(u, F.lit("PATH")).alias("Path"),
+            F.parse_url(u, F.lit("USERINFO")).alias("Username"),
+            F.parse_url(u, F.lit("QUERY")).alias("Query String"),
+            F.parse_url(u, F.lit("REF")).alias("Fragment"),
+        )
+    )
+
+
+@fn("parse_version")
+def _parse_version(tr, args):
+    # normalize up-to-4-part version into a sortable long
+    v = tr.to_col(args[0])
+    parts = F.split(v, r"\.")
+    out = F.lit(0).cast("bigint")
+    for i in range(4):
+        seg = F.coalesce(
+            F.try_cast(F.element_at(parts, i + 1), "bigint"), F.lit(0)
+        )
+        out = out + seg * F.lit(10 ** (6 * (3 - i))).cast("bigint")
+    return out
+
+
+# ------------------------------------------------------------------- datetime
+
+simple("now")(lambda *a: F.current_timestamp())
+
+
+@fn("ago")
+def _ago(tr, args):
+    secs = tr.const_seconds(args[0])
+    if secs is not None:
+        return F.current_timestamp() - interval_seconds(secs)
+    return F.current_timestamp() - tr.to_col(args[0])
+
+
+@fn("bin", "floor")
+def _bin(tr, args):
+    x = tr.to_col(args[0])
+    secs = tr.const_seconds(args[1])
+    dt = tr.dtype_of(x)
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        if secs is None:
+            raise KqlSemanticError("bin() on datetime needs a timespan literal")
+        us = int(round(secs * 1_000_000))
+        return F.timestamp_micros(
+            (F.floor(F.unix_micros(x.cast("timestamp")) / F.lit(us)) * F.lit(us)).cast("bigint")
+        )
+    if isinstance(dt, T.DayTimeIntervalType):
+        if secs is None:
+            raise KqlSemanticError("bin() on timespan needs a timespan literal")
+        return interval_seconds(1) * F.floor(x.cast("double") / F.lit(secs)) * F.lit(secs)
+    size = tr.to_col(args[1])
+    binned = F.floor(x.cast("double") / size.cast("double")) * size.cast("double")
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and (
+        tr.is_integer_literal(args[1])
+    ):
+        return binned.cast("bigint")
+    return binned
+
+
+@fn("bin_at")
+def _bin_at(tr, args):
+    x = tr.to_col(args[0])
+    dt = tr.dtype_of(x)
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        secs = tr.const_seconds(args[1])
+        if secs is None:
+            raise KqlSemanticError("bin_at() on datetime needs a timespan literal")
+        us = int(round(secs * 1_000_000))
+        anchor = F.unix_micros(tr.to_col(args[2]).cast("timestamp"))
+        xm = F.unix_micros(x.cast("timestamp"))
+        return F.timestamp_micros(
+            (anchor + F.floor((xm - anchor) / F.lit(us)) * F.lit(us)).cast("bigint")
+        )
+    size = tr.to_col(args[1]).cast("double")
+    anchor = tr.to_col(args[2]).cast("double")
+    return anchor + F.floor((x.cast("double") - anchor) / size) * size
+
+
+simple("startofday")(lambda c, *o: F.date_trunc("day", c))
+simple("startofmonth")(lambda c, *o: F.date_trunc("month", c))
+simple("startofyear")(lambda c, *o: F.date_trunc("year", c))
+
+
+@fn("startofweek")
+def _startofweek(tr, args):
+    # KQL weeks start Sunday [KQL]; Spark date_trunc('week') starts Monday
+    c = tr.to_col(args[0])
+    day = F.date_trunc("day", c)
+    dow = F.dayofweek(c)  # 1=Sunday
+    return day - F.make_dt_interval(days=dow - F.lit(1))
+
+
+simple("endofday")(
+    lambda c, *o: F.date_trunc("day", c) + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+)
+simple("endofmonth")(
+    lambda c, *o: F.to_timestamp(F.last_day(c)) + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+)
+simple("endofyear")(
+    lambda c, *o: F.date_trunc("year", c) + F.expr("INTERVAL 1 YEAR") - F.expr("INTERVAL 1 MICROSECOND")
+)
+
+
+@fn("endofweek")
+def _endofweek(tr, args):
+    start = REGISTRY["startofweek"](tr, args)
+    return start + F.expr("INTERVAL 7 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+
+
+_DATEPART = {
+    "year": "YEAR", "quarter": "QUARTER", "month": "MONTH", "week": "WEEK",
+    "day": "DAY", "hour": "HOUR", "minute": "MINUTE", "second": "SECOND",
+    "millisecond": "MILLISECOND", "microsecond": "MICROSECOND",
+}
+
+
+@fn("datetime_add")
+def _datetime_add(tr, args):
+    part = tr.const_string(args[0]).lower()
+    n = tr.to_col(args[1])
+    dt = tr.to_col(args[2])
+    return F.timestampadd(_DATEPART[part], n, dt)
+
+
+@fn("datetime_diff")
+def _datetime_diff(tr, args):
+    part = tr.const_string(args[0]).lower()
+    a = tr.to_col(args[1])
+    b = tr.to_col(args[2])
+    return F.timestampdiff(_DATEPART[part], b, a)  # KQL: diff = arg1 - arg2
+
+
+@fn("dayofweek")
+def _dayofweek(tr, args):
+    # returns timespan since preceding Sunday [KQL]
+    c = tr.to_col(args[0])
+    return F.make_dt_interval(days=F.dayofweek(c) - F.lit(1))
+
+
+simple("dayofmonth")(F.dayofmonth)
+simple("dayofyear")(F.dayofyear)
+simple("getmonth", "monthofyear")(F.month)
+simple("getyear")(F.year)
+simple("hourofday")(F.hour)
+simple("week_of_year")(F.weekofyear)
+
+
+@fn("make_datetime")
+def _make_datetime(tr, args):
+    cols = [tr.to_col(a) for a in args]
+    while len(cols) < 6:
+        cols.append(F.lit(0))
+    sec = cols[5].cast("decimal(18,6)")
+    return F.make_timestamp(
+        cols[0].cast("int"), cols[1].cast("int"), cols[2].cast("int"),
+        cols[3].cast("int"), cols[4].cast("int"), sec,
+    )
+
+
+@fn("make_timespan")
+def _make_timespan(tr, args):
+    cols = [tr.to_col(a).cast("int") for a in args]
+    if len(cols) == 2:  # (hours, minutes)
+        return F.make_dt_interval(hours=cols[0], mins=cols[1])
+    if len(cols) == 3:
+        return F.make_dt_interval(hours=cols[0], mins=cols[1], secs=cols[2].cast("double"))
+    return F.make_dt_interval(
+        days=cols[0], hours=cols[1], mins=cols[2], secs=cols[3].cast("double")
+    )
+
+
+# KQL .NET-style format tokens -> JVM SimpleDateTime pattern (subset)
+_FMT_MAP = [
+    ("yyyy", "yyyy"), ("yy", "yy"), ("MM", "MM"), ("M", "M"),
+    ("dd", "dd"), ("d", "d"), ("HH", "HH"), ("H", "H"), ("hh", "hh"),
+    ("mm", "mm"), ("m", "m"), ("ss", "ss"), ("s", "s"),
+    ("fffffff", "SSSSSSS"), ("ffffff", "SSSSSS"), ("fffff", "SSSSS"),
+    ("ffff", "SSSS"), ("fff", "SSS"), ("ff", "SS"), ("f", "S"),
+    ("tt", "a"),
+]
+
+
+def _xlate_fmt(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        for k, v in _FMT_MAP:
+            if fmt.startswith(k, i):
+                out.append(v)
+                i += len(k)
+                break
+        else:
+            ch = fmt[i]
+            if ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+@fn("format_datetime")
+def _format_datetime(tr, args):
+    return F.date_format(tr.to_col(args[0]), _xlate_fmt(tr.const_string(args[1])))
+
+
+simple("unixtime_seconds_todatetime")(lambda c: F.timestamp_seconds(c))
+simple("unixtime_milliseconds_todatetime")(lambda c: F.timestamp_millis(c.cast("bigint")))
+simple("unixtime_microseconds_todatetime")(lambda c: F.timestamp_micros(c.cast("bigint")))
+simple("unixtime_nanoseconds_todatetime")(
+    lambda c: F.timestamp_micros((c.cast("bigint") / F.lit(1000)).cast("bigint"))
+)
+
+
+# ----------------------------------------------------------------------- math
+
+simple("abs")(F.abs)
+simple("sign")(lambda c: F.signum(c.cast("double")))
+simple("exp")(F.exp)
+simple("log")(lambda c: F.log(c))  # natural log [KQL]
+simple("log2")(F.log2)
+simple("log10")(F.log10)
+simple("pow")(F.pow)
+simple("sqrt")(F.sqrt)
+simple("exp2")(lambda c: F.pow(F.lit(2.0), c))
+simple("exp10")(lambda c: F.pow(F.lit(10.0), c))
+simple("pi")(lambda: F.lit(3.141592653589793))
+simple("sin")(F.sin)
+simple("cos")(F.cos)
+simple("tan")(F.tan)
+simple("asin")(F.asin)
+simple("acos")(F.acos)
+simple("atan")(F.atan)
+simple("atan2")(lambda y, x: F.atan2(y, x))
+simple("degrees")(F.degrees)
+simple("radians")(F.radians)
+simple("isnan")(lambda c: F.isnan(c.cast("double")))
+simple("isinf")(lambda c: (c.cast("double") == float("inf")) | (c.cast("double") == float("-inf")))
+simple("isfinite")(
+    lambda c: ~(F.isnan(c.cast("double")) | (F.abs(c.cast("double")) == float("inf")))
+)
+simple("min_of")(F.least)
+simple("max_of")(F.greatest)
+simple("gamma")(lambda c: F.exp(_lgamma(c)))
+simple("loggamma")(lambda c: _lgamma(c))
+
+
+def _lgamma(c: Column) -> Column:
+    # Stirling series approximation, JVM-side (no SciPy dependency)
+    x = c.cast("double")
+    return (
+        (x - F.lit(0.5)) * F.log(x)
+        - x
+        + F.lit(0.5 * 2.837877066409345)  # 0.5*ln(2*pi)... simplified below
+        + F.lit(1.0) / (F.lit(12.0) * x)
+        - F.lit(1.0) / (F.lit(360.0) * F.pow(x, F.lit(3.0)))
+    )
+
+
+@fn("round")
+def _round(tr, args):
+    c = tr.to_col(args[0])
+    n = int(tr.const_value(args[1])) if len(args) > 1 else 0
+    return F.round(c, n)
+
+
+simple("ceiling")(F.ceil)
+
+
+@fn("rand")
+def _rand(tr, args):
+    if args:
+        n = tr.to_col(args[0])
+        return F.floor(F.rand(seed=42) * n.cast("double"))
+    return F.rand(seed=42)
+
+
+@fn("hash")
+def _hash(tr, args):
+    h = F.xxhash64(tr.to_col(args[0]))
+    if len(args) > 1:
+        return F.pmod(h, tr.to_col(args[1]).cast("bigint"))
+    return h
+
+
+simple("hash_sha256")(lambda c: F.sha2(c.cast("string"), 256))
+simple("hash_sha1")(lambda c: F.sha1(c.cast("string")))
+simple("hash_md5")(lambda c: F.md5(c.cast("string")))
+
+
+@fn("range")
+def _range_fn(tr, args):
+    start = tr.to_col(args[0])
+    stop = tr.to_col(args[1])
+    step = tr.to_col(args[2]) if len(args) > 2 else F.lit(1)
+    return F.sequence(start, stop, step)
+
+
+# ----------------------------------------------------------------- conversion
+
+
+def _conv(target: str):
+    def impl(tr, args):
+        return tr.to_col(args[0]).try_cast(target)
+
+    return impl
+
+
+for _k, _t in [
+    ("tobool", "boolean"), ("toboolean", "boolean"), ("toint", "int"),
+    ("tolong", "bigint"), ("todouble", "double"), ("toreal", "double"),
+    ("todecimal", "decimal(38,18)"),
+]:
+    REGISTRY[_k] = _conv(_t)
+
+
+@fn("tostring")
+def _tostring(tr, args):
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of(c)
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(c)
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    out = c.cast("string")
+    return F.coalesce(out, F.lit(""))  # KQL strings are never null [KQL §1.2]
+
+
+@fn("todatetime")
+def _todatetime(tr, args):
+    return tr.to_col(args[0]).try_cast("timestamp")
+
+
+@fn("totimespan")
+def _totimespan(tr, args):
+    secs = tr.const_seconds(args[0])
+    if secs is not None:
+        return interval_seconds(secs)
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of(c)
+    if isinstance(dt, T.DayTimeIntervalType):
+        return c
+    return c.try_cast("interval day to second")
+
+
+simple("toguid")(lambda c: F.lower(c.cast("string")))
+
+
+@fn("todynamic", "parse_json")
+def _todynamic(tr, args):
+    # dynamic carrier = JSON string (SURVEY.md §1.1 fallback representation);
+    # property access dispatches on carrier type in the translator
+    c = tr.to_col(args[0])
+    return c.cast("string")
+
+
+@fn("gettype")
+def _gettype(tr, args):
+    c = tr.to_col(args[0])
+    return F.lit(kql_type_name(tr.dtype_of(c)))
+
+
+# ---------------------------------------------------------------- conditional
+
+
+@fn("iff", "iif")
+def _iff(tr, args):
+    return F.when(tr.to_col(args[0]), tr.to_col(args[1])).otherwise(tr.to_col(args[2]))
+
+
+@fn("case")
+def _case(tr, args):
+    out = None
+    i = 0
+    while i + 1 < len(args):
+        pred = tr.to_col(args[i])
+        val = tr.to_col(args[i + 1])
+        out = F.when(pred, val) if out is None else out.when(pred, val)
+        i += 2
+    if i < len(args):
+        out = out.otherwise(tr.to_col(args[i]))
+    return out
+
+
+@fn("not")
+def _not(tr, args):
+    return ~tr.to_col(args[0])
+
+
+# ------------------------------------------------------------- arrays / bags
+
+simple("array_length")(lambda c: F.when(c.isNotNull(), F.size(c)))
+simple("array_concat")(F.concat)
+simple("array_reverse")(F.reverse)
+simple("pack_array")(F.array)
+simple("set_has_element")(lambda a, v: F.array_contains(a, v))
+simple("set_union")(lambda *a: F.array_sort(_fold(F.array_union, a)))
+simple("set_intersect")(lambda *a: F.array_sort(_fold(F.array_intersect, a)))
+simple("set_difference")(lambda *a: F.array_sort(F.array_except(a[0], _fold(F.array_union, a[1:])) if len(a) > 1 else a[0]))
+simple("array_sort_asc")(F.array_sort)
+simple("array_sort_desc")(lambda c: F.reverse(F.array_sort(c)))
+simple("array_sum")(lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x.cast("double")))
+simple("array_avg")(
+    lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x.cast("double")) / F.size(c)
+)
+simple("array_min")(F.array_min)
+simple("array_max")(F.array_max)
+simple("repeat")(lambda v, n: F.array_repeat(v, n.cast("int")))
+simple("zip")(F.arrays_zip)
+simple("bag_keys")(_bag_keys := lambda c: F.json_object_keys(c.cast("string")))
+simple("jaccard_index")(
+    lambda a, b: F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+)
+
+
+def _fold(f, cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = f(out, c)
+    return out
+
+
+@fn("array_slice")
+def _array_slice(tr, args):
+    a = tr.to_col(args[0])
+    lo = tr.to_col(args[1]).cast("int")
+    hi = tr.to_col(args[2]).cast("int")
+    n = F.size(a)
+    lo_n = F.when(lo < 0, F.greatest(n + lo, F.lit(0))).otherwise(lo)
+    hi_n = F.when(hi < 0, n + hi).otherwise(F.least(hi, n - 1))
+    length = hi_n - lo_n + F.lit(1)
+    return F.when(length > 0, F.slice(a, lo_n + F.lit(1), length)).otherwise(F.array())
+
+
+@fn("array_index_of")
+def _array_index_of(tr, args):
+    a = tr.to_col(args[0])
+    v = tr.to_col(args[1])
+    return F.array_position(a, v).cast("bigint") - F.lit(1)  # 0-based, -1 nf [KQL]
+
+
+@fn("array_rotate_left")
+def _array_rotate_left(tr, args):
+    a = tr.to_col(args[0])
+    n = tr.to_col(args[1]).cast("int")
+    sz = F.size(a)
+    k = F.pmod(n, sz)
+    return F.concat(F.slice(a, k + F.lit(1), sz - k), F.slice(a, F.lit(1), k))
+
+
+@fn("array_rotate_right")
+def _array_rotate_right(tr, args):
+    a = tr.to_col(args[0])
+    n = tr.to_col(args[1]).cast("int")
+    sz = F.size(a)
+    k = F.pmod(-n, sz)
+    return F.concat(F.slice(a, k + F.lit(1), sz - k), F.slice(a, F.lit(1), k))
+
+
+@fn("array_shift_left")
+def _array_shift_left(tr, args):
+    a = tr.to_col(args[0])
+    n = tr.to_col(args[1]).cast("int")
+    fill = tr.to_col(args[2]) if len(args) > 2 else F.lit(None)
+    sz = F.size(a)
+    shifted = F.when(n >= 0, F.concat(F.slice(a, n + F.lit(1), sz - n), F.array_repeat(fill, n))).otherwise(
+        F.concat(F.array_repeat(fill, -n), F.slice(a, F.lit(1), sz + n))
+    )
+    return shifted
+
+
+@fn("array_shift_right")
+def _array_shift_right(tr, args):
+    neg = tr.to_col(args[1]).cast("int") * F.lit(-1)
+    a = tr.to_col(args[0])
+    fill = tr.to_col(args[2]) if len(args) > 2 else F.lit(None)
+    sz = F.size(a)
+    n = neg
+    return F.when(n >= 0, F.concat(F.slice(a, n + F.lit(1), sz - n), F.array_repeat(fill, n))).otherwise(
+        F.concat(F.array_repeat(fill, -n), F.slice(a, F.lit(1), sz + n))
+    )
+
+
+@fn("array_iff", "array_if")
+def _array_iff(tr, args):
+    cond = tr.to_col(args[0])
+    a = tr.to_col(args[1])
+    b = tr.to_col(args[2])
+    return F.zip_with(cond, F.arrays_zip(a, b), lambda c, ab: F.when(c, ab["0"]).otherwise(ab["1"]))
+
+
+@fn("pack", "bag_pack", "pack_dictionary")
+def _pack(tr, args):
+    pairs = []
+    for i in range(0, len(args) - 1, 2):
+        pairs.append(tr.to_col(args[i]).cast("string"))
+        pairs.append(tr.to_col(args[i + 1]))
+    return F.to_json(F.create_map(*pairs))
+
+
+@fn("pack_all")
+def _pack_all(tr, args):
+    return F.to_json(F.struct("*"))
+
+
+@fn("bag_merge")
+def _bag_merge(tr, args):
+    # JSON-text carriers: parse to map<string,string> and merge left-to-right
+    maps = [
+        F.from_json(tr.to_col(a).cast("string"), "map<string,string>") for a in args
+    ]
+    out = maps[-1]
+    for m in reversed(maps[:-1]):
+        out = F.map_concat(F.map_filter(out, lambda k, v: ~F.map_contains_key(m, k)), m)
+    return F.to_json(out)
+
+
+@fn("bag_remove_keys")
+def _bag_remove_keys(tr, args):
+    m = F.from_json(tr.to_col(args[0]).cast("string"), "map<string,string>")
+    keys = tr.to_col(args[1])
+    return F.to_json(F.map_filter(m, lambda k, v: ~F.array_contains(keys, k)))
+
+
+@fn("dynamic_to_json")
+def _dynamic_to_json(tr, args):
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of(c)
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(c)
+    return c.cast("string")
+
+
+@fn("strcat_array", "array_strcat")
+def _strcat_array(tr, args):
+    a = tr.to_col(args[0])
+    delim = tr.const_string(args[1])
+    return F.array_join(a.cast("array<string>"), delim)
+
+
+# --------------------------------------------------------------------- IP/geo
+
+
+@fn("parse_ipv4")
+def _parse_ipv4(tr, args):
+    s = tr.to_col(args[0])
+    p = F.split(s, r"\.")
+    return (
+        F.try_cast(F.element_at(p, 1), "bigint") * F.lit(16777216)
+        + F.try_cast(F.element_at(p, 2), "bigint") * F.lit(65536)
+        + F.try_cast(F.element_at(p, 3), "bigint") * F.lit(256)
+        + F.try_cast(F.split(F.element_at(p, 4), "/").getItem(0), "bigint")
+    )
+
+
+@fn("format_ipv4")
+def _format_ipv4(tr, args):
+    v = tr.to_col(args[0]).cast("bigint")
+    return F.concat_ws(
+        ".",
+        (F.floor(v / 16777216) % 256).cast("string"),
+        (F.floor(v / 65536) % 256).cast("string"),
+        (F.floor(v / 256) % 256).cast("string"),
+        (v % 256).cast("string"),
+    )
+
+
+@fn("ipv4_is_in_range")
+def _ipv4_is_in_range(tr, args):
+    ip = REGISTRY["parse_ipv4"](tr, [args[0]])
+    rng = tr.const_string(args[1])
+    if "/" in rng:
+        base, bits = rng.split("/")
+        mask = (0xFFFFFFFF << (32 - int(bits))) & 0xFFFFFFFF
+    else:
+        base, mask = rng, 0xFFFFFFFF
+    parts = [int(x) for x in base.split(".")]
+    base_v = parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3]
+    return (F.floor(ip / F.lit(2 ** 32 - mask - 1 + 1)).cast("bigint") * F.lit(0) + ip).bitwiseAND(
+        F.lit(mask)
+    ) == F.lit(base_v & mask)
+
+
+@fn("geo_distance_2points")
+def _geo_distance(tr, args):
+    lon1, lat1, lon2, lat2 = [tr.to_col(a).cast("double") for a in args]
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    h = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * 6371009.0) * F.asin(F.sqrt(h))
+
+
+# ------------------------------------------------------------ typed-null ctor
+
+
+def typed_null(ktype: str) -> Column:
+    return F.lit(None).cast(KQL_CAST_NAME.get(ktype, "string"))

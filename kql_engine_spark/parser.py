@@ -1,0 +1,998 @@
+"""KQL recursive-descent parser (SURVEY.md §3.2 stages 1-2).
+
+Hand-rolled (no parser generator in the environment). Grammar follows the
+public KQL spec [KQL]; the reference repo has no parser to mirror
+(SURVEY.md §0). Operator keywords are contextual: dispatch happens on the
+identifier in operator-head position, so `project`, `top`, ... remain legal
+column names elsewhere.
+"""
+
+from __future__ import annotations
+
+from .ast_nodes import (
+    AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
+    Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
+    Invoke, Join, JoinOn, Lambda, LetStmt, Lit, Lookup, MakeSeries, MvApply,
+    MvExpand, NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe,
+    PipeSource, PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
+    ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
+    SampleOp, SearchOp, Serialize, Sort, SortKey, Source, Star, Summarize,
+    TableRef, Take, TabularOp, Top, TopHitters, TopNested, TopNestedLevel,
+    TypedLit, UnaryOp, Union, UnionSource, Where,
+)
+from .errors import KqlSyntaxError, KqlUnsupportedError
+from .lexer import EOF, IDENT, INT, OP, QIDENT, REAL, STRING, TIMESPAN, Token, tokenize
+
+# raw-text literal constructors: captured verbatim, decoded by the translator
+_TYPED_LITERALS = {
+    "datetime": "datetime",
+    "date": "datetime",
+    "time": "timespan",
+    "timespan": "timespan",
+    "guid": "guid",
+    "uuid": "guid",
+    "dynamic": "dynamic",
+}
+
+# infix word operators and their binding power (higher binds tighter)
+_CMP_WORDS = {
+    "contains", "contains_cs", "has", "has_cs", "hasprefix", "hasprefix_cs",
+    "hassuffix", "hassuffix_cs", "startswith", "startswith_cs", "endswith",
+    "endswith_cs", "matches", "like", "has_any", "has_all",
+}
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">=", "=~", "!~", "<>"}
+
+_BP_OR = 10
+_BP_AND = 20
+_BP_CMP = 30
+_BP_ADD = 40
+_BP_MUL = 50
+
+_SORT_STOP = {"asc", "desc", "nulls", "by", "on", "step", "from", "to",
+              "default", "with", "limit", "kind", "granny-asc", "granny-desc"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # ------------------------------------------------------------- utilities
+    def peek(self, k: int = 0) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != EOF:
+            self.i += 1
+        return t
+
+    def at(self, kind: str, value: object = None, k: int = 0) -> bool:
+        t = self.peek(k)
+        if t.kind != kind:
+            return False
+        if value is None:
+            return True
+        if kind == IDENT:
+            return isinstance(t.value, str) and t.value.lower() == str(value).lower()
+        return t.value == value
+
+    def expect(self, kind: str, value: object = None) -> Token:
+        if not self.at(kind, value):
+            got = self.peek()
+            raise KqlSyntaxError(
+                f"expected {value or kind}, got {got.kind}({got.value!r})",
+                self.text, got.pos,
+            )
+        return self.next()
+
+    def accept(self, kind: str, value: object = None) -> Token | None:
+        if self.at(kind, value):
+            return self.next()
+        return None
+
+    def error(self, msg: str) -> KqlSyntaxError:
+        return KqlSyntaxError(msg, self.text, self.peek().pos)
+
+    # ------------------------------------------------------------ entry point
+    def parse_query(self) -> Query:
+        lets: list[LetStmt] = []
+        while self.at(IDENT, "let"):
+            lets.append(self.parse_let())
+            self.expect(OP, ";")
+        pipe = self.parse_pipe()
+        while self.accept(OP, ";"):
+            pass
+        if not self.at(EOF):
+            raise self.error("unexpected trailing input")
+        return Query(lets, pipe)
+
+    def parse_let(self) -> LetStmt:
+        self.expect(IDENT, "let")
+        name = self.ident_name()
+        self.expect(OP, "=")
+        # lambda: (params) { body }
+        if self.at(OP, "("):
+            j = self.find_matching_paren(self.i)
+            if j is not None and self.toks[j + 1].kind == OP and self.toks[j + 1].value == "{":
+                return LetStmt(name, self.parse_lambda())
+        # tabular: IDENT followed by '|' or ';', or a source keyword
+        if self.at(IDENT) or self.at(QIDENT):
+            head = str(self.peek().value).lower() if self.at(IDENT) else ""
+            nxt = self.peek(1)
+            if head in ("datatable", "range", "print", "externaldata", "union") or (
+                nxt.kind == OP and nxt.value in ("|", ";")
+            ):
+                return LetStmt(name, self.parse_pipe())
+        if self.at(OP, "(") :
+            # parenthesized tabular expression: ( T | ... )
+            snap = self.i
+            try:
+                pipe = self.parse_pipe()
+                if self.at(OP, ";"):
+                    return LetStmt(name, pipe)
+            except KqlSyntaxError:
+                pass
+            self.i = snap
+        return LetStmt(name, self.parse_expr())
+
+    def parse_lambda(self) -> Lambda:
+        self.expect(OP, "(")
+        params: list[tuple[str, str]] = []
+        while not self.at(OP, ")"):
+            pname = self.ident_name()
+            ptype = ""
+            if self.accept(OP, ":"):
+                ptype = self.ident_name()
+            params.append((pname, ptype))
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        self.expect(OP, "{")
+        body = self.parse_expr()
+        self.accept(OP, ";")
+        self.expect(OP, "}")
+        return Lambda(params, body)
+
+    def find_matching_paren(self, start: int) -> int | None:
+        """start indexes a '(' token; return index of its matching ')'."""
+        depth = 0
+        for j in range(start, len(self.toks)):
+            t = self.toks[j]
+            if t.kind == OP and t.value in ("(", "[", "{"):
+                depth += 1
+            elif t.kind == OP and t.value in (")", "]", "}"):
+                depth -= 1
+                if depth == 0:
+                    return j
+        return None
+
+    def ident_name(self) -> str:
+        t = self.peek()
+        if t.kind in (IDENT, QIDENT):
+            self.next()
+            return str(t.value)
+        raise self.error(f"expected identifier, got {t.kind}({t.value!r})")
+
+    # ------------------------------------------------------------------ pipes
+    def parse_pipe(self) -> Pipe:
+        source = self.parse_source()
+        ops: list[TabularOp] = []
+        while self.accept(OP, "|"):
+            ops.append(self.parse_operator())
+        return Pipe(source, ops)
+
+    def parse_source(self) -> Source:
+        if self.accept(OP, "("):
+            pipe = self.parse_pipe()
+            self.expect(OP, ")")
+            return PipeSource(pipe)
+        t = self.peek()
+        if t.kind == QIDENT:
+            self.next()
+            return TableRef(str(t.value))
+        if t.kind != IDENT:
+            raise self.error("expected table name or source expression")
+        head = str(t.value).lower()
+        if head == "datatable":
+            return self.parse_datatable()
+        if head == "print":
+            self.next()
+            return PrintSource(self.parse_named_expr_list())
+        if head == "range" and self.at(IDENT, k=1) and self.at(IDENT, "from", k=2):
+            return self.parse_range_source()
+        if head == "union":
+            self.next()
+            kind, withsource = self.parse_union_opts()
+            pipes = self.parse_union_operands()
+            return UnionSource(pipes, kind, withsource)
+        if head == "externaldata":
+            return self.parse_externaldata()
+        self.next()
+        return TableRef(str(t.value))
+
+    def parse_datatable(self) -> DataTable:
+        self.expect(IDENT, "datatable")
+        self.expect(OP, "(")
+        schema: list[tuple[str, str]] = []
+        while not self.at(OP, ")"):
+            cname = self.ident_name()
+            self.expect(OP, ":")
+            ctype = self.ident_name()
+            schema.append((cname, ctype))
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        self.expect(OP, "[")
+        rows: list[Expr] = []
+        while not self.at(OP, "]"):
+            rows.append(self.parse_expr())
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, "]")
+        return DataTable(schema, rows)
+
+    def parse_range_source(self) -> RangeSource:
+        self.expect(IDENT, "range")
+        name = self.ident_name()
+        self.expect(IDENT, "from")
+        start = self.parse_expr()
+        self.expect(IDENT, "to")
+        stop = self.parse_expr()
+        step = None
+        if self.accept(IDENT, "step"):
+            step = self.parse_expr()
+        return RangeSource(name, start, stop, step)
+
+    def parse_externaldata(self) -> ExternalData:
+        self.expect(IDENT, "externaldata")
+        self.expect(OP, "(")
+        schema: list[tuple[str, str]] = []
+        while not self.at(OP, ")"):
+            cname = self.ident_name()
+            self.expect(OP, ":")
+            schema.append((cname, self.ident_name()))
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        self.expect(OP, "[")
+        uris: list[str] = []
+        while not self.at(OP, "]"):
+            uris.append(str(self.expect(STRING).value))
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, "]")
+        fmt = "csv"
+        if self.accept(IDENT, "with"):
+            self.expect(OP, "(")
+            while not self.at(OP, ")"):
+                key = self.ident_name()
+                self.expect(OP, "=")
+                val = self.next().value
+                if key.lower() == "format":
+                    fmt = str(val)
+                self.accept(OP, ",")
+            self.expect(OP, ")")
+        return ExternalData(schema, uris, fmt)
+
+    def parse_union_opts(self) -> tuple[str, str | None]:
+        kind, withsource = "outer", None
+        while True:
+            if self.at(IDENT, "kind"):
+                self.next()
+                self.expect(OP, "=")
+                kind = self.ident_name().lower()
+            elif self.at(IDENT, "withsource"):
+                self.next()
+                self.expect(OP, "=")
+                withsource = self.ident_name()
+            elif self.at(IDENT, "isfuzzy"):
+                self.next()
+                self.expect(OP, "=")
+                self.next()
+            else:
+                return kind, withsource
+
+    def parse_union_operands(self) -> list[Pipe]:
+        pipes: list[Pipe] = []
+        while True:
+            if self.accept(OP, "("):
+                pipes.append(self.parse_pipe())
+                self.expect(OP, ")")
+            else:
+                pipes.append(Pipe(TableRef(self.ident_name()), []))
+            if not self.accept(OP, ","):
+                break
+        return pipes
+
+    # -------------------------------------------------------------- operators
+    def operator_name(self) -> str:
+        """Operator head, joining hyphenated names (project-away, mv-expand)."""
+        name = self.ident_name().lower()
+        while self.at(OP, "-") and self.peek(1).kind == IDENT:
+            # only join when '-' is adjacent (no whitespace) on both sides
+            dash = self.peek()
+            prev_end = self.toks[self.i - 1].end
+            nxt = self.peek(1)
+            if dash.pos == prev_end and nxt.pos == dash.end:
+                self.next()
+                name += "-" + self.ident_name().lower()
+            else:
+                break
+        return name
+
+    def parse_operator(self) -> TabularOp:
+        t = self.peek()
+        if t.kind != IDENT:
+            raise self.error("expected operator after '|'")
+        name = self.operator_name()
+        meth = getattr(self, "op_" + name.replace("-", "_"), None)
+        if meth is None:
+            raise KqlUnsupportedError(f"unsupported operator: {name!r}")
+        return meth()
+
+    # each op_* assumes the operator head has been consumed
+    def op_where(self) -> Where:
+        return Where(self.parse_expr())
+
+    op_filter = op_where
+
+    def op_project(self) -> Project:
+        return Project(self.parse_named_expr_list())
+
+    def op_extend(self) -> Extend:
+        return Extend(self.parse_named_expr_list())
+
+    def op_project_away(self) -> ProjectAway:
+        return ProjectAway(self.parse_name_list())
+
+    def op_project_keep(self) -> ProjectKeep:
+        return ProjectKeep(self.parse_name_list())
+
+    def op_project_reorder(self) -> ProjectReorder:
+        return ProjectReorder(self.parse_name_list())
+
+    def op_project_rename(self) -> ProjectRename:
+        pairs: list[tuple[str, str]] = []
+        while True:
+            new = self.ident_name()
+            self.expect(OP, "=")
+            old = self.ident_name()
+            pairs.append((new, old))
+            if not self.accept(OP, ","):
+                break
+        return ProjectRename(pairs)
+
+    def op_distinct(self) -> Distinct:
+        if self.accept(OP, "*"):
+            return Distinct([], star=True)
+        return Distinct(self.parse_name_list())
+
+    def op_sort(self) -> Sort:
+        self.expect(IDENT, "by")
+        return Sort(self.parse_sort_keys())
+
+    op_order = op_sort
+
+    def parse_sort_keys(self) -> list[SortKey]:
+        keys: list[SortKey] = []
+        while True:
+            expr = self.parse_expr()
+            asc = False
+            nulls = None
+            if self.accept(IDENT, "asc"):
+                asc = True
+            elif self.accept(IDENT, "desc"):
+                asc = False
+            if self.accept(IDENT, "nulls"):
+                if self.accept(IDENT, "first"):
+                    nulls = "first"
+                else:
+                    self.expect(IDENT, "last")
+                    nulls = "last"
+            keys.append(SortKey(expr, asc, nulls))
+            if not self.accept(OP, ","):
+                break
+        return keys
+
+    def op_take(self) -> Take:
+        return Take(int(self.expect(INT).value))
+
+    op_limit = op_take
+
+    def op_top(self) -> Top:
+        n = int(self.expect(INT).value)
+        self.expect(IDENT, "by")
+        return Top(n, self.parse_sort_keys())
+
+    def op_top_nested(self) -> TopNested:
+        levels = [self.parse_top_nested_level()]
+        while self.accept(OP, ","):
+            self.expect(IDENT, "top")
+            self.expect(OP, "-")
+            self.expect(IDENT, "nested")
+            levels.append(self.parse_top_nested_level())
+        return TopNested(levels)
+
+    def parse_top_nested_level(self) -> TopNestedLevel:
+        n = None
+        if self.at(INT):
+            n = int(self.next().value)
+        self.expect(IDENT, "of")
+        of_name = None
+        of_expr = self.parse_expr()
+        if isinstance(of_expr, Col) and self.at(OP, "="):
+            self.next()
+            of_name = of_expr.name
+            of_expr = self.parse_expr()
+        self.expect(IDENT, "by")
+        agg_name = None
+        agg = self.parse_expr()
+        if isinstance(agg, Col) and self.at(OP, "="):
+            self.next()
+            agg_name = agg.name
+            agg = self.parse_expr()
+        return TopNestedLevel(n, of_name, of_expr, agg_name, agg)
+
+    def op_top_hitters(self) -> TopHitters:
+        n = int(self.expect(INT).value)
+        self.expect(IDENT, "of")
+        of_name = None
+        of_expr = self.parse_expr()
+        by_expr = by_name = None
+        if self.accept(IDENT, "by"):
+            by_expr = self.parse_expr()
+        return TopHitters(n, of_expr, of_name, by_expr, by_name)
+
+    def op_summarize(self) -> Summarize:
+        hints = self.parse_hints()
+        aggs: list[NamedExpr] = []
+        if not self.at(IDENT, "by"):
+            aggs = self.parse_named_expr_list(stop_at_by=True)
+        by: list[NamedExpr] = []
+        if self.accept(IDENT, "by"):
+            by = self.parse_named_expr_list()
+        return Summarize(aggs, by, hints)
+
+    def op_count(self) -> CountOp:
+        if self.accept(IDENT, "as"):
+            return CountOp(self.ident_name())
+        return CountOp()
+
+    def parse_hints(self) -> dict:
+        hints: dict = {}
+        while self.at(IDENT, "hint"):
+            self.next()
+            self.expect(OP, ".")
+            key = self.ident_name()
+            self.expect(OP, "=")
+            t = self.next()
+            hints[key.lower()] = t.value
+        return hints
+
+    def op_join(self) -> Join:
+        kind = "innerunique"  # KQL default [KQL join]
+        hints: dict = {}
+        while True:
+            if self.at(IDENT, "kind"):
+                self.next()
+                self.expect(OP, "=")
+                kind = self.ident_name().lower()
+            elif self.at(IDENT, "hint"):
+                hints.update(self.parse_hints())
+            else:
+                break
+        self.expect(OP, "(")
+        right = self.parse_pipe()
+        self.expect(OP, ")")
+        on: list[JoinOn] = []
+        if self.accept(IDENT, "on"):
+            on = self.parse_join_conditions()
+        return Join(kind, right, on, hints)
+
+    def op_lookup(self) -> Lookup:
+        kind = "leftouter"
+        if self.at(IDENT, "kind"):
+            self.next()
+            self.expect(OP, "=")
+            kind = self.ident_name().lower()
+        self.expect(OP, "(")
+        right = self.parse_pipe()
+        self.expect(OP, ")")
+        self.expect(IDENT, "on")
+        return Lookup(right, self.parse_join_conditions(), kind)
+
+    def parse_join_conditions(self) -> list[JoinOn]:
+        conds: list[JoinOn] = []
+        while True:
+            expr = self.parse_expr()
+            if isinstance(expr, Col) and expr.side is None:
+                conds.append(JoinOn(Col(expr.name, "$left"), Col(expr.name, "$right")))
+            elif isinstance(expr, BinOp) and expr.op == "==":
+                conds.append(JoinOn(expr.left, expr.right))
+            else:
+                raise self.error("join condition must be a column or $left.x == $right.y")
+            if not self.accept(OP, ","):
+                break
+        return conds
+
+    def op_union(self) -> Union:
+        kind, withsource = self.parse_union_opts()
+        pipes = self.parse_union_operands()
+        return Union(pipes, kind, withsource)
+
+    def op_mv_expand(self) -> MvExpand:
+        bag_expansion = "array"
+        with_itemindex = None
+        while True:
+            if self.at(IDENT, "bagexpansion") or self.at(IDENT, "kind"):
+                self.next()
+                self.expect(OP, "=")
+                bag_expansion = self.ident_name().lower()
+            elif self.at(IDENT, "with_itemindex"):
+                self.next()
+                self.expect(OP, "=")
+                with_itemindex = self.ident_name()
+            else:
+                break
+        items: list[NamedExpr] = []
+        to_type = None
+        limit = None
+        while True:
+            ne = self.parse_named_expr(stop_words={"to", "limit"})
+            items.append(ne)
+            if self.accept(IDENT, "to"):
+                self.expect(IDENT, "typeof")
+                self.expect(OP, "(")
+                to_type = self.ident_name()
+                self.expect(OP, ")")
+            if not self.accept(OP, ","):
+                break
+        if self.accept(IDENT, "limit"):
+            limit = int(self.expect(INT).value)
+        return MvExpand(items, to_type, limit, with_itemindex, bag_expansion)
+
+    op_mvexpand = op_mv_expand
+
+    def op_mv_apply(self) -> MvApply:
+        items: list[NamedExpr] = []
+        to_type = None
+        with_itemindex = None
+        if self.at(IDENT, "with_itemindex"):
+            self.next()
+            self.expect(OP, "=")
+            with_itemindex = self.ident_name()
+        while True:
+            ne = self.parse_named_expr(stop_words={"to", "on"})
+            items.append(ne)
+            if self.accept(IDENT, "to"):
+                self.expect(IDENT, "typeof")
+                self.expect(OP, "(")
+                to_type = self.ident_name()
+                self.expect(OP, ")")
+            if not self.accept(OP, ","):
+                break
+        self.expect(IDENT, "on")
+        self.expect(OP, "(")
+        sub: list[TabularOp] = [self.parse_operator()]
+        while self.accept(OP, "|"):
+            sub.append(self.parse_operator())
+        self.expect(OP, ")")
+        return MvApply(items, sub, to_type, with_itemindex)
+
+    op_mvapply = op_mv_apply
+
+    def op_parse(self) -> ParseOp:
+        return self._parse_parse(where=False)
+
+    def op_parse_where(self) -> ParseOp:
+        return self._parse_parse(where=True)
+
+    def _parse_parse(self, where: bool) -> ParseOp:
+        kind = "simple"
+        if self.at(IDENT, "kind"):
+            self.next()
+            self.expect(OP, "=")
+            kind = self.ident_name().lower()
+        source = self.parse_expr()
+        self.expect(IDENT, "with")
+        segments: list[object] = []
+        while True:
+            t = self.peek()
+            if t.kind == STRING:
+                self.next()
+                segments.append(str(t.value))
+            elif t.kind == OP and t.value == "*":
+                self.next()
+                segments.append(ParseSlot(None, None))
+            elif t.kind in (IDENT, QIDENT):
+                name = self.ident_name()
+                ktype = None
+                if self.accept(OP, ":"):
+                    ktype = self.ident_name()
+                segments.append(ParseSlot(name, ktype))
+            else:
+                break
+        return ParseOp(source, kind, segments, where)
+
+    def op_parse_kv(self) -> ParseKv:
+        source = self.parse_expr()
+        self.expect(IDENT, "as")
+        self.expect(OP, "(")
+        slots: list[tuple[str, str]] = []
+        while not self.at(OP, ")"):
+            nm = self.ident_name()
+            self.expect(OP, ":")
+            slots.append((nm, self.ident_name()))
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        pair_delim, kv_delim = " ", "="
+        if self.accept(IDENT, "with"):
+            self.expect(OP, "(")
+            while not self.at(OP, ")"):
+                key = self.ident_name().lower()
+                self.expect(OP, "=")
+                val = str(self.next().value)
+                if key == "pair_delimiter":
+                    pair_delim = val
+                elif key == "kv_delimiter":
+                    kv_delim = val
+                self.accept(OP, ",")
+            self.expect(OP, ")")
+        return ParseKv(source, slots, pair_delim, kv_delim)
+
+    def op_serialize(self) -> Serialize:
+        items: list[NamedExpr] = []
+        if self.at(IDENT) and not self.at_pipe_end():
+            items = self.parse_named_expr_list()
+        return Serialize(items)
+
+    def op_getschema(self) -> GetSchema:
+        return GetSchema()
+
+    def op_sample(self) -> SampleOp:
+        return SampleOp(int(self.expect(INT).value))
+
+    def op_sample_distinct(self) -> SampleDistinct:
+        n = int(self.expect(INT).value)
+        self.expect(IDENT, "of")
+        return SampleDistinct(n, self.ident_name())
+
+    def op_make_series(self) -> MakeSeries:
+        aggs: list[NamedExpr] = []
+        defaults: list[Expr | None] = []
+        while True:
+            ne = self.parse_named_expr(stop_words={"default", "on"})
+            aggs.append(ne)
+            d = None
+            if self.accept(IDENT, "default"):
+                self.expect(OP, "=")
+                d = self.parse_expr()
+            defaults.append(d)
+            if not self.accept(OP, ","):
+                break
+        self.expect(IDENT, "on")
+        axis = self.parse_expr()
+        from_ = to = None
+        if self.accept(IDENT, "from"):
+            from_ = self.parse_expr()
+        if self.accept(IDENT, "to"):
+            to = self.parse_expr()
+        self.expect(IDENT, "step")
+        step = self.parse_expr()
+        by: list[NamedExpr] = []
+        if self.accept(IDENT, "by"):
+            by = self.parse_named_expr_list()
+        return MakeSeries(aggs, defaults, axis, from_, to, step, by)
+
+    def op_evaluate(self) -> Evaluate:
+        plugin = self.ident_name().lower()
+        args: list[Expr] = []
+        self.expect(OP, "(")
+        while not self.at(OP, ")"):
+            args.append(self.parse_expr())
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        return Evaluate(plugin, args)
+
+    def op_render(self) -> Render:
+        chart = self.ident_name()
+        props: dict = {}
+        if self.accept(IDENT, "with"):
+            self.expect(OP, "(")
+            while not self.at(OP, ")"):
+                key = self.ident_name()
+                self.expect(OP, "=")
+                props[key] = self.next().value
+                self.accept(OP, ",")
+            self.expect(OP, ")")
+        return Render(chart, props)
+
+    def op_invoke(self) -> Invoke:
+        name = self.ident_name()
+        args: list[Expr] = []
+        self.expect(OP, "(")
+        while not self.at(OP, ")"):
+            args.append(self.parse_expr())
+            if not self.accept(OP, ","):
+                break
+        self.expect(OP, ")")
+        return Invoke(name, args)
+
+    def op_as(self) -> AsOp:
+        self.accept(IDENT, "hint")  # ignore hint.materialized
+        if self.toks[self.i - 1].value == "hint":
+            self.expect(OP, ".")
+            self.ident_name()
+            self.expect(OP, "=")
+            self.next()
+        return AsOp(self.ident_name())
+
+    def op_search(self) -> SearchOp:
+        ci = True
+        if self.at(IDENT, "kind"):
+            self.next()
+            self.expect(OP, "=")
+            ci = self.ident_name().lower() != "case_sensitive"
+        return SearchOp(self.parse_expr(), ci)
+
+    def op_partition(self) -> PartitionOp:
+        while self.at(IDENT, "hint"):
+            self.parse_hints()
+        self.expect(IDENT, "by")
+        key = self.ident_name()
+        self.expect(OP, "(")
+        sub: list[TabularOp] = [self.parse_operator()]
+        while self.accept(OP, "|"):
+            sub.append(self.parse_operator())
+        self.expect(OP, ")")
+        return PartitionOp(key, sub)
+
+    def op_facet(self) -> Facet:
+        self.expect(IDENT, "by")
+        return Facet(self.parse_name_list())
+
+    def op_consume(self) -> ConsumeOp:
+        return ConsumeOp()
+
+    # --------------------------------------------------------- shared helpers
+    def at_pipe_end(self) -> bool:
+        return self.at(EOF) or self.at(OP, "|") or self.at(OP, ")") or self.at(OP, ";")
+
+    def parse_name_list(self) -> list[str]:
+        names = [self.ident_name()]
+        # allow wildcard suffix/prefix: col* , *suffix
+        while self.at(OP, "*") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+            self.next()
+            names[-1] += "*"
+        while self.accept(OP, ","):
+            if self.at(OP, "*"):
+                self.next()
+                nm = "*"
+                if self.at(IDENT) and self.toks[self.i].pos == self.toks[self.i - 1].end:
+                    nm += self.ident_name()
+                names.append(nm)
+            else:
+                names.append(self.ident_name())
+                while self.at(OP, "*") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+                    self.next()
+                    names[-1] += "*"
+        return names
+
+    def parse_named_expr(self, stop_words: set[str] | None = None) -> NamedExpr:
+        # name = expr  (name may be quoted ident)
+        if (
+            self.peek().kind in (IDENT, QIDENT)
+            and self.at(OP, "=", 1)
+            and not self.at(OP, "==", 1)
+        ):
+            name = self.ident_name()
+            self.expect(OP, "=")
+            return NamedExpr(name, self.parse_expr(stop_words=stop_words))
+        return NamedExpr(None, self.parse_expr(stop_words=stop_words))
+
+    def parse_named_expr_list(self, stop_at_by: bool = False) -> list[NamedExpr]:
+        stop = {"by"} if stop_at_by else None
+        items = [self.parse_named_expr(stop_words=stop)]
+        while True:
+            if stop_at_by and self.at(IDENT, "by"):
+                break
+            if not self.accept(OP, ","):
+                break
+            items.append(self.parse_named_expr(stop_words=stop))
+        return items
+
+    # ------------------------------------------------------------ expressions
+    def parse_expr(self, rbp: int = 0, stop_words: set[str] | None = None) -> Expr:
+        left = self.parse_unary(stop_words)
+        while True:
+            op, lbp = self.peek_infix(stop_words)
+            if op is None or lbp <= rbp:
+                return left
+            left = self.parse_infix(left, op, lbp, stop_words)
+
+    def peek_infix(self, stop_words: set[str] | None) -> tuple[str | None, int]:
+        t = self.peek()
+        if t.kind == OP:
+            v = str(t.value)
+            if v in _CMP_OPS:
+                return v, _BP_CMP
+            if v in ("+", "-"):
+                return v, _BP_ADD
+            if v in ("*", "/", "%"):
+                return v, _BP_MUL
+            if v.startswith("!") and v != "!":  # !contains !has !in ...
+                return v, _BP_CMP
+            return None, 0
+        if t.kind == IDENT:
+            w = str(t.value).lower()
+            if stop_words and w in stop_words:
+                return None, 0
+            if w == "and":
+                return "and", _BP_AND
+            if w == "or":
+                return "or", _BP_OR
+            if w in _CMP_WORDS:
+                return w, _BP_CMP
+            if w in ("in", "between"):
+                return w, _BP_CMP
+        return None, 0
+
+    def parse_infix(self, left: Expr, op: str, lbp: int, stop_words) -> Expr:
+        self.next()  # consume op token
+        if op in ("in", "!in"):
+            ci = bool(self.accept(OP, "~"))
+            return self.parse_in(left, negated=op.startswith("!"), ci=ci)
+        if op in ("in~", "!in~"):
+            return self.parse_in(left, negated=op.startswith("!"), ci=True)
+        if op in ("between", "!between"):
+            self.expect(OP, "(")
+            lo = self.parse_expr(_BP_CMP)
+            self.expect(OP, "..")
+            hi = self.parse_expr(_BP_CMP)
+            self.expect(OP, ")")
+            return Between(left, lo, hi, negated=op.startswith("!"))
+        if op in ("matches", "!matches"):
+            self.accept(IDENT, "regex")
+            right = self.parse_expr(lbp, stop_words)
+            node: Expr = BinOp("matches", left, right)
+            if op.startswith("!"):
+                node = UnaryOp("not", node)
+            return node
+        if op in ("has_any", "has_all", "!has_any", "!has_all"):
+            self.expect(OP, "(")
+            items = [self.parse_expr()]
+            while self.accept(OP, ","):
+                items.append(self.parse_expr())
+            self.expect(OP, ")")
+            node = FuncCall(op.lstrip("!"), [left] + items)
+            if op.startswith("!"):
+                node = UnaryOp("not", node)
+            return node
+        right = self.parse_expr(lbp, stop_words)
+        return BinOp(op, left, right)
+
+    def parse_in(self, left: Expr, negated: bool, ci: bool) -> InList:
+        self.expect(OP, "(")
+        items = [self.parse_expr()]
+        while self.accept(OP, ","):
+            items.append(self.parse_expr())
+        self.expect(OP, ")")
+        return InList(left, items, negated, ci)
+
+    def parse_unary(self, stop_words=None) -> Expr:
+        if self.accept(OP, "-"):
+            return UnaryOp("-", self.parse_unary(stop_words))
+        if self.accept(OP, "+"):
+            return self.parse_unary(stop_words)
+        if self.at(IDENT, "not") and self.at(OP, "(", 1):
+            self.next()
+            self.expect(OP, "(")
+            inner = self.parse_expr()
+            self.expect(OP, ")")
+            return UnaryOp("not", inner)
+        return self.parse_postfix(self.parse_primary())
+
+    def parse_postfix(self, base: Expr) -> Expr:
+        while True:
+            if self.at(OP, "."):
+                # only treat as member access when followed by an identifier
+                if self.peek(1).kind in (IDENT, QIDENT):
+                    self.next()
+                    base = Property(base, Lit(self.ident_name(), "string"))
+                else:
+                    return base
+            elif self.at(OP, "[") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+                self.next()
+                idx = self.parse_expr()
+                self.expect(OP, "]")
+                base = Property(base, idx)
+            else:
+                return base
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t.kind == INT:
+            self.next()
+            return Lit(int(t.value), "long")
+        if t.kind == REAL:
+            self.next()
+            return Lit(float(t.value), "real")
+        if t.kind == STRING:
+            self.next()
+            return Lit(str(t.value), "string")
+        if t.kind == TIMESPAN:
+            self.next()
+            return Lit(float(t.value), "timespan")
+        if t.kind == OP and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(OP, ")")
+            return e
+        if t.kind == OP and t.value == "*":
+            self.next()
+            return Star()
+        if t.kind == OP and t.value == "$":
+            self.next()
+            side = "$" + self.ident_name().lower()
+            self.expect(OP, ".")
+            return Col(self.ident_name(), side)
+        if t.kind == QIDENT:
+            self.next()
+            return Col(str(t.value))
+        if t.kind == IDENT:
+            word = str(t.value)
+            lw = word.lower()
+            if lw == "true":
+                self.next()
+                return Lit(True, "bool")
+            if lw == "false":
+                self.next()
+                return Lit(False, "bool")
+            if self.at(OP, "(", 1):
+                if lw in _TYPED_LITERALS:
+                    return self.parse_typed_literal(_TYPED_LITERALS[lw])
+                self.next()  # func name
+                self.expect(OP, "(")
+                args: list[Expr] = []
+                while not self.at(OP, ")"):
+                    args.append(self.parse_expr())
+                    if not self.accept(OP, ","):
+                        break
+                self.expect(OP, ")")
+                return FuncCall(lw, args)
+            self.next()
+            return Col(word)
+        raise self.error(f"unexpected token {t.kind}({t.value!r}) in expression")
+
+    def parse_typed_literal(self, ktype: str) -> Expr:
+        """datetime(...) / dynamic(...) / guid(...) / time(...): capture the raw
+        text between the parens verbatim (KQL literal bodies are not regular
+        token streams, e.g. datetime(2024-01-01 12:00:00))."""
+        self.next()  # constructor name
+        open_tok = self.expect(OP, "(")
+        close_idx = self.find_matching_paren(self.i - 1)
+        if close_idx is None:
+            raise self.error("unbalanced parenthesis in typed literal")
+        close_tok = self.toks[close_idx]
+        raw = self.text[open_tok.end : close_tok.pos].strip()
+        self.i = close_idx + 1
+        # time(1d) / timespan(1.5h) with a lexable timespan body -> plain lit
+        if ktype == "timespan":
+            try:
+                toks = tokenize(raw)
+                if len(toks) == 2 and toks[0].kind == TIMESPAN:
+                    return Lit(float(toks[0].value), "timespan")
+                if len(toks) == 2 and toks[0].kind in (INT, REAL):
+                    return Lit(float(toks[0].value) * 86400.0, "timespan")  # bare n = days
+            except KqlSyntaxError:
+                pass
+        return TypedLit(ktype, raw)
+
+
+def parse(text: str) -> Query:
+    return Parser(text).parse_query()

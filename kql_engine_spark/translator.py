@@ -1,0 +1,1207 @@
+"""AST -> PySpark DataFrame translation (SURVEY.md §3.2 stage 4).
+
+The translator builds Catalyst *unresolved logical plans* via the DataFrame
+API — never SQL strings, never RDDs. Catalyst then owns pushdown, pruning,
+join strategy, partial aggregation and AQE (SURVEY.md §4.1); only KQL
+semantic deltas are handled here (SURVEY.md §4.2).
+
+Scale notes (100 TB posture):
+- Every relational operator lowers to a declarative DataFrame op, so filters
+  written late in a KQL pipeline still reach the parquet scan via Catalyst.
+- Joins lower to plain `df.join`; `hint.strategy=broadcast` maps to
+  `F.broadcast`, `hint.num_partitions` to `repartition(n, keys)`.
+- Serialized window functions without `by` require a global order — this is
+  inherent to KQL semantics (single total order), and is flagged in docs;
+  per-key windows (the common idiom) partition correctly.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .ast_nodes import (
+    AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
+    Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
+    Invoke, Join, Lambda, Lit, Lookup, MakeSeries, MvApply, MvExpand,
+    NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe, PipeSource,
+    PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
+    ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
+    SampleOp, SearchOp, Serialize, Sort, SortKey, Star, Summarize, TableRef,
+    Take, TabularOp, Top, TopHitters, TopNested, TypedLit, UnaryOp, Union,
+    UnionSource, Where,
+)
+from .catalog import Catalog
+from .errors import KqlSemanticError, KqlUnsupportedError
+from .functions.aggregates import AGG_REGISTRY
+from .functions.scalar import REGISTRY as FN_REGISTRY
+from .functions.scalar import typed_null
+from .parser import parse
+from .semantics import (
+    KQL_CAST_NAME, KQL_TO_SPARK, interval_seconds, kql_type_name,
+    lit_dynamic, parse_dynamic_literal, parse_kql_datetime,
+)
+
+_WINDOW_FNS = {
+    "row_number", "prev", "next", "row_cumsum", "row_rank_min",
+    "row_rank_dense", "row_window_session",
+}
+
+_NULLABLE_TYPE_CTORS = set(KQL_CAST_NAME) | {"time"}
+
+
+class ExprTranslator:
+    """Translates scalar/aggregate expressions to Columns against a DataFrame."""
+
+    def __init__(
+        self,
+        df: DataFrame | None,
+        engine: "PipeTranslator",
+        env: dict[str, Column] | None = None,
+        window: Window | None = None,
+        sides: dict[str, DataFrame] | None = None,
+    ):
+        self.df = df
+        self.engine = engine
+        self.env = env if env is not None else {}
+        self.window = window
+        self.sides = sides or {}
+
+    # engine option passthroughs used by the registries
+    @property
+    def exact_dcount(self) -> bool:
+        return self.engine.options.get("exact_dcount", True)
+
+    @property
+    def exact_percentile(self) -> bool:
+        return self.engine.options.get("exact_percentile", True)
+
+    # ------------------------------------------------------------- helpers
+    def current_columns(self) -> list[str]:
+        return list(self.df.columns) if self.df is not None else []
+
+    def dtype_of(self, col: Column) -> T.DataType:
+        if self.df is None:
+            return T.StringType()
+        try:
+            return self.df.select(col).schema[0].dataType
+        except Exception:
+            return T.NullType()
+
+    def const_value(self, e: Expr):
+        if isinstance(e, Lit):
+            return e.value
+        if isinstance(e, UnaryOp) and e.op == "-" and isinstance(e.operand, Lit):
+            return -e.operand.value
+        raise KqlSemanticError(f"expected a constant, got {e!r}")
+
+    def const_string(self, e: Expr) -> str:
+        if isinstance(e, Lit) and e.ktype == "string":
+            return str(e.value)
+        if isinstance(e, Col):  # bare identifier used as constant (e.g. type name)
+            return e.name
+        raise KqlSemanticError(f"expected a string literal, got {e!r}")
+
+    def const_typename(self, e: Expr) -> str:
+        if isinstance(e, FuncCall) and e.name == "typeof" and e.args:
+            return self.const_typename(e.args[0])
+        if isinstance(e, Col):
+            return e.name.lower()
+        if isinstance(e, Lit) and e.ktype == "string":
+            return str(e.value).lower()
+        raise KqlSemanticError(f"expected a type name, got {e!r}")
+
+    def const_seconds(self, e: Expr) -> float | None:
+        """Timespan constant in seconds, or None if not a constant timespan."""
+        if isinstance(e, Lit) and e.ktype == "timespan":
+            return float(e.value)
+        if isinstance(e, TypedLit) and e.ktype == "timespan":
+            return _parse_timespan_raw(e.raw)
+        if isinstance(e, UnaryOp) and e.op == "-":
+            inner = self.const_seconds(e.operand)
+            return -inner if inner is not None else None
+        if isinstance(e, FuncCall) and e.name == "totimespan" and e.args:
+            return self.const_seconds(e.args[0])
+        return None
+
+    def is_integer_literal(self, e: Expr) -> bool:
+        return isinstance(e, Lit) and e.ktype == "long"
+
+    # ---------------------------------------------------------- translation
+    def to_col(self, e: Expr) -> Column:
+        if isinstance(e, Lit):
+            return self._lit(e)
+        if isinstance(e, TypedLit):
+            return self._typed_lit(e)
+        if isinstance(e, Col):
+            return self._col(e)
+        if isinstance(e, Star):
+            raise KqlSemanticError("'*' not valid here")
+        if isinstance(e, UnaryOp):
+            inner = self.to_col(e.operand)
+            return -inner if e.op == "-" else ~inner
+        if isinstance(e, BinOp):
+            return self._binop(e)
+        if isinstance(e, InList):
+            return self._inlist(e)
+        if isinstance(e, Between):
+            lo = self.to_col(e.lo)
+            hi = self.to_col(e.hi)
+            c = self.to_col(e.expr)
+            out = (c >= lo) & (c <= hi)
+            return ~out if e.negated else out
+        if isinstance(e, Property):
+            return self._property(e)
+        if isinstance(e, FuncCall):
+            return self._call(e)
+        raise KqlSemanticError(f"cannot translate expression {e!r}")
+
+    def _lit(self, e: Lit) -> Column:
+        if e.ktype == "timespan":
+            return interval_seconds(float(e.value))
+        return F.lit(e.value)
+
+    def _typed_lit(self, e: TypedLit) -> Column:
+        if e.ktype == "datetime":
+            dt = parse_kql_datetime(e.raw)
+            if dt is None:
+                return F.lit(None).cast("timestamp")
+            return F.lit(dt)
+        if e.ktype == "timespan":
+            secs = _parse_timespan_raw(e.raw)
+            if secs is None:
+                return F.lit(None).cast("interval day to second")
+            return interval_seconds(secs)
+        if e.ktype == "guid":
+            s = e.raw.strip().strip("'\"")
+            return F.lit(None).cast("string") if s.lower() == "null" else F.lit(s.lower())
+        if e.ktype == "dynamic":
+            return lit_dynamic(parse_dynamic_literal(e.raw))
+        raise KqlSemanticError(f"unknown typed literal {e.ktype}")
+
+    def _col(self, e: Col) -> Column:
+        if e.side:
+            side_df = self.sides.get(e.side)
+            if side_df is None:
+                raise KqlSemanticError(f"{e.side} only valid inside join conditions")
+            return side_df[e.name]
+        if e.name in self.env:
+            return self.env[e.name]
+        let_val = self.engine.lets.get(e.name)
+        if let_val is not None and isinstance(let_val, Expr):
+            return self.to_col(let_val)
+        return F.col(e.name)
+
+    def _binop(self, e: BinOp) -> Column:
+        op = e.op
+        if op == "and":
+            return self.to_col(e.left) & self.to_col(e.right)
+        if op == "or":
+            return self.to_col(e.left) | self.to_col(e.right)
+        # string predicate families (KQL default is case-insensitive [KQL])
+        base = op.lstrip("!")
+        negate = op.startswith("!") and base not in ("=",)
+        if base in ("contains", "contains_cs"):
+            lc = base.endswith("_cs")
+            out = self._contains(e.left, e.right, cs=lc)
+            return ~out if negate else out
+        if base in ("startswith", "startswith_cs"):
+            out = self._affix(e.left, e.right, cs=base.endswith("_cs"), kind="start")
+            return ~out if negate else out
+        if base in ("endswith", "endswith_cs"):
+            out = self._affix(e.left, e.right, cs=base.endswith("_cs"), kind="end")
+            return ~out if negate else out
+        if base in ("has", "has_cs"):
+            out = self._has(e.left, e.right, cs=base.endswith("_cs"))
+            return ~out if negate else out
+        if base in ("hasprefix", "hasprefix_cs"):
+            out = self._has(e.left, e.right, cs=base.endswith("_cs"), mode="prefix")
+            return ~out if negate else out
+        if base in ("hassuffix", "hassuffix_cs"):
+            out = self._has(e.left, e.right, cs=base.endswith("_cs"), mode="suffix")
+            return ~out if negate else out
+        if base == "matches":
+            return F.regexp_like(
+                self.to_col(e.left).cast("string"), self.to_col(e.right)
+            )
+        if base == "like":
+            return self.to_col(e.left).like(self.const_string(e.right))
+        l = self.to_col(e.left)
+        r = self.to_col(e.right)
+        if op == "==":
+            return l == r
+        if op in ("!=", "<>"):
+            return l != r
+        if op == "=~":
+            return F.lower(l.cast("string")) == F.lower(r.cast("string"))
+        if op == "!~":
+            return F.lower(l.cast("string")) != F.lower(r.cast("string"))
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return self._divide(e, l, r)
+        if op == "%":
+            return l % r
+        raise KqlSemanticError(f"unknown operator {op!r}")
+
+    def _divide(self, e: BinOp, l: Column, r: Column) -> Column:
+        # KQL: int/long division yields real (1/2 = 0.5) [KQL §1.2];
+        # timespan/timespan yields real; others pass through.
+        lt = self.dtype_of(l)
+        rt = self.dtype_of(r)
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(lt, T.DayTimeIntervalType) and isinstance(rt, T.DayTimeIntervalType):
+            return l.cast("double") / r.cast("double")
+        if isinstance(lt, integral) and isinstance(rt, integral):
+            return l.cast("double") / r.cast("double")
+        return l / r
+
+    def _contains(self, left: Expr, right: Expr, cs: bool) -> Column:
+        l = self.to_col(left).cast("string")
+        r = self.to_col(right).cast("string")
+        if cs:
+            return F.instr(l, r) >= 1
+        return F.instr(F.lower(l), F.lower(r)) >= 1
+
+    def _affix(self, left: Expr, right: Expr, cs: bool, kind: str) -> Column:
+        l = self.to_col(left).cast("string")
+        r = self.to_col(right).cast("string")
+        if not cs:
+            l, r = F.lower(l), F.lower(r)
+        return F.startswith(l, r) if kind == "start" else F.endswith(l, r)
+
+    def _has(self, left: Expr, right: Expr, cs: bool, mode: str = "term") -> Column:
+        """KQL term matching: whole alphanumeric-token equality. Public
+        approximation: regex word boundaries (SURVEY.md §2.9 `has`)."""
+        l = self.to_col(left).cast("string")
+        if isinstance(right, Lit):
+            term = re.escape(str(right.value))
+            if mode == "term":
+                pat = rf"\b{term}\b"
+            elif mode == "prefix":
+                pat = rf"\b{term}"
+            else:
+                pat = rf"{term}\b"
+            if not cs:
+                pat = "(?i)" + pat
+            return F.regexp_like(l, F.lit(pat))
+        # non-literal term: build the regex dynamically, JVM-side
+        r = self.to_col(right).cast("string")
+        escaped = F.regexp_replace(r, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
+        prefix = F.lit("(?i)" if not cs else "")
+        if mode == "term":
+            pat = F.concat(prefix, F.lit(r"\b"), escaped, F.lit(r"\b"))
+        elif mode == "prefix":
+            pat = F.concat(prefix, F.lit(r"\b"), escaped)
+        else:
+            pat = F.concat(prefix, escaped, F.lit(r"\b"))
+        return F.regexp_like(l, pat)
+
+    def _inlist(self, e: InList) -> Column:
+        c = self.to_col(e.expr)
+        vals = [self.to_col(i) for i in e.items]
+        if e.ci:
+            c = F.lower(c.cast("string"))
+            vals = [F.lower(v.cast("string")) for v in vals]
+        out = c.isin(*vals)
+        return ~out if e.negated else out
+
+    def _property(self, e: Property) -> Column:
+        base = self.to_col(e.base)
+        dt = self.dtype_of(base)
+        key = e.key
+        if isinstance(dt, T.ArrayType):
+            idx = self.to_col(key).cast("int")
+            return F.element_at(base, idx + F.lit(1))  # KQL arrays 0-based
+        if isinstance(dt, T.MapType):
+            return F.element_at(base, self.to_col(key))
+        if isinstance(dt, T.StructType):
+            return base[self.const_string(key)]
+        if isinstance(dt, T.VariantType) if hasattr(T, "VariantType") else False:
+            path = f"$.{self.const_string(key)}"
+            return F.try_variant_get(base, path, "string")
+        # JSON-text dynamic carrier
+        if isinstance(key, Lit) and key.ktype == "string":
+            return F.get_json_object(base.cast("string"), f"$.{key.value}")
+        idx_val = self.const_value(key)
+        return F.get_json_object(base.cast("string"), f"$[{int(idx_val)}]")
+
+    def _call(self, e: FuncCall) -> Column:
+        name = e.name
+        # typed null / special literals: long(null), real(+inf), int(null)
+        if name in _NULLABLE_TYPE_CTORS and len(e.args) == 1:
+            arg = e.args[0]
+            if isinstance(arg, Col) and arg.name.lower() == "null":
+                return typed_null(name if name != "time" else "timespan")
+            if name == "real" and isinstance(arg, (Col, UnaryOp)):
+                sval = _inf_name(arg)
+                if sval is not None:
+                    return F.lit(sval)
+        if name in _WINDOW_FNS:
+            return self._window_call(e)
+        if name in ("toscalar",):
+            raise KqlUnsupportedError("toscalar() not supported in v1")
+        if name in self.engine.lets and isinstance(self.engine.lets[name], Lambda):
+            lam: Lambda = self.engine.lets[name]
+            sub_env = dict(self.env)
+            for (pname, _ptype), arg in zip(lam.params, e.args):
+                sub_env[pname] = self.to_col(arg)
+            sub = ExprTranslator(self.df, self.engine, sub_env, self.window, self.sides)
+            return sub.to_col(lam.body)
+        fn = FN_REGISTRY.get(name)
+        if fn is None:
+            raise KqlUnsupportedError(f"unknown function: {name!r}")
+        return fn(self, e.args)
+
+    def _window_call(self, e: FuncCall) -> Column:
+        w = self.window
+        if w is None:
+            raise KqlSemanticError(
+                f"window function {e.name}() requires a serialized table "
+                "(use 'serialize', 'sort by' or 'top' first) [KQL]"
+            )
+        name = e.name
+        if name == "row_number":
+            start = int(self.const_value(e.args[0])) if e.args else 1
+            return F.row_number().over(w) + F.lit(start - 1)
+        if name == "row_rank_min":
+            return F.rank().over(
+                self.engine.window_ordered_by(self.to_col(e.args[0]))
+            )
+        if name == "row_rank_dense":
+            return F.dense_rank().over(
+                self.engine.window_ordered_by(self.to_col(e.args[0]))
+            )
+        if name == "prev":
+            off = int(self.const_value(e.args[1])) if len(e.args) > 1 else 1
+            default = self.to_col(e.args[2]) if len(e.args) > 2 else F.lit(None)
+            return F.lag(self.to_col(e.args[0]), off, None).over(w) if len(e.args) <= 2 else F.coalesce(
+                F.lag(self.to_col(e.args[0]), off, None).over(w), default
+            )
+        if name == "next":
+            off = int(self.const_value(e.args[1])) if len(e.args) > 1 else 1
+            default = self.to_col(e.args[2]) if len(e.args) > 2 else F.lit(None)
+            return F.lead(self.to_col(e.args[0]), off, None).over(w) if len(e.args) <= 2 else F.coalesce(
+                F.lead(self.to_col(e.args[0]), off, None).over(w), default
+            )
+        if name == "row_cumsum":
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.sum(self.to_col(e.args[0])).over(frame)
+        if name == "row_window_session":
+            ts = self.to_col(e.args[0])
+            max_gap = self.const_seconds(e.args[1])
+            gap = (
+                F.unix_micros(ts.cast("timestamp"))
+                - F.unix_micros(F.lag(ts, 1).over(w).cast("timestamp"))
+            ) / 1e6
+            new_session = F.when(gap.isNull() | (gap > F.lit(max_gap)), 1).otherwise(0)
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            sid = F.sum(new_session).over(frame)
+            return F.first(ts).over(
+                self.engine.window_partitioned(sid)
+            )
+        raise KqlUnsupportedError(f"window function {name} not implemented")
+
+
+def _inf_name(arg: Expr) -> float | None:
+    if isinstance(arg, Col) and arg.name.lower() in ("inf", "infinity"):
+        return float("inf")
+    if (
+        isinstance(arg, UnaryOp)
+        and arg.op == "-"
+        and isinstance(arg.operand, Col)
+        and arg.operand.name.lower() in ("inf", "infinity")
+    ):
+        return float("-inf")
+    if isinstance(arg, Col) and arg.name.lower() == "nan":
+        return float("nan")
+    return None
+
+
+def _parse_timespan_raw(raw: str) -> float | None:
+    s = raw.strip().strip("'\"")
+    if not s or s.lower() == "null":
+        return None
+    m = re.match(r"^(?:(\d+)\.)?(\d{1,2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?$", s)
+    if m:
+        days = int(m.group(1) or 0)
+        return (
+            days * 86400 + int(m.group(2)) * 3600 + int(m.group(3)) * 60
+            + float(m.group(4) or 0)
+        )
+    from .lexer import TIMESPAN, tokenize
+
+    toks = tokenize(s)
+    if len(toks) == 2 and toks[0].kind == TIMESPAN:
+        return float(toks[0].value)
+    if len(toks) == 2 and toks[0].kind in ("INT", "REAL"):
+        return float(toks[0].value) * 86400.0
+    raise KqlSemanticError(f"bad timespan literal: {raw!r}")
+
+
+class PipeTranslator:
+    """Translates a full KQL query to a DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        options: dict | None = None,
+        streaming: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.options = options or {}
+        self.streaming = streaming
+        self.lets: dict[str, object] = {}
+        self.named_results: dict[str, DataFrame] = {}
+        # serialized-order state (SURVEY.md §2.7): sort keys currently in force
+        self.order: list[Column] | None = None
+        self.order_desc_first: list[tuple[Column, bool]] = []
+
+    # ------------------------------------------------------------ window ctx
+    def current_window(self) -> Window | None:
+        if self.order is None:
+            return None
+        return Window.orderBy(*self.order)
+
+    def window_ordered_by(self, col: Column) -> Window:
+        return Window.orderBy(col.asc())
+
+    def window_partitioned(self, part: Column) -> Window:
+        return Window.partitionBy(part).orderBy(*(self.order or [F.lit(1)]))
+
+    # -------------------------------------------------------------- translate
+    def translate_query(self, q: Query) -> DataFrame:
+        for let in q.lets:
+            self.lets[let.name] = let.value
+        return self.translate_pipe(q.pipe)
+
+    def translate_pipe(self, pipe: Pipe) -> DataFrame:
+        df = self.translate_source(pipe.source)
+        for op in pipe.ops:
+            df = self.translate_op(df, op)
+        return df
+
+    def translate_source(self, src) -> DataFrame:
+        self.order = None
+        if isinstance(src, TableRef):
+            return self._resolve_table(src.name)
+        if isinstance(src, PipeSource):
+            return self.translate_pipe(src.pipe)
+        if isinstance(src, DataTable):
+            return self._datatable(src)
+        if isinstance(src, PrintSource):
+            tr = ExprTranslator(None, self)
+            cols = []
+            for i, item in enumerate(src.items):
+                name = item.name or (
+                    item.expr.name if isinstance(item.expr, Col) else f"print_{i}"
+                )
+                cols.append(tr.to_col(item.expr).alias(name))
+            return self.spark.range(1).select(*cols)
+        if isinstance(src, RangeSource):
+            return self._range_source(src)
+        if isinstance(src, UnionSource):
+            dfs = [
+                (self._source_label(p), self.translate_pipe(p)) for p in src.pipes
+            ]
+            return self._union(dfs, src.kind, src.withsource)
+        if isinstance(src, ExternalData):
+            schema = T.StructType(
+                [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
+            )
+            fmt = {"txt": "text", "raw": "text", "multijson": "json"}.get(
+                src.fmt.lower(), src.fmt.lower()
+            )
+            return self.spark.read.format(fmt).schema(schema).load(src.uris)
+        raise KqlUnsupportedError(f"unsupported source {type(src).__name__}")
+
+    def _resolve_table(self, name: str) -> DataFrame:
+        if name in self.named_results:
+            return self.named_results[name]
+        bound = self.lets.get(name)
+        if bound is not None:
+            if isinstance(bound, Pipe):
+                return self.translate_pipe(bound)
+            if isinstance(bound, Col):
+                return self._resolve_table(bound.name)
+            raise KqlSemanticError(f"let {name!r} is not tabular")
+        return self.catalog.table(name, streaming=self.streaming)
+
+    def _datatable(self, src: DataTable) -> DataFrame:
+        tr = ExprTranslator(None, self)
+        ncols = len(src.schema)
+        values = [tr.const_value(v) if isinstance(v, Lit) else None for v in src.rows]
+        # non-Lit cells (datetime literals etc.) decoded via python
+        for i, v in enumerate(src.rows):
+            if isinstance(v, TypedLit) and v.ktype == "datetime":
+                values[i] = parse_kql_datetime(v.raw)
+            elif isinstance(v, UnaryOp) and v.op == "-" and isinstance(v.operand, Lit):
+                values[i] = -v.operand.value
+        rows = [tuple(values[i : i + ncols]) for i in range(0, len(values), ncols)]
+        schema = T.StructType(
+            [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _range_source(self, src: RangeSource) -> DataFrame:
+        tr = ExprTranslator(None, self)
+        start = tr.to_col(src.start)
+        stop = tr.to_col(src.stop)
+        step = tr.to_col(src.step) if src.step else F.lit(1)
+        secs = tr.const_seconds(src.step) if src.step else None
+        if isinstance(src.start, TypedLit) and src.start.ktype == "datetime":
+            step = interval_seconds(secs or 86400.0)
+        seq = F.sequence(start, stop, step)
+        return self.spark.range(1).select(F.explode(seq).alias(src.name))
+
+    def _source_label(self, p: Pipe) -> str:
+        if isinstance(p.source, TableRef) and not p.ops:
+            return p.source.name
+        if isinstance(p.source, TableRef):
+            return p.source.name
+        return "union_arg"
+
+    # -------------------------------------------------------------- operators
+    def translate_op(self, df: DataFrame, op: TabularOp) -> DataFrame:
+        meth = getattr(self, "t_" + type(op).__name__.lower(), None)
+        if meth is None:
+            raise KqlUnsupportedError(f"operator {type(op).__name__} not implemented")
+        return meth(df, op)
+
+    def expr_tr(self, df: DataFrame, env=None) -> ExprTranslator:
+        return ExprTranslator(df, self, env=env, window=self.current_window())
+
+    def t_where(self, df: DataFrame, op: Where) -> DataFrame:
+        return df.filter(self.expr_tr(df).to_col(op.pred))
+
+    def _named_items(
+        self, df: DataFrame, items: list[NamedExpr], auto_prefix: str = "Column"
+    ) -> list[tuple[str, Column]]:
+        """Translate a comma list with KQL sequential visibility: later items
+        can reference earlier ones in the same clause."""
+        env: dict[str, Column] = {}
+        out: list[tuple[str, Column]] = []
+        auto_i = 0
+        for item in items:
+            tr = self.expr_tr(df, env=env)
+            col = tr.to_col(item.expr)
+            if item.name:
+                name = item.name
+            elif isinstance(item.expr, Col) and item.expr.side is None:
+                name = item.expr.name
+            elif isinstance(item.expr, FuncCall) and item.expr.name == "bin" and isinstance(item.expr.args[0], Col):
+                name = item.expr.args[0].name
+            else:
+                auto_i += 1
+                name = f"{auto_prefix}{auto_i}"
+            env[name] = col
+            out.append((name, col))
+        return out
+
+    def t_project(self, df: DataFrame, op: Project) -> DataFrame:
+        items = self._named_items(df, op.items)
+        return df.select(*[c.alias(n) for n, c in items])
+
+    def t_extend(self, df: DataFrame, op: Extend) -> DataFrame:
+        items = self._named_items(df, op.items)
+        return df.withColumns({n: c for n, c in items})
+
+    def _expand_patterns(self, df: DataFrame, patterns: list[str]) -> list[str]:
+        cols = df.columns
+        out: list[str] = []
+        for p in patterns:
+            if "*" in p:
+                out.extend(c for c in cols if fnmatch.fnmatch(c, p) and c not in out)
+            elif p in cols and p not in out:
+                out.append(p)
+        return out
+
+    def t_projectaway(self, df: DataFrame, op: ProjectAway) -> DataFrame:
+        drop = self._expand_patterns(df, op.patterns)
+        return df.drop(*drop)
+
+    def t_projectkeep(self, df: DataFrame, op: ProjectKeep) -> DataFrame:
+        keep = set(self._expand_patterns(df, op.patterns))
+        return df.select(*[c for c in df.columns if c in keep])
+
+    def t_projectrename(self, df: DataFrame, op: ProjectRename) -> DataFrame:
+        return df.withColumnsRenamed({old: new for new, old in op.pairs})
+
+    def t_projectreorder(self, df: DataFrame, op: ProjectReorder) -> DataFrame:
+        ordered = self._expand_patterns(df, op.patterns)
+        rest = [c for c in df.columns if c not in ordered]
+        return df.select(*ordered, *rest)
+
+    def t_distinct(self, df: DataFrame, op: Distinct) -> DataFrame:
+        if op.star:
+            return df.distinct()
+        cols = self._expand_patterns(df, op.cols)
+        return df.select(*cols).distinct()
+
+    def _sort_cols(self, df: DataFrame, keys: list[SortKey]) -> list[Column]:
+        tr = self.expr_tr(df)
+        cols: list[Column] = []
+        for k in keys:
+            c = tr.to_col(k.expr)
+            # KQL default nulls: asc -> nulls first, desc -> nulls last [KQL]
+            nulls = k.nulls or ("first" if k.asc else "last")
+            if k.asc:
+                cols.append(c.asc_nulls_first() if nulls == "first" else c.asc_nulls_last())
+            else:
+                cols.append(c.desc_nulls_first() if nulls == "first" else c.desc_nulls_last())
+        return cols
+
+    def t_sort(self, df: DataFrame, op: Sort) -> DataFrame:
+        cols = self._sort_cols(df, op.keys)
+        self.order = cols
+        return df.orderBy(*cols)
+
+    def t_take(self, df: DataFrame, op: Take) -> DataFrame:
+        return df.limit(op.n)
+
+    def t_top(self, df: DataFrame, op: Top) -> DataFrame:
+        cols = self._sort_cols(df, op.keys)
+        self.order = cols
+        # orderBy().limit() -> Catalyst plans TakeOrderedAndProject (§4.1)
+        return df.orderBy(*cols).limit(op.n)
+
+    def t_serialize(self, df: DataFrame, op: Serialize) -> DataFrame:
+        if self.order is None:
+            df = df.withColumn("__row_order", F.monotonically_increasing_id())
+            self.order = [F.col("__row_order").asc()]
+        if op.items:
+            df = self.t_extend(df, Extend(op.items))
+        return df
+
+    def t_countop(self, df: DataFrame, op: CountOp) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(op.as_name))
+
+    def t_summarize(self, df: DataFrame, op: Summarize) -> DataFrame:
+        by_items = self._named_items(df, op.by)
+        # materialize computed keys once so groupBy references plain columns
+        work = df
+        key_names: list[str] = []
+        for name, col in by_items:
+            work = work.withColumn(name, col)
+            key_names.append(name)
+        tr = self.expr_tr(work)
+        agg_cols: list[Column] = []
+        for item in op.aggs:
+            for out_name, col in self._translate_agg(tr, item):
+                agg_cols.append(col.alias(out_name))
+        if not agg_cols and key_names:
+            # `summarize by k` == distinct keys [KQL]
+            result = work.select(*key_names).distinct()
+        elif key_names:
+            result = work.groupBy(*key_names).agg(*agg_cols)
+        else:
+            result = work.agg(*agg_cols)
+        self.order = None
+        return result
+
+    def _translate_agg(self, tr: ExprTranslator, item: NamedExpr):
+        e = item.expr
+        if isinstance(e, FuncCall) and e.name in AGG_REGISTRY:
+            return AGG_REGISTRY[e.name](tr, e.args, item.name)
+        # expression over aggregates, e.g. sum(a)/count()
+        col = self._agg_expr(tr, e)
+        return [(item.name or "Column1", col)]
+
+    def _agg_expr(self, tr: ExprTranslator, e: Expr) -> Column:
+        if isinstance(e, FuncCall) and e.name in AGG_REGISTRY:
+            return AGG_REGISTRY[e.name](tr, e.args, None)[0][1]
+        if isinstance(e, BinOp):
+            l = self._agg_expr(tr, e.left)
+            r = self._agg_expr(tr, e.right)
+            return self._combine_binop(tr, e.op, l, r)
+        if isinstance(e, UnaryOp):
+            inner = self._agg_expr(tr, e.operand)
+            return -inner if e.op == "-" else ~inner
+        return tr.to_col(e)
+
+    def _combine_binop(self, tr, op: str, l: Column, r: Column) -> Column:
+        ops = {
+            "+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+            "/": lambda: l.cast("double") / r.cast("double"), "%": lambda: l % r,
+            "==": lambda: l == r, "!=": lambda: l != r, "<": lambda: l < r,
+            "<=": lambda: l <= r, ">": lambda: l > r, ">=": lambda: l >= r,
+            "and": lambda: l & r, "or": lambda: l | r,
+        }
+        if op not in ops:
+            raise KqlSemanticError(f"operator {op!r} not allowed over aggregates")
+        return ops[op]()
+
+    # ------------------------------------------------------------------ joins
+    def t_join(self, df: DataFrame, op: Join) -> DataFrame:
+        right = self.translate_pipe(op.right)
+        kind = op.kind
+        how_map = {
+            "inner": "inner", "innerunique": "inner", "leftouter": "left",
+            "rightouter": "right", "fullouter": "full", "leftsemi": "left_semi",
+            "leftantisemi": "left_anti", "leftanti": "left_anti", "anti": "left_anti",
+            "rightsemi": "right_semi", "rightanti": "right_anti",
+            "cross": "cross",
+        }
+        if kind not in how_map:
+            raise KqlUnsupportedError(f"join kind {kind!r}")
+
+        left_keys: list[str] = []
+        right_keys: list[str] = []
+        for cond in op.on:
+            lk = cond.left.name if isinstance(cond.left, Col) else None
+            rk = cond.right.name if isinstance(cond.right, Col) else None
+            if lk is None or rk is None:
+                raise KqlSemanticError("join keys must be column references")
+            left_keys.append(lk)
+            right_keys.append(rk)
+
+        if kind == "innerunique":
+            # KQL default: dedup left on join keys, then inner join [KQL join]
+            df = df.dropDuplicates(left_keys)
+
+        how = how_map[kind]
+        if how in ("right_semi", "right_anti"):
+            # swap: semi/anti from the right side's perspective
+            cond = self._join_cond(right, df, right_keys, left_keys)
+            out = right.join(df, cond, how.replace("right", "left"))
+            self.order = None
+            return out
+
+        if how in ("left_semi", "left_anti"):
+            cond = self._join_cond(df, right, left_keys, right_keys)
+            out = df.join(right, cond, how)
+            self.order = None
+            return out
+
+        # rename right-side collisions with suffix '1' (KQL x1 convention)
+        right_renamed, rename_map = self._suffix_collisions(df, right)
+        right_keys2 = [rename_map.get(k, k) for k in right_keys]
+        if op.hints.get("strategy") == "broadcast":
+            right_renamed = F.broadcast(right_renamed)
+        elif op.hints.get("strategy") == "shuffle":
+            nparts = op.hints.get("num_partitions")
+            if nparts:
+                right_renamed = right_renamed.repartition(int(nparts), *right_keys2)
+        cond = self._join_cond(df, right_renamed, left_keys, right_keys2)
+        out = df.join(right_renamed, cond, how) if cond is not None else df.crossJoin(
+            right_renamed
+        )
+        self.order = None
+        return out
+
+    def _join_cond(self, l: DataFrame, r: DataFrame, lk: list[str], rk: list[str]):
+        if not lk:
+            return None
+        cond = l[lk[0]] == r[rk[0]]
+        for a, b in zip(lk[1:], rk[1:]):
+            cond = cond & (l[a] == r[b])
+        return cond
+
+    def _suffix_collisions(self, left: DataFrame, right: DataFrame):
+        lcols = set(left.columns)
+        rename: dict[str, str] = {}
+        for c in right.columns:
+            if c in lcols:
+                new = c + "1"
+                i = 1
+                while new in lcols or new in rename.values():
+                    i += 1
+                    new = f"{c}{i}"
+                rename[c] = new
+        return right.withColumnsRenamed(rename), rename
+
+    def t_lookup(self, df: DataFrame, op: Lookup) -> DataFrame:
+        right = self.translate_pipe(op.right)
+        left_keys = [c.left.name for c in op.on]
+        right_keys = [c.right.name for c in op.on]
+        # dimension join: broadcast small side, drop duplicate key cols (§2.4)
+        rename: dict[str, str] = {}
+        lcols = set(df.columns)
+        for c in right.columns:
+            if c in lcols and c not in right_keys:
+                rename[c] = c + "1"
+        right = right.withColumnsRenamed(rename)
+        how = "left" if op.kind == "leftouter" else "inner"
+        if left_keys == right_keys:
+            out = df.join(F.broadcast(right), on=left_keys, how=how)
+        else:
+            rb = F.broadcast(right)
+            cond = self._join_cond(df, rb, left_keys, right_keys)
+            keep = [df[c] for c in df.columns] + [
+                rb[c] for c in right.columns if c not in right_keys
+            ]
+            out = df.join(rb, cond, how).select(*keep)
+        self.order = None
+        return out
+
+    def t_union(self, df: DataFrame, op: Union) -> DataFrame:
+        dfs = [("self", df)] + [
+            (self._source_label(p), self.translate_pipe(p)) for p in op.tables
+        ]
+        return self._union(dfs, op.kind, op.withsource)
+
+    def _union(self, dfs: list[tuple[str, DataFrame]], kind: str, withsource):
+        self.order = None
+        frames = []
+        for label, frame in dfs:
+            if withsource:
+                frame = frame.withColumn(withsource, F.lit(label))
+            frames.append(frame)
+        if kind == "inner":
+            common = set(frames[0].columns)
+            for fr in frames[1:]:
+                common &= set(fr.columns)
+            keep = [c for c in frames[0].columns if c in common]
+            frames = [fr.select(*keep) for fr in frames]
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ mv-* / parse
+    def t_mvexpand(self, df: DataFrame, op: MvExpand) -> DataFrame:
+        tr = self.expr_tr(df)
+        cols: list[tuple[str, Column]] = []
+        for item in op.items:
+            col = tr.to_col(item.expr)
+            name = item.name or (
+                item.expr.name if isinstance(item.expr, Col) else "Column1"
+            )
+            dt = tr.dtype_of(col)
+            if isinstance(dt, T.StringType):
+                # JSON-text dynamic carrier -> array of json-encoded elements
+                col = self._json_to_array(col)
+            elif isinstance(dt, T.MapType):
+                col = F.transform(
+                    F.map_entries(col),
+                    lambda kv: F.to_json(F.create_map(kv["key"], kv["value"])),
+                )
+            cols.append((name, col))
+        if op.limit is not None:
+            cols = [(n, F.slice(c, 1, op.limit)) for n, c in cols]
+        if len(cols) == 1:
+            name, col = cols[0]
+            if op.with_itemindex:
+                df2 = df.select(
+                    "*", F.posexplode(col).alias(op.with_itemindex, name + "__x")
+                ).drop(name).withColumnRenamed(name + "__x", name)
+            else:
+                df2 = df.withColumn(name, F.explode(col))
+        else:
+            # multi-column zip expansion [KQL mv-expand]: shorter arrays padded
+            # with nulls — exactly arrays_zip + explode semantics
+            zipped = F.arrays_zip(*[c.alias(n) for n, c in cols])
+            tmp = "__mv_zip"
+            df2 = df.withColumn(tmp, F.explode(zipped))
+            for n, _ in cols:
+                df2 = df2.withColumn(n, F.col(tmp)[n])
+            df2 = df2.drop(tmp)
+        if op.to_type:
+            for n, _ in cols:
+                df2 = df2.withColumn(n, F.col(n).cast(KQL_CAST_NAME[op.to_type.lower()]))
+        self.order = None
+        return df2
+
+    def _json_to_array(self, col: Column) -> Column:
+        s = col.cast("string")
+        return F.when(
+            s.startswith("["),
+            F.from_json(s, "array<string>"),
+        ).otherwise(F.array(s))
+
+    def t_parseop(self, df: DataFrame, op: ParseOp) -> DataFrame:
+        tr = self.expr_tr(df)
+        src = tr.to_col(op.source).cast("string")
+        regex_parts: list[str] = []
+        slots: list[ParseSlot] = []
+        segs = op.segments
+        for idx, seg in enumerate(segs):
+            if isinstance(seg, str):
+                regex_parts.append(seg if op.kind == "regex" else re.escape(seg))
+            else:
+                if seg.name is None:
+                    regex_parts.append(r"(?:.*?)")
+                    continue
+                is_last = all(not isinstance(s2, ParseSlot) or s2.name is None for s2 in segs[idx + 1 :]) and (
+                    idx == len(segs) - 1
+                )
+                regex_parts.append(r"(.*)" if is_last else r"(.*?)")
+                slots.append(seg)
+        pattern = "".join(regex_parts)
+        work = df
+        group = 0
+        for slot in slots:
+            group += 1
+            val = F.regexp_extract(src, pattern, group)
+            if slot.ktype:
+                val = val.try_cast(KQL_CAST_NAME[slot.ktype.lower()])
+            work = work.withColumn(slot.name, val)
+        if op.where:
+            work = work.filter(F.regexp_like(src, F.lit(pattern)))
+        return work
+
+    def t_parsekv(self, df: DataFrame, op: ParseKv) -> DataFrame:
+        tr = self.expr_tr(df)
+        src = tr.to_col(op.source).cast("string")
+        m = F.str_to_map(src, F.lit(re.escape(op.pair_delim)), F.lit(re.escape(op.kv_delim)))
+        work = df
+        for name, ktype in op.slots:
+            val = F.element_at(m, name)
+            if ktype and ktype.lower() != "string":
+                val = val.try_cast(KQL_CAST_NAME[ktype.lower()])
+            work = work.withColumn(name, val)
+        return work
+
+    # --------------------------------------------------------------- sampling
+    def t_sampleop(self, df: DataFrame, op: SampleOp) -> DataFrame:
+        return df.orderBy(F.rand(seed=42)).limit(op.n)
+
+    def t_sampledistinct(self, df: DataFrame, op: SampleDistinct) -> DataFrame:
+        return (
+            df.select(op.col).distinct().orderBy(F.rand(seed=42)).limit(op.n)
+        )
+
+    # ------------------------------------------------------------- top-nested
+    def t_topnested(self, df: DataFrame, op: TopNested) -> DataFrame:
+        tr = self.expr_tr(df)
+        parents: list[str] = []
+        result: DataFrame | None = None
+        work = df
+        out_cols: list[str] = []
+        for li, level in enumerate(op.levels):
+            of_name = level.of_name or (
+                level.of_expr.name if isinstance(level.of_expr, Col) else f"level{li}"
+            )
+            agg_name = level.agg_name or f"aggregated_{of_name}"
+            work = work.withColumn(of_name, tr.to_col(level.of_expr))
+            keys = parents + [of_name]
+            agg_out = AGG_REGISTRY[level.agg.name](
+                self.expr_tr(work), level.agg.args, agg_name
+            )
+            grouped = work.groupBy(*keys).agg(*[c.alias(n) for n, c in agg_out])
+            if level.n is not None:
+                w = Window.partitionBy(*parents).orderBy(F.col(agg_name).desc()) if parents else Window.partitionBy(F.lit(1)).orderBy(F.col(agg_name).desc())
+                grouped = (
+                    grouped.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= level.n)
+                    .drop("__rn")
+                )
+            if result is None:
+                result = grouped
+            else:
+                result = result.join(grouped, on=parents, how="inner")
+            parents = keys
+            out_cols.extend([of_name, agg_name])
+        self.order = None
+        return result.select(*out_cols)
+
+    def t_tophitters(self, df: DataFrame, op: TopHitters) -> DataFrame:
+        tr = self.expr_tr(df)
+        of_name = op.of_name or (
+            op.of_expr.name if isinstance(op.of_expr, Col) else "value"
+        )
+        work = df.withColumn(of_name, tr.to_col(op.of_expr))
+        if op.by_expr is not None:
+            agg_col = F.sum(self.expr_tr(work).to_col(op.by_expr))
+            agg_name = "approximate_sum_" + (
+                op.by_expr.name if isinstance(op.by_expr, Col) else "value"
+            )
+        else:
+            agg_col = F.count(F.lit(1))
+            agg_name = "approximate_count_" + of_name
+        out = (
+            work.groupBy(of_name)
+            .agg(agg_col.alias(agg_name))
+            .orderBy(F.col(agg_name).desc())
+            .limit(op.n)
+        )
+        self.order = [F.col(agg_name).desc()]
+        return out
+
+    # ------------------------------------------------------------ make-series
+    def t_makeseries(self, df: DataFrame, op: MakeSeries) -> DataFrame:
+        tr = self.expr_tr(df)
+        axis_name = op.axis.name if isinstance(op.axis, Col) else "axis"
+        axis_col = tr.to_col(op.axis)
+        step_secs = tr.const_seconds(op.step)
+        axis_dt = tr.dtype_of(axis_col)
+        is_time = isinstance(axis_dt, (T.TimestampType, T.DateType))
+
+        if op.from_ is None or op.to is None:
+            raise KqlUnsupportedError(
+                "make-series requires explicit 'from'/'to' in v1 (data-dependent "
+                "axis bounds would force an eager extra pass at 100 TB)"
+            )
+        lo = tr.to_col(op.from_)
+        hi = tr.to_col(op.to)
+        if is_time:
+            us = int(round(step_secs * 1_000_000))
+            step_lit = F.make_dt_interval(secs=F.lit(step_secs))
+            binned = F.timestamp_micros(
+                (F.floor(F.unix_micros(axis_col.cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
+                    "bigint"
+                )
+            )
+            # KQL: axis end is exclusive
+            seq = F.sequence(lo, hi - F.make_dt_interval(secs=F.lit(1e-6)), step_lit)
+        else:
+            step_v = tr.to_col(op.step)
+            binned = F.floor(axis_col.cast("double") / step_v) * step_v
+            seq = F.sequence(lo, hi - F.lit(1), tr.to_col(op.step))
+
+        by_items = self._named_items(df, op.by)
+        work = df
+        for name, col in by_items:
+            work = work.withColumn(name, col)
+        key_names = [n for n, _ in by_items]
+        work = work.withColumn(axis_name, binned).filter(
+            (F.col(axis_name) >= lo) & (F.col(axis_name) < hi)
+        )
+
+        tr2 = self.expr_tr(work)
+        agg_cols: list[tuple[str, Column]] = []
+        for item in op.aggs:
+            for out_name, col in self._translate_agg(tr2, item):
+                agg_cols.append((out_name, col))
+        grouped = work.groupBy(*key_names, axis_name).agg(
+            *[c.alias(n) for n, c in agg_cols]
+        )
+
+        # dense axis: distinct keys x generated axis (axis is tiny -> broadcast)
+        axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_name))
+        if key_names:
+            keys_df = work.select(*key_names).distinct()
+            grid = keys_df.crossJoin(F.broadcast(axis_df))
+            dense = grid.join(grouped, on=key_names + [axis_name], how="left")
+        else:
+            dense = axis_df.join(grouped, on=[axis_name], how="left")
+
+        defaults = []
+        for (out_name, _), d in zip(agg_cols, op.defaults or [None] * len(agg_cols)):
+            dval = tr.to_col(d) if d is not None else F.lit(0.0)
+            defaults.append((out_name, dval))
+        for out_name, dval in defaults:
+            dense = dense.withColumn(
+                out_name, F.coalesce(F.col(out_name).cast("double"), dval.cast("double"))
+            )
+
+        collect = F.array_sort(
+            F.collect_list(F.struct(F.col(axis_name).alias("a"), *[F.col(n).alias(n) for n, _ in agg_cols]))
+        )
+        gb = dense.groupBy(*key_names) if key_names else dense.groupBy()
+        out = gb.agg(collect.alias("__s"))
+        for n, _ in agg_cols:
+            out = out.withColumn(n, F.transform(F.col("__s"), lambda s, _n=n: s[_n]))
+        out = out.withColumn(axis_name, F.transform(F.col("__s"), lambda s: s["a"])).drop(
+            "__s"
+        )
+        self.order = None
+        return out
+
+    # ----------------------------------------------------------- misc tabular
+    def t_getschema(self, df: DataFrame, op: GetSchema) -> DataFrame:
+        rows = [
+            (f.name, i, str(f.dataType.simpleString()), kql_type_name(f.dataType))
+            for i, f in enumerate(df.schema.fields)
+        ]
+        return self.spark.createDataFrame(
+            rows, "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string"
+        )
+
+    def t_asop(self, df: DataFrame, op: AsOp) -> DataFrame:
+        self.named_results[op.name] = df
+        return df
+
+    def t_invoke(self, df: DataFrame, op: Invoke) -> DataFrame:
+        bound = self.lets.get(op.name)
+        if not isinstance(bound, Lambda):
+            raise KqlSemanticError(f"invoke target {op.name!r} is not a lambda")
+        raise KqlUnsupportedError("tabular lambda invoke not supported in v1")
+
+    def t_render(self, df: DataFrame, op: Render) -> DataFrame:
+        # rendering is client-side in Kusto [KQL]; attach metadata, no-op plan
+        df._kql_render = {"chart": op.chart, **op.props}  # type: ignore[attr-defined]
+        return df
+
+    def t_consumeop(self, df: DataFrame, op: ConsumeOp) -> DataFrame:
+        return df.limit(0)
+
+    def t_searchop(self, df: DataFrame, op: SearchOp) -> DataFrame:
+        tr = self.expr_tr(df)
+        term = tr.const_string(op.term) if isinstance(op.term, Lit) else None
+        if term is None:
+            raise KqlUnsupportedError("search supports literal terms in v1")
+        pat = re.escape(term)
+        flags = "(?i)" if op.ci else ""
+        cond = F.lit(False)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StringType):
+                cond = cond | F.regexp_like(F.col(f.name), F.lit(f"{flags}{pat}"))
+        return df.filter(cond)
+
+    def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:
+        # eager by nature (SURVEY.md §3.2); v1 returns per-value counts union
+        frames = []
+        for c in op.cols:
+            frames.append(
+                df.groupBy(F.col(c).cast("string").alias("value"))
+                .agg(F.count(F.lit(1)).alias("count_"))
+                .withColumn("facet", F.lit(c))
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.select("facet", "value", "count_")
+
+    def t_partitionop(self, df: DataFrame, op: PartitionOp) -> DataFrame:
+        raise KqlUnsupportedError("partition operator lands with mv-apply work")
+
+    def t_mvapply(self, df: DataFrame, op: MvApply) -> DataFrame:
+        raise KqlUnsupportedError("mv-apply lands in a later milestone")
+
+    def t_evaluate(self, df: DataFrame, op: Evaluate) -> DataFrame:
+        from .extensions import EVALUATE_REGISTRY
+
+        impl = EVALUATE_REGISTRY.get(op.plugin)
+        if impl is None:
+            raise KqlUnsupportedError(f"evaluate plugin {op.plugin!r}")
+        out = impl(self, df, op.args)
+        self.order = None
+        return out
+
+
+def kql(
+    spark: SparkSession,
+    text: str,
+    catalog: Catalog | None = None,
+    sf_dir: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Primary entry point: KQL text -> DataFrame (SURVEY.md §3.2)."""
+    if catalog is None:
+        catalog = Catalog(spark, sf_dir)
+    q = parse(text)
+    return PipeTranslator(spark, catalog, options).translate_query(q)
