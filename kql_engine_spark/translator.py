@@ -65,12 +65,14 @@ class ExprTranslator:
         env: dict[str, Column] | None = None,
         window: Window | None = None,
         sides: dict[str, DataFrame] | None = None,
+        agg_mode: bool = False,
     ):
         self.df = df
         self.engine = engine
         self.env = env if env is not None else {}
         self.window = window
         self.sides = sides or {}
+        self.agg_mode = agg_mode  # aggregate calls legal in this expression
 
     # engine option passthroughs used by the registries
     @property
@@ -345,6 +347,9 @@ class ExprTranslator:
 
     def _call(self, e: FuncCall) -> Column:
         name = e.name
+        if self.agg_mode and name in AGG_REGISTRY:
+            # scalar-over-aggregate expression, e.g. sum(a)/count()
+            return AGG_REGISTRY[name](self, e.args, None)[0][1]
         # typed null / special literals: long(null), real(+inf), int(null)
         if name in _NULLABLE_TYPE_CTORS and len(e.args) == 1:
             arg = e.args[0]
@@ -380,7 +385,17 @@ class ExprTranslator:
         name = e.name
         if name == "row_number":
             start = int(self.const_value(e.args[0])) if e.args else 1
-            return F.row_number().over(w) + F.lit(start - 1)
+            rn = F.row_number().over(w)
+            if len(e.args) >= 2:
+                # restart predicate [KQL row_number]: rn restarts where pred is
+                # true. Single-pass formulation over one window ordering:
+                # rn - (row_number at the last restart) + start
+                pred = self.to_col(e.args[1])
+                flag = F.when(pred, rn)
+                frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                last_restart = F.coalesce(F.max(flag).over(frame), F.lit(1))
+                return rn - last_restart + F.lit(start)
+            return rn + F.lit(start - 1)
         if name == "row_rank_min":
             return F.rank().over(
                 self.engine.window_ordered_by(self.to_col(e.args[0]))
@@ -722,33 +737,10 @@ class PipeTranslator:
         e = item.expr
         if isinstance(e, FuncCall) and e.name in AGG_REGISTRY:
             return AGG_REGISTRY[e.name](tr, e.args, item.name)
-        # expression over aggregates, e.g. sum(a)/count()
-        col = self._agg_expr(tr, e)
-        return [(item.name or "Column1", col)]
-
-    def _agg_expr(self, tr: ExprTranslator, e: Expr) -> Column:
-        if isinstance(e, FuncCall) and e.name in AGG_REGISTRY:
-            return AGG_REGISTRY[e.name](tr, e.args, None)[0][1]
-        if isinstance(e, BinOp):
-            l = self._agg_expr(tr, e.left)
-            r = self._agg_expr(tr, e.right)
-            return self._combine_binop(tr, e.op, l, r)
-        if isinstance(e, UnaryOp):
-            inner = self._agg_expr(tr, e.operand)
-            return -inner if e.op == "-" else ~inner
-        return tr.to_col(e)
-
-    def _combine_binop(self, tr, op: str, l: Column, r: Column) -> Column:
-        ops = {
-            "+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
-            "/": lambda: l.cast("double") / r.cast("double"), "%": lambda: l % r,
-            "==": lambda: l == r, "!=": lambda: l != r, "<": lambda: l < r,
-            "<=": lambda: l <= r, ">": lambda: l > r, ">=": lambda: l >= r,
-            "and": lambda: l & r, "or": lambda: l | r,
-        }
-        if op not in ops:
-            raise KqlSemanticError(f"operator {op!r} not allowed over aggregates")
-        return ops[op]()
+        # expression over aggregates, e.g. sum(a)/count() or
+        # array_sort_asc(make_list(x)) — translate with agg_mode on
+        agg_tr = ExprTranslator(tr.df, self, env=tr.env, agg_mode=True)
+        return [(item.name or "Column1", agg_tr.to_col(e))]
 
     # ------------------------------------------------------------------ joins
     def t_join(self, df: DataFrame, op: Join) -> DataFrame:
@@ -1058,18 +1050,19 @@ class PipeTranslator:
         lo = tr.to_col(op.from_)
         hi = tr.to_col(op.to)
         if is_time:
+            # buckets anchor at `from` (bin_at semantics) [KQL make-series]
             us = int(round(step_secs * 1_000_000))
             step_lit = F.make_dt_interval(secs=F.lit(step_secs))
+            lo_us = F.unix_micros(lo.cast("timestamp"))
+            x_us = F.unix_micros(axis_col.cast("timestamp"))
             binned = F.timestamp_micros(
-                (F.floor(F.unix_micros(axis_col.cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
-                    "bigint"
-                )
+                (lo_us + F.floor((x_us - lo_us) / F.lit(us)) * F.lit(us)).cast("bigint")
             )
             # KQL: axis end is exclusive
             seq = F.sequence(lo, hi - F.make_dt_interval(secs=F.lit(1e-6)), step_lit)
         else:
             step_v = tr.to_col(op.step)
-            binned = F.floor(axis_col.cast("double") / step_v) * step_v
+            binned = lo + F.floor((axis_col.cast("double") - lo) / step_v) * step_v
             seq = F.sequence(lo, hi - F.lit(1), tr.to_col(op.step))
 
         by_items = self._named_items(df, op.by)
