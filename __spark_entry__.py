@@ -3,36 +3,49 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Every entry routes through the full KQL pipeline — lexer -> parser ->
+AST -> PySpark DataFrame translation (kql_engine_spark/translator.py) —
+so a green row certifies the whole stack for that operator, not just a
+hand-built DataFrame. The corpus itself lives in
+kql_engine_spark/corpus.py (shared with tests/ and bench.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kql_engine_spark.corpus import CORPUS, FLAGSHIP  # noqa: E402
+
+
+def _runner(kql_text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kql_engine_spark.translator import kql
+
+        return kql(spark, kql_text, sf_dir=sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 in KQL) on /root/testdata/sf0.001."""
+    from kql_engine_spark.translator import kql
+
+    return kql(spark, FLAGSHIP, sf_dir="/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _runner(kql_text) for name, (kql_text, _) in CORPUS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin for each corpus entry that is SQL-expressible."""
+    return {name: sql for name, (_, sql) in CORPUS.items() if sql is not None}

@@ -62,8 +62,11 @@ class Catalog:
         from pyspark.sql import functions as F
 
         for c in ns_cols:
-            # nanos -> micros truncation (KQL 100ns ticks -> µs, SURVEY §1.2)
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("bigint")))
+            # nanos -> micros truncation (KQL 100ns ticks -> µs, SURVEY §1.2).
+            # `div` = exact integral division: a double `/ 1000` would round
+            # up across µs boundaries for ns remainders >= ~875 (observed in
+            # the fixtures) and diverge from the DuckDB oracle's truncation.
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         return df
 
     def has(self, name: str) -> bool:

@@ -1,0 +1,779 @@
+"""Query corpus: (KQL query, DuckDB oracle SQL) pairs per SURVEY.md §2 row.
+
+This is the engine's t2 evidence base (SURVEY.md §5.2): every entry is a KQL
+query run through the full parser->translator->Spark pipeline plus an ANSI-SQL
+twin DuckDB runs on the same parquet fixtures. The driver hashes both sides
+(order-insensitive, columns sorted by name), so:
+
+- every computed column is aliased IDENTICALLY in both sides;
+- double aggregates whose value depends on accumulation order are rounded
+  (2-6 dp) on BOTH sides; sums of integral-valued doubles (l_quantity) are
+  exact in any order and stay unrounded;
+- integer-typed computed outputs are cast to long/BIGINT on both sides
+  (Spark length() is int, DuckDB length() is BIGINT);
+- DuckDB integer SUM returns HUGEINT -> always CAST(SUM(..) AS BIGINT);
+- events.ts is parquet timestamp[ns]: the engine truncates to µs at scan
+  (catalog.py), the oracle mirrors with CAST(.. AS TIMESTAMP).
+
+Entries whose semantics have no SQL twin (getschema, dedup_near, ...) carry
+oracle=None and are verified by the driver's rows-only check + pytest
+metamorphic tests instead.
+"""
+
+from __future__ import annotations
+
+# name -> (kql_text, duckdb_sql | None)
+CORPUS: dict[str, tuple[str, str | None]] = {}
+
+
+def q(name: str, kql_text: str, sql: str | None) -> None:
+    CORPUS[name] = (kql_text, sql)
+
+
+FLAGSHIP = """
+lineitem
+| where l_shipdate <= datetime(1998-09-02)
+| extend disc_price = l_extendedprice * (1.0 - l_discount),
+         charge = l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+| summarize sum_qty=sum(l_quantity), sum_base=round(sum(l_extendedprice),2),
+            sum_disc=round(sum(disc_price),2), sum_charge=round(sum(charge),2),
+            avg_qty=round(avg(l_quantity),4), avg_price=round(avg(l_extendedprice),4),
+            avg_disc=round(avg(l_discount),4), cnt=count()
+  by l_returnflag, l_linestatus
+| sort by l_returnflag asc, l_linestatus asc
+"""
+
+# --------------------------------------------------------------- §2.2 row ops
+q(
+    "tpch_q1",
+    FLAGSHIP,
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS cnt
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+    """,
+)
+
+q(
+    "where_project",
+    """lineitem
+    | where l_quantity > 30.0 and l_discount < 0.05
+    | project l_orderkey, l_linenumber, l_quantity, l_discount""",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+       FROM lineitem WHERE l_quantity > 30.0 AND l_discount < 0.05""",
+)
+
+q(
+    "extend_arith",
+    """lineitem
+    | project l_orderkey, l_linenumber
+    , v = l_extendedprice * (1.0 - l_discount)
+    , q2 = l_quantity * 2.0
+    , r = l_quantity / 7.0""",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1.0 - l_discount) AS v,
+              l_quantity * 2.0 AS q2, l_quantity / 7.0 AS r
+       FROM lineitem""",
+)
+
+q(
+    "distinct_cols",
+    "lineitem | distinct l_returnflag, l_linestatus",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+q(
+    "project_away_keep_rename",
+    """customer
+    | project-away c_acctbal
+    | project-rename segment = c_mktsegment
+    | project-keep c_custkey, segment""",
+    "SELECT c_custkey, c_mktsegment AS segment FROM customer",
+)
+
+q(
+    "top_orders",
+    """orders
+    | sort by o_totalprice desc, o_orderkey asc
+    | take 10
+    | project o_orderkey, o_totalprice""",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+
+q(
+    "tpch_q6",
+    """lineitem
+    | where l_shipdate >= datetime(1996-01-01) and l_shipdate < datetime(1997-01-01)
+    | where l_discount between (0.03 .. 0.05) and l_quantity < 24.0
+    | summarize revenue = round(sum(l_extendedprice * l_discount), 2)""",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24.0""",
+)
+
+q(
+    "count_op",
+    "events | count",
+    'SELECT COUNT(*) AS "Count" FROM events',
+)
+
+# -------------------------------------------------------- §2.6 summarize / bin
+q(
+    "summarize_bin_1d",
+    """events
+    | summarize mx = max(ts), mn = min(ts), c = count() by d = bin(ts, 1d)
+    | sort by d asc""",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+              CAST(MAX(ts) AS TIMESTAMP) AS mx, CAST(MIN(ts) AS TIMESTAMP) AS mn,
+              COUNT(*) AS c
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "summarize_bin_1h_value",
+    """events
+    | where event_type == 'click'
+    | summarize c = count(), av = round(avg(value), 4) by h = bin(ts, 1h)
+    | sort by h asc""",
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+              COUNT(*) AS c, ROUND(AVG(value), 4) AS av
+       FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "agg_sweep",
+    """lineitem
+    | summarize c = count(), ci = countif(l_quantity > 25.0),
+                s = sum(l_quantity), si = sumif(l_quantity, l_linestatus == 'F'),
+                mn = min(l_extendedprice), mx = max(l_extendedprice),
+                dc = dcount(l_orderkey), av = round(avg(l_quantity), 4)
+      by l_returnflag""",
+    """SELECT l_returnflag, COUNT(*) AS c,
+              COUNT(*) FILTER (WHERE l_quantity > 25.0) AS ci,
+              SUM(l_quantity) AS s,
+              SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS si,
+              MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+              COUNT(DISTINCT l_orderkey) AS dc,
+              ROUND(AVG(l_quantity), 4) AS av
+       FROM lineitem GROUP BY l_returnflag""",
+)
+
+q(
+    "summarize_computed_key",
+    """events
+    | summarize n = count(), s = round(sum(value), 4) by u = user_id % 10
+    | sort by u asc""",
+    """SELECT user_id % 10 AS u, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "percentiles_exact",
+    """lineitem
+    | summarize p50 = round(percentile(l_extendedprice, 50), 2),
+                p95 = round(percentile(l_extendedprice, 95), 2)
+      by l_returnflag""",
+    """SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+)
+
+q(
+    "arg_max_agg",
+    """orders
+    | summarize mxp = arg_max(o_totalprice, o_orderkey) by o_orderpriority""",
+    """SELECT o_orderpriority, MAX(o_totalprice) AS mxp,
+              ARG_MAX(o_orderkey, o_totalprice) AS o_orderkey
+       FROM orders GROUP BY o_orderpriority""",
+)
+
+q(
+    "make_set_sorted",
+    """events
+    | summarize s = make_set(event_type) by u = user_id % 7
+    | sort by u asc""",
+    """SELECT user_id % 7 AS u, list_sort(list(DISTINCT event_type)) AS s
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "make_list_sorted",
+    """lineitem
+    | summarize s = array_sort_asc(make_list(l_linenumber)) by l_orderkey""",
+    """SELECT l_orderkey, list_sort(list(l_linenumber)) AS s
+       FROM lineitem GROUP BY l_orderkey""",
+)
+
+q(
+    "stdev_variance",
+    """lineitem
+    | summarize sd = round(stdev(l_quantity), 4), vr = round(variance(l_quantity), 2),
+                sdp = round(stdevp(l_quantity), 4), vp = round(variancep(l_quantity), 2)
+      by l_returnflag""",
+    """SELECT l_returnflag, ROUND(stddev_samp(l_quantity), 4) AS sd,
+              ROUND(var_samp(l_quantity), 2) AS vr,
+              ROUND(stddev_pop(l_quantity), 4) AS sdp,
+              ROUND(var_pop(l_quantity), 2) AS vp
+       FROM lineitem GROUP BY l_returnflag""",
+)
+
+# -------------------------------------------------------------------- §2.4 joins
+q(
+    "join_inner",
+    """orders
+    | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count(), tot = round(sum(o_totalprice), 2) by c_mktsegment""",
+    """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS tot
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+
+q(
+    "join_leftouter",
+    """customer
+    | join kind=leftouter (orders) on $left.c_custkey == $right.o_custkey
+    | summarize n = count(), unmatched = countif(isnull(o_orderkey))""",
+    """SELECT COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS unmatched
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_leftanti",
+    """customer
+    | join kind=leftanti (orders) on $left.c_custkey == $right.o_custkey
+    | summarize n = count(), mx = max(c_custkey)""",
+    """SELECT COUNT(*) AS n, MAX(c_custkey) AS mx
+       FROM customer ANTI JOIN orders ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_leftsemi",
+    """customer
+    | join kind=leftsemi (orders | where o_totalprice > 400000.0)
+        on $left.c_custkey == $right.o_custkey
+    | summarize n = count(), s = round(sum(c_acctbal), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS s
+       FROM customer SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+       ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_fullouter",
+    """customer
+    | join kind=fullouter (orders) on $left.c_custkey == $right.o_custkey
+    | summarize n = count(), no_cust = countif(isnull(c_custkey)),
+                no_ord = countif(isnull(o_orderkey))""",
+    """SELECT COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE c_custkey IS NULL) AS no_cust,
+              COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS no_ord
+       FROM customer FULL JOIN orders ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_innerunique",
+    """orders
+    | project o_custkey
+    | join (customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count(), s = round(sum(c_acctbal), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS s
+       FROM (SELECT DISTINCT o_custkey FROM orders) o
+       JOIN customer ON o_custkey = c_custkey""",
+)
+
+q(
+    "lookup_dim",
+    """customer
+    | lookup (nation) on $left.c_nationkey == $right.n_nationkey
+    | summarize n = count(), bal = round(sum(c_acctbal), 2) by n_name
+    | sort by n_name asc""",
+    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+
+q(
+    "tpch_q5_multijoin",
+    """customer
+    | join kind=inner (orders | where o_orderdate >= datetime(1996-01-01)
+                              and o_orderdate < datetime(1997-01-01))
+        on $left.c_custkey == $right.o_custkey
+    | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+    | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+    | where c_nationkey == s_nationkey
+    | join kind=inner (nation) on $left.s_nationkey == $right.n_nationkey
+    | join kind=inner (region) on $left.n_regionkey == $right.r_regionkey
+    | where r_name == 'ASIA'
+    | summarize revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2) by n_name
+    | sort by revenue desc""",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND c_nationkey = s_nationkey AND r_name = 'ASIA'
+       GROUP BY n_name ORDER BY revenue DESC""",
+)
+
+# -------------------------------------------------------------------- §2.5 union
+q(
+    "union_withsource",
+    """union withsource=src (customer | project key = c_custkey),
+                            (supplier | project key = s_suppkey)
+    | summarize n = count(), s = sum(key) by src
+    | sort by src asc""",
+    """SELECT src, COUNT(*) AS n, CAST(SUM(key) AS BIGINT) AS s FROM (
+         SELECT 'customer' AS src, c_custkey AS key FROM customer
+         UNION ALL SELECT 'supplier', s_suppkey FROM supplier
+       ) GROUP BY src ORDER BY src""",
+)
+
+q(
+    "union_inner_common",
+    """union kind=inner (lineitem | project k = l_orderkey, v = l_quantity),
+                        (orders | project k = o_orderkey, x = o_totalprice)
+    | summarize n = count(), s = sum(k)""",
+    """SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM (
+         SELECT l_orderkey AS k FROM lineitem
+         UNION ALL SELECT o_orderkey FROM orders
+       )""",
+)
+
+# ------------------------------------------------------- §2.9 scalar functions
+q(
+    "string_fns",
+    """customer
+    | project c_custkey, up = toupper(c_name), lo = tolower(c_mktsegment),
+              ln = tolong(strlen(c_name)), sub = substring(c_name, 0, 8),
+              cat = strcat(c_mktsegment, '-', tostring(c_nationkey)),
+              idx = tolong(indexof(c_name, '9')),
+              rev = reverse(c_mktsegment),
+              rep = replace_string(c_name, 'Customer', 'Cust')""",
+    """SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+              LENGTH(c_name) AS ln, substr(c_name, 1, 8) AS sub,
+              c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS cat,
+              POSITION('9' IN c_name) - 1 AS idx,
+              REVERSE(c_mktsegment) AS rev,
+              REPLACE(c_name, 'Customer', 'Cust') AS rep
+       FROM customer""",
+)
+
+q(
+    "string_split_extract",
+    """part
+    | project p_partkey,
+              w1 = split(p_name, ' ', 0), w2 = split(p_name, ' ', 1),
+              ex = extract('([a-z]+) ([a-z]+)', 2, p_name),
+              tr_ = trim_start('small ', p_name)""",
+    """SELECT p_partkey,
+              string_split(p_name, ' ')[1] AS w1,
+              string_split(p_name, ' ')[2] AS w2,
+              regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS ex,
+              regexp_replace(p_name, '^(?:small )+', '') AS tr_
+       FROM part""",
+)
+
+q(
+    "string_predicates",
+    """part
+    | where p_type contains 'ECO' and p_name startswith 's'
+    | summarize n = count() by p_type""",
+    """SELECT p_type, COUNT(*) AS n FROM part
+       WHERE CONTAINS(LOWER(p_type), 'eco') AND LOWER(p_name) LIKE 's%'
+       GROUP BY p_type""",
+)
+
+q(
+    "has_term",
+    """documents
+    | where text has 'spark' and text !has 'nonexistentterm'
+    | summarize n = count(), ids = sum(doc_id)""",
+    r"""SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS ids FROM documents
+       WHERE regexp_matches(text, '(?i)\bspark\b')
+         AND NOT regexp_matches(text, '(?i)\bnonexistentterm\b')""",
+)
+
+q(
+    "in_and_between",
+    """part
+    | where p_brand in ('Brand#1', 'Brand#2', 'Brand#3') and p_size between (5 .. 15)
+    | summarize n = count() by p_brand
+    | sort by p_brand asc""",
+    """SELECT p_brand, COUNT(*) AS n FROM part
+       WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_size BETWEEN 5 AND 15
+       GROUP BY p_brand ORDER BY p_brand""",
+)
+
+q(
+    "case_iff",
+    """orders
+    | project o_orderkey,
+              pri = iff(o_orderpriority == '1-URGENT', 'urgent', 'other'),
+              cls = case(o_totalprice > 300000.0, 'high',
+                         o_totalprice > 100000.0, 'mid', 'low'),
+              z = coalesce(o_orderstatus, 'NA')""",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'other' END AS pri,
+              CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                   WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'low' END AS cls,
+              COALESCE(o_orderstatus, 'NA') AS z
+       FROM orders""",
+)
+
+q(
+    "datetime_fns",
+    """orders
+    | project o_orderkey, y = tolong(getyear(o_orderdate)),
+              m = tolong(getmonth(o_orderdate)), d = tolong(dayofmonth(o_orderdate)),
+              doy = tolong(dayofyear(o_orderdate)),
+              sd = startofday(o_orderdate), sm = startofmonth(o_orderdate),
+              sy = startofyear(o_orderdate),
+              ad = datetime_add('day', 7, o_orderdate),
+              dd = datetime_diff('day', o_orderdate, datetime(1995-01-01))""",
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+              dayofmonth(o_orderdate) AS d, dayofyear(o_orderdate) AS doy,
+              CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS sd,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS sm,
+              CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS sy,
+              o_orderdate + INTERVAL 7 DAY AS ad,
+              datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS dd
+       FROM orders""",
+)
+
+q(
+    "bin_numeric",
+    """lineitem
+    | summarize n = count() by b = bin(l_extendedprice, 10000.0)
+    | sort by b asc""",
+    """SELECT FLOOR(l_extendedprice / 10000.0) * 10000.0 AS b, COUNT(*) AS n
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "math_fns",
+    """lineitem
+    | project l_orderkey, l_linenumber,
+              sq = round(sqrt(l_extendedprice), 6), lg = round(log(l_extendedprice), 6),
+              l10 = round(log10(l_extendedprice), 6),
+              ab = abs(l_discount - 0.05), pw = round(pow(l_quantity, 2.0), 1),
+              sg = sign(l_quantity - 25.0), fl = floor(l_extendedprice, 1.0),
+              ex = round(exp(l_discount), 6), mnf = min_of(l_quantity, 10.0),
+              mxf = max_of(l_tax, 0.04)""",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(SQRT(l_extendedprice), 6) AS sq, ROUND(LN(l_extendedprice), 6) AS lg,
+              ROUND(LOG10(l_extendedprice), 6) AS l10,
+              ABS(l_discount - 0.05) AS ab, ROUND(POW(l_quantity, 2.0), 1) AS pw,
+              CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS sg,
+              FLOOR(l_extendedprice / 1.0) * 1.0 AS fl,
+              ROUND(EXP(l_discount), 6) AS ex, LEAST(l_quantity, 10.0) AS mnf,
+              GREATEST(l_tax, 0.04) AS mxf
+       FROM lineitem""",
+)
+
+q(
+    "gamma_print",
+    """print g5 = round(gamma(5.0), 6), g4 = round(gamma(4.0), 6),
+             lg1 = round(loggamma(1.0), 6), lg10 = round(loggamma(10.5), 6)""",
+    """SELECT ROUND(gamma(5.0), 6) AS g5, ROUND(gamma(4.0), 6) AS g4,
+              ROUND(lgamma(1.0), 6) AS lg1, ROUND(lgamma(10.5), 6) AS lg10""",
+)
+
+q(
+    "conversions",
+    """lineitem
+    | project l_orderkey, l_linenumber, s = tostring(l_quantity),
+              i = toint(l_quantity), lo = tolong(l_linenumber),
+              d = todouble(l_linenumber), b = tobool(1),
+              dtp = todatetime('1996-05-01'),
+              bad = toint('not-a-number')""",
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS VARCHAR) AS s,
+              CAST(l_quantity AS INT) AS i, CAST(l_linenumber AS BIGINT) AS lo,
+              CAST(l_linenumber AS DOUBLE) AS d, CAST(1 AS BOOLEAN) AS b,
+              TIMESTAMP '1996-05-01' AS dtp,
+              CAST(NULL AS INT) AS bad
+       FROM lineitem""",
+)
+
+q(
+    "print_scalars",
+    """print a = 1 + 2, b = strcat('x', 'y'), c = iff(3 > 2, 'yes', 'no'),
+             d = round(log(exp(2.0)), 6), e = 7 / 2, f = 7 % 3,
+             g = min_of(3, 9), h = hash_sha256('abc')""",
+    """SELECT CAST(3 AS BIGINT) AS a, 'xy' AS b, 'yes' AS c, 2.0 AS d,
+              3.5 AS e, CAST(1 AS BIGINT) AS f, CAST(3 AS BIGINT) AS g,
+              'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad' AS h""",
+)
+
+# --------------------------------------------------------- §2.7 window functions
+q(
+    "window_row_number",
+    """orders
+    | sort by o_orderkey asc
+    | extend rn = tolong(row_number())
+    | where rn <= 100
+    | project o_orderkey, rn""",
+    """SELECT o_orderkey, rn FROM (
+         SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders
+       ) WHERE rn <= 100""",
+)
+
+q(
+    "window_rank",
+    """orders
+    | sort by o_totalprice asc
+    | extend rk = tolong(row_rank_min(o_totalprice)),
+             dr = tolong(row_rank_dense(o_totalprice))
+    | where rk <= 50
+    | project o_orderkey, o_totalprice, rk, dr""",
+    """SELECT o_orderkey, o_totalprice, rk, dr FROM (
+         SELECT o_orderkey, o_totalprice,
+                RANK() OVER (ORDER BY o_totalprice) AS rk,
+                DENSE_RANK() OVER (ORDER BY o_totalprice) AS dr
+         FROM orders
+       ) WHERE rk <= 50""",
+)
+
+q(
+    "window_prev_next",
+    """orders
+    | sort by o_orderkey asc
+    | extend pk = prev(o_orderkey), nk = next(o_orderkey, 1, -1)
+    | where o_orderkey <= 300
+    | project o_orderkey, pk, nk""",
+    """SELECT o_orderkey, pk, nk FROM (
+         SELECT o_orderkey, LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS pk,
+                LEAD(o_orderkey, 1, -1) OVER (ORDER BY o_orderkey) AS nk
+         FROM orders
+       ) WHERE o_orderkey <= 300""",
+)
+
+q(
+    "window_cumsum",
+    """orders
+    | sort by o_orderkey asc
+    | extend cs = round(row_cumsum(o_totalprice), 2)
+    | where o_orderkey <= 300
+    | project o_orderkey, cs""",
+    """SELECT o_orderkey, cs FROM (
+         SELECT o_orderkey,
+                ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING), 2) AS cs
+         FROM orders
+       ) WHERE o_orderkey <= 300""",
+)
+
+q(
+    "window_cumsum_restart",
+    """datatable(x:long)[1, 2, 3, 4, 5, 6, 7, 8, 9]
+    | serialize
+    | extend cs = row_cumsum(x, x % 3 == 0)
+    | project x, cs""",
+    """WITH t(x) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)),
+         s AS (SELECT x, SUM(CASE WHEN x % 3 = 0 THEN 1 ELSE 0 END)
+                          OVER (ORDER BY x) AS seg FROM t)
+       SELECT CAST(x AS BIGINT) AS x,
+              CAST(SUM(x) OVER (PARTITION BY seg ORDER BY x) AS BIGINT) AS cs
+       FROM s""",
+)
+
+# ------------------------------------------------------ §2.8 dynamic / parse
+q(
+    "mv_expand_array",
+    """events
+    | project event_id, arr = pack_array(value, value * 2.0)
+    | mv-expand v = arr to typeof(real)
+    | summarize n = count(), s = round(sum(v), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(SUM(v), 2) AS s FROM (
+         SELECT UNNEST([value, value * 2.0]) AS v FROM events
+       )""",
+)
+
+q(
+    "parse_pattern",
+    """events
+    | project s = strcat('id=', tostring(event_id), ';type=', event_type)
+    | parse s with 'id=' pid:long ';type=' ptype
+    | project pid, ptype""",
+    """WITH t AS (SELECT 'id=' || CAST(event_id AS VARCHAR) || ';type=' || event_type AS s
+                  FROM events)
+       SELECT CAST(regexp_extract(s, 'id=(.*?);type=(.*)', 1) AS BIGINT) AS pid,
+              regexp_extract(s, 'id=(.*?);type=(.*)', 2) AS ptype
+       FROM t""",
+)
+
+q(
+    "extractjson_props",
+    """events
+    | project event_id, k = tolong(extractjson('$.k', props))
+    | summarize s = sum(k), n = count()""",
+    """SELECT CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS s,
+              COUNT(*) AS n FROM events""",
+)
+
+q(
+    "bag_unpack_props",
+    """events
+    | evaluate bag_unpack(props)
+    | summarize s = sum(tolong(k)), n = count()""",
+    """SELECT CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS s,
+              COUNT(*) AS n FROM events""",
+)
+
+q(
+    "dynamic_array_fns",
+    """print arr = dynamic([3, 1, 2])
+    | extend srt = array_sort_asc(arr), rev = array_reverse(arr),
+             ln = tolong(array_length(arr)),
+             sm = array_sum(arr), idx = array_index_of(arr, 2),
+             sl = array_slice(arr, 0, 1),
+             un = set_union(arr, dynamic([4, 1])),
+             cat = strcat_array(arr, '-')""",
+    """SELECT [3, 1, 2] AS arr, [1, 2, 3] AS srt, [2, 1, 3] AS rev,
+              CAST(3 AS BIGINT) AS ln, 6.0 AS sm, CAST(2 AS BIGINT) AS idx,
+              [3, 1] AS sl, [1, 2, 3, 4] AS un, '3-1-2' AS cat""",
+)
+
+# ------------------------------------------------------------ §2.10 make-series
+q(
+    "make_series_datetime",
+    """events
+    | make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+    | sort by event_type asc""",
+    """WITH axis AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                   TIMESTAMP '2024-01-30',
+                                                   INTERVAL 1 DAY)) AS d),
+         keys AS (SELECT DISTINCT event_type FROM events),
+         g AS (SELECT event_type,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+                      COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+         grid AS (SELECT k.event_type, a.d FROM keys k CROSS JOIN axis a)
+       SELECT grid.event_type,
+              list(COALESCE(CAST(g.c AS DOUBLE), 0.0) ORDER BY grid.d) AS c,
+              list(grid.d ORDER BY grid.d) AS ts
+       FROM grid LEFT JOIN g ON g.event_type = grid.event_type AND g.d = grid.d
+       GROUP BY grid.event_type ORDER BY grid.event_type""",
+)
+
+q(
+    "make_series_numeric",
+    """events
+    | make-series av = round(avg(value), 4) default = -1.0 on value from 0.0 to 100.0 step 12.5""",
+    """WITH axis AS (SELECT unnest([0.0, 12.5, 25.0, 37.5, 50.0, 62.5, 75.0, 87.5]) AS b),
+         g AS (SELECT FLOOR(value / 12.5) * 12.5 AS b, ROUND(AVG(value), 4) AS av
+               FROM events WHERE value >= 0 AND value < 100 GROUP BY 1)
+       SELECT list(COALESCE(g.av, -1.0) ORDER BY axis.b) AS av,
+              list(axis.b ORDER BY axis.b) AS value
+       FROM axis LEFT JOIN g ON axis.b = g.b""",
+)
+
+# --------------------------------------------------------- §2.13 misc operators
+q(
+    "range_source",
+    """range x from 1 to 1000 step 3
+    | summarize n = count(), s = sum(x), mx = max(x)""",
+    """SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s, MAX(x) AS mx
+       FROM (SELECT UNNEST(generate_series(1, 1000, 3)) AS x)""",
+)
+
+q(
+    "search_term",
+    """part
+    | search 'gear'
+    | summarize n = count()""",
+    """SELECT COUNT(*) AS n FROM part
+       WHERE regexp_matches(p_name, '(?i)gear') OR regexp_matches(p_brand, '(?i)gear')
+          OR regexp_matches(p_type, '(?i)gear')""",
+)
+
+q(
+    "top_hitters",
+    """events
+    | top-hitters 3 of event_type""",
+    """SELECT event_type, COUNT(*) AS approximate_count_event_type
+       FROM events GROUP BY event_type
+       ORDER BY 2 DESC LIMIT 3""",
+)
+
+q(
+    "top_nested",
+    """lineitem
+    | top-nested 2 of l_returnflag by r1 = sum(l_quantity),
+      top-nested 2 of l_linestatus by r2 = sum(l_quantity)""",
+    """WITH l1 AS (SELECT l_returnflag, SUM(l_quantity) AS r1
+                   FROM lineitem GROUP BY 1),
+         l1t AS (SELECT * FROM l1 ORDER BY r1 DESC LIMIT 2),
+         l2 AS (SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS r2
+                FROM lineitem GROUP BY 1, 2),
+         j AS (SELECT l1t.l_returnflag, l1t.r1, l2.l_linestatus, l2.r2,
+                      ROW_NUMBER() OVER (PARTITION BY l1t.l_returnflag
+                                         ORDER BY l2.r2 DESC) AS rn
+               FROM l1t JOIN l2 ON l1t.l_returnflag = l2.l_returnflag)
+       SELECT l_returnflag, r1, l_linestatus, r2 FROM j WHERE rn <= 2""",
+)
+
+q(
+    "facet_counts",
+    """lineitem
+    | facet by l_returnflag, l_linestatus""",
+    """SELECT 'l_returnflag' AS facet, CAST(l_returnflag AS VARCHAR) AS value,
+              COUNT(*) AS count_ FROM lineitem GROUP BY 2
+       UNION ALL
+       SELECT 'l_linestatus', l_linestatus, COUNT(*) FROM lineitem GROUP BY 2""",
+)
+
+q(
+    "evaluate_pivot",
+    """events
+    | project user_id, event_type
+    | where user_id < 50
+    | evaluate pivot(event_type, count())""",
+    """SELECT user_id,
+              NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+              NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error,
+              NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+              NULLIF(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+              NULLIF(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view
+       FROM events WHERE user_id < 50 GROUP BY user_id""",
+)
+
+q(
+    "evaluate_narrow",
+    """region
+    | evaluate narrow()
+    | project Column, Value""",
+    """SELECT 'r_regionkey' AS Column, CAST(r_regionkey AS VARCHAR) AS Value FROM region
+       UNION ALL SELECT 'r_name', r_name FROM region""",
+)
+
+q(
+    "getschema_op",
+    "lineitem | getschema",
+    None,
+)
+
+q(
+    "datatable_literal",
+    """datatable(a:long, s:string, d:datetime, b:bool, r:real)
+      [1, 'x', datetime(2024-01-01), true, 1.5,
+       2, 'y', datetime(2024-02-01 12:30:00), false, -2.5]
+    | extend dd = dayofmonth(d)""",
+    """SELECT * FROM (VALUES
+         (CAST(1 AS BIGINT), 'x', TIMESTAMP '2024-01-01', true, 1.5, CAST(1 AS BIGINT)),
+         (2, 'y', TIMESTAMP '2024-02-01 12:30:00', false, -2.5, 1)
+       ) AS t(a, s, d, b, r, dd)""",
+)

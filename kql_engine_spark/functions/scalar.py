@@ -321,7 +321,7 @@ def _datetime_add(tr, args):
     part = tr.const_string(args[0]).lower()
     n = tr.to_col(args[1])
     dt = tr.to_col(args[2])
-    return F.timestampadd(_DATEPART[part], n, dt)
+    return F.timestamp_add(_DATEPART[part], n, dt)
 
 
 @fn("datetime_diff")
@@ -329,7 +329,7 @@ def _datetime_diff(tr, args):
     part = tr.const_string(args[0]).lower()
     a = tr.to_col(args[1])
     b = tr.to_col(args[2])
-    return F.timestampdiff(_DATEPART[part], b, a)  # KQL: diff = arg1 - arg2
+    return F.timestamp_diff(_DATEPART[part], b, a)  # KQL: diff = arg1 - arg2
 
 
 @fn("dayofweek")
@@ -448,15 +448,24 @@ simple("loggamma")(lambda c: _lgamma(c))
 
 
 def _lgamma(c: Column) -> Column:
-    # Stirling series approximation, JVM-side (no SciPy dependency)
+    # Stirling series, JVM-side (no SciPy dependency). Accuracy: shift the
+    # argument into the asymptotic region z = x+7 via the recurrence
+    # lgamma(x) = lgamma(x+7) - sum_{i=0..6} log(x+i), then apply Stirling
+    # with three correction terms (~1e-10 rel. error for z >= 7).
     x = c.cast("double")
-    return (
-        (x - F.lit(0.5)) * F.log(x)
-        - x
-        + F.lit(0.5 * 2.837877066409345)  # 0.5*ln(2*pi)... simplified below
-        + F.lit(1.0) / (F.lit(12.0) * x)
-        - F.lit(1.0) / (F.lit(360.0) * F.pow(x, F.lit(3.0)))
+    shift = F.lit(0.0)
+    for i in range(7):
+        shift = shift + F.log(x + F.lit(float(i)))
+    z = x + F.lit(7.0)
+    stirling = (
+        (z - F.lit(0.5)) * F.log(z)
+        - z
+        + F.lit(0.9189385332046727)  # 0.5*ln(2*pi)
+        + F.lit(1.0) / (F.lit(12.0) * z)
+        - F.lit(1.0) / (F.lit(360.0) * F.pow(z, F.lit(3.0)))
+        + F.lit(1.0) / (F.lit(1260.0) * F.pow(z, F.lit(5.0)))
     )
+    return stirling - shift
 
 
 @fn("round")

@@ -404,21 +404,34 @@ class ExprTranslator:
             return F.dense_rank().over(
                 self.engine.window_ordered_by(self.to_col(e.args[0]))
             )
-        if name == "prev":
+        if name in ("prev", "next"):
+            shift = F.lag if name == "prev" else F.lead
             off = int(self.const_value(e.args[1])) if len(e.args) > 1 else 1
-            default = self.to_col(e.args[2]) if len(e.args) > 2 else F.lit(None)
-            return F.lag(self.to_col(e.args[0]), off, None).over(w) if len(e.args) <= 2 else F.coalesce(
-                F.lag(self.to_col(e.args[0]), off, None).over(w), default
-            )
-        if name == "next":
-            off = int(self.const_value(e.args[1])) if len(e.args) > 1 else 1
-            default = self.to_col(e.args[2]) if len(e.args) > 2 else F.lit(None)
-            return F.lead(self.to_col(e.args[0]), off, None).over(w) if len(e.args) <= 2 else F.coalesce(
-                F.lead(self.to_col(e.args[0]), off, None).over(w), default
-            )
+            shifted = shift(self.to_col(e.args[0]), off).over(w)
+            if len(e.args) <= 2:
+                return shifted
+            # default substitutes ONLY out-of-bounds rows, never stored nulls
+            # [KQL prev/next]: detect bounds via a shifted constant marker
+            default = self.to_col(e.args[2])
+            marker = shift(F.lit(1), off).over(w)
+            return F.when(marker.isNotNull(), shifted).otherwise(default)
         if name == "row_cumsum":
             frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            return F.sum(self.to_col(e.args[0])).over(frame)
+            term = self.to_col(e.args[0])
+            if len(e.args) <= 1:
+                return F.sum(term).over(frame)
+            # restart=true begins a new accumulation AT that row [KQL]:
+            # materialize a segment id (cumulative restart count) in a
+            # pre-pass, then cumsum per segment
+            pred = self.to_col(e.args[1])
+            seg_name = f"__kqlseg{len(self.engine.pending_prework)}"
+            self.engine.pending_prework[seg_name] = F.sum(
+                F.when(pred, 1).otherwise(0)
+            ).over(frame)
+            w2 = Window.partitionBy(F.col(seg_name)).orderBy(
+                *(self.engine.order or [F.lit(1)])
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.sum(term).over(w2)
         if name == "row_window_session":
             ts = self.to_col(e.args[0])
             max_gap = self.const_seconds(e.args[1])
@@ -487,6 +500,10 @@ class PipeTranslator:
         self.streaming = streaming
         self.lets: dict[str, object] = {}
         self.named_results: dict[str, DataFrame] = {}
+        # pre-pass columns some window rewrites need materialized before the
+        # main projection (e.g. row_cumsum restart segment ids); consumed by
+        # t_extend / t_project
+        self.pending_prework: dict[str, Column] = {}
         # serialized-order state (SURVEY.md §2.7): sort keys currently in force
         self.order: list[Column] | None = None
         self.order_desc_first: list[tuple[Column, bool]] = []
@@ -507,7 +524,10 @@ class PipeTranslator:
     def translate_query(self, q: Query) -> DataFrame:
         for let in q.lets:
             self.lets[let.name] = let.value
-        return self.translate_pipe(q.pipe)
+        df = self.translate_pipe(q.pipe)
+        # engine-internal helper columns never escape to the user
+        internal = [c for c in df.columns if c.startswith(("__row_order", "__kql"))]
+        return df.drop(*internal) if internal else df
 
     def translate_pipe(self, pipe: Pipe) -> DataFrame:
         df = self.translate_source(pipe.source)
@@ -562,20 +582,63 @@ class PipeTranslator:
         return self.catalog.table(name, streaming=self.streaming)
 
     def _datatable(self, src: DataTable) -> DataFrame:
-        tr = ExprTranslator(None, self)
+        values = [self._const_cell(v) for v in src.rows]
         ncols = len(src.schema)
-        values = [tr.const_value(v) if isinstance(v, Lit) else None for v in src.rows]
-        # non-Lit cells (datetime literals etc.) decoded via python
-        for i, v in enumerate(src.rows):
-            if isinstance(v, TypedLit) and v.ktype == "datetime":
-                values[i] = parse_kql_datetime(v.raw)
-            elif isinstance(v, UnaryOp) and v.op == "-" and isinstance(v.operand, Lit):
-                values[i] = -v.operand.value
         rows = [tuple(values[i : i + ncols]) for i in range(0, len(values), ncols)]
         schema = T.StructType(
             [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def _const_cell(self, v: Expr):
+        """Decode a datatable cell to a Python value; raise on anything that is
+        not constant-foldable (silent nulls are data corruption)."""
+        import datetime as _dtmod
+        import json as _json
+
+        if isinstance(v, Lit):
+            if v.ktype == "timespan":
+                return _dtmod.timedelta(seconds=float(v.value))
+            return v.value
+        if isinstance(v, UnaryOp) and v.op == "-":
+            inner = self._const_cell(v.operand)
+            if isinstance(inner, _dtmod.timedelta):
+                return -inner
+            return -inner
+        if isinstance(v, TypedLit):
+            if v.ktype == "datetime":
+                return parse_kql_datetime(v.raw)
+            if v.ktype == "timespan":
+                secs = _parse_timespan_raw(v.raw)
+                return None if secs is None else _dtmod.timedelta(seconds=secs)
+            if v.ktype == "guid":
+                s = v.raw.strip().strip("'\"")
+                return None if s.lower() == "null" else s.lower()
+            if v.ktype == "dynamic":
+                # dynamic carrier is JSON text (SURVEY.md §1.1)
+                parsed = parse_dynamic_literal(v.raw)
+                return None if parsed is None else _json.dumps(parsed)
+            raise KqlSemanticError(f"datatable cell: unknown typed literal {v.ktype}")
+        if isinstance(v, Col):
+            n = v.name.lower()
+            if n == "null":
+                return None
+            if n == "true":
+                return True
+            if n == "false":
+                return False
+        if isinstance(v, FuncCall) and v.name in _NULLABLE_TYPE_CTORS and len(v.args) == 1:
+            arg = v.args[0]
+            if isinstance(arg, Col) and arg.name.lower() == "null":
+                return None
+            if v.name == "real":
+                fv = _inf_name(arg)
+                if fv is not None:
+                    return fv
+            return self._const_cell(arg)
+        raise KqlSemanticError(
+            f"datatable cell must be a constant literal, got {v!r}"
+        )
 
     def _range_source(self, src: RangeSource) -> DataFrame:
         tr = ExprTranslator(None, self)
@@ -632,13 +695,21 @@ class PipeTranslator:
             out.append((name, col))
         return out
 
+    def _apply_prework(self, df: DataFrame) -> DataFrame:
+        if self.pending_prework:
+            df = df.withColumns(self.pending_prework)
+            self.pending_prework = {}
+        return df
+
     def t_project(self, df: DataFrame, op: Project) -> DataFrame:
         items = self._named_items(df, op.items)
-        return df.select(*[c.alias(n) for n, c in items])
+        return self._apply_prework(df).select(*[c.alias(n) for n, c in items])
 
     def t_extend(self, df: DataFrame, op: Extend) -> DataFrame:
         items = self._named_items(df, op.items)
-        return df.withColumns({n: c for n, c in items})
+        work = self._apply_prework(df)
+        out = work.withColumns({n: c for n, c in items})
+        return out.drop(*[c for c in out.columns if c.startswith("__kqlseg")])
 
     def _expand_patterns(self, df: DataFrame, patterns: list[str]) -> list[str]:
         cols = df.columns
@@ -712,24 +783,30 @@ class PipeTranslator:
 
     def t_summarize(self, df: DataFrame, op: Summarize) -> DataFrame:
         by_items = self._named_items(df, op.by)
-        # materialize computed keys once so groupBy references plain columns
+        # Materialize computed keys under TEMP names so a key that shadows a
+        # source column (`by bin(ts, 1d)` auto-named `ts`) cannot corrupt
+        # aggregate inputs translated against the original columns.
         work = df
-        key_names: list[str] = []
-        for name, col in by_items:
-            work = work.withColumn(name, col)
-            key_names.append(name)
+        tmp_names: list[str] = []
+        out_names: list[str] = []
+        for i, (name, col) in enumerate(by_items):
+            tmp = f"__kqlkey{i}"
+            work = work.withColumn(tmp, col)
+            tmp_names.append(tmp)
+            out_names.append(name)
         tr = self.expr_tr(work)
         agg_cols: list[Column] = []
         for item in op.aggs:
             for out_name, col in self._translate_agg(tr, item):
                 agg_cols.append(col.alias(out_name))
-        if not agg_cols and key_names:
+        if not agg_cols and tmp_names:
             # `summarize by k` == distinct keys [KQL]
-            result = work.select(*key_names).distinct()
-        elif key_names:
-            result = work.groupBy(*key_names).agg(*agg_cols)
+            result = work.select(*tmp_names).distinct()
+        elif tmp_names:
+            result = work.groupBy(*tmp_names).agg(*agg_cols)
         else:
             result = work.agg(*agg_cols)
+        result = result.withColumnsRenamed(dict(zip(tmp_names, out_names)))
         self.order = None
         return result
 
@@ -1061,17 +1138,34 @@ class PipeTranslator:
             # KQL: axis end is exclusive
             seq = F.sequence(lo, hi - F.make_dt_interval(secs=F.lit(1e-6)), step_lit)
         else:
-            step_v = tr.to_col(op.step)
-            binned = lo + F.floor((axis_col.cast("double") - lo) / step_v) * step_v
-            seq = F.sequence(lo, hi - F.lit(1), tr.to_col(op.step))
+            # numeric axis: fractional steps are legal — build the grid from an
+            # INTEGER sequence (F.sequence rejects fractional steps) as
+            # lo + i*step, which is bit-identical to the bin expression below
+            step_v = tr.to_col(op.step).cast("double")
+            lo_d = lo.cast("double")
+            binned = lo_d + F.floor((axis_col.cast("double") - lo_d) / step_v) * step_v
+            n_bins = F.ceil((hi.cast("double") - lo_d) / step_v).cast("int")
+            seq = F.transform(
+                F.sequence(F.lit(0), F.greatest(n_bins, F.lit(1)) - F.lit(1), F.lit(1)),
+                lambda i: lo_d + i.cast("double") * step_v,
+            )
+            lo, hi = lo_d, hi.cast("double")
 
+        # materialize computed by-keys AND the binned axis under TEMP names so
+        # they cannot shadow source columns the aggregates read (an axis named
+        # `value` over agg `avg(value)` must see the ORIGINAL value column)
         by_items = self._named_items(df, op.by)
         work = df
-        for name, col in by_items:
-            work = work.withColumn(name, col)
-        key_names = [n for n, _ in by_items]
-        work = work.withColumn(axis_name, binned).filter(
-            (F.col(axis_name) >= lo) & (F.col(axis_name) < hi)
+        key_tmps: list[str] = []
+        key_outs: list[str] = []
+        for i, (name, col) in enumerate(by_items):
+            tmp = f"__kqlkey{i}"
+            work = work.withColumn(tmp, col)
+            key_tmps.append(tmp)
+            key_outs.append(name)
+        axis_tmp = "__kqlaxis"
+        work = work.withColumn(axis_tmp, binned).filter(
+            (F.col(axis_tmp) >= lo) & (F.col(axis_tmp) < hi)
         )
 
         tr2 = self.expr_tr(work)
@@ -1079,18 +1173,18 @@ class PipeTranslator:
         for item in op.aggs:
             for out_name, col in self._translate_agg(tr2, item):
                 agg_cols.append((out_name, col))
-        grouped = work.groupBy(*key_names, axis_name).agg(
+        grouped = work.groupBy(*key_tmps, axis_tmp).agg(
             *[c.alias(n) for n, c in agg_cols]
         )
 
         # dense axis: distinct keys x generated axis (axis is tiny -> broadcast)
-        axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_name))
-        if key_names:
-            keys_df = work.select(*key_names).distinct()
+        axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_tmp))
+        if key_tmps:
+            keys_df = work.select(*key_tmps).distinct()
             grid = keys_df.crossJoin(F.broadcast(axis_df))
-            dense = grid.join(grouped, on=key_names + [axis_name], how="left")
+            dense = grid.join(grouped, on=key_tmps + [axis_tmp], how="left")
         else:
-            dense = axis_df.join(grouped, on=[axis_name], how="left")
+            dense = axis_df.join(grouped, on=[axis_tmp], how="left")
 
         defaults = []
         for (out_name, _), d in zip(agg_cols, op.defaults or [None] * len(agg_cols)):
@@ -1102,15 +1196,22 @@ class PipeTranslator:
             )
 
         collect = F.array_sort(
-            F.collect_list(F.struct(F.col(axis_name).alias("a"), *[F.col(n).alias(n) for n, _ in agg_cols]))
+            F.collect_list(F.struct(F.col(axis_tmp).alias("a"), *[F.col(n).alias(n) for n, _ in agg_cols]))
         )
-        gb = dense.groupBy(*key_names) if key_names else dense.groupBy()
+        gb = dense.groupBy(*key_tmps) if key_tmps else dense.groupBy()
         out = gb.agg(collect.alias("__s"))
+
+        def _field(fname):
+            # closure factory: a default-arg lambda would make F.transform pass
+            # the element INDEX as the second parameter
+            return lambda s: s[fname]
+
         for n, _ in agg_cols:
-            out = out.withColumn(n, F.transform(F.col("__s"), lambda s, _n=n: s[_n]))
+            out = out.withColumn(n, F.transform(F.col("__s"), _field(n)))
         out = out.withColumn(axis_name, F.transform(F.col("__s"), lambda s: s["a"])).drop(
             "__s"
         )
+        out = out.withColumnsRenamed(dict(zip(key_tmps, key_outs)))
         self.order = None
         return out
 
