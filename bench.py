@@ -1,0 +1,70 @@
+"""Benchmark runner (BASELINE.md protocol, driver contract).
+
+Runs the B1-B10 headline queries (kql_engine_spark/corpus.py BENCH_QUERIES)
+through the full KQL engine at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": "bench_total_median_sec", "value": N, "unit": "sec",
+     "queries": {"b1_tpch_q1": sec, ...}, "sf": 0.1, ...}
+
+Protocol: 1 warm-up + 3 timed runs per query, median reported. Timing covers
+translate + execute + collect (results are small aggregates by design, so
+collect is not the bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kql_engine_spark.corpus import BENCH_QUERIES, CORPUS  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from kql_engine_spark.session import get_spark
+    from kql_engine_spark.translator import kql
+
+    spark = get_spark("kql-bench")
+    # warm up the JVM + parquet footers outside the timed region
+    kql(spark, "lineitem | count", sf_dir=sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for bench_id, corpus_name in BENCH_QUERIES.items():
+        text = CORPUS[corpus_name][0]
+        kql(spark, text, sf_dir=sf_dir).collect()  # warm-up run
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kql(spark, text, sf_dir=sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[bench_id] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "engine": "kql_engine_spark",
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

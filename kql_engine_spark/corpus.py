@@ -777,3 +777,41 @@ q(
          (2, 'y', TIMESTAMP '2024-02-01 12:30:00', false, -2.5, 1)
        ) AS t(a, s, d, b, r, dd)""",
 )
+
+q(
+    "tpch_q3",
+    """customer
+    | where c_mktsegment == 'BUILDING'
+    | join kind=inner (orders | where o_orderdate < datetime(1996-03-15))
+        on $left.c_custkey == $right.o_custkey
+    | join kind=inner (lineitem | where l_shipdate > datetime(1996-03-15))
+        on $left.o_orderkey == $right.l_orderkey
+    | summarize revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+      by o_orderkey, o_orderdate
+    | sort by revenue desc, o_orderkey asc
+    | take 10""",
+    """SELECT o_orderkey, o_orderdate,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1996-03-15'
+         AND l_shipdate > TIMESTAMP '1996-03-15'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+
+# bench set (BASELINE.md B1-B10) -> corpus names
+BENCH_QUERIES: dict[str, str] = {
+    "b1_tpch_q1": "tpch_q1",
+    "b2_tpch_q6": "tpch_q6",
+    "b3_tpch_q3": "tpch_q3",
+    "b4_tpch_q5": "tpch_q5_multijoin",
+    "b5_argmax_group": "arg_max_agg",
+    "b6_bin_1h": "summarize_bin_1h_value",
+    "b7_json_extract": "extractjson_props",
+    "b8_agg_dcount": "agg_sweep",
+    "b9_make_series": "make_series_datetime",
+    "b10_has_scan": "has_term",
+}

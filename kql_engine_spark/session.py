@@ -15,12 +15,17 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "kql-engine-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
+    # Local-mode default: few shuffle partitions — per-task scheduling overhead
+    # dominates at fixture scale. On a cluster set SPARK_GRAFT_SHUFFLE to
+    # O(2-3x total cores); AQE coalesces downward either way.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE") or str(min(int(cpus), 8))
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
