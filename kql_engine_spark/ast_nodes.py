@@ -204,6 +204,7 @@ class CountOp(TabularOp):
 class JoinOn:
     left: Expr
     right: Expr
+    op: str = "=="  # ==, <, <=, >, >=, != — non-== forms are theta conditions
 
 
 @dataclass
@@ -423,3 +424,26 @@ class Lambda:
 class Query:
     lets: list[LetStmt]
     pipe: Pipe
+
+
+@dataclass
+class FindSource(Source):
+    """`find in (T1, T2, ...) where pred [project ...]` — query-initial
+    multi-table search [KQL §2.13]."""
+    tables: list[str]
+    pred: "Expr"
+    project: list["NamedExpr"] | None = None
+
+
+@dataclass
+class Fork(TabularOp):
+    """`T | fork name1=(ops) name2=(ops)` — apply sub-pipelines to the same
+    input. v1 materializes as union-by-name with a `fork_result` provenance
+    column (documented deviation from Kusto's multi-table protocol)."""
+    branches: list  # list[tuple[str, list[TabularOp]]]
+
+
+@dataclass
+class ReduceOp(TabularOp):
+    """`T | reduce by expr` — string pattern clustering [KQL §2.13]."""
+    expr: "Expr"

@@ -37,8 +37,12 @@ class Catalog:
         self._streams[name] = df
 
     def table(self, name: str, streaming: bool = False) -> DataFrame:
-        if streaming and name in self._streams:
-            return self._streams[name]
+        if streaming:
+            if name in self._streams:
+                return self._streams[name]
+            df = self.open_stream(name)
+            if df is not None:
+                return df
         if name in self._tables:
             return self._tables[name]
         if self.base_dir:
@@ -67,6 +71,37 @@ class Catalog:
             # up across µs boundaries for ns remainders >= ~875 (observed in
             # the fixtures) and diverge from the DuckDB oracle's truncation.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return df
+
+    def open_stream(self, name: str) -> DataFrame | None:
+        """Open a fixture parquet table as a readStream source (SURVEY §2.11).
+        Schema comes from the batch read; the same ns->µs timestamp handling
+        applies. Optional watermark/max-files knobs are set by kql_stream."""
+        if not self.base_dir:
+            return None
+        path = os.path.join(self.base_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            return None
+        from pyspark.sql import functions as F
+
+        ns_cols = _nanos_timestamp_columns(path)
+        if ns_cols:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = self.spark.read.parquet(path).schema
+        reader = (
+            self.spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+        )
+        max_files = getattr(self, "_stream_max_files", None)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", int(max_files))
+        df = reader.parquet(self.base_dir)
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        wm = getattr(self, "_stream_watermark", None)
+        if wm and wm[0] in df.columns:
+            df = df.withWatermark(wm[0], wm[1])
+        self._streams[name] = df
         return df
 
     def has(self, name: str) -> bool:

@@ -180,12 +180,12 @@ q(
 q(
     "percentiles_exact",
     """lineitem
-    | summarize p50 = round(percentile(l_extendedprice, 50), 2),
-                p95 = round(percentile(l_extendedprice, 95), 2)
+    | summarize p50 = round(percentile(l_extendedprice, 50), 4),
+                p95 = round(percentile(l_extendedprice, 95), 4)
       by l_returnflag""",
     """SELECT l_returnflag,
-              ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-              ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+              ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
        FROM lineitem GROUP BY l_returnflag""",
 )
 
@@ -740,8 +740,8 @@ q(
     "evaluate_pivot",
     """events
     | project user_id, event_type
-    | where user_id < 50
-    | evaluate pivot(event_type, count())""",
+    | evaluate pivot(event_type, count())
+    | where user_id < 50""",
     """SELECT user_id,
               NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
               NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error,
@@ -815,3 +815,380 @@ BENCH_QUERIES: dict[str, str] = {
     "b9_make_series": "make_series_datetime",
     "b10_has_scan": "has_term",
 }
+
+
+# ---------------------------------------------------- §2.12 LLM-pipeline ops
+q(
+    "llm_dedup_exact",
+    """documents
+    | evaluate dedup_exact(lang, source)
+    | summarize n = count()""",
+    """SELECT COUNT(*) AS n FROM (SELECT DISTINCT lang, source FROM documents)""",
+)
+
+q(
+    "llm_text_stats",
+    """documents
+    | evaluate text_stats(text)
+    | project doc_id, ts_chars, ts_words, ts_avg_word_len, ts_alpha_ratio""",
+    r"""WITH t AS (
+         SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents)
+       SELECT doc_id, LENGTH(text) AS ts_chars,
+              CAST(len(toks) AS BIGINT) AS ts_words,
+              ROUND(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                    / GREATEST(len(toks), 1), 4) AS ts_avg_word_len,
+              ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / GREATEST(LENGTH(text), 1), 4) AS ts_alpha_ratio
+       FROM t""",
+)
+
+q(
+    "llm_tokenize",
+    """documents
+    | evaluate tokenize(text)
+    | project doc_id, ntok = tolong(array_length(tokens)), first_tok = tokens[0]""",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS toks
+         FROM documents)
+       SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok, toks[1] AS first_tok
+       FROM t""",
+)
+
+q(
+    "llm_tfidf_topk",
+    """documents
+    | evaluate tfidf_topk(text, doc_id, 3)
+    | project doc_id, top_terms""",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                   t -> t <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       dft AS (SELECT term, COUNT(*) AS dfr
+               FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+       n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       sc AS (SELECT doc_id, term, tf * ln(n.n / dfr) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n),
+       rk AS (SELECT doc_id, term,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rn
+              FROM sc)
+       SELECT doc_id, list(term ORDER BY rn) AS top_terms
+       FROM rk WHERE rn <= 3 GROUP BY doc_id""",
+)
+
+_QVEC = "[0.05425,0.105594,-0.037544,-0.252478,0.19969,-0.097039,-0.078031,-0.014797,0.163755,0.027956,0.040269,-0.028215,-0.192553,-0.069572,-0.026978,-0.032001,-0.022106,0.084172,0.006909,0.119693,-0.245103,-0.167462,0.15094,-0.049542,-0.076805,0.294556,0.076402,-0.075097,0.031133,0.224788,0.111507,0.269965,-0.169972,-0.256706,0.007775,-0.03472,-0.008654,0.022719,0.012217,0.043055,0.085207,-0.013976,-0.144771,-0.036479,0.02464,0.108901,0.062057,-0.137374,0.143419,-0.12813,0.02091,0.241185,0.078125,-0.125382,0.054494,0.006351,0.046549,0.038426,-0.175942,-0.12576,-0.054357,0.011889,0.105388,-0.258038]"
+
+q(
+    "llm_similarity_search",
+    f"""embeddings
+    | evaluate similarity_search(embedding, dynamic({_QVEC}), 10)
+    | project vec_id, s = round(sim, 6)""",
+    f"""WITH qv AS (SELECT unnest(CAST({_QVEC} AS DOUBLE[])) AS qa,
+                          generate_subscripts(CAST({_QVEC} AS DOUBLE[]), 1) AS i),
+         ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+         d AS (SELECT vec_id, SUM(x * qa) AS dot, SUM(x * x) AS nx, SUM(qa * qa) AS nq
+               FROM ev JOIN qv USING (i) GROUP BY vec_id)
+       SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(nq)), 6) AS s
+       FROM d ORDER BY dot / (SQRT(nx) * SQRT(nq)) DESC LIMIT 10""",
+)
+
+q(
+    "llm_dedup_near",
+    """documents
+    | evaluate dedup_near(text, doc_id, 0.8)
+    | summarize n = count()""",
+    None,  # LSH-approximate: verified by metamorphic pytest, rows-only here
+)
+
+q(
+    "llm_similarity_join",
+    """embeddings
+    | evaluate similarity_join(embedding, vec_id, 0.9)
+    | summarize n = count()""",
+    None,  # LSH-approximate: verified by metamorphic pytest, rows-only here
+)
+
+# ----------------------------------------- §2.8 mv-apply / §2.13 partition by
+q(
+    "mv_apply_agg",
+    """events
+    | project event_id, arr = pack_array(value, value + 1.0, value + 2.0)
+    | mv-apply v = arr to typeof(real) on (summarize mx = max(v), c = count())
+    | project event_id, mx, c""",
+    """SELECT event_id, value + 2.0 AS mx, CAST(3 AS BIGINT) AS c FROM events""",
+)
+
+q(
+    "mv_apply_where",
+    """events
+    | project event_id, arr = pack_array(1, 2, 3, 4)
+    | mv-apply v = arr to typeof(long) on (where v % 2 == 0)
+    | summarize n = count(), s = sum(v)""",
+    """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n, CAST(6 * COUNT(*) AS BIGINT) AS s
+       FROM events""",
+)
+
+q(
+    "partition_top_per_key",
+    """orders
+    | partition by o_orderpriority (top 2 by o_totalprice)
+    | project o_orderpriority, o_orderkey, o_totalprice""",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC) AS rn
+         FROM orders) WHERE rn <= 2""",
+)
+
+q(
+    "partition_summarize",
+    """events
+    | partition by event_type (summarize n = count(), s = round(sum(value), 4))
+    | sort by event_type asc""",
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+# --------------------------------------------------- §2.10 series_* functions
+q(
+    "series_arith",
+    """print a = dynamic([1.0, 2.0, 3.0]), b = dynamic([4.0, 5.0, 6.0])
+    | extend sadd = series_add(a, b), ssub = series_subtract(a, b),
+             smul = series_multiply(a, b), sdiv = series_divide(a, b),
+             ssum = series_sum(a)
+    | project-away a, b""",
+    """SELECT [5.0, 7.0, 9.0] AS sadd, [-3.0, -3.0, -3.0] AS ssub,
+              [4.0, 10.0, 18.0] AS smul, [0.25, 0.4, 0.5] AS sdiv,
+              6.0 AS ssum""",
+)
+
+q(
+    "series_fill",
+    """print a = dynamic([1.0, null, 3.0, null])
+    | extend fc = series_fill_const(a, 0.0), ff = series_fill_forward(a),
+             fb = series_fill_backward(a), fl = series_fill_linear(a)
+    | project-away a""",
+    """SELECT [1.0, 0.0, 3.0, 0.0] AS fc, [1.0, 1.0, 3.0, 3.0] AS ff,
+              [1.0, 3.0, 3.0, NULL] AS fb, [1.0, 2.0, 3.0, 3.0] AS fl""",
+)
+
+q(
+    "series_stats_fit",
+    """print y = dynamic([1.0, 2.0, 3.0, 4.0])
+    | extend st = series_stats_dynamic(y), ft = series_fit_line_dynamic(y)
+    | project mn = todouble(st.min), mx = todouble(st.max),
+              avg = todouble(st.avg),
+              slope = round(todouble(ft.slope), 6),
+              icpt = round(todouble(ft.interception), 6),
+              rsq = round(todouble(ft.rsquare), 6)""",
+    """SELECT 1.0 AS mn, 4.0 AS mx, 2.5 AS avg,
+              1.0 AS slope, 1.0 AS icpt, 1.0 AS rsq""",
+)
+
+q(
+    "series_fir_filter",
+    """print a = dynamic([1.0, 2.0, 3.0, 4.0])
+    | project f = series_fir(a, dynamic([1.0, 1.0]), true, false)""",
+    """SELECT [0.5, 1.5, 2.5, 3.5] AS f""",
+)
+
+q(
+    "series_outliers_tukey",
+    """print y = dynamic([1.0, 2.0, 3.0, 4.0, 100.0])
+    | project o = series_outliers(y)""",
+    """SELECT [0.0, 0.0, 0.0, 0.0, 46.5] AS o""",
+)
+
+q(
+    "make_series_then_fit",
+    """events
+    | make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-08) step 1d
+    | extend ft = series_fit_line_dynamic(c)
+    | project slope = round(todouble(ft.slope), 4)""",
+    """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) dd,
+                         COUNT(*) c
+                  FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+                  GROUP BY 1),
+         i AS (SELECT CAST(c AS DOUBLE) y,
+                      CAST(date_diff('day', TIMESTAMP '2024-01-01', dd) AS DOUBLE) x
+               FROM d)
+       SELECT ROUND(regr_slope(y, x), 4) AS slope FROM i""",
+)
+
+q(
+    "window_session",
+    """datatable(t:datetime)[datetime(2024-01-01 00:00:00), datetime(2024-01-01 00:05:00),
+                             datetime(2024-01-01 01:00:00), datetime(2024-01-01 01:02:00)]
+    | sort by t asc
+    | extend s = row_window_session(t, 1h, 10m)
+    | project t, s""",
+    """SELECT * FROM (VALUES
+         (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+         (TIMESTAMP '2024-01-01 00:05:00', TIMESTAMP '2024-01-01 00:00:00'),
+         (TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 01:00:00'),
+         (TIMESTAMP '2024-01-01 01:02:00', TIMESTAMP '2024-01-01 01:00:00')
+       ) AS v(t, s)""",
+)
+
+# --------------------------------------------- §2.11 streaming window twins
+q(
+    "hopping_window_batch",
+    """events
+    | summarize c = count() by w = hopping_window(ts, 2h, 1h)
+    | project ws = w.start, c
+    | sort by ws asc""",
+    """SELECT ws, COUNT(*) AS c FROM (
+         SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                        date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws
+         FROM events)
+       GROUP BY ws ORDER BY ws""",
+)
+
+q(
+    "session_window_batch",
+    """events
+    | where event_type == 'signup'
+    | summarize c = count() by event_type, w = session_window(ts, 10m)
+    | project event_type, ws = w.start, c
+    | sort by ws asc""",
+    """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) t FROM events
+                  WHERE event_type = 'signup'),
+         s AS (SELECT event_type, t,
+                      CASE WHEN LAG(t) OVER (PARTITION BY event_type ORDER BY t) IS NULL
+                                OR t - LAG(t) OVER (PARTITION BY event_type ORDER BY t)
+                                   >= INTERVAL 10 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+               FROM o),
+         g AS (SELECT event_type, t,
+                      SUM(brk) OVER (PARTITION BY event_type ORDER BY t) AS sid
+               FROM s)
+       SELECT event_type, MIN(t) AS ws, COUNT(*) AS c
+       FROM g GROUP BY event_type, sid ORDER BY ws""",
+)
+
+# ------------------------------------------------- §2.4 theta / as-of joins
+q(
+    "join_theta_range",
+    """nation
+    | join kind=inner (region) on $left.n_regionkey == $right.r_regionkey
+                                 and $left.n_nationkey > $right.r_regionkey
+    | summarize n = count(), s = sum(n_nationkey)""",
+    """SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s
+       FROM nation JOIN region
+       ON n_regionkey = r_regionkey AND n_nationkey > r_regionkey""",
+)
+
+q(
+    "join_pure_theta",
+    """orders
+    | where o_orderkey <= 200
+    | project k1 = o_orderkey
+    | join kind=inner (orders | where o_orderkey <= 200 | project k2 = o_orderkey)
+        on $left.k1 < $right.k2
+    | summarize n = count(), s = sum(k1 + k2)""",
+    """SELECT COUNT(*) AS n, CAST(SUM(k1 + k2) AS BIGINT) AS s FROM
+         (SELECT o_orderkey AS k1 FROM orders WHERE o_orderkey <= 200) a
+       JOIN (SELECT o_orderkey AS k2 FROM orders WHERE o_orderkey <= 200) b
+       ON k1 < k2""",
+)
+
+q(
+    "join_asof_window",
+    """events
+    | project event_id, ts
+    | join kind=inner (events | summarize by d = bin(ts, 1d)
+                       | project lo = d, hi = datetime_add('day', 1, d))
+        on $left.ts >= $right.lo and $left.ts < $right.hi
+    | summarize n = count(), days = dcount(lo)""",
+    """SELECT COUNT(*) AS n,
+              COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS days
+       FROM events""",
+)
+
+# --------------------------------------------------- §2.2/§2.14 invoke / let
+q(
+    "invoke_tabular_lambda",
+    """let big_orders = (t:(*), cutoff:real) {
+        t | where o_totalprice > cutoff | summarize n = count(), mx = max(o_totalprice)
+    };
+    orders | invoke big_orders(400000.0)""",
+    """SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx
+       FROM orders WHERE o_totalprice > 400000.0""",
+)
+
+q(
+    "let_scalar_inline",
+    """let threshold = 30.0;
+    let discounted = (p:real, d:real) { p * (1.0 - d) };
+    lineitem
+    | where l_quantity > threshold
+    | summarize rev = round(sum(discounted(l_extendedprice, l_discount)), 2)""",
+    """SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+       FROM lineitem WHERE l_quantity > 30.0""",
+)
+
+q(
+    "tdigest_surrogate",
+    """lineitem
+    | summarize td = tdigest(l_extendedprice)
+    | project p50 = percentile_tdigest(td, 50)""",
+    None,  # approximate sketch: closeness asserted in pytest, rows-only here
+)
+
+# ----------------------------------------------- §2.13 find / fork / reduce
+q(
+    "find_multi_table",
+    """find in (customer, supplier) where s_acctbal > 9000.0 or c_acctbal > 9000.0
+    | summarize n = count() by source_
+    | sort by source_ asc""",
+    """SELECT * FROM (
+         SELECT 'customer' AS source_, COUNT(*) AS n FROM customer
+         WHERE c_acctbal > 9000.0 HAVING COUNT(*) > 0
+         UNION ALL
+         SELECT 'supplier', COUNT(*) FROM supplier
+         WHERE s_acctbal > 9000.0 HAVING COUNT(*) > 0
+       ) ORDER BY source_""",
+)
+
+q(
+    "find_common_column",
+    """find in (customer, supplier) where s_nationkey == 3 or c_nationkey == 3
+    | summarize n = count() by source_""",
+    """SELECT 'customer' AS source_, COUNT(*) AS n FROM customer
+       WHERE c_nationkey = 3 HAVING COUNT(*) > 0
+       UNION ALL
+       SELECT 'supplier', COUNT(*) FROM supplier
+       WHERE s_nationkey = 3 HAVING COUNT(*) > 0""",
+)
+
+q(
+    "fork_branches",
+    """events
+    | fork hi = (where value > 100.0 | summarize n = count())
+           lo = (where value <= 100.0 | summarize n = count())
+    | sort by fork_result asc""",
+    """SELECT 'hi' AS fork_result, COUNT(*) AS n FROM events WHERE value > 100.0
+       UNION ALL
+       SELECT 'lo', COUNT(*) FROM events WHERE value <= 100.0
+       ORDER BY fork_result""",
+)
+
+q(
+    "reduce_by_pattern",
+    """customer
+    | reduce by c_name
+    | sort by Pattern asc""",
+    """SELECT regexp_replace(c_name, '[0-9]+', '*', 'g') AS Pattern,
+              COUNT(*) AS Count, MIN(c_name) AS Representative
+       FROM customer GROUP BY 1 ORDER BY 1""",
+)

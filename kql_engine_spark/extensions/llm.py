@@ -1,4 +1,297 @@
-"""LLM-data-pipeline `evaluate` plugins (SURVEY.md §2.12) — placeholder;
-implementations land with the M9 milestone this round."""
+"""LLM-data-pipeline `evaluate` plugins (SURVEY.md §2.12, north star).
+
+All operators are Spark-first: native `pyspark.sql.functions` compositions
+(JVM-side, whole-stage codegen) for the hot paths, `pyspark.ml` LSH for the
+bucketed near-dup / similarity paths. No Python row-UDFs anywhere.
+
+Scale notes (100 TB posture):
+- dedup_exact lowers to dropDuplicates -> hash shuffle on the dedup keys
+  with map-side partial dedup; no driver-side state.
+- dedup_near is MinHashLSH-bucketed (approxSimilarityJoin), never the
+  all-pairs O(n^2) join; connected components run a BOUNDED number of
+  smallest-id propagation rounds (diameter of near-dup clusters is tiny in
+  practice — exact dups form cliques of diameter 1).
+- similarity_search is a brute-force cosine top-k (TakeOrderedAndProject:
+  per-partition top-k then driver merge, no global sort); the LSH-bucketed
+  variant for corpus-vs-corpus workloads is similarity_join.
+- tfidf_topk is exploded-token groupBys (two shuffles) + a per-doc window;
+  the corpus size joins in via a broadcast 1-row aggregate, not an eager
+  collect.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..ast_nodes import Col, Lit, TypedLit, UnaryOp
+from ..errors import KqlSemanticError
+from ..semantics import parse_dynamic_literal
+from . import plugin
+
+
+def _colname(arg, what: str) -> str:
+    if not isinstance(arg, Col):
+        raise KqlSemanticError(f"{what}: expected a column name")
+    return arg.name
+
+
+def _const_float(arg, what: str) -> float:
+    if isinstance(arg, Lit):
+        return float(arg.value)
+    if isinstance(arg, UnaryOp) and arg.op == "-" and isinstance(arg.operand, Lit):
+        return -float(arg.operand.value)
+    raise KqlSemanticError(f"{what}: expected a numeric literal")
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empties dropped (shared tokenizer)."""
+    return F.filter(F.split(F.lower(col.cast("string")), r"\s+"), lambda t: t != "")
+
+
+# ---------------------------------------------------------------- dedup_exact
+@plugin("dedup_exact")
+def _dedup_exact(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_exact(c1, c2, ...)` — one surviving row per
+    distinct key combination (all columns when no args). Which row survives
+    is arbitrary (document like KQL take_any); pipe through a projection of
+    the keys for fully deterministic output."""
+    cols = [_colname(a, "dedup_exact") for a in args]
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+# ----------------------------------------------------------------- text_stats
+@plugin("text_stats")
+def _text_stats(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate text_stats(textcol)` — appends quality-scoring columns
+    (prefixed ts_ to avoid clobbering source columns):
+    ts_chars, ts_words, ts_avg_word_len, ts_digit_ratio, ts_upper_ratio,
+    ts_alpha_ratio."""
+    src = F.col(_colname(args[0], "text_stats")).cast("string")
+    toks = _tokens(src)
+    n_chars = F.length(src).cast("bigint")
+    n_words = F.size(toks).cast("bigint")
+    tok_chars = F.aggregate(
+        toks, F.lit(0.0), lambda s, t: s + F.length(t).cast("double")
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return (
+        df.withColumn("ts_chars", n_chars)
+        .withColumn("ts_words", n_words)
+        .withColumn(
+            "ts_avg_word_len",
+            F.round(tok_chars / F.greatest(n_words, F.lit(1)).cast("double"), 4),
+        )
+        .withColumn(
+            "ts_digit_ratio",
+            F.round(F.length(F.regexp_replace(src, r"[^0-9]", "")) / safe_chars, 4),
+        )
+        .withColumn(
+            "ts_upper_ratio",
+            F.round(F.length(F.regexp_replace(src, r"[^A-Z]", "")) / safe_chars, 4),
+        )
+        .withColumn(
+            "ts_alpha_ratio",
+            F.round(F.length(F.regexp_replace(src, r"[^A-Za-z]", "")) / safe_chars, 4),
+        )
+    )
+
+
+# ------------------------------------------------------------------- tokenize
+@plugin("tokenize")
+def _tokenize(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate tokenize(textcol)` — appends `tokens` array<string>:
+    lowercased whitespace tokens, empties removed."""
+    src = F.col(_colname(args[0], "tokenize"))
+    return df.withColumn("tokens", _tokens(src))
+
+
+# ----------------------------------------------------------------- tfidf_topk
+@plugin("tfidf_topk")
+def _tfidf_topk(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate tfidf_topk(textcol, idcol, k)` — appends `top_terms`
+    (array<string>) and `top_scores` (array<double>, rounded 6dp): the k
+    highest tf-idf terms per document, score ties broken by term asc.
+    idf = ln(N / df_t); tf = raw term count in the doc."""
+    text = _colname(args[0], "tfidf_topk")
+    idc = _colname(args[1], "tfidf_topk")
+    k = int(_const_float(args[2], "tfidf_topk"))
+
+    toks = df.select(F.col(idc).alias("__id"), F.explode(_tokens(F.col(text))).alias("__term"))
+    tf = toks.groupBy("__id", "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dft = toks.distinct().groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    # corpus size joins in as a broadcast 1-row aggregate (stays lazy)
+    total = df.agg(F.count_distinct(F.col(idc)).alias("__n"))
+    scored = (
+        tf.join(dft, "__term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__score",
+            F.col("__tf").cast("double")
+            * F.log(F.col("__n").cast("double") / F.col("__df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__term").asc()
+    )
+    topk = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rn", "__term", "__score"))
+            ).alias("__top")
+        )
+        .select(
+            "__id",
+            F.transform("__top", lambda s: s["__term"]).alias("top_terms"),
+            F.transform("__top", lambda s: F.round(s["__score"], 6)).alias("top_scores"),
+        )
+    )
+    return df.join(topk, df[idc] == topk["__id"], "left").drop("__id")
+
+
+# ---------------------------------------------------------- similarity_search
+@plugin("similarity_search")
+def _similarity_search(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate similarity_search(embcol, dynamic([...]), k)` — appends
+    `sim` (cosine similarity vs the query vector, double) and keeps the k
+    most similar rows. Lowers to orderBy().limit() ->
+    TakeOrderedAndProjectExec: per-partition top-k + driver merge, no global
+    sort — the brute-force-but-scale-sane baseline. For corpus x corpus use
+    similarity_join (LSH-bucketed)."""
+    emb_name = _colname(args[0], "similarity_search")
+    if not isinstance(args[1], TypedLit) or args[1].ktype != "dynamic":
+        raise KqlSemanticError("similarity_search: query vector must be dynamic([...])")
+    qvec = [float(x) for x in parse_dynamic_literal(args[1].raw)]
+    k = int(_const_float(args[2], "similarity_search"))
+
+    emb = F.col(emb_name)
+    q = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(emb, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+    )
+    norm_q = sum(x * x for x in qvec) ** 0.5
+    sim = dot / (norm_e * F.lit(norm_q))
+    return df.withColumn("sim", sim).orderBy(F.col("sim").desc()).limit(k)
+
+
+# ------------------------------------------------------------ similarity_join
+@plugin("similarity_join")
+def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate similarity_join(embcol, idcol, threshold)` — pairs of
+    rows with cosine similarity >= threshold, via BucketedRandomProjectionLSH
+    over UNIT vectors (cos >= t  <=>  euclidean <= sqrt(2-2t)), so the join
+    is bucket-local, never all-pairs. Output: left_id, right_id (left < right),
+    sim (rounded 6dp)."""
+    emb = _colname(args[0], "similarity_join")
+    idc = _colname(args[1], "similarity_join")
+    thr = _const_float(args[2], "similarity_join")
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(emb), F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
+        )
+    )
+    unit = F.transform(F.col(emb), lambda v: v.cast("double") / norm)
+    feat = df.select(F.col(idc).alias("__id"), array_to_vector(unit).alias("__v"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__v", outputCol="__h", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = brp.fit(feat)
+    dist_thr = max(2.0 - 2.0 * thr, 0.0) ** 0.5
+    pairs = model.approxSimilarityJoin(feat, feat, dist_thr, distCol="__dist")
+    return (
+        pairs.select(
+            F.col("datasetA.__id").alias("left_id"),
+            F.col("datasetB.__id").alias("right_id"),
+            F.round(1.0 - F.col("__dist") * F.col("__dist") / 2.0, 6).alias("sim"),
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+
+
+# ----------------------------------------------------------------- dedup_near
+@plugin("dedup_near")
+def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate
+    removal: MinHashLSH over 3-token shingles, approxSimilarityJoin at
+    jaccard distance (1 - threshold), connected components by smallest-id
+    propagation (bounded rounds), keep the min-id document per component.
+
+    Scale: LSH banding keeps the candidate join bucket-local (never
+    all-pairs); propagation rounds are bounded (near-dup clusters have tiny
+    diameter); every step is a DataFrame op — no driver-side state.
+    """
+    text = _colname(args[0], "dedup_near")
+    idc = _colname(args[1], "dedup_near")
+    thr = _const_float(args[2], "dedup_near")
+
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = _tokens(F.col(text))
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(3)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    work = df.withColumn("__sh", shingles).filter(F.size("__sh") > 0)
+
+    htf = HashingTF(inputCol="__sh", outputCol="__tf", numFeatures=1 << 18)
+    feat = htf.transform(work.select(F.col(idc).alias("__id"), "__sh"))
+    mh = MinHashLSH(inputCol="__tf", outputCol="__mh", numHashTables=6, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - thr, distCol="__d")
+    edges = (
+        pairs.select(
+            F.col("datasetA.__id").alias("src"), F.col("datasetB.__id").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # iterative algorithm: TRUNCATE LINEAGE at the loop boundary, or each
+    # round re-embeds the whole LSH join subtree and Catalyst's optimization
+    # of the self-referencing plan blows up combinatorially (observed: a
+    # 5-row input hanging the optimizer for minutes). localCheckpoint stores
+    # the partitions executor-side — the standard Spark pattern for
+    # iterative graph algorithms.
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    comp = work.select(F.col(idc).alias("node")).withColumn("comp", F.col("node"))
+    for _ in range(4):  # bounded smallest-id propagation (cluster diameter)
+        nb = (
+            sym.join(comp, sym["dst"] == comp["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbmin"))
+        )
+        comp = (
+            comp.join(nb, comp["node"] == nb["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    keep = comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+    return df.join(keep, df[idc] == keep["node"], "left_semi")

@@ -357,3 +357,13 @@ def _binary_all_xor(tr, args, name):
 
 def is_aggregate_call(e: Expr) -> bool:
     return isinstance(e, FuncCall) and e.name in AGG_REGISTRY
+
+
+@agg("tdigest", "tdigest_merge")
+def _tdigest(tr, args, name):
+    """No portable t-digest interop (SURVEY.md §2.6): the surrogate sketch is
+    the 101-point percentile_approx vector; percentile_tdigest() reads it."""
+    qs = F.array(*[F.lit(i / 100.0) for i in range(101)])
+    return [
+        (name or _auto("tdigest", args), F.percentile_approx(tr.to_col(args[0]), qs))
+    ]

@@ -807,3 +807,273 @@ def _geo_distance(tr, args):
 
 def typed_null(ktype: str) -> Column:
     return F.lit(None).cast(KQL_CAST_NAME.get(ktype, "string"))
+
+
+# ------------------------------------------------------- series_* (SURVEY §2.10)
+# All elementwise/reduction series ops are higher-order functions (JVM-side,
+# codegen) over array<double> columns produced by make-series; only
+# interpolation/decomposition drop to Arrow-batched pandas UDFs below.
+
+
+def _as_dseries(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def _series_zip(op):
+    def impl(a: Column, b: Column) -> Column:
+        return F.zip_with(_as_dseries(a), _as_dseries(b), op)
+
+    return impl
+
+
+simple("series_add")(_series_zip(lambda x, y: x + y))
+simple("series_subtract")(_series_zip(lambda x, y: x - y))
+simple("series_multiply")(_series_zip(lambda x, y: x * y))
+simple("series_divide")(_series_zip(lambda x, y: x / y))
+simple("series_greater")(_series_zip(lambda x, y: x > y))
+simple("series_less")(_series_zip(lambda x, y: x < y))
+simple("series_equals")(_series_zip(lambda x, y: x == y))
+simple("series_abs")(lambda a: F.transform(_as_dseries(a), F.abs))
+simple("series_sign")(lambda a: F.transform(_as_dseries(a), lambda x: F.signum(x)))
+simple("series_exp")(lambda a: F.transform(_as_dseries(a), F.exp))
+simple("series_log")(lambda a: F.transform(_as_dseries(a), F.log))
+simple("series_sum")(
+    lambda a: F.aggregate(_as_dseries(a), F.lit(0.0), lambda s, x: s + F.coalesce(x, F.lit(0.0)))
+)
+
+
+@fn("series_stats_dynamic")
+def _series_stats_dynamic(tr, args):
+    """KQL series_stats_dynamic(a) -> bag {min, min_idx, max, max_idx, avg,
+    stdev, variance} (JSON-text dynamic carrier). Indices are 0-based [KQL]."""
+    a = _as_dseries(tr.to_col(args[0]))
+    n = F.size(a).cast("double")
+    total = F.aggregate(a, F.lit(0.0), lambda s, x: s + x)
+    avg = total / n
+    mn = F.array_min(a)
+    mx = F.array_max(a)
+    var = F.aggregate(a, F.lit(0.0), lambda s, x: s + (x - avg) * (x - avg)) / (
+        n - F.lit(1.0)
+    )
+    return F.to_json(
+        F.struct(
+            mn.alias("min"),
+            (F.array_position(a, mn) - F.lit(1)).alias("min_idx"),
+            mx.alias("max"),
+            (F.array_position(a, mx) - F.lit(1)).alias("max_idx"),
+            avg.alias("avg"),
+            F.sqrt(var).alias("stdev"),
+            var.alias("variance"),
+        )
+    )
+
+
+@fn("series_fill_const")
+def _series_fill_const(tr, args):
+    a = _as_dseries(tr.to_col(args[0]))
+    v = tr.to_col(args[1]).cast("double") if len(args) > 1 else F.lit(0.0)
+    return F.transform(a, lambda x: F.coalesce(x, v))
+
+
+def _fill_forward(a: Column) -> Column:
+    # running last-non-null via array-accumulating aggregate (arrays are
+    # make-series sized: small per row)
+    return F.aggregate(
+        a,
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(acc, F.array(F.coalesce(x, F.element_at(acc, -1)))),
+    )
+
+
+simple("series_fill_forward")(lambda a: _fill_forward(_as_dseries(a)))
+simple("series_fill_backward")(
+    lambda a: F.reverse(_fill_forward(F.reverse(_as_dseries(a))))
+)
+
+
+@fn("series_fit_line_dynamic")
+def _series_fit_line_dynamic(tr, args):
+    """Least-squares line over y with x = 0..n-1 [KQL series_fit_line]:
+    bag {slope, interception, rsquare, variance, rvariance, line_fit}."""
+    y = _as_dseries(tr.to_col(args[0]))
+    n = F.size(y).cast("double")
+    sx = (n - 1.0) * n / 2.0
+    sxx = (n - 1.0) * n * (2.0 * n - 1.0) / 6.0
+    sy = F.aggregate(y, F.lit(0.0), lambda s, v: s + v)
+    # sum of i*y_i via index-aware transform then reduce
+    ixy = F.aggregate(
+        F.zip_with(
+            F.transform(y, lambda v, i: i.cast("double")), y, lambda i, v: i * v
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    denom = n * sxx - sx * sx
+    slope = (n * ixy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    mean = sy / n
+    var = F.aggregate(y, F.lit(0.0), lambda s, v: s + (v - mean) * (v - mean)) / n
+    line = F.transform(y, lambda v, i: intercept + slope * i.cast("double"))
+    rvar = (
+        F.aggregate(
+            F.zip_with(y, line, lambda v, f: (v - f) * (v - f)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        / n
+    )
+    rsq = F.when(var > 0, F.lit(1.0) - rvar / var).otherwise(F.lit(0.0))
+    return F.to_json(
+        F.struct(
+            slope.alias("slope"),
+            intercept.alias("interception"),
+            rsq.alias("rsquare"),
+            var.alias("variance"),
+            rvar.alias("rvariance"),
+            line.alias("line_fit"),
+        )
+    )
+
+
+@fn("series_fir")
+def _series_fir(tr, args):
+    """FIR filter [KQL]: y_i = sum_j f_j * x_(i-j) (+ optional normalize,
+    center). Pure HOF — nested aggregate over the filter taps."""
+    x = _as_dseries(tr.to_col(args[0]))
+    taps = [float(tr.const_value(a)) for a in _dyn_list(tr, args[1])]
+    normalize = bool(tr.const_value(args[2])) if len(args) > 2 else all(t >= 0 for t in taps)
+    center = bool(tr.const_value(args[3])) if len(args) > 3 else False
+    s = sum(taps)
+    coef = [t / s for t in taps] if normalize and s != 0 else taps
+    offset = len(coef) // 2 if center else 0
+
+    def tap_sum(i):
+        out = None
+        for j, cval in enumerate(coef):
+            idx = i + F.lit(1 + offset - j)
+            # element_at rejects index 0 outright -> guard out-of-range taps
+            term = (
+                F.when(idx >= 1, F.coalesce(F.element_at(x, idx), F.lit(0.0)))
+                .otherwise(F.lit(0.0))
+                * F.lit(cval)
+            )
+            out = term if out is None else out + term
+        return out
+
+    return F.transform(x, lambda _, i: tap_sum(i))
+
+
+def _dyn_list(tr, arg):
+    from ..ast_nodes import TypedLit
+    from ..semantics import parse_dynamic_literal
+    from ..ast_nodes import Lit as _Lit
+
+    if isinstance(arg, TypedLit) and arg.ktype == "dynamic":
+        return [_Lit(v, "real") for v in parse_dynamic_literal(arg.raw)]
+    raise KqlSemanticError("expected a dynamic([...]) literal")
+
+
+_PANDAS_UDF_CACHE: dict[str, object] = {}
+
+
+def _np_series_udf(name, fn_impl):
+    """Register an Arrow-batched pandas UDF series op (slow path, documented:
+    only interpolation/decomposition need per-series numpy). UDF creation is
+    LAZY — pandas_udf needs an active SparkSession, which doesn't exist at
+    import time."""
+
+    def make():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def udf(col):
+            import numpy as np
+
+            def one(a):
+                if a is None:
+                    return None
+                return fn_impl(np.asarray(a, dtype="float64")).tolist()
+
+            return col.map(one)
+
+        return udf
+
+    def entry(tr, args):
+        if name not in _PANDAS_UDF_CACHE:
+            _PANDAS_UDF_CACHE[name] = make()
+        return _PANDAS_UDF_CACHE[name](_as_dseries(tr.to_col(args[0])))
+
+    REGISTRY[name] = entry
+
+
+def _fill_linear(a):
+    import numpy as np
+
+    y = a.copy()
+    nans = np.isnan(y)
+    if nans.all():
+        return y
+    idx = np.arange(len(y))
+    y[nans] = np.interp(idx[nans], idx[~nans], y[~nans])
+    return y
+
+
+_np_series_udf("series_fill_linear", _fill_linear)
+
+
+def _outlier_scores(y):
+    import numpy as np
+
+    q1, q3 = np.nanpercentile(y, [25, 75])
+    iqr = q3 - q1
+    if iqr <= 0:
+        return np.zeros_like(y)
+    # Tukey fence score, Kusto-style: distance beyond the fence in IQRs
+    upper = q3 + 1.5 * iqr
+    lower = q1 - 1.5 * iqr
+    return np.where(
+        y > upper, (y - upper) / iqr, np.where(y < lower, (y - lower) / iqr, 0.0)
+    )
+
+
+_np_series_udf("series_outliers", _outlier_scores)
+
+
+# ------------------------------------------- streaming windows (SURVEY §2.11)
+# KQL's bin() is the tumbling window; hopping/session have no KQL syntax, so
+# they are exposed as extension functions usable in `summarize ... by`.
+# Both work identically on batch DataFrames (the batch twin is the oracle).
+
+
+@fn("hopping_window")
+def _hopping_window(tr, args):
+    ts = tr.to_col(args[0])
+    dur = tr.const_seconds(args[1])
+    slide = tr.const_seconds(args[2])
+    return F.window(ts, f"{dur} seconds", f"{slide} seconds")
+
+
+@fn("tumbling_window")
+def _tumbling_window(tr, args):
+    ts = tr.to_col(args[0])
+    dur = tr.const_seconds(args[1])
+    return F.window(ts, f"{dur} seconds")
+
+
+@fn("session_window")
+def _session_window(tr, args):
+    ts = tr.to_col(args[0])
+    gap = tr.const_seconds(args[1])
+    return F.session_window(ts, f"{gap} seconds")
+
+
+@fn("percentile_tdigest")
+def _percentile_tdigest(tr, args):
+    """Read the p-th percentile from a tdigest() surrogate sketch (the
+    101-point approx-percentile vector — SURVEY.md §2.6 documented delta)."""
+    td = tr.to_col(args[0])
+    p = int(round(float(tr.const_value(args[1]))))
+    out = F.element_at(td, F.lit(p + 1))
+    if len(args) >= 3:
+        out = out.cast(KQL_CAST_NAME[tr.const_typename(args[2])])
+    return out

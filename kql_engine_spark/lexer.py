@@ -69,7 +69,11 @@ _NUM_RE = re.compile(
     r"|\d+[eE][+-]?\d+|\d+"
 )
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-_QIDENT_RE = re.compile(r"\[\s*(['\"])((?:[^\\]|\\.)*?)\1\s*\]")
+# content may not contain an unescaped quote of its own kind: otherwise
+# `['x', 'y']` (datatable row of two strings) mis-lexes as one identifier
+_QIDENT_RE = re.compile(
+    r"\[\s*'((?:[^'\\]|\\.)*?)'\s*\]|\[\s*\"((?:[^\"\\]|\\.)*?)\"\s*\]"
+)
 _WS_RE = re.compile(r"[ \t\r\n]+")
 _COMMENT_RE = re.compile(r"//[^\n]*")
 _BANGWORD_RE = re.compile(r"![a-z_]+~?")
@@ -165,7 +169,8 @@ def tokenize(text: str) -> list[Token]:
         if c == "[":
             m = _QIDENT_RE.match(text, i)
             if m:
-                tokens.append(Token(QIDENT, m.group(2), i, m.end()))
+                val = m.group(1) if m.group(1) is not None else m.group(2)
+                tokens.append(Token(QIDENT, val, i, m.end()))
                 i = m.end()
                 continue
         # timespan literal (before generic number)

@@ -12,7 +12,8 @@ from __future__ import annotations
 from .ast_nodes import (
     AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
     Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
-    Invoke, Join, JoinOn, Lambda, LetStmt, Lit, Lookup, MakeSeries, MvApply,
+    FindSource, Fork, Invoke, Join, JoinOn, Lambda, LetStmt, Lit, Lookup,
+    MakeSeries, MvApply, ReduceOp,
     MvExpand, NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe,
     PipeSource, PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
@@ -145,13 +146,31 @@ class Parser:
             pname = self.ident_name()
             ptype = ""
             if self.accept(OP, ":"):
-                ptype = self.ident_name()
+                if self.at(OP, "("):
+                    # tabular parameter type `(*)` / `(c1:T1, ...)` — consume
+                    # the balanced parens, record as the opaque tabular marker
+                    j = self.find_matching_paren(self.i)
+                    if j is None:
+                        raise self.error("unbalanced tabular parameter type")
+                    self.i = j + 1
+                    ptype = "(*)"
+                else:
+                    ptype = self.ident_name()
             params.append((pname, ptype))
             if not self.accept(OP, ","):
                 break
         self.expect(OP, ")")
         self.expect(OP, "{")
         body = self.parse_expr()
+        if self.at(OP, "|"):
+            # tabular lambda: body is a pipe — the expr parsed so far is the
+            # source table reference
+            if not isinstance(body, Col):
+                raise self.error("tabular lambda body must start with a table name")
+            pipe = Pipe(TableRef(body.name))
+            while self.accept(OP, "|"):
+                pipe.ops.append(self.parse_operator())
+            body = pipe
         self.accept(OP, ";")
         self.expect(OP, "}")
         return Lambda(params, body)
@@ -210,8 +229,27 @@ class Parser:
             return UnionSource(pipes, kind, withsource)
         if head == "externaldata":
             return self.parse_externaldata()
+        if head == "find":
+            return self.parse_find()
         self.next()
         return TableRef(str(t.value))
+
+    def parse_find(self) -> "FindSource":
+        self.expect(IDENT, "find")
+        tables: list[str] = []
+        if self.accept(IDENT, "in"):
+            self.expect(OP, "(")
+            while not self.at(OP, ")"):
+                tables.append(self.ident_name())
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, ")")
+        self.expect(IDENT, "where")
+        pred = self.parse_expr()
+        project = None
+        if self.accept(IDENT, "project"):
+            project = self.parse_named_expr_list()
+        return FindSource(tables, pred, project)
 
     def parse_datatable(self) -> DataTable:
         self.expect(IDENT, "datatable")
@@ -225,6 +263,11 @@ class Parser:
             if not self.accept(OP, ","):
                 break
         self.expect(OP, ")")
+        # `['only string cell']` lexes as a quoted identifier — same surface
+        # syntax; in datatable position it IS the one-cell row block
+        if self.at(QIDENT):
+            t = self.next()
+            return DataTable(schema, [Lit(t.value, "string")])
         self.expect(OP, "[")
         rows: list[Expr] = []
         while not self.at(OP, "]"):
@@ -508,15 +551,28 @@ class Parser:
         conds: list[JoinOn] = []
         while True:
             expr = self.parse_expr()
-            if isinstance(expr, Col) and expr.side is None:
-                conds.append(JoinOn(Col(expr.name, "$left"), Col(expr.name, "$right")))
-            elif isinstance(expr, BinOp) and expr.op == "==":
-                conds.append(JoinOn(expr.left, expr.right))
-            else:
-                raise self.error("join condition must be a column or $left.x == $right.y")
+            for leaf in self._split_and(expr):
+                if isinstance(leaf, Col) and leaf.side is None:
+                    conds.append(
+                        JoinOn(Col(leaf.name, "$left"), Col(leaf.name, "$right"))
+                    )
+                elif isinstance(leaf, BinOp) and leaf.op in (
+                    "==", "<", "<=", ">", ">=", "!=",
+                ):
+                    conds.append(JoinOn(leaf.left, leaf.right, leaf.op))
+                else:
+                    raise self.error(
+                        "join condition must be a column, $left.x == $right.y, "
+                        "or a comparison between $left/$right expressions"
+                    )
             if not self.accept(OP, ","):
                 break
         return conds
+
+    def _split_and(self, expr: Expr) -> list[Expr]:
+        if isinstance(expr, BinOp) and expr.op == "and":
+            return self._split_and(expr.left) + self._split_and(expr.right)
+        return [expr]
 
     def op_union(self) -> Union:
         kind, withsource = self.parse_union_opts()
@@ -698,6 +754,31 @@ class Parser:
                 break
         self.expect(OP, ")")
         return Evaluate(plugin, args)
+
+    def op_fork(self) -> Fork:
+        branches = []
+        i = 0
+        while True:
+            name = None
+            if self.at(IDENT) and self.at(OP, "=", k=1):
+                name = self.ident_name()
+                self.expect(OP, "=")
+            if not self.at(OP, "("):
+                break
+            self.expect(OP, "(")
+            ops = [self.parse_operator()]
+            while self.accept(OP, "|"):
+                ops.append(self.parse_operator())
+            self.expect(OP, ")")
+            i += 1
+            branches.append((name or f"fork_{i}", ops))
+        if not branches:
+            raise self.error("fork requires at least one (subquery) branch")
+        return Fork(branches)
+
+    def op_reduce(self) -> ReduceOp:
+        self.expect(IDENT, "by")
+        return ReduceOp(self.parse_expr())
 
     def op_render(self) -> Render:
         chart = self.ident_name()

@@ -1,0 +1,66 @@
+"""Structured Streaming surface (SURVEY.md §2.11, §3.4).
+
+The SAME translator runs on streaming inputs: `kql_stream` binds table names
+to `readStream` sources and translates the query in streaming mode.
+Streaming-specific behavior (watermark, output mode) is configured at
+materialization time, not in the query text — mirroring Kusto, whose
+language has no watermark syntax (update policies / materialized views own
+those semantics).
+
+Tumbling windows come from `bin(ts, ...)` (identical results batch vs
+stream); hopping/session windows are the `hopping_window` / `session_window`
+extension functions (registered in functions/scalar.py -> F.window /
+F.session_window), usable in batch too — the batch twin is the oracle.
+
+Scale notes: micro-batch only; state store size is bounded by watermarking
+(`lateness`); parquet sources split per-file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .parser import parse
+from .translator import PipeTranslator
+
+
+def kql_stream(
+    spark: SparkSession,
+    text: str,
+    sf_dir: str | None = None,
+    catalog: Catalog | None = None,
+    watermark: tuple[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Translate KQL text against STREAMING table bindings.
+
+    Returns an unstarted streaming DataFrame — materialize with
+    ``df.writeStream`` (use outputMode('complete'/'update') for aggregations
+    without watermark, 'append' with one).
+
+    watermark: optional (event_time_column, delay) applied to every stream
+    source that has the column, e.g. ("ts", "10 minutes").
+    """
+    if catalog is None:
+        catalog = Catalog(spark, sf_dir)
+    q = parse(text)
+    tr = PipeTranslator(spark, catalog, streaming=True)
+    catalog._stream_watermark = watermark  # consumed by open_stream
+    catalog._stream_max_files = max_files_per_trigger
+    return tr.translate_query(q)
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete", timeout: int = 120):
+    """Drain a streaming DataFrame into an in-memory table (test/dev sink):
+    processes all currently-available input (availableNow) and returns the
+    batch DataFrame of the result."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return df.sparkSession.table(name)

@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 
 from .ast_nodes import (
     AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
-    Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
+    Evaluate, Expr, Extend, ExternalData, Facet, FindSource, Fork, FuncCall,
+    GetSchema, InList, ReduceOp,
     Invoke, Join, Lambda, Lit, Lookup, MakeSeries, MvApply, MvExpand,
     NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe, PipeSource,
     PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
@@ -66,6 +67,7 @@ class ExprTranslator:
         window: Window | None = None,
         sides: dict[str, DataFrame] | None = None,
         agg_mode: bool = False,
+        side_renames: dict[str, dict[str, str]] | None = None,
     ):
         self.df = df
         self.engine = engine
@@ -73,6 +75,8 @@ class ExprTranslator:
         self.window = window
         self.sides = sides or {}
         self.agg_mode = agg_mode  # aggregate calls legal in this expression
+        # per-side column renames (right-side collision suffixing in joins)
+        self.side_renames = side_renames or {}
 
     # engine option passthroughs used by the registries
     @property
@@ -191,7 +195,8 @@ class ExprTranslator:
             side_df = self.sides.get(e.side)
             if side_df is None:
                 raise KqlSemanticError(f"{e.side} only valid inside join conditions")
-            return side_df[e.name]
+            name = self.side_renames.get(e.side, {}).get(e.name, e.name)
+            return side_df[name]
         if e.name in self.env:
             return self.env[e.name]
         let_val = self.engine.lets.get(e.name)
@@ -433,8 +438,11 @@ class ExprTranslator:
             ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
             return F.sum(term).over(w2)
         if name == "row_window_session":
+            # row_window_session(Expr, MaxDistanceFromFirst, MaxGap) [KQL] —
+            # session breaks on gap > MaxGap (MaxDistanceFromFirst is not
+            # enforced in v1, documented delta)
             ts = self.to_col(e.args[0])
-            max_gap = self.const_seconds(e.args[1])
+            max_gap = self.const_seconds(e.args[2] if len(e.args) > 2 else e.args[1])
             gap = (
                 F.unix_micros(ts.cast("timestamp"))
                 - F.unix_micros(F.lag(ts, 1).over(w).cast("timestamp"))
@@ -559,6 +567,8 @@ class PipeTranslator:
                 (self._source_label(p), self.translate_pipe(p)) for p in src.pipes
             ]
             return self._union(dfs, src.kind, src.withsource)
+        if isinstance(src, FindSource):
+            return self._find_source(src)
         if isinstance(src, ExternalData):
             schema = T.StructType(
                 [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
@@ -580,6 +590,108 @@ class PipeTranslator:
                 return self._resolve_table(bound.name)
             raise KqlSemanticError(f"let {name!r} is not tabular")
         return self.catalog.table(name, streaming=self.streaming)
+
+    def _find_source(self, src: FindSource) -> DataFrame:
+        """`find in (T1, ...) where pred` [KQL §2.13]: per-table filter +
+        union kind=outer with provenance. Tables whose schema lacks a column
+        the predicate references are skipped (KQL: no match there)."""
+        from .ast_nodes import Between as _Between
+        from .ast_nodes import InList as _InList
+
+        def cols_of(e: Expr) -> set[str]:
+            out: set[str] = set()
+            stack = [e]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, Col) and x.side is None:
+                    out.add(x.name)
+                elif isinstance(x, BinOp):
+                    stack.extend([x.left, x.right])
+                elif isinstance(x, UnaryOp):
+                    stack.append(x.operand)
+                elif isinstance(x, FuncCall):
+                    stack.extend(x.args)
+                elif isinstance(x, _InList):
+                    stack.append(x.expr)
+                    stack.extend(x.items)
+                elif isinstance(x, _Between):
+                    stack.extend([x.expr, x.lo, x.hi])
+                elif isinstance(x, Property):
+                    stack.append(x.base)
+            return out
+
+        def substitute_missing(e: Expr, have: set[str]) -> Expr:
+            """References to columns a table lacks become null literals —
+            KQL find evaluates the predicate per-table with missing columns
+            as null (comparisons yield null -> row not matched there)."""
+            if isinstance(e, Col) and e.side is None and e.name not in have:
+                return Lit(None, "null")
+            if isinstance(e, BinOp):
+                return BinOp(e.op, substitute_missing(e.left, have),
+                             substitute_missing(e.right, have))
+            if isinstance(e, UnaryOp):
+                return UnaryOp(e.op, substitute_missing(e.operand, have))
+            if isinstance(e, FuncCall):
+                return FuncCall(e.name, [substitute_missing(a, have) for a in e.args])
+            if isinstance(e, _InList):
+                return _InList(substitute_missing(e.expr, have),
+                               e.items, e.negated, e.ci)
+            if isinstance(e, _Between):
+                return _Between(substitute_missing(e.expr, have), e.lo, e.hi, e.negated)
+            return e
+
+        needed = cols_of(src.pred)
+        frames: list[tuple[str, DataFrame]] = []
+        for t in src.tables:
+            df = self._resolve_table(t)
+            have = set(df.columns)
+            if not (needed & have):
+                continue  # predicate cannot match anything in this table
+            pred = substitute_missing(src.pred, have)
+            filtered = df.filter(self.expr_tr(df).to_col(pred))
+            if src.project:
+                items = self._named_items(filtered, src.project)
+                filtered = filtered.select(*[c.alias(n) for n, c in items])
+            frames.append((t, filtered))
+        if not frames:
+            raise KqlSemanticError("find: predicate references no table's columns")
+        return self._union(frames, "outer", "source_")
+
+    def t_fork(self, df: DataFrame, op: Fork) -> DataFrame:
+        """`T | fork (q1) (q2)` [KQL §2.13]: apply each sub-pipeline to the
+        same input. Kusto returns one table per branch; v1 materializes the
+        union-by-name with a `fork_result` provenance column (documented
+        deviation — the driver protocol is single-DataFrame)."""
+        frames: list[tuple[str, DataFrame]] = []
+        for name, ops in op.branches:
+            branch = df
+            saved_order = self.order
+            for sop in ops:
+                branch = self.translate_op(branch, sop)
+            self.order = saved_order
+            frames.append((name, branch))
+        out = self._union(frames, "outer", "fork_result")
+        self.order = None
+        return out
+
+    def t_reduceop(self, df: DataFrame, op: ReduceOp) -> DataFrame:
+        """`T | reduce by expr` [KQL §2.13]: string-pattern clustering.
+        Kusto's exact algorithm is unpublished; the documented approximation
+        replaces digit runs with '*' and groups. Deterministic output:
+        (Pattern, Count, Representative=min original value)."""
+        tr = self.expr_tr(df)
+        s = tr.to_col(op.expr).cast("string")
+        pattern = F.regexp_replace(s, r"\d+", "*")
+        out = (
+            df.select(pattern.alias("Pattern"), s.alias("__raw"))
+            .groupBy("Pattern")
+            .agg(
+                F.count(F.lit(1)).alias("Count"),
+                F.min("__raw").alias("Representative"),
+            )
+        )
+        self.order = None
+        return out
 
     def _datatable(self, src: DataTable) -> DataFrame:
         values = [self._const_cell(v) for v in src.rows]
@@ -833,30 +945,38 @@ class PipeTranslator:
         if kind not in how_map:
             raise KqlUnsupportedError(f"join kind {kind!r}")
 
-        left_keys: list[str] = []
-        right_keys: list[str] = []
+        # split equi keys (fast path: hash/broadcast joinable) from theta
+        # conditions (range/as-of idioms — Catalyst still picks a range-join
+        # capable strategy; equi keys present keep the shuffle keyed)
+        equi: list[tuple[str, str]] = []
+        theta = []
         for cond in op.on:
-            lk = cond.left.name if isinstance(cond.left, Col) else None
-            rk = cond.right.name if isinstance(cond.right, Col) else None
-            if lk is None or rk is None:
-                raise KqlSemanticError("join keys must be column references")
-            left_keys.append(lk)
-            right_keys.append(rk)
+            if (
+                cond.op == "=="
+                and isinstance(cond.left, Col)
+                and isinstance(cond.right, Col)
+            ):
+                equi.append((cond.left.name, cond.right.name))
+            else:
+                theta.append(cond)
+        left_keys = [a for a, _ in equi]
+        right_keys = [b for _, b in equi]
 
-        if kind == "innerunique":
+        if kind == "innerunique" and left_keys:
             # KQL default: dedup left on join keys, then inner join [KQL join]
             df = df.dropDuplicates(left_keys)
 
         how = how_map[kind]
         if how in ("right_semi", "right_anti"):
-            # swap: semi/anti from the right side's perspective
-            cond = self._join_cond(right, df, right_keys, left_keys)
+            # swap: semi/anti from the right side's perspective; the condition
+            # references concrete DataFrame columns, so orientation is free
+            cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = right.join(df, cond, how.replace("right", "left"))
             self.order = None
             return out
 
         if how in ("left_semi", "left_anti"):
-            cond = self._join_cond(df, right, left_keys, right_keys)
+            cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = df.join(right, cond, how)
             self.order = None
             return out
@@ -870,12 +990,45 @@ class PipeTranslator:
             nparts = op.hints.get("num_partitions")
             if nparts:
                 right_renamed = right_renamed.repartition(int(nparts), *right_keys2)
-        cond = self._join_cond(df, right_renamed, left_keys, right_keys2)
+        cond = self._full_cond(
+            df, right_renamed, left_keys, right_keys2, theta, rename_map
+        )
         out = df.join(right_renamed, cond, how) if cond is not None else df.crossJoin(
             right_renamed
         )
         self.order = None
         return out
+
+    _THETA_OPS = {
+        "==": lambda l, r: l == r,
+        "!=": lambda l, r: l != r,
+        "<": lambda l, r: l < r,
+        "<=": lambda l, r: l <= r,
+        ">": lambda l, r: l > r,
+        ">=": lambda l, r: l >= r,
+    }
+
+    def _full_cond(
+        self,
+        l: DataFrame,
+        r: DataFrame,
+        lk: list[str],
+        rk: list[str],
+        theta,
+        rename_map: dict[str, str] | None = None,
+    ):
+        cond = self._join_cond(l, r, lk, rk)
+        if theta:
+            tr = ExprTranslator(
+                None,
+                self,
+                sides={"$left": l, "$right": r},
+                side_renames={"$right": rename_map or {}},
+            )
+            for c in theta:
+                t = self._THETA_OPS[c.op](tr.to_col(c.left), tr.to_col(c.right))
+                cond = t if cond is None else cond & t
+        return cond
 
     def _join_cond(self, l: DataFrame, r: DataFrame, lk: list[str], rk: list[str]):
         if not lk:
@@ -1230,10 +1383,34 @@ class PipeTranslator:
         return df
 
     def t_invoke(self, df: DataFrame, op: Invoke) -> DataFrame:
+        """`T | invoke f(args)` [KQL §2.2]: apply a stored tabular lambda —
+        `let f = (t:(*), n:long) { t | where x > n };` — to the piped input.
+        Pure inline expansion at translation time: the lambda's pipe runs with
+        its table parameter bound to the incoming DataFrame and scalar
+        parameters bound to the call arguments; no runtime dispatch."""
         bound = self.lets.get(op.name)
         if not isinstance(bound, Lambda):
             raise KqlSemanticError(f"invoke target {op.name!r} is not a lambda")
-        raise KqlUnsupportedError("tabular lambda invoke not supported in v1")
+        if not isinstance(bound.body, Pipe):
+            raise KqlSemanticError(
+                f"invoke target {op.name!r} is a scalar lambda; invoke needs a "
+                "tabular lambda (body `t | ...`)"
+            )
+        if not bound.params:
+            raise KqlSemanticError("tabular lambda needs a table parameter")
+        tname = bound.params[0][0]
+        saved_results = dict(self.named_results)
+        saved_lets = dict(self.lets)
+        self.named_results[tname] = df
+        for (pname, _), arg in zip(bound.params[1:], op.args):
+            self.lets[pname] = arg
+        try:
+            out = self.translate_pipe(bound.body)
+        finally:
+            self.named_results = saved_results
+            self.lets = saved_lets
+        self.order = None
+        return out
 
     def t_render(self, df: DataFrame, op: Render) -> DataFrame:
         # rendering is client-side in Kusto [KQL]; attach metadata, no-op plan
@@ -1271,10 +1448,107 @@ class PipeTranslator:
         return out.select("facet", "value", "count_")
 
     def t_partitionop(self, df: DataFrame, op: PartitionOp) -> DataFrame:
-        raise KqlUnsupportedError("partition operator lands with mv-apply work")
+        """`partition by key ( subquery )` [KQL §2.13] — run the subquery per
+        distinct key value. Native rewrite, no per-key loop and no
+        applyInPandas: order-sensitive ops (top / sort+take) become per-key
+        WINDOW exprs (single shuffle on the key), key-invariant row ops apply
+        directly, summarize gains the key as an extra group key."""
+        key = op.key
+        sub = df
+        pending_sort: list[Column] | None = None
+        for sop in op.subquery:
+            if isinstance(sop, Top):
+                cols = self._sort_cols(sub, sop.keys)
+                sub = self._per_key_topn(sub, key, cols, sop.n)
+            elif isinstance(sop, Sort):
+                pending_sort = self._sort_cols(sub, sop.keys)
+            elif isinstance(sop, Take):
+                order = pending_sort or [F.monotonically_increasing_id().asc()]
+                sub = self._per_key_topn(sub, key, order, sop.n)
+                pending_sort = None
+            elif isinstance(sop, Summarize):
+                merged = Summarize(
+                    aggs=sop.aggs,
+                    by=list(sop.by) + [NamedExpr(key, Col(key))],
+                )
+                sub = self.t_summarize(sub, merged)
+            elif isinstance(
+                sop,
+                (Where, Extend, Project, ProjectAway, ProjectKeep, ProjectRename,
+                 Distinct, MvExpand, ParseOp),
+            ):
+                if isinstance(sop, Project):
+                    items = list(sop.items)
+                    if not any(
+                        isinstance(i.expr, Col) and i.expr.name == key and not i.name
+                        for i in items
+                    ):
+                        items.append(NamedExpr(None, Col(key)))
+                    sop = Project(items)
+                sub = self.translate_op(sub, sop)
+            else:
+                raise KqlUnsupportedError(
+                    f"partition subquery operator {type(sop).__name__} not supported"
+                )
+        self.order = None
+        return sub
+
+    def _per_key_topn(
+        self, df: DataFrame, key: str, order: list[Column], n: int
+    ) -> DataFrame:
+        w = Window.partitionBy(F.col(key)).orderBy(*order)
+        return (
+            df.withColumn("__kqlrn", F.row_number().over(w))
+            .filter(F.col("__kqlrn") <= n)
+            .drop("__kqlrn")
+        )
 
     def t_mvapply(self, df: DataFrame, op: MvApply) -> DataFrame:
-        raise KqlUnsupportedError("mv-apply lands in a later milestone")
+        """`mv-apply c on ( subquery )` [KQL §2.8] — expand the array
+        per-row, run the subquery over each row's expansion, re-attach.
+        Native rewrite: explode + implicit row-id group key; the row id is a
+        monotonically_increasing_id (unique per row, no shuffle to assign).
+        Row-wise subquery ops run as-is; summarize groups by the row id and
+        joins the aggregates back to the source row."""
+        rid = "__kqlmvrow"
+        work = df.withColumn(rid, F.monotonically_increasing_id())
+        exp = self.t_mvexpand(
+            work,
+            MvExpand(
+                items=op.items,
+                to_type=op.to_type,
+                with_itemindex=op.with_itemindex,
+            ),
+        )
+        sub = exp
+        aggregated = False
+        for sop in op.subquery:
+            if isinstance(sop, Summarize):
+                merged = Summarize(
+                    aggs=sop.aggs,
+                    by=list(sop.by) + [NamedExpr(rid, Col(rid))],
+                )
+                sub = self.t_summarize(sub, merged)
+                aggregated = True
+            elif isinstance(sop, (Where, Extend)) and not aggregated:
+                sub = self.translate_op(sub, sop)
+            elif isinstance(sop, Project) and not aggregated:
+                items = list(sop.items) + [NamedExpr(None, Col(rid))]
+                sub = self.t_project(sub, Project(items))
+            elif isinstance(sop, (Where, Extend, Project)):
+                sub = self.translate_op(sub, sop)
+            else:
+                raise KqlUnsupportedError(
+                    f"mv-apply subquery operator {type(sop).__name__} not supported in v1"
+                )
+        if aggregated:
+            # re-attach the source row's columns to its aggregates
+            keep = [c for c in sub.columns if c not in work.columns or c == rid]
+            out = work.join(sub.select(*keep), on=rid, how="inner")
+        else:
+            out = sub
+        self.order = None
+        return out.drop(rid)
 
     def t_evaluate(self, df: DataFrame, op: Evaluate) -> DataFrame:
         from .extensions import EVALUATE_REGISTRY

@@ -1,0 +1,143 @@
+"""Tier-C verification for the LLM-pipeline ops (SURVEY.md §5.3): no SQL
+oracle exists for LSH-based ops, so the laws themselves are the spec —
+idempotence, exact-dup clustering, threshold monotonicity, self-hit."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a very long tune about data pipelines and late nights"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base + " extra"),  # near duplicate of 0
+        (3, "completely different text about spark query engines and shuffles joins aggregates"),
+        (4, "yet another unrelated document mentioning ducks lakes rivers boats and fishing trips"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dedup_near(spark, df, thr):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse(f"T | where dedup_near(text, doc_id, {thr})").pipe.ops[0].pred.args
+    return EVALUATE_REGISTRY["dedup_near"](ptr, df, args)
+
+
+def test_dedup_exact_idempotent(run_kql):
+    once = run_kql("documents | evaluate dedup_exact(lang, source) | summarize n = count()").collect()[0].n
+    twice = run_kql(
+        "documents | evaluate dedup_exact(lang, source) | evaluate dedup_exact(lang, source)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    assert once == twice
+
+
+def test_dedup_exact_matches_distinct(run_kql, duck):
+    n = run_kql("documents | evaluate dedup_exact(text) | summarize n = count()").collect()[0].n
+    expect = duck.sql("SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
+    assert n == expect
+
+
+def test_dedup_near_clusters_exact_dups(spark, near_dup_docs):
+    kept = _dedup_near(spark, near_dup_docs, 0.8).collect()
+    ids = sorted(r.doc_id for r in kept)
+    # 0 and 1 are identical -> one survivor (the min id, 0); 2 is a near-dup
+    # of 0 at jaccard >= 0.8; 3 and 4 are unrelated and must both survive
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_dedup_near_idempotent(spark, near_dup_docs):
+    once = _dedup_near(spark, near_dup_docs, 0.8)
+    twice = _dedup_near(spark, once, 0.8)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+
+
+def test_dedup_near_threshold_monotone(spark, near_dup_docs):
+    # higher threshold -> fewer merges -> at least as many survivors
+    loose = _dedup_near(spark, near_dup_docs, 0.5).count()
+    strict = _dedup_near(spark, near_dup_docs, 0.99).count()
+    assert strict >= loose
+
+
+def test_similarity_search_self_hit(run_kql, duck):
+    vec = duck.sql("SELECT embedding FROM embeddings WHERE vec_id = 7").fetchone()[0]
+    lit = "[" + ",".join(repr(round(float(x), 6)) for x in vec) + "]"
+    rows = run_kql(
+        f"embeddings | evaluate similarity_search(embedding, dynamic({lit}), 3)"
+        " | project vec_id, sim"
+    ).collect()
+    # the query vector is in the corpus -> rank-1 hit is itself, cosine ~1
+    assert rows[0].vec_id == 7
+    assert rows[0].sim == pytest.approx(1.0, abs=1e-4)
+
+
+def test_similarity_join_finds_duplicate_vectors(spark):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse("T | where f(embedding, vec_id, 0.95)").pipe.ops[0].pred.args
+    pairs = EVALUATE_REGISTRY["similarity_join"](ptr, df, args).collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    assert (0, 1) in got
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in got)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    rows = [
+        (0, "common common common zebra"),
+        (1, "common words here"),
+        (2, "common words there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse("T | where f(text, doc_id, 1)").pipe.ops[0].pred.args
+    out = EVALUATE_REGISTRY["tfidf_topk"](ptr, df, args)
+    top = {r.doc_id: r.top_terms for r in out.collect()}
+    # 'common' appears in every doc -> idf 0; 'zebra' is unique to doc 0
+    assert top[0] == ["zebra"]
+
+
+def test_text_stats_values(run_kql):
+    row = run_kql(
+        "datatable(text:string)['Ab cd  EF'] | evaluate text_stats(text)"
+    ).collect()[0]
+    assert row.ts_chars == 9
+    assert row.ts_words == 3
+    assert row.ts_avg_word_len == pytest.approx(2.0)
+    assert row.ts_upper_ratio == pytest.approx(round(3 / 9, 4))
+    assert row.ts_alpha_ratio == pytest.approx(round(6 / 9, 4))
+
+
+def test_tokenize_lowercases_and_drops_empties(run_kql):
+    row = run_kql(
+        "datatable(text:string)['  Hello   WORLD  '] | evaluate tokenize(text)"
+    ).collect()[0]
+    assert row.tokens == ["hello", "world"]

@@ -1,0 +1,81 @@
+"""Physical-plan assertions (SURVEY.md §5.3): the translator must produce
+the plan Catalyst SHOULD pick — pushdown reaching the scan, top-k lowering
+to TakeOrderedAndProject, broadcast hints honored. These guard the 100 TB
+posture, not just correctness."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(run_kql):
+    df = run_kql("lineitem | where l_quantity > 30.0 | project l_orderkey, l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(run_kql):
+    df = run_kql("lineitem | project l_orderkey, l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column pruned
+
+
+def test_top_lowered_to_take_ordered(run_kql):
+    df = run_kql("orders | top 5 by o_totalprice desc")
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_sample_avoids_global_sort(run_kql):
+    # orderBy(rand).limit lowers to TakeOrderedAndProject (per-partition
+    # top-k + driver merge), NOT a full Exchange+Sort
+    df = run_kql("lineitem | sample 100")
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_broadcast_hint_honored(run_kql):
+    df = run_kql(
+        "orders | join kind=inner hint.strategy=broadcast (customer)"
+        " on $left.o_custkey == $right.c_custkey"
+    )
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_lookup_uses_broadcast(run_kql):
+    df = run_kql(
+        "customer | lookup (nation) on $left.c_nationkey == $right.n_nationkey"
+    )
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_no_python_udf_in_scalar_pipeline(run_kql):
+    df = run_kql(
+        "lineitem | extend v = l_extendedprice * (1.0 - l_discount)"
+        " | where strlen(l_returnflag) == 1 | summarize s = sum(v) by l_linestatus"
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_two_phase_aggregation(run_kql):
+    # partial (map-side) + final HashAggregate around one Exchange — the
+    # map-side-combine shape that makes summarize scale (SURVEY §4.1)
+    df = run_kql("lineitem | summarize s = sum(l_quantity) by l_returnflag")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_agg(run_kql):
+    # AQE hides the final plan until execution; `* Node` = inside a
+    # WholeStageCodegen span in formatted explain output
+    df = run_kql("lineitem | summarize s = sum(l_quantity) by l_returnflag")
+    df.collect()
+    plan = _plan(df)
+    assert "* HashAggregate" in plan and "* Project" in plan

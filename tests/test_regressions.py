@@ -1,0 +1,98 @@
+"""Regression tests for the round-1/2 ADVICE bugs — each was a silent
+wrong-answer; these pin the fixed behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def test_gamma_constant(run_kql):
+    # ADVICE #2: Stirling constant was 0.5*2.8378... (e^0.5 off)
+    row = run_kql("print g5 = gamma(5.0), g4 = gamma(4.0), lg1 = loggamma(1.0)").collect()[0]
+    assert abs(row.g5 - 24.0) < 1e-6
+    assert abs(row.g4 - 6.0) < 1e-6
+    assert abs(row.lg1 - 0.0) < 1e-6
+
+
+def test_summarize_computed_by_key_does_not_shadow(run_kql, duck):
+    # ADVICE #1: `by bin(ts, 1d)` auto-named `ts` corrupted max(ts)/min(ts)
+    rows = run_kql(
+        "events | summarize mx = max(ts), mn = min(ts) by d = bin(ts, 1d) | sort by d asc"
+    ).collect()
+    oracle = duck.sql(
+        """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) d,
+                  CAST(MAX(ts) AS TIMESTAMP) mx, CAST(MIN(ts) AS TIMESTAMP) mn
+           FROM events GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert [(r.d, r.mx, r.mn) for r in rows] == oracle
+    # the killer symptom: max(ts) must NOT equal the bin value
+    assert any(r.mx != r.d for r in rows)
+
+
+def test_summarize_bin_autoname_shadow(run_kql):
+    # same bug, implicit-name form: `by bin(ts, 1d)` names the key `ts`
+    rows = run_kql(
+        "events | summarize mx = max(ts) by bin(ts, 1d) | sort by ts asc | take 2"
+    ).collect()
+    assert all(r.mx > r.ts for r in rows)
+
+
+def test_make_series_fractional_step(run_kql):
+    # ADVICE #3: numeric axis with fractional step crashed F.sequence
+    row = run_kql(
+        "events | make-series c = count() on value from 0.0 to 1.0 step 0.25"
+    ).collect()[0]
+    assert row["value"] == [0.0, 0.25, 0.5, 0.75]
+    assert len(row["c"]) == 4
+
+
+def test_datatable_timespan_and_dynamic_cells(run_kql):
+    # ADVICE #4: timespan/dynamic/bool cells silently became null
+    row = run_kql(
+        "datatable(t:timespan, b:bool, d:dynamic)[90m, true, dynamic([1, 2])]"
+    ).collect()[0]
+    assert row.t == dt.timedelta(minutes=90)
+    assert row.b is True
+    assert row.d == "[1, 2]"
+
+
+def test_datatable_nonconstant_cell_raises(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError):
+        run_kql("datatable(x:long)[strcat('a', 'b')]").collect()
+
+
+def test_row_cumsum_restart(run_kql):
+    # ADVICE #5: restart argument was silently ignored
+    rows = run_kql(
+        "datatable(x:long)[1, 2, 3, 4, 5, 6] | serialize"
+        " | extend cs = row_cumsum(x, x % 3 == 0) | project x, cs"
+    ).collect()
+    assert [(r.x, r.cs) for r in rows] == [(1, 1), (2, 3), (3, 3), (4, 7), (5, 12), (6, 6)]
+
+
+def test_prev_default_not_substituted_for_stored_nulls(run_kql):
+    # ADVICE #5: prev's default must fill only out-of-bounds rows
+    rows = run_kql(
+        "datatable(x:long, y:long)[1, 10, 2, long(null), 3, 30] | serialize"
+        " | extend p = prev(y, 1, -99) | project x, p"
+    ).collect()
+    got = {r.x: r.p for r in rows}
+    assert got[1] == -99  # out of bounds -> default
+    assert got[2] == 10
+    assert got[3] is None  # stored null stays null, NOT -99
+
+
+def test_ns_timestamp_truncation_matches_duckdb(run_kql, duck):
+    # catalog ns->us truncation must floor exactly like DuckDB's CAST
+    srow = run_kql("events | summarize mx = max(ts)").collect()[0]
+    drow = duck.sql("SELECT CAST(MAX(ts) AS TIMESTAMP) FROM events").fetchone()
+    assert srow.mx == drow[0]
+
+
+def test_internal_columns_do_not_leak(run_kql):
+    df = run_kql("datatable(x:long)[1, 2] | serialize | extend r = row_number()")
+    assert all(not c.startswith("__") for c in df.columns)

@@ -1,0 +1,54 @@
+"""Streaming surface (SURVEY.md §2.11): batch-vs-stream equivalence — the
+same KQL text over readStream must produce the batch answer."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR, canonize_rows
+
+
+@pytest.fixture(scope="module")
+def stream_result(spark):
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = "events | summarize c = count(), s = round(sum(value), 2) by d = bin(ts, 1d)"
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    return run_to_memory(sdf, "stream_bin_1d", mode="complete"), text
+
+
+def test_stream_matches_batch(stream_result, run_kql):
+    result, text = stream_result
+    batch = run_kql(text)
+    cols = batch.columns
+    got = canonize_rows(result.columns, [[r[c] for c in result.columns] for r in result.collect()])
+    want = canonize_rows(cols, [[r[c] for c in cols] for r in batch.collect()])
+    assert got == want and len(got) > 0
+
+
+def test_stream_with_watermark_builds(spark):
+    from kql_engine_spark.streaming import kql_stream
+
+    sdf = kql_stream(
+        spark,
+        "events | summarize c = count() by d = bin(ts, 1h)",
+        sf_dir=SF_DIR,
+        watermark=("ts", "10 minutes"),
+    )
+    assert sdf.isStreaming
+    # watermark node present in the analyzed plan
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().analyzed().toString()
+
+
+def test_session_window_streaming_builds(spark):
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    # Spark streaming requires a partition key alongside session_window
+    sdf = kql_stream(
+        spark,
+        "events | summarize c = count() by event_type, w = session_window(ts, 30m)",
+        sf_dir=SF_DIR,
+    )
+    out = run_to_memory(sdf, "stream_session", mode="complete")
+    assert out.count() > 0
