@@ -447,3 +447,19 @@ class Fork(TabularOp):
 class ReduceOp(TabularOp):
     """`T | reduce by expr` — string pattern clustering [KQL §2.13]."""
     expr: "Expr"
+
+
+@dataclass
+class ScanStep:
+    name: str
+    cond: "Expr"
+    assigns: list  # list[tuple[str, Expr]]
+    output: str = "all"  # all | last | none
+
+
+@dataclass
+class ScanOp(TabularOp):
+    """`scan [with_match_id=m] [declare (...)] with (step ...)` [KQL §2.11]."""
+    declares: list  # list[tuple[name, ktype, Expr|None]]
+    steps: list
+    match_id: Optional[str] = None

@@ -1192,3 +1192,44 @@ q(
               COUNT(*) AS Count, MIN(c_name) AS Representative
        FROM customer GROUP BY 1 ORDER BY 1""",
 )
+
+# ------------------------------------- §2.11 scan / §2.14 python / auto axis
+q(
+    "scan_funnel",
+    """events
+    | where user_id < 200
+    | sort by user_id asc, ts asc
+    | scan with_match_id = m declare (hits:long = 0) with (
+        step s1: event_type == 'view' => hits = 1;
+        step s2: event_type == 'purchase' => hits = 2;
+    )
+    | summarize rows = count(), matches = dcount(m)""",
+    None,  # sequential state machine: pinned by pytest golden, rows-only here
+)
+
+q(
+    "evaluate_python_plugin",
+    """events
+    | evaluate python(typeof(*, doubled:real), 'result = df.assign(doubled = df.value * 2)')
+    | summarize s = round(sum(doubled), 2), n = count()""",
+    """SELECT ROUND(SUM(value * 2), 2) AS s, COUNT(*) AS n FROM events""",
+)
+
+q(
+    "make_series_auto_bounds",
+    """events
+    | make-series c = count() on ts step 1d
+    | project n_bins = tolong(array_length(c)), total = series_sum(c)""",
+    """SELECT CAST(date_diff('day', date_trunc('day', (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events)),
+                             date_trunc('day', (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))) + 1 AS BIGINT) AS n_bins,
+              CAST((SELECT COUNT(*) FROM events) AS DOUBLE) AS total""",
+)
+
+q(
+    "series_decompose_ops",
+    """print y = dynamic([1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 50.0])
+    | extend a = series_decompose_anomalies(y, 2, 1.5),
+             s = series_decompose_seasonal(y, 2)
+    | project a, s_first = todouble(s[0])""",
+    None,  # numpy-backed decomposition: pinned by pytest golden
+)

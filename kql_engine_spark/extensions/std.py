@@ -81,3 +81,45 @@ def _bag_unpack(ptr, df, args):
             prefix + k, F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
         )
     return out.drop(col_name)
+
+
+@plugin("python")
+def _python_plugin(ptr, df, args):
+    """`T | evaluate python(typeof(*, newcol:long), 'code')` [KQL §2.14].
+
+    Contract mirrors Kusto's python plugin: the script sees the input batch
+    as pandas DataFrame `df` and must assign pandas DataFrame `result`.
+    Lowered to mapInPandas (Arrow-batched — the documented slow path; the
+    script runs per batch, never per row).
+    """
+    from ..semantics import KQL_TO_SPARK
+
+    spec = ptr.expr_tr(df).const_string(args[0])
+    code = ptr.expr_tr(df).const_string(args[1])
+
+    fields: list[T.StructField] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part == "*":
+            fields.extend(df.schema.fields)
+        else:
+            cname, _, ctype = part.partition(":")
+            fields.append(
+                T.StructField(cname.strip(), KQL_TO_SPARK[ctype.strip().lower()], True)
+            )
+    out_schema = T.StructType(fields)
+    compiled = compile(code, "<kql-python-plugin>", "exec")
+    out_cols = [f.name for f in fields]
+
+    def runner(batches):
+        for pdf in batches:
+            ns = {"df": pdf}
+            exec(compiled, ns)  # noqa: S102 — user plugin code, per contract
+            result = ns.get("result")
+            if result is None:
+                raise RuntimeError("python plugin script must assign `result`")
+            yield result[out_cols]
+
+    return df.mapInPandas(runner, out_schema)

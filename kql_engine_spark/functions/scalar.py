@@ -1077,3 +1077,90 @@ def _percentile_tdigest(tr, args):
     if len(args) >= 3:
         out = out.cast(KQL_CAST_NAME[tr.const_typename(args[2])])
     return out
+
+
+# ------------------------------- series_decompose family (SURVEY §2.10 B/C)
+# Simplified form of Kusto's published approach: per-phase-median seasonal
+# component, least-squares linear trend on the deseasonalized series, Tukey
+# scores on the residual. Arrow-batched pandas UDFs (per-series numpy) —
+# the arrays are make-series sized, so the Python cost is per-group, not
+# per-source-row.
+
+
+def _decompose_parts(y, period):
+    import numpy as np
+
+    n = len(y)
+    seasonal = np.zeros(n)
+    p = int(period)
+    if 1 < p <= n:
+        phases = np.array([np.nanmedian(y[i::p]) for i in range(p)])
+        phases = phases - np.nanmean(phases)
+        seasonal = np.tile(phases, n // p + 1)[:n]
+    des = y - seasonal
+    x = np.arange(n, dtype="float64")
+    ok = ~np.isnan(des)
+    if ok.sum() >= 2:
+        slope, intercept = np.polyfit(x[ok], des[ok], 1)
+    else:
+        slope, intercept = 0.0, float(np.nanmean(des)) if n else 0.0
+    trend = intercept + slope * x
+    baseline = seasonal + trend
+    residual = y - baseline
+    return seasonal, trend, baseline, residual
+
+
+def _decompose_udf(name, pick):
+    """pick(seasonal, trend, baseline, residual, threshold) -> array."""
+
+    def entry(tr, args):
+        period = int(tr.const_value(args[1])) if len(args) > 1 else 0
+        threshold = float(tr.const_value(args[2])) if len(args) > 2 else 1.5
+        key = f"{name}:{period}:{threshold}"
+        if key not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<double>")
+            def udf(col):
+                import numpy as np
+
+                def one(a):
+                    if a is None:
+                        return None
+                    y = np.asarray(a, dtype="float64")
+                    parts = _decompose_parts(y, period)
+                    return pick(*parts, threshold).tolist()
+
+                return col.map(one)
+
+            _PANDAS_UDF_CACHE[key] = udf
+        return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+    REGISTRY[name] = entry
+
+
+def _anomaly_flags(seasonal, trend, baseline, residual, threshold):
+    import numpy as np
+
+    scores = _residual_scores(residual)
+    return np.where(scores > threshold, 1.0, np.where(scores < -threshold, -1.0, 0.0))
+
+
+def _residual_scores(residual):
+    import numpy as np
+
+    q1, q3 = np.nanpercentile(residual, [25, 75])
+    iqr = q3 - q1
+    if iqr <= 0:
+        return np.zeros_like(residual)
+    return np.where(
+        residual > 0, (residual - q3) / iqr, (residual - q1) / iqr
+    ) * np.where(np.abs(residual) > 0, 1.0, 0.0)
+
+
+_decompose_udf("series_decompose_seasonal", lambda s, t, b, r, th: s)
+_decompose_udf("series_decompose_trend", lambda s, t, b, r, th: t)
+_decompose_udf("series_decompose_baseline", lambda s, t, b, r, th: b)
+_decompose_udf("series_decompose_residual", lambda s, t, b, r, th: r)
+_decompose_udf("series_decompose_anomalies", _anomaly_flags)
+_decompose_udf("series_decompose_score", lambda s, t, b, r, th: _residual_scores(r))

@@ -13,7 +13,7 @@ from .ast_nodes import (
     AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
     Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
     FindSource, Fork, Invoke, Join, JoinOn, Lambda, LetStmt, Lit, Lookup,
-    MakeSeries, MvApply, ReduceOp,
+    MakeSeries, MvApply, ReduceOp, ScanOp, ScanStep,
     MvExpand, NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe,
     PipeSource, PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
@@ -749,7 +749,25 @@ class Parser:
         args: list[Expr] = []
         self.expect(OP, "(")
         while not self.at(OP, ")"):
-            args.append(self.parse_expr())
+            if self.at(IDENT, "typeof") and self.at(OP, "(", k=1):
+                # typeof(*, name:type, ...) output-schema spec — encoded as a
+                # raw string literal ("*,name:type,...") for the plugin
+                self.next()
+                self.expect(OP, "(")
+                parts: list[str] = []
+                while not self.at(OP, ")"):
+                    if self.accept(OP, "*"):
+                        parts.append("*")
+                    else:
+                        cname = self.ident_name()
+                        self.expect(OP, ":")
+                        parts.append(f"{cname}:{self.ident_name()}")
+                    if not self.accept(OP, ","):
+                        break
+                self.expect(OP, ")")
+                args.append(Lit(",".join(parts), "string"))
+            else:
+                args.append(self.parse_expr())
             if not self.accept(OP, ","):
                 break
         self.expect(OP, ")")
@@ -779,6 +797,54 @@ class Parser:
     def op_reduce(self) -> ReduceOp:
         self.expect(IDENT, "by")
         return ReduceOp(self.parse_expr())
+
+    def op_scan(self) -> ScanOp:
+        match_id = None
+        if self.at(IDENT, "with_match_id"):
+            self.next()
+            self.expect(OP, "=")
+            match_id = self.ident_name()
+        declares: list = []
+        if self.accept(IDENT, "declare"):
+            self.expect(OP, "(")
+            while not self.at(OP, ")"):
+                dname = self.ident_name()
+                self.expect(OP, ":")
+                dtype = self.ident_name()
+                default = None
+                if self.accept(OP, "="):
+                    default = self.parse_expr()
+                declares.append((dname, dtype, default))
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, ")")
+        self.expect(IDENT, "with")
+        self.expect(OP, "(")
+        steps: list = []
+        while self.at(IDENT, "step"):
+            self.next()
+            sname = self.ident_name()
+            output = "all"
+            if self.accept(IDENT, "output"):
+                self.expect(OP, "=")
+                output = self.ident_name().lower()
+            self.expect(OP, ":")
+            cond = self.parse_expr()
+            assigns: list = []
+            if self.accept(OP, "=>"):
+                while True:
+                    aname = self.ident_name()
+                    self.expect(OP, "=")
+                    assigns.append((aname, self.parse_expr()))
+                    if not self.accept(OP, ","):
+                        break
+            steps.append(ScanStep(sname, cond, assigns, output))
+            if not self.accept(OP, ";"):
+                break
+        self.expect(OP, ")")
+        if not steps:
+            raise self.error("scan requires at least one step")
+        return ScanOp(declares, steps, match_id)
 
     def op_render(self) -> Render:
         chart = self.ident_name()

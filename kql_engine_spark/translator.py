@@ -1272,13 +1272,33 @@ class PipeTranslator:
         axis_dt = tr.dtype_of(axis_col)
         is_time = isinstance(axis_dt, (T.TimestampType, T.DateType))
 
+        axis_src: DataFrame | None = None
         if op.from_ is None or op.to is None:
-            raise KqlUnsupportedError(
-                "make-series requires explicit 'from'/'to' in v1 (data-dependent "
-                "axis bounds would force an eager extra pass at 100 TB)"
-            )
-        lo = tr.to_col(op.from_)
-        hi = tr.to_col(op.to)
+            # data-dependent bounds, derived LAZILY: a 1-row min/max aggregate
+            # broadcast-cross-joined onto the input (no driver-side action;
+            # at scale this is one extra partial-agg pass). Bins stay
+            # epoch-anchored, matching KQL's from-less behavior.
+            b = df.agg(F.min(axis_col).alias("__amin"), F.max(axis_col).alias("__amax"))
+            if is_time:
+                us_b = int(round(step_secs * 1_000_000))
+                lo_b = F.timestamp_micros(
+                    (F.floor(F.unix_micros(F.col("__amin").cast("timestamp")) / F.lit(us_b)) * F.lit(us_b)).cast("bigint")
+                )
+                hi_b = F.timestamp_micros(
+                    ((F.floor(F.unix_micros(F.col("__amax").cast("timestamp")) / F.lit(us_b)) + F.lit(1)) * F.lit(us_b)).cast("bigint")
+                )
+            else:
+                step_b = tr.to_col(op.step).cast("double")
+                lo_b = F.floor(F.col("__amin").cast("double") / step_b) * step_b
+                hi_b = (F.floor(F.col("__amax").cast("double") / step_b) + F.lit(1.0)) * step_b
+            bounds = b.select(lo_b.alias("__kqllo"), hi_b.alias("__kqlhi"))
+            axis_src = bounds
+            df = df.crossJoin(F.broadcast(bounds))
+            lo = F.col("__kqllo")
+            hi = F.col("__kqlhi")
+        else:
+            lo = tr.to_col(op.from_)
+            hi = tr.to_col(op.to)
         if is_time:
             # buckets anchor at `from` (bin_at semantics) [KQL make-series]
             us = int(round(step_secs * 1_000_000))
@@ -1331,7 +1351,10 @@ class PipeTranslator:
         )
 
         # dense axis: distinct keys x generated axis (axis is tiny -> broadcast)
-        axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_tmp))
+        if axis_src is not None:
+            axis_df = axis_src.select(F.explode(seq).alias(axis_tmp))
+        else:
+            axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_tmp))
         if key_tmps:
             keys_df = work.select(*key_tmps).distinct()
             grid = keys_df.crossJoin(F.broadcast(axis_df))
@@ -1549,6 +1572,18 @@ class PipeTranslator:
             out = sub
         self.order = None
         return out.drop(rid)
+
+    def t_scanop(self, df: DataFrame, op) -> DataFrame:
+        if self.order is None:
+            raise KqlSemanticError(
+                "scan requires a serialized input (use 'sort by' or 'serialize' "
+                "first) [KQL]"
+            )
+        from .scan import run_scan
+
+        out = run_scan(df, op, self)
+        self.order = None
+        return out
 
     def t_evaluate(self, df: DataFrame, op: Evaluate) -> DataFrame:
         from .extensions import EVALUATE_REGISTRY

@@ -96,3 +96,69 @@ def test_ns_timestamp_truncation_matches_duckdb(run_kql, duck):
 def test_internal_columns_do_not_leak(run_kql):
     df = run_kql("datatable(x:long)[1, 2] | serialize | extend r = row_number()")
     assert all(not c.startswith("__") for c in df.columns)
+
+
+def test_scan_funnel_golden(run_kql):
+    rows = run_kql(
+        "datatable(ts:long, ev:string)[1, 'view', 2, 'click', 3, 'purchase',"
+        " 4, 'click', 5, 'view', 6, 'purchase', 7, 'view', 8, 'click', 9, 'purchase']"
+        " | sort by ts asc"
+        " | scan with_match_id = m declare (seen:long = 0) with ("
+        "     step s1: ev == 'view' => seen = 1;"
+        "     step s2: ev == 'click' => seen = 2;"
+        "     step s3: ev == 'purchase' => seen = 3;)"
+    ).collect()
+    got = [(r.ts, r.ev, r.seen, r.m) for r in rows]
+    assert got == [
+        (1, "view", 1, 0), (2, "click", 2, 0), (3, "purchase", 3, 0),
+        (5, "view", 1, 1), (7, "view", 1, 1), (8, "click", 2, 1),
+        (9, "purchase", 3, 1),
+    ]
+
+
+def test_scan_step_reference(run_kql):
+    rows = run_kql(
+        "datatable(t:long, ev:string)[1, 'a', 5, 'b', 10, 'a', 11, 'b']"
+        " | sort by t asc"
+        " | scan declare (gap:long = 0) with ("
+        "     step s1: ev == 'a';"
+        "     step s2: ev == 'b' => gap = t - s1.t;)"
+    ).collect()
+    gaps = [r.gap for r in rows if r.ev == "b"]
+    assert gaps == [4, 1]
+
+
+def test_scan_requires_serialization(run_kql):
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with _pytest.raises(KqlSemanticError):
+        run_kql(
+            "events | scan with (step s1: event_type == 'view';)"
+        ).collect()
+
+
+def test_make_series_auto_bounds(run_kql):
+    row = run_kql("events | make-series c = count() on ts step 1d").collect()[0]
+    assert sum(row["c"]) > 0
+    assert len(row["ts"]) == len(row["c"])
+
+
+def test_series_decompose_anomaly_flags(run_kql):
+    row = run_kql(
+        "print y = dynamic([1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 50.0])"
+        " | extend a = series_decompose_anomalies(y, 2, 1.5)"
+    ).collect()[0]
+    assert row.a[-1] == 1.0 and all(v == 0.0 for v in row.a[:-1])
+
+
+def test_tdigest_percentile_close(run_kql, duck):
+    row = run_kql(
+        "lineitem | summarize td = tdigest(l_extendedprice)"
+        " | project p50 = percentile_tdigest(td, 50)"
+    ).collect()[0]
+    exact = duck.sql(
+        "SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(row.p50 - exact) / exact < 0.05
