@@ -48,6 +48,13 @@ def _narrow(ptr, df, args):
     return stacked
 
 
+# bag_unpack key discovery scans at most this many ROWS (not the whole
+# column): schema expansion is data-dependent by nature, but the eager pass
+# must stay O(sample), not O(table), at 100 TB. Rows beyond the sample that
+# carry unseen keys lose them (documented delta; Kusto scans everything).
+_KEY_SAMPLE_ROWS = 100_000
+
+
 @plugin("bag_unpack")
 def _bag_unpack(ptr, df, args):
     if not args or not isinstance(args[0], Col):
@@ -58,28 +65,25 @@ def _bag_unpack(ptr, df, args):
         prefix = ptr.expr_tr(df).const_string(args[1])
     dt = df.schema[col_name].dataType
     if isinstance(dt, T.MapType):
-        keys_rows = (
-            df.select(F.explode(F.map_keys(F.col(col_name))).alias("k"))
-            .distinct().limit(_MAX_EXPAND).collect()
-        )
-        keys = sorted(r["k"] for r in keys_rows)
-        out = df
-        for k in keys:
-            out = out.withColumn(prefix + k, F.element_at(F.col(col_name), k))
-        return out.drop(col_name)
-    # JSON-text carrier: discover keys eagerly (documented eager op §3.2)
+        key_col = F.explode(F.map_keys(F.col(col_name))).alias("k")
+    else:
+        key_col = F.explode(
+            F.json_object_keys(F.col(col_name).cast("string"))
+        ).alias("k")
     keys_rows = (
-        df.select(
-            F.explode(F.json_object_keys(F.col(col_name).cast("string"))).alias("k")
-        )
-        .distinct().limit(_MAX_EXPAND).collect()
+        df.select(F.col(col_name)).limit(_KEY_SAMPLE_ROWS)
+        .select(key_col).distinct().limit(_MAX_EXPAND).collect()
     )
     keys = sorted(r["k"] for r in keys_rows)
     out = df
-    for k in keys:
-        out = out.withColumn(
-            prefix + k, F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
-        )
+    if isinstance(dt, T.MapType):
+        for k in keys:
+            out = out.withColumn(prefix + k, F.element_at(F.col(col_name), k))
+    else:
+        for k in keys:
+            out = out.withColumn(
+                prefix + k, F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
+            )
     return out.drop(col_name)
 
 
