@@ -1233,3 +1233,241 @@ q(
     | project a, s_first = todouble(s[0])""",
     None,  # numpy-backed decomposition: pinned by pytest golden
 )
+
+# ------------------------------------------- coverage sweep: scalar functions
+q(
+    "string_more_fns",
+    """customer
+    | project c_custkey, cnt = tolong(countof(c_name, '0')),
+              cmp = toint(strcmp(c_mktsegment, 'BUILDING')),
+              rep = strrep(c_mktsegment, 2),
+              catd = strcat_delim('-', c_name, c_mktsegment),
+              tr_ = trim('0', substring(c_name, 9)),
+              idx2 = tolong(indexof(c_name, '0', 10))""",
+    """SELECT c_custkey,
+              LENGTH(c_name) - LENGTH(REPLACE(c_name, '0', '')) AS cnt,
+              CASE WHEN c_mktsegment < 'BUILDING' THEN -1
+                   WHEN c_mktsegment > 'BUILDING' THEN 1 ELSE 0 END AS cmp,
+              REPEAT(c_mktsegment, 2) AS rep,
+              c_name || '-' || c_mktsegment AS catd,
+              regexp_replace(substr(c_name, 10), '^(?:0)+|(?:0)+$', '', 'g') AS tr_,
+              CASE WHEN POSITION('0' IN substr(c_name, 11)) > 0
+                   THEN POSITION('0' IN substr(c_name, 11)) - 1 + 10
+                   ELSE -1 END AS idx2
+       FROM customer""",
+)
+
+q(
+    "hash_fns",
+    """print h1 = hash_md5('abc'), h2 = hash_sha256('abc'),
+             h3 = hash_sha1('abc')""",
+    """SELECT md5('abc') AS h1, sha256('abc') AS h2,
+              'a9993e364706816aba3e25717850c26c9cd0d89d' AS h3""",
+)
+
+q(
+    "base64_url_fns",
+    """print b = base64_encode_tostring('hello'), d = base64_decode_tostring('aGVsbG8='),
+             u = url_encode('a b&c'), ud = url_decode('a%20b%26c')""",
+    """SELECT 'aGVsbG8=' AS b, 'hello' AS d, 'a+b%26c' AS u, 'a b&c' AS ud""",
+)
+
+q(
+    "extract_all_words",
+    """part
+    | project p_partkey, words = extract_all('([a-z]+)', p_name)""",
+    r"""SELECT p_partkey, regexp_extract_all(p_name, '([a-z]+)', 1) AS words
+       FROM part""",
+)
+
+q(
+    "string_preds_more",
+    """part
+    | where (p_name hasprefix 'sm' or p_name hassuffix 'get')
+        and p_brand in~ ('brand#1', 'BRAND#2', 'Brand#3')
+    | summarize n = count() by p_brand
+    | sort by p_brand asc""",
+    r"""SELECT p_brand, COUNT(*) AS n FROM part
+       WHERE (regexp_matches(p_name, '(?i)\bsm') OR regexp_matches(p_name, '(?i)get\b'))
+         AND LOWER(p_brand) IN ('brand#1', 'brand#2', 'brand#3')
+       GROUP BY p_brand ORDER BY p_brand""",
+)
+
+q(
+    "has_any_matches",
+    """part
+    | where p_name has_any ('gear', 'bolt') and p_name matches '^[a-z]+ [a-z]+$'
+    | summarize n = count()""",
+    r"""SELECT COUNT(*) AS n FROM part
+       WHERE (regexp_matches(p_name, '(?i)\bgear\b') OR regexp_matches(p_name, '(?i)\bbolt\b'))
+         AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')""",
+)
+
+q(
+    "datetime_more_fns",
+    """orders
+    | where o_orderkey < 2000
+    | project o_orderkey, dw = dayofweek(o_orderdate),
+              wk = tolong(week_of_year(o_orderdate)),
+              eod = endofday(o_orderdate), sow = startofweek(o_orderdate),
+              fmt = format_datetime(o_orderdate, 'yyyy-MM-dd'),
+              mk = make_datetime(2024, 2, 29, 12, 30, 45),
+              un = unixtime_seconds_todatetime(1700000000)""",
+    """SELECT o_orderkey,
+              dayofweek(o_orderdate) * INTERVAL 1 DAY AS dw,
+              weekofyear(o_orderdate) AS wk,
+              CAST(date_trunc('day', o_orderdate) + INTERVAL 1 DAY
+                   - INTERVAL 1 MICROSECOND AS TIMESTAMP) AS eod,
+              CAST(date_trunc('day', o_orderdate)
+                   - dayofweek(o_orderdate) * INTERVAL 1 DAY AS TIMESTAMP) AS sow,
+              strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+              TIMESTAMP '2024-02-29 12:30:45' AS mk,
+              TIMESTAMP '2023-11-14 22:13:20' AS un
+       FROM orders WHERE o_orderkey < 2000""",
+)
+
+q(
+    "math_more_fns",
+    """print a = round(sin(1.0), 10), b = round(cos(1.0), 10),
+             c = round(atan2(1.0, 2.0), 10), d = round(degrees(pi()), 6),
+             e = round(radians(180.0), 10), f = exp2(10.0), g = exp10(3.0),
+             i = round(log2(1024.0), 6), fin = isfinite(1.0)""",
+    """SELECT ROUND(SIN(1.0), 10) AS a, ROUND(COS(1.0), 10) AS b,
+              ROUND(ATAN2(1.0, 2.0), 10) AS c, 180.0 AS d,
+              ROUND(PI(), 10) AS e, 1024.0 AS f, 1000.0 AS g,
+              10.0 AS i, true AS fin""",
+)
+
+q(
+    "ipv4_geo_fns",
+    """print ip = parse_ipv4('192.168.1.10'), f4 = format_ipv4(3232235786),
+             inr = ipv4_is_in_range('192.168.1.10', '192.168.1.0/24'),
+             outr = ipv4_is_in_range('192.168.2.10', '192.168.1.0/24'),
+             gd = round(geo_distance_2points(-122.4194, 37.7749, -73.9857, 40.7484), 0)""",
+    """SELECT CAST(3232235786 AS BIGINT) AS ip, '192.168.1.10' AS f4,
+              true AS inr, false AS outr, 4129968.0 AS gd""",
+)
+
+q(
+    "arrays_more_fns",
+    """print a = dynamic([1, 2, 3]), b = dynamic([3, 4])
+    | project cat2 = array_concat(a, b), rl = array_rotate_left(a, 1),
+              sl = array_shift_left(a, 1, 0), diff = set_difference(a, b),
+              jac = round(jaccard_index(a, b), 4), rep2 = repeat(7, 3),
+              dynj = dynamic_to_json(a),
+              ai = array_iff(dynamic([true, false, true]), a, b)""",
+    """SELECT [1, 2, 3, 3, 4] AS cat2, [2, 3, 1] AS rl, [2, 3, 0] AS sl,
+              [1, 2] AS diff, 0.25 AS jac, [7, 7, 7] AS rep2,
+              '[1,2,3]' AS dynj, [1, 4, 3] AS ai""",
+)
+
+q(
+    "bag_ops_fns",
+    """print mb = tolong(extractjson('$.b', bag_merge(pack('a', 1, 'b', 2), pack('b', 9, 'c', 3)))),
+             rb = tolong(extractjson('$.b', bag_remove_keys(pack('a', 1, 'b', 2), dynamic(['b'])))),
+             keys = bag_keys(pack('x', 1))""",
+    """SELECT CAST(2 AS BIGINT) AS mb, CAST(NULL AS BIGINT) AS rb, ['x'] AS keys""",
+)
+
+q(
+    "conversions_more",
+    """print d = todecimal('123.45'), g = gettype(123),
+             t = totimespan('01:30:00'), b2 = tobool('true'),
+             ti = toint('42'), gu = toguid('ABC-DEF')""",
+    """SELECT CAST('123.45' AS DECIMAL(38,18)) AS d, 'long' AS g,
+              INTERVAL 90 MINUTE AS t, true AS b2, CAST(42 AS INT) AS ti,
+              'abc-def' AS gu""",
+)
+
+# --------------------------------------------- coverage sweep: aggregates etc
+q(
+    "agg_binary_covar",
+    """lineitem
+    | summarize ba = binary_all_and(l_linenumber), bo = binary_all_or(l_linenumber),
+                bx = binary_all_xor(l_linenumber),
+                cov = round(covariance(l_quantity, l_extendedprice), 1),
+                cor = round(correlation(l_quantity, l_extendedprice), 5)
+      by l_returnflag""",
+    """SELECT l_returnflag, bit_and(l_linenumber) AS ba, bit_or(l_linenumber) AS bo,
+              bit_xor(l_linenumber) AS bx,
+              ROUND(covar_samp(l_quantity, l_extendedprice), 1) AS cov,
+              ROUND(corr(l_quantity, l_extendedprice), 5) AS cor
+       FROM lineitem GROUP BY l_returnflag""",
+)
+
+q(
+    "take_any_single_valued",
+    """lineitem
+    | summarize v = take_any(l_linestatus) by l_linestatus""",
+    """SELECT l_linestatus, l_linestatus AS v FROM lineitem GROUP BY l_linestatus""",
+)
+
+q(
+    "make_list_with_nulls_agg",
+    """datatable(x:long, g:string)[1, 'a', long(null), 'a', 3, 'b']
+    | summarize l = array_sort_asc(make_list_with_nulls(x)) by g
+    | sort by g asc""",
+    """WITH t(x, g) AS (VALUES (CAST(1 AS BIGINT), 'a'), (NULL, 'a'), (3, 'b'))
+       SELECT g, list_sort(list(x), 'ASC', 'NULLS LAST') AS l
+       FROM t GROUP BY g ORDER BY g""",
+)
+
+q(
+    "percentilew_weighted",
+    """datatable(v:long, w:long)[1, 1, 2, 3, 3, 1]
+    | summarize p = percentilew(v, w, 50)""",
+    """SELECT 2.0 AS p""",
+)
+
+q(
+    "getschema_region",
+    "region | getschema",
+    """SELECT * FROM (VALUES
+         ('r_regionkey', 0, 'int', 'int'),
+         ('r_name', 1, 'string', 'string')
+       ) AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)""",
+)
+
+q(
+    "externaldata_csv",
+    """externaldata(name:string, age:long)['/root/repo/tests/fixtures/ext_people.csv'] with(format='csv')
+    | sort by age desc""",
+    """SELECT name, age FROM read_csv('/root/repo/tests/fixtures/ext_people.csv',
+         columns = {'name': 'VARCHAR', 'age': 'BIGINT'}, header = false)
+       ORDER BY age DESC""",
+)
+
+q(
+    "as_operator",
+    """events
+    | where value > 400.0
+    | as hot
+    | summarize n = count(), mx = round(max(value), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(MAX(value), 2) AS mx FROM events WHERE value > 400.0""",
+)
+
+q(
+    "session_fn_on_events",
+    """events
+    | where user_id == 7
+    | sort by ts asc
+    | extend s = row_window_session(ts, 30d, 30m)
+    | summarize sessions = dcount(s)""",
+    """WITH o AS (SELECT CAST(ts AS TIMESTAMP) t FROM events WHERE user_id = 7),
+         s AS (SELECT t, CASE WHEN LAG(t) OVER (ORDER BY t) IS NULL
+                              OR t - LAG(t) OVER (ORDER BY t) > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk FROM o)
+       SELECT COUNT(*) AS sessions FROM s WHERE brk = 1""",
+)
+
+q(
+    "sample_rows_only",
+    "lineitem | sample 100",
+    None,  # random content; driver rows-only check pins count + schema
+)
+
+q(
+    "sample_distinct_rows_only",
+    "lineitem | sample-distinct 3 of l_returnflag",
+    None,
+)

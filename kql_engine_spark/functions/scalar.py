@@ -215,7 +215,7 @@ def _parse_version(tr, args):
     out = F.lit(0).cast("bigint")
     for i in range(4):
         seg = F.coalesce(
-            F.try_cast(F.element_at(parts, i + 1), "bigint"), F.lit(0)
+            F.element_at(parts, i + 1).try_cast("bigint"), F.lit(0)
         )
         out = out + seg * F.lit(10 ** (6 * (3 - i))).cast("bigint")
     return out
@@ -547,6 +547,15 @@ def _totimespan(tr, args):
     secs = tr.const_seconds(args[0])
     if secs is not None:
         return interval_seconds(secs)
+    from ..ast_nodes import Lit as _Lit
+
+    if isinstance(args[0], _Lit) and args[0].ktype == "string":
+        # constant '[d.]hh:mm[:ss]' strings decode python-side (Spark's
+        # string->interval cast expects the INTERVAL literal grammar)
+        from ..translator import _parse_timespan_raw
+
+        s = _parse_timespan_raw(str(args[0].value))
+        return interval_seconds(s) if s is not None else typed_null("timespan")
     c = tr.to_col(args[0])
     dt = tr.dtype_of(c)
     if isinstance(dt, T.DayTimeIntervalType):
@@ -695,9 +704,12 @@ def _array_shift_right(tr, args):
 @fn("array_iff", "array_if")
 def _array_iff(tr, args):
     cond = tr.to_col(args[0])
-    a = tr.to_col(args[1])
-    b = tr.to_col(args[2])
-    return F.zip_with(cond, F.arrays_zip(a, b), lambda c, ab: F.when(c, ab["0"]).otherwise(ab["1"]))
+    # arrays_zip names struct fields after its inputs -> alias explicitly
+    a = tr.to_col(args[1]).alias("l")
+    b = tr.to_col(args[2]).alias("r")
+    return F.zip_with(
+        cond, F.arrays_zip(a, b), lambda c, ab: F.when(c, ab["l"]).otherwise(ab["r"])
+    )
 
 
 @fn("pack", "bag_pack", "pack_dictionary")
@@ -757,10 +769,10 @@ def _parse_ipv4(tr, args):
     s = tr.to_col(args[0])
     p = F.split(s, r"\.")
     return (
-        F.try_cast(F.element_at(p, 1), "bigint") * F.lit(16777216)
-        + F.try_cast(F.element_at(p, 2), "bigint") * F.lit(65536)
-        + F.try_cast(F.element_at(p, 3), "bigint") * F.lit(256)
-        + F.try_cast(F.split(F.element_at(p, 4), "/").getItem(0), "bigint")
+        F.element_at(p, 1).try_cast("bigint") * F.lit(16777216)
+        + F.element_at(p, 2).try_cast("bigint") * F.lit(65536)
+        + F.element_at(p, 3).try_cast("bigint") * F.lit(256)
+        + F.split(F.element_at(p, 4), "/").getItem(0).try_cast("bigint")
     )
 
 
@@ -1164,3 +1176,33 @@ _decompose_udf("series_decompose_baseline", lambda s, t, b, r, th: b)
 _decompose_udf("series_decompose_residual", lambda s, t, b, r, th: r)
 _decompose_udf("series_decompose_anomalies", _anomaly_flags)
 _decompose_udf("series_decompose_score", lambda s, t, b, r, th: _residual_scores(r))
+
+
+def _has_terms(tr, args):
+    """Whole-term matches for has_any/has_all (same word-boundary
+    approximation as `has` [KQL §2.9])."""
+    s = tr.to_col(args[0]).cast("string")
+    return [
+        F.regexp_like(
+            s, F.lit(r"(?i)\b" + _re.escape(str(tr.const_value(a))) + r"\b")
+        )
+        for a in args[1:]
+    ]
+
+
+@fn("has_any")
+def _has_any(tr, args):
+    terms = _has_terms(tr, args)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out | t
+    return out
+
+
+@fn("has_all")
+def _has_all(tr, args):
+    terms = _has_terms(tr, args)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out & t
+    return out

@@ -300,13 +300,18 @@ class Parser:
             if not self.accept(OP, ","):
                 break
         self.expect(OP, ")")
-        self.expect(OP, "[")
         uris: list[str] = []
-        while not self.at(OP, "]"):
-            uris.append(str(self.expect(STRING).value))
-            if not self.accept(OP, ","):
-                break
-        self.expect(OP, "]")
+        if self.at(QIDENT):
+            # `['single-uri']` lexes as a quoted identifier (same surface
+            # syntax) — in externaldata position it IS the one-uri block
+            uris.append(str(self.next().value))
+        else:
+            self.expect(OP, "[")
+            while not self.at(OP, "]"):
+                uris.append(str(self.expect(STRING).value))
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, "]")
         fmt = "csv"
         if self.accept(IDENT, "with"):
             self.expect(OP, "(")

@@ -92,9 +92,10 @@ class ExprTranslator:
         return list(self.df.columns) if self.df is not None else []
 
     def dtype_of(self, col: Column) -> T.DataType:
-        if self.df is None:
-            return T.StringType()
         try:
+            if self.df is None:
+                # no bound frame (print source): resolve against a 1-row frame
+                return self.engine.spark.range(1).select(col).schema[0].dataType
             return self.df.select(col).schema[0].dataType
         except Exception:
             return T.NullType()
@@ -170,6 +171,10 @@ class ExprTranslator:
     def _lit(self, e: Lit) -> Column:
         if e.ktype == "timespan":
             return interval_seconds(float(e.value))
+        if e.ktype == "long":
+            # KQL integer literals are 64-bit [KQL §1.2]; Python ints lower to
+            # Spark IntegerType by default. Constant-folded — no runtime cost.
+            return F.lit(e.value).cast("bigint")
         return F.lit(e.value)
 
     def _typed_lit(self, e: TypedLit) -> Column:
