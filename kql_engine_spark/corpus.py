@@ -1471,3 +1471,128 @@ q(
     "lineitem | sample-distinct 3 of l_returnflag",
     None,
 )
+
+# ------------------------------------------------- coverage sweep: operators
+q(
+    "join_rightsemi",
+    """orders
+    | join kind=rightsemi (customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count(), s = round(sum(c_acctbal), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS s
+       FROM customer SEMI JOIN orders ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_rightanti",
+    """orders
+    | join kind=rightanti (customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count()""",
+    """SELECT COUNT(*) AS n
+       FROM customer ANTI JOIN orders ON c_custkey = o_custkey""",
+)
+
+q(
+    "join_shuffle_hint",
+    """orders
+    | join kind=inner hint.strategy=shuffle hint.num_partitions=4 (customer)
+        on $left.o_custkey == $right.c_custkey
+    | summarize n = count() by c_mktsegment""",
+    """SELECT c_mktsegment, COUNT(*) AS n
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+
+q(
+    "mv_expand_itemindex",
+    """events
+    | where event_id < 100
+    | project event_id, arr = pack_array(10, 20, 30)
+    | mv-expand with_itemindex = idx v = arr to typeof(long)
+    | summarize n = count(), s = sum(v * idx)""",
+    """SELECT COUNT(*) AS n, CAST(SUM(v * idx) AS BIGINT) AS s FROM (
+         SELECT UNNEST([10, 20, 30]) AS v,
+                UNNEST([CAST(0 AS BIGINT), 1, 2]) AS idx
+         FROM events WHERE event_id < 100)""",
+)
+
+q(
+    "mv_expand_multi_zip",
+    """events
+    | where event_id < 100
+    | project event_id, a = pack_array(1, 2, 3), b = pack_array(10, 20)
+    | mv-expand a to typeof(long), b to typeof(long)
+    | summarize n = count(), nb = countif(isnull(b)), s = sum(a)""",
+    """SELECT COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE b IS NULL) AS nb,
+              CAST(SUM(a) AS BIGINT) AS s FROM (
+         SELECT UNNEST([1, 2, 3]) AS a,
+                UNNEST([CAST(10 AS BIGINT), 20, NULL]) AS b
+         FROM events WHERE event_id < 100)""",
+)
+
+q(
+    "parse_where_drops",
+    """events
+    | project s = iff(event_id % 2 == 0, strcat('id=', tostring(event_id)), 'garbage')
+    | parse-where s with 'id=' pid:long
+    | summarize n = count(), mx = max(pid)""",
+    """SELECT COUNT(*) AS n, MAX(CAST(regexp_extract(s, 'id=(.*)', 1) AS BIGINT)) AS mx
+       FROM (SELECT CASE WHEN event_id % 2 = 0
+                         THEN 'id=' || CAST(event_id AS VARCHAR)
+                         ELSE 'garbage' END AS s FROM events)
+       WHERE regexp_matches(s, 'id=(.*)')""",
+)
+
+q(
+    "parse_kv_pairs",
+    """events
+    | project s = strcat('k=', tostring(event_id), ' t=', event_type)
+    | parse-kv s as (k:long, t:string) with (pair_delimiter = ' ', kv_delimiter = '=')
+    | summarize n = count(), s2 = sum(k) by t
+    | sort by t asc""",
+    """SELECT event_type AS t, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s2
+       FROM events GROUP BY event_type ORDER BY t""",
+)
+
+q(
+    "distinct_star",
+    """nation | distinct *""",
+    "SELECT DISTINCT * FROM nation",
+)
+
+q(
+    "datetime_boundaries",
+    """orders
+    | where o_orderkey < 1000
+    | project o_orderkey, som = startofmonth(o_orderdate), eom = endofmonth(o_orderdate),
+              soy = startofyear(o_orderdate), eoy = endofyear(o_orderdate),
+              ba = bin_at(o_orderdate, 7d, datetime(1995-01-02))""",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS som,
+              CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+                   - INTERVAL 1 MICROSECOND AS TIMESTAMP) AS eom,
+              CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS soy,
+              CAST(date_trunc('year', o_orderdate) + INTERVAL 1 YEAR
+                   - INTERVAL 1 MICROSECOND AS TIMESTAMP) AS eoy,
+              TIMESTAMP '1995-01-02'
+                + CAST(FLOOR(date_diff('day', TIMESTAMP '1995-01-02', o_orderdate) / 7.0)
+                       * 7 AS BIGINT) * INTERVAL 1 DAY AS ba
+       FROM orders WHERE o_orderkey < 1000""",
+)
+
+q(
+    "format_timespan_fn",
+    """print a = format_timespan(totimespan('1.02:03:04'), 'd.hh:mm:ss'),
+             b = format_timespan(90m, 'hh:mm:ss'),
+             c = format_timespan(totimespan('00:00:01.5'), 'ss.fff')""",
+    """SELECT '1.02:03:04' AS a, '01:30:00' AS b, '01.500' AS c""",
+)
+
+q(
+    "summarize_shufflekey_hint",
+    """lineitem
+    | summarize hint.shufflekey = l_orderkey s = sum(l_quantity), n = count() by l_orderkey
+    | summarize total = sum(s), orders = count()""",
+    """SELECT SUM(l_quantity) AS total, COUNT(DISTINCT l_orderkey) AS orders
+       FROM lineitem""",
+)

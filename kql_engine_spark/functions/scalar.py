@@ -239,7 +239,7 @@ def _bin(tr, args):
     x = tr.to_col(args[0])
     secs = tr.const_seconds(args[1])
     dt = tr.dtype_of(x)
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         if secs is None:
             raise KqlSemanticError("bin() on datetime needs a timespan literal")
         us = int(round(secs * 1_000_000))
@@ -249,7 +249,11 @@ def _bin(tr, args):
     if isinstance(dt, T.DayTimeIntervalType):
         if secs is None:
             raise KqlSemanticError("bin() on timespan needs a timespan literal")
-        return interval_seconds(1) * F.floor(x.cast("double") / F.lit(secs)) * F.lit(secs)
+        from ..semantics import timespan_seconds_of
+
+        return interval_seconds(1) * F.floor(
+            timespan_seconds_of(x) / F.lit(secs)
+        ) * F.lit(secs)
     size = tr.to_col(args[1])
     binned = F.floor(x.cast("double") / size.cast("double")) * size.cast("double")
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and (
@@ -263,7 +267,7 @@ def _bin(tr, args):
 def _bin_at(tr, args):
     x = tr.to_col(args[0])
     dt = tr.dtype_of(x)
-    if isinstance(dt, (T.TimestampType, T.DateType)):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         secs = tr.const_seconds(args[1])
         if secs is None:
             raise KqlSemanticError("bin_at() on datetime needs a timespan literal")
@@ -531,7 +535,7 @@ def _tostring(tr, args):
     dt = tr.dtype_of(c)
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(c)
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     out = c.cast("string")
     return F.coalesce(out, F.lit(""))  # KQL strings are never null [KQL §1.2]
@@ -1206,3 +1210,46 @@ def _has_all(tr, args):
     for t in terms[1:]:
         out = out & t
     return out
+
+
+@fn("format_timespan")
+def _format_timespan(tr, args):
+    """format_timespan(ts, fmt) [KQL] — common pattern subset
+    (d, dd, h/hh, m/mm, s/ss, fff...): pure column arithmetic."""
+    from ..semantics import timespan_seconds_of
+
+    ts = tr.to_col(args[0])
+    fmt = tr.const_string(args[1])
+    total = timespan_seconds_of(ts)
+    comp = {
+        "d": F.floor(total / 86400).cast("bigint"),
+        "h": F.floor(F.pmod(total, 86400.0) / 3600).cast("bigint"),
+        "m": F.floor(F.pmod(total, 3600.0) / 60).cast("bigint"),
+        "s": F.floor(F.pmod(total, 60.0)).cast("bigint"),
+    }
+    out: list[Column] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch in "dhms":
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            width = j - i
+            piece = comp[ch].cast("string")
+            if width > 1:
+                piece = F.lpad(piece, width, "0")
+            out.append(piece)
+            i = j
+        elif ch == "f":
+            j = i
+            while j < len(fmt) and fmt[j] == "f":
+                j += 1
+            width = j - i
+            frac = F.floor(F.pmod(total, 1.0) * F.lit(10 ** width)).cast("bigint")
+            out.append(F.lpad(frac.cast("string"), width, "0"))
+            i = j
+        else:
+            out.append(F.lit(ch))
+            i += 1
+    return F.concat(*out)

@@ -126,8 +126,10 @@ def interval_seconds(secs: float) -> Column:
 
 
 def timespan_seconds_of(col: Column) -> Column:
-    """Day-time interval column -> fractional seconds (for arithmetic)."""
-    return col.cast("double")  # Spark: interval day->second casts to seconds
+    """Day-time interval column -> fractional seconds (for arithmetic).
+    Spark won't cast an interval to double directly; adding it to the epoch
+    and reading unix_micros is exact to the microsecond."""
+    return F.unix_micros(F.timestamp_micros(F.lit(0)) + col).cast("double") / F.lit(1e6)
 
 
 def kql_type_name(spark_type: T.DataType) -> str:
@@ -142,6 +144,7 @@ def kql_type_name(spark_type: T.DataType) -> str:
         T.FloatType: "real",
         T.StringType: "string",
         T.TimestampType: "datetime",
+        T.TimestampNTZType: "datetime",
         T.DateType: "datetime",
         T.DayTimeIntervalType: "timespan",
         T.DecimalType: "decimal",

@@ -64,3 +64,30 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete", timeout: int
     )
     q.awaitTermination(timeout)
     return df.sparkSession.table(name)
+
+
+def materialize_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    timeout: int = 120,
+):
+    """Materialized-view style sink (SURVEY §2.11 last row): drain the
+    streaming result into a parquet directory via foreachBatch (so complete/
+    update aggregation modes can still target files). Processes all
+    currently-available input and stops — re-run to refresh incrementally."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out_mode = "overwrite" if mode in ("complete", "update") else "append"
+        batch_df.write.mode(out_mode).parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode if mode != "update" else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return path

@@ -280,7 +280,9 @@ class ExprTranslator:
         rt = self.dtype_of(r)
         integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         if isinstance(lt, T.DayTimeIntervalType) and isinstance(rt, T.DayTimeIntervalType):
-            return l.cast("double") / r.cast("double")
+            from .semantics import timespan_seconds_of
+
+            return timespan_seconds_of(l) / timespan_seconds_of(r)
         if isinstance(lt, integral) and isinstance(rt, integral):
             return l.cast("double") / r.cast("double")
         return l / r
@@ -911,6 +913,16 @@ class PipeTranslator:
             work = work.withColumn(tmp, col)
             tmp_names.append(tmp)
             out_names.append(name)
+        # hint.shufflekey / hint.num_partitions [KQL]: pre-partition on the
+        # named key(s) so the aggregation shuffle is explicit (skew control)
+        shufflekey = op.hints.get("shufflekey")
+        if shufflekey:
+            keys = [shufflekey] if isinstance(shufflekey, str) else list(shufflekey)
+            nparts = op.hints.get("num_partitions")
+            if nparts:
+                work = work.repartition(int(nparts), *keys)
+            else:
+                work = work.repartition(*keys)
         tr = self.expr_tr(work)
         agg_cols: list[Column] = []
         for item in op.aggs:
@@ -1275,7 +1287,7 @@ class PipeTranslator:
         axis_col = tr.to_col(op.axis)
         step_secs = tr.const_seconds(op.step)
         axis_dt = tr.dtype_of(axis_col)
-        is_time = isinstance(axis_dt, (T.TimestampType, T.DateType))
+        is_time = isinstance(axis_dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
         axis_src: DataFrame | None = None
         if op.from_ is None or op.to is None:

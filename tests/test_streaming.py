@@ -52,3 +52,25 @@ def test_session_window_streaming_builds(spark):
     )
     out = run_to_memory(sdf, "stream_session", mode="complete")
     assert out.count() > 0
+
+
+def test_materialize_to_parquet(spark, tmp_path):
+    from kql_engine_spark.streaming import kql_stream, materialize_to_parquet
+
+    sdf = kql_stream(
+        spark,
+        "events | summarize c = count() by event_type",
+        sf_dir=SF_DIR,
+    )
+    out = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    materialize_to_parquet(sdf, out, ckpt, mode="complete")
+    result = spark.read.parquet(out)
+    batch = {r.event_type: r.c for r in result.collect()}
+    expect = {
+        r.event_type: r.c
+        for r in spark.sql("SELECT 1").sparkSession.read.parquet(
+            f"{SF_DIR}/events.parquet"
+        ).groupBy("event_type").count().withColumnRenamed("count", "c").collect()
+    }
+    assert batch == expect
