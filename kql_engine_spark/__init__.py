@@ -7,17 +7,22 @@ the only optimizer and no storage layer of its own.
 
 Entry points (SURVEY.md §3):
     kql(spark, text, sf_dir=...)   -> DataFrame   # KQL text
+    Kql(spark, sf_dir=...).table('T').where(...)   # fluent builder
+    kql_stream(spark, text, sf_dir=...)            # Structured Streaming
     Catalog(spark, base_dir)                       # table binding
     get_spark()                                    # configured session
 """
 
 from .catalog import Catalog, fixture_catalog
+from .fluent import Kql, KqlQuery
 from .errors import KqlError, KqlSemanticError, KqlSyntaxError, KqlUnsupportedError
 from .session import get_spark
 from .translator import PipeTranslator, kql
 
 __all__ = [
     "Catalog",
+    "Kql",
+    "KqlQuery",
     "KqlError",
     "KqlSemanticError",
     "KqlSyntaxError",

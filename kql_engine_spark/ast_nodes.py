@@ -463,3 +463,10 @@ class ScanOp(TabularOp):
     declares: list  # list[tuple[name, ktype, Expr|None]]
     steps: list
     match_id: Optional[str] = None
+
+
+@dataclass
+class ToScalar(Expr):
+    """toscalar( tabular-expr ) [KQL §2.14] — first column of the first row
+    of the inner result, usable as a scalar constant. Documented-eager."""
+    pipe: "Pipe"

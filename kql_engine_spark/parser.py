@@ -19,6 +19,7 @@ from .ast_nodes import (
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
     SampleOp, SearchOp, Serialize, Sort, SortKey, Source, Star, Summarize,
     TableRef, Take, TabularOp, Top, TopHitters, TopNested, TopNestedLevel,
+    ToScalar,
     TypedLit, UnaryOp, Union, UnionSource, Where,
 )
 from .errors import KqlSyntaxError, KqlUnsupportedError
@@ -1108,6 +1109,14 @@ class Parser:
             if self.at(OP, "(", 1):
                 if lw in _TYPED_LITERALS:
                     return self.parse_typed_literal(_TYPED_LITERALS[lw])
+                if lw == "toscalar":
+                    # toscalar( <tabular expression> ) — the argument is a
+                    # PIPE, not a scalar expr; wrap it for the translator
+                    self.next()
+                    self.expect(OP, "(")
+                    pipe = self.parse_pipe()
+                    self.expect(OP, ")")
+                    return ToScalar(pipe)
                 self.next()  # func name
                 self.expect(OP, "(")
                 args: list[Expr] = []

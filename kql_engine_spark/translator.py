@@ -33,6 +33,7 @@ from .ast_nodes import (
     NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe, PipeSource,
     PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
+    ToScalar,
     SampleOp, SearchOp, Serialize, Sort, SortKey, Star, Summarize, TableRef,
     Take, TabularOp, Top, TopHitters, TopNested, TypedLit, UnaryOp, Union,
     UnionSource, Where,
@@ -166,7 +167,20 @@ class ExprTranslator:
             return self._property(e)
         if isinstance(e, FuncCall):
             return self._call(e)
+        if isinstance(e, ToScalar):
+            return self._toscalar(e)
         raise KqlSemanticError(f"cannot translate expression {e!r}")
+
+    def _toscalar(self, e: ToScalar) -> Column:
+        """Documented-eager (SURVEY §3.2): evaluates the inner tabular
+        expression NOW and embeds the first cell as a literal. The inner
+        result should be a 1-row aggregate; the extra job is the cost of the
+        idiom, same as Kusto."""
+        inner = self.engine.translate_pipe(e.pipe)
+        rows = inner.limit(1).collect()
+        if not rows or len(rows[0]) == 0:
+            return F.lit(None)
+        return F.lit(rows[0][0])
 
     def _lit(self, e: Lit) -> Column:
         if e.ktype == "timespan":
@@ -373,8 +387,6 @@ class ExprTranslator:
                     return F.lit(sval)
         if name in _WINDOW_FNS:
             return self._window_call(e)
-        if name in ("toscalar",):
-            raise KqlUnsupportedError("toscalar() not supported in v1")
         if name in self.engine.lets and isinstance(self.engine.lets[name], Lambda):
             lam: Lambda = self.engine.lets[name]
             sub_env = dict(self.env)

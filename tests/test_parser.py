@@ -106,3 +106,49 @@ def test_unknown_table_raises(run_kql):
 def test_window_without_serialize_raises(run_kql):
     with pytest.raises(KqlSemanticError):
         run_kql("lineitem | extend r = row_number()").collect()
+
+
+def test_toscalar_eager(run_kql):
+    rows = run_kql(
+        "orders | where o_totalprice > toscalar(orders | summarize avg(o_totalprice)) | count"
+    ).collect()
+    assert rows[0].Count > 0
+
+
+def test_fluent_builder_matches_text(spark, run_kql):
+    from conftest import SF_DIR
+
+    from kql_engine_spark import Kql
+
+    fluent = (
+        Kql(spark, sf_dir=SF_DIR)
+        .table("events")
+        .where("value > 50.0")
+        .summarize("c = count(), av = round(avg(value), 4) by event_type")
+        .sort("event_type asc")
+        .to_df()
+    )
+    text = run_kql(
+        "events | where value > 50.0"
+        " | summarize c = count(), av = round(avg(value), 4) by event_type"
+        " | sort by event_type asc"
+    )
+    assert [tuple(r) for r in fluent.collect()] == [tuple(r) for r in text.collect()]
+
+
+def test_fluent_join_and_evaluate(spark):
+    from conftest import SF_DIR
+
+    from kql_engine_spark import Kql
+
+    k = Kql(spark, sf_dir=SF_DIR)
+    df = (
+        k.table("orders")
+        .join("customer", on="$left.o_custkey == $right.c_custkey", kind="inner")
+        .summarize("n = count() by c_mktsegment")
+        .to_df()
+    )
+    assert df.count() == 5
+
+    docs = k.table("documents").evaluate("tokenize(text)").take(3).to_df()
+    assert "tokens" in docs.columns
