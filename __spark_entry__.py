@@ -25,10 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kql_engine_spark.corpus import CORPUS, FLAGSHIP  # noqa: E402
 
 
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """The engine's semantic contract (SURVEY.md §4.3) on a session we did
+    not build: UTC timestamps (KQL datetimes are UTC; a local-tz session
+    would shift collected values vs the DuckDB oracle) and ANSI off (KQL
+    conversions are null-on-failure). Both are runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def _runner(kql_text: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from kql_engine_spark.translator import kql
 
+        _ensure_engine_confs(spark)
         return kql(spark, kql_text, sf_dir=sf_dir)
 
     return run
@@ -38,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 in KQL) on /root/testdata/sf0.001."""
     from kql_engine_spark.translator import kql
 
+    _ensure_engine_confs(spark)
     return kql(spark, FLAGSHIP, sf_dir="/root/testdata/sf0.001")
 
 

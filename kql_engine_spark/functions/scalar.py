@@ -238,7 +238,7 @@ def _ago(tr, args):
 def _bin(tr, args):
     x = tr.to_col(args[0])
     secs = tr.const_seconds(args[1])
-    dt = tr.dtype_of(x)
+    dt = tr.dtype_of_ast(args[0], x)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         if secs is None:
             raise KqlSemanticError("bin() on datetime needs a timespan literal")
@@ -266,7 +266,7 @@ def _bin(tr, args):
 @fn("bin_at")
 def _bin_at(tr, args):
     x = tr.to_col(args[0])
-    dt = tr.dtype_of(x)
+    dt = tr.dtype_of_ast(args[0], x)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         secs = tr.const_seconds(args[1])
         if secs is None:
@@ -532,7 +532,7 @@ for _k, _t in [
 @fn("tostring")
 def _tostring(tr, args):
     c = tr.to_col(args[0])
-    dt = tr.dtype_of(c)
+    dt = tr.dtype_of_ast(args[0], c)
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(c)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
@@ -581,7 +581,7 @@ def _todynamic(tr, args):
 @fn("gettype")
 def _gettype(tr, args):
     c = tr.to_col(args[0])
-    return F.lit(kql_type_name(tr.dtype_of(c)))
+    return F.lit(kql_type_name(tr.dtype_of_ast(args[0], c)))
 
 
 # ---------------------------------------------------------------- conditional
@@ -752,7 +752,7 @@ def _bag_remove_keys(tr, args):
 @fn("dynamic_to_json")
 def _dynamic_to_json(tr, args):
     c = tr.to_col(args[0])
-    dt = tr.dtype_of(c)
+    dt = tr.dtype_of_ast(args[0], c)
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(c)
     return c.cast("string")

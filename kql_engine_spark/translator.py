@@ -101,6 +101,22 @@ class ExprTranslator:
         except Exception:
             return T.NullType()
 
+    def dtype_of_ast(self, e: Expr, col: Column) -> T.DataType:
+        """dtype lookup with a fast path: a plain column reference resolves
+        against the (cached) schema without the per-call Py4J analysis
+        roundtrip `df.select(col).schema` costs — plan BUILD time is a
+        measurable share of small-query latency."""
+        if isinstance(e, Col) and e.side is None and self.df is not None:
+            if e.name not in self.env and e.name not in self.engine.lets:
+                for f in self.df.schema.fields:
+                    if f.name == e.name:
+                        return f.dataType
+        if isinstance(e, Lit):
+            return KQL_TO_SPARK.get(e.ktype, T.NullType()) if e.ktype != "null" else T.NullType()
+        if isinstance(e, TypedLit) and e.ktype in ("datetime", "timespan"):
+            return KQL_TO_SPARK[e.ktype]
+        return self.dtype_of(col)
+
     def const_value(self, e: Expr):
         if isinstance(e, Lit):
             return e.value
@@ -290,8 +306,8 @@ class ExprTranslator:
     def _divide(self, e: BinOp, l: Column, r: Column) -> Column:
         # KQL: int/long division yields real (1/2 = 0.5) [KQL §1.2];
         # timespan/timespan yields real; others pass through.
-        lt = self.dtype_of(l)
-        rt = self.dtype_of(r)
+        lt = self.dtype_of_ast(e.left, l)
+        rt = self.dtype_of_ast(e.right, r)
         integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         if isinstance(lt, T.DayTimeIntervalType) and isinstance(rt, T.DayTimeIntervalType):
             from .semantics import timespan_seconds_of
@@ -353,7 +369,7 @@ class ExprTranslator:
 
     def _property(self, e: Property) -> Column:
         base = self.to_col(e.base)
-        dt = self.dtype_of(base)
+        dt = self.dtype_of_ast(e.base, base)
         key = e.key
         if isinstance(dt, T.ArrayType):
             idx = self.to_col(key).cast("int")
@@ -1078,6 +1094,8 @@ class PipeTranslator:
                     i += 1
                     new = f"{c}{i}"
                 rename[c] = new
+        if not rename:  # avoid a no-op JVM round trip per join
+            return right, rename
         return right.withColumnsRenamed(rename), rename
 
     def t_lookup(self, df: DataFrame, op: Lookup) -> DataFrame:
@@ -1090,7 +1108,8 @@ class PipeTranslator:
         for c in right.columns:
             if c in lcols and c not in right_keys:
                 rename[c] = c + "1"
-        right = right.withColumnsRenamed(rename)
+        if rename:
+            right = right.withColumnsRenamed(rename)
         how = "left" if op.kind == "leftouter" else "inner"
         if left_keys == right_keys:
             out = df.join(F.broadcast(right), on=left_keys, how=how)
@@ -1141,7 +1160,7 @@ class PipeTranslator:
             name = item.name or (
                 item.expr.name if isinstance(item.expr, Col) else "Column1"
             )
-            dt = tr.dtype_of(col)
+            dt = tr.dtype_of_ast(item.expr, col)
             if isinstance(dt, T.StringType):
                 # JSON-text dynamic carrier -> array of json-encoded elements
                 col = self._json_to_array(col)
@@ -1298,7 +1317,7 @@ class PipeTranslator:
         axis_name = op.axis.name if isinstance(op.axis, Col) else "axis"
         axis_col = tr.to_col(op.axis)
         step_secs = tr.const_seconds(op.step)
-        axis_dt = tr.dtype_of(axis_col)
+        axis_dt = tr.dtype_of_ast(op.axis, axis_col)
         is_time = isinstance(axis_dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
         axis_src: DataFrame | None = None
@@ -1357,14 +1376,9 @@ class PipeTranslator:
         # they cannot shadow source columns the aggregates read (an axis named
         # `value` over agg `avg(value)` must see the ORIGINAL value column)
         by_items = self._named_items(df, op.by)
-        work = df
-        key_tmps: list[str] = []
-        key_outs: list[str] = []
-        for i, (name, col) in enumerate(by_items):
-            tmp = f"__kqlkey{i}"
-            work = work.withColumn(tmp, col)
-            key_tmps.append(tmp)
-            key_outs.append(name)
+        key_tmps = [f"__kqlkey{i}" for i in range(len(by_items))]
+        key_outs = [name for name, _ in by_items]
+        work = df.withColumns(dict(zip(key_tmps, (c for _, c in by_items)))) if by_items else df
         axis_tmp = "__kqlaxis"
         work = work.withColumn(axis_tmp, binned).filter(
             (F.col(axis_tmp) >= lo) & (F.col(axis_tmp) < hi)
