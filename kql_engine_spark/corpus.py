@@ -1596,3 +1596,36 @@ q(
     """SELECT SUM(l_quantity) AS total, COUNT(DISTINCT l_orderkey) AS orders
        FROM lineitem""",
 )
+
+q(
+    "render_is_noop",
+    """lineitem
+    | summarize c = count() by l_returnflag
+    | sort by l_returnflag asc
+    | render barchart""",
+    """SELECT l_returnflag, COUNT(*) AS c FROM lineitem
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
+q(
+    "consume_empty",
+    "events | consume",
+    None,  # consume: plan runs, zero rows surface
+)
+
+q(
+    "project_reorder_cols",
+    """nation
+    | project-reorder n_name, n_*""",
+    """SELECT n_name, n_nationkey, n_regionkey FROM nation""",
+)
+
+q(
+    "serialize_row_number",
+    """datatable(x:long)[30, 10, 20]
+    | sort by x asc
+    | serialize idx = tolong(row_number())
+    | project x, idx""",
+    """SELECT x, idx FROM (VALUES
+         (CAST(10 AS BIGINT), CAST(1 AS BIGINT)), (20, 2), (30, 3)) AS t(x, idx)""",
+)
