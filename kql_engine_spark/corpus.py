@@ -200,18 +200,23 @@ q(
 
 q(
     "make_set_sorted",
+    # array results are serialized to delimited strings on both sides so the
+    # driver's pandas canonicalizer (which sorts rows) never sees list cells.
     """events
-    | summarize s = make_set(event_type) by u = user_id % 7
+    | summarize s0 = make_set(event_type) by u = user_id % 7
+    | project u, s = strcat_array(array_sort_asc(s0), '|')
     | sort by u asc""",
-    """SELECT user_id % 7 AS u, list_sort(list(DISTINCT event_type)) AS s
+    """SELECT user_id % 7 AS u,
+              array_to_string(list_sort(list(DISTINCT event_type)), '|') AS s
        FROM events GROUP BY 1 ORDER BY 1""",
 )
 
 q(
     "make_list_sorted",
     """lineitem
-    | summarize s = array_sort_asc(make_list(l_linenumber)) by l_orderkey""",
-    """SELECT l_orderkey, list_sort(list(l_linenumber)) AS s
+    | summarize s0 = make_list(l_linenumber) by l_orderkey
+    | project l_orderkey, s = strcat_array(array_sort_asc(s0), '|')""",
+    """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), '|') AS s
        FROM lineitem GROUP BY l_orderkey""",
 )
 
@@ -635,16 +640,19 @@ q(
 
 q(
     "dynamic_array_fns",
-    """print arr = dynamic([3, 1, 2])
-    | extend srt = array_sort_asc(arr), rev = array_reverse(arr),
-             ln = tolong(array_length(arr)),
-             sm = array_sum(arr), idx = array_index_of(arr, 2),
-             sl = array_slice(arr, 0, 1),
-             un = set_union(arr, dynamic([4, 1])),
-             cat = strcat_array(arr, '-')""",
-    """SELECT [3, 1, 2] AS arr, [1, 2, 3] AS srt, [2, 1, 3] AS rev,
+    """print arr0 = dynamic([3, 1, 2])
+    | extend arr = strcat_array(arr0, '|'),
+             srt = strcat_array(array_sort_asc(arr0), '|'),
+             rev = strcat_array(array_reverse(arr0), '|'),
+             ln = tolong(array_length(arr0)),
+             sm = array_sum(arr0), idx = array_index_of(arr0, 2),
+             sl = strcat_array(array_slice(arr0, 0, 1), '|'),
+             un = strcat_array(set_union(arr0, dynamic([4, 1])), '|'),
+             cat = strcat_array(arr0, '-')
+    | project-away arr0""",
+    """SELECT '3|1|2' AS arr, '1|2|3' AS srt, '2|1|3' AS rev,
               CAST(3 AS BIGINT) AS ln, 6.0 AS sm, CAST(2 AS BIGINT) AS idx,
-              [3, 1] AS sl, [1, 2, 3, 4] AS un, '3-1-2' AS cat""",
+              '3|1' AS sl, '1|2|3|4' AS un, '3-1-2' AS cat""",
 )
 
 # ------------------------------------------------------------ §2.10 make-series
@@ -652,6 +660,7 @@ q(
     "make_series_datetime",
     """events
     | make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type
+    | project event_type, c = strcat_array(c, '|'), ts = strcat_array(ts, '|')
     | sort by event_type asc""",
     """WITH axis AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
                                                    TIMESTAMP '2024-01-30',
@@ -663,8 +672,8 @@ q(
                FROM events GROUP BY 1, 2),
          grid AS (SELECT k.event_type, a.d FROM keys k CROSS JOIN axis a)
        SELECT grid.event_type,
-              list(COALESCE(CAST(g.c AS DOUBLE), 0.0) ORDER BY grid.d) AS c,
-              list(grid.d ORDER BY grid.d) AS ts
+              array_to_string(list(COALESCE(CAST(g.c AS DOUBLE), 0.0) ORDER BY grid.d), '|') AS c,
+              array_to_string(list(grid.d ORDER BY grid.d), '|') AS ts
        FROM grid LEFT JOIN g ON g.event_type = grid.event_type AND g.d = grid.d
        GROUP BY grid.event_type ORDER BY grid.event_type""",
 )
@@ -672,12 +681,13 @@ q(
 q(
     "make_series_numeric",
     """events
-    | make-series av = round(avg(value), 4) default = -1.0 on value from 0.0 to 100.0 step 12.5""",
+    | make-series av = round(avg(value), 4) default = -1.0 on value from 0.0 to 100.0 step 12.5
+    | project av = strcat_array(av, '|'), value = strcat_array(value, '|')""",
     """WITH axis AS (SELECT unnest([0.0, 12.5, 25.0, 37.5, 50.0, 62.5, 75.0, 87.5]) AS b),
          g AS (SELECT FLOOR(value / 12.5) * 12.5 AS b, ROUND(AVG(value), 4) AS av
                FROM events WHERE value >= 0 AND value < 100 GROUP BY 1)
-       SELECT list(COALESCE(g.av, -1.0) ORDER BY axis.b) AS av,
-              list(axis.b ORDER BY axis.b) AS value
+       SELECT array_to_string(list(COALESCE(g.av, -1.0) ORDER BY axis.b), '|') AS av,
+              array_to_string(list(axis.b ORDER BY axis.b), '|') AS value
        FROM axis LEFT JOIN g ON axis.b = g.b""",
 )
 
@@ -863,7 +873,7 @@ q(
     "llm_tfidf_topk",
     """documents
     | evaluate tfidf_topk(text, doc_id, 3)
-    | project doc_id, top_terms""",
+    | project doc_id, top_terms = strcat_array(top_terms, '|')""",
     r"""WITH toks AS (
          SELECT doc_id,
                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -879,7 +889,7 @@ q(
                      ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, term) AS rn
               FROM sc)
-       SELECT doc_id, list(term ORDER BY rn) AS top_terms
+       SELECT doc_id, array_to_string(list(term ORDER BY rn), '|') AS top_terms
        FROM rk WHERE rn <= 3 GROUP BY doc_id""",
 )
 
@@ -962,23 +972,25 @@ q(
 q(
     "series_arith",
     """print a = dynamic([1.0, 2.0, 3.0]), b = dynamic([4.0, 5.0, 6.0])
-    | extend sadd = series_add(a, b), ssub = series_subtract(a, b),
-             smul = series_multiply(a, b), sdiv = series_divide(a, b),
+    | extend sadd = strcat_array(series_add(a, b), '|'),
+             ssub = strcat_array(series_subtract(a, b), '|'),
+             smul = strcat_array(series_multiply(a, b), '|'),
+             sdiv = strcat_array(series_divide(a, b), '|'),
              ssum = series_sum(a)
     | project-away a, b""",
-    """SELECT [5.0, 7.0, 9.0] AS sadd, [-3.0, -3.0, -3.0] AS ssub,
-              [4.0, 10.0, 18.0] AS smul, [0.25, 0.4, 0.5] AS sdiv,
+    """SELECT '5.0|7.0|9.0' AS sadd, '-3.0|-3.0|-3.0' AS ssub,
+              '4.0|10.0|18.0' AS smul, '0.25|0.4|0.5' AS sdiv,
               6.0 AS ssum""",
 )
 
 q(
     "series_fill",
     """print a = dynamic([1.0, null, 3.0, null])
-    | extend fc = series_fill_const(a, 0.0), ff = series_fill_forward(a),
-             fb = series_fill_backward(a), fl = series_fill_linear(a)
+    | extend fc = tostring(series_fill_const(a, 0.0)), ff = tostring(series_fill_forward(a)),
+             fb = tostring(series_fill_backward(a)), fl = tostring(series_fill_linear(a))
     | project-away a""",
-    """SELECT [1.0, 0.0, 3.0, 0.0] AS fc, [1.0, 1.0, 3.0, 3.0] AS ff,
-              [1.0, 3.0, 3.0, NULL] AS fb, [1.0, 2.0, 3.0, 3.0] AS fl""",
+    """SELECT '[1.0,0.0,3.0,0.0]' AS fc, '[1.0,1.0,3.0,3.0]' AS ff,
+              '[1.0,3.0,3.0,null]' AS fb, '[1.0,2.0,3.0,3.0]' AS fl""",
 )
 
 q(
@@ -997,15 +1009,15 @@ q(
 q(
     "series_fir_filter",
     """print a = dynamic([1.0, 2.0, 3.0, 4.0])
-    | project f = series_fir(a, dynamic([1.0, 1.0]), true, false)""",
-    """SELECT [0.5, 1.5, 2.5, 3.5] AS f""",
+    | project f = strcat_array(series_fir(a, dynamic([1.0, 1.0]), true, false), '|')""",
+    """SELECT '0.5|1.5|2.5|3.5' AS f""",
 )
 
 q(
     "series_outliers_tukey",
     """print y = dynamic([1.0, 2.0, 3.0, 4.0, 100.0])
-    | project o = series_outliers(y)""",
-    """SELECT [0.0, 0.0, 0.0, 0.0, 46.5] AS o""",
+    | project o = strcat_array(series_outliers(y), '|')""",
+    """SELECT '0.0|0.0|0.0|0.0|46.5' AS o""",
 )
 
 q(
@@ -1230,7 +1242,7 @@ q(
     """print y = dynamic([1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 50.0])
     | extend a = series_decompose_anomalies(y, 2, 1.5),
              s = series_decompose_seasonal(y, 2)
-    | project a, s_first = todouble(s[0])""",
+    | project a = strcat_array(a, '|'), s_first = todouble(s[0])""",
     None,  # numpy-backed decomposition: pinned by pytest golden
 )
 
@@ -1275,8 +1287,8 @@ q(
 q(
     "extract_all_words",
     """part
-    | project p_partkey, words = extract_all('([a-z]+)', p_name)""",
-    r"""SELECT p_partkey, regexp_extract_all(p_name, '([a-z]+)', 1) AS words
+    | project p_partkey, words = strcat_array(extract_all('([a-z]+)', p_name), '|')""",
+    r"""SELECT p_partkey, array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), '|') AS words
        FROM part""",
 )
 
@@ -1351,22 +1363,25 @@ q(
 q(
     "arrays_more_fns",
     """print a = dynamic([1, 2, 3]), b = dynamic([3, 4])
-    | project cat2 = array_concat(a, b), rl = array_rotate_left(a, 1),
-              sl = array_shift_left(a, 1, 0), diff = set_difference(a, b),
-              jac = round(jaccard_index(a, b), 4), rep2 = repeat(7, 3),
+    | project cat2 = strcat_array(array_concat(a, b), '|'),
+              rl = strcat_array(array_rotate_left(a, 1), '|'),
+              sl = strcat_array(array_shift_left(a, 1, 0), '|'),
+              diff = strcat_array(set_difference(a, b), '|'),
+              jac = round(jaccard_index(a, b), 4),
+              rep2 = strcat_array(repeat(7, 3), '|'),
               dynj = dynamic_to_json(a),
-              ai = array_iff(dynamic([true, false, true]), a, b)""",
-    """SELECT [1, 2, 3, 3, 4] AS cat2, [2, 3, 1] AS rl, [2, 3, 0] AS sl,
-              [1, 2] AS diff, 0.25 AS jac, [7, 7, 7] AS rep2,
-              '[1,2,3]' AS dynj, [1, 4, 3] AS ai""",
+              ai = strcat_array(array_iff(dynamic([true, false, true]), a, b), '|')""",
+    """SELECT '1|2|3|3|4' AS cat2, '2|3|1' AS rl, '2|3|0' AS sl,
+              '1|2' AS diff, 0.25 AS jac, '7|7|7' AS rep2,
+              '[1,2,3]' AS dynj, '1|4|3' AS ai""",
 )
 
 q(
     "bag_ops_fns",
     """print mb = tolong(extractjson('$.b', bag_merge(pack('a', 1, 'b', 2), pack('b', 9, 'c', 3)))),
              rb = tolong(extractjson('$.b', bag_remove_keys(pack('a', 1, 'b', 2), dynamic(['b'])))),
-             keys = bag_keys(pack('x', 1))""",
-    """SELECT CAST(2 AS BIGINT) AS mb, CAST(NULL AS BIGINT) AS rb, ['x'] AS keys""",
+             keys = strcat_array(bag_keys(pack('x', 1)), '|')""",
+    """SELECT CAST(2 AS BIGINT) AS mb, CAST(NULL AS BIGINT) AS rb, 'x' AS keys""",
 )
 
 q(
@@ -1405,10 +1420,11 @@ q(
 q(
     "make_list_with_nulls_agg",
     """datatable(x:long, g:string)[1, 'a', long(null), 'a', 3, 'b']
-    | summarize l = array_sort_asc(make_list_with_nulls(x)) by g
+    | summarize l0 = array_sort_asc(make_list_with_nulls(x)) by g
+    | project g, l = tostring(l0)
     | sort by g asc""",
     """WITH t(x, g) AS (VALUES (CAST(1 AS BIGINT), 'a'), (NULL, 'a'), (3, 'b'))
-       SELECT g, list_sort(list(x), 'ASC', 'NULLS LAST') AS l
+       SELECT g, CAST(to_json(list_sort(list(x), 'ASC', 'NULLS LAST')) AS VARCHAR) AS l
        FROM t GROUP BY g ORDER BY g""",
 )
 
