@@ -298,6 +298,46 @@ q(
 )
 
 q(
+    "join_rightouter",
+    """orders
+    | join kind=rightouter (customer) on $left.o_custkey == $right.c_custkey
+    | summarize n = count(), unmatched = countif(isnull(o_orderkey)) by c_mktsegment
+    | sort by c_mktsegment asc""",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+              COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS unmatched
+       FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+
+q(
+    "join_multikey",
+    # composite-key equi-join on lineitem's natural PK (l_orderkey, l_linenumber)
+    """lineitem
+    | join kind=inner (
+        lineitem | where l_linenumber == 1
+                 | project l_orderkey, l_linenumber, base = l_quantity)
+      on $left.l_orderkey == $right.l_orderkey, $left.l_linenumber == $right.l_linenumber
+    | summarize n = count(), s = round(sum(base), 2)""",
+    """SELECT COUNT(*) AS n, ROUND(SUM(r.base), 2) AS s
+       FROM lineitem l
+       JOIN (SELECT l_orderkey, l_linenumber, l_quantity AS base
+             FROM lineitem WHERE l_linenumber = 1) r
+         ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber""",
+)
+
+q(
+    "join_broadcast_hint",
+    # hint must not change results: oracle is the plain (unhinted) join
+    """customer
+    | join kind=inner hint.strategy=broadcast (nation) on $left.c_nationkey == $right.n_nationkey
+    | summarize n = count(), bal = round(sum(c_acctbal), 2) by n_name
+    | sort by n_name asc""",
+    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+
+q(
     "lookup_dim",
     """customer
     | lookup (nation) on $left.c_nationkey == $right.n_nationkey
@@ -1645,3 +1685,55 @@ q(
     """SELECT x, idx FROM (VALUES
          (CAST(10 AS BIGINT), CAST(1 AS BIGINT)), (20, 2), (30, 3)) AS t(x, idx)""",
 )
+
+# ----------------------------------------------------------------- Tier-A order
+# The driver certifies an insertion-order PREFIX of this dict (the first ~50
+# entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A
+# contract: at least one representative per SURVEY §2 family — sources (§2.1),
+# row ops (§2.2), sort/take (§2.3), every join kind + multi-key + hints (§2.4),
+# union (§2.5), aggregates (§2.6), window (§2.7), mv-*/parse/evaluate (§2.8),
+# scalar fns (§2.9), make-series (§2.10), the streaming tumbling-bin twin
+# (§2.11), LLM data-pipeline ops (§2.12), misc operators (§2.13), and
+# let/invoke (§2.14). Entries outside the prefix keep their relative order and
+# stay covered by tests/test_corpus_oracle.py.
+_TIER_A = (
+    # §2.1 sources
+    "tpch_q1", "datatable_literal", "range_source", "externaldata_csv",
+    # §2.2 row ops
+    "where_project", "extend_arith", "project_away_keep_rename",
+    "distinct_cols", "serialize_row_number",
+    # §2.3 sort/take
+    "top_orders", "top_nested",
+    # §2.4 joins: all kinds + composite key + broadcast hint + lookup + multi-join
+    "join_inner", "join_leftouter", "join_rightouter", "join_fullouter",
+    "join_leftsemi", "join_leftanti", "join_rightsemi", "join_innerunique",
+    "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
+    # §2.5 union
+    "union_withsource",
+    # §2.6 summarize/aggregates
+    "tpch_q6", "agg_sweep", "summarize_computed_key", "percentiles_exact",
+    "arg_max_agg", "make_set_sorted",
+    # §2.7 window
+    "window_row_number", "window_cumsum_restart",
+    # §2.8 mv-*/parse/evaluate
+    "mv_expand_array", "mv_apply_agg", "parse_pattern", "bag_unpack_props",
+    # §2.9 scalar functions
+    "has_term", "case_iff", "datetime_fns", "dynamic_array_fns",
+    # §2.10 make-series
+    "make_series_datetime",
+    # §2.11 streaming twin (tumbling bin)
+    "summarize_bin_1d",
+    # §2.12 LLM data-pipeline
+    "llm_dedup_exact", "llm_similarity_search", "llm_text_stats", "llm_tfidf_topk",
+    # §2.13 misc operators
+    "count_op", "search_term", "partition_top_per_key",
+    # §2.14 let / invoke
+    "invoke_tabular_lambda",
+)
+assert len(_TIER_A) == 50, len(_TIER_A)
+_missing = [n for n in _TIER_A if n not in CORPUS]
+assert not _missing, f"Tier-A names missing from corpus: {_missing}"
+_rest = [n for n in CORPUS if n not in set(_TIER_A)]
+_reordered = {n: CORPUS[n] for n in (*_TIER_A, *_rest)}
+CORPUS.clear()
+CORPUS.update(_reordered)
