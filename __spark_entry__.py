@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The corpus below is trusted repo content; opt in to the (default-off)
+# `evaluate python(...)` plugin so its corpus entry runs under the driver.
+os.environ.setdefault("KQL_ENGINE_ENABLE_PYTHON_PLUGIN", "1")
+
 from kql_engine_spark.corpus import CORPUS, FLAGSHIP  # noqa: E402
 
 

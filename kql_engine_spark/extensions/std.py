@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..ast_nodes import Col, FuncCall
-from ..errors import KqlSemanticError
+from ..errors import KqlSemanticError, KqlUnsupportedError
 from ..functions.aggregates import AGG_REGISTRY
 from . import plugin
 
@@ -95,7 +95,21 @@ def _python_plugin(ptr, df, args):
     as pandas DataFrame `df` and must assign pandas DataFrame `result`.
     Lowered to mapInPandas (Arrow-batched — the documented slow path; the
     script runs per batch, never per row).
+
+    Trust model: like Kusto (where the plugin is disabled until a cluster
+    admin enables it), executing query-supplied code requires an explicit
+    opt-in — KQL_ENGINE_ENABLE_PYTHON_PLUGIN=1 in the environment. Without
+    it any query reaching `evaluate python(...)` fails with a typed error
+    instead of exec()ing arbitrary code on executors.
     """
+    import os
+
+    if os.environ.get("KQL_ENGINE_ENABLE_PYTHON_PLUGIN") != "1":
+        raise KqlUnsupportedError(
+            "evaluate python(...) executes query-supplied code and is "
+            "disabled by default; set KQL_ENGINE_ENABLE_PYTHON_PLUGIN=1 "
+            "to opt in (mirrors Kusto's admin-enabled python plugin)"
+        )
     from ..semantics import KQL_TO_SPARK
 
     spec = ptr.expr_tr(df).const_string(args[0])

@@ -1220,7 +1220,10 @@ def _format_timespan(tr, args):
 
     ts = tr.to_col(args[0])
     fmt = tr.const_string(args[1])
-    total = timespan_seconds_of(ts)
+    signed = timespan_seconds_of(ts)
+    # decompose on |total| — pmod folds negatives into [0, n), which would
+    # render -1h as 23h of a wrapped day; Kusto prefixes '-' instead
+    total = F.abs(signed)
     comp = {
         "d": F.floor(total / 86400).cast("bigint"),
         "h": F.floor(F.pmod(total, 86400.0) / 3600).cast("bigint"),
@@ -1252,4 +1255,5 @@ def _format_timespan(tr, args):
         else:
             out.append(F.lit(ch))
             i += 1
-    return F.concat(*out)
+    sign = F.when(signed < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(sign, *out)

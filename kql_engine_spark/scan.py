@@ -82,8 +82,8 @@ _FUNCS: dict[str, Callable] = {
     "todouble": lambda v: None if v is None else float(v),
     "toreal": lambda v: None if v is None else float(v),
     "abs": lambda v: None if v is None else abs(v),
-    "min_of": lambda *vs: min(v for v in vs if v is not None),
-    "max_of": lambda *vs: max(v for v in vs if v is not None),
+    "min_of": lambda *vs: min((v for v in vs if v is not None), default=None),
+    "max_of": lambda *vs: max((v for v in vs if v is not None), default=None),
     "not": lambda v: None if v is None else not v,
 }
 
@@ -216,6 +216,11 @@ def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
 
         for pdf in batches:
             out_rows = []
+            # Arrow->pandas turns nullable long/real cells into float64 NaN,
+            # which `is None` checks (the interpreter's null model) never see
+            # — isnull() would be false on nulls and NaN would leak through
+            # arithmetic. Normalize every batch to object cells with None.
+            pdf = pdf.astype(object).where(pdf.notna(), None)
             for row in pdf.to_dict("records"):
                 nonlocal_emitted = False
                 if cur < n_steps and conds[cur](row, steps_vals, state) is True:

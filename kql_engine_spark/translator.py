@@ -946,6 +946,13 @@ class PipeTranslator:
         shufflekey = op.hints.get("shufflekey")
         if shufflekey:
             keys = [shufflekey] if isinstance(shufflekey, str) else list(shufflekey)
+            # A shufflekey naming a computed by-key (the common skew-control
+            # case, e.g. `by h = hash(x)`) must resolve to its __kqlkey{i}
+            # temp column — the user-visible alias doesn't exist yet here.
+            keys = [
+                tmp_names[out_names.index(k)] if k in out_names else k
+                for k in keys
+            ]
             nparts = op.hints.get("num_partitions")
             if nparts:
                 work = work.repartition(int(nparts), *keys)
@@ -1578,6 +1585,14 @@ class PipeTranslator:
         joins the aggregates back to the source row."""
         rid = "__kqlmvrow"
         work = df.withColumn(rid, F.monotonically_increasing_id())
+        if any(isinstance(sop, Summarize) for sop in op.subquery):
+            # The aggregate path references `work` on BOTH sides of the
+            # re-attach join. mIid is assignment-order-dependent: after an
+            # upstream shuffle the two evaluations may number rows
+            # differently and aggregates would re-attach to the wrong rows.
+            # Pin the ids by materializing once (executor-local, no driver
+            # collect; cost is one pass over the mv-apply input).
+            work = work.localCheckpoint(eager=True)
         exp = self.t_mvexpand(
             work,
             MvExpand(

@@ -9,6 +9,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("KQL_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# The test corpus is trusted repo content: opt in to the (default-off)
+# evaluate python(...) plugin so its corpus entry is exercisable.
+os.environ.setdefault("KQL_ENGINE_ENABLE_PYTHON_PLUGIN", "1")
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

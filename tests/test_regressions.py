@@ -162,3 +162,80 @@ def test_tdigest_percentile_close(run_kql, duck):
         "SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem"
     ).fetchone()[0]
     assert abs(row.p50 - exact) / exact < 0.05
+
+
+# ------------------------------------------------------------ round-3 ADVICE
+
+
+def test_mvapply_reattach_after_shuffle(run_kql, duck):
+    # ADVICE r3: mv-apply's re-attach join referenced the mIid-stamped frame
+    # on both sides without pinning it; after an upstream shuffle the two
+    # evaluations could number rows differently (silent wrong re-attach).
+    # Exercise the aggregate path with a shuffle (summarize) upstream.
+    rows = run_kql(
+        "lineitem"
+        " | summarize qs = make_list(l_quantity) by l_orderkey"
+        " | mv-apply v = qs to typeof(real) on (summarize mx = max(v))"
+        " | summarize total = round(sum(mx), 2), n = count()"
+    ).collect()
+    oracle = duck.sql(
+        "SELECT ROUND(SUM(mx), 2) total, COUNT(*) n FROM ("
+        "  SELECT l_orderkey, MAX(l_quantity) mx FROM lineitem GROUP BY 1)"
+    ).fetchall()[0]
+    assert (float(rows[0].total), rows[0].n) == (float(oracle[0]), oracle[1])
+
+
+def test_scan_sees_nan_as_null(run_kql):
+    # ADVICE r3: nullable long columns arrive as float64 NaN in the pandas
+    # batches; the interpreter's `is None` null model must still see null.
+    rows = run_kql(
+        "datatable(t:long, v:long)[1, 10, 2, long(null), 3, 30]"
+        " | sort by t asc"
+        " | scan declare (nn:long = 0) with ("
+        "     step s1: true => nn = nn + tolong(isnull(v));)"
+    ).collect()
+    assert [r.nn for r in rows] == [0, 1, 0]
+
+
+def test_scan_min_of_all_null(run_kql):
+    # min_of/max_of over all-null arguments must yield null, not raise
+    rows = run_kql(
+        "datatable(t:long, v:long)[1, long(null)]"
+        " | sort by t asc"
+        " | scan declare (m:long = 0) with (step s1: true => m = min_of(v, v);)"
+    ).collect()
+    assert rows[0].m is None
+
+
+def test_python_plugin_gated_by_default(run_kql, monkeypatch):
+    # ADVICE r3: evaluate python() exec()s query-supplied code — default-off
+    from kql_engine_spark.errors import KqlUnsupportedError
+
+    monkeypatch.delenv("KQL_ENGINE_ENABLE_PYTHON_PLUGIN", raising=False)
+    with pytest.raises(KqlUnsupportedError):
+        run_kql("print x = 1 | evaluate python(typeof(*), 'result = df')")
+
+
+def test_shufflekey_hint_on_computed_key(run_kql, duck):
+    # ADVICE r3: hint.shufflekey naming a computed by-key alias raised
+    # AnalysisException (the alias only exists as __kqlkey{i} at that point)
+    rows = run_kql(
+        "orders"
+        " | summarize hint.shufflekey = h n = count() by h = o_custkey % 10"
+        " | sort by h asc"
+    ).collect()
+    oracle = duck.sql(
+        "SELECT o_custkey % 10 h, COUNT(*) n FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert [(r.h, r.n) for r in rows] == oracle
+
+
+def test_format_timespan_negative(run_kql):
+    # ADVICE r3: pmod folded negative timespans into [0, n) — -1h rendered
+    # as 23h of a wrapped day. Negative spans format as -<abs components>.
+    row = run_kql(
+        "print neg = format_timespan(0h - 1h - 30m - 5s, 'hh:mm:ss'),"
+        "      pos = format_timespan(1h + 30m + 5s, 'hh:mm:ss')"
+    ).collect()[0]
+    assert row.neg == "-01:30:05"
+    assert row.pos == "01:30:05"

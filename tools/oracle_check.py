@@ -58,6 +58,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
+    # trusted repo corpus: opt in to the default-off python plugin entry
+    os.environ.setdefault("KQL_ENGINE_ENABLE_PYTHON_PLUGIN", "1")
+
     import duckdb
 
     from kql_engine_spark.corpus import CORPUS
