@@ -328,6 +328,7 @@ class AsOp(TabularOp):
 class SearchOp(TabularOp):
     term: Expr
     ci: bool = True
+    col: str | None = None  # `search Col: "term"` scoping
 
 
 @dataclass

@@ -742,12 +742,25 @@ q(
 
 q(
     "search_term",
-    """part
-    | search 'gear'
+    # TERM semantics: 'old' must match the word "old" but NOT "cold"/"gold"
+    # (substring matching would return ~2x the rows on this fixture)
+    r"""part
+    | search 'old'
     | summarize n = count()""",
-    """SELECT COUNT(*) AS n FROM part
-       WHERE regexp_matches(p_name, '(?i)gear') OR regexp_matches(p_brand, '(?i)gear')
-          OR regexp_matches(p_type, '(?i)gear')""",
+    r"""SELECT COUNT(*) AS n FROM part
+       WHERE regexp_matches(p_name, '(?i)\bold\b')
+          OR regexp_matches(p_brand, '(?i)\bold\b')
+          OR regexp_matches(p_type, '(?i)\bold\b')""",
+)
+
+q(
+    "search_scoped_wildcard",
+    # column scoping + trailing-* prefix matching
+    r"""part
+    | search p_name: 'wid*'
+    | summarize n = count()""",
+    r"""SELECT COUNT(*) AS n FROM part
+       WHERE regexp_matches(p_name, '(?i)\bwid')""",
 )
 
 q(
@@ -774,6 +787,20 @@ q(
                                          ORDER BY l2.r2 DESC) AS rn
                FROM l1t JOIN l2 ON l1t.l_returnflag = l2.l_returnflag)
        SELECT l_returnflag, r1, l_linestatus, r2 FROM j WHERE rn <= 2""",
+)
+
+q(
+    "top_nested_others",
+    """orders
+    | top-nested 2 of o_orderpriority with others = 'other' by s = sum(o_totalprice)
+    | project o_orderpriority, s = round(s, 2)
+    | sort by o_orderpriority asc""",
+    """WITH g AS (SELECT o_orderpriority AS p, SUM(o_totalprice) AS s
+                  FROM orders GROUP BY 1),
+         r AS (SELECT p, s, ROW_NUMBER() OVER (ORDER BY s DESC) AS rn FROM g)
+       SELECT CASE WHEN rn <= 2 THEN p ELSE 'other' END AS o_orderpriority,
+              ROUND(SUM(s), 2) AS s
+       FROM r GROUP BY 1 ORDER BY 1""",
 )
 
 q(
@@ -1284,6 +1311,18 @@ q(
              s = series_decompose_seasonal(y, 2)
     | project a = strcat_array(a, '|'), s_first = todouble(s[0])""",
     None,  # numpy-backed decomposition: pinned by pytest golden
+)
+
+q(
+    "series_periods_detect_fn",
+    # period-8 sawtooth repeated 4x: ACF fundamental at lag 8
+    """print y = dynamic([0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0])
+    | extend pd = series_periods_detect(y, 0.0, 12.0, 1)
+    | project p = todouble(pd.periods[0]), strong = todouble(pd.scores[0]) > 0.5""",
+    """SELECT 8.0 AS p, true AS strong""",
 )
 
 # ------------------------------------------- coverage sweep: scalar functions

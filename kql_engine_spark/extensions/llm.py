@@ -277,13 +277,18 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     comp = work.select(F.col(idc).alias("node")).withColumn("comp", F.col("node"))
-    for _ in range(4):  # bounded smallest-id propagation (cluster diameter)
+    comp = comp.localCheckpoint(eager=True)
+    # smallest-id propagation to FIXPOINT: stop when no comp changed this
+    # round (a fixed round count under-merges chains longer than it — a
+    # threshold-chained cluster of diameter d needs d rounds). The cap
+    # bounds pathological chains; real near-dup clusters have tiny diameter.
+    for _ in range(16):
         nb = (
             sym.join(comp, sym["dst"] == comp["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("nbmin"))
         )
-        comp = (
+        new_comp = (
             comp.join(nb, comp["node"] == nb["src"], "left")
             .select(
                 F.col("node"),
@@ -293,5 +298,15 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
     keep = comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
     return df.join(keep, df[idc] == keep["node"], "left_semi")

@@ -1174,6 +1174,73 @@ def _residual_scores(residual):
     ) * np.where(np.abs(residual) > 0, 1.0, 0.0)
 
 
+def _detect_periods(y, min_p, max_p, num):
+    """Autocorrelation peak detection (SURVEY §2.10 series_periods_detect):
+    biased-normalized ACF (decays with lag, so the fundamental beats its
+    harmonics), local maxima within [min_p, max_p], top-`num` by score."""
+    import numpy as np
+
+    n = len(y)
+    if n < 4:
+        return [], []
+    if np.isnan(y).all():
+        return [], []
+    y = np.where(np.isnan(y), np.nanmean(y), y)
+    y = y - y.mean()
+    var = float((y * y).sum())
+    if var <= 0:
+        return [], []
+    hi = int(max_p) if max_p and max_p > 0 else n // 2
+    hi = min(hi, n - 2)
+    lo = max(2, int(np.ceil(min_p)))
+    if lo > hi:
+        return [], []
+    acf = np.array([float((y[: n - k] * y[k:]).sum()) / var for k in range(hi + 2)])
+    cands = []
+    for k in range(lo, hi + 1):
+        if acf[k] > 0 and acf[k] >= acf[k - 1] and acf[k] >= acf[k + 1]:
+            cands.append((acf[k], k))
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    top = cands[:num]
+    return (
+        [float(k) for _, k in top],
+        [float(min(max(s, 0.0), 1.0)) for s, _ in top],
+    )
+
+
+def _periods_detect_entry(tr, args):
+    min_p = float(tr.const_value(args[1])) if len(args) > 1 else 0.0
+    max_p = float(tr.const_value(args[2])) if len(args) > 2 else 0.0
+    num = int(tr.const_value(args[3])) if len(args) > 3 else 1
+    key = f"series_periods_detect:{min_p}:{max_p}:{num}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("periods array<double>, scores array<double>")
+        def udf(col):
+            import numpy as np
+            import pandas as pd
+
+            periods, scores = [], []
+            for a in col:
+                if a is None:
+                    periods.append(None)
+                    scores.append(None)
+                    continue
+                p, s = _detect_periods(
+                    np.asarray(a, dtype="float64"), min_p, max_p, num
+                )
+                periods.append(p)
+                scores.append(s)
+            return pd.DataFrame({"periods": periods, "scores": scores})
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+
+REGISTRY["series_periods_detect"] = _periods_detect_entry
+
+
 _decompose_udf("series_decompose_seasonal", lambda s, t, b, r, th: s)
 _decompose_udf("series_decompose_trend", lambda s, t, b, r, th: t)
 _decompose_udf("series_decompose_baseline", lambda s, t, b, r, th: b)

@@ -476,6 +476,12 @@ class Parser:
             self.next()
             of_name = of_expr.name
             of_expr = self.parse_expr()
+        others = None
+        if self.at(IDENT, "with"):  # `with others = "label"`
+            self.next()
+            self.expect(IDENT, "others")
+            self.expect(OP, "=")
+            others = str(self.expect(STRING).value)
         self.expect(IDENT, "by")
         agg_name = None
         agg = self.parse_expr()
@@ -483,7 +489,7 @@ class Parser:
             self.next()
             agg_name = agg.name
             agg = self.parse_expr()
-        return TopNestedLevel(n, of_name, of_expr, agg_name, agg)
+        return TopNestedLevel(n, of_name, of_expr, agg_name, agg, others)
 
     def op_top_hitters(self) -> TopHitters:
         n = int(self.expect(INT).value)
@@ -891,7 +897,12 @@ class Parser:
             self.next()
             self.expect(OP, "=")
             ci = self.ident_name().lower() != "case_sensitive"
-        return SearchOp(self.parse_expr(), ci)
+        col = None
+        # `search Col: "term"` — restrict the term match to one column
+        if self.at(IDENT) and self.at(OP, ":", 1):
+            col = self.ident_name()
+            self.expect(OP, ":")
+        return SearchOp(self.parse_expr(), ci, col)
 
     def op_partition(self) -> PartitionOp:
         while self.at(IDENT, "hint"):

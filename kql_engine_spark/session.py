@@ -25,6 +25,15 @@ def get_spark(app: str = "kql-engine-spark", master: str | None = None) -> Spark
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 100 TB posture: CBO join reordering for Q5-shaped pipelines (the
+        # KQL author's join order is pipeline order, not the optimal one).
+        # CBO needs catalog stats — on a real deployment run
+        # `ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS` at catalog
+        # registration; on path-based parquet reads (this sandbox) AQE's
+        # runtime re-planning is the operative lever instead.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

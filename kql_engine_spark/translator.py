@@ -1286,6 +1286,34 @@ class PipeTranslator:
                     .filter(F.col("__rn") <= level.n)
                     .drop("__rn")
                 )
+                if level.with_others is not None:
+                    # `with others = "L"` [KQL §2.3]: values outside the
+                    # top-N fold into one bucket labeled L, re-aggregated
+                    # from the underlying rows (correct for non-distributive
+                    # aggs like avg/dcount, not just sum). The top keys are
+                    # at most N x parent-combos -> broadcast to relabel, then
+                    # one more partial-agg-capable groupBy. Deeper levels see
+                    # the label as a regular value (they descend into the
+                    # others bucket like any other).
+                    topkeys = grouped.select(*keys).withColumn(
+                        "__kqlin", F.lit(1)
+                    )
+                    work = (
+                        work.join(F.broadcast(topkeys), on=keys, how="left")
+                        .withColumn(
+                            of_name,
+                            F.when(
+                                F.col("__kqlin").isNotNull(), F.col(of_name)
+                            ).otherwise(F.lit(level.with_others)),
+                        )
+                        .drop("__kqlin")
+                    )
+                    agg_out = AGG_REGISTRY[level.agg.name](
+                        self.expr_tr(work), level.agg.args, agg_name
+                    )
+                    grouped = work.groupBy(*keys).agg(
+                        *[c.alias(n) for n, c in agg_out]
+                    )
             if result is None:
                 result = grouped
             else:
@@ -1494,16 +1522,41 @@ class PipeTranslator:
         return df.limit(0)
 
     def t_searchop(self, df: DataFrame, op: SearchOp) -> DataFrame:
+        """`search [kind=...] [Col:] "term"` [KQL §2.13] — TERM matching
+        (whole alphanumeric token), not substring: `search "err"` must not
+        match "terror". Routed through the same word-boundary translation as
+        `has` per string column; `*` at either end of the literal relaxes
+        that side's boundary (Kusto wildcard search)."""
         tr = self.expr_tr(df)
         term = tr.const_string(op.term) if isinstance(op.term, Lit) else None
         if term is None:
             raise KqlUnsupportedError("search supports literal terms in v1")
-        pat = re.escape(term)
-        flags = "(?i)" if op.ci else ""
+        cs = not op.ci
+        if op.col is not None:
+            if op.col not in df.columns:
+                raise KqlSemanticError(f"search column {op.col!r} not found")
+            targets = [op.col]
+        else:
+            targets = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
+        if not targets:
+            return df.filter(F.lit(False))
+        mode, text = "term", term
+        if term.startswith("*") and term.endswith("*") and len(term) > 1:
+            mode, text = "contains", term.strip("*")
+        elif term.endswith("*"):
+            mode, text = "prefix", term.rstrip("*")
+        elif term.startswith("*"):
+            mode, text = "suffix", term.lstrip("*")
+        lit = Lit(text, "string")
         cond = F.lit(False)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, T.StringType):
-                cond = cond | F.regexp_like(F.col(f.name), F.lit(f"{flags}{pat}"))
+        for name in targets:
+            if mode == "contains":
+                cond = cond | tr._contains(Col(name), lit, cs)
+            else:
+                cond = cond | tr._has(Col(name), lit, cs, mode)
         return df.filter(cond)
 
     def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:

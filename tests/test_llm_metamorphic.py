@@ -141,3 +141,15 @@ def test_tokenize_lowercases_and_drops_empties(run_kql):
         "datatable(text:string)['  Hello   WORLD  '] | evaluate tokenize(text)"
     ).collect()[0]
     assert row.tokens == ["hello", "world"]
+
+
+def test_dedup_near_chain_diameter6_single_canonical(spark):
+    # a threshold-chained cluster: doc_i ~ doc_{i+1} (jaccard 0.625) but
+    # doc_0 !~ doc_2 — connected only through the chain, diameter 6. A
+    # fixed-round propagation under-merges this; fixpoint keeps exactly
+    # the min-id canonical doc.
+    toks = [f"tok{i:02d}" for i in range(40)]
+    rows = [(i, " ".join(toks[3 * i : 3 * i + 15])) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = _dedup_near(spark, df, 0.6).collect()
+    assert sorted(r.doc_id for r in kept) == [0]

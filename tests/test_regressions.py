@@ -239,3 +239,44 @@ def test_format_timespan_negative(run_kql):
     ).collect()[0]
     assert row.neg == "-01:30:05"
     assert row.pos == "01:30:05"
+
+
+def test_series_periods_detect_golden(run_kql):
+    # period-8 sawtooth x4 + a no-signal series: fundamental at lag 8
+    row = run_kql(
+        "print y = dynamic([0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,"
+        " 0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,"
+        " 0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,"
+        " 0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0])"
+        " | extend pd = series_periods_detect(y, 0.0, 12.0, 2)"
+        " | project p0 = todouble(pd.periods[0]), s0 = todouble(pd.scores[0]),"
+        "           np = tolong(array_length(pd.periods))"
+    ).collect()[0]
+    assert row.p0 == 8.0
+    assert row.s0 > 0.5
+    assert row.np <= 2
+    flat = run_kql(
+        "print y = dynamic([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])"
+        " | extend pd = series_periods_detect(y, 0.0, 4.0, 1)"
+        " | project np = tolong(array_length(pd.periods))"
+    ).collect()[0]
+    assert flat.np == 0
+
+
+def test_top_nested_with_others_two_levels(run_kql):
+    # level-1 others folds c+d into 'rest'; level-2 descends into every
+    # bucket (incl. 'rest') and folds non-top children into 'more'
+    rows = run_kql(
+        "datatable(g:string, c:string, v:long)["
+        "'a', 'x', 10, 'a', 'y', 5, 'a', 'z', 1,"
+        "'b', 'x', 8, 'c', 'x', 2, 'd', 'x', 1]"
+        " | top-nested 2 of g with others = 'rest' by s1 = sum(v),"
+        "   top-nested 1 of c with others = 'more' by s2 = sum(v)"
+    ).collect()
+    got = {(r.g, r.s1, r.c, r.s2) for r in rows}
+    assert got == {
+        ("a", 16, "x", 10),
+        ("a", 16, "more", 6),
+        ("b", 8, "x", 8),
+        ("rest", 3, "x", 3),
+    }
