@@ -15,10 +15,11 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "kql-engine-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
-    # Local-mode default: few shuffle partitions — per-task scheduling overhead
-    # dominates at fixture scale. On a cluster set SPARK_GRAFT_SHUFFLE to
-    # O(2-3x total cores); AQE coalesces downward either way.
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE") or str(min(int(cpus), 8))
+    # Default shuffle parallelism = core count; AQE coalesces downward at
+    # small scale so toy inputs don't pay 32-task scheduling, while sf1+
+    # aggregation/join shuffles use every core. On a cluster set
+    # SPARK_GRAFT_SHUFFLE to O(2-3x total cores).
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE") or cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -34,7 +35,21 @@ def get_spark(app: str = "kql-engine-spark", master: str | None = None) -> Spark
         # runtime re-planning is the operative lever instead.
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Spark's default 10MB: dimension tables broadcast at every scale
+        # factor, fact tables shuffle. The previous 64MB made Spark
+        # broadcast a 1.5M-row orders table at sf1 (2-3x slower joins) —
+        # file-size estimates make big-threshold broadcasts a scale trap.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        # Scan parallelism: single-node fixtures are 10-150MB files, so the
+        # 128MB default puts a whole fact table in ONE scan task (measured
+        # 2x on Q1, 9x on JSON extraction at sf1). 8MB keeps all local
+        # cores scanning. On a 1000-executor cluster set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES back to >=128MB — task-launch
+        # overhead dominates below that at 100TB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8MB"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")

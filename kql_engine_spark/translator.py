@@ -1707,6 +1707,32 @@ class PipeTranslator:
         return out
 
 
+import weakref
+
+# Catalog cache per (session, sf_dir): a fresh Catalog per kql() call would
+# re-read parquet footers and re-run scan analysis for every referenced
+# table on every query (~0.3s of the ~0.6s sf1 bench per-query time).
+# DataFrames are immutable so reuse is safe; WeakKey so a stopped session
+# doesn't pin its catalog.
+_CATALOG_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Catalog]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+# Plan cache: Catalyst analysis + optimization + codegen + AQE setup cost
+# ~0.5s per FRESH DataFrame (measured at sf1; execution of the same plan is
+# ~0.05s). Repeated query text — the dashboard/steady-state case — reuses
+# the translated DataFrame. Plans are cached, results are NOT: every
+# collect() re-executes the full scan/shuffle. Skipped for queries with
+# evaluation-time-dependent semantics (now/ago/rand/sample) and for
+# caller-supplied catalogs/options (no stable key).
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_PLAN_CACHE_CAP = 256
+_VOLATILE_MARKERS = ("now(", "ago(", "rand(", "sample", "externaldata")
+
+
 def kql(
     spark: SparkSession,
     text: str,
@@ -1715,7 +1741,27 @@ def kql(
     options: dict | None = None,
 ) -> DataFrame:
     """Primary entry point: KQL text -> DataFrame (SURVEY.md §3.2)."""
+    plan_key = None
+    if catalog is None and options is None and not any(
+        m in text for m in _VOLATILE_MARKERS
+    ):
+        plan_key = (sf_dir or "", text)
+        plans = _PLAN_CACHE.setdefault(spark, {})
+        hit = plans.get(plan_key)
+        if hit is not None:
+            return hit
     if catalog is None:
-        catalog = Catalog(spark, sf_dir)
+        per_session = _CATALOG_CACHE.setdefault(spark, {})
+        key = sf_dir or ""
+        catalog = per_session.get(key)
+        if catalog is None:
+            catalog = Catalog(spark, sf_dir)
+            per_session[key] = catalog
     q = parse(text)
-    return PipeTranslator(spark, catalog, options).translate_query(q)
+    out = PipeTranslator(spark, catalog, options).translate_query(q)
+    if plan_key is not None:
+        plans = _PLAN_CACHE.setdefault(spark, {})
+        if len(plans) >= _PLAN_CACHE_CAP:
+            plans.pop(next(iter(plans)))
+        plans[plan_key] = out
+    return out
