@@ -1490,6 +1490,19 @@ q(
 )
 
 q(
+    "hll_sketch_roundtrip",
+    # real sketch interop: per-group hll() sketches -> hll_merge() rollup ->
+    # dcount_hll() readout, within 1% of the exact distinct count
+    """let ex = toscalar(lineitem | summarize d = count_distinct(l_orderkey));
+    lineitem
+    | summarize h = hll(l_orderkey, 4) by l_returnflag
+    | summarize est = dcount_hll(hll_merge(h))
+    | project ok = abs(todouble(est) - todouble(ex)) / todouble(ex) < 0.01,
+              nonzero = est > 0""",
+    """SELECT true AS ok, true AS nonzero""",
+)
+
+q(
     "take_any_single_valued",
     """lineitem
     | summarize v = take_any(l_linestatus) by l_linestatus""",

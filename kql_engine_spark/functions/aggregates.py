@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..ast_nodes import Col, Expr, FuncCall, Lit, Star
 from ..errors import KqlSemanticError
@@ -143,8 +144,30 @@ def _count_distinctif(tr, args, name):
 
 @agg("hll")
 def _hll(tr, args, name):
-    # no portable sketch interop (SURVEY.md §2.6) — approx count at use-site
-    return [(name or _auto("hll", args), F.approx_count_distinct(tr.to_col(args[0])))]
+    """hll(col[, accuracy]) -> binary DataSketches HLL sketch (SURVEY §2.6).
+    Real sketch interop: intermediate states merge across summarize stages
+    via hll_merge() and read out via dcount_hll() — the pre-aggregated
+    rollup pattern that matters at 100 TB. Kusto accuracy 0-4 maps to
+    lgConfigK; doubles/timestamps are stringified (DataSketches HLL takes
+    int/long/string/binary)."""
+    out = name or _auto("hll", args)
+    lgk = {0: 11, 1: 12, 2: 14, 3: 16, 4: 21}.get(
+        int(tr.const_value(args[1])) if len(args) > 1 else 1, 12
+    )
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of_ast(args[0], c)
+    if not isinstance(
+        dt, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
+    ):
+        c = c.cast("string")
+    return [(out, F.hll_sketch_agg(c, lgk))]
+
+
+@agg("hll_merge")
+def _hll_merge(tr, args, name):
+    """Merge hll() sketches from a prior aggregation level [KQL §2.6]."""
+    out = name or _auto("hll_merge", args)
+    return [(out, F.hll_union_agg(tr.to_col(args[0]), True))]
 
 
 @agg("arg_max", "argmax")

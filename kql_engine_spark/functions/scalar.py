@@ -758,6 +758,24 @@ def _dynamic_to_json(tr, args):
     return c.cast("string")
 
 
+@fn("dcount_hll")
+def _dcount_hll(tr, args):
+    """Read the distinct-count estimate out of an hll()/hll_merge()
+    DataSketches sketch [KQL §2.6]."""
+    return F.hll_sketch_estimate(tr.to_col(args[0]))
+
+
+@fn("hll_merge")
+def _hll_merge_scalar(tr, args):
+    """Row-wise merge of two+ hll sketches (Kusto's scalar hll_merge).
+    The aggregate form of the same name lives in AGG_REGISTRY and wins
+    inside summarize; this one applies in extend/project context."""
+    out = tr.to_col(args[0])
+    for a in args[1:]:
+        out = F.hll_union(out, tr.to_col(a), True)
+    return out
+
+
 @fn("strcat_array", "array_strcat")
 def _strcat_array(tr, args):
     a = tr.to_col(args[0])

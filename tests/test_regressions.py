@@ -280,3 +280,25 @@ def test_top_nested_with_others_two_levels(run_kql):
         ("b", 8, "x", 8),
         ("rest", 3, "x", 3),
     }
+
+
+def test_hll_sketch_mergeable_roundtrip(run_kql):
+    # sketches built per-group must merge to the global estimate (the
+    # pre-aggregated rollup pattern); accuracy 4 is exact at fixture scale
+    est = run_kql(
+        "lineitem"
+        " | summarize h = hll(l_orderkey, 4) by l_returnflag"
+        " | summarize est = dcount_hll(hll_merge(h))"
+    ).collect()[0].est
+    exact = run_kql(
+        "lineitem | summarize d = count_distinct(l_orderkey)"
+    ).collect()[0].d
+    assert abs(est - exact) / exact < 0.01
+    # scalar 2-sketch merge (extend context) also reads out sanely
+    row = run_kql(
+        "lineitem"
+        " | summarize h = hll(l_orderkey) by flag = l_returnflag == 'R'"
+        " | summarize hs = make_list(h)"
+        " | project est = dcount_hll(hll_merge(hs[0], hs[1]))"
+    ).collect()[0]
+    assert abs(row.est - exact) / exact < 0.05
