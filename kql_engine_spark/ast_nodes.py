@@ -340,6 +340,7 @@ class PartitionOp(TabularOp):
 @dataclass
 class Facet(TabularOp):
     cols: list[str]
+    subquery: Optional[list[TabularOp]] = None  # `with ( subquery )`
 
 
 @dataclass

@@ -814,6 +814,16 @@ q(
 )
 
 q(
+    "facet_with_subquery",
+    # subquery applies per distinct facet value (partition-by contract)
+    """orders
+    | facet by o_orderpriority with (summarize n = count(), mx = max(o_totalprice))
+    | sort by o_orderpriority asc""",
+    """SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS mx
+       FROM orders GROUP BY 1 ORDER BY 1""",
+)
+
+q(
     "evaluate_pivot",
     """events
     | project user_id, event_type
@@ -1461,6 +1471,43 @@ q(
              rb = tolong(extractjson('$.b', bag_remove_keys(pack('a', 1, 'b', 2), dynamic(['b'])))),
              keys = strcat_array(bag_keys(pack('x', 1)), '|')""",
     """SELECT CAST(2 AS BIGINT) AS mb, CAST(NULL AS BIGINT) AS rb, 'x' AS keys""",
+)
+
+q(
+    "bitwise_series_misc_fns",
+    """print b_and = binary_and(12, 10), b_or = binary_or(12, 10),
+       b_xor = binary_xor(12, 10), b_not = binary_not(0),
+       shl = binary_shift_left(1, 4), shr = binary_shift_right(16, 2),
+       ones = bitset_count_ones(255), ct = round(cot(1.0), 4),
+       sp = strcat_array(series_pow(dynamic([2.0, 3.0]), dynamic([3.0, 2.0])), '|'),
+       ssin = strcat_array(series_sin(dynamic([0.0])), '|'),
+       asp = tostring(array_split(dynamic([1, 2, 3, 4, 5]), 2)),
+       pc = strcat_array(parse_csv('a,b,c'), '|'),
+       cie = column_ifexists('no_such_col', 42)""",
+    """SELECT CAST(8 AS BIGINT) AS b_and, CAST(14 AS BIGINT) AS b_or,
+              CAST(6 AS BIGINT) AS b_xor, CAST(-1 AS BIGINT) AS b_not,
+              CAST(16 AS BIGINT) AS shl, CAST(4 AS BIGINT) AS shr,
+              CAST(8 AS BIGINT) AS ones, 0.6421 AS ct, '8.0|9.0' AS sp,
+              '0.0' AS ssin, '[[1,2],[3,4,5]]' AS asp, 'a|b|c' AS pc,
+              CAST(42 AS BIGINT) AS cie""",
+)
+
+q(
+    "ipv4_mask_fns",
+    '''print priv = ipv4_is_private('192.168.1.4'), pub = ipv4_is_private('8.8.8.8'),
+       nm = ipv4_netmask_suffix('10.0.0.0/24'),
+       pm = format_ipv4(parse_ipv4_mask('192.168.1.77', 24)),
+       cmp0 = ipv4_compare('10.1.1.1/24', '10.1.1.200'),
+       cmp1 = ipv4_compare('10.1.2.1', '10.1.1.200'),
+       mt = ipv4_is_match('10.1.1.1', '10.1.1.200', 24),
+       gc = geo_point_in_circle(-122.4, 37.7, -122.41, 37.71, 5000.0),
+       uq = extractjson("$['Query Parameters'].k2", parse_urlquery('http://x/p?k1=v1&k2=v2')),
+       hs = hash_xxhash64('abc') == hash_xxhash64('abc'),
+       hd = hash_combine(1, 2) != hash_combine(2, 1)''',
+    """SELECT true AS priv, false AS pub, CAST(24 AS BIGINT) AS nm,
+              '192.168.1.0' AS pm, CAST(0 AS BIGINT) AS cmp0,
+              CAST(1 AS BIGINT) AS cmp1, true AS mt, true AS gc, 'v2' AS uq,
+              true AS hs, true AS hd""",
 )
 
 q(

@@ -1342,3 +1342,180 @@ def _format_timespan(tr, args):
             i += 1
     sign = F.when(signed < 0, F.lit("-")).otherwise(F.lit(""))
     return F.concat(sign, *out)
+
+
+# ------------------------------------------------- round-4 coverage sweep
+# Remaining common Kusto scalar functions: bitwise, trig, series
+# elementwise, IPv4 mask family, hashes, URL-query parsing, guid. All pure
+# F.* compositions (JVM-side, codegen-able) unless noted.
+
+simple("cot")(lambda c: F.lit(1.0) / F.tan(c))
+REGISTRY["weekofyear"] = REGISTRY["week_of_year"]
+
+simple("binary_and")(lambda a, b: a.cast("bigint").bitwiseAND(b.cast("bigint")))
+simple("binary_or")(lambda a, b: a.cast("bigint").bitwiseOR(b.cast("bigint")))
+simple("binary_xor")(lambda a, b: a.cast("bigint").bitwiseXOR(b.cast("bigint")))
+simple("binary_not")(lambda a: F.bitwise_not(a.cast("bigint")))
+simple("bitset_count_ones")(lambda a: F.bit_count(a.cast("bigint")).cast("bigint"))
+
+
+@fn("binary_shift_left")
+def _binary_shift_left(tr, args):
+    n = int(tr.const_value(args[1]))
+    return F.shiftleft(tr.to_col(args[0]).cast("bigint"), n)
+
+
+@fn("binary_shift_right")
+def _binary_shift_right(tr, args):
+    n = int(tr.const_value(args[1]))
+    return F.shiftright(tr.to_col(args[0]).cast("bigint"), n)
+
+
+simple("hash_xxhash64")(lambda *cs: F.xxhash64(*cs))
+
+
+@fn("hash_combine")
+def _hash_combine(tr, args):
+    """Order-dependent hash mixing (boost::hash_combine recipe — Kusto does
+    not publish its formula; deterministic and collision-resistant is the
+    contract)."""
+    out = tr.to_col(args[0]).cast("bigint")
+    golden = F.lit(-7046029254386353131)  # 0x9e3779b97f4a7c15 as signed i64
+    for a in args[1:]:
+        h = tr.to_col(a).cast("bigint")
+        out = out.bitwiseXOR(
+            h + golden + F.shiftleft(out, 6) + F.shiftright(out, 2)
+        )
+    return out
+
+
+for _nm, _f in [
+    ("series_sin", F.sin), ("series_cos", F.cos), ("series_tan", F.tan),
+    ("series_asin", F.asin), ("series_acos", F.acos), ("series_atan", F.atan),
+    ("series_sqrt", F.sqrt),
+]:
+    simple(_nm)(lambda a, _f=_f: F.transform(_as_dseries(a), _f))
+simple("series_not_equals")(_series_zip(lambda x, y: x != y))
+simple("series_pow")(_series_zip(lambda x, y: F.pow(x, y)))
+
+_IPV4_PRIVATE = (
+    (167772160, 184549375),        # 10.0.0.0/8
+    (2886729728, 2886795263),      # 172.16.0.0/12
+    (3232235520, 3232301055),      # 192.168.0.0/16
+)
+
+
+@fn("ipv4_is_private")
+def _ipv4_is_private(tr, args):
+    v = REGISTRY["parse_ipv4"](tr, [args[0]])
+    out = F.lit(False)
+    for lo, hi in _IPV4_PRIVATE:
+        out = out | ((v >= F.lit(lo)) & (v <= F.lit(hi)))
+    return out
+
+
+@fn("ipv4_netmask_suffix")
+def _ipv4_netmask_suffix(tr, args):
+    s = tr.to_col(args[0]).cast("string")
+    suf = F.split(s, "/")
+    return F.when(
+        F.size(suf) > 1, F.element_at(suf, 2).try_cast("bigint")
+    ).otherwise(F.lit(32).cast("bigint"))
+
+
+def _ipv4_masked(tr, arg, prefix_col):
+    v = REGISTRY["parse_ipv4"](tr, [arg])
+    blk = F.pow(F.lit(2.0), F.lit(32) - prefix_col).cast("bigint")
+    return (F.floor(v / blk) * blk).cast("bigint")
+
+
+@fn("parse_ipv4_mask")
+def _parse_ipv4_mask(tr, args):
+    return _ipv4_masked(tr, args[0], tr.to_col(args[1]).cast("int"))
+
+
+def _ipv4_effective_prefix(tr, args):
+    """min(explicit prefix arg, suffix of either address) [KQL ipv4_*]."""
+    p = (
+        tr.to_col(args[2]).cast("int")
+        if len(args) > 2
+        else F.lit(32).cast("int")
+    )
+    for a in args[:2]:
+        p = F.least(p, REGISTRY["ipv4_netmask_suffix"](tr, [a]).cast("int"))
+    return p
+
+
+@fn("ipv4_compare")
+def _ipv4_compare(tr, args):
+    p = _ipv4_effective_prefix(tr, args)
+    a = _ipv4_masked(tr, args[0], p)
+    b = _ipv4_masked(tr, args[1], p)
+    return F.signum((a - b).cast("double")).cast("bigint")
+
+
+@fn("ipv4_is_match")
+def _ipv4_is_match(tr, args):
+    p = _ipv4_effective_prefix(tr, args)
+    return _ipv4_masked(tr, args[0], p) == _ipv4_masked(tr, args[1], p)
+
+
+@fn("geo_point_in_circle")
+def _geo_point_in_circle(tr, args):
+    d = REGISTRY["geo_distance_2points"](tr, args[:4])
+    return d <= tr.to_col(args[4]).cast("double")
+
+
+REGISTRY["new_guid"] = lambda tr, args: F.expr("uuid()")
+simple("current_database")(lambda: F.lit("default"))
+simple("current_cluster_endpoint")(lambda: F.lit("local"))
+
+
+@fn("parse_urlquery")
+def _parse_urlquery(tr, args):
+    """Query-string -> bag {"Query Parameters": {k: v}} (JSON-text dynamic
+    carrier, same convention as series_stats_dynamic)."""
+    s = tr.to_col(args[0]).cast("string")
+    qs = F.when(s.contains("?"), F.substring_index(s, "?", -1)).otherwise(s)
+    m = F.str_to_map(qs, F.lit("&"), F.lit("="))
+    return F.to_json(F.create_map(F.lit("Query Parameters"), m))
+
+
+@fn("parse_csv")
+def _parse_csv(tr, args):
+    # documented delta: no quoted-comma handling (Kusto honors RFC quoting)
+    return F.split(tr.to_col(args[0]).cast("string"), ",")
+
+
+@fn("column_ifexists")
+def _column_ifexists(tr, args):
+    from ..ast_nodes import Col as _Col
+
+    name = (
+        args[0].name
+        if isinstance(args[0], _Col)
+        else str(tr.const_value(args[0]))
+    )
+    if tr.df is not None and name in tr.df.columns:
+        return F.col(name)
+    return tr.to_col(args[1])
+
+
+@fn("array_split")
+def _array_split(tr, args):
+    """array_split(arr, index | dynamic([i...])) -> array of subarrays
+    (constant indices; negative indices count from the end) [KQL]."""
+    a = tr.to_col(args[0])
+    idx = tr.const_value(args[1])
+    indices = [int(idx)] if not isinstance(idx, (list, tuple)) else [int(i) for i in idx]
+    n = F.size(a)
+
+    def norm(i):
+        return F.lit(i) if i >= 0 else F.greatest(n + F.lit(i), F.lit(0))
+
+    bounds = [F.lit(0), *[norm(i) for i in indices], n]
+    parts = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        ln = F.greatest(hi - lo, F.lit(0))
+        parts.append(F.slice(a, lo + 1, ln))
+    return F.array(*parts)

@@ -918,7 +918,16 @@ class Parser:
 
     def op_facet(self) -> Facet:
         self.expect(IDENT, "by")
-        return Facet(self.parse_name_list())
+        cols = self.parse_name_list()
+        sub = None
+        if self.at(IDENT, "with"):  # `facet by c with ( subquery )`
+            self.next()
+            self.expect(OP, "(")
+            sub = [self.parse_operator()]
+            while self.accept(OP, "|"):
+                sub.append(self.parse_operator())
+            self.expect(OP, ")")
+        return Facet(cols, sub)
 
     def op_consume(self) -> ConsumeOp:
         return ConsumeOp()

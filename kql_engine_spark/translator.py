@@ -1560,6 +1560,22 @@ class PipeTranslator:
         return df.filter(cond)
 
     def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:
+        if op.subquery is not None:
+            # `facet by c with ( subquery )` [KQL §2.13]: the subquery runs
+            # per distinct value of the faceted column — exactly `partition
+            # by`'s contract, so reuse its native (window/group) rewrite.
+            # Kusto returns one table per faceted column; the single-
+            # DataFrame API applies the subquery per column and unions when
+            # schemas align (v1: single column is the common case).
+            outs = [
+                self.t_partitionop(df, PartitionOp(c, list(op.subquery)))
+                for c in op.cols
+            ]
+            result = outs[0]
+            for other in outs[1:]:
+                result = result.unionByName(other, allowMissingColumns=True)
+            self.order = None
+            return result
         # eager by nature (SURVEY.md §3.2); v1 returns per-value counts union
         frames = []
         for c in op.cols:
@@ -1730,7 +1746,7 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
     weakref.WeakKeyDictionary()
 )
 _PLAN_CACHE_CAP = 256
-_VOLATILE_MARKERS = ("now(", "ago(", "rand(", "sample", "externaldata")
+_VOLATILE_MARKERS = ("now(", "ago(", "rand(", "sample", "externaldata", "new_guid")
 
 
 def kql(
