@@ -914,6 +914,33 @@ q(
 )
 
 q(
+    "llm_fingerprint",
+    # 64-bit content fingerprint must be a bijection onto distinct texts
+    # (collision probability ~0 at fixture scale); fp_min is the winnowing
+    # representative and can only merge docs, never split them
+    """documents
+    | evaluate fingerprint(text)
+    | summarize n = count(), d_fp = count_distinct(fp), d_min = count_distinct(fp_min)
+    | project n, d_fp, coarser = d_min <= d_fp""",
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT text) AS d_fp, true AS coarser
+       FROM documents""",
+)
+
+q(
+    "llm_lang_detect",
+    # mechanics oracle: total coverage, closed label set (the synthetic
+    # fixture's vocabulary is language-neutral, so accuracy vs the `lang`
+    # column is not testable here — the heuristic contract is)
+    """documents
+    | evaluate lang_detect(text)
+    | summarize total = count(),
+                labeled = countif(isnotempty(detected_lang)),
+                inset = countif(detected_lang in ('en', 'de', 'fr', 'es', 'zh', 'other'))
+    | project ok_all_labeled = total == labeled, ok_closed_set = total == inset""",
+    """SELECT true AS ok_all_labeled, true AS ok_closed_set""",
+)
+
+q(
     "llm_text_stats",
     """documents
     | evaluate text_stats(text)

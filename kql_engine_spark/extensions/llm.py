@@ -98,6 +98,71 @@ def _text_stats(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- fingerprint
+@plugin("fingerprint")
+def _fingerprint(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate fingerprint(textcol[, k])` — appends document
+    fingerprints (SURVEY §2.12 training-data ops):
+      fp      : 64-bit content hash of the full text (exact-dup key)
+      fp_min  : min rolling k-token-shingle hash (winnowing representative —
+                near-dups that share any k-shingle can collide on it, which
+                is the point; cheap LSH-ish pre-filter before dedup_near)
+    All JVM-side: shingles via transform over token indices, xxhash64 per
+    shingle, array_min. No Python in the row path."""
+    src = F.col(_colname(args[0], "fingerprint")).cast("string")
+    k = int(_const_float(args[1], "fingerprint")) if len(args) > 1 else 3
+    toks = _tokens(src)
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.withColumn("fp", F.xxhash64(src))
+        .withColumn(
+            "fp_min",
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
+        )
+    )
+
+
+# ---------------------------------------------------------------- lang_detect
+# Tiny built-in stopword profiles — a real deployment swaps in fastText or
+# CLD3 behind the same plugin contract; the heuristic (distinct-token
+# overlap with per-language stopword lists, argmax, 'other' on zero hits)
+# is the documented baseline and stays fully JVM-side.
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"],
+}
+
+
+@plugin("lang_detect")
+def _lang_detect(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate lang_detect(textcol)` — appends `detected_lang`
+    (stopword-overlap heuristic over the built-in profiles, 'other' when no
+    profile matches)."""
+    src = F.col(_colname(args[0], "lang_detect"))
+    toks = F.array_distinct(_tokens(src))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _LANG_STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("other")
+    # first-wins tie-break in profile order (deterministic)
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return df.withColumn("detected_lang", out)
+
+
 # ------------------------------------------------------------------- tokenize
 @plugin("tokenize")
 def _tokenize(ptr, df: DataFrame, args) -> DataFrame:
