@@ -914,6 +914,21 @@ q(
 )
 
 q(
+    "llm_dedup_simhash",
+    # deterministic: xxhash64-based simhash; docs 1/2/4 are near-identical
+    # (one word differs / exact dup), doc 3 is unrelated
+    """datatable(id:long, t:string)[
+       1, 'the quick brown fox jumps over the lazy dog and runs far away today',
+       2, 'the quick brown fox jumps over the lazy dog and runs far away tonight',
+       3, 'completely unrelated text about database query engines and spark plans',
+       4, 'the quick brown fox jumps over the lazy dog and runs far away today']
+    | evaluate dedup_simhash(t, id, 6)
+    | summarize n = count(), kept_min = min(id), kept_max = max(id)""",
+    """SELECT CAST(2 AS BIGINT) AS n, CAST(1 AS BIGINT) AS kept_min,
+              CAST(3 AS BIGINT) AS kept_max""",
+)
+
+q(
     "llm_fingerprint",
     # 64-bit content fingerprint must be a bijection onto distinct texts
     # (collision probability ~0 at fixture scale); fp_min is the winnowing
@@ -1003,6 +1018,24 @@ q(
     "llm_similarity_search",
     f"""embeddings
     | evaluate similarity_search(embedding, dynamic({_QVEC}), 10)
+    | project vec_id, s = round(sim, 6)""",
+    f"""WITH qv AS (SELECT unnest(CAST({_QVEC} AS DOUBLE[])) AS qa,
+                          generate_subscripts(CAST({_QVEC} AS DOUBLE[]), 1) AS i),
+         ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+         d AS (SELECT vec_id, SUM(x * qa) AS dot, SUM(x * x) AS nx, SUM(qa * qa) AS nq
+               FROM ev JOIN qv USING (i) GROUP BY vec_id)
+       SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(nq)), 6) AS s
+       FROM d ORDER BY dot / (SQRT(nx) * SQRT(nq)) DESC LIMIT 10""",
+)
+
+q(
+    "llm_similarity_ivf_full_probe",
+    # nprobe == nlist probes every partition -> IVF must equal brute force
+    # exactly, so the brute-force SQL twin certifies the whole path
+    f"""embeddings
+    | evaluate similarity_search_ivf(embedding, dynamic({_QVEC}), 10, 8, 8)
     | project vec_id, s = round(sim, 6)""",
     f"""WITH qv AS (SELECT unnest(CAST({_QVEC} AS DOUBLE[])) AS qa,
                           generate_subscripts(CAST({_QVEC} AS DOUBLE[]), 1) AS i),

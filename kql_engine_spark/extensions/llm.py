@@ -233,7 +233,13 @@ def _similarity_search(ptr, df: DataFrame, args) -> DataFrame:
     qvec = [float(x) for x in parse_dynamic_literal(args[1].raw)]
     k = int(_const_float(args[2], "similarity_search"))
 
-    emb = F.col(emb_name)
+    sim = _cosine_to_query(F.col(emb_name), qvec)
+    return df.withColumn("sim", sim).orderBy(F.col("sim").desc()).limit(k)
+
+
+def _cosine_to_query(emb: Column, qvec: list[float]) -> Column:
+    """JVM-side cosine similarity of an array<numeric> column vs a constant
+    query vector (zip_with dot product, aggregate norms)."""
     q = F.array(*[F.lit(x) for x in qvec])
     dot = F.aggregate(
         F.zip_with(emb, q, lambda a, b: a.cast("double") * b),
@@ -241,11 +247,69 @@ def _similarity_search(ptr, df: DataFrame, args) -> DataFrame:
         lambda s, v: s + v,
     )
     norm_e = F.sqrt(
-        F.aggregate(emb, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+        F.aggregate(
+            emb, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
+        )
     )
     norm_q = sum(x * x for x in qvec) ** 0.5
-    sim = dot / (norm_e * F.lit(norm_q))
-    return df.withColumn("sim", sim).orderBy(F.col("sim").desc()).limit(k)
+    return dot / (norm_e * F.lit(norm_q))
+
+
+@plugin("similarity_search_ivf")
+def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate similarity_search_ivf(embcol, dynamic([...]), k[,
+    nlist=16, nprobe=3])` — IVF-style approximate nearest neighbors, the
+    scale path next to brute-force similarity_search (SURVEY §2.12):
+
+      1. coarse quantizer: KMeans (nlist centroids, fixed seed) over the
+         embedding column;
+      2. probe selection: the query's nprobe nearest centroids — an
+         O(nlist x dim) driver-side computation on the fitted centers (the
+         one intentionally tiny driver step, same order as a broadcast);
+      3. search: cosine top-k restricted to the probed partitions — the
+         scan prunes (1 - nprobe/nlist) of the corpus.
+
+    Each call fits the quantizer (index build); a deployment that reuses
+    the index materializes the assigned table once and filters it per
+    query — the plugin contract stays the same."""
+    emb_name = _colname(args[0], "similarity_search_ivf")
+    if not isinstance(args[1], TypedLit) or args[1].ktype != "dynamic":
+        raise KqlSemanticError(
+            "similarity_search_ivf: query vector must be dynamic([...])"
+        )
+    qvec = [float(x) for x in parse_dynamic_literal(args[1].raw)]
+    k = int(_const_float(args[2], "similarity_search_ivf"))
+    nlist = int(_const_float(args[3], "similarity_search_ivf")) if len(args) > 3 else 16
+    nprobe = int(_const_float(args[4], "similarity_search_ivf")) if len(args) > 4 else 3
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "__v", array_to_vector(F.col(emb_name).cast("array<double>"))
+    )
+    km = KMeans(
+        k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+    ).fit(feat)
+
+    centers = km.clusterCenters()
+    qn = sum(x * x for x in qvec) ** 0.5
+
+    def _cos(c):
+        dot = sum(a * b for a, b in zip(c, qvec))
+        n = sum(a * a for a in c) ** 0.5
+        return dot / (n * qn) if n > 0 and qn > 0 else -1.0
+
+    probes = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:nprobe]
+
+    cand = km.transform(feat).filter(F.col("__cluster").isin(probes))
+    sim = _cosine_to_query(F.col(emb_name), qvec)
+    return (
+        cand.withColumn("sim", sim)
+        .orderBy(F.col("sim").desc())
+        .limit(k)
+        .drop("__v", "__cluster")
+    )
 
 
 # ------------------------------------------------------------ similarity_join
@@ -287,6 +351,47 @@ def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
 
 
 # ----------------------------------------------------------------- dedup_near
+def _min_id_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by smallest-id propagation to FIXPOINT (stop
+    when no label changed; a fixed round count under-merges chains longer
+    than it — a threshold-chained cluster of diameter d needs d rounds).
+    The cap bounds pathological chains; real near-dup clusters have tiny
+    diameter. Returns the canonical (min-id) node per component. Lineage is
+    truncated per round (localCheckpoint) — see the dedup_near docstring."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(16):
+        nb = (
+            sym.join(comp, sym["dst"] == comp["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbmin"))
+        )
+        new_comp = (
+            comp.join(nb, comp["node"] == nb["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+
+
 @plugin("dedup_near")
 def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate
@@ -332,46 +437,90 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
     )
-    # iterative algorithm: TRUNCATE LINEAGE at the loop boundary, or each
-    # round re-embeds the whole LSH join subtree and Catalyst's optimization
-    # of the self-referencing plan blows up combinatorially (observed: a
-    # 5-row input hanging the optimizer for minutes). localCheckpoint stores
-    # the partitions executor-side — the standard Spark pattern for
-    # iterative graph algorithms.
-    edges = edges.localCheckpoint(eager=True)
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    keep = _min_id_components(work.select(F.col(idc).alias("node")), edges)
+    return df.join(keep, df[idc] == keep["node"], "left_semi")
 
-    comp = work.select(F.col(idc).alias("node")).withColumn("comp", F.col("node"))
-    comp = comp.localCheckpoint(eager=True)
-    # smallest-id propagation to FIXPOINT: stop when no comp changed this
-    # round (a fixed round count under-merges chains longer than it — a
-    # threshold-chained cluster of diameter d needs d rounds). The cap
-    # bounds pathological chains; real near-dup clusters have tiny diameter.
-    for _ in range(16):
-        nb = (
-            sym.join(comp, sym["dst"] == comp["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbmin"))
-        )
-        new_comp = (
-            comp.join(nb, comp["node"] == nb["src"], "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))).alias(
-                    "comp"
-                ),
+
+@plugin("dedup_simhash")
+def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_simhash(textcol, idcol[, max_hamming=3])` —
+    SimHash near-duplicate removal (SURVEY §2.12; the other classic next to
+    MinHash-Jaccard):
+      1. 64-bit SimHash per doc: per-distinct-token xxhash64, bit-vote per
+         position, sign -> bit. Pure column expressions (64 aggregates over
+         the precomputed token-hash array; JVM-side, no Python).
+      2. Candidate pairs by BANDING: (max_hamming+1) bands — pigeonhole
+         guarantees any pair within max_hamming shares >=1 identical band,
+         so the self-join is bucket-local, never all-pairs.
+      3. Exact filter: bit_count(xor) <= max_hamming; min-id connected
+         components to fixpoint; keep the canonical doc.
+    Scale: banding keys the shuffle; components are localCheckpoint-bounded
+    like dedup_near."""
+    text = _colname(args[0], "dedup_simhash")
+    idc = _colname(args[1], "dedup_simhash")
+    maxham = int(_const_float(args[2], "dedup_simhash")) if len(args) > 2 else 3
+
+    toks = F.array_distinct(_tokens(F.col(text)))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(bit_j):
+        # closure factory: an extra default param on the lambda would make
+        # Spark treat it as the (acc, elem, index) 3-arg merge form
+        def merge(s, h):
+            return s + F.when(
+                F.shiftright(h, bit_j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(hs, F.lit(0), merge)
+
+    # bit-vote per position: +1 if the token hash has the bit, else -1
+    sim = F.lit(0).cast("bigint")
+    for j in range(64):
+        vote = _vote(j)
+        bit = (
+            F.lit(-(2**63)) if j == 63 else F.lit(1 << j)
+        )  # two's-complement top bit
+        sim = sim + F.when(vote > 0, bit.cast("bigint")).otherwise(F.lit(0))
+
+    work = (
+        df.select(F.col(idc).alias("__id"), F.col(text))
+        .filter(F.size(F.filter(_tokens(F.col(text)), lambda t: t != "")) > 0)
+        .withColumn("__sim", sim)
+        .select("__id", "__sim")
+        .localCheckpoint(eager=True)  # 64-agg expression tree: compute once
+    )
+    bands = max(2, min(maxham + 1, 8))  # >=2: a width-64 mask overflows i64
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = work.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("__sim"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for b in range(bands)
+                ]
             )
-            .localCheckpoint(eager=True)
+        ).alias("__band"),
+    ).select("__id", "__sim", "__band.b", "__band.v")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["b", "v"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter(
+            F.bit_count(
+                F.col("l.__sim").bitwiseXOR(F.col("r.__sim"))
+            )
+            <= maxham
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
-    keep = comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+        .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
+        .distinct()
+    )
+    keep = _min_id_components(work.select(F.col("__id").alias("node")), pairs)
     return df.join(keep, df[idc] == keep["node"], "left_semi")

@@ -195,3 +195,70 @@ def test_lang_detect_english_sentence(run_kql):
         " | project detected_lang"
     ).collect()
     assert [r.detected_lang for r in rows] == ["en", "de", "other"]
+
+
+def _dedup_simhash(spark, df, maxham):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse(f"T | where dedup_simhash(t, doc_id, {maxham})").pipe.ops[0].pred.args
+    return EVALUATE_REGISTRY["dedup_simhash"](ptr, df, args)
+
+
+def test_dedup_simhash_word_order_invariant(spark):
+    # distinct-token simhash: reorderings/repetitions of the same word set
+    # are hamming-0 duplicates
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "epsilon delta gamma beta alpha alpha"),
+         (3, "zeta eta theta iota kappa")],
+        "doc_id long, t string",
+    )
+    kept = sorted(r.doc_id for r in _dedup_simhash(spark, df, 0).collect())
+    assert kept == [1, 3]
+
+
+def test_dedup_simhash_idempotent_and_monotone(spark):
+    rows = [(i, f"shared words one two three four five six plus unique{i}")
+            for i in range(6)] + [(9, "entirely different content matter")]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    once = _dedup_simhash(spark, df, 8)
+    twice = _dedup_simhash(spark, once, 8)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+    loose = _dedup_simhash(spark, df, 16).count()
+    strict = _dedup_simhash(spark, df, 0).count()
+    assert strict >= loose
+
+
+def test_similarity_search_ivf_recall_and_probes(run_kql, duck):
+    vec = duck.sql("SELECT embedding FROM embeddings WHERE vec_id = 7").fetchone()[0]
+    q = "dynamic([" + ",".join(str(round(float(x), 6)) for x in vec) + "])"
+    brute = {
+        r.vec_id
+        for r in run_kql(
+            f"embeddings | evaluate similarity_search(embedding, {q}, 10)"
+            " | project vec_id"
+        ).collect()
+    }
+    ivf = [
+        r.vec_id
+        for r in run_kql(
+            f"embeddings | evaluate similarity_search_ivf(embedding, {q}, 10, 16, 4)"
+            " | project vec_id"
+        ).collect()
+    ]
+    assert ivf[0] == 7  # self-hit rank 1 (its own cluster is always probed)
+    assert len(brute & set(ivf)) >= 5  # recall@10 >= 0.5 probing 4/16
+    full = {
+        r.vec_id
+        for r in run_kql(
+            f"embeddings | evaluate similarity_search_ivf(embedding, {q}, 10, 8, 8)"
+            " | project vec_id"
+        ).collect()
+    }
+    assert full == brute  # nprobe == nlist -> exact
