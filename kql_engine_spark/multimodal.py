@@ -123,3 +123,113 @@ def decode_image(df: DataFrame) -> DataFrame:
         "real image decoding requires an image library not present in this "
         "environment; use fake_decode_image for plumbing tests"
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def fake_resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas 1->1 resize shape: (content, meta) -> RESIZED_IMAGE_SCHEMA.
+    The fake kernel emits a deterministic payload of width*height/64 bytes
+    derived from sha256(content) — a real PIL/libvips kernel replaces only
+    the bytes computation; schema, batching and partitioning are real."""
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            out = []
+            for b in pdf["content"]:
+                seed = hashlib.sha256(bytes(b) + f"{width}x{height}".encode()).digest()
+                n = max(1, width * height // 64)
+                out.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "path": meta["path"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
+def fake_sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
+    """mapInPandas 1->N frame-sampling shape: each video row explodes into
+    n_frames rows (frame_idx, ts_sec, frame bytes). This exercises the
+    expanding-batch contract a real ffmpeg sampler has — output row count
+    differs from input row count, which mapInPandas supports natively."""
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            rows = {"path": [], "frame_idx": [], "ts_sec": [], "frame": []}
+            for path, b in zip(meta["path"], pdf["content"]):
+                payload = bytes(b)
+                for i in range(n_frames):
+                    seed = hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(i)
+                    rows["ts_sec"].append(round(i / fps, 6))
+                    rows["frame"].append(seed)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def fake_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas 1->1 audio feature extraction: deterministic fake
+    duration/sample-rate/RMS from sha256(content). Swap in soundfile/librosa
+    for the real kernel; the Arrow batch shape is identical."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            feats = []
+            for b in pdf["content"]:
+                h = hashlib.sha256(bytes(b) or b"").digest()
+                feats.append(
+                    (
+                        round(1.0 + int.from_bytes(h[0:2], "big") / 65535.0 * 299.0, 4),
+                        (8000, 16000, 22050, 44100, 48000)[h[2] % 5],
+                        round(int.from_bytes(h[3:5], "big") / 65535.0, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "path": meta["path"],
+                    "duration_sec": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
