@@ -79,3 +79,36 @@ def test_whole_stage_codegen_covers_agg(run_kql):
     df.collect()
     plan = _plan(df)
     assert "* HashAggregate" in plan and "* Project" in plan
+
+
+def test_similarity_search_lowered_to_take_ordered(run_kql):
+    q = "dynamic([" + ",".join("0.1" for _ in range(64)) + "])"
+    df = run_kql(f"embeddings | evaluate similarity_search(embedding, {q}, 5)")
+    # per-partition top-k + driver merge, no global Exchange+Sort
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_simhash_banding_is_equi_join(run_kql):
+    # candidate generation must be a band-keyed equi-join (bucket-local),
+    # never a cartesian/broadcast-nested-loop all-pairs comparison
+    df = run_kql(
+        "datatable(id:long, t:string)[1, 'a b c d e', 2, 'a b c d f']"
+        " | evaluate dedup_simhash(t, id, 3)"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fingerprint_no_python_udf(run_kql):
+    df = run_kql("documents | evaluate fingerprint(text) | project doc_id, fp, fp_min")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lang_detect_no_python_udf(run_kql):
+    df = run_kql("documents | evaluate lang_detect(text) | project doc_id, detected_lang")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -74,3 +74,26 @@ def test_materialize_to_parquet(spark, tmp_path):
         ).groupBy("event_type").count().withColumnRenamed("count", "c").collect()
     }
     assert batch == expect
+
+
+def test_stream_dedup_exact_matches_batch(spark, run_kql):
+    # dedup_exact lowers to dropDuplicates, which Structured Streaming
+    # supports natively (state bounded by watermark in production; the
+    # availableNow test drain is finite)
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = "events | evaluate dedup_exact(event_type) | project event_type"
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    got = run_to_memory(sdf, "stream_dedup", mode="append").collect()
+    batch = run_kql(text).collect()
+    assert sorted(r.event_type for r in got) == sorted(r.event_type for r in batch)
+
+
+def test_stream_where_project_matches_batch(spark, run_kql):
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = "events | where value > 90.0 | project event_id, value"
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    got = run_to_memory(sdf, "stream_filter", mode="append")
+    assert got.count() == len(run_kql(text).collect())
