@@ -39,9 +39,16 @@ def main() -> None:
     kql(spark, "lineitem | count", sf_dir=sf_dir).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for bench_id, corpus_name in BENCH_QUERIES.items():
         text = CORPUS[corpus_name][0]
-        kql(spark, text, sf_dir=sf_dir).collect()  # warm-up run
+        # warm-up run = the COLD path: parse + translate + Catalyst analyze/
+        # optimize/codegen + execute. Recorded for transparency — the timed
+        # runs below hit the engine's plan cache (plans cached, results
+        # never: every run re-executes the full scan; see BASELINE.md).
+        t0 = time.perf_counter()
+        kql(spark, text, sf_dir=sf_dir).collect()
+        cold[bench_id] = round(time.perf_counter() - t0, 4)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -57,6 +64,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_run_sec": cold,
+                "cold_total_sec": round(sum(cold.values()), 4),
                 "sf": sf,
                 "engine": "kql_engine_spark",
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count(),
