@@ -31,6 +31,18 @@ class Catalog:
     def register(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
 
+    def names(self) -> list[str]:
+        """Known table names: explicitly registered + parquet files present
+        in base_dir (driver-side os.listdir — metadata only)."""
+        out = set(self._tables)
+        if self.base_dir and os.path.isdir(self.base_dir):
+            out.update(
+                f[: -len(".parquet")]
+                for f in os.listdir(self.base_dir)
+                if f.endswith(".parquet")
+            )
+        return sorted(out)
+
     def register_stream(self, name: str, df: DataFrame) -> None:
         """Bind a streaming DataFrame; the translator picks it over the batch
         table of the same name when translating in streaming mode."""

@@ -790,6 +790,28 @@ q(
 )
 
 q(
+    "union_wildcard",
+    """union withsource = src c*, s*
+    | summarize n = count() by src
+    | sort by src asc""",
+    """SELECT 'customer' AS src, COUNT(*) AS n FROM customer
+       UNION ALL SELECT 'supplier', COUNT(*) FROM supplier ORDER BY 1""",
+)
+
+q(
+    "find_project_missing_cols",
+    # find pads columns a table lacks with nulls (KQL union-schema rule)
+    """find in (customer, supplier)
+       where c_acctbal > 9000.0 or s_acctbal > 9000.0
+       project c_custkey, s_suppkey
+    | summarize n = count(), nc = countif(isnotnull(c_custkey)),
+                ns = countif(isnotnull(s_suppkey))""",
+    """WITH c AS (SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > 9000.0),
+         s AS (SELECT COUNT(*) AS n FROM supplier WHERE s_acctbal > 9000.0)
+       SELECT c.n + s.n AS n, c.n AS nc, s.n AS ns FROM c, s""",
+)
+
+q(
     "top_nested_others",
     """orders
     | top-nested 2 of o_orderpriority with others = 'other' by s = sum(o_totalprice)
@@ -1531,6 +1553,19 @@ q(
              rb = tolong(extractjson('$.b', bag_remove_keys(pack('a', 1, 'b', 2), dynamic(['b'])))),
              keys = strcat_array(bag_keys(pack('x', 1)), '|')""",
     """SELECT CAST(2 AS BIGINT) AS mb, CAST(NULL AS BIGINT) AS rb, 'x' AS keys""",
+)
+
+q(
+    "datetime_part_fn",
+    """print y = datetime_part('year', datetime(2024-03-05 04:05:06.789)),
+       q = datetime_part('quarter', datetime(2024-11-05)),
+       m = datetime_part('month', datetime(2024-03-05)),
+       d = datetime_part('day', datetime(2024-03-05)),
+       h = datetime_part('hour', datetime(2024-03-05 04:05:06)),
+       ms = datetime_part('millisecond', datetime(2024-03-05 04:05:06.789))""",
+    """SELECT CAST(2024 AS BIGINT) AS y, CAST(4 AS BIGINT) AS q,
+              CAST(3 AS BIGINT) AS m, CAST(5 AS BIGINT) AS d,
+              CAST(4 AS BIGINT) AS h, CAST(789 AS BIGINT) AS ms""",
 )
 
 q(

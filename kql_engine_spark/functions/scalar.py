@@ -1519,3 +1519,26 @@ def _array_split(tr, args):
         ln = F.greatest(hi - lo, F.lit(0))
         parts.append(F.slice(a, lo + 1, ln))
     return F.array(*parts)
+
+
+@fn("datetime_part")
+def _datetime_part(tr, args):
+    """datetime_part(part, dt) -> long [KQL]; part names per Kusto docs."""
+    part = tr.const_string(args[0]).lower()
+    d = tr.to_col(args[1])
+    mapping = {
+        "year": F.year, "quarter": F.quarter, "month": F.month,
+        "week_of_year": F.weekofyear, "weekofyear": F.weekofyear,
+        "day": F.dayofmonth, "dayofyear": F.dayofyear,
+        "hour": F.hour, "minute": F.minute, "second": F.second,
+    }
+    if part in mapping:
+        return mapping[part](d).cast("bigint")
+    micros = F.unix_micros(d)
+    if part == "millisecond":
+        return F.floor(F.pmod(micros, 1_000_000) / 1000).cast("bigint")
+    if part == "microsecond":
+        return F.pmod(micros, 1_000_000).cast("bigint")
+    if part == "nanosecond":
+        return (F.pmod(micros, 1_000_000) * 1000).cast("bigint")
+    raise KqlSemanticError(f"datetime_part: unknown part {part!r}")

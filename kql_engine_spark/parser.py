@@ -351,7 +351,12 @@ class Parser:
                 pipes.append(self.parse_pipe())
                 self.expect(OP, ")")
             else:
-                pipes.append(Pipe(TableRef(self.ident_name()), []))
+                name = self.ident_name()
+                # `union T*` wildcard table pattern (adjacent star only)
+                while self.at(OP, "*") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+                    self.next()
+                    name += "*"
+                pipes.append(Pipe(TableRef(name), []))
             if not self.accept(OP, ","):
                 break
         return pipes

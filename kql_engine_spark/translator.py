@@ -598,8 +598,9 @@ class PipeTranslator:
         if isinstance(src, RangeSource):
             return self._range_source(src)
         if isinstance(src, UnionSource):
+            pipes = self._expand_union_wildcards(src.pipes)
             dfs = [
-                (self._source_label(p), self.translate_pipe(p)) for p in src.pipes
+                (self._source_label(p), self.translate_pipe(p)) for p in pipes
             ]
             return self._union(dfs, src.kind, src.withsource)
         if isinstance(src, FindSource):
@@ -685,7 +686,15 @@ class PipeTranslator:
             pred = substitute_missing(src.pred, have)
             filtered = df.filter(self.expr_tr(df).to_col(pred))
             if src.project:
-                items = self._named_items(filtered, src.project)
+                # projected columns a table lacks become nulls (KQL find
+                # pads the union schema), same rule as the predicate
+                from .ast_nodes import NamedExpr as _NamedExpr
+
+                proj = [
+                    _NamedExpr(ne.name, substitute_missing(ne.expr, have))
+                    for ne in src.project
+                ]
+                items = self._named_items(filtered, proj)
                 filtered = filtered.select(*[c.alias(n) for n, c in items])
             frames.append((t, filtered))
         if not frames:
@@ -1130,9 +1139,28 @@ class PipeTranslator:
         self.order = None
         return out
 
+    def _expand_union_wildcards(self, pipes: list[Pipe]) -> list[Pipe]:
+        """`union T*`: expand wildcard table patterns against the catalog's
+        known tables [KQL]."""
+        out: list[Pipe] = []
+        for p in pipes:
+            src = p.source
+            if isinstance(src, TableRef) and "*" in src.name and not p.ops:
+                pat = re.compile(
+                    "^" + ".*".join(map(re.escape, src.name.split("*"))) + "$"
+                )
+                matches = sorted(n for n in self.catalog.names() if pat.match(n))
+                if not matches:
+                    raise KqlSemanticError(f"union: no table matches {src.name!r}")
+                out.extend(Pipe(TableRef(m), []) for m in matches)
+            else:
+                out.append(p)
+        return out
+
     def t_union(self, df: DataFrame, op: Union) -> DataFrame:
+        pipes = self._expand_union_wildcards(op.tables)
         dfs = [("self", df)] + [
-            (self._source_label(p), self.translate_pipe(p)) for p in op.tables
+            (self._source_label(p), self.translate_pipe(p)) for p in pipes
         ]
         return self._union(dfs, op.kind, op.withsource)
 
