@@ -993,8 +993,21 @@ class PipeTranslator:
         return [(item.name or "Column1", agg_tr.to_col(e))]
 
     # ------------------------------------------------------------------ joins
+    def _translate_join_side(self, pipe: Pipe) -> DataFrame:
+        """Join/lookup right sides resolve as STATIC tables even in
+        streaming mode — the stream-static dimension-enrichment pattern
+        (Spark re-reads the static side per micro-batch). A stream-stream
+        join would need watermarks on both sides + append mode; bind the
+        stream explicitly via Catalog.register_stream for that case."""
+        was = self.streaming
+        self.streaming = False
+        try:
+            return self.translate_pipe(pipe)
+        finally:
+            self.streaming = was
+
     def t_join(self, df: DataFrame, op: Join) -> DataFrame:
-        right = self.translate_pipe(op.right)
+        right = self._translate_join_side(op.right)
         kind = op.kind
         how_map = {
             "inner": "inner", "innerunique": "inner", "leftouter": "left",
@@ -1115,7 +1128,7 @@ class PipeTranslator:
         return right.withColumnsRenamed(rename), rename
 
     def t_lookup(self, df: DataFrame, op: Lookup) -> DataFrame:
-        right = self.translate_pipe(op.right)
+        right = self._translate_join_side(op.right)
         left_keys = [c.left.name for c in op.on]
         right_keys = [c.right.name for c in op.on]
         # dimension join: broadcast small side, drop duplicate key cols (§2.4)

@@ -97,3 +97,25 @@ def test_stream_where_project_matches_batch(spark, run_kql):
     sdf = kql_stream(spark, text, sf_dir=SF_DIR)
     got = run_to_memory(sdf, "stream_filter", mode="append")
     assert got.count() == len(run_kql(text).collect())
+
+
+def test_stream_static_dimension_join(spark, run_kql):
+    # the canonical streaming enrichment: stream fact joined to a static
+    # dimension (Structured Streaming supports stream-static inner joins
+    # natively; the dimension is re-read per micro-batch)
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = (
+        "events"
+        " | where value > 95.0"
+        " | join kind=inner (customer | project c_custkey, c_mktsegment)"
+        "   on $left.user_id == $right.c_custkey"
+        " | summarize n = count() by c_mktsegment"
+    )
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    got = run_to_memory(sdf, "stream_dim_join", mode="complete").collect()
+    batch = run_kql(text).collect()
+    assert sorted((r.c_mktsegment, r.n) for r in got) == sorted(
+        (r.c_mktsegment, r.n) for r in batch
+    )
