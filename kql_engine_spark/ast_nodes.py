@@ -408,6 +408,7 @@ class PipeSource(Source):
 class Pipe:
     source: Source
     ops: list[TabularOp] = field(default_factory=list)
+    materialize: bool = False  # `let x = materialize(...)` single-eval cache
 
 
 @dataclass

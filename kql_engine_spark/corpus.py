@@ -790,6 +790,18 @@ q(
 )
 
 q(
+    "let_materialize",
+    # materialize(): both references share one evaluated (persisted) result
+    """let agg = materialize(lineitem | summarize s = sum(l_quantity) by l_returnflag);
+    agg
+    | join kind=inner (agg | summarize mx = max(s)) on $left.s == $right.mx
+    | project l_returnflag, s""",
+    """WITH agg AS (SELECT l_returnflag, SUM(l_quantity) AS s
+                    FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, s FROM agg WHERE s = (SELECT MAX(s) FROM agg)""",
+)
+
+q(
     "union_wildcard",
     """union withsource = src c*, s*
     | summarize n = count() by src
@@ -1911,8 +1923,8 @@ _TIER_A = (
     "window_row_number", "window_cumsum_restart",
     # §2.8 mv-*/parse/evaluate
     "mv_expand_array", "mv_apply_agg", "parse_pattern", "bag_unpack_props",
-    # §2.9 scalar functions
-    "has_term", "case_iff", "datetime_fns", "dynamic_array_fns",
+    # §2.9 scalar functions (+ sketch interop readout)
+    "has_term", "hll_sketch_roundtrip", "datetime_fns", "dynamic_array_fns",
     # §2.10 make-series
     "make_series_datetime",
     # §2.11 streaming twin (tumbling bin)

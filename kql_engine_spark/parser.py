@@ -120,6 +120,14 @@ class Parser:
             j = self.find_matching_paren(self.i)
             if j is not None and self.toks[j + 1].kind == OP and self.toks[j + 1].value == "{":
                 return LetStmt(name, self.parse_lambda())
+        # `let x = materialize( T | ... )` — single-evaluation cache [KQL]
+        if self.at(IDENT, "materialize") and self.at(OP, "(", 1):
+            self.next()
+            self.expect(OP, "(")
+            pipe = self.parse_pipe()
+            self.expect(OP, ")")
+            pipe.materialize = True
+            return LetStmt(name, pipe)
         # tabular: IDENT followed by '|' or ';', or a source keyword
         if self.at(IDENT) or self.at(QIDENT):
             head = str(self.peek().value).lower() if self.at(IDENT) else ""

@@ -621,6 +621,14 @@ class PipeTranslator:
         bound = self.lets.get(name)
         if bound is not None:
             if isinstance(bound, Pipe):
+                if bound.materialize:
+                    # materialize(): evaluate once, share across references
+                    # [KQL]. persist() (not collect) — distributed cache,
+                    # lazily filled on first action, reused by every
+                    # downstream reference in the query.
+                    df = self.translate_pipe(bound).persist()
+                    self.named_results[name] = df
+                    return df
                 return self.translate_pipe(bound)
             if isinstance(bound, Col):
                 return self._resolve_table(bound.name)
