@@ -302,3 +302,30 @@ def test_hll_sketch_mergeable_roundtrip(run_kql):
         " | project est = dcount_hll(hll_merge(hs[0], hs[1]))"
     ).collect()[0]
     assert abs(row.est - exact) / exact < 0.05
+
+
+def test_plan_cache_reuses_and_reexecutes(spark):
+    # identical text -> same DataFrame object (plan reuse), but results are
+    # never cached: collect re-runs the job each time
+    from kql_engine_spark.translator import kql
+
+    a = kql(spark, "lineitem | summarize n = count()", sf_dir="/root/testdata/sf0.001")
+    b = kql(spark, "lineitem | summarize n = count()", sf_dir="/root/testdata/sf0.001")
+    assert a is b
+    assert a.collect() == b.collect()
+    # different sf_dir -> different plan
+    c = kql(spark, "lineitem | summarize n = count()", sf_dir="/root/testdata/sf0.01")
+    assert c is not a
+    assert c.collect()[0].n > a.collect()[0].n
+
+
+def test_plan_cache_skips_volatile_queries(spark):
+    # rand()/now()/new_guid() queries must not be frozen by the plan cache
+    from kql_engine_spark.translator import kql
+
+    a = kql(spark, "print x = rand()")
+    b = kql(spark, "print x = rand()")
+    assert a is not b
+    g1 = kql(spark, "print g = new_guid()").collect()[0].g
+    g2 = kql(spark, "print g = new_guid()").collect()[0].g
+    assert g1 != g2
