@@ -17,6 +17,7 @@ from .catalog import Catalog, fixture_catalog
 from .fluent import Kql, KqlQuery
 from .errors import KqlError, KqlSemanticError, KqlSyntaxError, KqlUnsupportedError
 from .session import get_spark
+from .streaming import kql_stream, materialize_to_parquet, run_to_memory
 from .translator import PipeTranslator, kql
 
 __all__ = [
@@ -31,6 +32,9 @@ __all__ = [
     "fixture_catalog",
     "get_spark",
     "kql",
+    "kql_stream",
+    "materialize_to_parquet",
+    "run_to_memory",
 ]
 
 __version__ = "0.1.0"
