@@ -338,6 +338,34 @@ class PartitionOp(TabularOp):
 
 
 @dataclass
+class MakeGraph(TabularOp):
+    """`E | make-graph src --> dst [with NodesPipe on id]` [KQL graph]."""
+
+    src: str
+    dst: str
+    nodes: Optional["Pipe"] = None
+    node_id: Optional[str] = None
+
+
+@dataclass
+class GraphStep:
+    edge_var: str
+    forward: bool  # -[e]-> vs <-[e]-
+    node_var: str  # the node the edge leads to
+
+
+@dataclass
+class GraphMatch(TabularOp):
+    """`| graph-match (a)-[e]->(b)... [where pred] project items` — fixed-
+    length patterns only (no *1..n variable-length edges in v1)."""
+
+    start_var: str
+    steps: list[GraphStep]
+    where: Optional[Expr] = None
+    project: Optional[list[NamedExpr]] = None
+
+
+@dataclass
 class Facet(TabularOp):
     cols: list[str]
     subquery: Optional[list[TabularOp]] = None  # `with ( subquery )`

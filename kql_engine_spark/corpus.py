@@ -790,6 +790,42 @@ q(
 )
 
 q(
+    "graph_match_2hop",
+    # fixed-length graph pattern lowers to a join chain; node/edge
+    # properties accessed through the bound variables
+    """datatable(src:long, dst:long, w:long)[1, 2, 10, 2, 3, 20, 1, 3, 5, 3, 4, 1]
+    | make-graph src --> dst with (datatable(id:long, name:string)[1, 'a', 2, 'b', 3, 'c', 4, 'd']) on id
+    | graph-match (x)-[e1]->(y)-[e2]->(z)
+      where e1.w > 4
+      project xn = x.name, yn = y.name, zn = z.name, tw = e1.w + e2.w
+    | sort by xn asc, yn asc, zn asc""",
+    """WITH e(src, dst, w) AS (VALUES (1, 2, 10), (2, 3, 20), (1, 3, 5), (3, 4, 1)),
+         n(id, nm) AS (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd'))
+       SELECT nx.nm AS xn, ny.nm AS yn, nz.nm AS zn,
+              CAST(e1.w + e2.w AS BIGINT) AS tw
+       FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       JOIN n nx ON nx.id = e1.src
+       JOIN n ny ON ny.id = e1.dst
+       JOIN n nz ON nz.id = e2.dst
+       WHERE e1.w > 4 ORDER BY 1, 2, 3""",
+)
+
+q(
+    "graph_match_cycle",
+    # repeated node variable closes the pattern into a cycle (equality
+    # filter, not a new join); implicit nodes from edge endpoints
+    """datatable(src:string, dst:string)['x', 'y', 'y', 'x', 'y', 'z']
+    | make-graph src --> dst
+    | graph-match (a)-[e1]->(b)-[e2]->(a)
+      project n1 = a.node_id, n2 = b.node_id
+    | sort by n1 asc""",
+    """WITH e(src, dst) AS (VALUES ('x', 'y'), ('y', 'x'), ('y', 'z'))
+       SELECT e1.src AS n1, e1.dst AS n2
+       FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e2.dst = e1.src
+       ORDER BY 1""",
+)
+
+q(
     "let_materialize",
     # materialize(): both references share one evaluated (persisted) result
     """let agg = materialize(lineitem | summarize s = sum(l_quantity) by l_returnflag);

@@ -12,8 +12,9 @@ from __future__ import annotations
 from .ast_nodes import (
     AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
     Evaluate, Expr, Extend, ExternalData, Facet, FuncCall, GetSchema, InList,
-    FindSource, Fork, Invoke, Join, JoinOn, Lambda, LetStmt, Lit, Lookup,
-    MakeSeries, MvApply, ReduceOp, ScanOp, ScanStep,
+    FindSource, Fork, GraphMatch, GraphStep, Invoke, Join, JoinOn, Lambda,
+    LetStmt, Lit, Lookup,
+    MakeGraph, MakeSeries, MvApply, ReduceOp, ScanOp, ScanStep,
     MvExpand, NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe,
     PipeSource, PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
@@ -903,6 +904,62 @@ class Parser:
             self.expect(OP, "=")
             self.next()
         return AsOp(self.ident_name())
+
+    def op_make_graph(self) -> MakeGraph:
+        """`make-graph src --> dst [with NodesPipe on id]` [KQL graph]."""
+        src = self.ident_name()
+        # `-->` lexes as '-' '-' '>'
+        self.expect(OP, "-")
+        self.expect(OP, "-")
+        self.expect(OP, ">")
+        dst = self.ident_name()
+        nodes = None
+        node_id = None
+        if self.accept(IDENT, "with"):
+            if self.accept(OP, "("):
+                nodes = self.parse_pipe()
+                self.expect(OP, ")")
+            else:
+                nodes = Pipe(TableRef(self.ident_name()), [])
+            self.expect(IDENT, "on")
+            node_id = self.ident_name()
+        return MakeGraph(src, dst, nodes, node_id)
+
+    def op_graph_match(self) -> GraphMatch:
+        """`graph-match (a)-[e]->(b)... [where pred] project items`."""
+        self.expect(OP, "(")
+        start = self.ident_name()
+        self.expect(OP, ")")
+        steps: list[GraphStep] = []
+        while self.at(OP, "-") or self.at(OP, "<"):
+            if self.accept(OP, "<"):  # <-[e]-(n)
+                self.expect(OP, "-")
+                self.expect(OP, "[")
+                evar = self.ident_name()
+                self.expect(OP, "]")
+                self.expect(OP, "-")
+                forward = False
+            else:  # -[e]->(n)
+                self.expect(OP, "-")
+                self.expect(OP, "[")
+                evar = self.ident_name()
+                self.expect(OP, "]")
+                self.expect(OP, "-")
+                self.expect(OP, ">")
+                forward = True
+            self.expect(OP, "(")
+            nvar = self.ident_name()
+            self.expect(OP, ")")
+            steps.append(GraphStep(evar, forward, nvar))
+        if not steps:
+            raise self.error("graph-match pattern needs at least one edge")
+        where = None
+        if self.accept(IDENT, "where"):
+            where = self.parse_expr(stop_words={"project"})
+        project = None
+        if self.accept(IDENT, "project"):
+            project = self.parse_named_expr_list()
+        return GraphMatch(start, steps, where, project)
 
     def op_search(self) -> SearchOp:
         ci = True

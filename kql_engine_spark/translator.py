@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from .ast_nodes import (
     AsOp, Between, BinOp, Col, ConsumeOp, CountOp, DataTable, Distinct,
     Evaluate, Expr, Extend, ExternalData, Facet, FindSource, Fork, FuncCall,
-    GetSchema, InList, ReduceOp,
+    GetSchema, GraphMatch, InList, MakeGraph, ReduceOp,
     Invoke, Join, Lambda, Lit, Lookup, MakeSeries, MvApply, MvExpand,
     NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe, PipeSource,
     PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
@@ -1607,6 +1607,90 @@ class PipeTranslator:
             else:
                 cond = cond | tr._has(Col(name), lit, cs, mode)
         return df.filter(cond)
+
+    def t_makegraph(self, df: DataFrame, op: MakeGraph) -> DataFrame:
+        """`E | make-graph src --> dst [with Nodes on id]` [KQL graph]: bind
+        the graph context (edges + nodes) for the following graph-match.
+        Without an explicit nodes table, nodes are the distinct endpoint ids
+        under `node_id`. Pass-through plan — nothing materializes here."""
+        edges = df
+        if op.nodes is not None:
+            nodes = self.translate_pipe(op.nodes)
+            node_id = op.node_id
+            if node_id not in nodes.columns:
+                raise KqlSemanticError(f"make-graph: node id {node_id!r} not in nodes")
+        else:
+            node_id = "node_id"
+            nodes = (
+                edges.select(F.col(op.src).alias(node_id))
+                .union(edges.select(F.col(op.dst).alias(node_id)))
+                .distinct()
+            )
+        self._graph = (edges, nodes, op.src, op.dst, node_id)
+        return df
+
+    def t_graphmatch(self, df: DataFrame, op: GraphMatch) -> DataFrame:
+        """`| graph-match (a)-[e]->(b) [where ...] project ...` — fixed-
+        length patterns lower to a chain of equi-joins (one per edge), with
+        every variable packed as a struct column so `a.prop` resolves via
+        ordinary property access. Repeated node variables (cycles) become
+        equality filters instead of new joins. Variable-length edges
+        (`*1..n`) are out of scope v1.
+
+        Scale: each hop is a keyed equi-join on node ids — shuffles are
+        id-partitioned and Catalyst may broadcast a small nodes side; no
+        cartesian products for any pattern shape."""
+        graph = getattr(self, "_graph", None)
+        if graph is None:
+            raise KqlSemanticError("graph-match requires a preceding make-graph")
+        self._graph = None
+        edges, nodes, src, dst, nid = graph
+
+        def node_struct(var: str) -> DataFrame:
+            return nodes.select(
+                F.struct(*[F.col(c) for c in nodes.columns]).alias(var)
+            )
+
+        def edge_struct(var: str) -> DataFrame:
+            return edges.select(
+                F.struct(*[F.col(c) for c in edges.columns]).alias(var)
+            )
+
+        evars = [s.edge_var for s in op.steps]
+        if len(set(evars)) != len(evars):
+            raise KqlSemanticError("graph-match: edge variables must be distinct")
+        cur = node_struct(op.start_var)
+        bound = {op.start_var}
+        prev = op.start_var
+        for step in op.steps:
+            if step.edge_var in bound:
+                raise KqlSemanticError(
+                    f"graph-match: {step.edge_var!r} already bound as a node"
+                )
+            from_field, to_field = (src, dst) if step.forward else (dst, src)
+            e = edge_struct(step.edge_var)
+            cur = cur.join(
+                e, cur[prev][nid] == e[step.edge_var][from_field], "inner"
+            )
+            if step.node_var in bound:
+                # cycle back to an already-bound node -> equality filter
+                cur = cur.filter(
+                    F.col(step.node_var)[nid] == F.col(step.edge_var)[to_field]
+                )
+            else:
+                n = node_struct(step.node_var)
+                cur = cur.join(
+                    n, cur[step.edge_var][to_field] == n[step.node_var][nid], "inner"
+                )
+                bound.add(step.node_var)
+            prev = step.node_var
+        if op.where is not None:
+            cur = cur.filter(self.expr_tr(cur).to_col(op.where))
+        if op.project:
+            items = self._named_items(cur, op.project)
+            cur = cur.select(*[c.alias(n) for n, c in items])
+        self.order = None
+        return cur
 
     def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:
         if op.subquery is not None:

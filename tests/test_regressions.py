@@ -329,3 +329,20 @@ def test_plan_cache_skips_volatile_queries(spark):
     g1 = kql(spark, "print g = new_guid()").collect()[0].g
     g2 = kql(spark, "print g = new_guid()").collect()[0].g
     assert g1 != g2
+
+
+def test_graph_match_requires_make_graph(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError):
+        run_kql("orders | graph-match (a)-[e]->(b) project x = a.node_id")
+
+
+def test_graph_match_reverse_edge(run_kql):
+    rows = run_kql(
+        "datatable(src:string, dst:string)['x', 'y', 'z', 'y']"
+        " | make-graph src --> dst"
+        " | graph-match (a)<-[e]-(b) project to_ = a.node_id, frm = b.node_id"
+        " | sort by frm asc"
+    ).collect()
+    assert [(r.frm, r.to_) for r in rows] == [("x", "y"), ("z", "y")]
