@@ -352,6 +352,8 @@ class GraphStep:
     edge_var: str
     forward: bool  # -[e]-> vs <-[e]-
     node_var: str  # the node the edge leads to
+    min_len: int = 1  # -[e*1..3]-> bounded variable-length (1..1 = plain)
+    max_len: int = 1
 
 
 @dataclass

@@ -826,6 +826,25 @@ q(
 )
 
 q(
+    "graph_match_varlen",
+    # bounded variable-length edge: reachability in 1..3 hops, edge var
+    # binds the path (array of edge structs)
+    """datatable(src:string, dst:string)['x', 'y', 'y', 'z', 'z', 'w', 'w', 'v']
+    | make-graph src --> dst
+    | graph-match (a)-[e*1..3]->(b)
+      where a.node_id == 'x'
+      project target = b.node_id, hops = tolong(array_length(e))
+    | sort by hops asc""",
+    """WITH RECURSIVE e(src, dst) AS (VALUES ('x','y'),('y','z'),('z','w'),('w','v')),
+         walk(target, hops) AS (
+           SELECT dst, 1 FROM e WHERE src = 'x'
+           UNION ALL
+           SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.target
+           WHERE w.hops < 3)
+       SELECT target, CAST(hops AS BIGINT) AS hops FROM walk ORDER BY hops""",
+)
+
+q(
     "let_materialize",
     # materialize(): both references share one evaluated (persisted) result
     """let agg = materialize(lineitem | summarize s = sum(l_quantity) by l_returnflag);

@@ -932,25 +932,44 @@ class Parser:
         self.expect(OP, ")")
         steps: list[GraphStep] = []
         while self.at(OP, "-") or self.at(OP, "<"):
+            def edge_body() -> tuple[str, int, int]:
+                self.expect(OP, "[")
+                ev = self.ident_name()
+                lo = hi = 1
+                if self.accept(OP, "*"):  # bounded variable length e*1..3
+                    # `1..3` lexes as REAL("1.") REAL(".3") — recover the
+                    # integer bounds from the raw source text
+                    if self.at(REAL):
+                        t1 = self.next()
+                        raw1 = self.text[t1.pos:t1.end]
+                        t2 = self.expect(REAL)
+                        raw2 = self.text[t2.pos:t2.end]
+                        if not raw1.endswith(".") or not raw2.startswith("."):
+                            raise self.error("expected *lo..hi edge bounds")
+                        lo, hi = int(raw1[:-1]), int(raw2[1:])
+                    else:  # spaced form: *1 .. 3
+                        lo = int(self.expect(INT).value)
+                        self.expect(OP, ".")
+                        self.expect(OP, ".")
+                        hi = int(self.expect(INT).value)
+                self.expect(OP, "]")
+                return ev, lo, hi
+
             if self.accept(OP, "<"):  # <-[e]-(n)
                 self.expect(OP, "-")
-                self.expect(OP, "[")
-                evar = self.ident_name()
-                self.expect(OP, "]")
+                evar, lo, hi = edge_body()
                 self.expect(OP, "-")
                 forward = False
             else:  # -[e]->(n)
                 self.expect(OP, "-")
-                self.expect(OP, "[")
-                evar = self.ident_name()
-                self.expect(OP, "]")
+                evar, lo, hi = edge_body()
                 self.expect(OP, "-")
                 self.expect(OP, ">")
                 forward = True
             self.expect(OP, "(")
             nvar = self.ident_name()
             self.expect(OP, ")")
-            steps.append(GraphStep(evar, forward, nvar))
+            steps.append(GraphStep(evar, forward, nvar, lo, hi))
         if not steps:
             raise self.error("graph-match pattern needs at least one edge")
         where = None

@@ -1667,22 +1667,49 @@ class PipeTranslator:
                 raise KqlSemanticError(
                     f"graph-match: {step.edge_var!r} already bound as a node"
                 )
+            if not (1 <= step.min_len <= step.max_len):
+                raise KqlSemanticError("graph-match: bad *lo..hi edge bounds")
+            if step.max_len > 8:
+                raise KqlSemanticError(
+                    "graph-match: variable-length edges capped at *..8 "
+                    "(each extra hop is one more join)"
+                )
             from_field, to_field = (src, dst) if step.forward else (dst, src)
-            e = edge_struct(step.edge_var)
-            cur = cur.join(
-                e, cur[prev][nid] == e[step.edge_var][from_field], "inner"
-            )
-            if step.node_var in bound:
-                # cycle back to an already-bound node -> equality filter
-                cur = cur.filter(
-                    F.col(step.node_var)[nid] == F.col(step.edge_var)[to_field]
-                )
-            else:
-                n = node_struct(step.node_var)
-                cur = cur.join(
-                    n, cur[step.edge_var][to_field] == n[step.node_var][nid], "inner"
-                )
-                bound.add(step.node_var)
+            plain = step.min_len == 1 and step.max_len == 1
+            # bounded variable-length `-[e*lo..hi]->`: unroll each length L
+            # into a join chain through unconstrained intermediates, bind
+            # the edge var to the ARRAY of edge structs, union the lengths.
+            variants = []
+            for length in range(step.min_len, step.max_len + 1):
+                v = cur
+                tmps = []
+                for k in range(length):
+                    tmp = f"__kqle_{step.edge_var}_{k}"
+                    e = edge_struct(tmp)
+                    left_key = (
+                        v[prev][nid] if not tmps else v[tmps[-1]][to_field]
+                    )
+                    v = v.join(e, left_key == e[tmp][from_field], "inner")
+                    tmps.append(tmp)
+                if plain:
+                    v = v.withColumnRenamed(tmps[0], step.edge_var)
+                    last_to = F.col(step.edge_var)[to_field]
+                else:
+                    v = v.withColumn(
+                        step.edge_var, F.array(*[F.col(t) for t in tmps])
+                    ).drop(*tmps)
+                    last_to = F.element_at(F.col(step.edge_var), -1)[to_field]
+                if step.node_var in bound:
+                    # cycle back to an already-bound node -> equality filter
+                    v = v.filter(F.col(step.node_var)[nid] == last_to)
+                else:
+                    n = node_struct(step.node_var)
+                    v = v.join(n, last_to == n[step.node_var][nid], "inner")
+                variants.append(v)
+            cur = variants[0]
+            for v in variants[1:]:
+                cur = cur.unionByName(v)
+            bound.add(step.node_var)
             prev = step.node_var
         if op.where is not None:
             cur = cur.filter(self.expr_tr(cur).to_col(op.where))

@@ -346,3 +346,26 @@ def test_graph_match_reverse_edge(run_kql):
         " | sort by frm asc"
     ).collect()
     assert [(r.frm, r.to_) for r in rows] == [("x", "y"), ("z", "y")]
+
+
+def test_graph_match_varlen_binds_edge_array(run_kql):
+    rows = run_kql(
+        "datatable(src:string, dst:string, w:long)["
+        "'x', 'y', 1, 'y', 'z', 2]"
+        " | make-graph src --> dst"
+        " | graph-match (a)-[e*1..2]->(b)"
+        "   where a.node_id == 'x'"
+        "   project target = b.node_id, hops = tolong(array_length(e))"
+    ).collect()
+    assert {(r.target, r.hops) for r in rows} == {("y", 1), ("z", 2)}
+
+
+def test_graph_match_varlen_cap(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError):
+        run_kql(
+            "datatable(src:string, dst:string)['x', 'y']"
+            " | make-graph src --> dst"
+            " | graph-match (a)-[e*1..50]->(b) project t = b.node_id"
+        )
