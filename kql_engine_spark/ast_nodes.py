@@ -325,10 +325,24 @@ class AsOp(TabularOp):
 
 
 @dataclass
-class SearchOp(TabularOp):
-    term: Expr
-    ci: bool = True
+class SearchTerm:
+    """Leaf of a search predicate: one term, optionally column-scoped.
+
+    `exact` marks `Col == "value"` (case-sensitive equality) as opposed to
+    the default whole-token term match.
+    """
+
+    term: "Expr"
     col: str | None = None  # `search Col: "term"` scoping
+    exact: bool = False
+
+
+@dataclass
+class SearchOp(TabularOp):
+    # pred is a SearchTerm or an ("and"|"or", left, right) tuple tree
+    pred: object
+    ci: bool = True
+    tables: Optional[list[str]] = None  # `search in (T1, T2, ...) ...`
 
 
 @dataclass
@@ -466,6 +480,13 @@ class FindSource(Source):
     tables: list[str]
     pred: "Expr"
     project: list["NamedExpr"] | None = None
+
+
+@dataclass
+class SearchSource(Source):
+    """Query-initial `search [in (T1, ...)] pred` — cross-table term search
+    [KQL §2.13]. Without an `in` list, every catalog table is searched."""
+    op: "SearchOp"
 
 
 @dataclass

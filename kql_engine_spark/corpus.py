@@ -754,6 +754,29 @@ q(
 )
 
 q(
+    "search_and_terms",
+    # Round 5: boolean search predicate (or / and / parens / column-scoped
+    # terms / exact ==) over the cross-table `search in (...)` form. Each
+    # table is filtered independently (missing scoped columns are False
+    # there), unioned null-padded with a $table provenance column.
+    r"""search in (region, nation, customer) r_name: 'ASIA' or n_name == 'NATION_7'
+        or (c_mktsegment == 'BUILDING' and c_name: 'Customer#00000042*')
+    | summarize n = count() by tbl = $table
+    | sort by tbl asc""",
+    r"""SELECT tbl, n FROM (
+      SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM region
+        WHERE regexp_matches(r_name, '(?i)\bASIA\b')
+      UNION ALL
+      SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+        WHERE n_name = 'NATION_7'
+      UNION ALL
+      SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+          AND regexp_matches(c_name, '(?i)\bCustomer#00000042')
+    ) WHERE n > 0 ORDER BY tbl""",
+)
+
+q(
     "search_scoped_wildcard",
     # column scoping + trailing-* prefix matching
     r"""part
@@ -1446,6 +1469,63 @@ q(
 )
 
 q(
+    "scan_overlapping_matches",
+    # Round-5 concurrent-sequence scan model: one active sequence per step,
+    # promotion vacates the source step, completion discards. The DuckDB twin
+    # is an exact recursive-CTE emulation of the same state machine (state =
+    # (seq id at step1, seq id at step2, next id)), so rows/ids/hash must
+    # match bit-for-bit, not just row counts.
+    """events
+    | where user_id < 20
+    | sort by event_id asc
+    | scan with_match_id = m with (
+        step s1: event_type == 'view';
+        step s2: event_type == 'click';
+        step s3: event_type == 'purchase';
+    )
+    | summarize rows = count(), matches = count_distinct(m),
+                completed = countif(event_type == 'purchase'),
+                id_sum = sum(m)""",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS i, event_type AS ev
+      FROM events WHERE user_id < 20
+    ),
+    machine AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS s1,
+             CAST(NULL AS BIGINT) AS s2, CAST(0 AS BIGINT) AS nid,
+             FALSE AS emitted, CAST(NULL AS BIGINT) AS mid,
+             CAST(NULL AS VARCHAR) AS ev
+      UNION ALL
+      SELECT o.i,
+             CASE WHEN o.ev = 'view' AND m.s1 IS NULL THEN m.nid
+                  WHEN o.ev = 'click' AND m.s1 IS NOT NULL THEN NULL
+                  ELSE m.s1 END AS s1,
+             CASE WHEN o.ev = 'purchase' AND m.s2 IS NOT NULL THEN NULL
+                  WHEN o.ev = 'click' AND m.s1 IS NOT NULL THEN m.s1
+                  ELSE m.s2 END AS s2,
+             CASE WHEN o.ev = 'view' AND m.s1 IS NULL THEN m.nid + 1
+                  ELSE m.nid END AS nid,
+             CASE WHEN o.ev = 'view' THEN TRUE
+                  WHEN o.ev = 'click' THEN (m.s1 IS NOT NULL OR m.s2 IS NOT NULL)
+                  WHEN o.ev = 'purchase' THEN (m.s2 IS NOT NULL)
+                  ELSE FALSE END AS emitted,
+             CASE WHEN o.ev = 'view' THEN COALESCE(m.s1, m.nid)
+                  WHEN o.ev = 'click' THEN COALESCE(m.s1, m.s2)
+                  WHEN o.ev = 'purchase' THEN m.s2
+                  ELSE NULL END AS mid,
+             o.ev AS ev
+      FROM machine m JOIN ordered o ON o.i = m.i + 1
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE emitted) AS BIGINT) AS rows,
+           CAST(COUNT(DISTINCT mid) AS BIGINT) AS matches,
+           CAST(COUNT(*) FILTER (WHERE emitted AND ev = 'purchase') AS BIGINT) AS completed,
+           CAST(SUM(mid) FILTER (WHERE emitted) AS BIGINT) AS id_sum
+    FROM machine
+    """,
+)
+
+q(
     "evaluate_python_plugin",
     """events
     | evaluate python(typeof(*, doubled:real), 'result = df.assign(doubled = df.value * 2)')
@@ -1965,29 +2045,33 @@ _TIER_A = (
     "distinct_cols", "serialize_row_number",
     # §2.3 sort/take
     "top_orders", "top_nested",
-    # §2.4 joins: all kinds + composite key + broadcast hint + lookup + multi-join
-    "join_inner", "join_leftouter", "join_rightouter", "join_fullouter",
-    "join_leftsemi", "join_leftanti", "join_rightsemi", "join_innerunique",
+    # §2.4 joins: kinds + composite key + broadcast hint + lookup + multi-join
+    # + theta/range idiom (r5 rotation: the five remaining `kind=` variants
+    # moved to the pytest-certified tail after two green driver rounds)
+    "join_inner", "join_fullouter", "join_innerunique",
     "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
+    "join_theta_range",
     # §2.5 union
     "union_withsource",
     # §2.6 summarize/aggregates
     "tpch_q6", "agg_sweep", "summarize_computed_key", "percentiles_exact",
-    "arg_max_agg", "make_set_sorted",
+    "arg_max_agg",
     # §2.7 window
-    "window_row_number", "window_cumsum_restart",
+    "window_cumsum_restart",
     # §2.8 mv-*/parse/evaluate
-    "mv_expand_array", "mv_apply_agg", "parse_pattern", "bag_unpack_props",
+    "mv_apply_agg", "parse_pattern", "evaluate_pivot",
     # §2.9 scalar functions (+ sketch interop readout)
     "has_term", "hll_sketch_roundtrip", "datetime_fns", "dynamic_array_fns",
-    # §2.10 make-series
-    "make_series_datetime",
-    # §2.11 streaming twin (tumbling bin)
-    "summarize_bin_1d",
+    # §2.10 make-series + series stats
+    "make_series_datetime", "make_series_auto_bounds", "series_stats_fit",
+    # §2.11 streaming twin (tumbling bin) + concurrent scan
+    "summarize_bin_1d", "scan_overlapping_matches",
     # §2.12 LLM data-pipeline
-    "llm_dedup_exact", "llm_similarity_search", "llm_text_stats", "llm_tfidf_topk",
-    # §2.13 misc operators
-    "count_op", "search_term", "partition_top_per_key",
+    "llm_dedup_exact", "llm_similarity_search",
+    "llm_tfidf_topk", "llm_dedup_simhash", "llm_similarity_ivf_full_probe",
+    # §2.13 misc operators + graph
+    "count_op", "search_term", "search_and_terms", "partition_top_per_key",
+    "find_multi_table", "graph_match_varlen",
     # §2.14 let / invoke
     "invoke_tabular_lambda",
 )

@@ -241,6 +241,11 @@ class Parser:
             return self.parse_externaldata()
         if head == "find":
             return self.parse_find()
+        if head == "search":
+            from .ast_nodes import SearchSource
+
+            self.next()
+            return SearchSource(self.op_search())
         self.next()
         return TableRef(str(t.value))
 
@@ -986,12 +991,59 @@ class Parser:
             self.next()
             self.expect(OP, "=")
             ci = self.ident_name().lower() != "case_sensitive"
-        col = None
-        # `search Col: "term"` — restrict the term match to one column
-        if self.at(IDENT) and self.at(OP, ":", 1):
+        tables: list[str] | None = None
+        # `search in (T1, T2, ...) pred` — cross-table form
+        if self.at(IDENT, "in") and self.at(OP, "(", 1):
+            self.next()
+            self.next()
+            tables = []
+            while not self.at(OP, ")"):
+                tables.append(self.ident_name())
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, ")")
+        return SearchOp(self.parse_search_pred(), ci, tables)
+
+    def parse_search_pred(self):
+        """Boolean search predicate: terms / `Col: "t"` / `Col == "v"`
+        combined with and/or (and binds tighter), parenthesized freely."""
+        left = self.parse_search_and()
+        while self.at(IDENT, "or"):
+            self.next()
+            left = ("or", left, self.parse_search_and())
+        return left
+
+    def parse_search_and(self):
+        left = self.parse_search_atom()
+        while self.at(IDENT, "and"):
+            self.next()
+            left = ("and", left, self.parse_search_atom())
+        return left
+
+    def parse_search_atom(self):
+        from .ast_nodes import SearchTerm
+
+        if self.at(OP, "("):
+            self.next()
+            inner = self.parse_search_pred()
+            self.expect(OP, ")")
+            return inner
+        # `Col: "term"` scoping / `Col == "value"` exact equality
+        if (self.at(IDENT) or self.at(QIDENT)) and (
+            self.at(OP, ":", 1) or self.at(OP, "==", 1)
+        ):
             col = self.ident_name()
-            self.expect(OP, ":")
-        return SearchOp(self.parse_expr(), ci, col)
+            exact = self.at(OP, "==")
+            self.next()
+            term = self.expect(STRING)
+            return SearchTerm(Lit(str(term.value), "string"), col, exact)
+        if self.at(STRING):
+            t = self.next()
+            return SearchTerm(Lit(str(t.value), "string"))
+        raise self.error(
+            "search predicate: expected a quoted term, Col: \"term\", "
+            "Col == \"value\", or a parenthesized combination"
+        )
 
     def op_partition(self) -> PartitionOp:
         while self.at(IDENT, "hint"):
@@ -1200,9 +1252,13 @@ class Parser:
             return Star()
         if t.kind == OP and t.value == "$":
             self.next()
-            side = "$" + self.ident_name().lower()
-            self.expect(OP, ".")
-            return Col(self.ident_name(), side)
+            name = self.ident_name()
+            if name.lower() in ("left", "right"):
+                side = "$" + name.lower()
+                self.expect(OP, ".")
+                return Col(self.ident_name(), side)
+            # `$table` — provenance column emitted by cross-table search
+            return Col("$" + name)
         if t.kind == QIDENT:
             self.next()
             return Col(str(t.value))

@@ -1,14 +1,31 @@
 """`scan` operator runtime (SURVEY.md §2.11/§2.13): row-sequence state
 machine over a serialized table.
 
-Simplified, DOCUMENTED matching model (Kusto's full algorithm tracks
-multiple concurrent sequences): one active match at a time —
-1. if the row satisfies the NEXT step's condition, the match advances;
-2. else if it satisfies the CURRENT step's condition, the step repeats;
-3. else if it satisfies step 1, a new match restarts;
-4. else the row is not part of any match (not emitted).
-A match that reaches the last step completes and resets. `with_match_id`
-numbers completed-or-in-progress matches.
+CONCURRENT-SEQUENCE matching model (round 5; follows the public
+scan-operator docs: multiple overlapping sequences may be active, at most
+one per step). Each step k holds at most one active sequence — a bundle of
+(declared-variable values, matched-row snapshots `s<k>.col`, match id).
+For every record r, steps are evaluated from the LAST step down to the
+first; the first rule that fires consumes the record:
+
+1. *promotion* (k >= 2): step k-1 holds a sequence and r satisfies step
+   k's condition in that sequence's context. The sequence MOVES to step k
+   (step k-1 is vacated; any sequence already at step k is discarded),
+   step k's assignments run, r is emitted. If k is the last step, the
+   match COMPLETES: r is emitted and the sequence is discarded.
+2. *extension*: step k holds a sequence and r satisfies step k's
+   condition in its own context. The sequence absorbs r (assignments run,
+   r emitted) and stays at step k.
+3. *new sequence* (k == 1 only, after extension fails): r satisfies step
+   1's condition under the declared defaults. A fresh sequence (next match
+   id) replaces whatever was at step 1.
+
+Consequences, all matching documented behavior: a single-step scan never
+completes-and-resets, so `step s1: true => c = x + s1.c` yields the
+documented cumulative sum; an interleaved restart (view..view..click)
+does NOT kill an in-flight sequence parked at a later step — up to
+n_steps matches progress concurrently; `with_match_id` ids are assigned
+at sequence creation, in serialized input order.
 
 Execution is inherently sequential (KQL defines scan over the serialized
 order), so the plan is coalesce(1) + mapInPandas with cross-batch state in
@@ -204,15 +221,20 @@ def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
     def runner(batches):
         import pandas as pd
 
-        state = dict(dflt)
-        steps_vals: dict[str, dict] = {}
-        cur = 0
-        match_id = 0
+        # slots[k] = active sequence at step k, or None.
+        # A sequence = {"vars": {...}, "steps": {name: row}, "id": match_id}.
+        slots: list = [None] * n_steps
+        next_id = 0
 
-        def apply_step(k: int, row: dict) -> None:
-            steps_vals[names[k]] = dict(row)
+        def apply_step(seq: dict, k: int, row: dict) -> None:
+            # `s<k>.x` sees the matched row overlaid with the declared-var
+            # values as of BEFORE this step's assignments, so
+            # `cumulative_x = x + s1.cumulative_x` reads the prior value.
+            snap = dict(row)
+            snap.update(seq["vars"])
+            seq["steps"][names[k]] = snap
             for aname, aexpr in assigns[k]:
-                state[aname] = aexpr(row, steps_vals, state)
+                seq["vars"][aname] = aexpr(row, seq["steps"], seq["vars"])
 
         for pdf in batches:
             out_rows = []
@@ -222,34 +244,47 @@ def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
             # arithmetic. Normalize every batch to object cells with None.
             pdf = pdf.astype(object).where(pdf.notna(), None)
             for row in pdf.to_dict("records"):
-                nonlocal_emitted = False
-                if cur < n_steps and conds[cur](row, steps_vals, state) is True:
-                    apply_step(cur, row)
-                    cur += 1
-                    nonlocal_emitted = True
-                elif cur > 0 and conds[cur - 1](row, steps_vals, state) is True:
-                    apply_step(cur - 1, row)
-                    nonlocal_emitted = True
-                elif conds[0](row, steps_vals, state) is True:
-                    state.clear()
-                    state.update(dflt)
-                    steps_vals.clear()
-                    match_id += 1
-                    apply_step(0, row)
-                    cur = 1
-                    nonlocal_emitted = True
-                if nonlocal_emitted:
+                hit = None
+                for k in range(n_steps - 1, -1, -1):
+                    if k >= 1:
+                        prev = slots[k - 1]
+                        if prev is not None and conds[k](
+                            row, prev["steps"], prev["vars"]
+                        ) is True:
+                            slots[k - 1] = None
+                            apply_step(prev, k, row)
+                            # last step: match completes, sequence discarded
+                            slots[k] = None if k == n_steps - 1 else prev
+                            hit = prev
+                            break
+                        cur = slots[k]
+                        if cur is not None and conds[k](
+                            row, cur["steps"], cur["vars"]
+                        ) is True:
+                            apply_step(cur, k, row)
+                            hit = cur
+                            break
+                    else:
+                        cur = slots[0]
+                        if cur is not None and conds[0](
+                            row, cur["steps"], cur["vars"]
+                        ) is True:
+                            apply_step(cur, 0, row)
+                            hit = cur
+                            break
+                        if conds[0](row, {}, dict(dflt)) is True:
+                            seq = {"vars": dict(dflt), "steps": {}, "id": next_id}
+                            next_id += 1
+                            apply_step(seq, 0, row)
+                            slots[0] = seq
+                            hit = seq
+                            break
+                if hit is not None:
                     out = {c: row.get(c) for c in in_cols}
-                    out.update({k: state.get(k) for k in dflt})
+                    out.update({k: hit["vars"].get(k) for k in dflt})
                     if match_col:
-                        out[match_col] = match_id
+                        out[match_col] = hit["id"]
                     out_rows.append(out)
-                    if cur == n_steps:  # match complete -> reset
-                        state.clear()
-                        state.update(dflt)
-                        steps_vals.clear()
-                        cur = 0
-                        match_id += 1
             yield pd.DataFrame(out_rows, columns=out_cols)
 
     # sequential by spec: single walker over the serialized order

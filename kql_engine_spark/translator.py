@@ -34,7 +34,8 @@ from .ast_nodes import (
     PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
     ToScalar,
-    SampleOp, SearchOp, Serialize, Sort, SortKey, Star, Summarize, TableRef,
+    SampleOp, SearchOp, SearchSource, Serialize, Sort, SortKey, Star,
+    Summarize, TableRef,
     Take, TabularOp, Top, TopHitters, TopNested, TypedLit, UnaryOp, Union,
     UnionSource, Where,
 )
@@ -605,6 +606,13 @@ class PipeTranslator:
             return self._union(dfs, src.kind, src.withsource)
         if isinstance(src, FindSource):
             return self._find_source(src)
+        if isinstance(src, SearchSource):
+            # query-initial search: `in (...)` names the tables; without it,
+            # Kusto searches the whole database — here, every catalog table
+            tables = src.op.tables
+            if tables is None:
+                tables = self.catalog.names()
+            return self._search_tables(src.op, tables)
         if isinstance(src, ExternalData):
             schema = T.StructType(
                 [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
@@ -1570,28 +1578,30 @@ class PipeTranslator:
     def t_consumeop(self, df: DataFrame, op: ConsumeOp) -> DataFrame:
         return df.limit(0)
 
-    def t_searchop(self, df: DataFrame, op: SearchOp) -> DataFrame:
-        """`search [kind=...] [Col:] "term"` [KQL §2.13] — TERM matching
-        (whole alphanumeric token), not substring: `search "err"` must not
-        match "terror". Routed through the same word-boundary translation as
-        `has` per string column; `*` at either end of the literal relaxes
-        that side's boundary (Kusto wildcard search)."""
+    def _search_leaf_cond(self, df: DataFrame, leaf, ci: bool):
+        """One search-predicate leaf as a boolean Column over df. TERM
+        matching (whole alphanumeric token), not substring: `search "err"`
+        must not match "terror" — routed through the same word-boundary
+        translation as `has`; `*` at either end of the literal relaxes that
+        side's boundary (Kusto wildcard search). `Col == "v"` is exact,
+        case-sensitive equality. A scoped column missing from df yields
+        False (cross-table search skips tables lacking the column)."""
         tr = self.expr_tr(df)
-        term = tr.const_string(op.term) if isinstance(op.term, Lit) else None
-        if term is None:
-            raise KqlUnsupportedError("search supports literal terms in v1")
-        cs = not op.ci
-        if op.col is not None:
-            if op.col not in df.columns:
-                raise KqlSemanticError(f"search column {op.col!r} not found")
-            targets = [op.col]
+        term = tr.const_string(leaf.term)
+        cs = not ci
+        if leaf.col is not None and leaf.col not in df.columns:
+            return F.lit(False)
+        if leaf.exact:
+            return F.col(leaf.col) == F.lit(term)
+        if leaf.col is not None:
+            targets = [leaf.col]
         else:
             targets = [
                 f.name for f in df.schema.fields
                 if isinstance(f.dataType, T.StringType)
             ]
         if not targets:
-            return df.filter(F.lit(False))
+            return F.lit(False)
         mode, text = "term", term
         if term.startswith("*") and term.endswith("*") and len(term) > 1:
             mode, text = "contains", term.strip("*")
@@ -1606,7 +1616,35 @@ class PipeTranslator:
                 cond = cond | tr._contains(Col(name), lit, cs)
             else:
                 cond = cond | tr._has(Col(name), lit, cs, mode)
-        return df.filter(cond)
+        return cond
+
+    def _search_cond(self, df: DataFrame, pred, ci: bool):
+        if isinstance(pred, tuple):
+            kind, left, right = pred
+            l = self._search_cond(df, left, ci)
+            r = self._search_cond(df, right, ci)
+            return (l & r) if kind == "and" else (l | r)
+        return self._search_leaf_cond(df, pred, ci)
+
+    def t_searchop(self, df: DataFrame, op: SearchOp) -> DataFrame:
+        """`search [kind=...] [in (T1, ...)] pred` [KQL §2.13]: boolean
+        combinations of terms, column-scoped terms, and exact matches. The
+        `in (...)` form (or query-initial search) unions the named tables
+        null-padded by name with a `$table` provenance column, each side
+        filtered BEFORE the union so per-table predicate pushdown stays
+        intact."""
+        if op.tables is not None:
+            return self._search_tables(op, op.tables)
+        return df.filter(self._search_cond(df, op.pred, op.ci))
+
+    def _search_tables(self, op: SearchOp, tables: list[str]) -> DataFrame:
+        frames: list[tuple[str, DataFrame]] = []
+        for t in tables:
+            tdf = self._resolve_table(t)
+            frames.append((t, tdf.filter(self._search_cond(tdf, op.pred, op.ci))))
+        if not frames:
+            raise KqlSemanticError("search in (...): no tables")
+        return self._union(frames, "outer", "$table")
 
     def t_makegraph(self, df: DataFrame, op: MakeGraph) -> DataFrame:
         """`E | make-graph src --> dst [with Nodes on id]` [KQL graph]: bind

@@ -128,6 +128,82 @@ def test_scan_step_reference(run_kql):
     assert gaps == [4, 1]
 
 
+def test_search_and_binds_tighter_than_or(run_kql):
+    # `'ASIA' or 'AMERICA' and 'nomatch'` == `'ASIA' or ('AMERICA' and ...)`
+    rows = run_kql(
+        "region | search 'ASIA' or 'AMERICA' and 'nomatchtoken'"
+    ).collect()
+    assert [r.r_name for r in rows] == ["ASIA"]
+
+
+def test_search_exact_equality_is_case_sensitive(run_kql):
+    assert run_kql("region | search r_name == 'asia'").count() == 0
+    assert run_kql("region | search r_name == 'ASIA'").count() == 1
+
+
+def test_search_source_all_tables(run_kql):
+    # query-initial `search` without `in (...)` scans every catalog table;
+    # 'ASIA' appears only in region.r_name on these fixtures
+    rows = run_kql(
+        "search 'ASIA' | summarize n = count() by tbl = $table"
+    ).collect()
+    assert [(r.tbl, r.n) for r in rows] == [("region", 1)]
+
+
+def test_search_in_missing_scoped_column_is_false(run_kql):
+    # nation has no r_name; the scoped leaf must be False there, not an error
+    rows = run_kql(
+        "search in (region, nation) r_name: 'ASIA'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["$table"] == "region"
+
+
+def test_scan_cumulative_sum_doc_example(run_kql):
+    # The public scan-operator docs' first example: a single always-true
+    # step accumulates across ALL rows (the sequence never resets).
+    rows = run_kql(
+        "range x from 1 to 5 step 1"
+        " | sort by x asc"
+        " | scan declare (cumulative_x:long = 0) with ("
+        "     step s1: true => cumulative_x = x + s1.cumulative_x;)"
+    ).collect()
+    assert [r.cumulative_x for r in rows] == [1, 3, 6, 10, 15]
+
+
+def test_scan_overlapping_sequences(run_kql):
+    # Round-5 concurrent model: a new sequence starting at step 1 must NOT
+    # kill a sequence already promoted to a later step. Input A B A C:
+    # seq 0 (A@1,B@2) survives the restart A@3 and completes on C@4.
+    # The old single-active-match model dropped C entirely.
+    rows = run_kql(
+        "datatable(t:long, ev:string)[1, 'A', 2, 'B', 3, 'A', 4, 'C']"
+        " | sort by t asc"
+        " | scan with_match_id = m with ("
+        "     step s1: ev == 'A';"
+        "     step s2: ev == 'B';"
+        "     step s3: ev == 'C';)"
+    ).collect()
+    got = [(r.t, r.ev, r.m) for r in rows]
+    assert got == [(1, "A", 0), (2, "B", 0), (3, "A", 1), (4, "C", 0)]
+
+
+def test_scan_completed_match_is_discarded(run_kql):
+    # After Start..Stop completes, a second Stop must not re-attach to the
+    # completed sequence; a fresh Start..Stop pair gets a new match id.
+    rows = run_kql(
+        "datatable(t:long, ev:string)"
+        "[1, 'Start', 2, 'Stop', 3, 'Stop', 4, 'Start', 5, 'Stop']"
+        " | sort by t asc"
+        " | scan with_match_id = m with ("
+        "     step s1: ev == 'Start';"
+        "     step s2: ev == 'Stop';)"
+    ).collect()
+    got = [(r.t, r.ev, r.m) for r in rows]
+    assert got == [
+        (1, "Start", 0), (2, "Stop", 0), (4, "Start", 1), (5, "Stop", 1),
+    ]
+
+
 def test_scan_requires_serialization(run_kql):
     import pytest as _pytest
 
@@ -188,13 +264,15 @@ def test_mvapply_reattach_after_shuffle(run_kql, duck):
 def test_scan_sees_nan_as_null(run_kql):
     # ADVICE r3: nullable long columns arrive as float64 NaN in the pandas
     # batches; the interpreter's `is None` null model must still see null.
+    # Round 5: a single-step scan extends one sequence (Kusto cumsum
+    # semantics), so the null count accumulates: [0, 1, 1] not [0, 1, 0].
     rows = run_kql(
         "datatable(t:long, v:long)[1, 10, 2, long(null), 3, 30]"
         " | sort by t asc"
         " | scan declare (nn:long = 0) with ("
         "     step s1: true => nn = nn + tolong(isnull(v));)"
     ).collect()
-    assert [r.nn for r in rows] == [0, 1, 0]
+    assert [r.nn for r in rows] == [0, 1, 1]
 
 
 def test_scan_min_of_all_null(run_kql):
