@@ -134,21 +134,33 @@ def _fingerprint(ptr, df: DataFrame, args) -> DataFrame:
 # Tiny built-in stopword profiles — a real deployment swaps in fastText or
 # CLD3 behind the same plugin contract; the heuristic (distinct-token
 # overlap with per-language stopword lists, argmax, 'other' on zero hits)
-# is the documented baseline and stays fully JVM-side.
+# is the documented baseline and stays fully JVM-side. Non-whitespace
+# scripts never produce latin tokens, so they're classified FIRST by
+# character-range counting (round-5 fix: real Chinese text used to fall
+# through to 'other' because the old zh profile was pinyin tokens).
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
     "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
-    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"],
 }
+
+# script ranges checked in order — kana before Han so Japanese (kanji+kana
+# mixed) isn't swallowed by the zh rule; >=3 script chars classifies
+_LANG_SCRIPTS = (
+    ("ja", r"[぀-ヿ]"),  # hiragana + katakana
+    ("ko", r"[가-힣]"),  # hangul syllables
+    ("zh", r"[一-鿿]"),  # CJK unified ideographs
+    ("ru", r"[Ѐ-ӿ]"),  # cyrillic
+)
 
 
 @plugin("lang_detect")
 def _lang_detect(ptr, df: DataFrame, args) -> DataFrame:
-    """`T | evaluate lang_detect(textcol)` — appends `detected_lang`
-    (stopword-overlap heuristic over the built-in profiles, 'other' when no
-    profile matches)."""
+    """`T | evaluate lang_detect(textcol)` — appends `detected_lang`:
+    character-script ranges for non-whitespace scripts (zh/ja/ko/ru), then
+    a stopword-overlap heuristic over the latin profiles, 'other' when
+    nothing matches. All pure column expressions, JVM-side."""
     src = F.col(_colname(args[0], "lang_detect"))
     toks = F.array_distinct(_tokens(src))
     scores = [
@@ -160,6 +172,10 @@ def _lang_detect(ptr, df: DataFrame, args) -> DataFrame:
     # first-wins tie-break in profile order (deterministic)
     for lang, s in reversed(scores):
         out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    # script-range counts take precedence over latin stopword overlap
+    for lang, pat in reversed(_LANG_SCRIPTS):
+        n = F.length(src) - F.length(F.regexp_replace(src, pat, ""))
+        out = F.when(n >= 3, F.lit(lang)).otherwise(out)
     return df.withColumn("detected_lang", out)
 
 
@@ -451,14 +467,27 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
          the precomputed token-hash array; JVM-side, no Python).
       2. Candidate pairs by BANDING: (max_hamming+1) bands — pigeonhole
          guarantees any pair within max_hamming shares >=1 identical band,
-         so the self-join is bucket-local, never all-pairs.
+         so the self-join is bucket-local, never all-pairs. Bits beyond
+         bands*width are simply uncovered, which only ADDS candidates —
+         the guarantee needs bands >= max_hamming+1, never full coverage.
+         max_hamming > 31 is a typed error: 64 bits cannot carry 33+
+         disjoint bands, and a 32+-bit hamming radius means "half the
+         bits differ" — not near-duplication.
       3. Exact filter: bit_count(xor) <= max_hamming; min-id connected
          components to fixpoint; keep the canonical doc.
+    Docs with null/empty/whitespace-only text have no tokens to hash; they
+    are their own canonical documents and pass through unfiltered (round-5
+    ADVICE fix — they used to vanish from the output entirely).
     Scale: banding keys the shuffle; components are localCheckpoint-bounded
     like dedup_near."""
     text = _colname(args[0], "dedup_simhash")
     idc = _colname(args[1], "dedup_simhash")
     maxham = int(_const_float(args[2], "dedup_simhash")) if len(args) > 2 else 3
+    if not 0 <= maxham <= 31:
+        raise KqlSemanticError(
+            "dedup_simhash: max_hamming must be in [0, 31] — the 64-bit "
+            "banding guarantee cannot hold beyond 31"
+        )
 
     toks = F.array_distinct(_tokens(F.col(text)))
     hs = F.transform(toks, lambda t: F.xxhash64(t))
@@ -482,14 +511,20 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
         )  # two's-complement top bit
         sim = sim + F.when(vote > 0, bit.cast("bigint")).otherwise(F.lit(0))
 
+    has_tokens = F.size(F.filter(_tokens(F.col(text)), lambda t: t != "")) > 0
     work = (
         df.select(F.col(idc).alias("__id"), F.col(text))
-        .filter(F.size(F.filter(_tokens(F.col(text)), lambda t: t != "")) > 0)
+        .filter(has_tokens)
         .withColumn("__sim", sim)
         .select("__id", "__sim")
         .localCheckpoint(eager=True)  # 64-agg expression tree: compute once
     )
-    bands = max(2, min(maxham + 1, 8))  # >=2: a width-64 mask overflows i64
+    # tokenless docs (null/empty/whitespace text) are trivially their own
+    # canonical documents — they must survive the final left_semi
+    tokenless = df.filter(~F.coalesce(has_tokens, F.lit(False))).select(
+        F.col(idc).alias("node")
+    )
+    bands = max(2, maxham + 1)  # >=2: a width-64 mask overflows i64
     width = 64 // bands
     mask = (1 << width) - 1
     banded = work.select(
@@ -522,5 +557,7 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
         .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
         .distinct()
     )
-    keep = _min_id_components(work.select(F.col("__id").alias("node")), pairs)
+    keep = _min_id_components(
+        work.select(F.col("__id").alias("node")), pairs
+    ).union(tokenless)
     return df.join(keep, df[idc] == keep["node"], "left_semi")

@@ -366,10 +366,22 @@ class Parser:
                 self.expect(OP, ")")
             else:
                 name = self.ident_name()
-                # `union T*` wildcard table pattern (adjacent star only)
-                while self.at(OP, "*") and self.toks[self.i].pos == self.toks[self.i - 1].end:
-                    self.next()
-                    name += "*"
+                # `union T*`, `c*mer`, `c*st*r` wildcard table patterns:
+                # consume adjacent '*' and IDENT runs (no whitespace), so a
+                # mid-name star parses as one pattern instead of leaving a
+                # dangling identifier (round-5 ADVICE fix)
+                while True:
+                    if self.at(OP, "*") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+                        self.next()
+                        name += "*"
+                    elif (
+                        name.endswith("*")
+                        and self.at(IDENT)
+                        and self.toks[self.i].pos == self.toks[self.i - 1].end
+                    ):
+                        name += self.ident_name()
+                    else:
+                        break
                 pipes.append(Pipe(TableRef(name), []))
             if not self.accept(OP, ","):
                 break

@@ -633,8 +633,12 @@ class PipeTranslator:
                     # materialize(): evaluate once, share across references
                     # [KQL]. persist() (not collect) — distributed cache,
                     # lazily filled on first action, reused by every
-                    # downstream reference in the query.
+                    # downstream reference in the query. Registered in a
+                    # bounded per-session list so executor storage can't
+                    # accumulate across many materialize() queries (round-5
+                    # ADVICE fix): the oldest persist is dropped at the cap.
                     df = self.translate_pipe(bound).persist()
+                    _register_persist(self.spark, df)
                     self.named_results[name] = df
                     return df
                 return self.translate_pipe(bound)
@@ -1576,6 +1580,13 @@ class PipeTranslator:
         return df
 
     def t_consumeop(self, df: DataFrame, op: ConsumeOp) -> DataFrame:
+        """`consume` executes the full query and discards the output [KQL —
+        it exists so users can time a pipeline]. Eager by design (like
+        toscalar): the noop write sink runs the complete plan JVM-side —
+        every scan, filter, and shuffle, no rows to the driver — and the
+        returned frame is the schema-preserving empty result. A limit(0)
+        here would short-circuit the scan and time nothing."""
+        df.write.format("noop").mode("overwrite").save()
         return df.limit(0)
 
     def _search_leaf_cond(self, df: DataFrame, leaf, ci: bool):
@@ -1944,7 +1955,66 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
     weakref.WeakKeyDictionary()
 )
 _PLAN_CACHE_CAP = 256
-_VOLATILE_MARKERS = ("now(", "ago(", "rand(", "sample", "externaldata", "new_guid")
+
+# Volatility is decided on the PARSED AST, not by substring sniffing (round-5
+# fix: a `sample_rate` column used to defeat caching, and `"now("` inside a
+# string literal used to false-positive). A plan is volatile — translated
+# fresh on every call — when it contains:
+#  - evaluation-time-dependent functions (now/ago/rand/new_guid),
+#  - sampling operators (results differ per run),
+#  - externaldata (file contents may change between calls),
+#  - consume (exists precisely to re-execute),
+#  - toscalar()/materialize() (they evaluate AT TRANSLATE TIME — caching the
+#    plan would freeze their results across data changes, contradicting the
+#    "plans cached, results never" contract).
+_VOLATILE_FUNCS = frozenset({"now", "ago", "rand", "new_guid", "toscalar", "materialize"})
+
+# materialize() persists live for the session; cap how many persisted frames
+# can pile up per SparkSession (oldest unpersisted first — executor storage
+# is not a leak site for long sessions issuing many materialize() queries).
+_PERSISTED: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_PERSISTED_CAP = 32
+
+
+def _register_persist(spark: SparkSession, df: DataFrame) -> None:
+    lst = _PERSISTED.setdefault(spark, [])
+    lst.append(df)
+    while len(lst) > _PERSISTED_CAP:
+        old = lst.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session shutting down — nothing to release
+
+
+def _walk_ast(node):
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        x = stack.pop()
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            yield x
+            for f in dataclasses.fields(x):
+                stack.append(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            stack.extend(x)
+        elif isinstance(x, dict):
+            stack.extend(x.values())
+
+
+def _plan_is_volatile(q: Query) -> bool:
+    volatile_nodes = (SampleOp, SampleDistinct, ExternalData, ConsumeOp, ToScalar)
+    for node in _walk_ast(q):
+        if isinstance(node, volatile_nodes):
+            return True
+        if isinstance(node, FuncCall) and node.name.lower() in _VOLATILE_FUNCS:
+            return True
+        if isinstance(node, Pipe) and node.materialize:
+            return True
+    return False
 
 
 def kql(
@@ -1956,9 +2026,7 @@ def kql(
 ) -> DataFrame:
     """Primary entry point: KQL text -> DataFrame (SURVEY.md §3.2)."""
     plan_key = None
-    if catalog is None and options is None and not any(
-        m in text for m in _VOLATILE_MARKERS
-    ):
+    if catalog is None and options is None:
         plan_key = (sf_dir or "", text)
         plans = _PLAN_CACHE.setdefault(spark, {})
         hit = plans.get(plan_key)
@@ -1973,7 +2041,7 @@ def kql(
             per_session[key] = catalog
     q = parse(text)
     out = PipeTranslator(spark, catalog, options).translate_query(q)
-    if plan_key is not None:
+    if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})
         if len(plans) >= _PLAN_CACHE_CAP:
             plans.pop(next(iter(plans)))

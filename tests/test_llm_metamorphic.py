@@ -197,6 +197,32 @@ def test_lang_detect_english_sentence(run_kql):
     assert [r.detected_lang for r in rows] == ["en", "de", "other"]
 
 
+def test_lang_detect_non_whitespace_scripts(spark):
+    # Round-5 fix: CJK text has no whitespace tokens, so the stopword path
+    # always said "other"; script-range counting must classify it. Japanese
+    # (kanji + kana) must NOT be swallowed by the zh rule.
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    df = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们去公园"),  # zh
+            (2, "今日はいい天気ですね"),  # ja
+            (3, "안녕하세요 오늘 날씨"),  # ko
+            (4, "сегодня хорошая погода"),  # ru
+            (5, "the weather is nice today and it is for a walk"),
+        ],
+        "id long, t string",
+    )
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse("T | where lang_detect(t)").pipe.ops[0].pred.args
+    out = EVALUATE_REGISTRY["lang_detect"](ptr, df, args)
+    got = {r.id: r.detected_lang for r in out.collect()}
+    assert got == {1: "zh", 2: "ja", 3: "ko", 4: "ru", 5: "en"}
+
+
 def _dedup_simhash(spark, df, maxham):
     from kql_engine_spark.catalog import Catalog
     from kql_engine_spark.extensions import EVALUATE_REGISTRY
@@ -233,6 +259,53 @@ def test_dedup_simhash_idempotent_and_monotone(spark):
     loose = _dedup_simhash(spark, df, 16).count()
     strict = _dedup_simhash(spark, df, 0).count()
     assert strict >= loose
+
+
+def test_simhash_band_pigeonhole_parity_at_maxham_8(spark):
+    # Round-5 fix: bands used to cap at 8, voiding the pigeonhole guarantee
+    # for max_hamming >= 8. Recall parity check vs a brute-force
+    # bit_count(xor) join: mirror the banding scheme in Python over random
+    # 64-bit pairs within hamming distance h — every pair MUST share a band.
+    import random
+
+    rng = random.Random(42)
+    for maxham in (3, 8, 16, 31):
+        bands = max(2, maxham + 1)
+        width = 64 // bands
+        mask = (1 << width) - 1
+        for _ in range(300):
+            x = rng.getrandbits(64)
+            flip = rng.sample(range(64), rng.randint(0, maxham))
+            y = x
+            for b in flip:
+                y ^= 1 << b
+            shared = any(
+                ((x >> (b * width)) & mask) == ((y >> (b * width)) & mask)
+                for b in range(bands)
+            )
+            assert shared, (maxham, bin(x ^ y))
+
+
+def test_dedup_simhash_keeps_tokenless_docs(spark):
+    # ADVICE r4 (medium): null/empty/whitespace-only docs vanished from the
+    # output entirely; they are trivially their own canonical documents
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, ""), (4, "   "),
+         (5, "alpha beta gamma")],
+        "doc_id long, t string",
+    )
+    kept = sorted(r.doc_id for r in _dedup_simhash(spark, df, 0).collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_dedup_simhash_rejects_oversized_radius(spark):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, t string")
+    import pytest as _pytest
+
+    with _pytest.raises(KqlSemanticError):
+        _dedup_simhash(spark, df, 32)
 
 
 def test_similarity_search_ivf_recall_and_probes(run_kql, duck):

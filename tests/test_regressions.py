@@ -128,6 +128,56 @@ def test_scan_step_reference(run_kql):
     assert gaps == [4, 1]
 
 
+def test_consume_executes_full_query(run_kql, spark):
+    # `consume` must run the complete plan (it exists for timing pipelines);
+    # the old limit(0) lowering short-circuited the scan. The noop-write
+    # execution shows up as a Spark job in our job group.
+    sc = spark.sparkContext
+    sc.setJobGroup("consume-proof", "consume must execute")
+    try:
+        df = run_kql("lineitem | where l_quantity > 30.0 | consume")
+        rows = df.collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert rows == []
+    assert sc.statusTracker().getJobIdsForGroup("consume-proof"), (
+        "consume ran no Spark job — the scan was short-circuited"
+    )
+
+
+def test_plan_cache_skips_toscalar_and_materialize(run_kql, spark):
+    # toscalar()/materialize() evaluate at translate time; caching their
+    # plans would freeze results across data changes (round-5 ADVICE fix).
+    from kql_engine_spark.translator import _PLAN_CACHE
+
+    run_kql("let n = toscalar(region | count); region | extend k = n")
+    run_kql("let m = materialize(region | take 2); m | count")
+    run_kql("region | where r_regionkey >= 0 | count")
+    plans = _PLAN_CACHE.get(spark, {})
+    texts = [k[1] for k in plans]
+    assert not any("toscalar" in t or "materialize" in t for t in texts)
+    assert any("r_regionkey >= 0" in t for t in texts)
+
+
+def test_plan_cache_not_defeated_by_sample_column_name(run_kql, spark):
+    # substring sniffing used to treat a `sample_rate` COLUMN as the sample
+    # OPERATOR and never cache; AST-level detection must cache this text
+    from kql_engine_spark.translator import _PLAN_CACHE
+
+    text = "region | extend sample_rate = 1 | project r_name, sample_rate"
+    run_kql(text)
+    plans = _PLAN_CACHE.get(spark, {})
+    assert any(text == k[1] for k in plans)
+
+
+def test_union_wildcard_mid_star(run_kql):
+    # `union c*mer` — star in the middle of the pattern must parse and
+    # expand (customer matches c*mer)
+    n = run_kql("union c*omer | count").collect()[0][0]
+    expected = run_kql("customer | count").collect()[0][0]
+    assert n == expected
+
+
 def test_search_and_binds_tighter_than_or(run_kql):
     # `'ASIA' or 'AMERICA' and 'nomatch'` == `'ASIA' or ('AMERICA' and ...)`
     rows = run_kql(
