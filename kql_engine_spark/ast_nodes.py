@@ -382,6 +382,27 @@ class GraphMatch(TabularOp):
 
 
 @dataclass
+class GraphShortestPaths(TabularOp):
+    """`| graph-shortest-paths [output=any|all] (a)-[e*lo..hi]->(b) [where]
+    [project]` — shortest path(s) per (source, target) pair among paths
+    matching the pattern and predicate."""
+
+    start_var: str
+    steps: list[GraphStep]
+    where: Optional[Expr] = None
+    project: Optional[list[NamedExpr]] = None
+    output: str = "any"  # any = one shortest path per pair; all = every one
+
+
+@dataclass
+class GraphToTable(TabularOp):
+    """`| graph-to-table nodes|edges` — export the graph context back to a
+    tabular form."""
+
+    what: str  # "nodes" | "edges"
+
+
+@dataclass
 class Facet(TabularOp):
     cols: list[str]
     subquery: Optional[list[TabularOp]] = None  # `with ( subquery )`

@@ -868,6 +868,41 @@ q(
 )
 
 q(
+    "graph_shortest_paths",
+    # bounded BFS: minimal hop count per (source, target) pair; the length-3
+    # detour x->q->r->z must lose to the two 2-hop paths, and output=any
+    # keeps exactly one row per pair
+    """datatable(src:string, dst:string)['x','y1','x','y2','y1','z','y2','z','z','w','x','q','q','r','r','z']
+    | make-graph src --> dst
+    | graph-shortest-paths (a)-[e*1..5]->(b)
+      where a.node_id == 'x'
+      project target = b.node_id, hops = tolong(array_length(e))
+    | sort by target asc""",
+    """WITH RECURSIVE e(src, dst) AS (VALUES ('x','y1'),('x','y2'),('y1','z'),
+           ('y2','z'),('z','w'),('x','q'),('q','r'),('r','z')),
+         walk(target, hops) AS (
+           SELECT dst, 1 FROM e WHERE src = 'x'
+           UNION ALL
+           SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.target
+           WHERE w.hops < 5)
+       SELECT target, CAST(MIN(hops) AS BIGINT) AS hops FROM walk
+       GROUP BY target ORDER BY target""",
+)
+
+q(
+    "graph_to_table_nodes",
+    # graph context back to tabular form; implicit nodes = distinct endpoints
+    """datatable(src:string, dst:string)['x','y', 'y','z', 'z','x']
+    | make-graph src --> dst
+    | graph-to-table nodes
+    | sort by node_id asc""",
+    """SELECT node_id FROM (
+         SELECT src AS node_id FROM (VALUES ('x','y'),('y','z'),('z','x')) t(src, dst)
+         UNION SELECT dst FROM (VALUES ('x','y'),('y','z'),('z','x')) t(src, dst)
+       ) ORDER BY node_id""",
+)
+
+q(
     "let_materialize",
     # materialize(): both references share one evaluated (persisted) result
     """let agg = materialize(lineitem | summarize s = sum(l_quantity) by l_returnflag);

@@ -944,6 +944,33 @@ class Parser:
 
     def op_graph_match(self) -> GraphMatch:
         """`graph-match (a)-[e]->(b)... [where pred] project items`."""
+        return self._parse_graph_pattern()
+
+    def op_graph_shortest_paths(self):
+        """`graph-shortest-paths [output=any|all] (a)-[e*lo..hi]->(b)
+        [where pred] [project items]` [KQL graph]."""
+        from .ast_nodes import GraphShortestPaths
+
+        output = "any"
+        if self.at(IDENT, "output"):
+            self.next()
+            self.expect(OP, "=")
+            output = self.ident_name().lower()
+            if output not in ("any", "all"):
+                raise self.error("graph-shortest-paths: output must be any|all")
+        gm = self._parse_graph_pattern()
+        return GraphShortestPaths(gm.start_var, gm.steps, gm.where, gm.project, output)
+
+    def op_graph_to_table(self):
+        """`graph-to-table nodes|edges` [KQL graph]."""
+        from .ast_nodes import GraphToTable
+
+        what = self.ident_name().lower()
+        if what not in ("nodes", "edges"):
+            raise self.error("graph-to-table expects `nodes` or `edges`")
+        return GraphToTable(what)
+
+    def _parse_graph_pattern(self) -> GraphMatch:
         self.expect(OP, "(")
         start = self.ident_name()
         self.expect(OP, ")")

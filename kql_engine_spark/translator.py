@@ -1689,9 +1689,23 @@ class PipeTranslator:
         Scale: each hop is a keyed equi-join on node ids — shuffles are
         id-partitioned and Catalyst may broadcast a small nodes side; no
         cartesian products for any pattern shape."""
+        cur, _nid = self._graph_pattern_frame(op, "graph-match")
+        if op.where is not None:
+            cur = cur.filter(self.expr_tr(cur).to_col(op.where))
+        if op.project:
+            items = self._named_items(cur, op.project)
+            cur = cur.select(*[c.alias(n) for n, c in items])
+        self.order = None
+        return cur
+
+    def _graph_pattern_frame(self, op, opname: str) -> tuple[DataFrame, str]:
+        """Lower a graph pattern (shared by graph-match and
+        graph-shortest-paths) to the equi-join chain; returns the frame with
+        every pattern variable bound as a struct/array column, plus the node
+        id field name."""
         graph = getattr(self, "_graph", None)
         if graph is None:
-            raise KqlSemanticError("graph-match requires a preceding make-graph")
+            raise KqlSemanticError(f"{opname} requires a preceding make-graph")
         self._graph = None
         edges, nodes, src, dst, nid = graph
 
@@ -1760,13 +1774,62 @@ class PipeTranslator:
                 cur = cur.unionByName(v)
             bound.add(step.node_var)
             prev = step.node_var
+        return cur, nid
+
+    def t_graphshortestpaths(self, df: DataFrame, op) -> DataFrame:
+        """`| graph-shortest-paths [output=any|all] (a)-[e*lo..hi]->(b)`
+        [KQL graph]: shortest path per (source, target) pair among pattern
+        matches satisfying the predicate. Bounded BFS via the same join
+        unroll as graph-match (each candidate length is a keyed join chain),
+        then one window shuffle on (source id, target id) keeps minimal
+        lengths; `output=any` (default) keeps a single deterministic path
+        per pair, `output=all` keeps every minimal path. Minimal paths are
+        necessarily simple, so the unroll's revisiting walks are pruned by
+        the minimization.
+
+        Scale: hops are id-keyed equi-joins (no cartesians); the
+        minimization is one hash-partitioned window — both shuffle-bounded
+        at 100 TB."""
+        cur, nid = self._graph_pattern_frame(op, "graph-shortest-paths")
+        # predicate first: "shortest path SATISFYING the constraints"
         if op.where is not None:
             cur = cur.filter(self.expr_tr(cur).to_col(op.where))
+        plen = F.lit(0)
+        for step in op.steps:
+            if step.min_len == 1 and step.max_len == 1:
+                plen = plen + F.lit(1)
+            else:
+                plen = plen + F.size(F.col(step.edge_var))
+        sid = F.col(op.start_var)[nid]
+        tid = F.col(op.steps[-1].node_var)[nid]
+        w = Window.partitionBy(sid, tid)
+        cur = (
+            cur.withColumn("__kql_plen", plen)
+            .withColumn("__kql_minlen", F.min("__kql_plen").over(w))
+            .filter(F.col("__kql_plen") == F.col("__kql_minlen"))
+        )
+        if op.output != "all":
+            # deterministic representative: order ties by the serialized path
+            tie = F.to_json(F.struct(*[F.col(s.edge_var) for s in op.steps]))
+            rn = F.row_number().over(w.orderBy(tie))
+            cur = cur.withColumn("__kql_rn", rn).filter(F.col("__kql_rn") == 1)
+        cur = cur.drop("__kql_plen", "__kql_minlen", "__kql_rn")
         if op.project:
             items = self._named_items(cur, op.project)
             cur = cur.select(*[c.alias(n) for n, c in items])
         self.order = None
         return cur
+
+    def t_graphtotable(self, df: DataFrame, op) -> DataFrame:
+        """`| graph-to-table nodes|edges` [KQL graph]: export the bound
+        graph context back to tabular form (pass-through plan)."""
+        graph = getattr(self, "_graph", None)
+        if graph is None:
+            raise KqlSemanticError("graph-to-table requires a preceding make-graph")
+        self._graph = None
+        edges, nodes, _src, _dst, _nid = graph
+        self.order = None
+        return nodes if op.what == "nodes" else edges
 
     def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:
         if op.subquery is not None:

@@ -128,6 +128,31 @@ def test_scan_step_reference(run_kql):
     assert gaps == [4, 1]
 
 
+def test_graph_shortest_paths_output_all(run_kql):
+    # diamond x->{y1,y2}->z: output=all returns BOTH minimal 2-hop paths,
+    # and the 3-hop detour via q,r is pruned
+    rows = run_kql(
+        "datatable(src:string, dst:string)"
+        "['x','y1','x','y2','y1','z','y2','z','x','q','q','r','r','z']"
+        " | make-graph src --> dst"
+        " | graph-shortest-paths output=all (a)-[e*1..5]->(b)"
+        "   where a.node_id == 'x' and b.node_id == 'z'"
+        "   project mid = tostring(e[0].dst), hops = tolong(array_length(e))"
+        " | sort by mid asc"
+    ).collect()
+    assert [(r.mid, r.hops) for r in rows] == [("y1", 2), ("y2", 2)]
+
+
+def test_graph_to_table_edges_passthrough(run_kql):
+    rows = run_kql(
+        "datatable(src:string, dst:string)['a','b','b','c']"
+        " | make-graph src --> dst"
+        " | graph-to-table edges"
+        " | sort by src asc"
+    ).collect()
+    assert [(r.src, r.dst) for r in rows] == [("a", "b"), ("b", "c")]
+
+
 def test_consume_executes_full_query(run_kql, spark):
     # `consume` must run the complete plan (it exists for timing pipelines);
     # the old limit(0) lowering short-circuited the scan. The noop-write
