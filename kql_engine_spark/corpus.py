@@ -1504,6 +1504,23 @@ q(
 )
 
 q(
+    "scan_sharded_funnel",
+    # partition-by-sharded scan: one state machine per user_id, parallel
+    # across keys (applyInPandas). No linear-SQL twin (per-key sequential
+    # state); pinned by the pytest per-key equivalence test instead.
+    """events
+    | partition by user_id (
+        sort by ts asc, event_id asc
+        | scan declare (hits:long = 0) with (
+            step s1: event_type == 'view' => hits = 1;
+            step s2: event_type == 'purchase' => hits = 2;
+        )
+    )
+    | summarize rows = count(), hs = sum(hits)""",
+    None,
+)
+
+q(
     "scan_overlapping_matches",
     # Round-5 concurrent-sequence scan model: one active sequence per step,
     # promotion vacates the source step, completion discards. The DuckDB twin

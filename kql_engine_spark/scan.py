@@ -192,100 +192,230 @@ def compile_expr(e: Expr, step_names: set[str]) -> Compiled:
     raise KqlUnsupportedError(f"scan: expression {type(e).__name__} not supported")
 
 
-def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
-    step_names = {s.name for s in op.steps}
-    conds = [compile_expr(s.cond, step_names) for s in op.steps]
-    assigns = [
-        [(name, compile_expr(expr, step_names)) for name, expr in s.assigns]
-        for s in op.steps
-    ]
-    defaults: dict[str, object] = {}
-    for dname, _dtype, dexpr in op.declares:
-        defaults[dname] = (
-            compile_expr(dexpr, step_names)({}, {}, {}) if dexpr is not None else None
-        )
+class ScanCtx:
+    """Compiled scan program shared by the batch, partitioned, and streaming
+    execution paths."""
 
-    out_fields = list(df.schema.fields)
-    for dname, dtype, _ in op.declares:
-        out_fields.append(T.StructField(dname, KQL_TO_SPARK[dtype.lower()], True))
-    if op.match_id:
-        out_fields.append(T.StructField(op.match_id, T.LongType(), True))
-    out_schema = T.StructType(out_fields)
-    out_cols = [f.name for f in out_fields]
-    in_cols = [f.name for f in df.schema.fields]
-    n_steps = len(op.steps)
-    names = [s.name for s in op.steps]
-    match_col = op.match_id
-    dflt = dict(defaults)
+    def __init__(self, df: DataFrame, op: ScanOp):
+        step_names = {s.name for s in op.steps}
+        self.conds = [compile_expr(s.cond, step_names) for s in op.steps]
+        self.assigns = [
+            [(name, compile_expr(expr, step_names)) for name, expr in s.assigns]
+            for s in op.steps
+        ]
+        self.dflt: dict[str, object] = {}
+        for dname, _dtype, dexpr in op.declares:
+            self.dflt[dname] = (
+                compile_expr(dexpr, step_names)({}, {}, {})
+                if dexpr is not None
+                else None
+            )
+        out_fields = list(df.schema.fields)
+        for dname, dtype, _ in op.declares:
+            out_fields.append(
+                T.StructField(dname, KQL_TO_SPARK[dtype.lower()], True)
+            )
+        if op.match_id:
+            out_fields.append(T.StructField(op.match_id, T.LongType(), True))
+        self.out_schema = T.StructType(out_fields)
+        self.out_cols = [f.name for f in out_fields]
+        self.in_cols = [f.name for f in df.schema.fields]
+        self.n_steps = len(op.steps)
+        self.names = [s.name for s in op.steps]
+        self.match_col = op.match_id
+
+
+class ScanMachine:
+    """The concurrent-sequence state machine over one serialized row walk.
+    State (slots + next match id) is plain data — picklable for the
+    streaming state store."""
+
+    def __init__(self, ctx: ScanCtx, slots=None, next_id: int = 0):
+        self.ctx = ctx
+        # slots[k] = active sequence at step k, or None.
+        # A sequence = {"vars": {...}, "steps": {name: row}, "id": match_id}.
+        self.slots: list = slots if slots is not None else [None] * ctx.n_steps
+        self.next_id = next_id
+
+    def _apply_step(self, seq: dict, k: int, row: dict) -> None:
+        # `s<k>.x` sees the matched row overlaid with the declared-var
+        # values as of BEFORE this step's assignments, so
+        # `cumulative_x = x + s1.cumulative_x` reads the prior value.
+        snap = dict(row)
+        snap.update(seq["vars"])
+        seq["steps"][self.ctx.names[k]] = snap
+        for aname, aexpr in self.ctx.assigns[k]:
+            seq["vars"][aname] = aexpr(row, seq["steps"], seq["vars"])
+
+    def process(self, row: dict) -> dict | None:
+        """Advance the machine by one row; returns the emitted output row
+        (or None if the row matched no step)."""
+        ctx, slots = self.ctx, self.slots
+        conds, n_steps = ctx.conds, ctx.n_steps
+        hit = None
+        for k in range(n_steps - 1, -1, -1):
+            if k >= 1:
+                prev = slots[k - 1]
+                if prev is not None and conds[k](
+                    row, prev["steps"], prev["vars"]
+                ) is True:
+                    slots[k - 1] = None
+                    self._apply_step(prev, k, row)
+                    # last step: match completes, sequence discarded
+                    slots[k] = None if k == n_steps - 1 else prev
+                    hit = prev
+                    break
+                cur = slots[k]
+                if cur is not None and conds[k](
+                    row, cur["steps"], cur["vars"]
+                ) is True:
+                    self._apply_step(cur, k, row)
+                    hit = cur
+                    break
+            else:
+                cur = slots[0]
+                if cur is not None and conds[0](
+                    row, cur["steps"], cur["vars"]
+                ) is True:
+                    self._apply_step(cur, 0, row)
+                    hit = cur
+                    break
+                if conds[0](row, {}, dict(ctx.dflt)) is True:
+                    seq = {"vars": dict(ctx.dflt), "steps": {}, "id": self.next_id}
+                    self.next_id += 1
+                    self._apply_step(seq, 0, row)
+                    slots[0] = seq
+                    hit = seq
+                    break
+        if hit is None:
+            return None
+        out = {c: row.get(c) for c in ctx.in_cols}
+        out.update({k: hit["vars"].get(k) for k in ctx.dflt})
+        if ctx.match_col:
+            out[ctx.match_col] = hit["id"]
+        return out
+
+
+def _normalize_pdf(pdf):
+    # Arrow->pandas turns nullable long/real cells into float64 NaN, which
+    # `is None` checks (the interpreter's null model) never see — isnull()
+    # would be false on nulls and NaN would leak through arithmetic.
+    # Normalize every batch to object cells with None.
+    return pdf.astype(object).where(pdf.notna(), None)
+
+
+def _sort_pdf(pdf, order_keys: list[tuple[str, bool, str]]):
+    """Sort a pandas batch by (column, asc, nulls) keys — the per-shard /
+    per-micro-batch serialization for the partitioned and streaming paths.
+    pandas supports one na_position for all keys; the first key's rule wins
+    (documented delta — mixed per-key null placement is rare in practice)."""
+    if not order_keys:
+        return pdf
+    return pdf.sort_values(
+        by=[n for n, _, _ in order_keys],
+        ascending=[asc for _, asc, _ in order_keys],
+        na_position="first" if order_keys[0][2] == "first" else "last",
+        kind="mergesort",  # stable: ties keep arrival order
+    )
+
+
+def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
+    ctx = ScanCtx(df, op)
 
     def runner(batches):
         import pandas as pd
 
-        # slots[k] = active sequence at step k, or None.
-        # A sequence = {"vars": {...}, "steps": {name: row}, "id": match_id}.
-        slots: list = [None] * n_steps
-        next_id = 0
-
-        def apply_step(seq: dict, k: int, row: dict) -> None:
-            # `s<k>.x` sees the matched row overlaid with the declared-var
-            # values as of BEFORE this step's assignments, so
-            # `cumulative_x = x + s1.cumulative_x` reads the prior value.
-            snap = dict(row)
-            snap.update(seq["vars"])
-            seq["steps"][names[k]] = snap
-            for aname, aexpr in assigns[k]:
-                seq["vars"][aname] = aexpr(row, seq["steps"], seq["vars"])
-
+        machine = ScanMachine(ctx)
         for pdf in batches:
             out_rows = []
-            # Arrow->pandas turns nullable long/real cells into float64 NaN,
-            # which `is None` checks (the interpreter's null model) never see
-            # — isnull() would be false on nulls and NaN would leak through
-            # arithmetic. Normalize every batch to object cells with None.
-            pdf = pdf.astype(object).where(pdf.notna(), None)
-            for row in pdf.to_dict("records"):
-                hit = None
-                for k in range(n_steps - 1, -1, -1):
-                    if k >= 1:
-                        prev = slots[k - 1]
-                        if prev is not None and conds[k](
-                            row, prev["steps"], prev["vars"]
-                        ) is True:
-                            slots[k - 1] = None
-                            apply_step(prev, k, row)
-                            # last step: match completes, sequence discarded
-                            slots[k] = None if k == n_steps - 1 else prev
-                            hit = prev
-                            break
-                        cur = slots[k]
-                        if cur is not None and conds[k](
-                            row, cur["steps"], cur["vars"]
-                        ) is True:
-                            apply_step(cur, k, row)
-                            hit = cur
-                            break
-                    else:
-                        cur = slots[0]
-                        if cur is not None and conds[0](
-                            row, cur["steps"], cur["vars"]
-                        ) is True:
-                            apply_step(cur, 0, row)
-                            hit = cur
-                            break
-                        if conds[0](row, {}, dict(dflt)) is True:
-                            seq = {"vars": dict(dflt), "steps": {}, "id": next_id}
-                            next_id += 1
-                            apply_step(seq, 0, row)
-                            slots[0] = seq
-                            hit = seq
-                            break
-                if hit is not None:
-                    out = {c: row.get(c) for c in in_cols}
-                    out.update({k: hit["vars"].get(k) for k in dflt})
-                    if match_col:
-                        out[match_col] = hit["id"]
+            for row in _normalize_pdf(pdf).to_dict("records"):
+                out = machine.process(row)
+                if out is not None:
                     out_rows.append(out)
-            yield pd.DataFrame(out_rows, columns=out_cols)
+            yield pd.DataFrame(out_rows, columns=ctx.out_cols)
 
     # sequential by spec: single walker over the serialized order
-    return df.coalesce(1).mapInPandas(runner, out_schema)
+    return df.coalesce(1).mapInPandas(runner, ctx.out_schema)
+
+
+def run_scan_partitioned(
+    df: DataFrame,
+    op: ScanOp,
+    key: str,
+    order_keys: list[tuple[str, bool, str]],
+    engine,
+) -> DataFrame:
+    """Sharded scan for `partition by key ( sort by ... | scan ... )`: one
+    independent state machine per key, executed as a keyed applyInPandas —
+    the scan parallelizes across keys instead of the global single walker.
+    Match ids are per-key (each shard numbers its own sequences from 0).
+
+    Scale: one hash shuffle on the key; each group sorts and walks locally.
+    This is THE way to run sequence detection over 100 TB — per-entity
+    funnels shard perfectly; only a truly global ordered scan needs the
+    single-walker path."""
+    ctx = ScanCtx(df, op)
+
+    def func(pdf):
+        import pandas as pd
+
+        machine = ScanMachine(ctx)
+        out_rows = []
+        for row in _normalize_pdf(_sort_pdf(pdf, order_keys)).to_dict("records"):
+            out = machine.process(row)
+            if out is not None:
+                out_rows.append(out)
+        return pd.DataFrame(out_rows, columns=ctx.out_cols)
+
+    return df.groupBy(key).applyInPandas(func, ctx.out_schema)
+
+
+def run_scan_streaming(
+    df: DataFrame,
+    op: ScanOp,
+    engine,
+    order_keys: list[tuple[str, bool, str]],
+) -> DataFrame:
+    """Streaming scan (SURVEY §2.11): applyInPandasWithState carries the
+    machine's slots across micro-batches (pickled — sequences are plain
+    data). Rows are processed in `sort by` order WITHIN each micro-batch
+    (streams cannot be globally sorted; the per-batch ordering is the
+    documented contract). Global scan = one state group; state size is
+    O(n_steps), not O(rows)."""
+    import pickle
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ctx = ScanCtx(df, op)
+    state_schema = T.StructType([T.StructField("blob", T.BinaryType(), True)])
+
+    def func(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            slots, next_id = pickle.loads(bytes(state.get[0]))
+        else:
+            slots, next_id = None, 0
+        machine = ScanMachine(ctx, slots, next_id)
+        for pdf in pdf_iter:
+            out_rows = []
+            for row in _normalize_pdf(_sort_pdf(pdf, order_keys)).to_dict("records"):
+                out = machine.process(row)
+                if out is not None:
+                    out_rows.append(out)
+            yield pd.DataFrame(out_rows, columns=ctx.out_cols)
+        state.update((pickle.dumps((machine.slots, machine.next_id)),))
+
+    # the grouping key must be a real column for the state operator
+    return (
+        df.withColumn("__kql_scan_g", F.lit(0))
+        .groupBy("__kql_scan_g")
+        .applyInPandasWithState(
+            func,
+            ctx.out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

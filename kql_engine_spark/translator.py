@@ -33,7 +33,7 @@ from .ast_nodes import (
     NamedExpr, ParseKv, ParseOp, ParseSlot, PartitionOp, Pipe, PipeSource,
     PrintSource, Project, ProjectAway, ProjectKeep, ProjectRename,
     ProjectReorder, Property, Query, RangeSource, Render, SampleDistinct,
-    ToScalar,
+    ScanOp, ToScalar,
     SampleOp, SearchOp, SearchSource, Serialize, Sort, SortKey, Star,
     Summarize, TableRef,
     Take, TabularOp, Top, TopHitters, TopNested, TypedLit, UnaryOp, Union,
@@ -933,9 +933,30 @@ class PipeTranslator:
         return cols
 
     def t_sort(self, df: DataFrame, op: Sort) -> DataFrame:
+        if self.streaming and df.isStreaming:
+            # streams cannot be globally sorted; record the keys so
+            # order-sensitive ops downstream (scan) apply them per
+            # micro-batch — the documented streaming serialization contract
+            self.order = self._sort_cols(df, op.keys)
+            self._stream_order = self._plain_sort_keys(op.keys)
+            return df
         cols = self._sort_cols(df, op.keys)
         self.order = cols
         return df.orderBy(*cols)
+
+    def _plain_sort_keys(self, keys) -> list[tuple[str, bool, str]]:
+        """(column, asc, nulls) triples for pandas-side sorting (scan
+        sharding / streaming); restricted to plain column keys."""
+        out = []
+        for k in keys:
+            if not isinstance(k.expr, Col):
+                raise KqlUnsupportedError(
+                    "scan sharding/streaming: sort keys must be plain columns"
+                )
+            out.append(
+                (k.expr.name, k.asc, k.nulls or ("first" if k.asc else "last"))
+            )
+        return out
 
     def t_take(self, df: DataFrame, op: Take) -> DataFrame:
         return df.limit(op.n)
@@ -1870,12 +1891,29 @@ class PipeTranslator:
         key = op.key
         sub = df
         pending_sort: list[Column] | None = None
+        pending_sort_keys = None  # raw SortKey list for pandas-side shards
         for sop in op.subquery:
             if isinstance(sop, Top):
                 cols = self._sort_cols(sub, sop.keys)
                 sub = self._per_key_topn(sub, key, cols, sop.n)
             elif isinstance(sop, Sort):
                 pending_sort = self._sort_cols(sub, sop.keys)
+                pending_sort_keys = sop.keys
+            elif isinstance(sop, ScanOp):
+                # sharded scan: one state machine per key, parallel across
+                # keys (the 100 TB path for per-entity sequence detection)
+                if pending_sort_keys is None:
+                    raise KqlSemanticError(
+                        "scan inside partition by needs a preceding sort by "
+                        "to define the per-key serialized order"
+                    )
+                from .scan import run_scan_partitioned
+
+                sub = run_scan_partitioned(
+                    sub, sop, key, self._plain_sort_keys(pending_sort_keys), self
+                )
+                pending_sort = None
+                pending_sort_keys = None
             elif isinstance(sop, Take):
                 order = pending_sort or [F.monotonically_increasing_id().asc()]
                 sub = self._per_key_topn(sub, key, order, sop.n)
@@ -1978,9 +2016,16 @@ class PipeTranslator:
                 "scan requires a serialized input (use 'sort by' or 'serialize' "
                 "first) [KQL]"
             )
-        from .scan import run_scan
+        if self.streaming and df.isStreaming:
+            from .scan import run_scan_streaming
 
-        out = run_scan(df, op, self)
+            out = run_scan_streaming(
+                df, op, self, getattr(self, "_stream_order", None) or []
+            )
+        else:
+            from .scan import run_scan
+
+            out = run_scan(df, op, self)
         self.order = None
         return out
 

@@ -128,6 +128,40 @@ def test_scan_step_reference(run_kql):
     assert gaps == [4, 1]
 
 
+def test_partitioned_scan_matches_global_per_key(run_kql):
+    # Round 5: `partition by key ( sort | scan )` shards the state machine
+    # per key (applyInPandas). For a single key it must equal the global
+    # single-walker scan over that key's rows.
+    scan = (
+        " | scan with_match_id = m declare (hits:long = 0) with ("
+        "     step s1: event_type == 'view' => hits = 1;"
+        "     step s2: event_type == 'purchase' => hits = 2;)"
+    )
+    want = run_kql(
+        "events | where user_id == 3 | sort by ts asc, event_id asc" + scan
+        + " | summarize rows = count(), matches = count_distinct(m), hs = sum(hits)"
+    ).collect()[0]
+    got = run_kql(
+        "events | where user_id == 3 | partition by user_id ("
+        " sort by ts asc, event_id asc" + scan + ")"
+        " | summarize rows = count(), matches = count_distinct(m), hs = sum(hits)"
+    ).collect()[0]
+    assert (got.rows, got.matches, got.hs) == (want.rows, want.matches, want.hs)
+    assert got.rows > 0
+
+
+def test_partitioned_scan_requires_sort(run_kql):
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with _pytest.raises(KqlSemanticError):
+        run_kql(
+            "events | partition by user_id ("
+            " scan with (step s1: event_type == 'view';))"
+        )
+
+
 def test_graph_shortest_paths_output_all(run_kql):
     # diamond x->{y1,y2}->z: output=all returns BOTH minimal 2-hop paths,
     # and the 3-hop detour via q,r is pruned

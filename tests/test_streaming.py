@@ -119,3 +119,33 @@ def test_stream_static_dimension_join(spark, run_kql):
     assert sorted((r.c_mktsegment, r.n) for r in got) == sorted(
         (r.c_mktsegment, r.n) for r in batch
     )
+
+
+def test_stream_scan_matches_batch(spark, run_kql):
+    # Round 5: streaming scan via applyInPandasWithState — the concurrent
+    # state machine's slots persist across micro-batches; within a batch
+    # rows are processed in `sort by` order. One batch here, so the result
+    # must equal the batch scan exactly.
+    from pyspark.sql import functions as F
+
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    scan = (
+        " | scan with_match_id = m declare (hits:long = 0) with ("
+        "     step s1: event_type == 'view' => hits = 1;"
+        "     step s2: event_type == 'purchase' => hits = 2;)"
+    )
+    sdf = kql_stream(spark, "events | sort by event_id asc" + scan, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    res = run_to_memory(sdf, "stream_scan_t", mode="append")
+    got = res.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("m").alias("matches"),
+        F.sum("hits").alias("hs"),
+    ).collect()[0]
+    want = run_kql(
+        "events | sort by event_id asc" + scan
+        + " | summarize rows = count(), matches = count_distinct(m), hs = sum(hits)"
+    ).collect()[0]
+    assert (got.rows, got.matches, got.hs) == (want.rows, want.matches, want.hs)
+    assert got.rows > 0
