@@ -1435,9 +1435,23 @@ q(
 
 q(
     "tdigest_surrogate",
+    # round 5: real DataSketches KLL sketch (was a percentile_approx array
+    # surrogate); name kept for round-over-round correctness continuity
     """lineitem
     | summarize td = tdigest(l_extendedprice)
     | project p50 = percentile_tdigest(td, 50)""",
+    None,  # approximate sketch: closeness asserted in pytest, rows-only here
+)
+
+q(
+    "tdigest_merge_rollup",
+    # the mergeable-percentile rollup pattern: per-group sketches merged at
+    # a second aggregation level, read out with single and array readers
+    """lineitem
+    | summarize td = tdigest(l_extendedprice) by l_returnflag
+    | summarize merged = merge_tdigest(td)
+    | project p50 = percentile_tdigest(merged, 50),
+              p2575 = percentile_array_tdigest(merged, dynamic([25, 75]))""",
     None,  # approximate sketch: closeness asserted in pytest, rows-only here
 )
 

@@ -382,11 +382,24 @@ def is_aggregate_call(e: Expr) -> bool:
     return isinstance(e, FuncCall) and e.name in AGG_REGISTRY
 
 
-@agg("tdigest", "tdigest_merge")
+@agg("tdigest")
 def _tdigest(tr, args, name):
-    """No portable t-digest interop (SURVEY.md §2.6): the surrogate sketch is
-    the 101-point percentile_approx vector; percentile_tdigest() reads it."""
-    qs = F.array(*[F.lit(i / 100.0) for i in range(101)])
+    """tdigest(col) -> binary quantile sketch (SURVEY.md §2.6). Kusto's
+    t-digest serialization is proprietary, so the engine's sketch is a
+    DataSketches KLL (Spark 4.1 kll_sketch_agg_double) with the SAME
+    contract: intermediate states merge across summarize stages via
+    merge_tdigest()/tdigest_merge() and read out via percentile_tdigest() —
+    the pre-aggregated percentile-rollup pattern that matters at 100 TB
+    (round 5: replaces the non-mergeable 101-point percentile_approx
+    surrogate). k=800 keeps normalized rank error under ~0.6%."""
+    out = name or _auto("tdigest", args)
     return [
-        (name or _auto("tdigest", args), F.percentile_approx(tr.to_col(args[0]), qs))
+        (out, F.kll_sketch_agg_double(tr.to_col(args[0]).cast("double"), 800))
     ]
+
+
+@agg("tdigest_merge", "merge_tdigest")
+def _tdigest_merge(tr, args, name):
+    """Merge tdigest() sketches from a prior aggregation level [KQL §2.6]."""
+    out = name or _auto("tdigest_merge", args)
+    return [(out, F.kll_merge_agg_double(tr.to_col(args[0])))]

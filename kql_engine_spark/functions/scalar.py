@@ -1103,14 +1103,40 @@ def _session_window(tr, args):
 
 @fn("percentile_tdigest")
 def _percentile_tdigest(tr, args):
-    """Read the p-th percentile from a tdigest() surrogate sketch (the
-    101-point approx-percentile vector — SURVEY.md §2.6 documented delta)."""
+    """Read the p-th percentile from a tdigest() sketch (DataSketches KLL
+    binary — SURVEY.md §2.6; round 5 replaces the array surrogate)."""
     td = tr.to_col(args[0])
-    p = int(round(float(tr.const_value(args[1]))))
-    out = F.element_at(td, F.lit(p + 1))
+    p = float(tr.const_value(args[1])) / 100.0
+    out = F.kll_sketch_get_quantile_double(td, F.lit(p))
     if len(args) >= 3:
         out = out.cast(KQL_CAST_NAME[tr.const_typename(args[2])])
     return out
+
+
+@fn("percentile_array_tdigest")
+def _percentile_array_tdigest(tr, args):
+    """percentile_array_tdigest(td, dynamic([p1, p2, ...])) — read several
+    percentiles from one tdigest() sketch [KQL §2.6]."""
+    from ..ast_nodes import TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
+    td = tr.to_col(args[0])
+    a = args[1]
+    if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+        ps = parse_dynamic_literal(a.raw)
+    else:
+        ps = tr.const_value(a)
+    if not isinstance(ps, (list, tuple)):
+        raise KqlSemanticError(
+            "percentile_array_tdigest: second argument must be a dynamic "
+            "array of percentiles"
+        )
+    return F.array(
+        *[
+            F.kll_sketch_get_quantile_double(td, F.lit(float(p) / 100.0))
+            for p in ps
+        ]
+    )
 
 
 # ------------------------------- series_decompose family (SURVEY §2.10 B/C)

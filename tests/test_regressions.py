@@ -338,6 +338,25 @@ def test_series_decompose_anomaly_flags(run_kql):
     assert row.a[-1] == 1.0 and all(v == 0.0 for v in row.a[:-1])
 
 
+def test_tdigest_merge_rollup_close(run_kql, duck):
+    # round 5: tdigest is a real mergeable KLL sketch — the two-level
+    # rollup (per-flag sketches -> merge_tdigest) must stay close to exact
+    row = run_kql(
+        "lineitem | summarize td = tdigest(l_extendedprice) by l_returnflag"
+        " | summarize merged = merge_tdigest(td)"
+        " | project p50 = percentile_tdigest(merged, 50),"
+        "           ps = percentile_array_tdigest(merged, dynamic([25, 75]))"
+    ).collect()[0]
+    exact = duck.sql(
+        "SELECT quantile_cont(l_extendedprice, 0.25),"
+        " quantile_cont(l_extendedprice, 0.5),"
+        " quantile_cont(l_extendedprice, 0.75) FROM lineitem"
+    ).fetchone()
+    assert abs(row.p50 - exact[1]) / exact[1] < 0.05
+    assert abs(row.ps[0] - exact[0]) / exact[0] < 0.05
+    assert abs(row.ps[1] - exact[2]) / exact[2] < 0.05
+
+
 def test_tdigest_percentile_close(run_kql, duck):
     row = run_kql(
         "lineitem | summarize td = tdigest(l_extendedprice)"
