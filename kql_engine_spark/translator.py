@@ -1506,47 +1506,57 @@ class PipeTranslator:
         for item in op.aggs:
             for out_name, col in self._translate_agg(tr2, item):
                 agg_cols.append((out_name, col))
+        # auto-bounds columns ride through both aggregation levels (they are
+        # constant across all rows, so first() is exact)
+        carry = (
+            [F.first("__kqllo").alias("__kqllo"), F.first("__kqlhi").alias("__kqlhi")]
+            if axis_src is not None
+            else []
+        )
         grouped = work.groupBy(*key_tmps, axis_tmp).agg(
-            *[c.alias(n) for n, c in agg_cols]
+            *[c.alias(n) for n, c in agg_cols], *carry
         )
 
-        # dense axis: distinct keys x generated axis (axis is tiny -> broadcast)
+        # Densification WITHOUT joins (round 5; the previous plan re-scanned
+        # the source for distinct keys, cross-joined an exploded axis and
+        # left-joined the aggregates — two extra exchanges plus a second
+        # scan). Here: collapse each key's (bin -> aggs) pairs into a map,
+        # then project the dense series as transform(sequence(lo, hi, step))
+        # against the map. One scan, one full shuffle on (key, bin), one tiny
+        # shuffle on key over #key x #bins aggregated rows — strictly fewer
+        # exchanges at every scale, and the series arrays come out of
+        # sequence() already ordered (no array_sort).
+        entry_v = F.struct(*[F.col(n).alias(n) for n, _ in agg_cols])
+        per_key_aggs = [
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(axis_tmp).alias("k"), entry_v.alias("v")))
+            ).alias("__m")
+        ]
         if axis_src is not None:
-            axis_df = axis_src.select(F.explode(seq).alias(axis_tmp))
-        else:
-            axis_df = self.spark.range(1).select(F.explode(seq).alias(axis_tmp))
-        if key_tmps:
-            keys_df = work.select(*key_tmps).distinct()
-            grid = keys_df.crossJoin(F.broadcast(axis_df))
-            dense = grid.join(grouped, on=key_tmps + [axis_tmp], how="left")
-        else:
-            dense = axis_df.join(grouped, on=[axis_tmp], how="left")
+            per_key_aggs += [
+                F.first("__kqllo").alias("__kqllo"),
+                F.first("__kqlhi").alias("__kqlhi"),
+            ]
+        gb = grouped.groupBy(*key_tmps) if key_tmps else grouped.groupBy()
+        out = gb.agg(*per_key_aggs)
 
-        defaults = []
-        for (out_name, _), d in zip(agg_cols, op.defaults or [None] * len(agg_cols)):
-            dval = tr.to_col(d) if d is not None else F.lit(0.0)
-            defaults.append((out_name, dval))
-        for out_name, dval in defaults:
-            dense = dense.withColumn(
-                out_name, F.coalesce(F.col(out_name).cast("double"), dval.cast("double"))
+        def _series(fname, dval):
+            # closure factory: a default-arg lambda would make F.transform
+            # pass the element INDEX as the second parameter
+            return F.transform(
+                seq,
+                lambda b: F.coalesce(
+                    F.element_at(F.col("__m"), b)[fname].cast("double"), dval
+                ),
             )
 
-        collect = F.array_sort(
-            F.collect_list(F.struct(F.col(axis_tmp).alias("a"), *[F.col(n).alias(n) for n, _ in agg_cols]))
-        )
-        gb = dense.groupBy(*key_tmps) if key_tmps else dense.groupBy()
-        out = gb.agg(collect.alias("__s"))
-
-        def _field(fname):
-            # closure factory: a default-arg lambda would make F.transform pass
-            # the element INDEX as the second parameter
-            return lambda s: s[fname]
-
-        for n, _ in agg_cols:
-            out = out.withColumn(n, F.transform(F.col("__s"), _field(n)))
-        out = out.withColumn(axis_name, F.transform(F.col("__s"), lambda s: s["a"])).drop(
-            "__s"
-        )
+        for (out_name, _), d in zip(agg_cols, op.defaults or [None] * len(agg_cols)):
+            dval = (tr.to_col(d) if d is not None else F.lit(0.0)).cast("double")
+            out = out.withColumn(out_name, _series(out_name, dval))
+        out = out.withColumn(axis_name, seq).drop("__m", "__kqllo", "__kqlhi")
+        if axis_src is not None:
+            # empty input -> null bounds -> null series; drop the vacuous row
+            out = out.filter(F.col(axis_name).isNotNull())
         out = out.withColumnsRenamed(dict(zip(key_tmps, key_outs)))
         self.order = None
         return out
