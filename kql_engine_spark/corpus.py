@@ -1211,6 +1211,17 @@ q(
     None,  # LSH-approximate: verified by metamorphic pytest, rows-only here
 )
 
+q(
+    "llm_dedup_embedding",
+    # embedding-cosine near-dup removal (round 5); the fixture's random
+    # vectors have no near-dups at 0.95, so the op must keep every row —
+    # collapse behavior is pinned by the crafted-vector pytest cases
+    """embeddings
+    | evaluate dedup_embedding(embedding, vec_id, 0.95)
+    | summarize n = count()""",
+    """SELECT COUNT(*) AS n FROM embeddings""",
+)
+
 # ----------------------------------------- §2.8 mv-apply / §2.13 partition by
 q(
     "mv_apply_agg",

@@ -340,7 +340,54 @@ def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
     idc = _colname(args[1], "similarity_join")
     thr = _const_float(args[2], "similarity_join")
 
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    feat, _usable = _unit_norm_feat(df, emb, idc)
+    return (
+        _cosine_lsh_pairs(feat, thr)
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("left_id"),
+            F.col("dst").alias("right_id"),
+            F.col("sim"),
+        )
+    )
+
+
+# ------------------------------------------------------------ dedup_embedding
+@plugin("dedup_embedding")
+def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_embedding(embcol, idcol[, threshold=0.95])` —
+    embedding-cosine near-duplicate removal (SURVEY §2.12): rows whose
+    embeddings are cosine-similar above the threshold collapse to the
+    min-id canonical document.
+
+    Lowering reuses the similarity_join machinery: unit-normalize,
+    BucketedRandomProjectionLSH candidate pairs (cos >= t <=> L2 <=
+    sqrt(2-2t), bucket-local — never all-pairs), min-id connected
+    components to fixpoint, left_semi keep. Rows with a null/empty or
+    zero-norm embedding cannot be near anything — they pass through as
+    their own canonicals (same rule as dedup_simhash).
+
+    Scale: LSH buckets key the shuffle; the component fixpoint ships one
+    changed-count row per round to the driver."""
+    emb = _colname(args[0], "dedup_embedding")
+    idc = _colname(args[1], "dedup_embedding")
+    thr = _const_float(args[2], "dedup_embedding") if len(args) > 2 else 0.95
+
+    feat, usable = _unit_norm_feat(df, emb, idc)
+    edges = _cosine_lsh_pairs(feat, thr).select("src", "dst")
+    keep = _min_id_components(feat.select(F.col("__id").alias("node")), edges)
+    vectorless = df.filter(~F.coalesce(usable, F.lit(False))).select(
+        F.col(idc).alias("node")
+    )
+    return df.join(keep.union(vectorless), df[idc] == F.col("node"), "left_semi")
+
+
+def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
+    """(unit-normalized LSH-ready frame, usable predicate). Degenerate rows
+    (null/empty/zero-norm embeddings) are filtered out; the division is made
+    TOTAL with coalesce(0.0) because 0/0 is null under ANSI-off and a null
+    array element trips array_to_vector's non-null assertion if any plan
+    path evaluates the projection on a filtered row."""
     from pyspark.ml.functions import array_to_vector
 
     norm = F.sqrt(
@@ -348,22 +395,42 @@ def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
             F.col(emb), F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
         )
     )
-    unit = F.transform(F.col(emb), lambda v: v.cast("double") / norm)
-    feat = df.select(F.col(idc).alias("__id"), array_to_vector(unit).alias("__v"))
+    usable = (
+        F.col(emb).isNotNull() & (F.size(F.col(emb)) > 0) & (norm > F.lit(0.0))
+    )
+    unit = F.transform(
+        F.col(emb), lambda v: F.coalesce(v.cast("double") / norm, F.lit(0.0))
+    )
+    feat = (
+        df.filter(usable)
+        .select(F.col(idc).alias("__id"), array_to_vector(unit).alias("__v"))
+        # lineage barrier: Catalyst pushes the LSH hash UDF's predicates
+        # below this filter (both are deterministic), making the hash UDF
+        # evaluate on degenerate rows (dim-0 vectors crash it). The
+        # checkpoint pins the filter before the UDF and is the same
+        # materialization the component fixpoint pays anyway.
+        .localCheckpoint(eager=True)
+    )
+    return feat, usable
+
+
+def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
+    """Candidate cosine pairs over unit vectors via BucketedRandomProjection
+    LSH (cos >= t <=> L2 <= sqrt(2-2t)) — bucket-local, never all-pairs.
+    Returns (src, dst, sim) with src != dst, both directions."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
     brp = BucketedRandomProjectionLSH(
         inputCol="__v", outputCol="__h", bucketLength=0.5, numHashTables=4, seed=42
     )
     model = brp.fit(feat)
     dist_thr = max(2.0 - 2.0 * thr, 0.0) ** 0.5
     pairs = model.approxSimilarityJoin(feat, feat, dist_thr, distCol="__dist")
-    return (
-        pairs.select(
-            F.col("datasetA.__id").alias("left_id"),
-            F.col("datasetB.__id").alias("right_id"),
-            F.round(1.0 - F.col("__dist") * F.col("__dist") / 2.0, 6).alias("sim"),
-        )
-        .filter(F.col("left_id") < F.col("right_id"))
-    )
+    return pairs.select(
+        F.col("datasetA.__id").alias("src"),
+        F.col("datasetB.__id").alias("dst"),
+        F.round(1.0 - F.col("__dist") * F.col("__dist") / 2.0, 6).alias("sim"),
+    ).filter(F.col("src") != F.col("dst"))
 
 
 # ----------------------------------------------------------------- dedup_near

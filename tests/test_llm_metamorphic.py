@@ -308,6 +308,54 @@ def test_dedup_simhash_rejects_oversized_radius(spark):
         _dedup_simhash(spark, df, 32)
 
 
+def _dedup_embedding(spark, df, thr):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    ptr = PipeTranslator(spark, Catalog(spark))
+    args = parse(f"T | where dedup_embedding(v, id, {thr})").pipe.ops[0].pred.args
+    return EVALUATE_REGISTRY["dedup_embedding"](ptr, df, args)
+
+
+def test_dedup_embedding_collapses_near_vectors(spark):
+    # 1 and 2 are cosine-near (>0.99); 3 and 4 are near; 5 distinct;
+    # 6 empty and 7 zero-norm pass through as their own canonicals
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.995, 0.05]),
+            (5, [0.0, 0.0, 1.0]),
+            (6, []),
+            (7, [0.0, 0.0, 0.0]),
+        ],
+        "id long, v array<double>",
+    )
+    kept = sorted(r.id for r in _dedup_embedding(spark, df, 0.99).collect())
+    assert kept == [1, 3, 5, 6, 7]
+
+
+def test_dedup_embedding_idempotent_and_monotone(spark):
+    import math
+
+    rows = []
+    for i in range(8):
+        a = i * 0.2
+        rows.append((i, [math.cos(a), math.sin(a), 0.0]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    once = _dedup_embedding(spark, df, 0.995)
+    twice = _dedup_embedding(spark, once, 0.995)
+    assert sorted(r.id for r in once.collect()) == sorted(
+        r.id for r in twice.collect()
+    )
+    strict = _dedup_embedding(spark, df, 0.9999).count()
+    loose = _dedup_embedding(spark, df, 0.9).count()
+    assert strict >= loose
+
+
 def test_similarity_search_ivf_recall_and_probes(run_kql, duck):
     vec = duck.sql("SELECT embedding FROM embeddings WHERE vec_id = 7").fetchone()[0]
     q = "dynamic([" + ",".join(str(round(float(x), 6)) for x in vec) + "])"
