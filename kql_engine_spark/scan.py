@@ -223,6 +223,12 @@ class ScanCtx:
         self.n_steps = len(op.steps)
         self.names = [s.name for s in op.steps]
         self.match_col = op.match_id
+        self.outputs = [getattr(s, "output", "all") or "all" for s in op.steps]
+        bad = [o for o in self.outputs if o not in ("all", "last", "none")]
+        if bad:
+            raise KqlSemanticError(
+                f"scan step output must be all|last|none, got {bad[0]!r}"
+            )
 
 
 class ScanMachine:
@@ -247,12 +253,34 @@ class ScanMachine:
         for aname, aexpr in self.ctx.assigns[k]:
             seq["vars"][aname] = aexpr(row, seq["steps"], seq["vars"])
 
-    def process(self, row: dict) -> dict | None:
-        """Advance the machine by one row; returns the emitted output row
-        (or None if the row matched no step)."""
+    def _row_out(self, seq: dict, row: dict) -> dict:
+        ctx = self.ctx
+        out = {c: row.get(c) for c in ctx.in_cols}
+        out.update({k: seq["vars"].get(k) for k in ctx.dflt})
+        if ctx.match_col:
+            out[ctx.match_col] = seq["id"]
+        return out
+
+    def _emit(self, seq: dict, k: int, row: dict, emitted: list, flush: bool) -> None:
+        """Emit the matched row per step k's output mode. `last` buffers it
+        on the sequence and flushes when the sequence leaves the step
+        (promotion) or the match completes; `none` suppresses it."""
+        mode = self.ctx.outputs[k]
+        if mode == "none":
+            return
+        out = self._row_out(seq, row)
+        if mode == "all" or flush:
+            emitted.append(out)
+        else:  # last: keep only the most recent matched record for the step
+            seq["pending"] = out
+
+    def process(self, row: dict) -> list[dict]:
+        """Advance the machine by one row; returns the rows emitted for it
+        (possibly several: a flushed output=last buffer plus the row
+        itself, or none at all)."""
         ctx, slots = self.ctx, self.slots
         conds, n_steps = ctx.conds, ctx.n_steps
-        hit = None
+        emitted: list = []
         for k in range(n_steps - 1, -1, -1):
             if k >= 1:
                 prev = slots[k - 1]
@@ -260,39 +288,56 @@ class ScanMachine:
                     row, prev["steps"], prev["vars"]
                 ) is True:
                     slots[k - 1] = None
+                    # leaving step k-1: flush its buffered output=last row
+                    if prev.get("pending") is not None:
+                        emitted.append(prev["pending"])
+                        prev["pending"] = None
                     self._apply_step(prev, k, row)
                     # last step: match completes, sequence discarded
-                    slots[k] = None if k == n_steps - 1 else prev
-                    hit = prev
-                    break
+                    complete = k == n_steps - 1
+                    slots[k] = None if complete else prev
+                    self._emit(prev, k, row, emitted, flush=complete)
+                    return emitted
                 cur = slots[k]
                 if cur is not None and conds[k](
                     row, cur["steps"], cur["vars"]
                 ) is True:
                     self._apply_step(cur, k, row)
-                    hit = cur
-                    break
+                    self._emit(cur, k, row, emitted, flush=False)
+                    return emitted
             else:
                 cur = slots[0]
                 if cur is not None and conds[0](
                     row, cur["steps"], cur["vars"]
                 ) is True:
                     self._apply_step(cur, 0, row)
-                    hit = cur
-                    break
+                    self._emit(cur, 0, row, emitted, flush=False)
+                    return emitted
                 if conds[0](row, {}, dict(ctx.dflt)) is True:
-                    seq = {"vars": dict(ctx.dflt), "steps": {}, "id": self.next_id}
+                    # a restart discards any buffered row of the replaced
+                    # sequence (its match never progressed)
+                    seq = {
+                        "vars": dict(ctx.dflt),
+                        "steps": {},
+                        "id": self.next_id,
+                        "pending": None,
+                    }
                     self.next_id += 1
                     self._apply_step(seq, 0, row)
                     slots[0] = seq
-                    hit = seq
-                    break
-        if hit is None:
-            return None
-        out = {c: row.get(c) for c in ctx.in_cols}
-        out.update({k: hit["vars"].get(k) for k in ctx.dflt})
-        if ctx.match_col:
-            out[ctx.match_col] = hit["id"]
+                    self._emit(seq, 0, row, emitted, flush=False)
+                    return emitted
+        return emitted
+
+    def finalize(self) -> list[dict]:
+        """End-of-input flush for output=last buffers of still-live
+        sequences (batch walkers only; the streaming path keeps state for
+        the next micro-batch instead)."""
+        out = []
+        for seq in self.slots:
+            if seq is not None and seq.get("pending") is not None:
+                out.append(seq["pending"])
+                seq["pending"] = None
         return out
 
 
@@ -329,10 +374,11 @@ def run_scan(df: DataFrame, op: ScanOp, engine) -> DataFrame:
         for pdf in batches:
             out_rows = []
             for row in _normalize_pdf(pdf).to_dict("records"):
-                out = machine.process(row)
-                if out is not None:
-                    out_rows.append(out)
+                out_rows.extend(machine.process(row))
             yield pd.DataFrame(out_rows, columns=ctx.out_cols)
+        tail = machine.finalize()
+        if tail:
+            yield pd.DataFrame(tail, columns=ctx.out_cols)
 
     # sequential by spec: single walker over the serialized order
     return df.coalesce(1).mapInPandas(runner, ctx.out_schema)
@@ -362,9 +408,8 @@ def run_scan_partitioned(
         machine = ScanMachine(ctx)
         out_rows = []
         for row in _normalize_pdf(_sort_pdf(pdf, order_keys)).to_dict("records"):
-            out = machine.process(row)
-            if out is not None:
-                out_rows.append(out)
+            out_rows.extend(machine.process(row))
+        out_rows.extend(machine.finalize())
         return pd.DataFrame(out_rows, columns=ctx.out_cols)
 
     return df.groupBy(key).applyInPandas(func, ctx.out_schema)
@@ -401,10 +446,9 @@ def run_scan_streaming(
         for pdf in pdf_iter:
             out_rows = []
             for row in _normalize_pdf(_sort_pdf(pdf, order_keys)).to_dict("records"):
-                out = machine.process(row)
-                if out is not None:
-                    out_rows.append(out)
+                out_rows.extend(machine.process(row))
             yield pd.DataFrame(out_rows, columns=ctx.out_cols)
+        # no finalize: output=last buffers stay in state for the next batch
         state.update((pickle.dumps((machine.slots, machine.next_id)),))
 
     # the grouping key must be a real column for the state operator

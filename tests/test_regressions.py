@@ -313,6 +313,35 @@ def test_scan_completed_match_is_discarded(run_kql):
     ]
 
 
+def test_scan_step_output_modes(run_kql):
+    # output=last on s1: only the final view before the click appears;
+    # output=none on s2: the click row is suppressed entirely
+    rows = run_kql(
+        "datatable(t:long, ev:string)"
+        "[1, 'view', 2, 'view', 3, 'view', 4, 'click', 5, 'buy']"
+        " | sort by t asc"
+        " | scan with_match_id = m with ("
+        "     step s1 output=last: ev == 'view';"
+        "     step s2 output=none: ev == 'click';"
+        "     step s3: ev == 'buy';)"
+    ).collect()
+    got = [(r.t, r.ev, r.m) for r in rows]
+    assert got == [(3, "view", 0), (5, "buy", 0)]
+
+
+def test_scan_output_last_flushes_at_end_of_input(run_kql):
+    # a sequence still parked at an output=last step when input ends must
+    # flush its buffered record (batch semantics)
+    rows = run_kql(
+        "datatable(t:long, ev:string)[1, 'view', 2, 'view']"
+        " | sort by t asc"
+        " | scan with ("
+        "     step s1 output=last: ev == 'view';"
+        "     step s2: ev == 'click';)"
+    ).collect()
+    assert [(r.t, r.ev) for r in rows] == [(2, "view")]
+
+
 def test_scan_requires_serialization(run_kql):
     import pytest as _pytest
 
