@@ -1812,6 +1812,28 @@ q(
 )
 
 q(
+    "ipv6_fns",
+    # round 5: IPv6 family (pandas-UDF over stdlib ipaddress). Constant
+    # inputs -> the oracle is the literal expected values, hash-certified.
+    """print a = parse_ipv6('2001:db8::1'),
+       b = parse_ipv6('127.0.0.1'),
+       c = parse_ipv6_mask('2001:0db8:85a3::8a2e:0370:7334', 48),
+       d = ipv6_compare('192.168.1.1', '::ffff:c0a8:0101'),
+       e = ipv6_compare('2001:db8::1', '2001:db8::2'),
+       f = ipv6_is_match('2001:db8::1', '2001:db8::ff', 120),
+       g = ipv6_is_in_range('2001:db8::5', '2001:db8::/64'),
+       h = ipv6_is_in_range('2001:db9::5', '2001:db8::/64'),
+       i = ipv6_is_in_any_range('2001:db9::5', '2001:db8::/64', '2001:db9::/64'),
+       j = parse_ipv6('not an ip')""",
+    """SELECT '2001:0db8:0000:0000:0000:0000:0000:0001' AS a,
+              '0000:0000:0000:0000:0000:ffff:7f00:0001' AS b,
+              '2001:0db8:85a3:0000:0000:0000:0000:0000' AS c,
+              CAST(0 AS BIGINT) AS d, CAST(-1 AS BIGINT) AS e,
+              true AS f, true AS g, false AS h, true AS i,
+              CAST(NULL AS VARCHAR) AS j""",
+)
+
+q(
     "ipv4_mask_fns",
     '''print priv = ipv4_is_private('192.168.1.4'), pub = ipv4_is_private('8.8.8.8'),
        nm = ipv4_netmask_suffix('10.0.0.0/24'),

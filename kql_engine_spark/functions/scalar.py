@@ -826,6 +826,173 @@ def _ipv4_is_in_range(tr, args):
     ) == F.lit(base_v & mask)
 
 
+# ---------------------------------------------------------------- IPv6 family
+# Canonicalization (:: expansion, embedded IPv4 mapping, masking) is not
+# sanely expressible as column expressions; these are Arrow-batched pandas
+# UDFs over the stdlib `ipaddress` module (vectorized per batch, never
+# row-at-a-time Python in the JVM sense). IPv4 inputs map into
+# ::ffff:a.b.c.d per the public KQL contract, so ipv6_compare("192.168.1.1",
+# "::ffff:c0a8:0101") == 0.
+
+
+def _ipv6_value(s, default_prefix=128):
+    """(128-bit int, prefix) or (None, None). Accepts an optional /n
+    suffix and bare IPv4 (mapped)."""
+    import ipaddress
+
+    if s is None:
+        return None, None
+    s = str(s).strip()
+    prefix = None
+    if "/" in s:
+        s, _, p = s.partition("/")
+        try:
+            prefix = int(p)
+        except ValueError:
+            return None, None
+    try:
+        ip = ipaddress.ip_address(s)
+    except ValueError:
+        return None, None
+    if isinstance(ip, ipaddress.IPv4Address):
+        if prefix is not None:
+            # a /n on an IPv4 literal counts IPv4 bits -> shift into the
+            # mapped ::ffff:a.b.c.d address space
+            prefix += 96
+        ip = ipaddress.IPv6Address(int(ip) + (0xFFFF << 32))
+    if prefix is None:
+        prefix = default_prefix
+    return int(ip), max(0, min(prefix, 128))
+
+
+def _ipv6_masked(v, prefix):
+    return v & ~((1 << (128 - prefix)) - 1) if prefix < 128 else v
+
+
+def _ipv6_udf(kind):
+    key = f"ipv6:{kind}"
+    if key in _PANDAS_UDF_CACHE:
+        return _PANDAS_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    def exploded(v):
+        import ipaddress
+
+        return ipaddress.IPv6Address(v).exploded
+
+    if kind == "norm":
+
+        @pandas_udf("string")
+        def udf(s):
+            def one(x):
+                v, _ = _ipv6_value(x)
+                return None if v is None else exploded(v)
+
+            return s.map(one)
+
+    elif kind == "mask":
+
+        @pandas_udf("string")
+        def udf(s, p):
+            def one(x, pf):
+                v, vp = _ipv6_value(x)
+                if v is None or pf is None:
+                    return None
+                pf = max(0, min(int(pf), 128))
+                # honor the tighter of the argument and any /n in the text
+                return exploded(_ipv6_masked(v, min(pf, vp)))
+
+            return s.combine(p, one)
+
+    elif kind == "cmp":
+
+        @pandas_udf("long")
+        def udf(a, b, p):
+            def one(x, y, pf):
+                vx, px = _ipv6_value(x)
+                vy, py = _ipv6_value(y)
+                if vx is None or vy is None or pf is None:
+                    return None
+                pf = max(0, min(int(pf), 128, px, py))
+                vx, vy = _ipv6_masked(vx, pf), _ipv6_masked(vy, pf)
+                return -1 if vx < vy else (1 if vx > vy else 0)
+
+            import pandas as pd
+
+            return pd.Series(
+                [one(x, y, pf) for x, y, pf in zip(a, b, p)], dtype="object"
+            )
+
+    else:  # inrange: the range's own /n is the prefix
+
+        @pandas_udf("boolean")
+        def udf(a, rng):
+            def one(x, r):
+                vx, _ = _ipv6_value(x)
+                vr, pr = _ipv6_value(r)
+                if vx is None or vr is None:
+                    return None
+                return _ipv6_masked(vx, pr) == _ipv6_masked(vr, pr)
+
+            return a.combine(rng, one)
+
+    _PANDAS_UDF_CACHE[key] = udf
+    return udf
+
+
+@fn("parse_ipv6")
+def _parse_ipv6(tr, args):
+    return _ipv6_udf("norm")(tr.to_col(args[0]).cast("string"))
+
+
+@fn("parse_ipv6_mask")
+def _parse_ipv6_mask(tr, args):
+    return _ipv6_udf("mask")(
+        tr.to_col(args[0]).cast("string"), tr.to_col(args[1]).cast("int")
+    )
+
+
+@fn("ipv6_compare")
+def _ipv6_compare(tr, args):
+    p = tr.to_col(args[2]).cast("int") if len(args) > 2 else F.lit(128)
+    return _ipv6_udf("cmp")(
+        tr.to_col(args[0]).cast("string"), tr.to_col(args[1]).cast("string"), p
+    )
+
+
+@fn("ipv6_is_match")
+def _ipv6_is_match(tr, args):
+    p = tr.to_col(args[2]).cast("int") if len(args) > 2 else F.lit(128)
+    cmp = _ipv6_udf("cmp")(
+        tr.to_col(args[0]).cast("string"), tr.to_col(args[1]).cast("string"), p
+    )
+    return cmp == F.lit(0)
+
+
+@fn("ipv6_is_in_range")
+def _ipv6_is_in_range(tr, args):
+    return _ipv6_udf("inrange")(
+        tr.to_col(args[0]).cast("string"), tr.to_col(args[1]).cast("string")
+    )
+
+
+@fn("ipv6_is_in_any_range")
+def _ipv6_is_in_any_range(tr, args):
+    ip = tr.to_col(args[0]).cast("string")
+    out = F.lit(None).cast("boolean")
+    hit = F.lit(False)
+    seen_null = F.lit(False)
+    for a in args[1:]:
+        r = _ipv6_udf("inrange")(ip, tr.to_col(a).cast("string"))
+        hit = hit | F.coalesce(r, F.lit(False))
+        seen_null = seen_null | r.isNull()
+    # true if any range matches; null if nothing matched but a range failed
+    # to parse; false otherwise [KQL]
+    return F.when(hit, F.lit(True)).otherwise(
+        F.when(seen_null, out).otherwise(F.lit(False))
+    )
+
+
 @fn("geo_distance_2points")
 def _geo_distance(tr, args):
     lon1, lat1, lon2, lat2 = [tr.to_col(a).cast("double") for a in args]
