@@ -1529,6 +1529,43 @@ q(
 )
 
 q(
+    "basket_frequent_segments",
+    # round 5: frequent (column=value) itemsets via FPGrowth; exact counts,
+    # so the twin enumerates 1- and 2-item combos above the threshold.
+    # SegmentId is projected away (tie order between equal counts is
+    # implementation-defined).
+    """events
+    | project event_type, bucket = iff(value > 50.0, 'hi', 'lo')
+    | evaluate basket(0.08)
+    | project-away SegmentId""",
+    """WITH base AS (SELECT event_type,
+                            CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS bucket
+                     FROM events),
+         n AS (SELECT COUNT(*) AS total FROM base),
+         segs AS (SELECT event_type, CAST(NULL AS VARCHAR) AS bucket, COUNT(*) AS c
+                  FROM base GROUP BY 1
+                  UNION ALL
+                  SELECT CAST(NULL AS VARCHAR), bucket, COUNT(*) FROM base GROUP BY 2
+                  UNION ALL
+                  SELECT event_type, bucket, COUNT(*) FROM base GROUP BY 1, 2)
+       SELECT CAST(c AS BIGINT) AS Count,
+              ROUND(c * 100.0 / total, 2) AS Percent, event_type, bucket
+       FROM segs, n WHERE c >= 0.08 * total""",
+)
+
+q(
+    "autocluster_segments",
+    # Tier C approximation (Kusto's algorithm is unpublished): stability
+    # checked rows-only; the scoring/subsumption behavior is pinned by
+    # pytest goldens
+    """events
+    | project event_type, bucket = iff(value > 50.0, 'hi', 'lo')
+    | evaluate autocluster(0.6)
+    | summarize segments = count(), covered = sum(Count)""",
+    None,
+)
+
+q(
     "scan_sharded_funnel",
     # partition-by-sharded scan: one state machine per user_id, parallel
     # across keys (applyInPandas). No linear-SQL twin (per-key sequential

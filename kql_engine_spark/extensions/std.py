@@ -141,3 +141,134 @@ def _python_plugin(ptr, df, args):
             yield result[out_cols]
 
     return df.mapInPandas(runner, out_schema)
+
+
+# ------------------------------------------------- basket / autocluster (§2.8)
+# Kusto's data-mining plugins. basket = frequent itemsets of (column=value)
+# pairs; the published contract is Apriori with a support threshold — here
+# lowered to Spark MLlib FPGrowth (the distributed frequent-pattern engine:
+# no candidate explosion, two scans, shuffle-partitioned). autocluster's
+# exact algorithm is unpublished; the documented intent (few segments
+# trading coverage vs specificity via size_weight) is approximated by
+# scoring FPGrowth itemsets and greedily keeping non-subsumed segments
+# (Tier C, like `reduce by`).
+
+
+def _segment_frame(ptr, df, itemsets, n_total):
+    """FPGrowth itemsets ['col=value', ...] -> Kusto-shaped segment rows:
+    SegmentId, Count, Percent, then every source column (null where the
+    segment doesn't fix it)."""
+    from pyspark.sql.window import Window
+
+    seg = itemsets.withColumn(
+        "Percent", F.round(F.col("freq") * 100.0 / F.lit(n_total), 2)
+    )
+    for c in df.columns:
+        pref = c + "="
+        seg = seg.withColumn(
+            c,
+            F.array_max(
+                F.transform(
+                    F.filter(F.col("items"), lambda it: it.startswith(pref)),
+                    lambda it: F.substring(it, len(pref) + 1, 1 << 20),
+                )
+            ),
+        )
+    w = Window.orderBy(F.col("freq").desc(), F.col("items").cast("string"))
+    return (
+        seg.withColumn("SegmentId", F.row_number().over(w) - 1)
+        .select(
+            "SegmentId",
+            F.col("freq").alias("Count"),
+            "Percent",
+            *[F.col(c) for c in df.columns],
+        )
+        .orderBy("SegmentId")
+    )
+
+
+def _fp_itemsets(df, min_support: float):
+    from pyspark.ml.fpm import FPGrowth
+
+    items = F.array(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit(c + "="), F.col(c).cast("string")),
+            )
+            for c in df.columns
+        ]
+    )
+    basket_df = df.select(
+        F.array_compact(items).alias("items")
+    ).filter(F.size("items") > 0)
+    fp = FPGrowth(
+        itemsCol="items", minSupport=max(min_support, 1e-9), minConfidence=0.9
+    )
+    return fp.fit(basket_df).freqItemsets  # (items array, freq)
+
+
+@plugin("basket")
+def _basket(ptr, df, args):
+    """`T | evaluate basket([threshold])` [KQL §2.8]: (column=value)
+    combinations appearing in >= threshold of rows (default 0.05), one
+    segment row each, biggest first. String-cast values; null cells don't
+    participate in itemsets (matching the docs)."""
+    tr = ptr.expr_tr(df)
+    thr = float(tr.const_value(args[0])) if args else 0.05
+    n_total = df.count()
+    if n_total == 0:
+        return _segment_frame(ptr, df, _fp_itemsets(df, thr).limit(0), 1)
+    return _segment_frame(ptr, df, _fp_itemsets(df, thr), n_total)
+
+
+@plugin("autocluster")
+def _autocluster(ptr, df, args):
+    """`T | evaluate autocluster([size_weight])` [KQL §2.8, Tier C
+    approximation — Kusto's algorithm is unpublished]: informative segments
+    balancing coverage against specificity. score = Percent^w * (fixed
+    attributes / attributes)^(1-w); segments whose itemset is a subset of a
+    better-scored pick are dropped (driver-side over the itemset list,
+    which is threshold-bounded, not data-bounded)."""
+    tr = ptr.expr_tr(df)
+    w = float(tr.const_value(args[0])) if args else 0.5
+    w = min(max(w, 0.0), 1.0)
+    n_total = df.count()
+    if n_total == 0:
+        return _segment_frame(ptr, df, _fp_itemsets(df, 0.05).limit(0), 1)
+    n_cols = max(len(df.columns), 1)
+    sets = _fp_itemsets(df, 0.05).collect()  # bounded by support threshold
+    scored = sorted(
+        (
+            (
+                (r["freq"] / n_total) ** max(w, 1e-9)
+                * (len(r["items"]) / n_cols) ** max(1.0 - w, 1e-9),
+                set(r["items"]),
+                r,
+            )
+            for r in sets
+        ),
+        key=lambda t: (-t[0], sorted(t[1])),
+    )
+    picked: list = []
+    for score, items, row in scored:
+        if any(items <= p for _, p, _ in picked) or any(
+            p <= items for _, p, _ in picked
+        ):
+            continue  # subsumed either way by a better-scored segment
+        picked.append((score, items, row))
+        if len(picked) >= 16:
+            break
+    spark = df.sparkSession
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("items", _T.ArrayType(_T.StringType()), False),
+            _T.StructField("freq", _T.LongType(), False),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(sorted(items), row["freq"]) for _, items, row in picked], schema
+    )
+    return _segment_frame(ptr, df, out, n_total)

@@ -313,6 +313,32 @@ def test_scan_completed_match_is_discarded(run_kql):
     ]
 
 
+def test_basket_finds_planted_combination(run_kql):
+    # 6 of 8 rows share (a=x, b=y) — basket at 0.5 must surface the pair
+    # segment with exact count 6
+    rows = run_kql(
+        "datatable(a:string, b:string)"
+        "['x','y','x','y','x','y','x','y','x','y','x','y','p','q','p','r']"
+        " | evaluate basket(0.5)"
+    ).collect()
+    seg = [(r.Count, r.a, r.b) for r in rows]
+    assert (6, "x", "y") in seg and (6, "x", None) in seg and (6, None, "y") in seg
+    assert all(c >= 4 for c, _, _ in seg)
+
+
+def test_autocluster_prefers_specific_segments_at_low_weight(run_kql):
+    # w=0: specificity dominates -> the fully-fixed (x, y) segment must be
+    # picked and subsume its single-column generalizations
+    rows = run_kql(
+        "datatable(a:string, b:string)"
+        "['x','y','x','y','x','y','x','y','x','y','x','y','p','q','p','r']"
+        " | evaluate autocluster(0.0)"
+    ).collect()
+    segs = [(r.a, r.b) for r in rows]
+    assert ("x", "y") in segs
+    assert ("x", None) not in segs and (None, "y") not in segs
+
+
 def test_scan_step_output_modes(run_kql):
     # output=last on s1: only the final view before the click appears;
     # output=none on s2: the click row is suppressed entirely
