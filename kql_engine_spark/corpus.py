@@ -1871,6 +1871,32 @@ q(
 )
 
 q(
+    "round5_fn_sweep",
+    # round-5 gap closers: regex counting/indexing, byte sizes, bag keys on
+    # both dynamic carriers, ipv4 term search, tolerance compare,
+    # byte formatting. Constant inputs -> literal oracle, hash-certified.
+    """print cr = countof_regex('a1b2c3', '[0-9]'),
+       ir = indexof_regex('hello world', 'wor'),
+       irm = indexof_regex('hello', 'zzz'),
+       ss = string_size('héllo'),
+       ar = around(10.5, 10.0, 1.0),
+       bk = bag_has_key(dynamic({"a": 1, "b": 2}), 'a'),
+       bkp = bag_has_key(dynamic({"a": {"c": 3}}), '$.a.c'),
+       fb = format_bytes(1536, 1),
+       fb2 = format_bytes(1073741824, 2, 'MB'),
+       fb3 = format_bytes(500),
+       hip = has_ipv4('src=192.168.1.1 dst=10.0.0.1', '192.168.1.1'),
+       hip2 = has_ipv4('ip 192.168.1.100 here', '192.168.1.1'),
+       hpre = has_ipv4_prefix('ip 192.168.1.100 here', '192.168.1.'),
+       hany = has_any_ipv4('saw 10.0.0.7 today', '1.2.3.4', '10.0.0.7')""",
+    """SELECT CAST(3 AS BIGINT) AS cr, CAST(6 AS BIGINT) AS ir,
+              CAST(-1 AS BIGINT) AS irm, CAST(6 AS BIGINT) AS ss,
+              true AS ar, true AS bk, true AS bkp,
+              '1.5 KB' AS fb, '1024.0 MB' AS fb2, '500 Bytes' AS fb3,
+              true AS hip, false AS hip2, true AS hpre, true AS hany""",
+)
+
+q(
     "ipv4_mask_fns",
     '''print priv = ipv4_is_private('192.168.1.4'), pub = ipv4_is_private('8.8.8.8'),
        nm = ipv4_netmask_suffix('10.0.0.0/24'),

@@ -631,7 +631,21 @@ simple("array_min")(F.array_min)
 simple("array_max")(F.array_max)
 simple("repeat")(lambda v, n: F.array_repeat(v, n.cast("int")))
 simple("zip")(F.arrays_zip)
-simple("bag_keys")(_bag_keys := lambda c: F.json_object_keys(c.cast("string")))
+def _bag_as_json(tr, ast, col):
+    """Dynamic bags have two carriers: MAP/STRUCT/ARRAY columns (from
+    dynamic() literals / pack()) and JSON text (from parquet/parse_json).
+    Normalize to JSON text for key-level operations."""
+    dt = tr.dtype_of_ast(ast, col)
+    if isinstance(dt, (T.MapType, T.StructType, T.ArrayType)):
+        return F.to_json(col)
+    return col.cast("string")
+
+
+@fn("bag_keys")
+def _bag_keys_fn(tr, args):
+    return F.json_object_keys(_bag_as_json(tr, args[0], tr.to_col(args[0])))
+
+
 simple("jaccard_index")(
     lambda a, b: F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 )
@@ -1735,3 +1749,179 @@ def _datetime_part(tr, args):
     if part == "nanosecond":
         return (F.pmod(micros, 1_000_000) * 1000).cast("bigint")
     raise KqlSemanticError(f"datetime_part: unknown part {part!r}")
+
+
+# ------------------------------------------------------- round-5 gap closers
+
+
+@fn("countof_regex")
+def _countof_regex(tr, args):
+    return F.regexp_count(
+        tr.to_col(args[0]).cast("string"), F.lit(tr.const_string(args[1]))
+    ).cast("bigint")
+
+
+@fn("indexof_regex")
+def _indexof_regex(tr, args):
+    # KQL: 0-based start of the first regex match, -1 when absent;
+    # regexp_instr is 1-based with 0-for-absent, so shift by one
+    return (
+        F.regexp_instr(
+            tr.to_col(args[0]).cast("string"), F.lit(tr.const_string(args[1]))
+        ).cast("bigint")
+        - F.lit(1)
+    )
+
+
+@fn("string_size")
+def _string_size(tr, args):
+    return F.octet_length(tr.to_col(args[0]).cast("string")).cast("bigint")
+
+
+@fn("around")
+def _around(tr, args):
+    x, center, delta = (tr.to_col(a) for a in args)
+    return F.abs(x - center) <= delta
+
+
+@fn("bag_has_key")
+def _bag_has_key(tr, args):
+    bag = _bag_as_json(tr, args[0], tr.to_col(args[0]))
+    key = tr.const_string(args[1])
+    if key.startswith("$."):
+        # JSONPath form: present if the path resolves (null-valued keys at a
+        # path are indistinguishable from absent ones — documented delta)
+        return F.get_json_object(bag, key).isNotNull()
+    return F.array_contains(F.json_object_keys(bag), key)
+
+
+@fn("assert")
+def _assert(tr, args):
+    cond = tr.to_col(args[0])
+    msg = tr.const_string(args[1]) if len(args) > 1 else "assert failed"
+    # KQL assert aborts the query when false; F.assert_true raises JVM-side
+    return F.coalesce(F.assert_true(cond, F.lit(msg)).isNull(), F.lit(True))
+
+
+@fn("format_bytes")
+def _format_bytes(tr, args):
+    v = tr.to_col(args[0]).cast("double")
+    precision = int(tr.const_value(args[1])) if len(args) > 1 else 0
+    units = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+
+    def fmt(scaled):
+        # no thousands grouping (format_number would add commas);
+        # precision 0 renders as an integer
+        if precision <= 0:
+            return F.round(scaled, 0).cast("bigint").cast("string")
+        return F.round(scaled, precision).cast("string")
+
+    if len(args) > 2:
+        unit = tr.const_string(args[2])
+        if unit not in units:
+            raise KqlSemanticError(f"format_bytes: unknown unit {unit!r}")
+        scaled = v / F.lit(float(1024 ** units.index(unit)))
+        return F.concat(fmt(scaled), F.lit(" " + unit))
+    out = F.concat(fmt(v), F.lit(" Bytes"))
+    for i, u in list(enumerate(units))[1:]:
+        bound = float(1024 ** i)
+        out = F.when(
+            F.abs(v) >= bound,
+            F.concat(fmt(v / F.lit(bound)), F.lit(" " + u)),
+        ).otherwise(out)
+    return out
+
+
+@fn("parse_path")
+def _parse_path(tr, args):
+    p = tr.to_col(args[0]).cast("string")
+    norm = F.replace(p, F.lit("\\"), F.lit("/"))
+    parts = F.split(norm, "/")
+    filename = F.element_at(parts, -1)
+    dot = F.instr(F.reverse(filename), ".")
+    ext = F.when(dot > 0, F.reverse(F.substring(F.reverse(filename), 1, dot - 1))).otherwise(F.lit(""))
+    scheme_m = F.regexp_extract(p, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    dirpath = F.when(
+        F.size(parts) > 1,
+        F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/"),
+    ).otherwise(F.lit(""))
+    return F.to_json(
+        F.struct(
+            scheme_m.alias("Scheme"),
+            dirpath.alias("DirectoryPath"),
+            F.element_at(parts, -1).alias("Filename"),
+            ext.alias("Extension"),
+            F.regexp_extract(norm, r"^//([^/]+)", 1).alias("RootPath"),
+        )
+    )
+
+
+@fn("rank_tdigest")
+def _rank_tdigest(tr, args):
+    # percentage rank (0-100) of a value within a tdigest() sketch [KQL]
+    td = tr.to_col(args[0])
+    v = tr.to_col(args[1]).cast("double")
+    return F.round(F.kll_sketch_get_rank_double(td, v) * 100.0, 4)
+
+
+def _has_ipv4_regex(ip: str, prefix: bool) -> str:
+    # the address must be a standalone token delimited by non-address chars
+    core = _re.escape(ip)
+    tail = r"[0-9.]*" if prefix else ""
+    return rf"(?<![0-9.]){core}{tail}(?![0-9.])"
+
+
+@fn("has_ipv4")
+def _has_ipv4(tr, args):
+    s = tr.to_col(args[0]).cast("string")
+    return F.regexp_like(s, F.lit(_has_ipv4_regex(tr.const_string(args[1]), False)))
+
+
+@fn("has_ipv4_prefix")
+def _has_ipv4_prefix(tr, args):
+    s = tr.to_col(args[0]).cast("string")
+    return F.regexp_like(s, F.lit(_has_ipv4_regex(tr.const_string(args[1]), True)))
+
+
+@fn("has_any_ipv4")
+def _has_any_ipv4(tr, args):
+    s = tr.to_col(args[0]).cast("string")
+    out = F.lit(False)
+    for a in args[1:]:
+        out = out | F.regexp_like(
+            s, F.lit(_has_ipv4_regex(tr.const_string(a), False))
+        )
+    return out
+
+
+def _fit_2lines(y):
+    """Best split of the series into two least-squares lines: returns
+    [rss, split_idx, variance, rvariance, trend...] packed as one array
+    (Kusto returns a bag; the trend tail is the piecewise fitted line)."""
+    import numpy as np
+
+    n = len(y)
+    if n < 4:
+        return np.concatenate([[float("nan"), -1.0, float("nan"), float("nan")], y])
+
+    def fit(seg):
+        x = np.arange(len(seg), dtype="float64")
+        if len(seg) < 2:
+            return np.zeros_like(seg), 0.0
+        k, b = np.polyfit(x, seg, 1)
+        line = k * x + b
+        return line, float(((seg - line) ** 2).sum())
+
+    best = (float("inf"), 1, None)
+    for s in range(2, n - 1):
+        l1, r1 = fit(y[:s])
+        l2, r2 = fit(y[s:])
+        if r1 + r2 < best[0]:
+            best = (r1 + r2, s, np.concatenate([l1, l2]))
+    rss, split, trend = best
+    var = float(np.var(y))
+    rvar = rss / n
+    return np.concatenate([[rss, float(split), var, rvar], trend])
+
+
+_np_series_udf("series_fit_2lines", _fit_2lines)
