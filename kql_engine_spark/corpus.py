@@ -1445,6 +1445,37 @@ q(
 )
 
 q(
+    "percentilesw_stdevif",
+    # round 5: weighted multi-percentiles (frequency weights == row
+    # repetition, mirrored by UNNEST(generate_series)) + conditional
+    # stdev/variance
+    """lineitem
+    | summarize p = percentilesw(l_quantity, l_linenumber, 25, 50, 75),
+                sd = round(stdevif(l_extendedprice, l_discount > 0.05), 2),
+                vr = round(varianceif(l_extendedprice, l_discount > 0.05), 2)
+      by l_returnflag
+    | sort by l_returnflag asc""",
+    """WITH expanded AS (
+         SELECT l_returnflag, l_quantity FROM lineitem
+         CROSS JOIN UNNEST(generate_series(1, CAST(l_linenumber AS BIGINT))) AS t(i)
+       ),
+       pw AS (
+         SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p,
+                quantile_cont(l_quantity, 0.50) AS percentile_l_quantity_50,
+                quantile_cont(l_quantity, 0.75) AS percentile_l_quantity_75
+         FROM expanded GROUP BY 1),
+       sd AS (
+         SELECT l_returnflag,
+                ROUND(stddev_samp(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS sd,
+                ROUND(var_samp(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS vr
+         FROM lineitem GROUP BY 1)
+       SELECT pw.l_returnflag, p, percentile_l_quantity_50,
+              percentile_l_quantity_75, sd, vr
+       FROM pw JOIN sd USING (l_returnflag) ORDER BY 1""",
+)
+
+q(
     "tdigest_surrogate",
     # round 5: real DataSketches KLL sketch (was a percentile_approx array
     # surrogate); name kept for round-over-round correctness continuity

@@ -403,3 +403,60 @@ def _tdigest_merge(tr, args, name):
     """Merge tdigest() sketches from a prior aggregation level [KQL §2.6]."""
     out = name or _auto("tdigest_merge", args)
     return [(out, F.kll_merge_agg_double(tr.to_col(args[0])))]
+
+
+@agg("percentilesw")
+def _percentilesw(tr, args, name):
+    """percentilesw(col, weight, p1, p2, ...) — weighted percentiles, one
+    output column per requested percentile [KQL §2.6]."""
+    c = tr.to_col(args[0])
+    w = tr.to_col(args[1]).cast("bigint")
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    out = []
+    for a in args[2:]:
+        pv = tr.const_value(a)
+        out.append(
+            (
+                name or f"percentile_{colname}_{_fmt_pct(pv)}",
+                F.percentile(c, F.lit(float(pv) / 100.0), w),
+            )
+        )
+        name = None  # only the first output takes an explicit alias
+    return out
+
+
+@agg("stdevif")
+def _stdevif(tr, args, name):
+    return [
+        (
+            name or _auto("stdevif", args),
+            F.stddev_samp(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("varianceif")
+def _varianceif(tr, args, name):
+    return [
+        (
+            name or _auto("varianceif", args),
+            F.var_samp(F.when(tr.to_col(args[1]), tr.to_col(args[0]))),
+        )
+    ]
+
+
+@agg("hll_if")
+def _hll_if(tr, args, name):
+    """hll_if(expr, predicate[, accuracy]) [KQL §2.6] — sketch over the
+    rows satisfying the predicate (merge/readout like hll())."""
+    out = name or _auto("hll_if", args)
+    lgk = {0: 11, 1: 12, 2: 14, 3: 16, 4: 21}.get(
+        int(tr.const_value(args[2])) if len(args) > 2 else 1, 12
+    )
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of_ast(args[0], c)
+    if not isinstance(
+        dt, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
+    ):
+        c = c.cast("string")
+    return [(out, F.hll_sketch_agg(F.when(tr.to_col(args[1]), c), lgk))]

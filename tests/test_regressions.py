@@ -393,6 +393,17 @@ def test_series_decompose_anomaly_flags(run_kql):
     assert row.a[-1] == 1.0 and all(v == 0.0 for v in row.a[:-1])
 
 
+def test_hll_if_close_to_exact(run_kql, duck):
+    row = run_kql(
+        "events | summarize s = hll_if(user_id, event_type == 'view')"
+        " | project d = dcount_hll(s)"
+    ).collect()[0]
+    exact = duck.sql(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view'"
+    ).fetchone()[0]
+    assert abs(row.d - exact) <= max(2, 0.05 * exact)
+
+
 def test_tdigest_merge_rollup_close(run_kql, duck):
     # round 5: tdigest is a real mergeable KLL sketch — the two-level
     # rollup (per-flag sketches -> merge_tdigest) must stay close to exact
