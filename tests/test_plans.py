@@ -112,3 +112,46 @@ def test_lang_detect_no_python_udf(run_kql):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_make_series_single_scan_no_joins(run_kql):
+    # round 5: densification is collapse-to-map + sequence() projection —
+    # ONE source scan, no grid joins (the old plan re-scanned for distinct
+    # keys and cross-joined an exploded axis)
+    df = run_kql(
+        "events | make-series c = count() on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-31) step 1d by event_type"
+    )
+    import re
+
+    plan = _plan(df)
+    # formatted explain lists each node in the tree AND a detail section;
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_partitioned_scan_is_keyed_exchange(run_kql):
+    # sharded scan = one hash shuffle on the partition key feeding
+    # per-group pandas walkers — no coalesce(1) single-walker bottleneck
+    df = run_kql(
+        "events | partition by user_id ("
+        " sort by ts asc, event_id asc"
+        " | scan with (step s1: event_type == 'view';))"
+    )
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Coalesce 1" not in plan and "coalesce(1)" not in plan.lower()
+
+
+def test_graph_shortest_paths_no_cartesian(run_kql):
+    df = run_kql(
+        "datatable(src:string, dst:string)['x','y','y','z']"
+        " | make-graph src --> dst"
+        " | graph-shortest-paths (a)-[e*1..3]->(b)"
+        "   where a.node_id == 'x'"
+        "   project t = b.node_id, hops = tolong(array_length(e))"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
