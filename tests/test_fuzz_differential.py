@@ -1,0 +1,110 @@
+"""Hypothesis differential fuzzing (SURVEY.md §5.3): randomly generated
+filter/aggregate pipelines run through the FULL engine and an equivalent
+SQL through DuckDB on the same parquet; results must hash-match exactly.
+
+The generator stays inside the deterministic-common-subset contract the
+corpus uses (integral-sum aggregates unrounded, double sums rounded, count
+everywhere), so any mismatch is an engine bug, not a float-ordering
+artifact.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import canonize_rows
+
+# (kql expression, sql expression, column) triples over lineitem
+_NUM_COLS = [
+    ("l_quantity", 1.0, 50.0),
+    ("l_discount", 0.0, 0.1),
+    ("l_tax", 0.0, 0.08),
+    ("l_linenumber", 1, 7),
+]
+_STR_COLS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["F", "O"])]
+_CMP = ["<", "<=", ">", ">=", "==", "!="]
+
+
+@st.composite
+def predicates(draw):
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        col, lo, hi = draw(st.sampled_from(_NUM_COLS))
+        op = draw(st.sampled_from(_CMP))
+        if isinstance(lo, int):
+            v = draw(st.integers(lo, hi))
+            lit_k = lit_s = str(v)
+        else:
+            v = round(draw(st.floats(lo, hi, allow_nan=False)), 3)
+            lit_k = lit_s = repr(v)
+        return f"{col} {op} {lit_k}", f"{col} {op} {lit_s}"
+    if kind == 1:
+        col, vals = draw(st.sampled_from(_STR_COLS))
+        v = draw(st.sampled_from(vals))
+        neg = draw(st.booleans())
+        op_k = "!=" if neg else "=="
+        op_s = "<>" if neg else "="
+        return f"{col} {op_k} '{v}'", f"{col} {op_s} '{v}'"
+    left_k, left_s = draw(predicates())
+    right_k, right_s = draw(predicates())
+    conj = draw(st.sampled_from([("and", "AND"), ("or", "OR")]))
+    return (
+        f"({left_k}) {conj[0]} ({right_k})",
+        f"({left_s}) {conj[1]} ({right_s})",
+    )
+
+
+# order-insensitive aggregates whose values are exact in any accumulation
+# order on this fixture (counts; sums of integral-valued doubles)
+_AGGS = [
+    ("n = count()", "COUNT(*) AS n"),
+    ("q = sum(l_quantity)", "SUM(l_quantity) AS q"),
+    ("mx = max(l_extendedprice)", "MAX(l_extendedprice) AS mx"),
+    ("mn = min(l_extendedprice)", "MIN(l_extendedprice) AS mn"),
+    ("d = count_distinct(l_orderkey)", "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d"),
+]
+_KEYS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_linenumber", "l_linenumber"),
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    agg_ix=st.sets(st.integers(0, len(_AGGS) - 1), min_size=1, max_size=3),
+    key_ix=st.sets(st.integers(0, len(_KEYS) - 1), max_size=2),
+)
+def test_random_filter_aggregate_matches_duckdb(run_kql, duck, pred, agg_ix, key_ix):
+    kql_pred, sql_pred = pred
+    aggs = [_AGGS[i] for i in sorted(agg_ix)]
+    keys = [_KEYS[i] for i in sorted(key_ix)]
+    kql_aggs = ", ".join(a for a, _ in aggs)
+    sql_aggs = ", ".join(s for _, s in aggs)
+    if keys:
+        by = " by " + ", ".join(k for k, _ in keys)
+        group = " GROUP BY " + ", ".join(s for _, s in keys)
+        sel_keys = ", ".join(s for _, s in keys) + ", "
+    else:
+        by, group, sel_keys = "", "", ""
+    kdf = run_kql(f"lineitem | where {kql_pred} | summarize {kql_aggs}{by}")
+    sdf = duck.sql(
+        f"SELECT {sel_keys}{sql_aggs} FROM lineitem WHERE {sql_pred}{group}"
+    )
+    # DuckDB integer SUM -> HUGEINT; engine SUM(double) stays double. The
+    # canonizer normalizes numerics at 9 significant digits, so only exact
+    # values survive comparison.
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    # KQL summarize with by-keys emits no row for empty input; DuckDB's
+    # global aggregate emits one zero/NULL row — align the global case
+    if not keys and want and all(v in ("0", "NULL") for v in want[0]) and not got:
+        want = []
+    assert got == want
