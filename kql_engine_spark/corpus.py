@@ -1597,6 +1597,18 @@ q(
 )
 
 q(
+    "sequence_detect_funnel",
+    # per-key windowed sequence search (one output row per completed
+    # sequence). Stateful non-overlapping semantics have no linear-SQL
+    # twin; pinned by pytest goldens, rows-only here.
+    """events
+    | evaluate sequence_detect(ts, 12h, 2d,
+        event_type == 'view', event_type == 'purchase', user_id)
+    | summarize n = count(), users = count_distinct(user_id)""",
+    None,
+)
+
+q(
     "scan_sharded_funnel",
     # partition-by-sharded scan: one state machine per user_id, parallel
     # across keys (applyInPandas). No linear-SQL twin (per-key sequential

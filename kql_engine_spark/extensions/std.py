@@ -272,3 +272,75 @@ def _autocluster(ptr, df, args):
         [(sorted(items), row["freq"]) for _, items, row in picked], schema
     )
     return _segment_frame(ptr, df, out, n_total)
+
+
+# ------------------------------------------------------ sequence_detect (§2.8)
+@plugin("sequence_detect")
+def _sequence_detect(ptr, df, args):
+    """`T | evaluate sequence_detect(timeline, max_step, max_duration,
+    pred1, ..., predN, key)` [KQL behavior analytics]: per-key ordered
+    sequence search — one OUTPUT ROW per completed sequence with the
+    timeline value of each step (columns t1..tN; Kusto names them after
+    named arguments, which the engine does not support — documented delta).
+
+    Matching model (documented): per key, rows in timeline order; one
+    active partial sequence per key; non-matching rows are skipped (they
+    never reset); a row matching the next step must be within `max_step`
+    of the previous step and `max_duration` of the first, otherwise the
+    sequence restarts from this row if it matches pred1. Completion resets.
+
+    Scale: groupBy(key).applyInPandas — one hash shuffle, per-key local
+    walks, no driver-side data path (same shape as the sharded scan)."""
+    from ..scan import compile_expr
+
+    if len(args) < 5:
+        raise KqlSemanticError(
+            "sequence_detect(timeline, max_step, max_duration, "
+            "pred1, ..., predN, key) needs at least one predicate"
+        )
+    timeline = args[0].name if isinstance(args[0], Col) else None
+    key = args[-1].name if isinstance(args[-1], Col) else None
+    if timeline is None or key is None:
+        raise KqlSemanticError(
+            "sequence_detect: timeline and key must be column references"
+        )
+    max_step = compile_expr(args[1], set())({}, {}, {})
+    max_dur = compile_expr(args[2], set())({}, {}, {})
+    preds = [compile_expr(a, set()) for a in args[3:-1]]
+    n = len(preds)
+
+    t_field = next(f for f in df.schema.fields if f.name == timeline)
+    k_field = next(f for f in df.schema.fields if f.name == key)
+    out_schema = T.StructType(
+        [k_field] + [T.StructField(f"t{i + 1}", t_field.dataType, True) for i in range(n)]
+    )
+    out_cols = [key] + [f"t{i + 1}" for i in range(n)]
+
+    def func(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(timeline, kind="mergesort")
+        norm = pdf.astype(object).where(pdf.notna(), None)
+        out_rows = []
+        times: list = []
+        for row in norm.to_dict("records"):
+            t = row.get(timeline)
+            if t is None:
+                continue
+            if times and preds[len(times)](row, {}, {}) is True:
+                if (t - times[-1] <= max_step) and (t - times[0] <= max_dur):
+                    times.append(t)
+                elif preds[0](row, {}, {}) is True:
+                    times = [t]  # stale sequence: restart here
+                else:
+                    times = []
+            elif len(times) == 0 and preds[0](row, {}, {}) is True:
+                times = [t]
+            if len(times) == n:
+                out_rows.append(
+                    {key: row.get(key), **{f"t{i + 1}": times[i] for i in range(n)}}
+                )
+                times = []
+        return pd.DataFrame(out_rows, columns=out_cols)
+
+    return df.groupBy(key).applyInPandas(func, out_schema)

@@ -313,6 +313,30 @@ def test_scan_completed_match_is_discarded(run_kql):
     ]
 
 
+def test_sequence_detect_windows_and_restart(run_kql):
+    rows = run_kql(
+        "datatable(ts:long, ev:string, uid:long)["
+        " 1, 'A', 1,  3, 'B', 1,  10, 'A', 1,  20, 'B', 1,"
+        " 2, 'A', 2,  4, 'X', 2,  6, 'B', 2,"
+        " 1, 'B', 3,  2, 'A', 3,  9, 'B', 3]"
+        " | evaluate sequence_detect(ts, 5, 10, ev == 'A', ev == 'B', uid)"
+        " | sort by uid asc, t1 asc"
+    ).collect()
+    # uid1: A@1->B@3 completes; A@10->B@20 violates the 5-step window and
+    # B can't restart. uid2: the non-matching X row is skipped, not a
+    # reset. uid3: B before any A never starts a sequence.
+    assert [(r.uid, r.t1, r.t2) for r in rows] == [(1, 1, 3), (2, 2, 6)]
+
+
+def test_sequence_detect_on_event_timestamps(run_kql):
+    n = run_kql(
+        "events | evaluate sequence_detect(ts, 12h, 2d,"
+        " event_type == 'view', event_type == 'purchase', user_id)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    assert n > 0
+
+
 def test_basket_finds_planted_combination(run_kql):
     # 6 of 8 rows share (a=x, b=y) — basket at 0.5 must surface the pair
     # segment with exact count 6
