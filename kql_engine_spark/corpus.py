@@ -1597,6 +1597,27 @@ q(
 )
 
 q(
+    "activity_engagement_dau_wau",
+    # round 5: DAU/WAU rolling engagement — exact lowering (bounded explode
+    # into trailing windows + count_distinct), so the twin hash-matches
+    """events
+    | evaluate activity_engagement(user_id, ts, 1d, 7d)
+    | sort by Timeline asc""",
+    """WITH b AS (SELECT user_id,
+                to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+         FROM events),
+       inner_c AS (SELECT d, COUNT(DISTINCT user_id) AS i FROM b GROUP BY 1),
+       spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
+                  FROM b CROSS JOIN UNNEST(generate_series(0, 6)) AS t(k)),
+       outer_c AS (SELECT d, COUNT(DISTINCT user_id) AS o FROM spread GROUP BY 1)
+       SELECT inner_c.d AS Timeline,
+              CAST(i AS BIGINT) AS dcount_activities_inner,
+              CAST(o AS BIGINT) AS dcount_activities_outer,
+              ROUND(CAST(i AS DOUBLE) / o, 4) AS activity_ratio
+       FROM inner_c JOIN outer_c USING (d) ORDER BY 1""",
+)
+
+q(
     "sequence_detect_funnel",
     # per-key windowed sequence search (one output row per completed
     # sequence). Stateful non-overlapping semantics have no linear-SQL

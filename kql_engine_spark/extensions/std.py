@@ -344,3 +344,70 @@ def _sequence_detect(ptr, df, args):
         return pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(key).applyInPandas(func, out_schema)
+
+
+# -------------------------------------------------- activity_engagement (§2.8)
+@plugin("activity_engagement")
+def _activity_engagement(ptr, df, args):
+    """`T | evaluate activity_engagement(id, timeline, inner, outer)` [KQL
+    behavior analytics]: per inner-window bin, the distinct-id count in that
+    bin and in the trailing outer window ending at it (DAU/WAU-style), plus
+    their ratio.
+
+    Exact lowering, no sliding self-join: each event's bin contributes to
+    the (outer/inner) output bins whose trailing window covers it, via a
+    bounded explode (factor = outer/inner, e.g. 7 for DAU/WAU), then one
+    count_distinct per side. Scale: the explode factor is a constant;
+    both aggregations are hash-partitioned on the bin."""
+    from ..translator import ExprTranslator
+
+    tr = ptr.expr_tr(df)
+    if len(args) != 4:
+        raise KqlSemanticError(
+            "activity_engagement(id_col, timeline_col, inner, outer)"
+        )
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError("activity_engagement: id and timeline must be columns")
+    inner_s = tr.const_seconds(args[2])
+    outer_s = tr.const_seconds(args[3])
+    if not inner_s or not outer_s or outer_s % inner_s:
+        raise KqlSemanticError(
+            "activity_engagement: outer window must be a multiple of inner"
+        )
+    ratio = int(outer_s // inner_s)
+    us = int(inner_s * 1_000_000)
+    binned = F.timestamp_micros(
+        ((F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)).cast("bigint") * F.lit(us))
+    )
+    work = df.select(F.col(idc).alias("__id"), binned.alias("Timeline"))
+    inner_df = work.groupBy("Timeline").agg(
+        F.count_distinct("__id").alias("dcount_activities_inner")
+    )
+    # event bin b is inside the trailing outer window of bins b .. b+ratio-1
+    spread = work.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ratio - 1)),
+                lambda k: F.timestamp_micros(
+                    F.unix_micros(F.col("Timeline")) + k.cast("bigint") * F.lit(us)
+                ),
+            )
+        ).alias("Timeline"),
+    )
+    outer_df = spread.groupBy("Timeline").agg(
+        F.count_distinct("__id").alias("dcount_activities_outer")
+    )
+    out = inner_df.join(outer_df, "Timeline")  # bins with no inner data drop
+    return out.select(
+        "Timeline",
+        "dcount_activities_inner",
+        "dcount_activities_outer",
+        F.round(
+            F.col("dcount_activities_inner").cast("double")
+            / F.col("dcount_activities_outer"),
+            4,
+        ).alias("activity_ratio"),
+    )
