@@ -379,7 +379,10 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
     vectorless = df.filter(~F.coalesce(usable, F.lit(False))).select(
         F.col(idc).alias("node")
     )
-    return df.join(keep.union(vectorless), df[idc] == F.col("node"), "left_semi")
+    keep_all = keep.union(vectorless)
+    # qualified reference: an input column literally named `node` must not
+    # shadow the join key
+    return df.join(keep_all, df[idc] == keep_all["node"], "left_semi")
 
 
 def _unit_norm_feat(df: DataFrame, emb: str, idc: str):

@@ -378,8 +378,12 @@ def _activity_engagement(ptr, df, args):
         )
     ratio = int(outer_s // inner_s)
     us = int(inner_s * 1_000_000)
+    # floor, not cast-truncation: negative epochs must bin DOWN (cast
+    # truncates toward zero and would shift pre-1970 rows one bin up)
     binned = F.timestamp_micros(
-        ((F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)).cast("bigint") * F.lit(us))
+        (F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
+            "bigint"
+        )
     )
     work = df.select(F.col(idc).alias("__id"), binned.alias("Timeline"))
     inner_df = work.groupBy("Timeline").agg(

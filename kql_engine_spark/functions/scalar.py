@@ -883,6 +883,16 @@ def _ipv6_masked(v, prefix):
     return v & ~((1 << (128 - prefix)) - 1) if prefix < 128 else v
 
 
+def _ipv6_prefix_int(pf):
+    """Null ints reach pandas UDFs as float NaN; normalize to None so the
+    null-in -> null-out contract holds instead of int(NaN) crashing."""
+    import math
+
+    if pf is None or (isinstance(pf, float) and math.isnan(pf)):
+        return None
+    return max(0, min(int(pf), 128))
+
+
 def _ipv6_udf(kind):
     key = f"ipv6:{kind}"
     if key in _PANDAS_UDF_CACHE:
@@ -910,9 +920,9 @@ def _ipv6_udf(kind):
         def udf(s, p):
             def one(x, pf):
                 v, vp = _ipv6_value(x)
+                pf = _ipv6_prefix_int(pf)
                 if v is None or pf is None:
                     return None
-                pf = max(0, min(int(pf), 128))
                 # honor the tighter of the argument and any /n in the text
                 return exploded(_ipv6_masked(v, min(pf, vp)))
 
@@ -925,9 +935,10 @@ def _ipv6_udf(kind):
             def one(x, y, pf):
                 vx, px = _ipv6_value(x)
                 vy, py = _ipv6_value(y)
+                pf = _ipv6_prefix_int(pf)
                 if vx is None or vy is None or pf is None:
                     return None
-                pf = max(0, min(int(pf), 128, px, py))
+                pf = min(pf, px, py)
                 vx, vy = _ipv6_masked(vx, pf), _ipv6_masked(vy, pf)
                 return -1 if vx < vy else (1 if vx > vy else 0)
 

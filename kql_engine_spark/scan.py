@@ -443,11 +443,19 @@ def run_scan_streaming(
         else:
             slots, next_id = None, 0
         machine = ScanMachine(ctx, slots, next_id)
-        for pdf in pdf_iter:
-            out_rows = []
-            for row in _normalize_pdf(_sort_pdf(pdf, order_keys)).to_dict("records"):
-                out_rows.extend(machine.process(row))
-            yield pd.DataFrame(out_rows, columns=ctx.out_cols)
+        # the micro-batch arrives as MULTIPLE Arrow chunks (split at
+        # maxRecordsPerBatch); sorting chunks independently would violate
+        # the per-micro-batch `sort by` contract — concatenate first
+        chunks = [pdf for pdf in pdf_iter]
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else pd.DataFrame(columns=ctx.in_cols))
+        )
+        out_rows = []
+        for row in _normalize_pdf(_sort_pdf(whole, order_keys)).to_dict("records"):
+            out_rows.extend(machine.process(row))
+        yield pd.DataFrame(out_rows, columns=ctx.out_cols)
         # no finalize: output=last buffers stay in state for the next batch
         state.update((pickle.dumps((machine.slots, machine.next_id)),))
 

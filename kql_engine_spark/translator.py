@@ -1620,19 +1620,23 @@ class PipeTranslator:
         df.write.format("noop").mode("overwrite").save()
         return df.limit(0)
 
-    def _search_leaf_cond(self, df: DataFrame, leaf, ci: bool):
+    def _search_leaf_cond(self, df: DataFrame, leaf, ci: bool, lenient: bool):
         """One search-predicate leaf as a boolean Column over df. TERM
         matching (whole alphanumeric token), not substring: `search "err"`
         must not match "terror" — routed through the same word-boundary
         translation as `has`; `*` at either end of the literal relaxes that
         side's boundary (Kusto wildcard search). `Col == "v"` is exact,
         case-sensitive equality. A scoped column missing from df yields
-        False (cross-table search skips tables lacking the column)."""
+        False only in the lenient cross-table form (tables lacking the
+        column simply don't match); the single-table piped form raises, so
+        a typo doesn't silently return zero rows."""
         tr = self.expr_tr(df)
         term = tr.const_string(leaf.term)
         cs = not ci
         if leaf.col is not None and leaf.col not in df.columns:
-            return F.lit(False)
+            if lenient:
+                return F.lit(False)
+            raise KqlSemanticError(f"search column {leaf.col!r} not found")
         if leaf.exact:
             return F.col(leaf.col) == F.lit(term)
         if leaf.col is not None:
@@ -1660,13 +1664,13 @@ class PipeTranslator:
                 cond = cond | tr._has(Col(name), lit, cs, mode)
         return cond
 
-    def _search_cond(self, df: DataFrame, pred, ci: bool):
+    def _search_cond(self, df: DataFrame, pred, ci: bool, lenient: bool = False):
         if isinstance(pred, tuple):
             kind, left, right = pred
-            l = self._search_cond(df, left, ci)
-            r = self._search_cond(df, right, ci)
+            l = self._search_cond(df, left, ci, lenient)
+            r = self._search_cond(df, right, ci, lenient)
             return (l & r) if kind == "and" else (l | r)
-        return self._search_leaf_cond(df, pred, ci)
+        return self._search_leaf_cond(df, pred, ci, lenient)
 
     def t_searchop(self, df: DataFrame, op: SearchOp) -> DataFrame:
         """`search [kind=...] [in (T1, ...)] pred` [KQL §2.13]: boolean
@@ -1676,14 +1680,21 @@ class PipeTranslator:
         filtered BEFORE the union so per-table predicate pushdown stays
         intact."""
         if op.tables is not None:
-            return self._search_tables(op, op.tables)
+            # `T | search in (...)` would silently DISCARD the piped input;
+            # Kusto only allows the in-form query-initial
+            raise KqlSemanticError(
+                "search in (...) must be the first operator of a query — "
+                "the piped input would be ignored"
+            )
         return df.filter(self._search_cond(df, op.pred, op.ci))
 
     def _search_tables(self, op: SearchOp, tables: list[str]) -> DataFrame:
         frames: list[tuple[str, DataFrame]] = []
         for t in tables:
             tdf = self._resolve_table(t)
-            frames.append((t, tdf.filter(self._search_cond(tdf, op.pred, op.ci))))
+            frames.append(
+                (t, tdf.filter(self._search_cond(tdf, op.pred, op.ci, lenient=True)))
+            )
         if not frames:
             raise KqlSemanticError("search in (...): no tables")
         return self._union(frames, "outer", "$table")
@@ -2087,6 +2098,16 @@ _PLAN_CACHE_CAP = 256
 #    "plans cached, results never" contract).
 _VOLATILE_FUNCS = frozenset({"now", "ago", "rand", "new_guid", "toscalar", "materialize"})
 
+# evaluate plugins that materialize data at translate time (localCheckpoint,
+# KMeans/LSH fits, count/collect) — caching their plan would freeze results
+# across data changes, same contract as toscalar/materialize
+_VOLATILE_PLUGINS = frozenset(
+    {
+        "dedup_near", "dedup_simhash", "dedup_embedding", "similarity_join",
+        "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
+    }
+)
+
 # materialize() persists live for the session; cap how many persisted frames
 # can pile up per SparkSession (oldest unpersisted first — executor storage
 # is not a leak site for long sessions issuing many materialize() queries).
@@ -2129,6 +2150,8 @@ def _plan_is_volatile(q: Query) -> bool:
         if isinstance(node, volatile_nodes):
             return True
         if isinstance(node, FuncCall) and node.name.lower() in _VOLATILE_FUNCS:
+            return True
+        if isinstance(node, Evaluate) and node.plugin in _VOLATILE_PLUGINS:
             return True
         if isinstance(node, Pipe) and node.materialize:
             return True

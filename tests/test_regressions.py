@@ -259,6 +259,54 @@ def test_search_source_all_tables(run_kql):
     assert [(r.tbl, r.n) for r in rows] == [("region", 1)]
 
 
+def test_search_scoped_typo_raises_on_single_table(run_kql):
+    # review r5: a misspelled scoped column in the piped single-table form
+    # must raise, not silently return zero rows (leniency is only for the
+    # cross-table form, where tables lacking the column simply don't match)
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with _pytest.raises(KqlSemanticError):
+        run_kql("events | search evnt_type: 'purchase'")
+
+
+def test_search_in_mid_pipe_raises(run_kql):
+    # `T | search in (...)` would silently discard T; Kusto only allows the
+    # in-form query-initial
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with _pytest.raises(KqlSemanticError):
+        run_kql("events | where user_id == 3 | search in (region) 'ASIA'")
+
+
+def test_ipv6_null_prefix_yields_null(run_kql):
+    # review r5: a null prefix column reaches the pandas UDF as NaN and
+    # must yield null, not crash the job
+    rows = run_kql(
+        "datatable(ip:string, p:long)['2001:db8::1', 64, '2001:db8::2', long(null)]"
+        " | extend m = parse_ipv6_mask(ip, p), c = ipv6_compare(ip, '2001:db8::1', p)"
+        " | sort by ip asc"
+    ).collect()
+    assert rows[0].m is not None and rows[1].m is None and rows[1].c is None
+
+
+def test_eager_plugins_not_plan_cached(run_kql, spark):
+    # review r5: evaluate plugins that materialize at translate time
+    # (localCheckpoint / fits / collect) must never be plan-cached, or the
+    # cached plan would freeze pre-checkpoint data
+    from kql_engine_spark.translator import _PLAN_CACHE
+
+    run_kql(
+        "datatable(id:long, t:string)[1, 'a b c', 2, 'a b c']"
+        " | evaluate dedup_simhash(t, id, 0) | count"
+    )
+    texts = [k[1] for k in _PLAN_CACHE.get(spark, {})]
+    assert not any("dedup_simhash" in t for t in texts)
+
+
 def test_search_in_missing_scoped_column_is_false(run_kql):
     # nation has no r_name; the scoped leaf must be False there, not an error
     rows = run_kql(

@@ -149,3 +149,36 @@ def test_stream_scan_matches_batch(spark, run_kql):
     ).collect()[0]
     assert (got.rows, got.matches, got.hs) == (want.rows, want.matches, want.hs)
     assert got.rows > 0
+
+
+def test_stream_scan_chunked_arrow_batches(spark, run_kql):
+    # review r5: the micro-batch arrives as MULTIPLE Arrow chunks when it
+    # exceeds maxRecordsPerBatch; sorting chunks independently would feed
+    # the state machine out of order. Force tiny chunks and re-check
+    # stream == batch.
+    from pyspark.sql import functions as F
+
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    scan = (
+        " | scan with_match_id = m declare (hits:long = 0) with ("
+        "     step s1: event_type == 'view' => hits = 1;"
+        "     step s2: event_type == 'purchase' => hits = 2;)"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        sdf = kql_stream(spark, "events | sort by event_id asc" + scan, sf_dir=SF_DIR)
+        res = run_to_memory(sdf, "stream_scan_chunked_t", mode="append")
+        got = res.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("m").alias("matches"),
+            F.sum("hits").alias("hs"),
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = run_kql(
+        "events | sort by event_id asc" + scan
+        + " | summarize rows = count(), matches = count_distinct(m), hs = sum(hits)"
+    ).collect()[0]
+    assert (got.rows, got.matches, got.hs) == (want.rows, want.matches, want.hs)
