@@ -1618,6 +1618,23 @@ q(
 )
 
 q(
+    "active_users_count_rolling",
+    # round 5: engaged-user counting — ids active in >= 3 distinct days
+    # within the trailing 7-day window; exact lowering, hash-certified
+    """events
+    | evaluate active_users_count(user_id, ts, 7d, 1d, 3)
+    | sort by Timeline asc""",
+    """WITH pairs AS (SELECT DISTINCT user_id,
+            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS p
+        FROM events),
+     spread AS (SELECT user_id, p, p + INTERVAL (k) DAY AS d
+                FROM pairs CROSS JOIN UNNEST(generate_series(0, 6)) AS t(k)),
+     pu AS (SELECT d, user_id, COUNT(DISTINCT p) AS np FROM spread GROUP BY 1, 2)
+     SELECT d AS Timeline, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+     FROM pu WHERE np >= 3 GROUP BY 1 ORDER BY 1""",
+)
+
+q(
     "sequence_detect_funnel",
     # per-key windowed sequence search (one output row per completed
     # sequence). Stateful non-overlapping semantics have no linear-SQL

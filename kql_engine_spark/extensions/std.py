@@ -415,3 +415,65 @@ def _activity_engagement(ptr, df, args):
             4,
         ).alias("activity_ratio"),
     )
+
+
+# -------------------------------------------------- active_users_count (§2.8)
+@plugin("active_users_count")
+def _active_users_count(ptr, df, args):
+    """`T | evaluate active_users_count(id, timeline, lookback, period,
+    min_periods)` [KQL behavior analytics, simplified signature — no
+    Start/End/dims]: per period bin, the distinct ids active in at least
+    `min_periods` DISTINCT periods within the lookback window ending at
+    that bin (fans/flirts style engaged-user counting).
+
+    Exact lowering, same shape as activity_engagement: distinct (id,
+    period) pairs explode into the (lookback/period) output bins whose
+    window covers them, then count distinct periods per (bin, id) and keep
+    ids meeting the bar. Bounded explode, two hash-partitioned
+    aggregations, no driver-side data."""
+    tr = ptr.expr_tr(df)
+    if len(args) != 5:
+        raise KqlSemanticError(
+            "active_users_count(id_col, timeline_col, lookback, period, min_periods)"
+        )
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError("active_users_count: id and timeline must be columns")
+    look_s = tr.const_seconds(args[2])
+    period_s = tr.const_seconds(args[3])
+    min_p = int(tr.const_value(args[4]))
+    if not look_s or not period_s or look_s % period_s:
+        raise KqlSemanticError(
+            "active_users_count: lookback must be a multiple of period"
+        )
+    ratio = int(look_s // period_s)
+    us = int(period_s * 1_000_000)
+    binned = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
+            "bigint"
+        )
+    )
+    pairs = (
+        df.select(F.col(idc).alias("__id"), binned.alias("__p")).distinct()
+    )
+    spread = pairs.select(
+        "__id",
+        "__p",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ratio - 1)),
+                lambda k: F.timestamp_micros(
+                    F.unix_micros(F.col("__p")) + k.cast("bigint") * F.lit(us)
+                ),
+            )
+        ).alias("Timeline"),
+    )
+    per_user = spread.groupBy("Timeline", "__id").agg(
+        F.count_distinct("__p").alias("__np")
+    )
+    return (
+        per_user.filter(F.col("__np") >= min_p)
+        .groupBy("Timeline")
+        .agg(F.count_distinct("__id").alias("dcount"))
+    )
