@@ -1477,6 +1477,50 @@ def _periods_detect_entry(tr, args):
 REGISTRY["series_periods_detect"] = _periods_detect_entry
 
 
+@fn("series_decompose_forecast")
+def _series_decompose_forecast(tr, args):
+    """series_decompose_forecast(y, points[, seasonality]) [KQL §2.10]:
+    extend the decomposition baseline `points` steps past the series end —
+    the seasonal phase pattern repeats and the linear trend extrapolates.
+    Returns the full baseline (n + points values, like Kusto)."""
+    points = int(tr.const_value(args[1]))
+    period = int(tr.const_value(args[2])) if len(args) > 2 else 0
+    key = f"series_decompose_forecast:{points}:{period}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def udf(col):
+            import numpy as np
+
+            def one(a):
+                if a is None:
+                    return None
+                y = np.asarray(a, dtype="float64")
+                n = len(y)
+                seasonal, trend, baseline, _res = _decompose_parts(y, period)
+                x = np.arange(n, n + points, dtype="float64")
+                if n >= 2:
+                    slope = trend[-1] - trend[-2]
+                else:
+                    slope = 0.0
+                f_trend = (trend[-1] if n else 0.0) + slope * (x - (n - 1))
+                p = int(period)
+                if 1 < p <= n:
+                    phases = seasonal[:p]
+                    f_seasonal = np.array(
+                        [phases[int(i) % p] for i in x], dtype="float64"
+                    )
+                else:
+                    f_seasonal = np.zeros(points)
+                return np.concatenate([baseline, f_trend + f_seasonal]).tolist()
+
+            return col.map(one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+
 _decompose_udf("series_decompose_seasonal", lambda s, t, b, r, th: s)
 _decompose_udf("series_decompose_trend", lambda s, t, b, r, th: t)
 _decompose_udf("series_decompose_baseline", lambda s, t, b, r, th: b)

@@ -495,6 +495,19 @@ def test_tdigest_merge_rollup_close(run_kql, duck):
     assert abs(row.ps[1] - exact[2]) / exact[2] < 0.05
 
 
+def test_series_decompose_forecast_linear(run_kql):
+    # a perfectly linear series (no seasonality) must extrapolate exactly
+    row = run_kql(
+        "print y = dynamic([1.0, 2.0, 3.0, 4.0, 5.0])"
+        " | extend f = series_decompose_forecast(y, 3)"
+        " | project n = tolong(array_length(f)), a = todouble(f[5]),"
+        "           b = todouble(f[6]), c = todouble(f[7])"
+    ).collect()[0]
+    assert row.n == 8
+    assert abs(row.a - 6.0) < 1e-9 and abs(row.b - 7.0) < 1e-9
+    assert abs(row.c - 8.0) < 1e-9
+
+
 def test_tdigest_percentile_close(run_kql, duck):
     row = run_kql(
         "lineitem | summarize td = tdigest(l_extendedprice)"
