@@ -108,3 +108,48 @@ def test_random_filter_aggregate_matches_duckdb(run_kql, duck, pred, agg_ix, key
     if not keys and want and all(v in ("0", "NULL") for v in want[0]) and not got:
         want = []
     assert got == want
+
+
+_JOIN_KINDS = [
+    ("inner", "JOIN"),
+    ("leftouter", "LEFT JOIN"),
+    ("rightouter", "RIGHT JOIN"),
+    ("fullouter", "FULL JOIN"),
+    ("leftsemi", "SEMI JOIN"),
+    ("leftanti", "ANTI JOIN"),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    kind_ix=st.integers(0, len(_JOIN_KINDS) - 1),
+    cust_lo=st.integers(0, 1200),
+    bal=st.floats(-1000, 10000, allow_nan=False),
+)
+def test_random_join_matches_duckdb(run_kql, duck, kind_ix, cust_lo, bal):
+    # randomized filters on both sides of a customer/orders join, all
+    # outer/semi/anti kinds; count + key-sum are order-insensitive probes
+    kkind, skind = _JOIN_KINDS[kind_ix]
+    bal = round(bal, 2)
+    kql_q = (
+        f"customer | where c_custkey >= {cust_lo} and c_acctbal > {bal!r}"
+        f" | join kind={kkind} (orders | where o_custkey >= {cust_lo})"
+        " on $left.c_custkey == $right.o_custkey"
+        " | summarize n = count(), s = sum(c_custkey)"
+    )
+    sql_q = (
+        f"SELECT COUNT(*) AS n, SUM(c_custkey) AS s FROM"
+        f" (SELECT * FROM customer WHERE c_custkey >= {cust_lo} AND c_acctbal > {bal})"
+        f" c {skind}"
+        f" (SELECT * FROM orders WHERE o_custkey >= {cust_lo}) o"
+        " ON c.c_custkey = o.o_custkey"
+    )
+    got = run_kql(kql_q).collect()[0]
+    want = duck.sql(sql_q).fetchone()
+    # KQL sum over zero rows is null on both engines; DuckDB COUNT is never null
+    assert got.n == want[0]
+    assert (got.s is None and want[1] is None) or got.s == want[1]
