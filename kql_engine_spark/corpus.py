@@ -1618,6 +1618,35 @@ q(
 )
 
 q(
+    "new_activity_metrics_retention",
+    # round 5: per-period new/retained/churned ids + rates; exact lowering
+    # (first-activity groupBy + one self equi-join), hash-certified
+    """events
+    | evaluate new_activity_metrics(user_id, ts, 1d)
+    | sort by Timeline asc""",
+    """WITH pairs AS (SELECT DISTINCT user_id,
+            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS p
+        FROM events),
+     firsts AS (SELECT user_id, MIN(p) AS f FROM pairs GROUP BY 1),
+     agg AS (
+       SELECT p, COUNT(*) AS act,
+              COUNT(*) FILTER (WHERE p = f) AS new,
+              COUNT(*) FILTER (WHERE EXISTS (
+                 SELECT 1 FROM pairs n
+                 WHERE n.user_id = pairs.user_id
+                   AND n.p = pairs.p + INTERVAL 1 DAY)) AS ret
+       FROM pairs JOIN firsts USING (user_id) GROUP BY 1)
+     SELECT p AS Timeline,
+            CAST(act AS BIGINT) AS dcount_values,
+            CAST(new AS BIGINT) AS dcount_new_values,
+            CAST(ret AS BIGINT) AS dcount_retained_values,
+            CAST(act - ret AS BIGINT) AS dcount_churn_values,
+            ROUND(CAST(ret AS DOUBLE) / act, 4) AS retention_rate,
+            ROUND(CAST(act - ret AS DOUBLE) / act, 4) AS churn_rate
+     FROM agg ORDER BY 1""",
+)
+
+q(
     "active_users_count_rolling",
     # round 5: engaged-user counting — ids active in >= 3 distinct days
     # within the trailing 7-day window; exact lowering, hash-certified

@@ -477,3 +477,73 @@ def _active_users_count(ptr, df, args):
         .groupBy("Timeline")
         .agg(F.count_distinct("__id").alias("dcount"))
     )
+
+
+# ------------------------------------------------ new_activity_metrics (§2.8)
+@plugin("new_activity_metrics")
+def _new_activity_metrics(ptr, df, args):
+    """`T | evaluate new_activity_metrics(id, timeline, period)` [KQL
+    behavior analytics, simplified: consecutive-period window, no cohort
+    dims]: per period — active ids, first-seen (new) ids, ids retained
+    into the NEXT period, ids churned (active now, absent next), and the
+    retention/churn rates.
+
+    Exact lowering: distinct (id, period) pairs; first activity via one
+    groupBy(id) min; retained via one self equi-join on (id, period+1).
+    All hash-partitioned joins/aggregations — no windows over unbounded
+    frames, no driver-side data."""
+    tr = ptr.expr_tr(df)
+    if len(args) != 3:
+        raise KqlSemanticError("new_activity_metrics(id_col, timeline_col, period)")
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError("new_activity_metrics: id and timeline must be columns")
+    period_s = tr.const_seconds(args[2])
+    if not period_s:
+        raise KqlSemanticError("new_activity_metrics: period must be a timespan")
+    us = int(period_s * 1_000_000)
+    binned = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
+            "bigint"
+        )
+    )
+    pairs = df.select(F.col(idc).alias("__id"), binned.alias("Timeline")).distinct()
+    first = pairs.groupBy("__id").agg(F.min("Timeline").alias("__first"))
+    nxt = pairs.select(
+        F.col("__id"),
+        F.timestamp_micros(F.unix_micros(F.col("Timeline")) - F.lit(us)).alias(
+            "Timeline"
+        ),
+    )
+    enriched = (
+        pairs.join(first, "__id")
+        .withColumn("__is_new", (F.col("Timeline") == F.col("__first")).cast("int"))
+        .join(
+            nxt.withColumn("__ret", F.lit(1)).alias("n"),
+            ["__id", "Timeline"],
+            "left",
+        )
+    )
+    out = enriched.groupBy("Timeline").agg(
+        F.count_distinct("__id").alias("dcount_values"),
+        F.sum("__is_new").alias("dcount_new_values"),
+        F.count(F.col("__ret")).alias("dcount_retained_values"),
+    )
+    return out.select(
+        "Timeline",
+        "dcount_values",
+        "dcount_new_values",
+        "dcount_retained_values",
+        (F.col("dcount_values") - F.col("dcount_retained_values")).alias(
+            "dcount_churn_values"
+        ),
+        F.round(
+            F.col("dcount_retained_values").cast("double") / F.col("dcount_values"), 4
+        ).alias("retention_rate"),
+        F.round(
+            (F.col("dcount_values") - F.col("dcount_retained_values")).cast("double")
+            / F.col("dcount_values"),
+            4,
+        ).alias("churn_rate"),
+    )
