@@ -2007,6 +2007,19 @@ q(
 )
 
 q(
+    "geohash_fns",
+    # round 5: geohash encode/decode roundtrip; constants -> literal oracle
+    """print g = geo_point_to_geohash(-122.3, 47.6, 6),
+       lon = round(todouble(extractjson('$.coordinates[0]',
+             geo_geohash_to_central_point(geo_point_to_geohash(-122.3, 47.6, 9)))), 4),
+       lat = round(todouble(extractjson('$.coordinates[1]',
+             geo_geohash_to_central_point(geo_point_to_geohash(-122.3, 47.6, 9)))), 4),
+       bad = geo_point_to_geohash(999.0, 47.6, 6)""",
+    """SELECT 'c23nbc' AS g, -122.3 AS lon, 47.6 AS lat,
+              CAST(NULL AS VARCHAR) AS bad""",
+)
+
+q(
     "ipv4_mask_fns",
     '''print priv = ipv4_is_private('192.168.1.4'), pub = ipv4_is_private('8.8.8.8'),
        nm = ipv4_netmask_suffix('10.0.0.0/24'),

@@ -1980,3 +1980,124 @@ def _fit_2lines(y):
 
 
 _np_series_udf("series_fit_2lines", _fit_2lines)
+
+
+# ------------------------------------------------------------ geohash family
+# Geohash is a public, fully-specified encoding (base32 bit interleave), so
+# unlike S2 cells it needs no external library. Vectorized pandas UDFs —
+# per-batch Python over pure arithmetic.
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon, lat, precision):
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bit = 0
+    ch = 0
+    even = True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GEOHASH32[ch])
+            bit = 0
+            ch = 0
+    return "".join(out)
+
+
+def _geohash_decode(h):
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in h:
+        idx = _GEOHASH32.find(c)
+        if idx < 0:
+            return None
+        for shift in range(4, -1, -1):
+            bit = (idx >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return (lon_lo + lon_hi) / 2, (lat_lo + lat_hi) / 2
+
+
+@fn("geo_point_to_geohash")
+def _geo_point_to_geohash(tr, args):
+    precision = int(tr.const_value(args[2])) if len(args) > 2 else 5
+    if not 1 <= precision <= 18:
+        raise KqlSemanticError("geo_point_to_geohash: precision must be 1-18")
+    key = f"geohash:{precision}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(lon, lat):
+            def one(lo, la):
+                if lo is None or la is None:
+                    return None
+                lo, la = float(lo), float(la)
+                if not (-180.0 <= lo <= 180.0 and -90.0 <= la <= 90.0):
+                    return None
+                return _geohash_encode(lo, la, precision)
+
+            return lon.combine(lat, one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](
+        tr.to_col(args[0]).cast("double"), tr.to_col(args[1]).cast("double")
+    )
+
+
+@fn("geo_geohash_to_central_point")
+def _geo_geohash_to_central_point(tr, args):
+    """Returns the cell's central point as a GeoJSON-style dynamic (JSON
+    text: {"type": "Point", "coordinates": [lon, lat]}) [KQL]."""
+    key = "geohash:decode"
+    if key not in _PANDAS_UDF_CACHE:
+        import json
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(h):
+            def one(x):
+                if x is None or not x:
+                    return None
+                pt = _geohash_decode(str(x))
+                if pt is None:
+                    return None
+                return json.dumps(
+                    {"type": "Point", "coordinates": [pt[0], pt[1]]}
+                )
+
+            return h.map(one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](tr.to_col(args[0]).cast("string"))
