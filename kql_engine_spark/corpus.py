@@ -2007,6 +2007,15 @@ q(
 )
 
 q(
+    "geo_point_in_polygon_fn",
+    # ray casting with a hole ring; constants -> literal oracle
+    """print a = geo_point_in_polygon(5.0, 2.0, '{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]], [[4,4],[6,4],[6,6],[4,6],[4,4]]]}'),
+       b = geo_point_in_polygon(5.0, 5.0, '{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]], [[4,4],[6,4],[6,6],[4,6],[4,4]]]}'),
+       c = geo_point_in_polygon(20.0, 5.0, '{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]]]}')""",
+    """SELECT true AS a, false AS b, false AS c""",
+)
+
+q(
     "geohash_fns",
     # round 5: geohash encode/decode roundtrip; constants -> literal oracle
     """print g = geo_point_to_geohash(-122.3, 47.6, 6),

@@ -2101,3 +2101,57 @@ def _geo_geohash_to_central_point(tr, args):
 
         _PANDAS_UDF_CACHE[key] = udf
     return _PANDAS_UDF_CACHE[key](tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_point_in_polygon")
+def _geo_point_in_polygon(tr, args):
+    """geo_point_in_polygon(lon, lat, polygon) [KQL]: point-in-polygon by
+    ray casting over a GeoJSON Polygon literal (holes supported: a point
+    inside any interior ring is outside). Planar approximation — faithful
+    for the non-antimeridian-crossing polygons the public docs use."""
+    import json
+
+    poly_raw = tr.const_string(args[2])
+    try:
+        poly = json.loads(poly_raw)
+        rings = poly["coordinates"]
+        assert poly.get("type") == "Polygon" and rings
+    except Exception:
+        raise KqlSemanticError(
+            "geo_point_in_polygon: third argument must be a GeoJSON "
+            "Polygon literal"
+        ) from None
+
+    key = f"pip:{hash(poly_raw)}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        def in_ring(lon, lat, ring):
+            inside = False
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i][0], ring[i][1]
+                x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+                if (y1 > lat) != (y2 > lat):
+                    xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+                    if lon < xin:
+                        inside = not inside
+            return inside
+
+        @pandas_udf("boolean")
+        def udf(lon, lat):
+            def one(lo, la):
+                if lo is None or la is None:
+                    return None
+                lo, la = float(lo), float(la)
+                if not in_ring(lo, la, rings[0]):
+                    return False
+                # interior rings are holes
+                return not any(in_ring(lo, la, r) for r in rings[1:])
+
+            return lon.combine(lat, one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](
+        tr.to_col(args[0]).cast("double"), tr.to_col(args[1]).cast("double")
+    )
