@@ -2007,6 +2007,17 @@ q(
 )
 
 q(
+    "series_vector_math",
+    # round 5: dot/magnitude/cosine/pearson — pure column exprs, JVM-side
+    """print d = series_dot_product(dynamic([1.0,2.0,3.0]), dynamic([4.0,5.0,6.0])),
+       m = series_magnitude(dynamic([3.0,4.0])),
+       cs = round(series_cosine_similarity(dynamic([1.0,0.0]), dynamic([1.0,1.0])), 6),
+       pc = round(series_pearson_correlation(dynamic([1.0,2.0,3.0,4.0]), dynamic([2.0,4.0,6.0,8.0])), 6),
+       pn = round(series_pearson_correlation(dynamic([1.0,2.0,3.0]), dynamic([3.0,2.0,1.0])), 6)""",
+    """SELECT 32.0 AS d, 5.0 AS m, 0.707107 AS cs, 1.0 AS pc, -1.0 AS pn""",
+)
+
+q(
     "geo_point_in_polygon_fn",
     # ray casting with a hole ring; constants -> literal oracle
     """print a = geo_point_in_polygon(5.0, 2.0, '{"type": "Polygon", "coordinates": [[[0,0],[10,0],[10,10],[0,10],[0,0]], [[4,4],[6,4],[6,6],[4,6],[4,4]]]}'),

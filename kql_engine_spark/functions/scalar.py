@@ -2155,3 +2155,47 @@ def _geo_point_in_polygon(tr, args):
     return _PANDAS_UDF_CACHE[key](
         tr.to_col(args[0]).cast("double"), tr.to_col(args[1]).cast("double")
     )
+
+
+# ------------------------------------------- series vector math (round 5)
+# All pure column expressions over array<double> — JVM-side, codegen-able.
+
+
+def _s_sum(a):
+    return F.aggregate(a, F.lit(0.0), lambda s, v: s + F.coalesce(v, F.lit(0.0)))
+
+
+def _s_dot(a, b):
+    return _s_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+@fn("series_dot_product")
+def _series_dot_product(tr, args):
+    return _s_dot(_as_dseries(tr.to_col(args[0])), _as_dseries(tr.to_col(args[1])))
+
+
+@fn("series_magnitude")
+def _series_magnitude(tr, args):
+    a = _as_dseries(tr.to_col(args[0]))
+    return F.sqrt(_s_dot(a, a))
+
+
+@fn("series_cosine_similarity")
+def _series_cosine_similarity(tr, args):
+    a = _as_dseries(tr.to_col(args[0]))
+    b = _as_dseries(tr.to_col(args[1]))
+    denom = F.sqrt(_s_dot(a, a)) * F.sqrt(_s_dot(b, b))
+    return F.when(denom > 0, _s_dot(a, b) / denom)
+
+
+@fn("series_pearson_correlation")
+def _series_pearson_correlation(tr, args):
+    a = _as_dseries(tr.to_col(args[0]))
+    b = _as_dseries(tr.to_col(args[1]))
+    n = F.size(a).cast("double")
+    sx, sy = _s_sum(a), _s_sum(b)
+    sxy = _s_dot(a, b)
+    sxx, syy = _s_dot(a, a), _s_dot(b, b)
+    cov = sxy - sx * sy / n
+    denom = F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    return F.when((n > 0) & (denom > 0), cov / denom)
