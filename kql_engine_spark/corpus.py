@@ -2332,6 +2332,61 @@ q(
          (CAST(10 AS BIGINT), CAST(1 AS BIGINT)), (20, 2), (30, 3)) AS t(x, idx)""",
 )
 
+q(
+    "sliding_window_counts_7d",
+    # round 5: per-bin count + dcount over a trailing 7-day window — exact
+    # lowering (bounded explode, factor 7), hash-certified
+    """events
+    | evaluate sliding_window_counts(user_id, ts, 7d, 1d)
+    | sort by Timeline asc""",
+    """WITH b AS (SELECT user_id,
+            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+        FROM events),
+     mx AS (SELECT MAX(d) AS m FROM b),
+     spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
+                FROM b CROSS JOIN UNNEST(generate_series(0, 6)) AS t(k))
+     SELECT d AS Timeline,
+            CAST(COUNT(*) AS BIGINT) AS "Count",
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
+     FROM spread, mx WHERE d <= m GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "rolling_percentile_p90",
+    # round 5: trailing-7-bin p90 per day; percentile() is linear
+    # interpolation on both sides (Spark F.percentile ≡ DuckDB
+    # quantile_cont), so the twin hash-matches after rounding
+    """events
+    | evaluate rolling_percentile(value, 90, ts, 1d, 7)
+    | project Timeline, p90 = round(rolling_7_percentile_value_90, 4)
+    | sort by Timeline asc""",
+    """WITH b AS (SELECT value,
+            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+        FROM events),
+     mx AS (SELECT MAX(d) AS m FROM b),
+     spread AS (SELECT value, d + INTERVAL (k) DAY AS d
+                FROM b CROSS JOIN UNNEST(generate_series(0, 6)) AS t(k))
+     SELECT d AS Timeline,
+            ROUND(quantile_cont(value, 0.90), 4) AS p90
+     FROM spread, mx WHERE d <= m GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "rows_near_hits",
+    # round 5: neighborhood filter in serialized order — windowed max of the
+    # match flag over a rows-frame, identical frame in the DuckDB twin
+    """events
+    | sort by ts asc, event_id asc
+    | evaluate rows_near(event_type == 'purchase', 2)
+    | project event_id, user_id, event_type""",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS nearhit
+         FROM events) WHERE nearhit = 1""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

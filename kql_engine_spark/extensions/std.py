@@ -547,3 +547,165 @@ def _new_activity_metrics(ptr, df, args):
             4,
         ).alias("churn_rate"),
     )
+
+
+# ---------------------------------------------- sliding_window_counts (§2.8)
+def _bin_ts(col_name: str, bin_us: int):
+    # floor, not cast-truncation: negative epochs must bin DOWN
+    return F.timestamp_micros(
+        (
+            F.floor(F.unix_micros(F.col(col_name).cast("timestamp")) / F.lit(bin_us))
+            * F.lit(bin_us)
+        ).cast("bigint")
+    )
+
+
+@plugin("sliding_window_counts")
+def _sliding_window_counts(ptr, df, args):
+    """`T | evaluate sliding_window_counts(id, timeline, lookback, bin)` [KQL
+    behavior analytics, simplified signature — no Start/End args; bins are
+    data-derived]: per bin, the event count and distinct-id count within the
+    trailing lookback window ending at that bin. Output: Timeline, Count,
+    Dcount. Bins past the last event are clamped off (KQL's End).
+
+    Exact lowering, no sliding self-join: each event contributes to the
+    lookback/bin output bins whose trailing window covers it via a bounded
+    explode (constant factor), then one hash aggregation; the max-bin clamp
+    is a broadcast 1-row agg, never a driver collect. Scale: both stages are
+    hash-partitioned on the bin."""
+    tr = ptr.expr_tr(df)
+    if len(args) != 4:
+        raise KqlSemanticError(
+            "sliding_window_counts(id_col, timeline_col, lookback, bin)"
+        )
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError(
+            "sliding_window_counts: id and timeline must be columns"
+        )
+    look_s = tr.const_seconds(args[2])
+    bin_s = tr.const_seconds(args[3])
+    if not look_s or not bin_s or look_s % bin_s:
+        raise KqlSemanticError(
+            "sliding_window_counts: lookback must be a multiple of bin"
+        )
+    ratio = int(look_s // bin_s)
+    us = int(bin_s * 1_000_000)
+    work = df.select(F.col(idc).alias("__id"), _bin_ts(tc, us).alias("Timeline"))
+    bounds = work.agg(F.max("Timeline").alias("__mx"))
+    spread = work.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ratio - 1)),
+                lambda k: F.timestamp_micros(
+                    F.unix_micros(F.col("Timeline")) + k.cast("bigint") * F.lit(us)
+                ),
+            )
+        ).alias("Timeline"),
+    )
+    out = spread.groupBy("Timeline").agg(
+        F.count(F.lit(1)).alias("Count"),
+        F.count_distinct("__id").alias("Dcount"),
+    )
+    return (
+        out.crossJoin(F.broadcast(bounds))
+        .where(F.col("Timeline") <= F.col("__mx"))
+        .drop("__mx")
+    )
+
+
+# ------------------------------------------------- rolling_percentile (§2.8)
+@plugin("rolling_percentile")
+def _rolling_percentile(ptr, df, args):
+    """`T | evaluate rolling_percentile(value, pct, timeline, bin, bins_per
+    _window)` [KQL]: per bin, the pct-th percentile (linear interpolation,
+    same convention as summarize percentile()) of value over the trailing
+    bins_per_window bins ending at that bin. Output: Timeline,
+    rolling_<bins_per_window>_percentile_<value>_<pct> (the documented KQL
+    output naming). Bins past the last event are clamped off.
+
+    Exact lowering via the same bounded-explode trick as
+    sliding_window_counts: constant fan-out = bins_per_window, one hash
+    aggregation on the bin; no per-bin self-join, no driver-side state."""
+    tr = ptr.expr_tr(df)
+    if len(args) != 5:
+        raise KqlSemanticError(
+            "rolling_percentile(value_col, percentile, timeline_col, bin, "
+            "bins_per_window)"
+        )
+    vc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[2].name if isinstance(args[2], Col) else None
+    if vc is None or tc is None:
+        raise KqlSemanticError(
+            "rolling_percentile: value and timeline must be columns"
+        )
+    pct = float(tr.const_value(args[1]))
+    bin_s = tr.const_seconds(args[3])
+    bpw = int(tr.const_value(args[4]))
+    if not bin_s or bpw < 1:
+        raise KqlSemanticError(
+            "rolling_percentile: bin must be a timespan and bins_per_window >= 1"
+        )
+    us = int(bin_s * 1_000_000)
+    work = df.select(F.col(vc).alias("__v"), _bin_ts(tc, us).alias("Timeline"))
+    bounds = work.agg(F.max("Timeline").alias("__mx"))
+    spread = work.select(
+        "__v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bpw - 1)),
+                lambda k: F.timestamp_micros(
+                    F.unix_micros(F.col("Timeline")) + k.cast("bigint") * F.lit(us)
+                ),
+            )
+        ).alias("Timeline"),
+    )
+    pname = ("%g" % pct).replace(".", "_").replace("-", "m")
+    out_col = f"rolling_{bpw}_percentile_{vc}_{pname}"
+    out = spread.groupBy("Timeline").agg(
+        F.percentile("__v", F.lit(pct / 100.0)).alias(out_col)
+    )
+    return (
+        out.crossJoin(F.broadcast(bounds))
+        .where(F.col("Timeline") <= F.col("__mx"))
+        .drop("__mx")
+    )
+
+
+# ---------------------------------------------------------- rows_near (§2.8)
+@plugin("rows_near")
+def _rows_near(ptr, df, args):
+    """`T | evaluate rows_near(condition, num_rows [, num_rows_after])`
+    [KQL]: keep rows within num_rows before / num_rows_after after any row
+    matching the condition, in the serialized row order. Requires a
+    serialized input (sort by / serialize / top upstream), same contract as
+    the row_* window functions.
+
+    Lowering: one global windowed max of the match flag over a rows-frame
+    [-after, +before] — a row survives iff a hit exists in its neighborhood.
+    Like serialize/row_number without `by`, the global total order is an
+    inherent single-partition bottleneck at scale (translator.py:13-15);
+    partition upstream when the neighborhood is per-key."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) not in (2, 3):
+        raise KqlSemanticError("rows_near(condition, num_rows [, num_rows_after])")
+    cond = tr.to_col(args[0])
+    before = int(tr.const_value(args[1]))
+    after = int(tr.const_value(args[2])) if len(args) == 3 else before
+    if before < 0 or after < 0:
+        raise KqlSemanticError("rows_near: row counts must be >= 0")
+    if ptr.order is None:
+        raise KqlSemanticError(
+            "rows_near requires a serialized input (use 'sort by' or "
+            "'serialize' first) [KQL]"
+        )
+    # hit at h keeps rows [h-before, h+after]  <=>  row r survives iff a hit
+    # exists in [r-after, r+before]
+    w = Window.orderBy(*ptr.order).rowsBetween(-after, before)
+    flag = F.max(cond.cast("int")).over(w)
+    out = df.withColumn("__kql_near", flag).where(F.col("__kql_near") == 1)
+    return out.drop("__kql_near")

@@ -2057,7 +2057,10 @@ class PipeTranslator:
         if impl is None:
             raise KqlUnsupportedError(f"evaluate plugin {op.plugin!r}")
         out = impl(self, df, op.args)
-        self.order = None
+        # row-filtering plugins keep the input's serialized order [KQL];
+        # everything else re-shapes rows and invalidates it
+        if op.plugin not in ("rows_near",):
+            self.order = None
         return out
 
 
