@@ -2387,6 +2387,44 @@ q(
          FROM events) WHERE nearhit = 1""",
 )
 
+q(
+    "ipv4_lookup_cidr",
+    # round 5: CIDR-range lookup join, longest-prefix wins; the twin
+    # precomputes each range's [start, end] and applies the same
+    # row_number-by-prefix-length rule
+    """let lut = datatable(cidr:string, net:string)[
+      '10.0.0.0/8','ten', '10.1.0.0/16','ten-one', '192.168.0.0/16','home'];
+    events
+    | extend ip = iff(event_id % 5 == 0,
+        strcat('172.16.0.', tostring(event_id % 256)),
+        strcat('10.', tostring(user_id % 256), '.0.', tostring(event_id % 256)))
+    | evaluate ipv4_lookup(lut, ip, cidr)
+    | summarize c = count() by net
+    | sort by net asc""",
+    """WITH lut(cidr, net, s, e, b) AS (VALUES
+         ('10.0.0.0/8', 'ten', 167772160, 184549375, 8),
+         ('10.1.0.0/16', 'ten-one', 167837696, 167903231, 16),
+         ('192.168.0.0/16', 'home', 3232235520, 3232301055, 16)),
+       src AS (SELECT event_id,
+           CASE WHEN event_id % 5 = 0
+                THEN '172.16.0.' || CAST(event_id % 256 AS VARCHAR)
+                ELSE '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.'
+                     || CAST(event_id % 256 AS VARCHAR) END AS ip
+          FROM events),
+       ipl AS (SELECT event_id,
+           CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+           + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+           + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+           + CAST(split_part(ip, '.', 4) AS BIGINT) AS v
+          FROM src),
+       m AS (SELECT event_id, net,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY b DESC, cidr) AS rn
+             FROM ipl JOIN lut ON v BETWEEN s AND e)
+       SELECT net, CAST(COUNT(*) AS BIGINT) AS c
+       FROM m WHERE rn = 1 GROUP BY net ORDER BY net""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

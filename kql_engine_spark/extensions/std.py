@@ -709,3 +709,96 @@ def _rows_near(ptr, df, args):
     flag = F.max(cond.cast("int")).over(w)
     out = df.withColumn("__kql_near", flag).where(F.col("__kql_near") == 1)
     return out.drop("__kql_near")
+
+
+# -------------------------------------------------------- ipv4_lookup (§2.8)
+def _ipv4_long(c):
+    p = F.split(c, r"\.")
+    return (
+        F.element_at(p, 1).try_cast("bigint") * F.lit(16777216)
+        + F.element_at(p, 2).try_cast("bigint") * F.lit(65536)
+        + F.element_at(p, 3).try_cast("bigint") * F.lit(256)
+        + F.element_at(p, 4).try_cast("bigint")
+    )
+
+
+@plugin("ipv4_lookup")
+def _ipv4_lookup(ptr, df, args):
+    """`T | evaluate ipv4_lookup(LookupTable, SourceIp, RangeKey [, extra
+    keys...] [, return_unmatched])` [KQL]: join each row's IPv4 string
+    against a lookup table of IP/CIDR ranges; when several ranges contain
+    the address the LONGEST prefix wins (routing-table rule). Extra keys
+    are additional equi-join columns; return_unmatched=true keeps
+    unmatched rows with null lookup columns (leftouter), default drops
+    them (inner).
+
+    Lowering: the lookup side gets (start, end, bits) columns derived from
+    the CIDR (arithmetic masking — base - base % 2^(32-bits) — stays in
+    whole-stage codegen), is BROADCAST (lookup tables are dimension-sized
+    by the KQL use case), and theta-joined on start <= ip <= end; the
+    longest-prefix rule is one row_number window partitioned by a
+    per-source-row id — no global order, scales with the fact side."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "ipv4_lookup(lookup_table, source_ip_col, range_key_col "
+            "[, extra_key...] [, return_unmatched])"
+        )
+    if not isinstance(args[0], Col):
+        raise KqlSemanticError("ipv4_lookup: first arg must be a table name")
+    lut = ptr._resolve_table(args[0].name)
+    ipc = args[1].name if isinstance(args[1], Col) else None
+    keyc = args[2].name if isinstance(args[2], Col) else None
+    if ipc is None or keyc is None:
+        raise KqlSemanticError("ipv4_lookup: ip and range key must be columns")
+    if keyc not in lut.columns:
+        raise KqlSemanticError(f"ipv4_lookup: {keyc!r} not in lookup table")
+    extra, unmatched = [], False
+    for a in args[3:]:
+        if isinstance(a, Col):
+            extra.append(a.name)
+        else:
+            unmatched = bool(tr.const_value(a))
+    sp = F.split(F.col(keyc), "/")
+    bits = F.coalesce(F.element_at(sp, 2).try_cast("int"), F.lit(32))
+    base = _ipv4_long(F.element_at(sp, 1))
+    # span = 2^(32-bits); double pow is exact through 2^32
+    span = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double")).cast("bigint")
+    start = base - (base % span)
+    lutp = (
+        lut.withColumn("__kql_s", start)
+        .withColumn("__kql_e", start + span - F.lit(1))
+        .withColumn("__kql_b", bits)
+    )
+    # extra keys join on temp names; other name collisions get the KQL-style
+    # right-side "1" suffix (same convention as join/lookup)
+    for i, k in enumerate(extra):
+        if k not in lutp.columns:
+            raise KqlSemanticError(f"ipv4_lookup: extra key {k!r} not in lookup table")
+        lutp = lutp.withColumnRenamed(k, f"__kql_k{i}")
+    for c in lutp.columns:
+        if c in df.columns and not c.startswith("__kql"):
+            lutp = lutp.withColumnRenamed(c, c + "1")
+    src = df.withColumn("__kql_rid", F.monotonically_increasing_id()).withColumn(
+        "__kql_ip", _ipv4_long(F.col(ipc))
+    )
+    cond = (F.col("__kql_ip") >= F.col("__kql_s")) & (
+        F.col("__kql_ip") <= F.col("__kql_e")
+    )
+    for i, k in enumerate(extra):
+        cond = cond & (src[k] == F.col(f"__kql_k{i}"))
+    joined = src.join(
+        F.broadcast(lutp), cond, "left" if unmatched else "inner"
+    )
+    keyout = keyc if keyc in joined.columns else keyc + "1"
+    w = Window.partitionBy("__kql_rid").orderBy(
+        F.col("__kql_b").desc_nulls_last(), F.col(keyout).asc_nulls_last()
+    )
+    out = joined.withColumn("__kql_rn", F.row_number().over(w)).where(
+        F.col("__kql_rn") == 1
+    )
+    drop = ["__kql_rid", "__kql_ip", "__kql_s", "__kql_e", "__kql_b", "__kql_rn"]
+    drop += [f"__kql_k{i}" for i in range(len(extra))]
+    return out.drop(*drop)
