@@ -155,3 +155,45 @@ def test_graph_shortest_paths_no_cartesian(run_kql):
     )
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_sliding_window_counts_two_hash_aggs_no_join(run_kql):
+    # bounded explode + hash agg; the only join is the broadcast 1-row
+    # max-bin clamp — no sliding self-join of the fact table
+    df = run_kql("events | evaluate sliding_window_counts(user_id, ts, 7d, 1d)")
+    plan = _plan(df)
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_percentile_no_self_join(run_kql):
+    df = run_kql("events | evaluate rolling_percentile(value, 90, ts, 1d, 7)")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ipv4_lookup_broadcasts_lookup_side(run_kql):
+    df = run_kql(
+        "let lut = datatable(cidr:string, net:string)['10.0.0.0/8','ten'];"
+        "events"
+        " | extend ip = strcat('10.0.0.', tostring(event_id % 256))"
+        " | evaluate ipv4_lookup(lut, ip, cidr)"
+    )
+    plan = _plan(df)
+    # range-containment theta join on a broadcast dim — never sort-merge or
+    # an unhinted nested-loop over a shuffled lookup side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rows_near_single_window_pass(run_kql):
+    df = run_kql(
+        "events | sort by ts asc, event_id asc"
+        " | evaluate rows_near(event_type == 'purchase', 2)"
+    )
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
