@@ -112,6 +112,14 @@ class Catalog:
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         wm = getattr(self, "_stream_watermark", None)
         if wm and wm[0] in df.columns:
+            from pyspark.sql import types as T
+
+            # withWatermark requires TIMESTAMP (LTZ); parquet TIMESTAMP
+            # without UTC-adjustment reads as NTZ under Spark 4's
+            # inferTimestampNTZ. Session tz is pinned UTC (session.py), so
+            # the cast is value-preserving.
+            if isinstance(df.schema[wm[0]].dataType, T.TimestampNTZType):
+                df = df.withColumn(wm[0], F.col(wm[0]).cast("timestamp"))
             df = df.withWatermark(wm[0], wm[1])
         self._streams[name] = df
         return df

@@ -2425,6 +2425,99 @@ q(
        FROM m WHERE rn = 1 GROUP BY net ORDER BY net""",
 )
 
+q(
+    "activity_counts_metrics_1d",
+    # round 5: per-day activity counters incl. first-seen and cumulative
+    # distinct ids — the bin-level cumsum window is bounded by bin count
+    """events
+    | evaluate activity_counts_metrics(user_id, ts, 1d)
+    | sort by Timeline asc""",
+    """WITH b AS (SELECT user_id,
+            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+        FROM events),
+     per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
+                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dc
+             FROM b GROUP BY 1),
+     firsts AS (SELECT user_id, MIN(d) AS d FROM b GROUP BY 1),
+     newb AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nd FROM firsts GROUP BY 1)
+     SELECT per.d AS Timeline, cnt AS "count", dc AS dcount,
+            COALESCE(nd, 0) AS new_dcount,
+            CAST(SUM(COALESCE(nd, 0)) OVER (ORDER BY per.d) AS BIGINT)
+              AS aggregated_dcount
+     FROM per LEFT JOIN newb ON per.d = newb.d ORDER BY 1""",
+)
+
+q(
+    "session_count_daily",
+    # round 5: sessions started per day (gap > look_back starts a session);
+    # the lag window is hash-partitioned on the id — no global order
+    """events
+    | evaluate session_count(user_id, ts, 1d, 1h)
+    | sort by Timeline asc""",
+    """WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+            LAG(CAST(ts AS TIMESTAMP)) OVER (
+              PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+          FROM events)
+     SELECT to_timestamp(CAST(floor(epoch(t) / 86400) AS BIGINT) * 86400)
+              AS Timeline,
+            CAST(COUNT(*) AS BIGINT) AS count_sessions
+     FROM g WHERE prev IS NULL OR t - prev > INTERVAL 1 HOUR
+     GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "funnel_completion_steps",
+    # round 5: view->click->purchase funnel completion per 7d bin of the
+    # step-1 time; chained-min semantics, identical joins in the twin
+    """events
+    | evaluate funnel_sequence_completion(user_id, ts, 7d, event_type,
+        'view', 'click', 'purchase', 7d)
+    | sort by Timeline asc, Step asc""",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type
+                  FROM events),
+     s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+     s2 AS (SELECT e.user_id, t1, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t >= t1
+              AND t <= t1 + INTERVAL 7 DAY GROUP BY 1, 2),
+     s3 AS (SELECT e.user_id, t1, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND t >= t2
+              AND t <= t1 + INTERVAL 7 DAY GROUP BY 1, 2),
+     u AS (
+       SELECT t1, 1 AS step, 'view' AS state, user_id FROM s1
+       UNION ALL SELECT t1, 2, 'click', user_id FROM s2
+       UNION ALL SELECT t1, 3, 'purchase', user_id FROM s3)
+     SELECT to_timestamp(CAST(floor(epoch(t1) / 604800) AS BIGINT) * 604800)
+              AS Timeline,
+            CAST(step AS BIGINT) AS Step, state AS StateName,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+     FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+)
+
+q(
+    "dcount_intersect_hll",
+    # round 5: sketch-space intersection estimates via inclusion-exclusion;
+    # DataSketches HLL is exact at these cardinalities (coupon mode), so the
+    # exact-set DuckDB twin hash-matches — same contract as
+    # hll_sketch_roundtrip
+    """events
+    | summarize h1 = hll(user_id),
+                h2 = hll_if(user_id, event_type == 'purchase' and value > 90.0),
+                h3 = hll_if(user_id, event_type == 'purchase' and value > 99.0)
+    | evaluate dcount_intersect(h1, h2, h3)""",
+    """WITH pe AS (SELECT user_id,
+            MAX(CASE WHEN event_type = 'purchase' AND value > 90.0
+                     THEN 1 ELSE 0 END) AS v,
+            MAX(CASE WHEN event_type = 'purchase' AND value > 99.0
+                     THEN 1 ELSE 0 END) AS p
+          FROM events GROUP BY 1)
+     SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+            CAST(SUM(v) AS BIGINT) AS s1,
+            CAST(SUM(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS s2
+     FROM pe""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

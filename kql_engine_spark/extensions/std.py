@@ -802,3 +802,235 @@ def _ipv4_lookup(ptr, df, args):
     drop = ["__kql_rid", "__kql_ip", "__kql_s", "__kql_e", "__kql_b", "__kql_rn"]
     drop += [f"__kql_k{i}" for i in range(len(extra))]
     return out.drop(*drop)
+
+
+# -------------------------------------------- activity_counts_metrics (§2.8)
+@plugin("activity_counts_metrics")
+def _activity_counts_metrics(ptr, df, args):
+    """`T | evaluate activity_counts_metrics(id, timeline, period)` [KQL
+    behavior analytics, simplified signature — no Start/End args; bins are
+    data-derived]: per period bin — total activity count, distinct-id
+    count, first-seen (new) id count, and the cumulative distinct-id count
+    from the start of data through that bin. Output: Timeline, count,
+    dcount, new_dcount, aggregated_dcount.
+
+    Exact lowering: per-bin count/dcount is one hash aggregation; new ids
+    via one groupBy(id) min-bin; aggregated_dcount is the running sum of
+    new_dcount over the BIN-LEVEL frame (cardinality = number of bins, not
+    rows, so the unpartitioned cumsum window is bounded and safe at
+    scale)."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) != 3:
+        raise KqlSemanticError("activity_counts_metrics(id_col, timeline_col, period)")
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError(
+            "activity_counts_metrics: id and timeline must be columns"
+        )
+    period_s = tr.const_seconds(args[2])
+    if not period_s:
+        raise KqlSemanticError("activity_counts_metrics: period must be a timespan")
+    us = int(period_s * 1_000_000)
+    work = df.select(F.col(idc).alias("__id"), _bin_ts(tc, us).alias("Timeline"))
+    per_bin = work.groupBy("Timeline").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct("__id").alias("dcount"),
+    )
+    firsts = work.groupBy("__id").agg(F.min("Timeline").alias("Timeline"))
+    new_per_bin = firsts.groupBy("Timeline").agg(
+        F.count(F.lit(1)).alias("new_dcount")
+    )
+    out = per_bin.join(new_per_bin, "Timeline", "left").withColumn(
+        "new_dcount", F.coalesce(F.col("new_dcount"), F.lit(0))
+    )
+    w = Window.orderBy("Timeline").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "Timeline",
+        "count",
+        "dcount",
+        "new_dcount",
+        F.sum("new_dcount").over(w).alias("aggregated_dcount"),
+    )
+
+
+# ---------------------------------------------------- session_count (§2.8)
+@plugin("session_count")
+def _session_count(ptr, df, args):
+    """`T | evaluate session_count(id, timeline, bin, look_back)` [KQL
+    behavior analytics, simplified signature — no Start/End/dims]: per bin,
+    the number of sessions STARTED in that bin. A session starts at an
+    activity whose same-id predecessor is more than `look_back` earlier (or
+    absent) — Kusto's session model; the engine counts sessions at their
+    start bin (documented delta: Kusto counts a session in every bin it
+    remains active in).
+
+    Exact lowering: one lag window partitioned by id ordered by timeline
+    (hash-partitioned on id — no global order), then one hash aggregation
+    on the start bin. Two shuffles total, no driver-side state."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) != 4:
+        raise KqlSemanticError("session_count(id_col, timeline_col, bin, look_back)")
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError("session_count: id and timeline must be columns")
+    bin_s = tr.const_seconds(args[2])
+    look_s = tr.const_seconds(args[3])
+    if not bin_s or not look_s:
+        raise KqlSemanticError("session_count: bin and look_back must be timespans")
+    us = int(bin_s * 1_000_000)
+    w = Window.partitionBy(idc).orderBy(F.col(tc).cast("timestamp"))
+    prev = F.lag(F.col(tc).cast("timestamp")).over(w)
+    gap_us = F.unix_micros(F.col(tc).cast("timestamp")) - F.unix_micros(prev)
+    starts = df.withColumn("__prev_gap", gap_us).where(
+        F.col("__prev_gap").isNull()
+        | (F.col("__prev_gap") > F.lit(int(look_s * 1_000_000)))
+    )
+    return (
+        starts.select(_bin_ts(tc, us).alias("Timeline"))
+        .groupBy("Timeline")
+        .agg(F.count(F.lit(1)).alias("count_sessions"))
+    )
+
+
+# ------------------------------------- funnel_sequence_completion (§2.8)
+@plugin("funnel_sequence_completion")
+def _funnel_sequence_completion(ptr, df, args):
+    """`T | evaluate funnel_sequence_completion(id, timeline, bin, state,
+    s1, s2, ..., sN, max_window)` [KQL behavior analytics, simplified
+    signature — the sequence is passed as inline state literals instead of
+    a dynamic array, no Start/End]: funnel completion counts. For each
+    funnel prefix s1..sk, the distinct ids whose chained FIRST occurrences
+    complete the prefix in order within `max_window` of the step-1 time,
+    grouped by the bin of their step-1 time. Output: Timeline, Step (1-
+    based), StateName, dcount.
+
+    Chained-min semantics (deterministic, declarative): t1 = min time of
+    s1 per id; t_k = min time of s_k at/after t_{k-1} and within
+    max_window of t1. Lowering is k-1 hash equi-joins on id plus k hash
+    aggregations — no applyInPandas, no per-row Python, scales with the
+    fact table. The step frames after step 1 are id-level (one row per
+    id), so each join's build side shrinks monotonically."""
+    tr = ptr.expr_tr(df)
+    if len(args) < 6:
+        raise KqlSemanticError(
+            "funnel_sequence_completion(id, timeline, bin, state_col, "
+            "state1, state2, ..., max_window)"
+        )
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    sc = args[3].name if isinstance(args[3], Col) else None
+    if idc is None or tc is None or sc is None:
+        raise KqlSemanticError(
+            "funnel_sequence_completion: id, timeline and state must be columns"
+        )
+    bin_s = tr.const_seconds(args[2])
+    win_s = tr.const_seconds(args[-1])
+    if not bin_s or not win_s:
+        raise KqlSemanticError(
+            "funnel_sequence_completion: bin and max_window must be timespans"
+        )
+    states = [str(tr.const_value(a)) for a in args[4:-1]]
+    if not states:
+        raise KqlSemanticError("funnel_sequence_completion: need >= 1 state")
+    us = int(bin_s * 1_000_000)
+    win_us = int(win_s * 1_000_000)
+    ev = df.select(
+        F.col(idc).alias("__id"),
+        F.unix_micros(F.col(tc).cast("timestamp")).alias("__t"),
+        F.col(sc).cast("string").alias("__s"),
+    )
+    # step 1: first occurrence of s1 per id
+    cur = (
+        ev.where(F.col("__s") == states[0])
+        .groupBy("__id")
+        .agg(F.min("__t").alias("__t1"))
+        .withColumn("__tk", F.col("__t1"))
+    )
+    pieces = []
+    for k, st in enumerate(states, start=1):
+        if k > 1:
+            nxt = ev.where(F.col("__s") == F.lit(st)).alias("e")
+            cur = (
+                nxt.join(cur.alias("c"), F.col("e.__id") == F.col("c.__id"))
+                .where(
+                    (F.col("e.__t") >= F.col("c.__tk"))
+                    & (F.col("e.__t") <= F.col("c.__t1") + F.lit(win_us))
+                )
+                .groupBy(F.col("c.__id").alias("__id"), F.col("c.__t1").alias("__t1"))
+                .agg(F.min(F.col("e.__t")).alias("__tk"))
+            )
+        pieces.append(
+            cur.select(
+                F.timestamp_micros(
+                    (F.floor(F.col("__t1") / F.lit(us)) * F.lit(us)).cast("bigint")
+                ).alias("Timeline"),
+                F.lit(k).cast("long").alias("Step"),
+                F.lit(st).alias("StateName"),
+                F.col("__id"),
+            )
+        )
+    allp = pieces[0]
+    for p in pieces[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("Timeline", "Step", "StateName").agg(
+        F.count_distinct("__id").alias("dcount")
+    )
+
+
+# ------------------------------------------------- dcount_intersect (§2.8)
+@plugin("dcount_intersect")
+def _dcount_intersect(ptr, df, args):
+    """`T | evaluate dcount_intersect(hll_1, hll_2 [, hll_3])` [KQL]:
+    given per-row hll() sketches of progressively-restricted populations,
+    estimate the cardinality of their intersections via inclusion-
+    exclusion: s0 = |A|, s1 = |A ∩ B| = |A| + |B| − |A ∪ B|, s2 likewise
+    over the 3-way union. Unions are sketch merges (hll_merge scalar), so
+    the whole computation is row-wise column expressions — no shuffle, no
+    driver-side work; sketches stay mergeable at any scale.
+
+    Matches Kusto's output naming: s0, s1, s2."""
+    if not 2 <= len(args) <= 3:
+        raise KqlSemanticError("dcount_intersect(hll_1, hll_2 [, hll_3])")
+    cols = []
+    for a in args:
+        if not isinstance(a, Col):
+            raise KqlSemanticError("dcount_intersect: args must be hll columns")
+        cols.append(a.name)
+
+    def est(*names):
+        merged = F.col(names[0])
+        for n in names[1:]:
+            merged = F.hll_union(merged, F.col(n), True)
+        return F.hll_sketch_estimate(merged)
+
+    a, b = cols[0], cols[1]
+    sizes = {
+        "a": est(a),
+        "b": est(b),
+        "ab": est(a, b),
+    }
+    out_cols = [
+        sizes["a"].cast("long").alias("s0"),
+        (sizes["a"] + sizes["b"] - sizes["ab"]).cast("long").alias("s1"),
+    ]
+    if len(cols) == 3:
+        c = cols[2]
+        sizes["c"] = est(c)
+        sizes["ac"] = est(a, c)
+        sizes["bc"] = est(b, c)
+        sizes["abc"] = est(a, b, c)
+        out_cols.append(
+            (
+                sizes["a"] + sizes["b"] + sizes["c"]
+                - sizes["ab"] - sizes["ac"] - sizes["bc"]
+                + sizes["abc"]
+            ).cast("long").alias("s2")
+        )
+    keep = [c for c in df.columns if c not in cols]
+    return df.select(*keep, *out_cols)
