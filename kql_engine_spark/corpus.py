@@ -2518,6 +2518,65 @@ q(
      FROM pe""",
 )
 
+q(
+    "series_elementwise_more",
+    # round 5: ge/le comparisons, floor/ceiling, product over series
+    """print sge = series_greater_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0])),
+             sle = series_less_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0])),
+             sfl = series_floor(dynamic([1.7,-1.2])),
+             scl = series_ceiling(dynamic([1.2,-1.7])),
+             spr = series_product(dynamic([2.0,3.0,4.0]))""",
+    """SELECT [false, true, true] AS sge, [true, true, false] AS sle,
+              [1.0, -2.0] AS sfl, [2.0, -1.0] AS scl, 24.0 AS spr""",
+)
+
+q(
+    "hex_guid_bytes_fns",
+    # round 5: tohex widths, .NET-order guid <-> base64, byte arrays,
+    # combined hashes (nonzero check: hash seed is engine-specific)
+    """print hx = tohex(255), hxw = tohex(255, 8), hneg = tohex(-2),
+             ge = base64_encode_fromguid('00112233-4455-6677-8899-aabbccddeeff'),
+             gd = base64_decode_toguid('MyIRAFVEd2aImaq7zN3u/w=='),
+             ba = base64_decode_toarray('S3VzdG8='),
+             hm_differs = hash_many('a', 1) != hash_many('a', 2)""",
+    """SELECT 'ff' AS hx, '000000ff' AS hxw, 'fffffffffffffffe' AS hneg,
+              'MyIRAFVEd2aImaq7zN3u/w==' AS ge,
+              '00112233-4455-6677-8899-aabbccddeeff' AS gd,
+              [75, 117, 115, 116, 111] AS ba, true AS hm_differs""",
+)
+
+q(
+    "ipv4_mask_bag_fns",
+    # round 5: CIDR formatting, any-range membership, column bags, key upsert
+    """nation
+    | where n_nationkey < 3
+    | extend ip = strcat('10.', tostring(n_nationkey), '.0.200')
+    | project n_nationkey,
+              masked = format_ipv4_mask(ip, 16),
+              anyr = ipv4_is_in_any_range(ip, '192.168.0.0/16', '10.1.0.0/16'),
+              bag = bag_pack_columns(n_nationkey, n_name),
+              upd = bag_set_key('{"a":"1"}', 'k', tostring(n_nationkey))
+    | sort by n_nationkey asc""",
+    """SELECT n_nationkey,
+              '10.' || CAST(n_nationkey AS VARCHAR) || '.0.0/16' AS masked,
+              n_nationkey = 1 AS anyr,
+              '{"n_nationkey":' || CAST(n_nationkey AS VARCHAR)
+                || ',"n_name":"' || n_name || '"}' AS bag,
+              '{"a":"1","k":"' || CAST(n_nationkey AS VARCHAR) || '"}' AS upd
+       FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey""",
+)
+
+q(
+    "erf_estimate_size_fns",
+    # round 5: erf/erfc (A&S 7.1.26, |err| <= 1.5e-7 -> round to 5dp),
+    # payload-size estimation over typed columns
+    """print e1 = round(erf(1.0), 5), e0 = erf(0.0), eneg = round(erf(-1.0), 5),
+             ec = round(erfc(0.5), 5),
+             sz = estimate_data_size('hello', 5, true)""",
+    """SELECT 0.8427 AS e1, 0.0 AS e0, -0.8427 AS eneg, 0.4795 AS ec,
+              CAST(14 AS BIGINT) AS sz""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -2199,3 +2199,199 @@ def _series_pearson_correlation(tr, args):
     cov = sxy - sx * sy / n
     denom = F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
     return F.when((n > 0) & (denom > 0), cov / denom)
+
+
+# ------------------------------------------- round-5 coverage batch (§2.9)
+# Aliases first: Kusto name variants over existing implementations.
+REGISTRY["extract_json"] = REGISTRY["extractjson"]
+REGISTRY["array_iif"] = REGISTRY["array_iff"]
+REGISTRY["url_decode_component"] = REGISTRY["url_decode"]
+REGISTRY["series_stats"] = REGISTRY["series_stats_dynamic"]
+REGISTRY["series_fit_line"] = REGISTRY["series_fit_line_dynamic"]
+
+simple("series_greater_equals")(_series_zip(lambda x, y: x >= y))
+simple("series_less_equals")(_series_zip(lambda x, y: x <= y))
+simple("series_floor")(
+    lambda a: F.transform(_as_dseries(a), lambda x: F.floor(x).cast("double"))
+)
+simple("series_ceiling")(
+    lambda a: F.transform(_as_dseries(a), lambda x: F.ceil(x).cast("double"))
+)
+simple("series_product")(
+    lambda a: F.aggregate(
+        _as_dseries(a), F.lit(1.0), lambda s, x: s * F.coalesce(x, F.lit(1.0))
+    )
+)
+
+
+@fn("tohex")
+def _tohex(tr, args):
+    """Kusto tohex(int [, min_width]): lowercase hex, no 0x prefix."""
+    v = tr.to_col(args[0]).cast("bigint")
+    h = F.lower(F.hex(v))
+    if len(args) > 1:
+        width = tr.to_col(args[1]).cast("int")
+        h = F.lpad(h, width, "0")
+    return h
+
+
+@fn("hash_many")
+def _hash_many(tr, args):
+    """Multi-argument combined hash (xxhash64 over all args, like hash())."""
+    return F.xxhash64(*[tr.to_col(a) for a in args])
+
+
+@fn("format_ipv4_mask")
+def _format_ipv4_mask(tr, args):
+    """format_ipv4_mask(ip, prefix) -> 'a.b.c.d/p' with the host bits
+    zeroed [KQL]."""
+    ip = REGISTRY["parse_ipv4"](tr, [args[0]])
+    bits = tr.to_col(args[1]).cast("int")
+    span = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double")).cast("bigint")
+    base = ip - (ip % span)
+    return F.concat(
+        F.concat_ws(
+            ".",
+            (F.floor(base / 16777216) % 256).cast("string"),
+            (F.floor(base / 65536) % 256).cast("string"),
+            (F.floor(base / 256) % 256).cast("string"),
+            (base % 256).cast("string"),
+        ),
+        F.lit("/"),
+        bits.cast("string"),
+    )
+
+
+@fn("ipv4_is_in_any_range")
+def _ipv4_is_in_any_range(tr, args):
+    """ipv4_is_in_any_range(ip, range1, range2, ...) [KQL]: true when the
+    address falls in any of the CIDR/plain ranges; null on unparsable ip."""
+    out = REGISTRY["ipv4_is_in_range"](tr, [args[0], args[1]])
+    for a in args[2:]:
+        out = out | REGISTRY["ipv4_is_in_range"](tr, [args[0], a])
+    return out
+
+
+# .NET GUID byte order: first three fields little-endian, last 8 bytes as-is
+# (public GUID wire format; what Kusto's base64_encode_fromguid emits).
+def _guid_hex_reordered(hex32: Column) -> Column:
+    pick = [7, 8, 5, 6, 3, 4, 1, 2, 11, 12, 9, 10, 15, 16, 13, 14]
+    parts = [F.substring(hex32, i, 1) for i in pick]
+    parts.append(F.substring(hex32, 17, 16))
+    return F.concat(*parts)
+
+
+@fn("base64_encode_fromguid")
+def _base64_encode_fromguid(tr, args):
+    g = F.lower(F.regexp_replace(tr.to_col(args[0]).cast("string"), "-", ""))
+    return F.base64(F.unhex(_guid_hex_reordered(g)))
+
+
+@fn("base64_decode_toguid")
+def _base64_decode_toguid(tr, args):
+    hex32 = F.lower(F.hex(F.unbase64(tr.to_col(args[0]).cast("string"))))
+    # invert the little-endian reorder (the permutation is an involution on
+    # the first 16 hex chars)
+    back = _guid_hex_reordered(hex32)
+    return F.when(
+        F.length(hex32) == 32,
+        F.concat_ws(
+            "-",
+            F.substring(back, 1, 8),
+            F.substring(back, 9, 4),
+            F.substring(back, 13, 4),
+            F.substring(back, 17, 4),
+            F.substring(back, 21, 12),
+        ),
+    )
+
+
+@fn("base64_decode_toarray")
+def _base64_decode_toarray(tr, args):
+    """base64 -> array of byte values (long) [KQL]. Per-byte substring on
+    binary stays JVM-side; payloads are message-sized by the use case."""
+    b = F.unbase64(tr.to_col(args[0]).cast("string"))
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(b)),
+        lambda i: F.conv(F.hex(F.substring(b, i, 1)), 16, 10).cast("bigint"),
+    )
+
+
+@fn("bag_pack_columns")
+def _bag_pack_columns(tr, args):
+    """bag_pack_columns(c1, c2, ...) -> property bag keyed by the column
+    names [KQL]."""
+    from ..ast_nodes import Col as _Col
+
+    fields = []
+    for a in args:
+        if not isinstance(a, _Col):
+            raise KqlSemanticError("bag_pack_columns takes column references")
+        fields.append(tr.to_col(a).alias(a.name))
+    return F.to_json(F.struct(*fields))
+
+
+@fn("bag_set_key")
+def _bag_set_key(tr, args):
+    """bag_set_key(bag, key, value): upsert one key (string-carrier bag,
+    same convention as bag_merge/bag_remove_keys)."""
+    m = F.from_json(tr.to_col(args[0]).cast("string"), "map<string,string>")
+    k = tr.to_col(args[1]).cast("string")
+    v = tr.to_col(args[2]).cast("string")
+    return F.to_json(
+        F.map_concat(
+            F.map_filter(m, lambda mk, mv: mk != k), F.create_map(k, v)
+        )
+    )
+
+
+@fn("estimate_data_size")
+def _estimate_data_size(tr, args):
+    """estimate_data_size(c1, c2, ...): approximate per-row payload bytes
+    [KQL]. Estimate by declared type width (numerics 8, bool 1, datetime 8)
+    and actual length for strings/binary/arrays — same spirit as Kusto's
+    documented estimation, not a wire-format byte count."""
+    total = F.lit(0).cast("bigint")
+    for a in args:
+        c = tr.to_col(a)
+        dt = tr.dtype_of_ast(a, c)
+        if isinstance(dt, T.StringType):
+            sz = F.coalesce(F.length(c).cast("bigint"), F.lit(0))
+        elif isinstance(dt, T.BinaryType):
+            sz = F.coalesce(F.octet_length(c).cast("bigint"), F.lit(0))
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            sz = F.coalesce(F.length(F.to_json(c)).cast("bigint"), F.lit(0))
+        elif isinstance(dt, T.BooleanType):
+            sz = F.when(c.isNull(), 0).otherwise(1).cast("bigint")
+        else:
+            sz = F.when(c.isNull(), 0).otherwise(8).cast("bigint")
+        total = total + sz
+    return total
+
+
+# Abramowitz & Stegun 7.1.26 rational approximation: |error| <= 1.5e-7,
+# documented precision bound (Kusto's erf is double-precision; round to
+# <= 5 decimals when hash-matching against an exact oracle).
+def _erf_pos(x: Column) -> Column:
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t * (
+            F.lit(-0.284496736)
+            + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+        )
+    )
+    return F.lit(1.0) - poly * F.exp(-x * x)
+
+
+@fn("erf")
+def _erf(tr, args):
+    x = tr.to_col(args[0]).cast("double")
+    ax = F.abs(x)
+    return F.signum(x) * _erf_pos(ax)
+
+
+@fn("erfc")
+def _erfc(tr, args):
+    x = tr.to_col(args[0]).cast("double")
+    return F.lit(1.0) - REGISTRY["erf"](tr, args)
