@@ -2577,6 +2577,26 @@ q(
               CAST(14 AS BIGINT) AS sz""",
 )
 
+q(
+    "codec_compress_punycode_xml",
+    # round 5: zlib/gzip base64 codecs (gzip mtime pinned 0 for
+    # determinism), punycode + IDNA domains, XML -> dynamic bag
+    """print
+      z = zlib_decompress_from_base64_string(zlib_compress_to_base64_string('hello kusto')),
+      gc = gzip_compress_to_base64_string('abc'),
+      bad = zlib_decompress_from_base64_string('!!notbase64!!'),
+      p = punycode_from_string('München'),
+      dom = punycode_domain_from_string('www.bücher.de'),
+      domd = punycode_domain_to_string('www.xn--bcher-kva.de'),
+      x = parse_xml('<root a="1"><item>x</item><item>y</item></root>')""",
+    """SELECT 'hello kusto' AS z,
+              'H4sIAAAAAAACA0tMSgYAwkEkNQMAAAA=' AS gc,
+              '' AS bad, 'Mnchen-3ya' AS p,
+              'www.xn--bcher-kva.de' AS dom,
+              'www.bücher.de' AS domd,
+              '{"root":{"@a":"1","item":["x","y"]}}' AS x""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

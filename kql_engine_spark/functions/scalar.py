@@ -2395,3 +2395,150 @@ def _erf(tr, args):
 def _erfc(tr, args):
     x = tr.to_col(args[0]).cast("double")
     return F.lit(1.0) - REGISTRY["erf"](tr, args)
+
+
+# ---------------------------------------- codec functions (§2.9, slow path)
+# zlib/gzip/punycode/XML have no JVM builtins; these are Arrow-batched
+# pandas UDFs (per-batch Python, never per-row over the wire) — the same
+# documented slow-path tier as the series interpolation UDFs above. Kusto
+# returns '' for undecodable compression input and null for bad punycode;
+# both conventions are preserved.
+def _str_udf(name, one):
+    def make():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(col):
+            return col.map(lambda s: None if s is None else one(s))
+
+        return udf
+
+    def entry(tr, args):
+        if name not in _PANDAS_UDF_CACHE:
+            _PANDAS_UDF_CACHE[name] = make()
+        return _PANDAS_UDF_CACHE[name](tr.to_col(args[0]).cast("string"))
+
+    REGISTRY[name] = entry
+
+
+def _zlib_compress(s):
+    import base64
+    import zlib
+
+    return base64.b64encode(zlib.compress(s.encode("utf-8"))).decode("ascii")
+
+
+def _zlib_decompress(s):
+    import base64
+    import zlib
+
+    try:
+        return zlib.decompress(base64.b64decode(s)).decode("utf-8")
+    except Exception:
+        return ""
+
+
+def _gzip_compress(s):
+    import base64
+    import gzip
+
+    # mtime=0: deterministic output (gzip embeds a timestamp otherwise,
+    # which would make the function non-reproducible across runs)
+    return base64.b64encode(
+        gzip.compress(s.encode("utf-8"), mtime=0)
+    ).decode("ascii")
+
+
+def _gzip_decompress(s):
+    import base64
+    import gzip
+
+    try:
+        return gzip.decompress(base64.b64decode(s)).decode("utf-8")
+    except Exception:
+        return ""
+
+
+_str_udf("zlib_compress_to_base64_string", _zlib_compress)
+_str_udf("zlib_decompress_from_base64_string", _zlib_decompress)
+_str_udf("gzip_compress_to_base64_string", _gzip_compress)
+_str_udf("gzip_decompress_from_base64_string", _gzip_decompress)
+
+
+def _puny_encode(s):
+    try:
+        return s.encode("punycode").decode("ascii")
+    except Exception:
+        return None
+
+
+def _puny_decode(s):
+    try:
+        return s.encode("ascii").decode("punycode")
+    except Exception:
+        return None
+
+
+def _puny_domain_encode(s):
+    # IDNA per-label: ascii labels pass through, others get xn-- + punycode
+    try:
+        out = []
+        for label in s.split("."):
+            if label.isascii():
+                out.append(label)
+            else:
+                out.append("xn--" + label.encode("punycode").decode("ascii"))
+        return ".".join(out)
+    except Exception:
+        return None
+
+
+def _puny_domain_decode(s):
+    try:
+        out = []
+        for label in s.split("."):
+            if label.startswith("xn--"):
+                out.append(label[4:].encode("ascii").decode("punycode"))
+            else:
+                out.append(label)
+        return ".".join(out)
+    except Exception:
+        return None
+
+
+_str_udf("punycode_from_string", _puny_encode)
+_str_udf("punycode_to_string", _puny_decode)
+_str_udf("punycode_domain_from_string", _puny_domain_encode)
+_str_udf("punycode_domain_to_string", _puny_domain_decode)
+
+
+def _xml_to_bag(s):
+    """Kusto parse_xml convention: element -> {tag: content}; attributes
+    keyed '@name'; text content under '#text' when mixed with children,
+    bare string otherwise; repeated sibling tags collapse into arrays."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    def conv(el):
+        child: dict = {}
+        for k, v in el.attrib.items():
+            child["@" + k] = v
+        groups: dict = {}
+        for c in el:
+            groups.setdefault(c.tag, []).append(conv(c))
+        for tag, items in groups.items():
+            child[tag] = items[0][tag] if len(items) == 1 else [i[tag] for i in items]
+        text = (el.text or "").strip()
+        if text and child:
+            child["#text"] = text
+        elif text:
+            return {el.tag: text}
+        return {el.tag: child if child else None}
+
+    try:
+        return json.dumps(conv(ET.fromstring(s)), separators=(",", ":"))
+    except Exception:
+        return None
+
+
+_str_udf("parse_xml", _xml_to_bag)
