@@ -2597,6 +2597,21 @@ q(
               '{"root":{"@a":"1","item":["x","y"]}}' AS x""",
 )
 
+q(
+    "beta_welch_iir_fns",
+    # round 5: Beta distribution family (incomplete-beta continued
+    # fraction), Welch's t-test p-value, IIR filter, seasonal component
+    """print bp = round(beta_pdf(0.5, 2.0, 2.0), 6),
+             bc = round(beta_cdf(0.25, 2.0, 2.0), 6),
+             bi = round(beta_inv(0.15625, 2.0, 2.0), 6),
+             w = round(welch_test(20.6, 0.2, 6.0, 22.1, 0.7, 6.0), 6),
+             iir = series_iir(dynamic([1.0,0.0,0.0,0.0]), dynamic([1.0]), dynamic([1.0,-0.5])),
+             seas = series_seasonal(dynamic([1.0,2.0,3.0,1.0,2.0,3.0]), 3)""",
+    """SELECT 1.5 AS bp, 0.15625 AS bc, 0.25 AS bi, 0.005156 AS w,
+              [1.0, 0.5, 0.25, 0.125] AS iir,
+              [1.0, 2.0, 3.0, 1.0, 2.0, 3.0] AS seas""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

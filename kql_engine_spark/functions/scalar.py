@@ -2542,3 +2542,220 @@ def _xml_to_bag(s):
 
 
 _str_udf("parse_xml", _xml_to_bag)
+
+
+# -------------------------------------- statistical functions (§2.9, round 5)
+@fn("beta_pdf")
+def _beta_pdf(tr, args):
+    """beta_pdf(x, a, b) [KQL]: Beta density. JVM-side via the Stirling
+    lgamma above (~1e-10 rel. error)."""
+    x = tr.to_col(args[0]).cast("double")
+    a = tr.to_col(args[1]).cast("double")
+    b = tr.to_col(args[2]).cast("double")
+    log_beta = _lgamma(a) + _lgamma(b) - _lgamma(a + b)
+    logpdf = (a - 1) * F.log(x) + (b - 1) * F.log(F.lit(1.0) - x) - log_beta
+    return F.when((x >= 0) & (x <= 1) & (a > 0) & (b > 0), F.exp(logpdf))
+
+
+def _betainc_scalar(a, b, x):
+    """Regularized incomplete beta I_x(a,b) via the standard continued
+    fraction (modified Lentz evaluation) — double precision to ~1e-14.
+    Public mathematical algorithm (Abramowitz & Stegun 26.5.8 expansion)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta)
+    # use the symmetry I_x(a,b) = 1 - I_{1-x}(b,a) for fast convergence
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc_scalar(b, a, 1.0 - x)
+    tiny = 1e-300
+    c = 1.0
+    d = 1.0 - (a + b) * x / (a + 1.0)
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        num = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        num = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return front * h / a
+
+
+def _stats_udf(name, ncols, one, ret="double"):
+    """Arrow-batched multi-column scalar UDF (slow-path tier, same as the
+    codec functions): `one` maps python floats -> float."""
+
+    def make():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(ret)
+        def udf(*cols):
+            import pandas as pd
+
+            def row(vals):
+                if any(v is None or (isinstance(v, float) and v != v) for v in vals):
+                    return None
+                try:
+                    return one(*[float(v) for v in vals])
+                except Exception:
+                    return None
+
+            return pd.Series([row(vals) for vals in zip(*cols)])
+
+        return udf
+
+    def entry(tr, args):
+        if name not in _PANDAS_UDF_CACHE:
+            _PANDAS_UDF_CACHE[name] = make()
+        return _PANDAS_UDF_CACHE[name](
+            *[tr.to_col(a).cast("double") for a in args[:ncols]]
+        )
+
+    REGISTRY[name] = entry
+
+
+_stats_udf("beta_cdf", 3, lambda x, a, b: _betainc_scalar(a, b, x))
+
+
+def _beta_inv(p, a, b):
+    if not 0.0 <= p <= 1.0:
+        return None
+    lo, hi = 0.0, 1.0
+    for _ in range(100):
+        mid = (lo + hi) / 2.0
+        if _betainc_scalar(a, b, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+_stats_udf("beta_inv", 3, _beta_inv)
+
+
+def _welch_p(m1, v1, n1, m2, v2, n2):
+    """welch_test(mean1, var1, n1, mean2, var2, n2) -> two-sided p-value
+    [KQL]: Welch's unequal-variances t-test; Student-t tail via the
+    regularized incomplete beta (P(|T|>t) = I_{df/(df+t^2)}(df/2, 1/2))."""
+    import math
+
+    se1, se2 = v1 / n1, v2 / n2
+    se = se1 + se2
+    if se <= 0:
+        return None
+    t = (m1 - m2) / math.sqrt(se)
+    df = se * se / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    return _betainc_scalar(df / 2.0, 0.5, df / (df + t * t))
+
+
+_stats_udf("welch_test", 6, _welch_p)
+
+
+def _series_iir_impl(x, b, a):
+    import numpy as np
+
+    xs = np.asarray(x, dtype="float64")
+    bs = [float(v) for v in b]
+    as_ = [float(v) for v in a]
+    if not as_ or as_[0] == 0.0:
+        return None
+    y = np.zeros_like(xs)
+    for n in range(len(xs)):
+        acc = 0.0
+        for i, bi in enumerate(bs):
+            if n - i >= 0:
+                acc += bi * xs[n - i]
+        for j in range(1, len(as_)):
+            if n - j >= 0:
+                acc -= as_[j] * y[n - j]
+        y[n] = acc / as_[0]
+    return y.tolist()
+
+
+@fn("series_iir")
+def _series_iir(tr, args):
+    """series_iir(x, b_coeffs, a_coeffs) [KQL]: recursive (infinite impulse
+    response) filter. Per-series python loop inside an Arrow batch — the
+    recurrence is inherently sequential; arrays are make-series-sized."""
+    if "series_iir" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def udf(xc, bc, ac):
+            import pandas as pd
+
+            def row(x, b, a):
+                if x is None or b is None or a is None:
+                    return None
+                return _series_iir_impl(x, b, a)
+
+            return pd.Series([row(x, b, a) for x, b, a in zip(xc, bc, ac)])
+
+        _PANDAS_UDF_CACHE["series_iir"] = udf
+    return _PANDAS_UDF_CACHE["series_iir"](
+        _as_dseries(tr.to_col(args[0])),
+        _as_dseries(tr.to_col(args[1])),
+        _as_dseries(tr.to_col(args[2])),
+    )
+
+
+def _series_seasonal_impl(y, period):
+    import numpy as np
+
+    n = len(y)
+    p = int(period)
+    if p <= 0 or n == 0:
+        return [0.0] * n
+    out = np.empty(n)
+    for phase in range(min(p, n)):
+        out[phase::p] = np.nanmean(y[phase::p])
+    return out.tolist()
+
+
+@fn("series_seasonal")
+def _series_seasonal(tr, args):
+    """series_seasonal(x, period) [KQL]: per-phase means tiled over the
+    series (the seasonal component at a known period)."""
+    if "series_seasonal" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def udf(xc, pc):
+            import numpy as np
+            import pandas as pd
+
+            def row(x, p):
+                if x is None or p is None:
+                    return None
+                return _series_seasonal_impl(np.asarray(x, dtype="float64"), p)
+
+            return pd.Series([row(x, p) for x, p in zip(xc, pc)])
+
+        _PANDAS_UDF_CACHE["series_seasonal"] = udf
+    return _PANDAS_UDF_CACHE["series_seasonal"](
+        _as_dseries(tr.to_col(args[0])), tr.to_col(args[1]).cast("int")
+    )
