@@ -197,3 +197,52 @@ def test_rows_near_single_window_pass(run_kql):
     plan = _plan(df)
     assert plan.count("Window") >= 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_completion_hash_joins_only(run_kql):
+    df = run_kql(
+        "events | evaluate funnel_sequence_completion("
+        "user_id, ts, 7d, event_type, 'view', 'click', 'purchase', 7d)"
+    )
+    plan = _plan(df)
+    # chained-min step joins are id-keyed equi-joins: theta parts (time
+    # window) ride the same join as post-conditions — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_count_no_global_window(run_kql):
+    df = run_kql("events | evaluate session_count(user_id, ts, 1d, 1h)")
+    plan = _plan(df)
+    # the lag window must be partitioned by id (no single-partition sort)
+    assert "Window" in plan
+    import re
+
+    # a global window shows as 'Window [...], []' (empty partition spec)
+    assert not re.search(r"partitionBy=\[\]", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_activity_counts_metrics_bounded_plan(run_kql):
+    df = run_kql("events | evaluate activity_counts_metrics(user_id, ts, 1d)")
+    plan = _plan(df)
+    # per-bin aggregations + one left join on the bin; the only window runs
+    # over the bin-level frame (bounded by bin count)
+    assert "CartesianProduct" not in plan
+    # exactly one Window operator node ("(N) Window" in the details section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_dcount_intersect_no_shuffle_after_agg(run_kql):
+    df = run_kql(
+        "events | summarize h1 = hll(user_id), "
+        "h2 = hll_if(user_id, event_type == 'view') "
+        "| evaluate dcount_intersect(h1, h2)"
+    )
+    plan = _plan(df)
+    # sketch intersection is row-wise column arithmetic: exactly the
+    # summarize's own exchange, nothing added by the plugin
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
