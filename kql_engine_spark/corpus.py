@@ -2612,6 +2612,35 @@ q(
               [1.0, 2.0, 3.0, 1.0, 2.0, 3.0] AS seas""",
 )
 
+q(
+    "funnel_sequence_neighborhood",
+    # round 5: prev/next state distribution around a completed funnel;
+    # chained-min completers + one lag/lead window, identical in the twin
+    # (no (user_id, ts) ties in the fixtures, so lag/lead is deterministic)
+    """events
+    | evaluate funnel_sequence(user_id, ts, event_type, 'view', 'click', 1d)
+    | sort by dcount desc, prev asc, next asc""",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type
+                  FROM events),
+     s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+     s2 AS (SELECT e.user_id, t1, MIN(t) AS tk FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t >= t1
+              AND t <= t1 + INTERVAL 1 DAY GROUP BY 1, 2),
+     n AS (SELECT user_id, t,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY t) AS prev,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+           FROM e),
+     j AS (SELECT n.user_id,
+             MAX(CASE WHEN n.t = s2.t1 THEN n.prev END) AS prev,
+             MAX(CASE WHEN n.t = s2.tk THEN n.nxt END) AS "next"
+           FROM n JOIN s2 ON n.user_id = s2.user_id
+           WHERE n.t = s2.t1 OR n.t = s2.tk
+           GROUP BY 1)
+     SELECT prev, "next", CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+     FROM j GROUP BY 1, 2 ORDER BY dcount DESC, prev, "next" """,
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -1034,3 +1034,92 @@ def _dcount_intersect(ptr, df, args):
         )
     keep = [c for c in df.columns if c not in cols]
     return df.select(*keep, *out_cols)
+
+
+# ---------------------------------------------------- funnel_sequence (§2.8)
+@plugin("funnel_sequence")
+def _funnel_sequence(ptr, df, args):
+    """`T | evaluate funnel_sequence(id, timeline, state, s1, ..., sN,
+    max_window)` [KQL behavior analytics, simplified: inline state
+    literals; single output table instead of Kusto's three]: for ids whose
+    chained FIRST occurrences complete the s1..sN sequence within
+    `max_window`, the distribution of the state immediately BEFORE step 1
+    and immediately AFTER step N. Output: prev, next, dcount (null
+    prev/next = the sequence was the id's first/last activity).
+
+    Lowering: the chained-min funnel core (same shape as
+    funnel_sequence_completion, k-1 id-keyed hash joins), then one lag/lead
+    window partitioned by id to find the neighborhood states, one semi-join
+    onto completers, one hash aggregation. No cartesians, no driver-side
+    state."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) < 5:
+        raise KqlSemanticError(
+            "funnel_sequence(id, timeline, state_col, state1, ..., max_window)"
+        )
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    sc = args[2].name if isinstance(args[2], Col) else None
+    if idc is None or tc is None or sc is None:
+        raise KqlSemanticError(
+            "funnel_sequence: id, timeline and state must be columns"
+        )
+    win_s = tr.const_seconds(args[-1])
+    if not win_s:
+        raise KqlSemanticError("funnel_sequence: max_window must be a timespan")
+    states = [str(tr.const_value(a)) for a in args[3:-1]]
+    if not states:
+        raise KqlSemanticError("funnel_sequence: need >= 1 state")
+    win_us = int(win_s * 1_000_000)
+    ev = df.select(
+        F.col(idc).alias("__id"),
+        F.unix_micros(F.col(tc).cast("timestamp")).alias("__t"),
+        F.col(sc).cast("string").alias("__s"),
+    )
+    cur = (
+        ev.where(F.col("__s") == states[0])
+        .groupBy("__id")
+        .agg(F.min("__t").alias("__t1"))
+        .withColumn("__tk", F.col("__t1"))
+    )
+    for st in states[1:]:
+        nxt = ev.where(F.col("__s") == F.lit(st)).alias("e")
+        cur = (
+            nxt.join(cur.alias("c"), F.col("e.__id") == F.col("c.__id"))
+            .where(
+                (F.col("e.__t") >= F.col("c.__tk"))
+                & (F.col("e.__t") <= F.col("c.__t1") + F.lit(win_us))
+            )
+            .groupBy(F.col("c.__id").alias("__id"), F.col("c.__t1").alias("__t1"))
+            .agg(F.min(F.col("e.__t")).alias("__tk"))
+        )
+    completers = cur  # __id, __t1 (step-1 time), __tk (step-N time)
+    w = Window.partitionBy("__id").orderBy("__t")
+    nbh = ev.select(
+        "__id",
+        "__t",
+        F.lag("__s").over(w).alias("__prev"),
+        F.lead("__s").over(w).alias("__next"),
+    )
+    # the state just before the sequence entry and just after its exit
+    joined = (
+        nbh.alias("n")
+        .join(completers.alias("c"), F.col("n.__id") == F.col("c.__id"))
+        .where(
+            (F.col("n.__t") == F.col("c.__t1")) | (F.col("n.__t") == F.col("c.__tk"))
+        )
+        .groupBy(F.col("n.__id").alias("__id"))
+        .agg(
+            F.max(
+                F.when(F.col("n.__t") == F.col("c.__t1"), F.col("n.__prev"))
+            ).alias("prev"),
+            F.max(
+                F.when(F.col("n.__t") == F.col("c.__tk"), F.col("n.__next"))
+            ).alias("next"),
+        )
+    )
+    return joined.groupBy("prev", "next").agg(
+        F.count_distinct("__id").alias("dcount")
+    )
