@@ -2641,6 +2641,78 @@ q(
      FROM j GROUP BY 1, 2 ORDER BY dcount DESC, prev, "next" """,
 )
 
+# ------------------------------------------- round-5 coverage batch 2 (§2.9)
+q(
+    "unit_conversion_fns",
+    """print km = round(convert_length(1.0, "Mile", "Kilometer"), 6),
+             c = round(convert_temperature(32.0, "DegreeFahrenheit", "DegreeCelsius"), 6),
+             mph = round(convert_speed(100.0, "KilometerPerHour", "MilePerHour"), 6),
+             kj = round(convert_energy(1.0, "KilowattHour", "Kilojoule"), 6),
+             rad = round(convert_angle(180.0, "Degree", "Radian"), 6),
+             n = round(convert_force(1.0, "PoundForce", "Newton"), 6),
+             kg = round(convert_mass(1.0, "Stone", "Kilogram"), 6),
+             l = round(convert_volume(1.0, "UsGallon", "Liter"), 6)""",
+    """SELECT 1.609344 AS km, 0.0 AS c, 62.137119 AS mph, 3600.0 AS kj,
+              3.141593 AS rad, 4.448222 AS n, 6.350293 AS kg, 3.785412 AS l""",
+)
+
+q(
+    "string_utility_round5",
+    """print a = isascii("hello"), b = isascii("héllo"),
+             q = regex_quote("a.b*c"),
+             r = replace_strings("A B C", dynamic(["A","B"]), dynamic(["X","Y"])),
+             i = has_any_index("this is an example", dynamic(["other","example","this"])),
+             j = has_any_index("xyz", dynamic(["a"]))""",
+    r"""SELECT true AS a, false AS b, 'a\.b\*c' AS q, 'X Y C' AS r,
+               CAST(1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j""",
+)
+
+q(
+    "unicode_codepoint_fns",
+    """print c = tostring(unicode_codepoints_from_string("Hi!")),
+             s = unicode_codepoints_to_string(dynamic([72, 105])),
+             v = unicode_codepoints_to_string(74, 75)""",
+    """SELECT '[72,105,33]' AS c, 'Hi' AS s, 'JK' AS v""",
+)
+
+q(
+    "bag_zip_fn",
+    """print b = bag_zip(dynamic(["k1","k2","k3"]), dynamic([1, 2]))""",
+    """SELECT '{"k1":"1","k2":"2","k3":null}' AS b""",
+)
+
+q(
+    "datetime_timezone_fns",
+    """print u = datetime_local_to_utc(datetime(2024-06-01 12:00:00), "America/New_York"),
+             l = datetime_utc_to_local(datetime(2024-06-01 16:00:00), "America/New_York")""",
+    """SELECT TIMESTAMP '2024-06-01 16:00:00' AS u,
+              TIMESTAMP '2024-06-01 12:00:00' AS l""",
+)
+
+q(
+    "parse_command_line_fn",
+    r'''print a = parse_command_line("prog.exe /x \"quoted arg\" C:\\p\\f", "windows")''',
+    r"""SELECT '["prog.exe", "/x", "quoted arg", "C:\\p\\f"]' AS a""",
+)
+
+q(
+    "parse_user_agent_fn",
+    """print f = extractjson("$.Browser.Family", parse_user_agent("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36")),
+             o = extractjson("$.OperatingSystem.Family", parse_user_agent("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.2 Mobile/15E148 Safari/604.1"))""",
+    """SELECT 'Chrome' AS f, 'iOS' AS o""",
+)
+
+q(
+    "percentrank_tdigest_fn",
+    """lineitem
+    | summarize td = tdigest(l_quantity)
+    | project pr25 = round(percentrank_tdigest(td, 25.0), 0),
+              pr50 = round(percentrank_tdigest(td, 50.0), 0)""",
+    """SELECT ROUND(100.0 * COUNT(CASE WHEN l_quantity <= 25.0 THEN 1 END) / COUNT(*), 0) AS pr25,
+              ROUND(100.0 * COUNT(CASE WHEN l_quantity <= 50.0 THEN 1 END) / COUNT(*), 0) AS pr50
+       FROM lineitem""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

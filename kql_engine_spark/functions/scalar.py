@@ -2759,3 +2759,492 @@ def _series_seasonal(tr, args):
     return _PANDAS_UDF_CACHE["series_seasonal"](
         _as_dseries(tr.to_col(args[0])), tr.to_col(args[1]).cast("int")
     )
+
+
+# ------------------------------------------------- round-5 coverage batch 2
+# Remaining public-KQL scalar gaps: ASCII/regex helpers, bag_zip,
+# replace_strings, tdigest percentrank, timezone conversion, unicode
+# codepoint codecs, command-line / user-agent parsers, and the convert_*
+# unit-conversion family. JVM-side column expressions wherever Spark can
+# express the semantics; Arrow-batched pandas UDFs only for the codec-style
+# functions (same tier as punycode/zlib above — never the hot path).
+
+
+@fn("isascii")
+def _isascii(tr, args):
+    # true iff every char is ASCII; empty string is true [KQL isascii()]
+    s = tr.to_col(args[0]).cast("string")
+    return F.regexp_like(s, F.lit(r"^[\x00-\x7F]*$"))
+
+
+@fn("regex_quote")
+def _regex_quote(tr, args):
+    # escape regex metacharacters so the result matches the input literally
+    s = tr.to_col(args[0]).cast("string")
+    return F.regexp_replace(s, r"([.^$|?*+()\[\]{}\\])", r"\\$1")
+
+
+@fn("has_any_index")
+def _has_any_index(tr, args):
+    """has_any_index(source, dynamic([t1, t2, ...])) — 0-based index of the
+    first term that `has`-matches source, -1 if none [KQL]. Terms must be
+    constants (the word-boundary regex is built at plan time)."""
+    from ..ast_nodes import TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
+    a = args[1]
+    if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+        terms = parse_dynamic_literal(a.raw)
+    else:
+        terms = tr.const_value(a)
+    if not isinstance(terms, (list, tuple)):
+        raise KqlSemanticError(
+            "has_any_index: second argument must be a dynamic array of terms"
+        )
+    s = tr.to_col(args[0]).cast("string")
+    out = F.lit(-1)
+    for i, t in reversed(list(enumerate(terms))):
+        m = F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
+        out = F.when(m, F.lit(i)).otherwise(out)
+    return out.cast("bigint")
+
+
+@fn("bag_zip")
+def _bag_zip(tr, args):
+    # dynamic bag from parallel key/value arrays; extra keys -> null value,
+    # extra values dropped (Kusto bag_zip) — JSON map carrier like bag_merge
+    keys = tr.to_col(args[0])
+    vals = tr.to_col(args[1])
+    n = F.least(F.size(keys), F.size(vals))
+    pairs = F.zip_with(
+        F.slice(keys, 1, F.greatest(n, F.lit(0))),
+        F.slice(vals, 1, F.greatest(n, F.lit(0))),
+        lambda k, v: F.struct(k.cast("string").alias("key"), v.cast("string").alias("value")),
+    )
+    extra = F.when(
+        F.size(keys) > F.size(vals),
+        F.transform(
+            F.slice(keys, n + 1, F.size(keys) - n),
+            lambda k: F.struct(
+                k.cast("string").alias("key"),
+                F.lit(None).cast("string").alias("value"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<key:string,value:string>>"))
+    return F.to_json(F.map_from_entries(F.concat(pairs, extra)))
+
+
+@fn("replace_strings")
+def _replace_strings(tr, args):
+    # sequential replace: fold (lookup, rewrite) pairs over the text
+    text = tr.to_col(args[0]).cast("string")
+    lookups = tr.to_col(args[1])
+    rewrites = tr.to_col(args[2])
+    pairs = F.zip_with(
+        lookups,
+        rewrites,
+        lambda l, r: F.struct(
+            l.cast("string").alias("l"), r.cast("string").alias("r")
+        ),
+    )
+    return F.aggregate(
+        pairs, text, lambda acc, p: F.replace(acc, p["l"], p["r"])
+    )
+
+
+@fn("percentrank_tdigest")
+def _percentrank_tdigest(tr, args):
+    # percentage rank [0, 100] of a value within a tdigest() sketch — same
+    # KLL read as rank_tdigest (Kusto documents both names)
+    td = tr.to_col(args[0])
+    v = tr.to_col(args[1]).cast("double")
+    return F.round(F.kll_sketch_get_rank_double(td, v) * 100.0, 4)
+
+
+@fn("datetime_local_to_utc")
+def _datetime_local_to_utc(tr, args):
+    # interpret a wall-clock datetime in the given IANA timezone -> UTC
+    return F.to_utc_timestamp(
+        tr.to_col(args[0]), tr.to_col(args[1]).cast("string")
+    )
+
+
+@fn("datetime_utc_to_local")
+def _datetime_utc_to_local(tr, args):
+    return F.from_utc_timestamp(
+        tr.to_col(args[0]), tr.to_col(args[1]).cast("string")
+    )
+
+
+@fn("unicode_codepoints_from_string")
+def _unicode_codepoints_from_string(tr, args):
+    """True codepoints (ord), not UTF-16 code units — surrogate pairs count
+    once, so this is a Python-side codec like punycode above."""
+    if "unicode_cp_from" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<bigint>")
+        def udf(col):
+            return col.map(
+                lambda s: None if s is None else [ord(c) for c in s]
+            )
+
+        _PANDAS_UDF_CACHE["unicode_cp_from"] = udf
+    return _PANDAS_UDF_CACHE["unicode_cp_from"](
+        tr.to_col(args[0]).cast("string")
+    )
+
+
+@fn("unicode_codepoints_to_string")
+def _unicode_codepoints_to_string(tr, args):
+    if "unicode_cp_to" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(col):
+            def conv(a):
+                if a is None:
+                    return None
+                try:
+                    return "".join(chr(int(c)) for c in a if c is not None)
+                except (ValueError, OverflowError):
+                    return None
+
+            return col.map(conv)
+
+        _PANDAS_UDF_CACHE["unicode_cp_to"] = udf
+    # accepts one array arg or codepoint varargs (Kusto allows both)
+    if len(args) == 1:
+        arr = tr.to_col(args[0])
+        dt = tr.dtype_of_ast(args[0], arr)
+        if not isinstance(dt, T.ArrayType):
+            arr = F.array(arr.cast("bigint"))
+        else:
+            arr = arr.cast("array<bigint>")
+    else:
+        arr = F.array(*[tr.to_col(a).cast("bigint") for a in args])
+    return _PANDAS_UDF_CACHE["unicode_cp_to"](arr)
+
+
+def _cmdline_windows(s):
+    """CommandLineToArgvW tokenization: backslashes literal unless they
+    precede a double quote (2n -> n + toggle-off, 2n+1 -> n + literal quote);
+    quotes toggle in-quote state; whitespace splits outside quotes."""
+    import json
+
+    args, cur, in_q, i, has_cur = [], [], False, 0, False
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            j = i
+            while j < n and s[j] == "\\":
+                j += 1
+            nbs = j - i
+            if j < n and s[j] == '"':
+                cur.append("\\" * (nbs // 2))
+                if nbs % 2:
+                    cur.append('"')
+                    i = j + 1
+                else:
+                    in_q = not in_q
+                    i = j + 1
+                has_cur = True
+            else:
+                cur.append("\\" * nbs)
+                i = j
+                has_cur = True
+        elif c == '"':
+            in_q = not in_q
+            has_cur = True
+            i += 1
+        elif c in " \t" and not in_q:
+            if has_cur:
+                args.append("".join(cur))
+                cur, has_cur = [], False
+            i += 1
+        else:
+            cur.append(c)
+            has_cur = True
+            i += 1
+    if has_cur:
+        args.append("".join(cur))
+    return json.dumps(args)
+
+
+@fn("parse_command_line")
+def _parse_command_line(tr, args):
+    """parse_command_line(cmd, 'windows') -> dynamic array of arguments
+    [KQL]. Only the documented 'windows' parser exists."""
+    ptype = tr.const_string(args[1]).lower() if len(args) > 1 else "windows"
+    if ptype != "windows":
+        raise KqlSemanticError(
+            f"parse_command_line: unsupported parser type {ptype!r}"
+            " (only 'windows' is defined)"
+        )
+    if "parse_cmdline" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(col):
+            return col.map(lambda s: None if s is None else _cmdline_windows(s))
+
+        _PANDAS_UDF_CACHE["parse_cmdline"] = udf
+    return _PANDAS_UDF_CACHE["parse_cmdline"](tr.to_col(args[0]).cast("string"))
+
+
+def _ua_parse(ua):
+    """Heuristic UA-string classifier (the public ua-parser regex corpus is
+    the model; this carries the major families). Returns the Kusto bag shape
+    {Browser:{Family,MajorVersion,MinorVersion}, OperatingSystem:{...},
+    Device:{Family}}."""
+    import json
+    import re
+
+    def ver(m, gi=1):
+        parts = (m.group(gi) or "").replace("_", ".").split(".")
+        maj = parts[0] if parts and parts[0] else ""
+        minor = parts[1] if len(parts) > 1 else ""
+        return maj, minor
+
+    browser = {"Family": "Other", "MajorVersion": "", "MinorVersion": ""}
+    for fam, pat in [
+        ("Edge", r"Edge?/(\d+[._]\d+)"),
+        ("Opera", r"(?:Opera|OPR)[/ ](\d+[._]\d+)"),
+        ("Chrome", r"Chrome/(\d+[._]\d+)"),
+        ("Firefox", r"Firefox/(\d+[._]\d+)"),
+        ("IE", r"MSIE (\d+[._]\d+)|Trident/.*rv:(\d+[._]\d+)"),
+        ("Safari", r"Version/(\d+[._]\d+).*Safari"),
+    ]:
+        m = re.search(pat, ua)
+        if m:
+            gi = 1 if m.group(1) else 2 if m.lastindex and m.lastindex > 1 else 1
+            maj, minor = ver(m, gi)
+            browser = {"Family": fam, "MajorVersion": maj, "MinorVersion": minor}
+            break
+
+    os_info = {"Family": "Other", "MajorVersion": "", "MinorVersion": ""}
+    for fam, pat in [
+        ("Windows", r"Windows NT (\d+)\.(\d+)"),
+        ("iOS", r"(?:iPhone|iPad|iPod).*OS (\d+)[._](\d+)"),
+        ("Mac OS X", r"Mac OS X (\d+)[._](\d+)"),
+        ("Android", r"Android (\d+)(?:\.(\d+))?"),
+        ("Linux", r"Linux"),
+    ]:
+        m = re.search(pat, ua)
+        if m:
+            maj = m.group(1) if m.lastindex else ""
+            minor = (m.group(2) or "") if (m.lastindex or 0) > 1 else ""
+            os_info = {"Family": fam, "MajorVersion": maj, "MinorVersion": minor}
+            break
+
+    if re.search(r"iPad", ua):
+        device = "iPad"
+    elif re.search(r"iPhone", ua):
+        device = "iPhone"
+    elif re.search(r"Android.*Mobile", ua):
+        device = "Generic Smartphone"
+    elif re.search(r"Android", ua):
+        device = "Generic Tablet"
+    elif re.search(r"Windows|Macintosh|Linux", ua):
+        device = "Other"
+    else:
+        device = "Other"
+
+    return json.dumps(
+        {
+            "Browser": browser,
+            "OperatingSystem": os_info,
+            "Device": {"Family": device},
+        }
+    )
+
+
+@fn("parse_user_agent")
+def _parse_user_agent(tr, args):
+    if "parse_ua" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(col):
+            return col.map(lambda s: None if s is None else _ua_parse(s))
+
+        _PANDAS_UDF_CACHE["parse_ua"] = udf
+    # the optional look_for arg only narrows the output bag; returning the
+    # full bag is a superset (extractjson reads the same paths)
+    return _PANDAS_UDF_CACHE["parse_ua"](tr.to_col(args[0]).cast("string"))
+
+
+# ------------------------------------------------ convert_* unit conversions
+# Kusto's UnitsNet-backed family. Factors are unit -> SI base; conversion is
+# value * factor[from] / factor[to], a pure JVM-side arithmetic expression
+# (units must be string literals, as in Kusto). Temperature is affine and
+# handled separately via Kelvin.
+
+_UNIT_TABLES = {
+    "convert_angle": {  # base: radian
+        "Radian": 1.0, "Degree": 3.141592653589793 / 180.0,
+        "Gradian": 3.141592653589793 / 200.0,
+        "Revolution": 2 * 3.141592653589793,
+        "Arcminute": 3.141592653589793 / 10800.0,
+        "Arcsecond": 3.141592653589793 / 648000.0,
+        "Microdegree": 1e-6 * 3.141592653589793 / 180.0,
+        "Millidegree": 1e-3 * 3.141592653589793 / 180.0,
+        "Microradian": 1e-6, "Milliradian": 1e-3, "Centiradian": 1e-2,
+        "Deciradian": 1e-1, "Nanodegree": 1e-9 * 3.141592653589793 / 180.0,
+        "Nanoradian": 1e-9,
+    },
+    "convert_energy": {  # base: joule
+        "Joule": 1.0, "Kilojoule": 1e3, "Megajoule": 1e6, "Gigajoule": 1e9,
+        "Millijoule": 1e-3, "Microjoule": 1e-6, "Nanojoule": 1e-9,
+        "Calorie": 4.184, "Kilocalorie": 4184.0,
+        "WattHour": 3600.0, "KilowattHour": 3.6e6, "MegawattHour": 3.6e9,
+        "GigawattHour": 3.6e12, "TerawattHour": 3.6e15,
+        "WattDay": 86400.0, "KilowattDay": 8.64e7, "MegawattDay": 8.64e10,
+        "BritishThermalUnit": 1055.05585262,
+        "KilobritishThermalUnit": 1055055.85262,
+        "MegabritishThermalUnit": 1055055852.62,
+        "ElectronVolt": 1.602176634e-19, "KiloelectronVolt": 1.602176634e-16,
+        "MegaelectronVolt": 1.602176634e-13,
+        "GigaelectronVolt": 1.602176634e-10,
+        "TeraelectronVolt": 1.602176634e-7,
+        "Erg": 1e-7, "FootPound": 1.3558179483314004,
+        "ThermEc": 1.05506e8, "ThermUs": 1.054804e8,
+        "ThermImperial": 1.05505585257348e8,
+        "DecathermEc": 1.05506e9, "DecathermUs": 1.054804e9,
+        "DecathermImperial": 1.05505585257348e9,
+    },
+    "convert_force": {  # base: newton
+        "Newton": 1.0, "Kilonewton": 1e3, "Meganewton": 1e6,
+        "Micronewton": 1e-6, "Millinewton": 1e-3, "Decanewton": 10.0,
+        "KilogramForce": 9.80665, "TonneForce": 9806.65,
+        "PoundForce": 4.4482216152605, "KilopoundForce": 4448.2216152605,
+        "OunceForce": 0.27801385095378125, "Poundal": 0.138254954376,
+        "Dyn": 1e-5, "KiloPond": 9.80665,
+        "ShortTonForce": 8896.443230521, "Micropond": 9.80665e-6,
+        "Millipond": 9.80665e-3, "Nanopond": 9.80665e-9, "Pond": 9.80665e-3,
+    },
+    "convert_length": {  # base: meter
+        "Meter": 1.0, "Kilometer": 1e3, "Hectometer": 100.0,
+        "Decameter": 10.0, "Decimeter": 0.1, "Centimeter": 0.01,
+        "Millimeter": 1e-3, "Micrometer": 1e-6, "Nanometer": 1e-9,
+        "Mile": 1609.344, "Yard": 0.9144, "Foot": 0.3048, "Inch": 0.0254,
+        "Mil": 2.54e-5, "Microinch": 2.54e-8,
+        "NauticalMile": 1852.0, "Fathom": 1.8288, "Chain": 20.1168,
+        "Twip": 0.0254 / 1440.0, "Hand": 0.1016,
+        "AstronomicalUnit": 1.495978707e11, "LightYear": 9.4607304725808e15,
+        "Parsec": 3.08567758128e16, "KilolightYear": 9.4607304725808e18,
+        "Kiloparsec": 3.08567758128e19, "Megaparsec": 3.08567758128e22,
+        "SolarRadius": 6.95510e8, "Shackle": 27.432,
+        "UsSurveyFoot": 1200.0 / 3937.0,
+        "DtpPica": 0.0254 / 6.0, "DtpPoint": 0.0254 / 72.0,
+        "PrinterPica": 0.004217517600000001 * 1.0, "PrinterPoint": 0.000351459803,
+    },
+    "convert_mass": {  # base: kilogram
+        "Kilogram": 1.0, "Gram": 1e-3, "Milligram": 1e-6, "Microgram": 1e-9,
+        "Nanogram": 1e-12, "Centigram": 1e-5, "Decigram": 1e-4,
+        "Decagram": 1e-2, "Hectogram": 0.1, "Kilotonne": 1e6,
+        "Megatonne": 1e9, "Tonne": 1e3, "Pound": 0.45359237,
+        "Kilopound": 453.59237, "Megapound": 453592.37,
+        "Ounce": 0.028349523125, "Stone": 6.35029318,
+        "ShortTon": 907.18474, "LongTon": 1016.0469088,
+        "ShortHundredweight": 45.359237, "LongHundredweight": 50.80234544,
+        "Grain": 6.479891e-5, "SolarMass": 1.98947e30,
+        "EarthMass": 5.9722e24, "Slug": 14.593903,
+    },
+    "convert_speed": {  # base: meter/second
+        "MeterPerSecond": 1.0, "KilometerPerHour": 1000.0 / 3600.0,
+        "MilePerHour": 0.44704, "Knot": 1852.0 / 3600.0,
+        "FootPerSecond": 0.3048, "FootPerMinute": 0.3048 / 60.0,
+        "FootPerHour": 0.3048 / 3600.0, "InchPerSecond": 0.0254,
+        "InchPerMinute": 0.0254 / 60.0, "InchPerHour": 0.0254 / 3600.0,
+        "YardPerSecond": 0.9144, "YardPerMinute": 0.9144 / 60.0,
+        "YardPerHour": 0.9144 / 3600.0, "MeterPerMinute": 1.0 / 60.0,
+        "MeterPerHour": 1.0 / 3600.0, "CentimeterPerSecond": 0.01,
+        "CentimeterPerMinute": 0.01 / 60.0, "CentimeterPerHour": 0.01 / 3600.0,
+        "MillimeterPerSecond": 1e-3, "MillimeterPerMinute": 1e-3 / 60.0,
+        "MillimeterPerHour": 1e-3 / 3600.0, "DecimeterPerSecond": 0.1,
+        "DecimeterPerMinute": 0.1 / 60.0, "KilometerPerSecond": 1000.0,
+        "KilometerPerMinute": 1000.0 / 60.0, "MicrometerPerSecond": 1e-6,
+        "MicrometerPerMinute": 1e-6 / 60.0, "NanometerPerSecond": 1e-9,
+        "NanometerPerMinute": 1e-9 / 60.0, "UsSurveyFootPerSecond": 1200.0 / 3937.0,
+        "UsSurveyFootPerMinute": 1200.0 / 3937.0 / 60.0,
+        "UsSurveyFootPerHour": 1200.0 / 3937.0 / 3600.0,
+        "ElectricalMobility": 1.0,
+    },
+    "convert_volume": {  # base: cubic meter
+        "CubicMeter": 1.0, "CubicKilometer": 1e9, "CubicDecimeter": 1e-3,
+        "CubicCentimeter": 1e-6, "CubicMillimeter": 1e-9,
+        "CubicMicrometer": 1e-18, "Liter": 1e-3, "Deciliter": 1e-4,
+        "Centiliter": 1e-5, "Milliliter": 1e-6, "Microliter": 1e-9,
+        "Hectoliter": 0.1, "Kiloliter": 1.0, "Megaliter": 1e3,
+        "CubicFoot": 0.028316846592, "CubicInch": 1.6387064e-5,
+        "CubicYard": 0.764554857984, "CubicMile": 4168181825.440579584,
+        "UsGallon": 0.003785411784, "UsQuart": 0.000946352946,
+        "UsPint": 0.000473176473, "UsOunce": 2.95735295625e-5,
+        "UsTablespoon": 1.478676478125e-5, "UsTeaspoon": 4.92892159375e-6,
+        "UsCustomaryCup": 2.365882365e-4, "UsLegalCup": 2.4e-4,
+        "ImperialGallon": 0.00454609, "ImperialQuart": 0.0011365225,
+        "ImperialPint": 0.00056826125, "ImperialOunce": 2.84130625e-5,
+        "UkTablespoon": 1.5e-5, "AuTablespoon": 2e-5,
+        "MetricCup": 2.5e-4, "MetricTeaspoon": 5e-6,
+        "OilBarrel": 0.158987294928, "BoardFoot": 2.359737216e-3,
+        "AcreFoot": 1233.48183754752, "HectareMeter": 1e4,
+        "DecausGallon": 0.03785411784, "DeciusGallon": 0.0003785411784,
+        "HectocubicFoot": 2.8316846592, "HectocubicMeter": 100.0,
+        "HectousGallon": 0.3785411784, "KilocubicFoot": 28.316846592,
+        "KilocubicMeter": 1e3, "KiloimperialGallon": 4.54609,
+        "KilousGallon": 3.785411784, "MegacubicFoot": 28316.846592,
+        "MegaimperialGallon": 4546.09, "MegausGallon": 3785.411784,
+    },
+}
+
+
+def _convert_fn(fname, table):
+    def impl(tr, args):
+        v = tr.to_col(args[0]).cast("double")
+        frm = tr.const_string(args[1])
+        to = tr.const_string(args[2])
+        for u in (frm, to):
+            if u not in table:
+                raise KqlSemanticError(
+                    f"{fname}: unknown unit {u!r} (known: "
+                    f"{', '.join(sorted(table))})"
+                )
+        return v * F.lit(table[frm] / table[to])
+
+    REGISTRY[fname] = impl
+
+
+for _fname, _table in _UNIT_TABLES.items():
+    _convert_fn(_fname, _table)
+
+
+@fn("convert_temperature")
+def _convert_temperature(tr, args):
+    # affine units -> Kelvin = v*scale + offset, then invert for the target
+    affine = {
+        "Kelvin": (1.0, 0.0),
+        "DegreeCelsius": (1.0, 273.15),
+        "DegreeFahrenheit": (5.0 / 9.0, 459.67 * 5.0 / 9.0),
+        "DegreeRankine": (5.0 / 9.0, 0.0),
+        "DegreeDelisle": (-2.0 / 3.0, 373.15),
+        "DegreeNewton": (100.0 / 33.0, 273.15),
+        "DegreeReaumur": (5.0 / 4.0, 273.15),
+        "DegreeRoemer": (40.0 / 21.0, 273.15 - 7.5 * 40.0 / 21.0),
+        "MillidegreeCelsius": (1e-3, 273.15),
+        "SolarTemperature": (5778.0, 0.0),
+    }
+    v = tr.to_col(args[0]).cast("double")
+    frm = tr.const_string(args[1])
+    to = tr.const_string(args[2])
+    for u in (frm, to):
+        if u not in affine:
+            raise KqlSemanticError(
+                f"convert_temperature: unknown unit {u!r} (known: "
+                f"{', '.join(sorted(affine))})"
+            )
+    fs, fo = affine[frm]
+    ts, to_off = affine[to]
+    kelvin = v * F.lit(fs) + F.lit(fo)
+    return (kelvin - F.lit(to_off)) / F.lit(ts)
