@@ -2713,6 +2713,17 @@ q(
        FROM lineitem""",
 )
 
+q(
+    "geo_line_polygon_fns",
+    """print l = round(geo_line_length(dynamic({"type":"LineString","coordinates":[[0,0],[0,1]]})), 0),
+             a = round(geo_polygon_area(dynamic({"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]})), -7),
+             c = geo_polygon_centroid(dynamic({"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]})),
+             d = round(geo_distance_point_to_line(1.0, 1.0, dynamic({"type":"LineString","coordinates":[[0,0],[2,0]]})), 0)""",
+    """SELECT 111195.0 AS l, 12360000000.0 AS a,
+              '{"type": "Point", "coordinates": [1.0, 1.0]}' AS c,
+              111195.0 AS d""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

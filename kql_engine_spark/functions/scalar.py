@@ -3248,3 +3248,199 @@ def _convert_temperature(tr, args):
     ts, to_off = affine[to]
     kelvin = v * F.lit(fs) + F.lit(fo)
     return (kelvin - F.lit(to_off)) / F.lit(ts)
+
+
+# -------------------------------------------- geo line/polygon (SURVEY §2.9)
+# Spherical approximations on the same mean-Earth radius as
+# geo_distance_2points (6371009 m). Geometry arrives as GeoJSON dynamic
+# columns, so these are Arrow-batched pandas UDFs (numpy per geometry) —
+# per-geometry cost, never per-coordinate Python.
+
+_GEO_R = 6371009.0
+
+
+def _geo_coords(s, want):
+    import json
+
+    try:
+        g = json.loads(s) if isinstance(s, str) else s
+        if g.get("type") != want:
+            return None
+        return g["coordinates"]
+    except Exception:
+        return None
+
+
+def _hav(lon1, lat1, lon2, lat2):
+    import numpy as np
+
+    rl1, rl2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(lat2 - lat1) / 2.0
+    dlon = np.radians(lon2 - lon1) / 2.0
+    h = np.sin(dlat) ** 2 + np.cos(rl1) * np.cos(rl2) * np.sin(dlon) ** 2
+    return 2.0 * _GEO_R * np.arcsin(np.sqrt(h))
+
+
+def _geojson_col(tr, a) -> Column:
+    # dynamic literals keep their raw JSON text (a map<> literal would need
+    # uniform value types); columns pass through as their JSON-string carrier
+    from ..ast_nodes import TypedLit as _TypedLit
+
+    if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+        return F.lit(a.raw)
+    return tr.to_col(a).cast("string")
+
+
+def _geo_json_udf(name, ret_type, one):
+    def entry(tr, args):
+        if name not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(ret_type)
+            def udf(col):
+                return col.map(lambda s: None if s is None else one(s))
+
+            _PANDAS_UDF_CACHE[name] = udf
+        return _PANDAS_UDF_CACHE[name](_geojson_col(tr, args[0]))
+
+    REGISTRY[name] = entry
+
+
+def _line_length_m(s):
+    import numpy as np
+
+    cs = _geo_coords(s, "LineString")
+    if cs is None or len(cs) < 2:
+        return None
+    a = np.asarray(cs, dtype="float64")
+    return float(
+        np.sum(_hav(a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1]))
+    )
+
+
+def _ring_area_sterad(ring):
+    # spherical shoelace (signed, steradians): sum (λ2−λ1)(sinφ1+sinφ2)/2
+    import numpy as np
+
+    a = np.asarray(ring, dtype="float64")
+    lam = np.radians(a[:, 0])
+    phi = np.radians(a[:, 1])
+    lam2 = np.roll(lam, -1)
+    phi2 = np.roll(phi, -1)
+    dlam = lam2 - lam
+    # normalize antimeridian-crossing steps into (-pi, pi]
+    dlam = np.where(dlam > np.pi, dlam - 2 * np.pi, dlam)
+    dlam = np.where(dlam < -np.pi, dlam + 2 * np.pi, dlam)
+    return float(np.sum(dlam * (np.sin(phi) + np.sin(phi2)) / 2.0))
+
+
+def _polygon_area_m2(s):
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    outer = abs(_ring_area_sterad(cs[0]))
+    holes = sum(abs(_ring_area_sterad(r)) for r in cs[1:])
+    return (outer - holes) * _GEO_R * _GEO_R
+
+
+def _polygon_centroid_json(s):
+    """Planar centroid of the outer ring in lon/lat space (shoelace
+    weights) — matches Kusto for the small, convex-ish polygons of the
+    public examples; returns a GeoJSON Point bag."""
+    import json
+
+    import numpy as np
+
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    a = np.asarray(cs[0], dtype="float64")
+    if len(a) and (a[0] != a[-1]).any():
+        a = np.vstack([a, a[:1]])
+    x, y = a[:-1, 0], a[:-1, 1]
+    x2, y2 = a[1:, 0], a[1:, 1]
+    cross = x * y2 - x2 * y
+    area2 = np.sum(cross)
+    if abs(area2) < 1e-12:
+        cx, cy = float(np.mean(x)), float(np.mean(y))
+    else:
+        cx = float(np.sum((x + x2) * cross) / (3.0 * area2))
+        cy = float(np.sum((y + y2) * cross) / (3.0 * area2))
+    return json.dumps({"type": "Point", "coordinates": [cx, cy]})
+
+
+_geo_json_udf("geo_line_length", "double", _line_length_m)
+_geo_json_udf("geo_polygon_area", "double", _polygon_area_m2)
+_geo_json_udf("geo_polygon_centroid", "string", _polygon_centroid_json)
+
+
+@fn("geo_distance_point_to_line")
+def _geo_distance_point_to_line(tr, args):
+    """geo_distance_point_to_line(lon, lat, line) [KQL]: min great-circle
+    distance from the point to any segment of a GeoJSON LineString —
+    cross-track via 3D unit vectors, clamped to segment endpoints."""
+    if "geo_dist_pt_line" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("double")
+        def udf(lons, lats, lines):
+            import numpy as np
+
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return None
+                cs = _geo_coords(s, "LineString")
+                if cs is None or len(cs) < 2:
+                    return None
+                seg = np.asarray(cs, dtype="float64")
+
+                def unit(lon, lat):
+                    lam, phi = np.radians(lon), np.radians(lat)
+                    return np.stack(
+                        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+                        axis=-1,
+                    )
+
+                p = unit(float(lo), float(la))
+                a = unit(seg[:-1, 0], seg[:-1, 1])
+                b = unit(seg[1:, 0], seg[1:, 1])
+                n = np.cross(a, b)
+                nn = np.linalg.norm(n, axis=1)
+                best = np.inf
+                for i in range(len(a)):
+                    if nn[i] < 1e-15:  # degenerate segment
+                        d = np.arccos(np.clip(np.dot(p, a[i]), -1, 1))
+                    else:
+                        ni = n[i] / nn[i]
+                        # foot of perpendicular on the great circle
+                        f = p - np.dot(p, ni) * ni
+                        fn = np.linalg.norm(f)
+                        if fn < 1e-15:
+                            d = np.pi / 2
+                        else:
+                            f = f / fn
+                            # inside the arc iff it lies between a and b
+                            if (
+                                np.dot(np.cross(a[i], f), ni) >= -1e-12
+                                and np.dot(np.cross(f, b[i]), ni) >= -1e-12
+                            ):
+                                d = np.arccos(np.clip(np.dot(p, f), -1, 1))
+                            else:
+                                d = min(
+                                    np.arccos(np.clip(np.dot(p, a[i]), -1, 1)),
+                                    np.arccos(np.clip(np.dot(p, b[i]), -1, 1)),
+                                )
+                    best = min(best, d)
+                return float(best * _GEO_R)
+
+            return pd.Series(
+                [one(lo, la, s) for lo, la, s in zip(lons, lats, lines)]
+            )
+
+        _PANDAS_UDF_CACHE["geo_dist_pt_line"] = udf
+    return _PANDAS_UDF_CACHE["geo_dist_pt_line"](
+        tr.to_col(args[0]).cast("double"),
+        tr.to_col(args[1]).cast("double"),
+        _geojson_col(tr, args[2]),
+    )
