@@ -2724,6 +2724,43 @@ q(
               111195.0 AS d""",
 )
 
+q(
+    "diffpatterns_orders",
+    """orders
+    | project o_orderstatus, o_orderpriority
+    | evaluate diffpatterns(o_orderstatus, "F", "O")""",
+    """WITH a AS (SELECT o_orderpriority, COUNT(*) AS fa FROM orders
+                  WHERE o_orderstatus='F' GROUP BY 1),
+         b AS (SELECT o_orderpriority, COUNT(*) AS fb FROM orders
+                  WHERE o_orderstatus='O' GROUP BY 1),
+         ca AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus='F'),
+         cb AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus='O'),
+         j AS (SELECT COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+                      COALESCE(fa, 0) AS fa, COALESCE(fb, 0) AS fb
+               FROM a FULL OUTER JOIN b USING (o_orderpriority)),
+         p AS (SELECT o_orderpriority, fa, fb,
+                      fa * 100.0 / (SELECT c FROM ca) AS rawa,
+                      fb * 100.0 / (SELECT c FROM cb) AS rawb,
+                      ROUND(fa * 100.0 / (SELECT c FROM ca), 2) AS pa,
+                      ROUND(fb * 100.0 / (SELECT c FROM cb), 2) AS pb
+               FROM j)
+     SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(rawa - rawb) DESC, o_orderpriority) - 1 AS BIGINT) AS SegmentId,
+            CAST(fa AS BIGINT) AS CountA, CAST(fb AS BIGINT) AS CountB,
+            pa AS PercentA, pb AS PercentB,
+            ROUND(pa - pb, 2) AS PercentDiffAB, o_orderpriority
+     FROM p""",
+)
+
+q(
+    "diffpatterns_text_events",
+    """events
+    | extend side = iff(user_id % 2 == 0, "even", "odd")
+    | project msg = strcat("user ", tostring(user_id % 4), " did ", event_type), side
+    | evaluate diffpatterns_text(msg, side, "even", "odd")""",
+    None,  # Tier C text-pattern miner: generalization choices are
+           # algorithm-specific, no SQL twin (rows-only + metamorphic tests)
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -1123,3 +1123,184 @@ def _funnel_sequence(ptr, df, args):
     return joined.groupBy("prev", "next").agg(
         F.count_distinct("__id").alias("dcount")
     )
+
+
+# ---------------------------------------------- diffpatterns (§2.8 mining)
+# Kusto's split-compare miner. The published contract: split rows into two
+# sets by a column value, return (column=value) patterns whose share differs
+# between the sides. Exact algorithm unpublished -> Tier C like autocluster:
+# FPGrowth per side (distributed, support-bounded), full-outer join of the
+# itemsets on a canonical key, |percent-diff| ranking, greedy subsumption
+# prune over the bounded candidate list (never data-bounded driver work).
+
+
+@plugin("diffpatterns")
+def _diffpatterns(ptr, df, args):
+    """`T | evaluate diffpatterns(SplitColumn, ValueA, ValueB[, threshold])`
+    -> SegmentId, CountA, CountB, PercentA, PercentB, PercentDiffAB + one
+    column per remaining attribute (null = wildcard)."""
+    tr = ptr.expr_tr(df)
+    if len(args) < 3 or not isinstance(args[0], Col):
+        raise KqlSemanticError(
+            "diffpatterns(SplitColumn, ValueA, ValueB[, threshold]) requires "
+            "a split column reference and two split values"
+        )
+    split = args[0].name
+    va = str(tr.const_value(args[1]))
+    vb = str(tr.const_value(args[2]))
+    thr = float(tr.const_value(args[3])) if len(args) > 3 else 0.05
+    sides = df.withColumn("__side", F.col(split).cast("string"))
+    dfa = sides.filter(F.col("__side") == va).drop("__side", split)
+    dfb = sides.filter(F.col("__side") == vb).drop("__side", split)
+    ca, cb = dfa.count(), dfb.count()
+    attr_cols = [c for c in df.columns if c != split]
+
+    def mined(d, n):
+        if n == 0:
+            return None
+        return _fp_itemsets(d, thr).select(
+            F.array_sort("items").alias("key"), F.col("freq")
+        )
+
+    ia, ib = mined(dfa, ca), mined(dfb, cb)
+    if ia is None and ib is None:
+        empty = [
+            ("SegmentId", "bigint"), ("CountA", "bigint"), ("CountB", "bigint"),
+            ("PercentA", "double"), ("PercentB", "double"),
+            ("PercentDiffAB", "double"),
+        ]
+        schema = ", ".join(f"`{n}` {t}" for n, t in empty) + ", " + ", ".join(
+            f"`{c}` string" for c in attr_cols
+        )
+        return df.sparkSession.createDataFrame([], schema)
+    if ia is None:
+        both = ib.select("key", F.lit(0).alias("fa"), F.col("freq").alias("fb"))
+    elif ib is None:
+        both = ia.select("key", F.col("freq").alias("fa"), F.lit(0).alias("fb"))
+    else:
+        both = (
+            ia.withColumnRenamed("freq", "fa")
+            .join(ib.withColumnRenamed("freq", "fb"), "key", "full_outer")
+            .fillna(0, ["fa", "fb"])
+        )
+    # support-bounded candidate list -> driver; subsumption prune like
+    # autocluster (a more general pattern with a bigger diff wins)
+    cand = sorted(
+        (
+            (
+                abs(r["fa"] * 100.0 / max(ca, 1) - r["fb"] * 100.0 / max(cb, 1)),
+                set(r["key"]),
+                r,
+            )
+            for r in both.collect()
+        ),
+        key=lambda t: (-t[0], sorted(t[1])),
+    )
+    picked: list = []
+    for diff, items, row in cand:
+        if any(p <= items for _, p, _ in picked):
+            continue  # a more general, better-diff pattern subsumes this one
+        picked.append((diff, items, row))
+        if len(picked) >= 32:
+            break
+    rows = []
+    for sid, (diff, items, row) in enumerate(picked):
+        vals = {}
+        for it in items:
+            k, _, v = it.partition("=")
+            vals[k] = v
+        pa = round(row["fa"] * 100.0 / max(ca, 1), 2)
+        pb = round(row["fb"] * 100.0 / max(cb, 1), 2)
+        rows.append(
+            (
+                sid, row["fa"], row["fb"], pa, pb, round(pa - pb, 2),
+                *[vals.get(c) for c in attr_cols],
+            )
+        )
+    schema = (
+        "`SegmentId` bigint, `CountA` bigint, `CountB` bigint, "
+        "`PercentA` double, `PercentB` double, `PercentDiffAB` double, "
+        + ", ".join(f"`{c}` string" for c in attr_cols)
+    )
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+@plugin("diffpatterns_text")
+def _diffpatterns_text(ptr, df, args):
+    """`T | evaluate diffpatterns_text(TextColumn, SplitColumn, ValueA,
+    ValueB)` -> Count_of_A, Count_of_B, Percent_of_A, Percent_of_B, Pattern.
+
+    Tier C approximation of Kusto's (unpublished) text-pattern miner:
+    lines are clustered by token count; within a cluster a position keeps
+    its token when one value covers a majority of the cluster's rows,
+    otherwise it generalizes to `*`. Patterns are ranked by
+    |Percent_of_A - Percent_of_B|. All aggregation is shuffle-partitioned
+    (explode -> count -> join); no driver-side data path."""
+    if len(args) < 4 or not isinstance(args[0], Col) or not isinstance(args[1], Col):
+        raise KqlSemanticError(
+            "diffpatterns_text(TextColumn, SplitColumn, ValueA, ValueB) "
+            "requires two column references and two split values"
+        )
+    tr = ptr.expr_tr(df)
+    textc, split = args[0].name, args[1].name
+    va = str(tr.const_value(args[2]))
+    vb = str(tr.const_value(args[3]))
+    base = (
+        df.select(
+            F.col(split).cast("string").alias("__side"),
+            F.split(F.trim(F.col(textc).cast("string")), r"\s+").alias("__toks"),
+        )
+        .filter(F.col("__side").isin(va, vb))
+        .withColumn("__len", F.size("__toks"))
+        .withColumn("__rid", F.monotonically_increasing_id())
+    )
+    ca = base.filter(F.col("__side") == va).count()
+    cb = base.filter(F.col("__side") == vb).count()
+    pos = base.select(
+        "__rid", "__len",
+        F.posexplode("__toks").alias("__p", "__tok"),
+    )
+    by_cluster = pos.groupBy("__len", "__p", "__tok").agg(
+        F.count("*").alias("__n")
+    )
+    cluster_sz = base.groupBy("__len").agg(F.count("*").alias("__csz"))
+    keep = (
+        by_cluster.join(cluster_sz, "__len")
+        .withColumn("__keep", F.col("__n") * 2 >= F.col("__csz"))
+        .select("__len", "__p", "__tok", "__keep")
+    )
+    patterned = (
+        pos.join(keep, ["__len", "__p", "__tok"], "left")
+        .withColumn(
+            "__out",
+            F.when(F.coalesce(F.col("__keep"), F.lit(False)), F.col("__tok"))
+            .otherwise(F.lit("*")),
+        )
+        .groupBy("__rid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__p", "__out"))
+                    ),
+                    lambda s: s["__out"],
+                ),
+                " ",
+            ).alias("Pattern")
+        )
+    )
+    out = (
+        patterned.join(base.select("__rid", "__side"), "__rid")
+        .groupBy("Pattern")
+        .agg(
+            F.sum(F.when(F.col("__side") == va, 1).otherwise(0)).alias("Count_of_A"),
+            F.sum(F.when(F.col("__side") == vb, 1).otherwise(0)).alias("Count_of_B"),
+        )
+        .withColumn("Percent_of_A", F.round(F.col("Count_of_A") * 100.0 / F.lit(max(ca, 1)), 2))
+        .withColumn("Percent_of_B", F.round(F.col("Count_of_B") * 100.0 / F.lit(max(cb, 1)), 2))
+        .withColumn("__diff", F.abs(F.col("Percent_of_A") - F.col("Percent_of_B")))
+        .orderBy(F.col("__diff").desc(), "Pattern")
+        .limit(32)
+        .select("Count_of_A", "Count_of_B", "Percent_of_A", "Percent_of_B", "Pattern")
+    )
+    return out

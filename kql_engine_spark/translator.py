@@ -2108,6 +2108,7 @@ _VOLATILE_PLUGINS = frozenset(
     {
         "dedup_near", "dedup_simhash", "dedup_embedding", "similarity_join",
         "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
+        "diffpatterns", "diffpatterns_text",
     }
 )
 

@@ -78,3 +78,36 @@ def test_extend_then_filter_equals_filter_on_expr(run_kql):
         " | summarize n = count()"
     ).collect()[0].n
     assert a == b
+
+
+def test_diffpatterns_swap_sides_negates_diff(run_kql):
+    a = run_kql(
+        "orders | project o_orderstatus, o_orderpriority"
+        ' | evaluate diffpatterns(o_orderstatus, "F", "O")'
+    )
+    b = run_kql(
+        "orders | project o_orderstatus, o_orderpriority"
+        ' | evaluate diffpatterns(o_orderstatus, "O", "F")'
+    )
+    am = {r["o_orderpriority"]: (r["CountA"], r["CountB"], r["PercentDiffAB"])
+          for r in a.collect()}
+    bm = {r["o_orderpriority"]: (r["CountA"], r["CountB"], r["PercentDiffAB"])
+          for r in b.collect()}
+    assert set(am) == set(bm)
+    for k, (ca, cb, d) in am.items():
+        cb2, ca2, d2 = bm[k]
+        assert (ca, cb) == (ca2, cb2)
+        assert abs(d + d2) < 0.02  # rounding of already-rounded percents
+
+
+def test_diffpatterns_text_counts_partition_rows(run_kql):
+    out = run_kql(
+        'events | extend side = iff(user_id % 2 == 0, "even", "odd")'
+        ' | project msg = strcat("user did ", event_type), side'
+        ' | evaluate diffpatterns_text(msg, side, "even", "odd")'
+    ).collect()
+    total_a = sum(r["Count_of_A"] for r in out)
+    total_b = sum(r["Count_of_B"] for r in out)
+    n = run_kql("events | summarize n = count()").collect()[0].n
+    # every row lands in exactly one pattern (<=32 patterns here)
+    assert total_a + total_b == n
