@@ -2792,10 +2792,12 @@ _TIER_A = (
     "tpch_q6", "agg_sweep", "arg_max_agg",
     # §2.7 window
     "window_cumsum_restart",
-    # §2.8 mv-*/parse/evaluate
-    "mv_apply_agg", "parse_pattern", "evaluate_pivot",
+    # §2.8 mv-*/parse/evaluate (+ r5: the diffpatterns mining family, its
+    # first driver-certified representative; datetime_fns rotates to the
+    # pytest tail after three green rounds)
+    "mv_apply_agg", "parse_pattern", "evaluate_pivot", "diffpatterns_orders",
     # §2.9 scalar functions (+ sketch interop readout)
-    "has_term", "hll_sketch_roundtrip", "datetime_fns", "dynamic_array_fns",
+    "has_term", "hll_sketch_roundtrip", "dynamic_array_fns",
     # §2.10 make-series + series stats
     "make_series_datetime", "make_series_auto_bounds", "series_stats_fit",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
