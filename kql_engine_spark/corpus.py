@@ -2761,6 +2761,18 @@ q(
            # algorithm-specific, no SQL twin (rows-only + metamorphic tests)
 )
 
+q(
+    "geo_s2cell_fns",
+    """print t11 = geo_point_to_s2cell(-122.192253, 47.615554, 11),
+             t14 = geo_point_to_s2cell(-122.192253, 47.615554, 14),
+             rt = geo_point_to_s2cell(todouble(extractjson("$.coordinates[0]",
+                    geo_s2cell_to_central_point(geo_point_to_s2cell(139.7, 35.6, 16)))),
+                  todouble(extractjson("$.coordinates[1]",
+                    geo_s2cell_to_central_point(geo_point_to_s2cell(139.7, 35.6, 16)))), 16)
+                == geo_point_to_s2cell(139.7, 35.6, 16)""",
+    """SELECT '54906cc' AS t11, '54906c89' AS t14, true AS rt""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

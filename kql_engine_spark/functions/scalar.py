@@ -3444,3 +3444,148 @@ def _geo_distance_point_to_line(tr, args):
         tr.to_col(args[1]).cast("double"),
         _geojson_col(tr, args[2]),
     )
+
+
+# ------------------------------------------------------------- S2 cells
+# geo_point_to_s2cell / geo_s2cell_to_central_point [KQL geo]. Written from
+# the public S2 geometry spec: lat/lng -> unit sphere -> cube face (u,v) ->
+# quadratic (s,t) -> leaf (i,j) -> Hilbert curve position -> 64-bit cell id
+# (face:3 | pos:2L | sentinel), token = hex with trailing zeros stripped.
+# Codec tier (per-value integer walks), so Arrow-batched pandas UDFs like
+# punycode/zlib above.
+
+_S2_SWAP, _S2_INVERT = 1, 2
+_S2_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_S2_IJ_TO_POS = tuple(
+    tuple(row.index(ij) for ij in range(4)) for row in _S2_POS_TO_IJ
+)
+_S2_POS_TO_ORIENT = (_S2_SWAP, 0, 0, _S2_INVERT | _S2_SWAP)
+
+
+def _s2_st_from_uv(u):
+    # quadratic projection (the S2 default): evens out leaf-cell areas
+    import math
+
+    return (
+        0.5 * math.sqrt(1.0 + 3.0 * u)
+        if u >= 0
+        else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+    )
+
+
+def _s2_uv_from_st(s):
+    return (4.0 * s * s - 1.0) / 3.0 if s >= 0.5 else (
+        1.0 - 4.0 * (1.0 - s) * (1.0 - s)
+    ) / 3.0
+
+
+def _s2_encode(lon, lat, level):
+    import math
+
+    phi, lam = math.radians(lat), math.radians(lon)
+    x = math.cos(phi) * math.cos(lam)
+    y = math.cos(phi) * math.sin(lam)
+    z = math.sin(phi)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x > 0 else 3
+    elif ay >= ax and ay >= az:
+        face = 1 if y > 0 else 4
+    else:
+        face = 2 if z > 0 else 5
+    u, v = {
+        0: lambda: (y / x, z / x),
+        1: lambda: (-x / y, z / y),
+        2: lambda: (-x / z, -y / z),
+        3: lambda: (z / x, y / x),
+        4: lambda: (z / y, -x / y),
+        5: lambda: (-y / z, -x / z),
+    }[face]()
+    max_ij = (1 << 30) - 1
+    i = min(max(int(_s2_st_from_uv(u) * (1 << 30)), 0), max_ij)
+    j = min(max(int(_s2_st_from_uv(v) * (1 << 30)), 0), max_ij)
+    pos = 0
+    orient = face & _S2_SWAP
+    for k in range(29, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        qp = _S2_IJ_TO_POS[orient][ij]
+        pos = (pos << 2) | qp
+        orient ^= _S2_POS_TO_ORIENT[qp]
+    cid = (face << 61) | (pos << 1) | 1  # leaf (level 30)
+    if level < 30:
+        lsb = 1 << (2 * (30 - level))
+        cid = (cid & ~(2 * lsb - 1)) | lsb
+    return format(cid, "016x").rstrip("0") or "0"
+
+
+def _s2_decode(token):
+    import json
+    import math
+
+    try:
+        cid = int(token.ljust(16, "0"), 16)
+    except ValueError:
+        return None
+    if cid == 0:
+        return None
+    face = cid >> 61
+    if face > 5:
+        return None
+    tz = (cid & -cid).bit_length() - 1  # trailing zeros below the sentinel
+    if tz % 2 or tz > 60:
+        return None
+    level = 30 - tz // 2
+    pos = cid >> (2 * (30 - level) + 1)  # 2*level Hilbert bits
+    i = j = 0
+    orient = face & _S2_SWAP
+    for k in range(level - 1, -1, -1):
+        qp = (pos >> (2 * k)) & 3
+        ij = _S2_POS_TO_IJ[orient][qp]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orient ^= _S2_POS_TO_ORIENT[qp]
+    s = (i + 0.5) / (1 << level)
+    t = (j + 0.5) / (1 << level)
+    u, v = _s2_uv_from_st(s), _s2_uv_from_st(t)
+    x, y, z = {
+        0: (1.0, u, v),
+        1: (-u, 1.0, v),
+        2: (-u, -v, 1.0),
+        3: (-1.0, -v, -u),
+        4: (v, -1.0, -u),
+        5: (v, u, -1.0),
+    }[face]
+    n = math.sqrt(x * x + y * y + z * z)
+    lat = math.degrees(math.asin(z / n))
+    lon = math.degrees(math.atan2(y, x))
+    return json.dumps({"type": "Point", "coordinates": [lon, lat]})
+
+
+@fn("geo_point_to_s2cell")
+def _geo_point_to_s2cell(tr, args):
+    level = int(tr.const_value(args[2])) if len(args) > 2 else 11
+    if not 0 <= level <= 30:
+        raise KqlSemanticError("geo_point_to_s2cell: level must be in [0, 30]")
+    key = f"s2enc:{level}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("string")
+        def udf(lons, lats):
+            return pd.Series(
+                [
+                    None
+                    if lo is None or la is None or not (-90 <= la <= 90)
+                    else _s2_encode(float(lo), float(la), level)
+                    for lo, la in zip(lons, lats)
+                ]
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](
+        tr.to_col(args[0]).cast("double"), tr.to_col(args[1]).cast("double")
+    )
+
+
+_str_udf("geo_s2cell_to_central_point", _s2_decode)

@@ -726,3 +726,31 @@ def test_graph_match_varlen_cap(run_kql):
             " | make-graph src --> dst"
             " | graph-match (a)-[e*1..50]->(b) project t = b.node_id"
         )
+
+
+def test_s2_cell_roundtrip_and_hierarchy():
+    # pure-codec invariants (no Spark): encode->decode->encode identity,
+    # child-center encodes to the parent at the parent level
+    import json
+    import random
+
+    from kql_engine_spark.functions.scalar import _s2_decode, _s2_encode
+
+    rng = random.Random(42)
+    for _ in range(100):
+        lon, lat = rng.uniform(-180, 180), rng.uniform(-89.9, 89.9)
+        for level in (3, 11, 24, 30):
+            tok = _s2_encode(lon, lat, level)
+            pt = json.loads(_s2_decode(tok))["coordinates"]
+            assert _s2_encode(pt[0], pt[1], level) == tok
+        child = _s2_encode(lon, lat, 18)
+        cpt = json.loads(_s2_decode(child))["coordinates"]
+        assert _s2_encode(cpt[0], cpt[1], 10) == _s2_encode(lon, lat, 10)
+
+
+def test_s2_cell_invalid_tokens():
+    from kql_engine_spark.functions.scalar import _s2_decode
+
+    assert _s2_decode("zzz") is None        # not hex
+    assert _s2_decode("0") is None          # zero id
+    assert _s2_decode("f000000000000001") is None  # face > 5
