@@ -2773,6 +2773,27 @@ q(
     """SELECT '54906cc' AS t11, '54906c89' AS t14, true AS rt""",
 )
 
+q(
+    "buildschema_agg",
+    """datatable (d: dynamic) [
+      dynamic({"a": 1, "b": "x"}),
+      dynamic({"a": 2.5, "c": [1, 2]}),
+      dynamic({"a": "s", "b": "y"})
+    ]
+    | summarize sch = buildschema(d)""",
+    """SELECT '{"a": ["long", "real", "string"], "b": "string", "c": ["long"]}' AS sch""",
+)
+
+q(
+    "geo_line_polygon_fns2",
+    """print p = round(geo_polygon_perimeter(dynamic({"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]})), 0),
+             c = geo_line_centroid(dynamic({"type":"LineString","coordinates":[[0,0],[2,0]]})),
+             cp = geo_closest_point_on_line(1.0, 1.0, dynamic({"type":"LineString","coordinates":[[0,0],[2,0]]}))""",
+    """SELECT 444763.0 AS p,
+              '{"type": "Point", "coordinates": [1.0, 0.0]}' AS c,
+              '{"type": "Point", "coordinates": [1.0, 0.0]}' AS cp""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -460,3 +460,117 @@ def _hll_if(tr, args, name):
     ):
         c = c.cast("string")
     return [(out, F.hll_sketch_agg(F.when(tr.to_col(args[1]), c), lgk))]
+
+
+# ----------------------------------------------------------- buildschema
+# Kusto `buildschema(DynamicExpr)`: the minimal schema admitting every row's
+# value. Two-phase by construction: a vectorized per-row skeleton extraction
+# (map side), collect_set of distinct skeletons (partial-aggregatable — the
+# set is bounded by distinct SHAPES, not rows), and a final merge into the
+# Kusto union format ({"k": "type"}, arrays as ["type"], mixed ->
+# ["t1", "t2"]).
+
+_BS_UDFS: dict = {}
+
+
+def _bs_skeleton(val):
+    """JSON value -> canonical type-skeleton JSON (sorted keys)."""
+    import json
+
+    def sk(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "real"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            items = [sk(x) for x in v]
+            return {"__array__": _bs_union_list(items)}
+        if isinstance(v, dict):
+            return {k: sk(x) for k, x in sorted(v.items())}
+        return "string"
+
+    try:
+        parsed = json.loads(val)
+    except (ValueError, TypeError):
+        parsed = val
+    return json.dumps(sk(parsed), sort_keys=True)
+
+
+def _bs_union_list(items):
+    import json
+
+    out = []
+    for it in items:
+        if not any(it == o for o in out):
+            out.append(it)
+    if not out:
+        return []
+    if len(out) == 1:
+        return out[0]
+    # collect_set order is partition-dependent: canonicalize union order
+    return sorted(out, key=lambda x: json.dumps(x, sort_keys=True))
+
+
+def _bs_merge(a, b):
+    if a == b:
+        return a
+    if isinstance(a, dict) and isinstance(b, dict):
+        keys = sorted(set(a) | set(b))
+        return {
+            k: _bs_merge(a[k], b[k]) if k in a and k in b else (a.get(k, b.get(k)))
+            for k in keys
+        }
+    alts = (a if isinstance(a, list) else [a]) + (b if isinstance(b, list) else [b])
+    return _bs_union_list(alts)
+
+
+def _bs_render(sk):
+    # internal skeleton -> Kusto-style: {"__array__": t} prints as [t]
+    if isinstance(sk, dict):
+        if set(sk) == {"__array__"}:
+            inner = _bs_render(sk["__array__"])
+            return inner if isinstance(inner, list) else [inner]
+        return {k: _bs_render(v) for k, v in sk.items()}
+    if isinstance(sk, list):
+        return [_bs_render(x) for x in sk]
+    return sk
+
+
+@agg("buildschema")
+def _buildschema(tr, args, name):
+    from pyspark.sql.functions import pandas_udf
+
+    if "skel" not in _BS_UDFS:
+
+        @pandas_udf("string")
+        def skel(col):
+            return col.map(lambda s: None if s is None else _bs_skeleton(s))
+
+        @pandas_udf("string")
+        def merge(sets):
+            import json
+
+            def one(arr):
+                if arr is None or len(arr) == 0:
+                    return None
+                acc = None
+                for s in arr:
+                    sk = json.loads(s)
+                    acc = sk if acc is None else _bs_merge(acc, sk)
+                return json.dumps(_bs_render(acc), sort_keys=True)
+
+            import pandas as pd
+
+            return pd.Series([one(a) for a in sets])
+
+        _BS_UDFS["skel"] = skel
+        _BS_UDFS["merge"] = merge
+    c = tr.to_col(args[0]).cast("string")
+    out = _BS_UDFS["merge"](F.collect_set(_BS_UDFS["skel"](c)))
+    return [(name or _auto("schema", args), out)]

@@ -3589,3 +3589,113 @@ def _geo_point_to_s2cell(tr, args):
 
 
 _str_udf("geo_s2cell_to_central_point", _s2_decode)
+
+
+def _polygon_perimeter_m(s):
+    import numpy as np
+
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    total = 0.0
+    for ring in cs:
+        a = np.asarray(ring, dtype="float64")
+        if len(a) < 2:
+            continue
+        if (a[0] != a[-1]).any():
+            a = np.vstack([a, a[:1]])
+        total += float(np.sum(_hav(a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1])))
+    return total
+
+
+def _line_centroid_json(s):
+    # length-weighted midpoint average in lon/lat (small-segment approx.)
+    import json
+
+    import numpy as np
+
+    cs = _geo_coords(s, "LineString")
+    if cs is None or len(cs) < 2:
+        return None
+    a = np.asarray(cs, dtype="float64")
+    seg_len = _hav(a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1])
+    mid = (a[:-1] + a[1:]) / 2.0
+    w = np.sum(seg_len)
+    if w <= 0:
+        c = a[0]
+    else:
+        c = np.sum(mid * seg_len[:, None], axis=0) / w
+    return json.dumps({"type": "Point", "coordinates": [float(c[0]), float(c[1])]})
+
+
+_geo_json_udf("geo_polygon_perimeter", "double", _polygon_perimeter_m)
+_geo_json_udf("geo_line_centroid", "string", _line_centroid_json)
+
+
+@fn("geo_closest_point_on_line")
+def _geo_closest_point_on_line(tr, args):
+    """geo_closest_point_on_line(lon, lat, line) [KQL]: the point on the
+    LineString nearest the input point (GeoJSON Point) — same clamped
+    cross-track walk as geo_distance_point_to_line, returning the foot."""
+    if "geo_closest_pt_line" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("string")
+        def udf(lons, lats, lines):
+            import json
+
+            import numpy as np
+
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return None
+                cs = _geo_coords(s, "LineString")
+                if cs is None or len(cs) < 2:
+                    return None
+                seg = np.asarray(cs, dtype="float64")
+
+                def unit(lon, lat):
+                    lam, phi = np.radians(lon), np.radians(lat)
+                    return np.stack(
+                        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+                        axis=-1,
+                    )
+
+                p = unit(float(lo), float(la))
+                a = unit(seg[:-1, 0], seg[:-1, 1])
+                b = unit(seg[1:, 0], seg[1:, 1])
+                n = np.cross(a, b)
+                nn = np.linalg.norm(n, axis=1)
+                best, best_pt = np.inf, a[0]
+                for i in range(len(a)):
+                    cands = [a[i], b[i]]
+                    if nn[i] >= 1e-15:
+                        ni = n[i] / nn[i]
+                        f = p - np.dot(p, ni) * ni
+                        fn = np.linalg.norm(f)
+                        if fn >= 1e-15:
+                            f = f / fn
+                            if (
+                                np.dot(np.cross(a[i], f), ni) >= -1e-12
+                                and np.dot(np.cross(f, b[i]), ni) >= -1e-12
+                            ):
+                                cands.append(f)
+                    for c in cands:
+                        d = np.arccos(np.clip(np.dot(p, c), -1, 1))
+                        if d < best:
+                            best, best_pt = d, c
+                lon_out = float(np.degrees(np.arctan2(best_pt[1], best_pt[0])))
+                lat_out = float(np.degrees(np.arcsin(np.clip(best_pt[2], -1, 1))))
+                return json.dumps(
+                    {"type": "Point", "coordinates": [lon_out, lat_out]}
+                )
+
+            return pd.Series([one(lo, la, s) for lo, la, s in zip(lons, lats, lines)])
+
+        _PANDAS_UDF_CACHE["geo_closest_pt_line"] = udf
+    return _PANDAS_UDF_CACHE["geo_closest_pt_line"](
+        tr.to_col(args[0]).cast("double"),
+        tr.to_col(args[1]).cast("double"),
+        _geojson_col(tr, args[2]),
+    )
