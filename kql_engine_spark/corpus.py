@@ -2785,6 +2785,14 @@ q(
 )
 
 q(
+    "set_equals_isutf8_fns",
+    """print a = set_equals(dynamic([1, 2, 2]), dynamic([2, 1])),
+             b = set_equals(dynamic([1]), dynamic([2])),
+             c = isutf8("hi"), d = isutf8("")""",
+    """SELECT true AS a, false AS b, true AS c, true AS d""",
+)
+
+q(
     "geo_line_polygon_fns2",
     """print p = round(geo_polygon_perimeter(dynamic({"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]})), 0),
              c = geo_line_centroid(dynamic({"type":"LineString","coordinates":[[0,0],[2,0]]})),

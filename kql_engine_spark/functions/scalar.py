@@ -3699,3 +3699,18 @@ def _geo_closest_point_on_line(tr, args):
         tr.to_col(args[1]).cast("double"),
         _geojson_col(tr, args[2]),
     )
+
+
+@fn("set_equals")
+def _set_equals(tr, args):
+    a, b = tr.to_col(args[0]), tr.to_col(args[1])
+    return (F.size(F.array_except(a, b)) == 0) & (
+        F.size(F.array_except(b, a)) == 0
+    )
+
+
+@fn("isutf8")
+def _isutf8(tr, args):
+    # the engine's string carrier is decoded text already, so any non-null
+    # value is valid UTF-8 (invalid bytes can't reach a Spark string)
+    return tr.to_col(args[0]).isNotNull()
