@@ -2785,6 +2785,16 @@ q(
 )
 
 q(
+    "llm_dedup_jaccard",
+    """documents
+    | evaluate dedup_jaccard(text, doc_id, 0.8)
+    | summarize n = count()""",
+    None,  # exact char-5-gram Jaccard dedup: min-id components have no
+           # linear-SQL twin (rows-only + metamorphic idempotence/monotone
+           # + synthetic exact-pair tests)
+)
+
+q(
     "set_equals_isutf8_fns",
     """print a = set_equals(dynamic([1, 2, 2]), dynamic([2, 1])),
              b = set_equals(dynamic([1]), dynamic([2])),

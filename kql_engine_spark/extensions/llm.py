@@ -631,3 +631,105 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
         work.select(F.col("__id").alias("node")), pairs
     ).union(tokenless)
     return df.join(keep, df[idc] == keep["node"], "left_semi")
+
+
+@plugin("dedup_jaccard")
+def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_jaccard(textcol, idcol, threshold[, n=5])` —
+    near-duplicate removal by EXACT character-n-gram Jaccard (SURVEY §2.12;
+    the n-gram-Jaccard flavor next to minhash/simhash/embedding):
+
+      1. distinct char n-grams per doc — pure column exprs
+         (`transform(sequence(...), substring)`), no feature hashing, so
+         the final filter is exact (dedup_near's 2^18-bucket HashingTF can
+         collide; this path cannot).
+      2. candidates by minhash BANDING over the gram sets: 100 xxhash64
+         seeds -> 20 bands x 5 rows; a band-value equi-join keeps the
+         shuffle bucket-local (never all-pairs). The candidate stage is
+         PROBABILISTIC (the filter is exact): a pair at Jaccard s is
+         missed with probability (1-s^5)^20 — 3.5e-4 at s=0.8, 1.8e-8 at
+         s=0.9 — while random pairs (s<=0.1) collide with <2e-4
+         probability, so the join stays sparse at corpus scale.
+         Thresholds < 0.5 sit below the s-curve midpoint
+         (1/20)^(1/5) ~= 0.55 and raise a typed error rather than
+         silently losing recall.
+      3. exact filter: |A∩B| / |A∪B| >= threshold on the gram arrays;
+         smallest-id connected components to fixpoint; keep the canonical.
+
+    Docs whose text is null/empty pass through as their own canonicals
+    (same rule as dedup_simhash). Scale: band join + component fixpoint,
+    no driver-side data path."""
+    text = _colname(args[0], "dedup_jaccard")
+    idc = _colname(args[1], "dedup_jaccard")
+    thr = _const_float(args[2], "dedup_jaccard")
+    n = int(_const_float(args[3], "dedup_jaccard")) if len(args) > 3 else 5
+    if not 0.5 <= thr <= 1.0:
+        raise KqlSemanticError(
+            "dedup_jaccard: threshold must be in [0.5, 1.0] — the banded "
+            "candidate stage is tuned for near-duplication, not broad "
+            "similarity (use similarity_join for low thresholds)"
+        )
+    if n < 1:
+        raise KqlSemanticError("dedup_jaccard: n must be >= 1")
+
+    s = F.trim(F.col(text).cast("string"))
+    ss = F.col("__s")
+    grams = F.when(
+        F.length(ss) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(ss) - F.lit(n - 1)),
+                lambda i: F.substring(ss, i, n),
+            )
+        ),
+    ).otherwise(F.array(ss))
+    work = (
+        df.select(F.col(idc).alias("__id"), s.alias("__s"))
+        .filter(F.coalesce(F.length("__s") > 0, F.lit(False)))
+        .withColumn("__g", grams)
+        .select("__id", "__g")
+        .localCheckpoint(eager=True)  # gram arrays feed 24 hash mins + join
+    )
+    empties = df.filter(~F.coalesce(F.length(s) > 0, F.lit(False))).select(
+        F.col(idc).alias("node")
+    )
+    # 100 minhashes -> 20 bands of 5: band value = hash of the 5-tuple
+    def _minhash(seed):
+        # closure factory: a 2-param lambda (default-arg seed) would make
+        # transform() pass the ELEMENT INDEX as the second argument,
+        # silently replacing the seed (same trap as the simhash bit-vote)
+        def h(g):
+            return F.xxhash64(g, F.lit(seed))
+
+        return F.array_min(F.transform(F.col("__g"), h))
+
+    mins = [_minhash(i) for i in range(100)]
+    banded = work.select(
+        "__id",
+        "__g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.xxhash64(*mins[5 * b : 5 * b + 5]).alias("v"),
+                    )
+                    for b in range(20)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__g", "__band.b", "__band.v")
+    inter = F.size(F.array_intersect(F.col("l.__g"), F.col("r.__g")))
+    union_ = F.size(F.array_union(F.col("l.__g"), F.col("r.__g")))
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["b", "v"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .filter((inter / union_) >= F.lit(thr))
+        .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
+        .distinct()
+    )
+    keep = _min_id_components(
+        work.select(F.col("__id").alias("node")), pairs
+    ).union(empties)
+    return df.join(keep, df[idc] == keep["node"], "left_semi")

@@ -2106,7 +2106,8 @@ _VOLATILE_FUNCS = frozenset({"now", "ago", "rand", "new_guid", "toscalar", "mate
 # across data changes, same contract as toscalar/materialize
 _VOLATILE_PLUGINS = frozenset(
     {
-        "dedup_near", "dedup_simhash", "dedup_embedding", "similarity_join",
+        "dedup_near", "dedup_simhash", "dedup_embedding", "dedup_jaccard",
+        "similarity_join",
         "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
         "diffpatterns", "diffpatterns_text",
     }

@@ -383,3 +383,48 @@ def test_similarity_search_ivf_recall_and_probes(run_kql, duck):
         ).collect()
     }
     assert full == brute  # nprobe == nlist -> exact
+
+
+def test_dedup_jaccard_idempotent_and_monotone(run_kql):
+    once = run_kql(
+        "documents | evaluate dedup_jaccard(text, doc_id, 0.8)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    twice = run_kql(
+        "documents | evaluate dedup_jaccard(text, doc_id, 0.8)"
+        " | evaluate dedup_jaccard(text, doc_id, 0.8)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    assert once == twice
+    loose = run_kql(
+        "documents | evaluate dedup_jaccard(text, doc_id, 0.6)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    assert loose <= once  # lower threshold merges at least as much
+
+
+def test_dedup_jaccard_exact_pairs_and_empty_docs(run_kql):
+    # a true near-dup pair collapses to the min id; the empty doc survives
+    kept = [
+        r.id
+        for r in run_kql(
+            'datatable (id: long, t: string) ['
+            ' 1, "the quick brown fox jumps over the lazy dog",'
+            ' 2, "the quick brown fox jumps over the lazy dogs",'
+            ' 3, "completely different content here",'
+            ' 4, "" ]'
+            " | evaluate dedup_jaccard(t, id, 0.7) | project id | sort by id asc"
+        ).collect()
+    ]
+    assert kept == [1, 3, 4]
+
+
+def test_dedup_jaccard_threshold_range_error(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError):
+        run_kql(
+            "documents | evaluate dedup_jaccard(text, doc_id, 0.3)"
+        ).collect()
