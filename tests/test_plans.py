@@ -246,3 +246,20 @@ def test_dcount_intersect_no_shuffle_after_agg(run_kql):
     # summarize's own exchange, nothing added by the plugin
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_dedup_jaccard_banded_not_all_pairs(run_kql):
+    df = run_kql("documents | evaluate dedup_jaccard(text, doc_id, 0.8)")
+    plan = _plan(df)
+    # the candidate join must be a band-key equi-join, never a cross product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_diffpatterns_text_shuffle_partitioned(run_kql):
+    df = run_kql(
+        'events | extend side = iff(user_id % 2 == 0, "even", "odd")'
+        ' | project msg = strcat("user did ", event_type), side'
+        ' | evaluate diffpatterns_text(msg, side, "even", "odd")'
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
