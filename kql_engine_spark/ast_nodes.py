@@ -496,11 +496,16 @@ class Query:
 
 @dataclass
 class FindSource(Source):
-    """`find in (T1, T2, ...) where pred [project ...]` — query-initial
-    multi-table search [KQL §2.13]."""
+    """`find [withsource=Col] in (T1, ...) where pred [project ...]` or the
+    bare-term form `find [in (...)] "term"` — query-initial multi-table
+    search [KQL §2.13]. `pred` is None in the term form (`term` holds the
+    literal, matched with `search` term semantics across all string
+    columns)."""
     tables: list[str]
-    pred: "Expr"
+    pred: "Expr | None"
     project: list["NamedExpr"] | None = None
+    withsource: str | None = None
+    term: str | None = None
 
 
 @dataclass

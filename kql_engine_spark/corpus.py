@@ -2785,6 +2785,24 @@ q(
 )
 
 q(
+    "find_term_withsource",
+    """find withsource=T in (region) "AFRICA"
+    | project T, r_name""",
+    """SELECT 'region' AS T, r_name FROM region WHERE r_name = 'AFRICA'""",
+)
+
+q(
+    "find_withsource_where",
+    """find withsource=Src in (region, nation) where true
+    | summarize n = count() by Src
+    | sort by Src asc""",
+    """SELECT 'nation' AS Src, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+       UNION ALL
+       SELECT 'region' AS Src, CAST(COUNT(*) AS BIGINT) AS n FROM region
+       ORDER BY Src""",
+)
+
+q(
     "llm_dedup_jaccard",
     """documents
     | evaluate dedup_jaccard(text, doc_id, 0.8)

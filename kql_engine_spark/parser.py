@@ -251,6 +251,11 @@ class Parser:
 
     def parse_find(self) -> "FindSource":
         self.expect(IDENT, "find")
+        withsource = None
+        if self.at(IDENT, "withsource"):
+            self.next()
+            self.expect(OP, "=")
+            withsource = self.ident_name()
         tables: list[str] = []
         if self.accept(IDENT, "in"):
             self.expect(OP, "(")
@@ -259,12 +264,18 @@ class Parser:
                 if not self.accept(OP, ","):
                     break
             self.expect(OP, ")")
+        if self.at(STRING):  # bare-term form: `find [in (...)] "term"`
+            term = str(self.next().value)
+            project = None
+            if self.accept(IDENT, "project"):
+                project = self.parse_named_expr_list()
+            return FindSource(tables, None, project, withsource, term)
         self.expect(IDENT, "where")
         pred = self.parse_expr()
         project = None
         if self.accept(IDENT, "project"):
             project = self.parse_named_expr_list()
-        return FindSource(tables, pred, project)
+        return FindSource(tables, pred, project, withsource)
 
     def parse_datatable(self) -> DataTable:
         self.expect(IDENT, "datatable")

@@ -696,12 +696,47 @@ class PipeTranslator:
                 return _Between(substitute_missing(e.expr, have), e.lo, e.hi, e.negated)
             return e
 
+        src_col = src.withsource or "source_"
+        if src.term is not None:
+            # bare-term form: `search` term semantics across every string
+            # column of each table (lenient — tables without string columns
+            # simply contribute nothing)
+            from .ast_nodes import SearchTerm as _SearchTerm
+
+            leaf = _SearchTerm(Lit(src.term, "string"))
+            tables = src.tables or self.catalog.names()
+            frames = [
+                (
+                    t,
+                    self._resolve_table(t).filter(
+                        self._search_cond(
+                            self._resolve_table(t), leaf, True, lenient=True
+                        )
+                    ),
+                )
+                for t in tables
+            ]
+            if src.project:
+                from .ast_nodes import NamedExpr as _NamedExpr
+
+                projected = []
+                for t, fdf in frames:
+                    have = set(fdf.columns)
+                    proj = [
+                        _NamedExpr(ne.name, substitute_missing(ne.expr, have))
+                        for ne in src.project
+                    ]
+                    items = self._named_items(fdf, proj)
+                    projected.append((t, fdf.select(*[c.alias(n) for n, c in items])))
+                frames = projected
+            return self._union(frames, "outer", src_col)
+
         needed = cols_of(src.pred)
         frames: list[tuple[str, DataFrame]] = []
         for t in src.tables:
             df = self._resolve_table(t)
             have = set(df.columns)
-            if not (needed & have):
+            if needed and not (needed & have):
                 continue  # predicate cannot match anything in this table
             pred = substitute_missing(src.pred, have)
             filtered = df.filter(self.expr_tr(df).to_col(pred))
@@ -719,7 +754,7 @@ class PipeTranslator:
             frames.append((t, filtered))
         if not frames:
             raise KqlSemanticError("find: predicate references no table's columns")
-        return self._union(frames, "outer", "source_")
+        return self._union(frames, "outer", src_col)
 
     def t_fork(self, df: DataFrame, op: Fork) -> DataFrame:
         """`T | fork (q1) (q2)` [KQL §2.13]: apply each sub-pipeline to the
