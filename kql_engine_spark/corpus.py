@@ -2785,6 +2785,14 @@ q(
 )
 
 q(
+    "array_negative_index",
+    """print a = dynamic([1, 2, 3])[-1], b = dynamic([1, 2, 3])[0],
+             c = dynamic([1, 2, 3])[5], d = tostring(todynamic("[10,20,30]")[-1]),
+             e = tostring(parse_json("[1,2]")[-5])""",
+    """SELECT 3 AS a, 1 AS b, CAST(NULL AS BIGINT) AS c, '30' AS d, '' AS e""",
+)
+
+q(
     "find_term_withsource",
     """find withsource=T in (region) "AFRICA"
     | project T, r_name""",

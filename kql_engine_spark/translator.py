@@ -374,7 +374,11 @@ class ExprTranslator:
         key = e.key
         if isinstance(dt, T.ArrayType):
             idx = self.to_col(key).cast("int")
-            return F.element_at(base, idx + F.lit(1))  # KQL arrays 0-based
+            # KQL arrays are 0-based; a negative index counts from the END
+            # (arr[-1] = last), which is Spark's native negative element_at
+            return F.when(
+                idx >= 0, F.element_at(base, idx + F.lit(1))
+            ).otherwise(F.element_at(base, idx))
         if isinstance(dt, T.MapType):
             return F.element_at(base, self.to_col(key))
         if isinstance(dt, T.StructType):
@@ -385,8 +389,13 @@ class ExprTranslator:
         # JSON-text dynamic carrier
         if isinstance(key, Lit) and key.ktype == "string":
             return F.get_json_object(base.cast("string"), f"$.{key.value}")
-        idx_val = self.const_value(key)
-        return F.get_json_object(base.cast("string"), f"$[{int(idx_val)}]")
+        idx_val = int(self.const_value(key))
+        if idx_val < 0:
+            # JSONPath has no from-the-end index: materialize the array and
+            # use native negative element_at (KQL: arr[-1] = last, null OOB)
+            arr = F.from_json(base.cast("string"), "array<string>")
+            return F.element_at(arr, F.lit(idx_val))
+        return F.get_json_object(base.cast("string"), f"$[{idx_val}]")
 
     def _call(self, e: FuncCall) -> Column:
         name = e.name
