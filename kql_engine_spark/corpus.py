@@ -2785,6 +2785,13 @@ q(
 )
 
 q(
+    "substring_negative_start",
+    """print a = substring("123456", -2, 2), b = substring("123456", 1, 2),
+             c = substring("hello", -2, 3), d = substring("hello", 2)""",
+    """SELECT '56' AS a, '23' AS b, 'lo' AS c, 'llo' AS d""",
+)
+
+q(
     "array_negative_index",
     """print a = dynamic([1, 2, 3])[-1], b = dynamic([1, 2, 3])[0],
              c = dynamic([1, 2, 3])[5], d = tostring(todynamic("[10,20,30]")[-1]),

@@ -78,7 +78,10 @@ def _strcat_delim(tr, args):
 @fn("substring")
 def _substring(tr, args):
     s = tr.to_col(args[0])
-    start = tr.to_col(args[1]).cast("int") + F.lit(1)  # KQL 0-based [KQL]
+    raw = tr.to_col(args[1]).cast("int")
+    # KQL 0-based; a NEGATIVE start counts from the end (substring("123456",
+    # -2, 2) = "56") — Spark's from-end pos needs no 0->1 shift
+    start = F.when(raw >= 0, raw + F.lit(1)).otherwise(raw)
     if len(args) >= 3:
         return F.substring(s, start, tr.to_col(args[2]).cast("int"))
     return F.substring(s, start, F.lit(2147483647))
