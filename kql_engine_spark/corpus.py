@@ -2785,6 +2785,19 @@ q(
 )
 
 q(
+    "indexof_countof_extended",
+    """print a = indexof("abcabc", "bc", 2), b = indexof("abcabc", "bc", 0, 6, 2),
+             c = indexof("abcdba", "b", -3),
+             d = array_index_of(dynamic([1, 2, 3, 2]), 2, 2),
+             e = array_index_of(dynamic([1, 2, 3, 2]), 2, 0, -1, 2),
+             f = countof("aaa", "aa"), g = countof("a,b.c", "[,.]", "regex")""",
+    """SELECT CAST(4 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b,
+              CAST(4 AS BIGINT) AS c, CAST(3 AS BIGINT) AS d,
+              CAST(3 AS BIGINT) AS e, CAST(2 AS BIGINT) AS f,
+              CAST(2 AS BIGINT) AS g""",
+)
+
+q(
     "substring_negative_start",
     """print a = substring("123456", -2, 2), b = substring("123456", 1, 2),
              c = substring("hello", -2, 3), d = substring("hello", 2)""",

@@ -101,25 +101,53 @@ def _split(tr, args):
 
 @fn("indexof")
 def _indexof(tr, args):
-    # KQL is 0-based with -1 for not-found [KQL]; Spark instr is 1-based/0
-    s = tr.to_col(args[0])
-    sub = tr.to_col(args[1])
-    if len(args) >= 3:
-        start0 = tr.to_col(args[2]).cast("int")
-        # emulate via substring search on the suffix
-        suffix = F.substring(s, start0 + F.lit(1), F.lit(2147483647))
-        found = F.instr(suffix, sub)
-        return F.when(found > 0, found - F.lit(1) + start0).otherwise(F.lit(-1))
-    return F.instr(s, sub) - F.lit(1)
+    """indexof(s, sub[, start[, length[, occurrence]]]) — 0-based, -1 not
+    found [KQL]. start < 0 offsets from the end; length -1 = rest of the
+    string; occurrence selects the k-th (overlapping) match. The general
+    form enumerates candidate positions JVM-side (filter over sequence)."""
+    s = tr.to_col(args[0]).cast("string")
+    sub = tr.to_col(args[1]).cast("string")
+    if len(args) <= 2:
+        return (F.instr(s, sub) - F.lit(1)).cast("bigint")
+    start0 = tr.to_col(args[2]).cast("int")
+    start0 = F.when(start0 < 0, F.greatest(F.length(s) + start0, F.lit(0))).otherwise(start0)
+    length = tr.to_col(args[3]).cast("int") if len(args) >= 4 else F.lit(-1)
+    occ = tr.to_col(args[4]).cast("int") if len(args) >= 5 else F.lit(1)
+    window_end = F.when(length < 0, F.length(s)).otherwise(
+        F.least(start0 + length, F.length(s))
+    )
+    # 1-based candidate start positions within [start0+1, window_end]
+    positions = F.filter(
+        F.when(
+            window_end >= start0 + 1,
+            F.sequence(start0 + F.lit(1), window_end),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda p: F.substring(s, p, F.length(sub)) == sub,
+    )
+    hit = F.get(positions, occ - F.lit(1))  # 0-based get: null when absent
+    return F.coalesce(hit - F.lit(1), F.lit(-1)).cast("bigint")
 
 
 @fn("countof")
 def _countof(tr, args):
-    s = tr.to_col(args[0])
+    """countof(s, search[, kind]) [KQL]: plain matches count WITH overlap
+    (countof("aaa", "aa") = 2) — position-enumerated JVM-side; regex kind
+    is standard non-overlapping regexp_count."""
+    s = tr.to_col(args[0]).cast("string")
     search = tr.const_string(args[1])
     kind = tr.const_string(args[2]) if len(args) >= 3 else "normal"
-    pattern = search if kind == "regex" else _re.escape(search)
-    return F.size(F.split(s, pattern)) - F.lit(1)
+    if kind == "regex":
+        return F.regexp_count(s, F.lit(search)).cast("bigint")
+    sub = F.lit(search)
+    span = F.length(s) - F.lit(len(search) - 1)
+    return F.size(
+        F.filter(
+            F.when(span >= 1, F.sequence(F.lit(1), span)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.substring(s, i, F.lit(len(search))) == sub,
+        )
+    ).cast("bigint")
 
 
 @fn("replace_string")
@@ -675,9 +703,26 @@ def _array_slice(tr, args):
 
 @fn("array_index_of")
 def _array_index_of(tr, args):
+    """array_index_of(arr, value[, start[, length[, occurrence]]]) —
+    0-based, -1 not found [KQL]. start < 0 offsets from the end; length -1
+    = rest; occurrence selects the k-th match."""
     a = tr.to_col(args[0])
     v = tr.to_col(args[1])
-    return F.array_position(a, v).cast("bigint") - F.lit(1)  # 0-based, -1 nf [KQL]
+    if len(args) <= 2:
+        return F.array_position(a, v).cast("bigint") - F.lit(1)
+    start0 = tr.to_col(args[2]).cast("int")
+    start0 = F.when(start0 < 0, F.greatest(F.size(a) + start0, F.lit(0))).otherwise(start0)
+    length = tr.to_col(args[3]).cast("int") if len(args) >= 4 else F.lit(-1)
+    occ = tr.to_col(args[4]).cast("int") if len(args) >= 5 else F.lit(1)
+    end = F.when(length < 0, F.size(a)).otherwise(F.least(start0 + length, F.size(a)))
+    positions = F.filter(
+        F.when(end >= start0 + 1, F.sequence(start0 + F.lit(1), end)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.element_at(a, i) == v,
+    )
+    hit = F.get(positions, occ - F.lit(1))
+    return F.coalesce(hit - F.lit(1), F.lit(-1)).cast("bigint")
 
 
 @fn("array_rotate_left")
