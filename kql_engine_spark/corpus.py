@@ -2785,6 +2785,21 @@ q(
 )
 
 q(
+    "typed_literal_ctors",
+    """print a = long(7) + int(3), b = real(2.5) * 2, c = bool(true),
+             d = long(null), e = long(-12)""",
+    """SELECT CAST(10 AS BIGINT) AS a, 5.0 AS b, true AS c,
+              CAST(NULL AS BIGINT) AS d, CAST(-12 AS BIGINT) AS e""",
+)
+
+q(
+    "dynamic_heterogeneous_literal",
+    """print v = tostring(dynamic({"x": {"y": [1, {"z": 2}]}}).x.y[1].z),
+             w = tostring(dynamic([1, "a", true])[1])""",
+    """SELECT '2' AS v, 'a' AS w""",
+)
+
+q(
     "indexof_countof_extended",
     """print a = indexof("abcabc", "bc", 2), b = indexof("abcabc", "bc", 0, 6, 2),
              c = indexof("abcdba", "b", -3),

@@ -200,6 +200,8 @@ def _arg_extreme(tr, args, name, by_fn, label):
 
 @agg("take_any", "any")
 def _take_any(tr, args, name):
+    if not args:
+        raise KqlSemanticError("take_any requires at least one argument (or *)")
     out = []
     for a in args:
         if isinstance(a, Star):

@@ -103,19 +103,58 @@ def parse_dynamic_literal(raw: str) -> object:
         raise KqlSemanticError(f"bad dynamic literal: {raw!r}") from exc
 
 
+class _MixedDynamic(Exception):
+    pass
+
+
+def _dynamic_sig(v: object):
+    """Spark-type signature of a decoded dynamic value; raises _MixedDynamic
+    when a container mixes element types Spark's array()/create_map() can't
+    carry (ints and floats merge — Spark coerces those)."""
+    if v is None:
+        return None  # wildcard: compatible with anything
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "f"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    items = v if isinstance(v, list) else list(v.values())
+    sigs = {s for s in (_dynamic_sig(x) for x in items) if s is not None}
+    if len(sigs) > 1:
+        raise _MixedDynamic()
+    inner = sigs.pop() if sigs else None
+    return ("a" if isinstance(v, list) else "m", inner)
+
+
 def lit_dynamic(value: object) -> Column:
-    """Build a Column for a decoded dynamic literal value."""
+    """Build a Column for a decoded dynamic literal value. Homogeneous
+    containers become native array/map columns; heterogeneous ones (e.g.
+    [1, {"z": 2}]) fall back to the JSON-text dynamic carrier the property
+    accessor already understands."""
+    try:
+        _dynamic_sig(value)
+    except _MixedDynamic:
+        import json
+
+        return F.lit(json.dumps(value))
+    return _lit_dynamic_typed(value)
+
+
+def _lit_dynamic_typed(value: object) -> Column:
     if value is None:
         return F.lit(None)
     if isinstance(value, list):
         if not value:
             return F.array()
-        return F.array(*[lit_dynamic(v) for v in value])
+        return F.array(*[_lit_dynamic_typed(v) for v in value])
     if isinstance(value, dict):
         pairs: list[Column] = []
         for k, v in value.items():
             pairs.append(F.lit(str(k)))
-            pairs.append(lit_dynamic(v))
+            pairs.append(_lit_dynamic_typed(v))
         return F.create_map(*pairs)
     return F.lit(value)
 

@@ -411,6 +411,20 @@ class ExprTranslator:
                 sval = _inf_name(arg)
                 if sval is not None:
                     return F.lit(sval)
+            # typed literal ctor with a constant: long(7), real(2.5),
+            # int(-3), bool(true) [KQL literal forms]. datetime/guid/time
+            # raw forms are TypedLits handled upstream.
+            if name in ("bool", "int", "long", "real", "double", "decimal") and (
+                isinstance(arg, Lit)
+                or (
+                    isinstance(arg, UnaryOp)
+                    and arg.op == "-"
+                    and isinstance(arg.operand, Lit)
+                )
+            ):
+                v = self.const_value(arg)
+                if not isinstance(v, str):
+                    return F.lit(v).cast(KQL_CAST_NAME[name])
         if name in _WINDOW_FNS:
             return self._window_call(e)
         if name in self.engine.lets and isinstance(self.engine.lets[name], Lambda):
