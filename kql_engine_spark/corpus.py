@@ -2785,6 +2785,16 @@ q(
 )
 
 q(
+    "timespan_tostring_fns",
+    """print a = tostring(1h), b = tostring(90m),
+             c = tostring(1d + 2h + 3m + 4s), d = tostring(-30m),
+             e = tostring(totimespan("00:00:01.5")),
+             f = strcat("t=", 30m)""",
+    """SELECT '01:00:00' AS a, '01:30:00' AS b, '1.02:03:04' AS c,
+              '-00:30:00' AS d, '00:00:01.5000000' AS e, 't=00:30:00' AS f""",
+)
+
+q(
     "typed_literal_ctors",
     """print a = long(7) + int(3), b = real(2.5) * 2, c = bool(true),
              d = long(null), e = long(-12)""",

@@ -56,7 +56,11 @@ simple("toupper")(F.upper)
 simple("tolower")(F.lower)
 simple("reverse")(F.reverse)
 simple("strrep")(lambda s, n: F.repeat(s, n.cast("int")))
-simple("strcat")(lambda *cs: F.concat(*[c.cast("string") for c in cs]))
+@fn("strcat")
+def _strcat(tr, args):
+    # each operand renders with KQL tostring semantics (timespans as
+    # hh:mm:ss, dynamics as JSON, null -> empty)
+    return F.concat(*[REGISTRY["tostring"](tr, [a]) for a in args])
 simple("strcmp")(
     lambda a, b: F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
 )
@@ -72,7 +76,7 @@ def _translate(tr, args):
 @fn("strcat_delim")
 def _strcat_delim(tr, args):
     delim = tr.const_string(args[0])
-    return F.concat_ws(delim, *[tr.to_col(a).cast("string") for a in args[1:]])
+    return F.concat_ws(delim, *[REGISTRY["tostring"](tr, [a]) for a in args[1:]])
 
 
 @fn("substring")
@@ -568,6 +572,9 @@ def _tostring(tr, args):
         return F.to_json(c)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if isinstance(dt, T.DayTimeIntervalType):
+        # Kusto renders timespans as [d.]hh:mm:ss, not Spark INTERVAL syntax
+        return F.coalesce(kql_timespan_string(c), F.lit(""))
     out = c.cast("string")
     return F.coalesce(out, F.lit(""))  # KQL strings are never null [KQL §1.2]
 
@@ -3762,3 +3769,23 @@ def _isutf8(tr, args):
     # the engine's string carrier is decoded text already, so any non-null
     # value is valid UTF-8 (invalid bytes can't reach a Spark string)
     return tr.to_col(args[0]).isNotNull()
+
+
+def kql_timespan_string(ts: Column) -> Column:
+    """Kusto default timespan rendering: [-][d.]hh:mm:ss[.fffffff] — days
+    only when nonzero, 7-digit tick fraction only when fractional."""
+    from ..semantics import timespan_seconds_of
+
+    signed = timespan_seconds_of(ts)
+    total = F.abs(signed)
+    d = F.floor(total / 86400).cast("bigint")
+    h = F.lpad(F.floor(F.pmod(total, 86400.0) / 3600).cast("bigint").cast("string"), 2, "0")
+    m = F.lpad(F.floor(F.pmod(total, 3600.0) / 60).cast("bigint").cast("string"), 2, "0")
+    s = F.lpad(F.floor(F.pmod(total, 60.0)).cast("bigint").cast("string"), 2, "0")
+    ticks = F.round((total - F.floor(total)) * 1e7).cast("bigint")
+    frac = F.when(
+        ticks > 0, F.concat(F.lit("."), F.lpad(ticks.cast("string"), 7, "0"))
+    ).otherwise(F.lit(""))
+    dayp = F.when(d > 0, F.concat(d.cast("string"), F.lit("."))).otherwise(F.lit(""))
+    sign = F.when(signed < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(sign, dayp, h, F.lit(":"), m, F.lit(":"), s, frac)
