@@ -2785,6 +2785,17 @@ q(
 )
 
 q(
+    "totimespan_string_forms",
+    """print a = tostring(totimespan("1.02:03:04.5")),
+             b = tostring(totimespan("02:03")),
+             c = isnull(totimespan("bogus")),
+             d = tostring(totimespan("-00:30:00")),
+             e = tostring(totimespan("2"))""",
+    """SELECT '1.02:03:04.5000000' AS a, '02:03:00' AS b, true AS c,
+              '-00:30:00' AS d, '2.00:00:00' AS e""",
+)
+
+q(
     "timespan_tostring_fns",
     """print a = tostring(1h), b = tostring(90m),
              c = tostring(1d + 2h + 3m + 4s), d = tostring(-30m),

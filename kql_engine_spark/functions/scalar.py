@@ -586,7 +586,11 @@ def _todatetime(tr, args):
 
 @fn("totimespan")
 def _totimespan(tr, args):
-    secs = tr.const_seconds(args[0])
+    try:
+        secs = tr.const_seconds(args[0])
+    except KqlSemanticError:
+        # unparseable constant: to*() conversions yield null, not an error
+        return typed_null("timespan")
     if secs is not None:
         return interval_seconds(secs)
     from ..ast_nodes import Lit as _Lit
@@ -596,12 +600,51 @@ def _totimespan(tr, args):
         # string->interval cast expects the INTERVAL literal grammar)
         from ..translator import _parse_timespan_raw
 
-        s = _parse_timespan_raw(str(args[0].value))
-        return interval_seconds(s) if s is not None else typed_null("timespan")
+        raw = str(args[0].value).strip()
+        sign = -1.0 if raw.startswith("-") else 1.0
+        try:
+            s = _parse_timespan_raw(raw.lstrip("+-"))
+        except KqlSemanticError:
+            s = None
+        return (
+            interval_seconds(sign * s) if s is not None else typed_null("timespan")
+        )
     c = tr.to_col(args[0])
     dt = tr.dtype_of(c)
     if isinstance(dt, T.DayTimeIntervalType):
         return c
+    if isinstance(dt, T.StringType):
+        # columnar KQL-format parse: [-][d.]hh:mm[:ss[.fffffff]] or a bare
+        # number of days (Spark's string->interval cast only accepts the
+        # INTERVAL literal grammar, so computed strings need this path)
+        s = F.trim(c)
+        body = F.regexp_replace(s, r"^[-+]", "")
+        neg = F.startswith(s, F.lit("-"))
+        pat = r"^(?:(\d+)\.)?(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?$"
+        part = [F.regexp_extract(body, pat, g) for g in range(6)]
+        num = lambda p: F.coalesce(p.try_cast("double"), F.lit(0.0))  # noqa: E731
+        frac = F.coalesce(
+            F.concat(F.lit("0."), part[5]).try_cast("double"), F.lit(0.0)
+        )
+        clock = (
+            num(part[1]) * 86400
+            + num(part[2]) * 3600
+            + num(part[3]) * 60
+            + num(part[4])
+            + frac
+        )
+        secs_col = (
+            F.when(F.regexp_like(body, F.lit(pat)), clock)
+            .when(
+                F.regexp_like(body, F.lit(r"^\d+(\.\d+)?$")),
+                body.try_cast("double") * 86400,  # bare number = days [KQL]
+            )
+            .otherwise(F.lit(None))
+        )
+        secs_col = F.when(neg, -secs_col).otherwise(secs_col)
+        return F.when(
+            secs_col.isNotNull(), F.make_dt_interval(secs=secs_col)
+        ).otherwise(typed_null("timespan"))
     return c.try_cast("interval day to second")
 
 

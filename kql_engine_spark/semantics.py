@@ -51,6 +51,8 @@ KQL_CAST_NAME: dict[str, str] = {
     "datetime": "timestamp",
     "date": "timestamp",
     "guid": "string",
+    "timespan": "interval day to second",
+    "time": "interval day to second",
 }
 
 _DT_FORMATS = (
