@@ -2785,6 +2785,17 @@ q(
 )
 
 q(
+    "todatetime_string_forms",
+    """print a = todatetime("03/05/2024"), b = todatetime("5 March 2024"),
+             c = todatetime("Mar 5 2024"),
+             d = todatetime("Tue, 05 Mar 2024 07:08:09"),
+             e = isnull(todatetime("garbage"))""",
+    """SELECT TIMESTAMP '2024-03-05' AS a, TIMESTAMP '2024-03-05' AS b,
+              TIMESTAMP '2024-03-05' AS c,
+              TIMESTAMP '2024-03-05 07:08:09' AS d, true AS e""",
+)
+
+q(
     "totimespan_string_forms",
     """print a = tostring(totimespan("1.02:03:04.5")),
              b = tostring(totimespan("02:03")),

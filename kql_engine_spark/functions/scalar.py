@@ -581,7 +581,25 @@ def _tostring(tr, args):
 
 @fn("todatetime")
 def _todatetime(tr, args):
-    return tr.to_col(args[0]).try_cast("timestamp")
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of(c)
+    if not isinstance(dt, T.StringType):
+        return c.try_cast("timestamp")
+    # Kusto accepts ISO plus common US/RFC/textual forms; Spark's cast is
+    # ISO-only, so coalesce over a bounded, documented format list
+    s = F.trim(c)
+    alt = [
+        "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy", "M/d/yyyy H:mm:ss", "M/d/yyyy",
+        "d MMMM yyyy HH:mm:ss", "d MMMM yyyy", "MMMM d, yyyy",
+        "MMM d yyyy", "d MMM yyyy",
+    ]
+    # RFC1123's weekday prefix isn't a parseable Spark pattern — strip it
+    rfc = F.regexp_replace(s, r"^[A-Za-z]{3},\s*", "")
+    return F.coalesce(
+        s.try_cast("timestamp"),
+        *[F.try_to_timestamp(s, F.lit(f)) for f in alt],
+        F.try_to_timestamp(rfc, F.lit("dd MMM yyyy HH:mm:ss")),
+    )
 
 
 @fn("totimespan")
