@@ -155,7 +155,7 @@ class Sort(TabularOp):
 
 @dataclass
 class Take(TabularOp):
-    n: int
+    n: "int | Expr"  # Expr = constant resolved at translate time
 
 
 @dataclass
@@ -424,6 +424,9 @@ class Source:
 @dataclass
 class TableRef(Source):
     name: str
+    # stored-function source call `f(arg1, ...)`: scalar args bound to the
+    # lambda's parameters at translate time (None = plain table reference)
+    args: Optional[list["Expr"]] = None
 
 
 @dataclass
@@ -486,6 +489,7 @@ class LetStmt:
 class Lambda:
     params: list[tuple[str, str]]  # (name, ktype) — ktype may be ''
     body: Expr
+    defaults: dict = field(default_factory=dict)  # name -> default Expr
 
 
 @dataclass

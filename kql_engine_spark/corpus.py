@@ -2785,6 +2785,27 @@ q(
 )
 
 q(
+    "stored_function_source_call",
+    """let top_nations = (lim: long, rk: long = 0) {
+        nation | where n_regionkey == rk | top lim by n_nationkey desc
+        | project n_nationkey, n_name
+    };
+    top_nations(3, 1)""",
+    """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+       ORDER BY n_nationkey DESC LIMIT 3""",
+)
+
+q(
+    "lambda_default_params",
+    """let scale = (n: long, m: long = 10) { n * m };
+    let lim = 2;
+    nation | take lim | project v = scale(n_nationkey + 1)
+    | sort by v asc""",
+    """SELECT (n_nationkey + 1) * 10 AS v FROM nation
+       ORDER BY n_nationkey LIMIT 2""",
+)
+
+q(
     "todatetime_string_forms",
     """print a = todatetime("03/05/2024"), b = todatetime("5 March 2024"),
              c = todatetime("Mar 5 2024"),

@@ -152,6 +152,7 @@ class Parser:
     def parse_lambda(self) -> Lambda:
         self.expect(OP, "(")
         params: list[tuple[str, str]] = []
+        defaults: dict = {}
         while not self.at(OP, ")"):
             pname = self.ident_name()
             ptype = ""
@@ -167,6 +168,8 @@ class Parser:
                 else:
                     ptype = self.ident_name()
             params.append((pname, ptype))
+            if self.accept(OP, "="):
+                defaults[pname] = self.parse_expr()
             if not self.accept(OP, ","):
                 break
         self.expect(OP, ")")
@@ -183,7 +186,7 @@ class Parser:
             body = pipe
         self.accept(OP, ";")
         self.expect(OP, "}")
-        return Lambda(params, body)
+        return Lambda(params, body, defaults)
 
     def find_matching_paren(self, start: int) -> int | None:
         """start indexes a '(' token; return index of its matching ')'."""
@@ -247,6 +250,15 @@ class Parser:
             self.next()
             return SearchSource(self.op_search())
         self.next()
+        if self.at(OP, "("):  # stored-function call source: f(3) | ...
+            self.next()
+            fargs: list = []
+            while not self.at(OP, ")"):
+                fargs.append(self.parse_expr())
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, ")")
+            return TableRef(str(t.value), fargs)
         return TableRef(str(t.value))
 
     def parse_find(self) -> "FindSource":
@@ -488,13 +500,20 @@ class Parser:
                 break
         return keys
 
+    def _count_arg(self):
+        """Row-count argument: an INT literal, or any constant expression
+        (let-bound scalar / lambda parameter) resolved at translate time."""
+        if self.at(INT):
+            return int(self.next().value)
+        return self.parse_expr()
+
     def op_take(self) -> Take:
-        return Take(int(self.expect(INT).value))
+        return Take(self._count_arg())
 
     op_limit = op_take
 
     def op_top(self) -> Top:
-        n = int(self.expect(INT).value)
+        n = self._count_arg()
         self.expect(IDENT, "by")
         return Top(n, self.parse_sort_keys())
 
@@ -764,10 +783,10 @@ class Parser:
         return GetSchema()
 
     def op_sample(self) -> SampleOp:
-        return SampleOp(int(self.expect(INT).value))
+        return SampleOp(self._count_arg())
 
     def op_sample_distinct(self) -> SampleDistinct:
-        n = int(self.expect(INT).value)
+        n = self._count_arg()
         self.expect(IDENT, "of")
         return SampleDistinct(n, self.ident_name())
 

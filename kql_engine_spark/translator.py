@@ -432,6 +432,12 @@ class ExprTranslator:
             sub_env = dict(self.env)
             for (pname, _ptype), arg in zip(lam.params, e.args):
                 sub_env[pname] = self.to_col(arg)
+            for pname, _ptype in lam.params[len(e.args):]:
+                if pname not in lam.defaults:
+                    raise KqlSemanticError(
+                        f"{name}: missing argument for parameter {pname!r}"
+                    )
+                sub_env[pname] = self.to_col(lam.defaults[pname])
             sub = ExprTranslator(self.df, self.engine, sub_env, self.window, self.sides)
             return sub.to_col(lam.body)
         fn = FN_REGISTRY.get(name)
@@ -605,6 +611,8 @@ class PipeTranslator:
     def translate_source(self, src) -> DataFrame:
         self.order = None
         if isinstance(src, TableRef):
+            if src.args is not None:
+                return self._call_tabular_function(src.name, src.args)
             return self._resolve_table(src.name)
         if isinstance(src, PipeSource):
             return self.translate_pipe(src.pipe)
@@ -645,6 +653,31 @@ class PipeTranslator:
             )
             return self.spark.read.format(fmt).schema(schema).load(src.uris)
         raise KqlUnsupportedError(f"unsupported source {type(src).__name__}")
+
+    def _call_tabular_function(self, name: str, args: list) -> DataFrame:
+        """Stored-function source call `f(3) | ...` [KQL]: every parameter
+        is scalar (no piped table); omitted trailing args take the lambda's
+        declared defaults; the body pipe translates with the parameters
+        bound as let expressions."""
+        bound = self.lets.get(name)
+        if not isinstance(bound, Lambda) or not isinstance(bound.body, Pipe):
+            raise KqlSemanticError(
+                f"{name!r} is not a tabular function (let {name} = "
+                "(params) { T | ... })"
+            )
+        saved_lets = dict(self.lets)
+        for (pname, _), arg in zip(bound.params, args):
+            self.lets[pname] = arg
+        for pname, _ in bound.params[len(args):]:
+            if pname not in bound.defaults:
+                raise KqlSemanticError(
+                    f"{name}: missing argument for parameter {pname!r}"
+                )
+            self.lets[pname] = bound.defaults[pname]
+        try:
+            return self.translate_pipe(bound.body)
+        finally:
+            self.lets = saved_lets
 
     def _resolve_table(self, name: str) -> DataFrame:
         if name in self.named_results:
@@ -1016,14 +1049,34 @@ class PipeTranslator:
             )
         return out
 
+    def _const_count(self, v) -> int:
+        """Row-count operator argument: int literal, or a constant expression
+        resolved through let bindings / tabular-lambda parameters."""
+        if isinstance(v, int):
+            return v
+        e = v
+        for _ in range(16):  # follow let chains: take lim -> let lim = n
+            if isinstance(e, Col) and isinstance(self.lets.get(e.name), Expr):
+                e = self.lets[e.name]
+            else:
+                break
+        if isinstance(e, Lit):
+            return int(e.value)
+        if isinstance(e, UnaryOp) and e.op == "-" and isinstance(e.operand, Lit):
+            return -int(e.operand.value)
+        raise KqlSemanticError(
+            "take/top/sample count must be a constant (or a let-bound/"
+            "function-parameter constant)"
+        )
+
     def t_take(self, df: DataFrame, op: Take) -> DataFrame:
-        return df.limit(op.n)
+        return df.limit(self._const_count(op.n))
 
     def t_top(self, df: DataFrame, op: Top) -> DataFrame:
         cols = self._sort_cols(df, op.keys)
         self.order = cols
         # orderBy().limit() -> Catalyst plans TakeOrderedAndProject (§4.1)
-        return df.orderBy(*cols).limit(op.n)
+        return df.orderBy(*cols).limit(self._const_count(op.n))
 
     def t_serialize(self, df: DataFrame, op: Serialize) -> DataFrame:
         if self.order is None:
@@ -1394,11 +1447,14 @@ class PipeTranslator:
 
     # --------------------------------------------------------------- sampling
     def t_sampleop(self, df: DataFrame, op: SampleOp) -> DataFrame:
-        return df.orderBy(F.rand(seed=42)).limit(op.n)
+        return df.orderBy(F.rand(seed=42)).limit(self._const_count(op.n))
 
     def t_sampledistinct(self, df: DataFrame, op: SampleDistinct) -> DataFrame:
         return (
-            df.select(op.col).distinct().orderBy(F.rand(seed=42)).limit(op.n)
+            df.select(op.col)
+            .distinct()
+            .orderBy(F.rand(seed=42))
+            .limit(self._const_count(op.n))
         )
 
     # ------------------------------------------------------------- top-nested
@@ -1653,8 +1709,15 @@ class PipeTranslator:
         saved_results = dict(self.named_results)
         saved_lets = dict(self.lets)
         self.named_results[tname] = df
-        for (pname, _), arg in zip(bound.params[1:], op.args):
+        scalar_params = bound.params[1:]
+        for (pname, _), arg in zip(scalar_params, op.args):
             self.lets[pname] = arg
+        for pname, _ in scalar_params[len(op.args):]:
+            if pname not in bound.defaults:
+                raise KqlSemanticError(
+                    f"missing argument for parameter {pname!r}"
+                )
+            self.lets[pname] = bound.defaults[pname]
         try:
             out = self.translate_pipe(bound.body)
         finally:
