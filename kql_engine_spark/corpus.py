@@ -2785,6 +2785,21 @@ q(
 )
 
 q(
+    "extract_all_multigroup",
+    """print a = tostring(extract_all(@"(\\w)(\\d)", "a1 b2")),
+             b = tostring(extract_all(@"(\\d+)", "x1 y22"))""",
+    """SELECT '[["a","1"],["b","2"]]' AS a, '["1","22"]' AS b""",
+)
+
+q(
+    "pack_array_heterogeneous",
+    """print p = pack_array(1, "a", true),
+             q = tostring(pack_array(1, 2, 3)),
+             r = tostring(pack_array(1, "a", true)[1])""",
+    """SELECT '[1,"a",true]' AS p, '[1,2,3]' AS q, 'a' AS r""",
+)
+
+q(
     "stored_function_source_call",
     """let top_nations = (lim: long, rk: long = 0) {
         nation | where n_regionkey == rk | top lim by n_nationkey desc

@@ -198,9 +198,23 @@ def _extract(tr, args):
 
 @fn("extract_all")
 def _extract_all(tr, args):
+    """extract_all(regex, [captureGroups,] text) [KQL]: one capture group
+    -> array of strings; several -> array of per-match group arrays."""
     regex = tr.const_string(args[0])
     s = tr.to_col(args[-1])
-    return F.regexp_extract_all(s, F.lit(regex), 1 if "(" in regex else 0)
+    ngroups = _re.compile(regex).groups
+    if ngroups <= 1:
+        return F.regexp_extract_all(s, F.lit(regex), 1 if ngroups else 0)
+    per_group = [
+        F.regexp_extract_all(s, F.lit(regex), g) for g in range(1, ngroups + 1)
+    ]
+    n = F.size(per_group[0])
+    return F.transform(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array(*[F.element_at(g, i) for g in per_group]),
+    )
 
 
 @fn("extractjson")
@@ -715,7 +729,38 @@ def _not(tr, args):
 simple("array_length")(lambda c: F.when(c.isNotNull(), F.size(c)))
 simple("array_concat")(F.concat)
 simple("array_reverse")(F.reverse)
-simple("pack_array")(F.array)
+@fn("pack_array")
+def _pack_array(tr, args):
+    """pack_array(...) [KQL]: heterogeneously-typed operands fall back to
+    the JSON-text dynamic carrier (native array<> needs one element type);
+    homogeneous stays a native array."""
+    cols = [tr.to_col(a) for a in args]
+    kinds = set()
+    for a, c in zip(args, cols):
+        dt = tr.dtype_of_ast(a, c)
+        kinds.add(
+            "num" if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                     T.FloatType, T.DoubleType, T.DecimalType)
+            ) else dt.simpleString()
+        )
+    if len(kinds) <= 1:
+        return F.array(*cols)
+    parts = []
+    for a, c in zip(args, cols):
+        dt = tr.dtype_of_ast(a, c)
+        if isinstance(dt, T.StringType):
+            esc = F.regexp_replace(
+                F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\"'
+            )
+            j = F.concat(F.lit('"'), esc, F.lit('"'))
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            j = F.to_json(c)
+        else:
+            j = c.cast("string")
+        parts.append(F.coalesce(j, F.lit("null")))
+    body = F.concat_ws(",", *parts)
+    return F.concat(F.lit("["), body, F.lit("]"))
 simple("set_has_element")(lambda a, v: F.array_contains(a, v))
 simple("set_union")(lambda *a: F.array_sort(_fold(F.array_union, a)))
 simple("set_intersect")(lambda *a: F.array_sort(_fold(F.array_intersect, a)))
