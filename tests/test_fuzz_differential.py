@@ -153,3 +153,75 @@ def test_random_join_matches_duckdb(run_kql, duck, kind_ix, cust_lo, bal):
     # KQL sum over zero rows is null on both engines; DuckDB COUNT is never null
     assert got.n == want[0]
     assert (got.s is None and want[1] is None) or got.s == want[1]
+
+
+# ------------------------------- scalar string-function differential fuzz
+# Each template pairs a KQL scalar expression with its DuckDB twin; random
+# constants are substituted in. Any mismatch is a semantic delta of the
+# kind round 5 fixed by hand (substring negative start, overlapping
+# countof, indexof occurrence) — this keeps the family pinned.
+
+_CHARS = list("aeiolrstw")  # letters common in the part.p_name vocabulary
+
+
+@st.composite
+def string_exprs(draw):
+    kind = draw(st.integers(0, 8))
+    if kind == 0:
+        i = draw(st.integers(0, 6))
+        n = draw(st.integers(1, 8))
+        return f'substring(p_name, {i}, {n})', f"substr(p_name, {i + 1}, {n})"
+    if kind == 1:
+        return "strlen(p_name)", "CAST(length(p_name) AS INT)"
+    if kind == 2:
+        f = draw(st.sampled_from([("toupper", "upper"), ("tolower", "lower")]))
+        return f"{f[0]}(p_name)", f"{f[1]}(p_name)"
+    if kind == 3:
+        c = draw(st.sampled_from(_CHARS))
+        return (
+            f'indexof(p_name, "{c}")',
+            f"CAST(instr(p_name, '{c}') - 1 AS BIGINT)",
+        )
+    if kind == 4:
+        c = draw(st.sampled_from(_CHARS))  # single char: overlap-free
+        return (
+            f'countof(p_name, "{c}")',
+            f"CAST(length(p_name) - length(replace(p_name, '{c}', '')) AS BIGINT)",
+        )
+    if kind == 5:
+        c = draw(st.sampled_from(_CHARS))
+        r = draw(st.sampled_from(["X", "YY", ""]))
+        return (
+            f'replace_string(p_name, "{c}", "{r}")',
+            f"replace(p_name, '{c}', '{r}')",
+        )
+    if kind == 6:
+        return "reverse(p_name)", "reverse(p_name)"
+    if kind == 7:
+        i = draw(st.integers(0, 2))
+        return (
+            f'tostring(split(p_name, " ")[{i}])',
+            f"coalesce(string_split(p_name, ' ')[{i + 1}], '')",
+        )
+    i = draw(st.integers(-3, -1))
+    n = draw(st.integers(1, 4))
+    return f'substring(p_name, {i}, {n})', f"substr(p_name, {i}, {n})"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(string_exprs(), min_size=1, max_size=3))
+def test_random_string_functions_match_duckdb(run_kql, duck, exprs):
+    kql_proj = ", ".join(f"v{i} = {k}" for i, (k, _) in enumerate(exprs))
+    sql_proj = ", ".join(f"{s} AS v{i}" for i, (_, s) in enumerate(exprs))
+    kdf = run_kql(f"part | project p_partkey, {kql_proj}")
+    sdf = duck.sql(f"SELECT p_partkey, {sql_proj} FROM part")
+    got = canonize_rows(
+        kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()]
+    )
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
