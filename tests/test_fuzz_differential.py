@@ -225,3 +225,70 @@ def test_random_string_functions_match_duckdb(run_kql, duck, exprs):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+@st.composite
+def datetime_exprs(draw):
+    kind = draw(st.integers(0, 6))
+    if kind == 0:
+        n = draw(st.sampled_from([1, 2, 3, 5, 7, 30]))
+        return (
+            f"bin(o_orderdate, {n}d)",
+            f"to_timestamp(floor(epoch(o_orderdate) / ({n}*86400)) * {n}*86400)",
+        )
+    if kind == 1:
+        part = draw(st.sampled_from(["day", "month", "year"]))
+        return (
+            f"startof{part}(o_orderdate)",
+            f"CAST(date_trunc('{part}', o_orderdate) AS TIMESTAMP)",
+        )
+    if kind == 2:
+        unit = draw(st.sampled_from(["day", "month", "year"]))
+        n = draw(st.integers(-13, 13))
+        return (
+            f'datetime_add("{unit}", {n}, o_orderdate)',
+            f"o_orderdate + INTERVAL ({n}) {unit.upper()}",
+        )
+    if kind == 3:
+        f = draw(st.sampled_from([
+            ("getyear", "year"), ("getmonth", "month"), ("dayofmonth", "day"),
+        ]))
+        return (
+            f"{f[0]}(o_orderdate)",
+            f"CAST({f[1]}(o_orderdate) AS INT)",
+        )
+    if kind == 4:
+        return (
+            'format_datetime(o_orderdate, "yyyy-MM-dd")',
+            "strftime(o_orderdate, '%Y-%m-%d')",
+        )
+    if kind == 5:
+        d = draw(st.integers(1, 28))
+        return (
+            f"o_orderdate + {d}d - {d}d == o_orderdate",
+            "true",
+        )
+    n = draw(st.integers(0, 11))
+    return (
+        f"monthofyear(datetime_add(\"month\", {n}, o_orderdate))",
+        f"CAST(month(o_orderdate + INTERVAL ({n}) MONTH) AS INT)",
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(datetime_exprs(), min_size=1, max_size=3))
+def test_random_datetime_functions_match_duckdb(run_kql, duck, exprs):
+    kql_proj = ", ".join(f"v{i} = {k}" for i, (k, _) in enumerate(exprs))
+    sql_proj = ", ".join(f"{s} AS v{i}" for i, (_, s) in enumerate(exprs))
+    kdf = run_kql(f"orders | project o_orderkey, {kql_proj}")
+    sdf = duck.sql(f"SELECT o_orderkey, {sql_proj} FROM orders")
+    got = canonize_rows(
+        kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()]
+    )
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
