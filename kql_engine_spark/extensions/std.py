@@ -1148,6 +1148,13 @@ def _diffpatterns(ptr, df, args):
     split = args[0].name
     va = str(tr.const_value(args[1]))
     vb = str(tr.const_value(args[2]))
+    if len(args) > 3 and isinstance(args[3], Col):
+        # Kusto's 4th positional is WeightColumn; FPGrowth mines unweighted
+        raise KqlUnsupportedError(
+            "diffpatterns: WeightColumn is not supported (the FPGrowth "
+            "candidate miner counts rows); pre-expand weighted rows or "
+            "drop the argument"
+        )
     thr = float(tr.const_value(args[3])) if len(args) > 3 else 0.05
     sides = df.withColumn("__side", F.col(split).cast("string"))
     dfa = sides.filter(F.col("__side") == va).drop("__side", split)
