@@ -754,3 +754,15 @@ def test_s2_cell_invalid_tokens():
     assert _s2_decode("zzz") is None        # not hex
     assert _s2_decode("0") is None          # zero id
     assert _s2_decode("f000000000000001") is None  # face > 5
+
+
+def test_diffpatterns_weight_column_typed_error(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlUnsupportedError
+
+    with pytest.raises(KqlUnsupportedError, match="WeightColumn"):
+        run_kql(
+            "orders | project o_orderstatus, o_orderpriority, w = o_orderkey"
+            ' | evaluate diffpatterns(o_orderstatus, "F", "O", w)'
+        ).collect()
