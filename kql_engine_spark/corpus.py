@@ -2785,6 +2785,24 @@ q(
 )
 
 q(
+    "llm_quality_filter",
+    """documents
+    | evaluate quality_filter(text, 5)
+    | project doc_id, qf_words, qf_stopword_hits
+    | sort by doc_id asc""",
+    r"""WITH t AS (
+      SELECT doc_id,
+             [x FOR x IN regexp_split_to_array(lower(trim(text)), '\s+')
+              IF x <> ''] AS toks
+      FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS qf_words,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+             AS qf_stopword_hits
+    FROM t ORDER BY doc_id""",
+)
+
+q(
     "extract_all_multigroup",
     """print a = tostring(extract_all(@"(\\w)(\\d)", "a1 b2")),
              b = tostring(extract_all(@"(\\d+)", "x1 y22"))""",

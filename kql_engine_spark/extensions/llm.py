@@ -733,3 +733,73 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         work.select(F.col("__id").alias("node")), pairs
     ).union(empties)
     return df.join(keep, df[idc] == keep["node"], "left_semi")
+
+
+@plugin("quality_filter")
+def _quality_filter(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate quality_filter(textcol[, min_words, max_words])` —
+    Gopher-style document quality rules (Rae et al. 2021, published
+    thresholds), all pure column expressions:
+
+      qf_words            word count (whitespace tokens)
+      qf_mean_word_len    mean token length
+      qf_symbol_ratio     '#'/'...' occurrences per word        (< 0.1)
+      qf_bullet_frac      lines starting with a bullet          (< 0.9)
+      qf_ellipsis_frac    lines ending with '...'               (< 0.3)
+      qf_alpha_word_frac  words containing an alphabetic char   (> 0.8)
+      qf_stopword_hits    distinct common-stopword matches      (>= 2)
+      qf_pass             all rules hold and min<=words<=max
+
+    Scale: per-row column arithmetic only — no shuffle, no UDF."""
+    text = _colname(args[0], "quality_filter")
+    min_w = int(_const_float(args[1], "quality_filter")) if len(args) > 1 else 50
+    max_w = int(_const_float(args[2], "quality_filter")) if len(args) > 2 else 100_000
+    src = F.col(text).cast("string")
+    toks = _tokens(src)
+    words = F.size(toks).cast("bigint")
+    safe_words = F.greatest(words, F.lit(1)).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0.0), lambda s, t: s + F.length(t).cast("double")
+    )
+    mean_len = tok_chars / safe_words
+    hashes = F.size(F.split(src, "#")) - 1
+    ellipses = F.size(F.split(src, r"\.\.\.")) - 1
+    symbol_ratio = (hashes + ellipses).cast("double") / safe_words
+    lines = F.split(src, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.regexp_like(F.trim(l), F.lit(r"^[-*•]"))))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))))
+        / n_lines
+    )
+    alpha_word_frac = (
+        F.size(F.filter(toks, lambda t: F.regexp_like(t, F.lit("[A-Za-z]"))))
+        / safe_words
+    )
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    low = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(low), F.array(*[F.lit(s) for s in stop]))
+    ).cast("bigint")
+    qpass = (
+        (words >= min_w) & (words <= max_w)
+        & (mean_len >= 3) & (mean_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_word_frac > 0.8)
+        & (stop_hits >= 2)
+    )
+    return (
+        df.withColumn("qf_words", words)
+        .withColumn("qf_mean_word_len", F.round(mean_len, 4))
+        .withColumn("qf_symbol_ratio", F.round(symbol_ratio, 4))
+        .withColumn("qf_bullet_frac", F.round(bullet_frac, 4))
+        .withColumn("qf_ellipsis_frac", F.round(ellipsis_frac, 4))
+        .withColumn("qf_alpha_word_frac", F.round(alpha_word_frac, 4))
+        .withColumn("qf_stopword_hits", stop_hits)
+        .withColumn("qf_pass", F.coalesce(qpass, F.lit(False)))
+    )

@@ -428,3 +428,19 @@ def test_dedup_jaccard_threshold_range_error(run_kql):
         run_kql(
             "documents | evaluate dedup_jaccard(text, doc_id, 0.3)"
         ).collect()
+
+
+def test_quality_filter_rules(run_kql):
+    # a clean English paragraph passes; pathological docs fail known rules
+    rows = run_kql(
+        'datatable (id: long, t: string) ['
+        ' 1, "the cat and the dog have fun with that thing be good today",'
+        ' 2, "### ### ### ### ### ### the and of to be have with that",'
+        ' 3, "zz qq xx vv kk jj ww yy pp mm nn tt" ]'
+        " | evaluate quality_filter(t, 5)"
+        " | project id, qf_pass, qf_symbol_ratio, qf_stopword_hits"
+        " | sort by id asc"
+    ).collect()
+    assert rows[0].qf_pass is True
+    assert rows[1].qf_pass is False and rows[1].qf_symbol_ratio > 0.1
+    assert rows[2].qf_pass is False and rows[2].qf_stopword_hits == 0
