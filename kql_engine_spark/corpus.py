@@ -2785,6 +2785,15 @@ q(
 )
 
 q(
+    "range_timespan_fractional",
+    """range t from 0h to 1h step 10m
+    | summarize n = count(), mx = tostring(max(t))
+    | extend fsum = toscalar(range x from 1.5 to 3.0 step 0.5
+                             | summarize s = sum(x))""",
+    """SELECT CAST(7 AS BIGINT) AS n, '01:00:00' AS mx, 9.0 AS fsum""",
+)
+
+q(
     "llm_quality_filter",
     """documents
     | evaluate quality_filter(text, 5)

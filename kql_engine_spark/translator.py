@@ -915,6 +915,43 @@ class PipeTranslator:
         secs = tr.const_seconds(src.step) if src.step else None
         if isinstance(src.start, TypedLit) and src.start.ktype == "datetime":
             step = interval_seconds(secs or 86400.0)
+            seq = F.sequence(start, stop, step)
+            return self.spark.range(1).select(F.explode(seq).alias(src.name))
+        is_ts = (
+            isinstance(src.start, TypedLit) and src.start.ktype == "timespan"
+        ) or (isinstance(src.start, Lit) and src.start.ktype == "timespan")
+        if is_ts:
+            # timespan axis: Spark sequence() can't step interval VALUES —
+            # generate integer step indices and rebuild intervals
+            from .semantics import timespan_seconds_of
+
+            s0 = timespan_seconds_of(start)
+            s1 = timespan_seconds_of(stop)
+            ds = F.lit(float(secs or 1.0))
+            n = F.floor((s1 - s0) / ds).cast("bigint")
+            idx = F.when(
+                n >= 0, F.sequence(F.lit(0).cast("bigint"), n)
+            ).otherwise(F.array().cast("array<bigint>"))
+            seq = F.transform(
+                idx, lambda i: F.make_dt_interval(secs=s0 + i.cast("double") * ds)
+            )
+            return self.spark.range(1).select(F.explode(seq).alias(src.name))
+        kinds = {
+            getattr(e, "ktype", None)
+            for e in (src.start, src.stop, src.step)
+            if e is not None and isinstance(e, Lit)
+        }
+        if "real" in kinds:
+            # fractional axis: integer index sequence scaled by the step
+            n = F.floor((stop.cast("double") - start.cast("double")) / step.cast("double")).cast("bigint")
+            idx = F.when(
+                n >= 0, F.sequence(F.lit(0).cast("bigint"), n)
+            ).otherwise(F.array().cast("array<bigint>"))
+            seq = F.transform(
+                idx,
+                lambda i: start.cast("double") + i.cast("double") * step.cast("double"),
+            )
+            return self.spark.range(1).select(F.explode(seq).alias(src.name))
         seq = F.sequence(start, stop, step)
         return self.spark.range(1).select(F.explode(seq).alias(src.name))
 
