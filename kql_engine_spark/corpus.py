@@ -2785,6 +2785,13 @@ q(
 )
 
 q(
+    "url_encode_component_fn",
+    """print a = url_encode_component("a b&c+d"), b = url_encode("a b"),
+             c = url_decode_component("a%20b%26c")""",
+    """SELECT 'a%20b%26c%2Bd' AS a, 'a+b' AS b, 'a b&c' AS c""",
+)
+
+q(
     "range_timespan_fractional",
     """range t from 0h to 1h step 10m
     | summarize n = count(), mx = tostring(max(t))

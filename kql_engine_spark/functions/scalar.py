@@ -234,7 +234,11 @@ simple("isnotnull")(lambda c: c.isNotNull())
 simple("coalesce")(F.coalesce)
 simple("base64_encode_tostring")(lambda c: F.base64(c.cast("binary")))
 simple("base64_decode_tostring")(lambda c: F.unbase64(c).cast("string"))
-simple("url_encode", "url_encode_component")(F.url_encode)
+simple("url_encode")(F.url_encode)
+# component form percent-encodes spaces (%20), not '+' [KQL]
+simple("url_encode_component")(
+    lambda c: F.replace(F.url_encode(c), F.lit("+"), F.lit("%20"))
+)
 simple("url_decode")(F.url_decode)
 
 
