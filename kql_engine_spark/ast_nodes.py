@@ -98,6 +98,9 @@ class TabularOp:
 class NamedExpr:
     name: Optional[str]  # None -> auto-name
     expr: Expr
+    # multi-valued assignment `(a, b, ...) = f(...)` [KQL]: the target names,
+    # bound positionally to the function's declared output fields
+    names: Optional[list] = None
 
 
 @dataclass

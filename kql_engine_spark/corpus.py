@@ -2975,6 +2975,35 @@ q(
               '{"type": "Point", "coordinates": [1.0, 0.0]}' AS cp""",
 )
 
+q(
+    "tuple_extend_fit_line",
+    """print y = dynamic([1.0, 2.0, 3.0, 4.0])
+    | extend (rsquare, slope, variance, rvariance, interception, line_fit) = series_fit_line(y)
+    | project rsq = round(rsquare, 6), slope = round(slope, 6),
+              icpt = round(interception, 6), fit = tostring(line_fit)""",
+    """SELECT 1.0 AS rsq, 1.0 AS slope, 1.0 AS icpt,
+              '[1.0,2.0,3.0,4.0]' AS fit""",
+)
+
+q(
+    "series_fft_roundtrip",
+    """print y = dynamic([1.0, 0.0, 0.0, 0.0])
+    | extend (re, im) = series_fft(y)
+    | extend (back, back_im) = series_ifft(re, im)
+    | project re = tostring(re), im = tostring(im), back = tostring(back)""",
+    """SELECT '[1.0,1.0,1.0,1.0]' AS re, '[0.0,0.0,0.0,0.0]' AS im,
+              '[1.0,0.0,0.0,0.0]' AS back""",
+)
+
+q(
+    "series_fit_2lines_split",
+    """print y = dynamic([1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0])
+    | extend (rsquare, split_idx, variance, rvariance, line_fit) = series_fit_2lines(y)
+    | project rsq = round(rsquare, 6), split_idx = tolong(split_idx),
+              rvar = round(rvariance, 6)""",
+    """SELECT 1.0 AS rsq, CAST(4 AS BIGINT) AS split_idx, 0.0 AS rvar""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -1282,11 +1282,9 @@ simple("series_fill_backward")(
 )
 
 
-@fn("series_fit_line_dynamic")
-def _series_fit_line_dynamic(tr, args):
+def _fit_line_struct(y: Column) -> Column:
     """Least-squares line over y with x = 0..n-1 [KQL series_fit_line]:
-    bag {slope, interception, rsquare, variance, rvariance, line_fit}."""
-    y = _as_dseries(tr.to_col(args[0]))
+    struct {slope, interception, rsquare, variance, rvariance, line_fit}."""
     n = F.size(y).cast("double")
     sx = (n - 1.0) * n / 2.0
     sxx = (n - 1.0) * n * (2.0 * n - 1.0) / 6.0
@@ -1314,16 +1312,20 @@ def _series_fit_line_dynamic(tr, args):
         / n
     )
     rsq = F.when(var > 0, F.lit(1.0) - rvar / var).otherwise(F.lit(0.0))
-    return F.to_json(
-        F.struct(
-            slope.alias("slope"),
-            intercept.alias("interception"),
-            rsq.alias("rsquare"),
-            var.alias("variance"),
-            rvar.alias("rvariance"),
-            line.alias("line_fit"),
-        )
+    return F.struct(
+        slope.alias("slope"),
+        intercept.alias("interception"),
+        rsq.alias("rsquare"),
+        var.alias("variance"),
+        rvar.alias("rvariance"),
+        line.alias("line_fit"),
     )
+
+
+@fn("series_fit_line_dynamic")
+def _series_fit_line_dynamic(tr, args):
+    """Bag form of the line fit [KQL series_fit_line_dynamic]."""
+    return F.to_json(_fit_line_struct(_as_dseries(tr.to_col(args[0]))))
 
 
 @fn("series_fir")
@@ -2114,20 +2116,21 @@ def _has_any_ipv4(tr, args):
     return out
 
 
-def _fit_2lines(y):
-    """Best split of the series into two least-squares lines: returns
-    [rss, split_idx, variance, rvariance, trend...] packed as one array
-    (Kusto returns a bag; the trend tail is the piecewise fitted line)."""
+def _fit_2lines_row(y):
+    """Best split of the series into two least-squares lines [KQL
+    series_fit_2lines]: (rsquare, split_idx, variance, rvariance, line_fit)
+    — rsquare of the piecewise fit, same field set as the Kusto bag."""
     import numpy as np
 
     n = len(y)
     if n < 4:
-        return np.concatenate([[float("nan"), -1.0, float("nan"), float("nan")], y])
+        return (float("nan"), -1, float(np.var(y)) if n else float("nan"),
+                float("nan"), list(y))
 
     def fit(seg):
         x = np.arange(len(seg), dtype="float64")
         if len(seg) < 2:
-            return np.zeros_like(seg), 0.0
+            return np.asarray(seg, dtype="float64"), 0.0
         k, b = np.polyfit(x, seg, 1)
         line = k * x + b
         return line, float(((seg - line) ** 2).sum())
@@ -2141,10 +2144,132 @@ def _fit_2lines(y):
     rss, split, trend = best
     var = float(np.var(y))
     rvar = rss / n
-    return np.concatenate([[rss, float(split), var, rvar], trend])
+    rsq = 1.0 - rvar / var if var > 0 else 0.0
+    return (rsq, int(split), var, rvar, [float(v) for v in trend])
 
 
-_np_series_udf("series_fit_2lines", _fit_2lines)
+_FIT2_SCHEMA = (
+    "rsquare double, split_idx int, variance double, rvariance double, "
+    "line_fit array<double>"
+)
+
+
+def _fit_2lines_struct(tr, args):
+    key = "series_fit_2lines"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(_FIT2_SCHEMA)
+        def udf(col):
+            import numpy as np
+            import pandas as pd
+
+            rows = []
+            for a in col:
+                if a is None:
+                    rows.append((None, None, None, None, None))
+                else:
+                    rows.append(_fit_2lines_row(np.asarray(a, dtype="float64")))
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "rsquare", "split_idx", "variance", "rvariance", "line_fit"
+                ],
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+
+@fn("series_fit_2lines", "series_fit_2lines_dynamic")
+def _series_fit_2lines(tr, args):
+    return F.to_json(_fit_2lines_struct(tr, args))
+
+
+# ----------------------------------------------------------------- FFT family
+_FFT_SCHEMA = "re array<double>, im array<double>"
+
+
+def _fft_struct_factory(inverse: bool):
+    def build(tr, args):
+        key = "series_ifft" if inverse else "series_fft"
+        if key not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(_FFT_SCHEMA)
+            def udf(re_col, im_col):
+                import numpy as np
+                import pandas as pd
+
+                res, ims = [], []
+                for re_a, im_a in zip(re_col, im_col):
+                    if re_a is None:
+                        res.append(None)
+                        ims.append(None)
+                        continue
+                    re_v = np.asarray(re_a, dtype="float64")
+                    im_v = (
+                        np.zeros_like(re_v)
+                        if im_a is None or len(im_a) != len(re_v)
+                        else np.asarray(im_a, dtype="float64")
+                    )
+                    z = (
+                        np.fft.ifft(re_v + 1j * im_v)
+                        if inverse
+                        else np.fft.fft(re_v + 1j * im_v)
+                    )
+                    res.append([float(v) for v in z.real])
+                    ims.append([float(v) for v in z.imag])
+                return pd.DataFrame({"re": res, "im": ims})
+
+            _PANDAS_UDF_CACHE[key] = udf
+        re_c = _as_dseries(tr.to_col(args[0]))
+        im_c = (
+            _as_dseries(tr.to_col(args[1]))
+            if len(args) > 1
+            else F.lit(None).cast("array<double>")
+        )
+        return _PANDAS_UDF_CACHE[key](re_c, im_c)
+
+    return build
+
+
+_fft_struct = _fft_struct_factory(inverse=False)
+_ifft_struct = _fft_struct_factory(inverse=True)
+
+
+@fn("series_fft")
+def _series_fft(tr, args):
+    """[KQL series_fft] — complex DFT of a series; destructure with
+    `extend (re, im) = series_fft(y[, y_im])`, or single-assign for the
+    {re, im} bag."""
+    return F.to_json(_fft_struct(tr, args))
+
+
+@fn("series_ifft")
+def _series_ifft(tr, args):
+    """[KQL series_ifft] — inverse DFT; same shape contract as series_fft."""
+    return F.to_json(_ifft_struct(tr, args))
+
+
+# ------------------------------------------------- multi-valued assignment
+# `extend (a, b, ...) = f(...)` [KQL]: each entry maps the function name to
+# (positional output field order per the Kusto docs, struct builder).
+MULTI_OUTPUT: dict[str, tuple[list, object]] = {
+    "series_fit_line": (
+        ["rsquare", "slope", "variance", "rvariance", "interception",
+         "line_fit"],
+        lambda tr, args: _fit_line_struct(_as_dseries(tr.to_col(args[0]))),
+    ),
+    "series_fit_2lines": (
+        ["rsquare", "split_idx", "variance", "rvariance", "line_fit"],
+        _fit_2lines_struct,
+    ),
+    "series_fft": (["re", "im"], _fft_struct),
+    "series_ifft": (["re", "im"], _ifft_struct),
+}
+MULTI_OUTPUT["series_fit_line_dynamic"] = MULTI_OUTPUT["series_fit_line"]
+MULTI_OUTPUT["series_fit_2lines_dynamic"] = MULTI_OUTPUT["series_fit_2lines"]
 
 
 # ------------------------------------------------------------ geohash family

@@ -1167,6 +1167,34 @@ class Parser:
         return names
 
     def parse_named_expr(self, stop_words: set[str] | None = None) -> NamedExpr:
+        # (a, b, ...) = f(...)  — multi-valued assignment [KQL]: lookahead for
+        # an ident/comma tuple closed by `) =` so plain parenthesized
+        # expressions are untouched
+        if self.at(OP, "("):
+            k = 1
+            ok = self.peek(k).kind in (IDENT, QIDENT)
+            while ok:
+                k += 1
+                if self.at(OP, ",", k):
+                    k += 1
+                    ok = self.peek(k).kind in (IDENT, QIDENT)
+                    continue
+                break
+            if (
+                ok
+                and self.at(OP, ")", k)
+                and self.at(OP, "=", k + 1)
+                and not self.at(OP, "==", k + 1)
+            ):
+                self.expect(OP, "(")
+                names = [self.ident_name()]
+                while self.accept(OP, ","):
+                    names.append(self.ident_name())
+                self.expect(OP, ")")
+                self.expect(OP, "=")
+                return NamedExpr(
+                    None, self.parse_expr(stop_words=stop_words), names=names
+                )
         # name = expr  (name may be quoted ident)
         if (
             self.peek().kind in (IDENT, QIDENT)

@@ -42,6 +42,7 @@ from .ast_nodes import (
 from .catalog import Catalog
 from .errors import KqlSemanticError, KqlUnsupportedError
 from .functions.aggregates import AGG_REGISTRY
+from .functions.scalar import MULTI_OUTPUT
 from .functions.scalar import REGISTRY as FN_REGISTRY
 from .functions.scalar import typed_null
 from .parser import parse
@@ -976,15 +977,55 @@ class PipeTranslator:
         return df.filter(self.expr_tr(df).to_col(op.pred))
 
     def _named_items(
-        self, df: DataFrame, items: list[NamedExpr], auto_prefix: str = "Column"
+        self,
+        df: DataFrame,
+        items: list[NamedExpr],
+        auto_prefix: str = "Column",
+        allow_multi: bool = False,
     ) -> list[tuple[str, Column]]:
         """Translate a comma list with KQL sequential visibility: later items
-        can reference earlier ones in the same clause."""
+        can reference earlier ones in the same clause. `allow_multi` is set
+        only by project/extend (the callers that apply pending_prework):
+        multi-valued assignment stages its struct there."""
         env: dict[str, Column] = {}
         out: list[tuple[str, Column]] = []
         auto_i = 0
+        mv_i = 0
         for item in items:
             tr = self.expr_tr(df, env=env)
+            if getattr(item, "names", None):
+                if not allow_multi:
+                    raise KqlSemanticError(
+                        "multi-valued assignment (a, b, ...) = f(...) is only "
+                        "supported in project/extend"
+                    )
+                # (a, b, ...) = f(...) [KQL multi-valued assignment]: f must
+                # be a declared multi-output function; outputs bind
+                # positionally. The struct is staged once via prework so
+                # UDF-backed builders (series_fft, series_fit_2lines)
+                # evaluate once, not once per target.
+                fc = item.expr
+                if not (isinstance(fc, FuncCall) and fc.name.lower() in MULTI_OUTPUT):
+                    raise KqlSemanticError(
+                        "multi-valued assignment needs a multi-output function "
+                        f"({', '.join(sorted(set(MULTI_OUTPUT)))}); got "
+                        f"{getattr(fc, 'name', type(fc).__name__)}"
+                    )
+                fields, builder = MULTI_OUTPUT[fc.name.lower()]
+                if len(item.names) > len(fields):
+                    raise KqlSemanticError(
+                        f"{fc.name} yields {len(fields)} values "
+                        f"({', '.join(fields)}); {len(item.names)} targets given"
+                    )
+                struct_col = builder(tr, fc.args)
+                tmp = f"__kqlseg_mv{mv_i}"
+                mv_i += 1
+                self.pending_prework[tmp] = struct_col
+                for name, field in zip(item.names, fields):
+                    c = F.col(tmp).getField(field)
+                    env[name] = c
+                    out.append((name, c))
+                continue
             col = tr.to_col(item.expr)
             if item.name:
                 name = item.name
@@ -1006,11 +1047,11 @@ class PipeTranslator:
         return df
 
     def t_project(self, df: DataFrame, op: Project) -> DataFrame:
-        items = self._named_items(df, op.items)
+        items = self._named_items(df, op.items, allow_multi=True)
         return self._apply_prework(df).select(*[c.alias(n) for n, c in items])
 
     def t_extend(self, df: DataFrame, op: Extend) -> DataFrame:
-        items = self._named_items(df, op.items)
+        items = self._named_items(df, op.items, allow_multi=True)
         work = self._apply_prework(df)
         out = work.withColumns({n: c for n, c in items})
         return out.drop(*[c for c in out.columns if c.startswith("__kqlseg")])

@@ -766,3 +766,54 @@ def test_diffpatterns_weight_column_typed_error(run_kql):
             "orders | project o_orderstatus, o_orderpriority, w = o_orderkey"
             ' | evaluate diffpatterns(o_orderstatus, "F", "O", w)'
         ).collect()
+
+
+def test_tuple_assign_multi_output(run_kql):
+    # (a, b) = f(...) binds positionally to the function's declared outputs
+    row = run_kql(
+        "print y = dynamic([2.0, 4.0, 6.0])"
+        " | extend (rsquare, slope) = series_fit_line(y)"
+        " | project rsquare = round(rsquare, 6), slope = round(slope, 6)"
+    ).collect()[0]
+    assert row.rsquare == 1.0 and row.slope == 2.0
+
+
+def test_tuple_assign_parenthesized_expr_still_parses(run_kql):
+    # a parenthesized scalar on the RHS of project must not be mistaken for
+    # a tuple target
+    row = run_kql("print z = (1 + 2) | project w = (z) * 2").collect()[0]
+    assert row.w == 6
+
+
+def test_tuple_assign_rejects_scalar_function(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="multi-output"):
+        run_kql("print y = 1 | extend (a, b) = strcat('x', 'y')").collect()
+
+
+def test_tuple_assign_rejects_too_many_targets(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="targets"):
+        run_kql(
+            "print y = dynamic([1.0, 2.0])"
+            " | extend (a, b, c) = series_fft(y)"
+        ).collect()
+
+
+def test_fft_parseval_energy(run_kql):
+    # Parseval: sum |y|^2 == sum |Y|^2 / n — a property check over a
+    # non-trivial series
+    row = run_kql(
+        "print y = dynamic([3.0, 1.0, -2.0, 5.0, 0.5, -1.5])"
+        " | extend (re, im) = series_fft(y)"
+        " | project lhs = round(series_dot_product(y, y), 6),"
+        "           rhs = round((series_dot_product(re, re)"
+        "                 + series_dot_product(im, im)) / 6.0, 6)"
+    ).collect()[0]
+    assert row.lhs == row.rhs
