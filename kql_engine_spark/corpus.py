@@ -3004,6 +3004,34 @@ q(
     """SELECT 1.0 AS rsq, CAST(4 AS BIGINT) AS split_idx, 0.0 AS rvar""",
 )
 
+q(
+    "activity_metrics_retention",
+    # window-over-window retention/churn: rates are measured against the
+    # PREVIOUS day's actives (vs new_activity_metrics' next-period flavor)
+    """events
+    | evaluate activity_metrics(user_id, ts, 1d)
+    | sort by Timeline asc""",
+    """WITH b AS (SELECT DISTINCT user_id,
+                to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+         FROM events),
+       f AS (SELECT user_id, MIN(d) AS fd FROM b GROUP BY 1),
+       c AS (SELECT d, COUNT(DISTINCT b.user_id) AS dc,
+                    COUNT(DISTINCT CASE WHEN f.fd = b.d THEN b.user_id END) AS nv
+             FROM b JOIN f USING (user_id) GROUP BY 1),
+       r AS (SELECT cur.d, COUNT(DISTINCT cur.user_id) AS ret
+             FROM b cur JOIN b prv
+               ON prv.user_id = cur.user_id AND prv.d = cur.d - INTERVAL 1 DAY
+             GROUP BY 1),
+       p AS (SELECT d + INTERVAL 1 DAY AS d, COUNT(DISTINCT user_id) AS pt
+             FROM b GROUP BY 1)
+       SELECT c.d AS Timeline, CAST(dc AS BIGINT) AS dcount_values,
+              CAST(nv AS BIGINT) AS dcount_newvalues,
+              ROUND(CAST(COALESCE(ret, 0) AS DOUBLE) / pt, 4) AS retention_rate,
+              ROUND(CAST(pt - COALESCE(ret, 0) AS DOUBLE) / pt, 4) AS churn_rate
+       FROM c LEFT JOIN r ON c.d = r.d LEFT JOIN p ON c.d = p.d
+       ORDER BY 1""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -549,6 +549,83 @@ def _new_activity_metrics(ptr, df, args):
     )
 
 
+# ------------------------------------------------- activity_metrics (§2.8)
+@plugin("activity_metrics")
+def _activity_metrics(ptr, df, args):
+    """`T | evaluate activity_metrics(id, timeline, period)` [KQL behavior
+    analytics, simplified: consecutive-period window, no cohort dims].
+    Window-over-window flavor (vs the sibling new_activity_metrics' cohort
+    flavor): per period — active ids, first-seen ids, and retention/churn
+    measured against the PREVIOUS period's actives:
+      retention_rate(w) = |ids(w) ∩ ids(w-1)| / |ids(w-1)|
+      churn_rate(w)     = |ids(w-1) \\ ids(w)| / |ids(w-1)|
+    First period has no predecessor -> rates are null.
+
+    Exact lowering: distinct (id, period) pairs; first activity via one
+    groupBy(id) min; the previous-period intersection via one self
+    equi-join on (id, period-1). All hash-partitioned — no unbounded
+    windows, no driver-side data."""
+    tr = ptr.expr_tr(df)
+    if len(args) != 3:
+        raise KqlSemanticError("activity_metrics(id_col, timeline_col, period)")
+    idc = args[0].name if isinstance(args[0], Col) else None
+    tc = args[1].name if isinstance(args[1], Col) else None
+    if idc is None or tc is None:
+        raise KqlSemanticError("activity_metrics: id and timeline must be columns")
+    period_s = tr.const_seconds(args[2])
+    if not period_s:
+        raise KqlSemanticError("activity_metrics: period must be a timespan")
+    us = int(period_s * 1_000_000)
+    binned = F.timestamp_micros(
+        (
+            F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)
+        ).cast("bigint")
+    )
+    pairs = df.select(F.col(idc).alias("__id"), binned.alias("Timeline")).distinct()
+    first = pairs.groupBy("__id").agg(F.min("Timeline").alias("__first"))
+    # previous period's actives, relabeled to the period they precede
+    prev = pairs.select(
+        F.col("__id"),
+        F.timestamp_micros(F.unix_micros(F.col("Timeline")) + F.lit(us)).alias(
+            "Timeline"
+        ),
+    )
+    prev_totals = prev.groupBy("Timeline").agg(
+        F.count_distinct("__id").alias("__prev_total")
+    )
+    enriched = (
+        pairs.join(first, "__id")
+        .withColumn("__is_new", (F.col("Timeline") == F.col("__first")).cast("int"))
+        .join(
+            prev.withColumn("__ret", F.lit(1)).alias("p"),
+            ["__id", "Timeline"],
+            "left",
+        )
+    )
+    out = (
+        enriched.groupBy("Timeline")
+        .agg(
+            F.count_distinct("__id").alias("dcount_values"),
+            F.sum("__is_new").alias("dcount_newvalues"),
+            F.count(F.col("__ret")).alias("__retained"),
+        )
+        .join(prev_totals, "Timeline", "left")
+    )
+    return out.select(
+        "Timeline",
+        "dcount_values",
+        "dcount_newvalues",
+        F.round(
+            F.col("__retained").cast("double") / F.col("__prev_total"), 4
+        ).alias("retention_rate"),
+        F.round(
+            (F.col("__prev_total") - F.col("__retained")).cast("double")
+            / F.col("__prev_total"),
+            4,
+        ).alias("churn_rate"),
+    )
+
+
 # ---------------------------------------------- sliding_window_counts (§2.8)
 def _bin_ts(col_name: str, bin_us: int):
     # floor, not cast-truncation: negative epochs must bin DOWN

@@ -263,3 +263,11 @@ def test_diffpatterns_text_shuffle_partitioned(run_kql):
     )
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_activity_metrics_hash_partitioned(run_kql):
+    df = run_kql("events | evaluate activity_metrics(user_id, ts, 1d)")
+    plan = _plan(df)
+    # previous-period intersection is an (id, period) equi-join — never a
+    # cross product or nested loop
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -817,3 +817,31 @@ def test_fft_parseval_energy(run_kql):
         "                 + series_dot_product(im, im)) / 6.0, 6)"
     ).collect()[0]
     assert row.lhs == row.rhs
+
+
+def test_activity_metrics_vs_new_activity_metrics(run_kql):
+    # same distinct-actives per period; the two flavors differ only in the
+    # direction their rates look (previous vs next period)
+    am = {
+        r.Timeline: r.dcount_values
+        for r in run_kql(
+            "events | evaluate activity_metrics(user_id, ts, 1d)"
+        ).collect()
+    }
+    nam = {
+        r.Timeline: r.dcount_values
+        for r in run_kql(
+            "events | evaluate new_activity_metrics(user_id, ts, 1d)"
+        ).collect()
+    }
+    assert am == nam
+    # first period has no predecessor -> null rates
+    first = min(am)
+    row = [
+        r
+        for r in run_kql(
+            "events | evaluate activity_metrics(user_id, ts, 1d)"
+        ).collect()
+        if r.Timeline == first
+    ][0]
+    assert row.retention_rate is None and row.churn_rate is None
