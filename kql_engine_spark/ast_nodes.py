@@ -231,6 +231,7 @@ class Union(TabularOp):
     kind: str = "outer"
     withsource: Optional[str] = None
     is_source: bool = False  # `union T1, T2 | ...` as leading source
+    isfuzzy: bool = False  # tolerate unresolvable operands [KQL isfuzzy=true]
 
 
 @dataclass
@@ -456,6 +457,7 @@ class UnionSource(Source):
     pipes: list["Pipe"]
     kind: str = "outer"
     withsource: Optional[str] = None
+    isfuzzy: bool = False
 
 
 @dataclass

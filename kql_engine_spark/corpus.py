@@ -3032,6 +3032,24 @@ q(
        ORDER BY 1""",
 )
 
+q(
+    "union_isfuzzy_skips_unknown",
+    """union isfuzzy=true nation, no_such_table | count""",
+    """SELECT COUNT(*) AS Count FROM nation""",
+)
+
+q(
+    "array_sort_companion_arrays",
+    # multi-array sort: companions reorder by array1's permutation; a
+    # length-mismatched companion comes back null [KQL array_sort_asc]
+    """print a = dynamic([3, 1, 2]), b = dynamic(['c', 'a', 'b']), m = dynamic(['only'])
+    | extend (sa, sb) = array_sort_asc(a, b), (da, dm) = array_sort_desc(a, m)
+    | project sa = tostring(sa), sb = tostring(sb), da = tostring(da),
+              mismatched = tostring(dm)""",
+    """SELECT '[1,2,3]' AS sa, '["a","b","c"]' AS sb, '[3,2,1]' AS da,
+              CAST(NULL AS VARCHAR) AS mismatched""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -769,8 +769,89 @@ simple("set_has_element")(lambda a, v: F.array_contains(a, v))
 simple("set_union")(lambda *a: F.array_sort(_fold(F.array_union, a)))
 simple("set_intersect")(lambda *a: F.array_sort(_fold(F.array_intersect, a)))
 simple("set_difference")(lambda *a: F.array_sort(F.array_except(a[0], _fold(F.array_union, a[1:])) if len(a) > 1 else a[0]))
-simple("array_sort_asc")(F.array_sort)
-simple("array_sort_desc")(lambda c: F.reverse(F.array_sort(c)))
+def _array_sort_struct_builder(asc: bool):
+    """[KQL array_sort_asc/desc(array1, ..., [nulls_last])] — sort array1,
+    reorder the companion arrays by the same permutation. Pure JVM HOFs:
+    index sequence -> struct zip -> array_sort with a comparator (stable via
+    index tiebreak; Kusto default nulls last) -> per-array field extraction.
+    Companions of a different length come back null [KQL]."""
+
+    def build(tr, args):
+        from ..ast_nodes import Lit as _Lit
+
+        nulls_last = True
+        arr_args = list(args)
+        if arr_args and isinstance(arr_args[-1], _Lit) and isinstance(
+            arr_args[-1].value, bool
+        ):
+            nulls_last = bool(arr_args[-1].value)
+            arr_args = arr_args[:-1]
+        arrs = [tr.to_col(a) for a in arr_args]
+        a1 = arrs[0]
+        idx = F.sequence(F.lit(0), F.size(a1) - 1)
+        elem = lambda i: F.struct(  # noqa: E731
+            F.element_at(a1, i + 1).alias("k"),
+            i.alias("i"),
+            *[
+                F.element_at(arrs[j], i + 1).alias(f"v{j}")
+                for j in range(1, len(arrs))
+            ],
+        )
+        zipped = F.transform(idx, elem)
+        null_side = F.lit(1 if nulls_last else -1)
+        lo, hi = (-1, 1) if asc else (1, -1)
+
+        def cmp(left, right):
+            lk, rk = left["k"], right["k"]
+            return (
+                F.when(
+                    lk.isNull() & rk.isNull(),
+                    F.when(left["i"] < right["i"], -1).otherwise(1),
+                )
+                .when(lk.isNull(), null_side)
+                .when(rk.isNull(), -null_side)
+                .when(lk < rk, F.lit(lo))
+                .when(lk > rk, F.lit(hi))
+                .otherwise(F.when(left["i"] < right["i"], -1).otherwise(1))
+                .cast("int")
+            )
+
+        srt = F.array_sort(zipped, cmp)
+
+        def field_getter(fname):
+            # closure factory: a default param on the lambda would make the
+            # transform HOF pass the element index into it
+            return lambda s: s[fname]
+
+        outs = [F.transform(srt, field_getter("k"))]
+        for j in range(1, len(arrs)):
+            outs.append(
+                F.when(
+                    F.size(arrs[j]) == F.size(a1),
+                    F.transform(srt, field_getter(f"v{j}")),
+                )
+            )
+        return F.struct(*[c.alias(f"a{j}") for j, c in enumerate(outs)])
+
+    return build
+
+
+_array_sort_asc_struct = _array_sort_struct_builder(asc=True)
+_array_sort_desc_struct = _array_sort_struct_builder(asc=False)
+
+
+def _array_sort_single(asc: bool):
+    def impl(tr, args):
+        struct = (_array_sort_asc_struct if asc else _array_sort_desc_struct)(
+            tr, args
+        )
+        return struct.getField("a0")
+
+    return impl
+
+
+REGISTRY["array_sort_asc"] = _array_sort_single(asc=True)
+REGISTRY["array_sort_desc"] = _array_sort_single(asc=False)
 simple("array_sum")(lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x.cast("double")))
 simple("array_avg")(
     lambda c: F.aggregate(c, F.lit(0.0), lambda s, x: s + x.cast("double")) / F.size(c)
@@ -2270,6 +2351,21 @@ MULTI_OUTPUT: dict[str, tuple[list, object]] = {
 }
 MULTI_OUTPUT["series_fit_line_dynamic"] = MULTI_OUTPUT["series_fit_line"]
 MULTI_OUTPUT["series_fit_2lines_dynamic"] = MULTI_OUTPUT["series_fit_2lines"]
+
+
+def _array_sort_fields(args):
+    """Output arity tracks the input arrays (a trailing bool literal is the
+    nulls_last flag, not an array)."""
+    from ..ast_nodes import Lit as _Lit
+
+    n = len(args)
+    if n and isinstance(args[-1], _Lit) and isinstance(args[-1].value, bool):
+        n -= 1
+    return [f"a{j}" for j in range(n)]
+
+
+MULTI_OUTPUT["array_sort_asc"] = (_array_sort_fields, _array_sort_asc_struct)
+MULTI_OUTPUT["array_sort_desc"] = (_array_sort_fields, _array_sort_desc_struct)
 
 
 # ------------------------------------------------------------ geohash family

@@ -237,9 +237,9 @@ class Parser:
             return self.parse_range_source()
         if head == "union":
             self.next()
-            kind, withsource = self.parse_union_opts()
+            kind, withsource, isfuzzy = self.parse_union_opts()
             pipes = self.parse_union_operands()
-            return UnionSource(pipes, kind, withsource)
+            return UnionSource(pipes, kind, withsource, isfuzzy)
         if head == "externaldata":
             return self.parse_externaldata()
         if head == "find":
@@ -363,8 +363,8 @@ class Parser:
             self.expect(OP, ")")
         return ExternalData(schema, uris, fmt)
 
-    def parse_union_opts(self) -> tuple[str, str | None]:
-        kind, withsource = "outer", None
+    def parse_union_opts(self) -> tuple[str, str | None, bool]:
+        kind, withsource, isfuzzy = "outer", None, False
         while True:
             if self.at(IDENT, "kind"):
                 self.next()
@@ -377,9 +377,9 @@ class Parser:
             elif self.at(IDENT, "isfuzzy"):
                 self.next()
                 self.expect(OP, "=")
-                self.next()
+                isfuzzy = str(self.next().value).lower() == "true"
             else:
-                return kind, withsource
+                return kind, withsource, isfuzzy
 
     def parse_union_operands(self) -> list[Pipe]:
         pipes: list[Pipe] = []
@@ -648,9 +648,9 @@ class Parser:
         return [expr]
 
     def op_union(self) -> Union:
-        kind, withsource = self.parse_union_opts()
+        kind, withsource, isfuzzy = self.parse_union_opts()
         pipes = self.parse_union_operands()
-        return Union(pipes, kind, withsource)
+        return Union(pipes, kind, withsource, isfuzzy=isfuzzy)
 
     def op_mv_expand(self) -> MvExpand:
         bag_expansion = "array"

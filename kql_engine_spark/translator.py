@@ -632,9 +632,9 @@ class PipeTranslator:
             return self._range_source(src)
         if isinstance(src, UnionSource):
             pipes = self._expand_union_wildcards(src.pipes)
-            dfs = [
-                (self._source_label(p), self.translate_pipe(p)) for p in pipes
-            ]
+            dfs = self._union_operand_frames(pipes, src.isfuzzy)
+            if not dfs:
+                raise KqlSemanticError("union isfuzzy=true: no operand resolved")
             return self._union(dfs, src.kind, src.withsource)
         if isinstance(src, FindSource):
             return self._find_source(src)
@@ -1012,6 +1012,8 @@ class PipeTranslator:
                         f"{getattr(fc, 'name', type(fc).__name__)}"
                     )
                 fields, builder = MULTI_OUTPUT[fc.name.lower()]
+                if callable(fields):  # variadic outputs (array_sort_*)
+                    fields = fields(fc.args)
                 if len(item.names) > len(fields):
                     raise KqlSemanticError(
                         f"{fc.name} yields {len(fields)} values "
@@ -1402,10 +1404,25 @@ class PipeTranslator:
 
     def t_union(self, df: DataFrame, op: Union) -> DataFrame:
         pipes = self._expand_union_wildcards(op.tables)
-        dfs = [("self", df)] + [
-            (self._source_label(p), self.translate_pipe(p)) for p in pipes
-        ]
+        dfs = [("self", df)] + self._union_operand_frames(pipes, op.isfuzzy)
         return self._union(dfs, op.kind, op.withsource)
+
+    def _union_operand_frames(
+        self, pipes: list[Pipe], isfuzzy: bool
+    ) -> list[tuple[str, DataFrame]]:
+        """Translate union operands; `isfuzzy=true` [KQL] tolerates operands
+        that fail to resolve (unknown table / missing column in a subquery)
+        instead of failing the whole union."""
+        out: list[tuple[str, DataFrame]] = []
+        for p in pipes:
+            if isfuzzy:
+                try:
+                    out.append((self._source_label(p), self.translate_pipe(p)))
+                except (KqlSemanticError, KqlUnsupportedError):
+                    continue
+            else:
+                out.append((self._source_label(p), self.translate_pipe(p)))
+        return out
 
     def _union(self, dfs: list[tuple[str, DataFrame]], kind: str, withsource):
         self.order = None

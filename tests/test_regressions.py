@@ -845,3 +845,33 @@ def test_activity_metrics_vs_new_activity_metrics(run_kql):
         if r.Timeline == first
     ][0]
     assert row.retention_rate is None and row.churn_rate is None
+
+
+def test_union_isfuzzy_all_unresolved_raises(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="no operand resolved"):
+        run_kql("union isfuzzy=true no_such1, no_such2 | count").collect()
+
+
+def test_union_not_fuzzy_unknown_table_raises(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="unknown table"):
+        run_kql("union nation, no_such_table | count").collect()
+
+
+def test_array_sort_nulls_last_flag(run_kql):
+    row = run_kql(
+        "print a = dynamic([3, null, 1])"
+        " | project s = tostring(array_sort_asc(a)),"
+        "           sf = tostring(array_sort_asc(a, false)),"
+        "           d = tostring(array_sort_desc(a))"
+    ).collect()[0]
+    assert row.s == "[1,3,null]"       # Kusto default: nulls last
+    assert row.sf == "[null,1,3]"      # nulls_last=false -> nulls first
+    assert row.d == "[3,1,null]"
