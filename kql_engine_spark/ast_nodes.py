@@ -60,6 +60,9 @@ class InList(Expr):
     items: list[Expr]
     negated: bool = False
     ci: bool = False  # in~ / !in~
+    # `x in (T | project c)` [KQL]: tabular operand, first column is the
+    # value set; mutually exclusive with items
+    table: Optional[object] = None  # Pipe
 
 
 @dataclass
@@ -263,6 +266,7 @@ class ParseOp(TabularOp):
     kind: str  # simple | regex | relaxed
     segments: list[object]  # alternating str literals and ParseSlot
     where: bool = False  # parse-where drops non-matching rows
+    flags: str = ""  # kind=regex flags= (i, m, s supported; U unsupported)
 
 
 @dataclass
@@ -404,6 +408,15 @@ class GraphToTable(TabularOp):
     tabular form."""
 
     what: str  # "nodes" | "edges"
+
+
+@dataclass
+class GraphMarkComponents(TabularOp):
+    """`| graph-mark-components [kind=weak] [with_component_id=Col]` — label
+    each node with its (weakly) connected component."""
+
+    kind: str = "weak"
+    comp_col: str = "ComponentId"
 
 
 @dataclass

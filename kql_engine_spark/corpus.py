@@ -3050,6 +3050,93 @@ q(
               CAST(NULL AS VARCHAR) AS mismatched""",
 )
 
+q(
+    "in_tabular_semi_join",
+    # tabular `in` as a where-conjunct lowers to a leftsemi join (no value
+    # materialization; plan pinned in tests/test_plans.py)
+    """lineitem
+    | where l_orderkey in (orders | where o_totalprice > 300000 | project o_orderkey)
+    | count""",
+    """SELECT COUNT(*) AS Count FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)""",
+)
+
+q(
+    "notin_tabular_anti_join",
+    """customer
+    | where c_custkey !in (orders | project o_custkey)
+    | count""",
+    """SELECT COUNT(*) AS Count FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""",
+)
+
+q(
+    "in_tabular_under_or",
+    # non-conjunct position: documented-eager bounded collect (volatile, not
+    # plan-cached)
+    """nation
+    | where n_name == 'FRANCE' or n_regionkey in (region | where r_name == 'ASIA' | project r_regionkey)
+    | summarize c = count()""",
+    """SELECT COUNT(*) AS c FROM nation
+       WHERE n_name = 'FRANCE'
+          OR n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')""",
+)
+
+q(
+    "let_view_bare_join",
+    """let asia = view () { region | where r_name == 'ASIA' };
+    nation
+    | join kind=inner asia on $left.n_regionkey == $right.r_regionkey
+    | project n_name
+    | sort by n_name asc""",
+    """SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' ORDER BY n_name""",
+)
+
+q(
+    "bracket_string_key_access",
+    """print d = dynamic({'a b': {'c d': 7}})
+    | project v = tolong(d['a b']['c d'])""",
+    """SELECT CAST(7 AS BIGINT) AS v""",
+)
+
+q(
+    "parse_regex_flags_i",
+    """print s = 'Level=WARN msg=disk'
+    | parse kind=regex flags=i s with 'level=' lvl:string ' msg=' msg:string
+    | project lvl, msg""",
+    """SELECT 'WARN' AS lvl, 'disk' AS msg""",
+)
+
+q(
+    "graph_mark_components",
+    # component id = smallest reachable node id (deterministic, unlike
+    # Kusto's arbitrary ids — documented delta); twin = recursive closure
+    """datatable(s:string, d:string)['a','b', 'b','c', 'x','y', 'q','q']
+    | make-graph s --> d
+    | graph-mark-components
+    | sort by node_id asc""",
+    """WITH RECURSIVE e(s, d) AS (VALUES ('a','b'),('b','c'),('x','y'),('q','q')),
+       sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+       nodes AS (SELECT DISTINCT s AS n FROM sym),
+       reach(n, m) AS (
+         SELECT n, n FROM nodes
+         UNION
+         SELECT r.n, sym.d FROM reach r JOIN sym ON sym.s = r.m
+       )
+       SELECT n AS node_id, MIN(m) AS ComponentId FROM reach GROUP BY n
+       ORDER BY n""",
+)
+
+q(
+    "has_any_dynamic_terms",
+    """print s = 'blue widget'
+    | project a = s has_any (dynamic(['blue', 'red'])),
+              b = s has_all (dynamic(['blue', 'widget'])),
+              c = s has_any (dynamic(['green']))""",
+    """SELECT true AS a, true AS b, false AS c""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -438,12 +438,19 @@ def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
 
 # ----------------------------------------------------------------- dedup_near
 def _min_id_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Canonical (min-id) node per component — see _component_labels."""
+    comp = _component_labels(nodes, edges)
+    return comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+
+
+def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Connected components by smallest-id propagation to FIXPOINT (stop
     when no label changed; a fixed round count under-merges chains longer
     than it — a threshold-chained cluster of diameter d needs d rounds).
     The cap bounds pathological chains; real near-dup clusters have tiny
-    diameter. Returns the canonical (min-id) node per component. Lineage is
-    truncated per round (localCheckpoint) — see the dedup_near docstring."""
+    diameter. Returns (node, comp) labels, comp = min reachable node id.
+    Also backs the `graph-mark-components` operator. Lineage is truncated
+    per round (localCheckpoint) — see the dedup_near docstring."""
     edges = edges.localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -475,7 +482,7 @@ def _min_id_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
-    return comp.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+    return comp
 
 
 @plugin("dedup_near")

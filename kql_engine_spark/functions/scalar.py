@@ -1779,13 +1779,24 @@ _decompose_udf("series_decompose_score", lambda s, t, b, r, th: _residual_scores
 
 def _has_terms(tr, args):
     """Whole-term matches for has_any/has_all (same word-boundary
-    approximation as `has` [KQL §2.9])."""
+    approximation as `has` [KQL §2.9]). Terms: scalar constants and/or
+    dynamic array literals (`has_any (dynamic(['a', 'b']))` flattens)."""
+    from ..ast_nodes import TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
     s = tr.to_col(args[0]).cast("string")
+    terms: list = []
+    for a in args[1:]:
+        if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+            vals = parse_dynamic_literal(a.raw)
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            terms.extend(vals)
+        else:
+            terms.append(tr.const_value(a))
     return [
-        F.regexp_like(
-            s, F.lit(r"(?i)\b" + _re.escape(str(tr.const_value(a))) + r"\b")
-        )
-        for a in args[1:]
+        F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
+        for t in terms
     ]
 
 

@@ -116,6 +116,14 @@ class Parser:
         self.expect(IDENT, "let")
         name = self.ident_name()
         self.expect(OP, "=")
+        # `let v = view () { body }` [KQL] — parameterless lambda marked as a
+        # view; parsed as the lambda (wildcard-union view expansion is a
+        # service feature, documented delta)
+        if self.at(IDENT, "view") and self.at(OP, "(", 1):
+            j = self.find_matching_paren(self.i + 1)
+            if j is not None and self.toks[j + 1].kind == OP and self.toks[j + 1].value == "{":
+                self.next()
+                return LetStmt(name, self.parse_lambda())
         # lambda: (params) { body }
         if self.at(OP, "("):
             j = self.find_matching_paren(self.i)
@@ -600,13 +608,33 @@ class Parser:
                 hints.update(self.parse_hints())
             else:
                 break
-        self.expect(OP, "(")
-        right = self.parse_pipe()
-        self.expect(OP, ")")
+        right = self._join_right_side()
         on: list[JoinOn] = []
         if self.accept(IDENT, "on"):
             on = self.parse_join_conditions()
         return Join(kind, right, on, hints)
+
+    def _join_right_side(self) -> Pipe:
+        """Join/lookup right side: `( T | ... )` or a bare table /
+        stored-function name [KQL join: the right side is any tabular
+        source]."""
+        if self.accept(OP, "("):
+            right = self.parse_pipe()
+            self.expect(OP, ")")
+            return right
+        # bare entity reference: table, let-bound view, or stored-function
+        # call f(args)
+        name = self.ident_name()
+        args = None
+        if self.at(OP, "(") and self.toks[self.i].pos == self.toks[self.i - 1].end:
+            self.expect(OP, "(")
+            args = []
+            while not self.at(OP, ")"):
+                args.append(self.parse_expr())
+                if not self.accept(OP, ","):
+                    break
+            self.expect(OP, ")")
+        return Pipe(TableRef(name, args), [])
 
     def op_lookup(self) -> Lookup:
         kind = "leftouter"
@@ -614,9 +642,7 @@ class Parser:
             self.next()
             self.expect(OP, "=")
             kind = self.ident_name().lower()
-        self.expect(OP, "(")
-        right = self.parse_pipe()
-        self.expect(OP, ")")
+        right = self._join_right_side()
         self.expect(IDENT, "on")
         return Lookup(right, self.parse_join_conditions(), kind)
 
@@ -721,10 +747,14 @@ class Parser:
 
     def _parse_parse(self, where: bool) -> ParseOp:
         kind = "simple"
-        if self.at(IDENT, "kind"):
-            self.next()
+        flags = ""
+        while self.at(IDENT, "kind") or self.at(IDENT, "flags"):
+            opt = self.ident_name().lower()
             self.expect(OP, "=")
-            kind = self.ident_name().lower()
+            if opt == "kind":
+                kind = self.ident_name().lower()
+            else:
+                flags = self.ident_name()
         source = self.parse_expr()
         self.expect(IDENT, "with")
         segments: list[object] = []
@@ -744,7 +774,7 @@ class Parser:
                 segments.append(ParseSlot(name, ktype))
             else:
                 break
-        return ParseOp(source, kind, segments, where)
+        return ParseOp(source, kind, segments, where, flags)
 
     def op_parse_kv(self) -> ParseKv:
         source = self.parse_expr()
@@ -990,6 +1020,26 @@ class Parser:
                 raise self.error("graph-shortest-paths: output must be any|all")
         gm = self._parse_graph_pattern()
         return GraphShortestPaths(gm.start_var, gm.steps, gm.where, gm.project, output)
+
+    def op_graph_mark_components(self):
+        """`graph-mark-components [kind=weak] [with_component_id=Col]`
+        [KQL graph]."""
+        from .ast_nodes import GraphMarkComponents
+
+        kind = "weak"
+        comp_col = "ComponentId"
+        while True:
+            if self.at(IDENT, "kind"):
+                self.next()
+                self.expect(OP, "=")
+                kind = self.ident_name().lower()
+            elif self.at(IDENT, "with_component_id"):
+                self.next()
+                self.expect(OP, "=")
+                comp_col = self.ident_name()
+            else:
+                break
+        return GraphMarkComponents(kind, comp_col)
 
     def op_graph_to_table(self):
         """`graph-to-table nodes|edges` [KQL graph]."""
@@ -1289,6 +1339,29 @@ class Parser:
 
     def parse_in(self, left: Expr, negated: bool, ci: bool) -> InList:
         self.expect(OP, "(")
+        # `x in (T | op | ...)` [KQL tabular in]: a top-level `|` before the
+        # matching `)` marks a tabular operand (KQL has no scalar `|`
+        # operator). A bare table name with no pipe stays a column ref —
+        # write `in (T | project c)` for the tabular form.
+        depth = 0
+        k = self.i
+        is_tabular = False
+        while k < len(self.toks):
+            t = self.toks[k]
+            if t.kind == OP and t.value in ("(", "[", "{"):
+                depth += 1
+            elif t.kind == OP and t.value in (")", "]", "}"):
+                if depth == 0 and t.value == ")":
+                    break
+                depth -= 1
+            elif t.kind == OP and t.value == "|" and depth == 0:
+                is_tabular = True
+                break
+            k += 1
+        if is_tabular:
+            pipe = self.parse_pipe()
+            self.expect(OP, ")")
+            return InList(left, [], negated, ci, table=pipe)
         items = [self.parse_expr()]
         while self.accept(OP, ","):
             items.append(self.parse_expr())
@@ -1322,6 +1395,14 @@ class Parser:
                 idx = self.parse_expr()
                 self.expect(OP, "]")
                 base = Property(base, idx)
+            elif (
+                self.at(QIDENT)
+                and self.toks[self.i].pos == self.toks[self.i - 1].end
+            ):
+                # the lexer folds `['key']` into one QIDENT token; adjacent to
+                # an expression it is dynamic string-key access d['key'], not
+                # a bracket-quoted column name
+                base = Property(base, Lit(str(self.next().value), "string"))
             else:
                 return base
 

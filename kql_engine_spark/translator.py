@@ -362,6 +362,28 @@ class ExprTranslator:
 
     def _inlist(self, e: InList) -> Column:
         c = self.to_col(e.expr)
+        if e.table is not None:
+            # tabular `in` outside a where-conjunct (under `or`, in project):
+            # documented-eager like toscalar — collect the first column's
+            # distinct values NOW, bounded by Kusto's own 1,000,000-value
+            # `in` limit [KQL]. Where-conjuncts take the lazy semi-join path
+            # in t_where instead.
+            inner = self.engine.translate_pipe(e.table)
+            first = inner.columns[0]
+            rows = inner.select(first).distinct().limit(1_000_001).collect()
+            if len(rows) > 1_000_000:
+                raise KqlSemanticError(
+                    "in (tabular): operand exceeds 1,000,000 distinct values"
+                )
+            vals = [r[0] for r in rows]
+            if e.ci:
+                c2 = F.lower(c.cast("string"))
+                out = c2.isin(
+                    *[str(v).lower() for v in vals if v is not None]
+                ) if vals else F.lit(False)
+            else:
+                out = c.isin(*vals) if vals else F.lit(False)
+            return ~out if e.negated else out
         vals = [self.to_col(i) for i in e.items]
         if e.ci:
             c = F.lower(c.cast("string"))
@@ -701,6 +723,15 @@ class PipeTranslator:
                 return self.translate_pipe(bound)
             if isinstance(bound, Col):
                 return self._resolve_table(bound.name)
+            if (
+                isinstance(bound, Lambda)
+                and isinstance(bound.body, Pipe)
+                and all(p in bound.defaults for p, _ in bound.params)
+            ):
+                # `let v = view () { T | ... }; v | ...` [KQL]: a view (or a
+                # fully-defaulted tabular lambda) referenced by bare name
+                # invokes with its defaults
+                return self._call_tabular_function(name, [])
             raise KqlSemanticError(f"let {name!r} is not tabular")
         return self.catalog.table(name, streaming=self.streaming)
 
@@ -974,7 +1005,37 @@ class PipeTranslator:
         return ExprTranslator(df, self, env=env, window=self.current_window())
 
     def t_where(self, df: DataFrame, op: Where) -> DataFrame:
-        return df.filter(self.expr_tr(df).to_col(op.pred))
+        # `x in (T | ...)` conjuncts lower to semi/anti joins — the scalable
+        # path (no value materialization, shuffle- or broadcast-joined by
+        # Catalyst). Only non-conjunct positions (under `or`, in project)
+        # fall back to the bounded eager-collect in _inlist.
+        conjs = _split_conjuncts(op.pred)
+        tab_ins = [
+            c for c in conjs if isinstance(c, InList) and c.table is not None
+        ]
+        if not tab_ins:
+            return df.filter(self.expr_tr(df).to_col(op.pred))
+        rest = [
+            c for c in conjs if not (isinstance(c, InList) and c.table is not None)
+        ]
+        for e in tab_ins:
+            inner = self.translate_pipe(e.table)
+            first = inner.columns[0]
+            right = inner.select(F.col(first).alias("__kql_inval")).distinct()
+            lcol = self.expr_tr(df).to_col(e.expr)
+            if e.ci:
+                cond = F.lower(lcol.cast("string")) == F.lower(
+                    right["__kql_inval"].cast("string")
+                )
+            else:
+                cond = lcol == right["__kql_inval"]
+            df = df.join(right, cond, "left_anti" if e.negated else "left_semi")
+        if rest:
+            pred = self.expr_tr(df).to_col(rest[0])
+            for r in rest[1:]:
+                pred = pred & self.expr_tr(df).to_col(r)
+            df = df.filter(pred)
+        return df
 
     def _named_items(
         self,
@@ -1516,6 +1577,16 @@ class PipeTranslator:
                 regex_parts.append(r"(.*)" if is_last else r"(.*?)")
                 slots.append(seg)
         pattern = "".join(regex_parts)
+        if op.flags:
+            # [KQL parse kind=regex flags=]: i/m/s map to inline Java regex
+            # flags; U (ungreedy) has no Java equivalent
+            bad = set(op.flags) - set("ims")
+            if bad:
+                raise KqlUnsupportedError(
+                    f"parse flags {''.join(sorted(bad))!r} unsupported "
+                    "(i, m, s map to inline flags; U has no JVM equivalent)"
+                )
+            pattern = f"(?{op.flags})" + pattern
         work = df
         group = 0
         for slot in slots:
@@ -2089,6 +2160,42 @@ class PipeTranslator:
         self.order = None
         return nodes if op.what == "nodes" else edges
 
+    def t_graphmarkcomponents(self, df: DataFrame, op) -> DataFrame:
+        """`| graph-mark-components [kind=weak] [with_component_id=Col]`
+        [KQL graph]: label every node with its weakly-connected component.
+        Component id = the smallest node id reachable (deterministic, unlike
+        Kusto's arbitrary ids — documented delta that makes the result
+        oracle-checkable). Lowering: the same min-id-propagation fixpoint
+        that backs dedup_near/dedup_simhash (extensions/llm.py) — per-round
+        keyed joins + groupBy, one 1-row changed-count to the driver per
+        round, no other driver-side data."""
+        graph = getattr(self, "_graph", None)
+        if graph is None:
+            raise KqlSemanticError(
+                "graph-mark-components requires a preceding make-graph"
+            )
+        if op.kind not in ("weak",):
+            raise KqlUnsupportedError(
+                "graph-mark-components: only kind=weak is supported "
+                "(strong components of a directed graph are not implemented)"
+            )
+        from .extensions.llm import _component_labels
+
+        self._graph = None
+        edges, nodes, src, dst, nid = graph
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        n = nodes.select(F.col(nid).alias("node")).distinct()
+        labels = _component_labels(n, e)
+        out = nodes.join(
+            labels.withColumnRenamed("node", nid).withColumnRenamed(
+                "comp", op.comp_col
+            ),
+            nid,
+            "left",
+        )
+        self.order = None
+        return out
+
     def t_facet(self, df: DataFrame, op: Facet) -> DataFrame:
         if op.subquery is not None:
             # `facet by c with ( subquery )` [KQL §2.13]: the subquery runs
@@ -2349,6 +2456,13 @@ def _register_persist(spark: SparkSession, df: DataFrame) -> None:
             pass  # session shutting down — nothing to release
 
 
+def _split_conjuncts(pred) -> list:
+    """Flatten a top-level `and` chain into its conjuncts."""
+    if isinstance(pred, BinOp) and pred.op == "and":
+        return _split_conjuncts(pred.left) + _split_conjuncts(pred.right)
+    return [pred]
+
+
 def _walk_ast(node):
     import dataclasses
 
@@ -2367,7 +2481,18 @@ def _walk_ast(node):
 
 def _plan_is_volatile(q: Query) -> bool:
     volatile_nodes = (SampleOp, SampleDistinct, ExternalData, ConsumeOp, ToScalar)
+    # tabular `in` as a where-conjunct lowers to a lazy semi-join (cache-safe:
+    # re-executes per run); anywhere else it eager-collects like toscalar and
+    # must not be plan-cached
+    lazy_ins: set[int] = set()
     for node in _walk_ast(q):
+        if isinstance(node, Where):
+            for c in _split_conjuncts(node.pred):
+                if isinstance(c, InList) and c.table is not None:
+                    lazy_ins.add(id(c))
+    for node in _walk_ast(q):
+        if isinstance(node, InList) and node.table is not None and id(node) not in lazy_ins:
+            return True
         if isinstance(node, volatile_nodes):
             return True
         if isinstance(node, FuncCall) and node.name.lower() in _VOLATILE_FUNCS:

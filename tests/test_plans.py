@@ -271,3 +271,21 @@ def test_activity_metrics_hash_partitioned(run_kql):
     # previous-period intersection is an (id, period) equi-join — never a
     # cross product or nested loop
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_in_tabular_lowered_to_semi_join(run_kql):
+    df = run_kql(
+        "lineitem | where l_orderkey in"
+        " (orders | where o_totalprice > 300000 | project o_orderkey) | count"
+    )
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_notin_tabular_lowered_to_anti_join(run_kql):
+    df = run_kql(
+        "customer | where c_custkey !in (orders | project o_custkey) | count"
+    )
+    plan = _plan(df)
+    assert "LeftAnti" in plan
