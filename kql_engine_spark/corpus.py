@@ -3158,11 +3158,14 @@ _TIER_A = (
     # §2.4 joins: kinds + composite key + broadcast hint + lookup + multi-join
     # + theta/range idiom (r5 rotation: the five remaining `kind=` variants
     # moved to the pytest-certified tail after two green driver rounds)
-    "join_inner", "join_fullouter", "join_innerunique",
+    # (r5 batch-3 rotation: join_fullouter -> in_tabular_semi_join — the
+    # tabular-in semi/anti lowering is a new operator class; fullouter stays
+    # pytest-certified in the tail)
+    "join_inner", "in_tabular_semi_join", "join_innerunique",
     "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
     "join_theta_range",
-    # §2.5 union
-    "union_withsource",
+    # §2.5 union (r5 batch-3: withsource -> isfuzzy, three green rounds)
+    "union_isfuzzy_skips_unknown",
     # §2.6 summarize/aggregates (computed-key + exact-percentile entries
     # moved to the pytest tail after two green driver rounds)
     "tpch_q6", "agg_sweep", "arg_max_agg",
@@ -3174,17 +3177,23 @@ _TIER_A = (
     "mv_apply_agg", "parse_pattern", "evaluate_pivot", "diffpatterns_orders",
     # §2.9 scalar functions (+ sketch interop readout)
     "has_term", "hll_sketch_roundtrip", "dynamic_array_fns",
-    # §2.10 make-series + series stats
-    "make_series_datetime", "make_series_auto_bounds", "series_stats_fit",
+    # §2.10 make-series + series stats (r5 batch-3: series_stats_fit ->
+    # tuple_extend_fit_line — same fit coverage plus the multi-valued
+    # assignment path)
+    "make_series_datetime", "make_series_auto_bounds", "tuple_extend_fit_line",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
     "summarize_bin_1d", "scan_overlapping_matches",
     # §2.12 LLM data-pipeline
     "llm_dedup_exact", "llm_similarity_search",
     "llm_tfidf_topk", "llm_dedup_simhash", "llm_similarity_ivf_full_probe",
     # §2.13 misc operators + graph + behavior analytics
-    "count_op", "search_term", "search_and_terms", "partition_top_per_key",
+    # (r5 batch-3: count_op -> graph_mark_components — count stays covered
+    # inside a dozen tail entries; activity_engagement -> activity_metrics,
+    # the newer behavior-analytics rep)
+    "graph_mark_components", "search_term", "search_and_terms",
+    "partition_top_per_key",
     "find_multi_table", "graph_match_varlen", "graph_shortest_paths",
-    "activity_engagement_dau_wau",
+    "activity_metrics_retention",
     # §2.14 let / invoke
     "invoke_tabular_lambda",
 )
