@@ -3137,6 +3137,36 @@ q(
     """SELECT true AS a, true AS b, false AS c""",
 )
 
+q(
+    "database_scoped_table",
+    # single-database engine: cluster()/database() qualifiers resolve to the
+    # bare catalog table (documented delta)
+    """cluster('help').database('Samples').nation | count""",
+    """SELECT COUNT(*) AS Count FROM nation""",
+)
+
+q(
+    "preview_sample_count",
+    """nation
+    | sort by n_nationkey asc
+    | evaluate preview(3)""",
+    """SELECT n_nationkey, n_name, n_regionkey,
+              (SELECT COUNT(*) FROM nation) AS Count
+       FROM nation ORDER BY n_nationkey LIMIT 3""",
+)
+
+q(
+    "format_datetime_literal_delims",
+    """print f = format_datetime(datetime(2024-02-05 11:22:33), 'yyyy-MM-dd [HH:mm:ss]')""",
+    """SELECT '2024-02-05 [11:22:33]' AS f""",
+)
+
+q(
+    "treepath_paths",
+    """print p = tostring(treepath(dynamic({'a': {'b': 1, 'c': [5, 6]}})))""",
+    '''SELECT '["[''a'']","[''a''][''b'']","[''a''][''c'']","[''a''][''c''][]"]' AS p''',
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -15,6 +15,24 @@ from . import plugin
 _MAX_EXPAND = 500
 
 
+@plugin("preview")
+def _preview(ptr, df, args):
+    """`T | evaluate preview(N)` [KQL]: Kusto returns two tables (an N-row
+    sample and a 1-row total Count). Single-DataFrame deviation (same
+    convention as `fork`): the N sample rows with a `Count` column carrying
+    the total — computed as a broadcast 1-row aggregate cross join, so the
+    total never touches the driver."""
+    from ..ast_nodes import Lit
+
+    n = 50
+    if args:
+        if not isinstance(args[0], Lit) or not isinstance(args[0].value, int):
+            raise KqlSemanticError("preview(N): N must be an integer literal")
+        n = int(args[0].value)
+    total = df.agg(F.count(F.lit(1)).alias("Count"))
+    return df.limit(n).crossJoin(F.broadcast(total))
+
+
 @plugin("pivot")
 def _pivot(ptr, df, args):
     if not args or not isinstance(args[0], Col):

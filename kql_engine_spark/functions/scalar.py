@@ -450,7 +450,10 @@ def _xlate_fmt(fmt: str) -> str:
                 break
         else:
             ch = fmt[i]
-            if ch.isalpha():
+            if ch.isalpha() or ch in "[]#{}":
+                # alpha: could be a JVM pattern letter; [ ] # { } are
+                # reserved by java.time (optional sections / padding) and
+                # must be quoted to stay literal delimiters
                 out.append(f"'{ch}'")
             else:
                 out.append(ch)
@@ -2342,6 +2345,51 @@ def _series_fft(tr, args):
 def _series_ifft(tr, args):
     """[KQL series_ifft] — inverse DFT; same shape contract as series_fft."""
     return F.to_json(_ifft_struct(tr, args))
+
+
+@fn("treepath")
+def _treepath(tr, args):
+    """[KQL treepath] — enumerate the path expressions of a dynamic object:
+    object keys as ['key'], array traversal as [] (no index), including
+    intermediate paths. Arrow-batched pandas UDF over the JSON carrier
+    (recursive bag walk has no JVM-expression form)."""
+    key = "treepath"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def udf(col):
+            import json
+
+            def walk(obj, prefix, out):
+                if isinstance(obj, dict):
+                    for k, v in obj.items():
+                        p = f"{prefix}['{k}']"
+                        out.append(p)
+                        walk(v, p, out)
+                elif isinstance(obj, list):
+                    p = prefix + "[]"
+                    out.append(p)
+                    for v in obj:
+                        walk(v, p, out)
+
+            def one(s):
+                if s is None:
+                    return None
+                try:
+                    obj = json.loads(s)
+                except (ValueError, TypeError):
+                    return []
+                out: list = []
+                walk(obj, "", out)
+                # dedupe (array elements repeat paths), keep first-seen order
+                return list(dict.fromkeys(out))
+
+            return col.map(one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    col = tr.to_col(args[0])
+    return _PANDAS_UDF_CACHE[key](_bag_as_json(tr, args[0], col))
 
 
 # ------------------------------------------------- multi-valued assignment

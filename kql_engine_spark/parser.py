@@ -250,6 +250,20 @@ class Parser:
             return UnionSource(pipes, kind, withsource, isfuzzy)
         if head == "externaldata":
             return self.parse_externaldata()
+        if head in ("cluster", "database") and self.at(OP, "(", 1):
+            # `cluster('c').database('d').T` / `database('d').T` [KQL]:
+            # single-database engine — scoping qualifiers parse and resolve
+            # to the bare table in the bound catalog (documented delta)
+            while self.at(IDENT) and str(self.peek().value).lower() in (
+                "cluster", "database"
+            ) and self.at(OP, "(", 1):
+                self.next()
+                self.expect(OP, "(")
+                if self.peek().kind == STRING:
+                    self.next()
+                self.expect(OP, ")")
+                self.expect(OP, ".")
+            return TableRef(self.ident_name())
         if head == "find":
             return self.parse_find()
         if head == "search":
