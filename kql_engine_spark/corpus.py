@@ -3167,6 +3167,25 @@ q(
     '''SELECT '["[''a'']","[''a''][''b'']","[''a''][''c'']","[''a''][''c''][]"]' AS p''',
 )
 
+q(
+    "table_fn_source",
+    """table('nation') | count""",
+    """SELECT COUNT(*) AS Count FROM nation""",
+)
+
+q(
+    "percentiles_array_agg",
+    """lineitem
+    | summarize p = percentiles_array(l_quantity, dynamic([25, 50, 75])) by l_returnflag
+    | project l_returnflag, p = tostring(p)
+    | sort by l_returnflag asc""",
+    """SELECT l_returnflag,
+              CAST(to_json([quantile_cont(l_quantity, 0.25),
+                            quantile_cont(l_quantity, 0.50),
+                            quantile_cont(l_quantity, 0.75)]) AS VARCHAR) AS p
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

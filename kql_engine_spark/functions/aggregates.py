@@ -307,6 +307,41 @@ def _percentiles(tr, args, name):
     return out
 
 
+@agg("percentiles_array")
+def _percentiles_array(tr, args, name):
+    """percentiles_array(x, p1, p2, ...) or (x, dynamic([p...])) [KQL]:
+    single array column of the requested percentiles."""
+    from ..ast_nodes import TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
+    c = tr.to_col(args[0])
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    pcts: list[float] = []
+    for a in args[1:]:
+        if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+            vals = parse_dynamic_literal(a.raw)
+            pcts.extend(float(v) for v in (vals if isinstance(vals, list) else [vals]))
+        else:
+            pcts.append(float(tr.const_value(a)))
+    fracs = [p / 100.0 for p in pcts]
+    if tr.exact_percentile:
+        col = F.array(*[F.percentile(c, F.lit(f)) for f in fracs])
+    else:
+        col = F.percentile_approx(c, fracs)
+    return [(name or f"percentiles_{colname}", col)]
+
+
+@agg("percentilesw_array")
+def _percentilesw_array(tr, args, name):
+    """percentilesw_array(x, w, p1, ...) — weighted percentiles array."""
+    c = tr.to_col(args[0])
+    w = tr.to_col(args[1]).cast("bigint")
+    colname = args[0].name if isinstance(args[0], Col) else "expr"
+    fracs = [float(tr.const_value(a)) / 100.0 for a in args[2:]]
+    col = F.array(*[F.percentile(c, F.lit(f), w) for f in fracs])
+    return [(name or f"percentiles_{colname}", col)]
+
+
 @agg("percentilew")
 def _percentilew(tr, args, name):
     c = tr.to_col(args[0])

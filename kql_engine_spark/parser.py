@@ -250,6 +250,13 @@ class Parser:
             return UnionSource(pipes, kind, withsource, isfuzzy)
         if head == "externaldata":
             return self.parse_externaldata()
+        if head == "table" and self.at(OP, "(", 1) and self.peek(2).kind == STRING:
+            # `table('name')` [KQL]: constant-string table reference
+            self.next()
+            self.expect(OP, "(")
+            name = str(self.next().value)
+            self.expect(OP, ")")
+            return TableRef(name)
         if head in ("cluster", "database") and self.at(OP, "(", 1):
             # `cluster('c').database('d').T` / `database('d').T` [KQL]:
             # single-database engine — scoping qualifiers parse and resolve
