@@ -292,3 +292,93 @@ def test_random_datetime_functions_match_duckdb(run_kql, duck, exprs):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------------------------- dynamic/array functions
+# Same contract as the string/datetime domains: generated literal arrays
+# (ints only — no float formatting artifacts), engine expression vs DuckDB
+# list-function twin, exact string compare on the JSON serialization.
+
+
+def _arr_lit(vals):
+    body = ", ".join(str(v) for v in vals)
+    return f"dynamic([{body}])", f"[{body}]"
+
+
+@st.composite
+def array_exprs(draw):
+    vals = draw(st.lists(st.integers(-9, 9), min_size=1, max_size=6))
+    k_a, s_a = _arr_lit(vals)
+    kind = draw(st.integers(0, 8))
+    if kind == 0:
+        return f"array_length({k_a})", f"CAST(len({s_a}) AS BIGINT)"
+    if kind == 1:
+        return (
+            f"tostring(array_sort_asc({k_a}))",
+            f"CAST(to_json(list_sort({s_a})) AS VARCHAR)",
+        )
+    if kind == 2:
+        return (
+            f"tostring(array_sort_desc({k_a}))",
+            f"CAST(to_json(list_reverse_sort({s_a})) AS VARCHAR)",
+        )
+    if kind == 3:
+        return (
+            f"tostring(array_reverse({k_a}))",
+            f"CAST(to_json(list_reverse({s_a})) AS VARCHAR)",
+        )
+    if kind == 4:
+        vals2 = draw(st.lists(st.integers(-9, 9), min_size=1, max_size=4))
+        k_b, s_b = _arr_lit(vals2)
+        return (
+            f"tostring(array_concat({k_a}, {k_b}))",
+            f"CAST(to_json(list_concat({s_a}, {s_b})) AS VARCHAR)",
+        )
+    if kind == 5:
+        needle = draw(st.integers(-9, 9))
+        return (
+            f"array_index_of({k_a}, {needle})",
+            f"CAST(coalesce(list_position({s_a}, {needle}), 0) - 1 AS BIGINT)",
+        )
+    if kind == 6:
+        # non-negative inclusive slice
+        i = draw(st.integers(0, len(vals) - 1))
+        j = draw(st.integers(i, len(vals) - 1))
+        return (
+            f"tostring(array_slice({k_a}, {i}, {j}))",
+            f"CAST(to_json(({s_a})[{i + 1}:{j + 1}]) AS VARCHAR)",
+        )
+    if kind == 7:
+        vals2 = draw(st.lists(st.integers(-9, 9), min_size=1, max_size=4))
+        k_b, s_b = _arr_lit(vals2)
+        return (
+            f"tostring(set_union({k_a}, {k_b}))",
+            "CAST(to_json(list_sort(list_distinct("
+            f"list_concat({s_a}, {s_b})))) AS VARCHAR)",
+        )
+    vals2 = draw(st.lists(st.integers(-9, 9), min_size=1, max_size=4))
+    k_b, s_b = _arr_lit(vals2)
+    return (
+        f"tostring(set_intersect({k_a}, {k_b}))",
+        "CAST(to_json(list_sort(list_distinct("
+        f"list_filter({s_a}, x -> list_contains({s_b}, x))))) AS VARCHAR)",
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(array_exprs(), min_size=1, max_size=3))
+def test_random_array_functions_match_duckdb(run_kql, duck, exprs):
+    kql_proj = ", ".join(f"v{i} = {k}" for i, (k, _) in enumerate(exprs))
+    sql_proj = ", ".join(f"{s} AS v{i}" for i, (_, s) in enumerate(exprs))
+    kdf = run_kql(f"print {kql_proj}")
+    sdf = duck.sql(f"SELECT {sql_proj}")
+    got = canonize_rows(
+        kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()]
+    )
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
