@@ -3186,6 +3186,28 @@ q(
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 
+q(
+    "series_stats_tuple_assign",
+    """print y = dynamic([3.0, 1.0, 4.0, 1.0])
+    | extend (mn, mnidx, mx, mxidx, avg, sd, var) = series_stats(y)
+    | project mn, mnidx = tolong(mnidx), mx, mxidx = tolong(mxidx),
+              avg, var = round(var, 4)""",
+    """SELECT 1.0 AS mn, CAST(1 AS BIGINT) AS mnidx, 4.0 AS mx,
+              CAST(2 AS BIGINT) AS mxidx, 2.25 AS avg, 2.25 AS var""",
+)
+
+q(
+    "series_decompose_tuple_assign",
+    # period-2 alternating series: residual ~ 0, baseline reproduces the
+    # signal; checked via stats over the destructured components
+    """print y = dynamic([1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0])
+    | extend (b, s, t, r) = series_decompose(y, 2)
+    | project rmax = round(todouble(series_stats_dynamic(r).max), 6),
+              bavg = round(todouble(series_stats_dynamic(b).avg), 6),
+              samp = round(todouble(series_stats_dynamic(s).max), 6)""",
+    """SELECT 0.0 AS rmax, 1.5 AS bavg, 0.5 AS samp""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

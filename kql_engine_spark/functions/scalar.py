@@ -1317,11 +1317,9 @@ simple("series_sum")(
 )
 
 
-@fn("series_stats_dynamic")
-def _series_stats_dynamic(tr, args):
-    """KQL series_stats_dynamic(a) -> bag {min, min_idx, max, max_idx, avg,
-    stdev, variance} (JSON-text dynamic carrier). Indices are 0-based [KQL]."""
-    a = _as_dseries(tr.to_col(args[0]))
+def _series_stats_struct(a: Column) -> Column:
+    """KQL series_stats(a) -> {min, min_idx, max, max_idx, avg, stdev,
+    variance}. Indices are 0-based [KQL]."""
     n = F.size(a).cast("double")
     total = F.aggregate(a, F.lit(0.0), lambda s, x: s + x)
     avg = total / n
@@ -1330,17 +1328,21 @@ def _series_stats_dynamic(tr, args):
     var = F.aggregate(a, F.lit(0.0), lambda s, x: s + (x - avg) * (x - avg)) / (
         n - F.lit(1.0)
     )
-    return F.to_json(
-        F.struct(
-            mn.alias("min"),
-            (F.array_position(a, mn) - F.lit(1)).alias("min_idx"),
-            mx.alias("max"),
-            (F.array_position(a, mx) - F.lit(1)).alias("max_idx"),
-            avg.alias("avg"),
-            F.sqrt(var).alias("stdev"),
-            var.alias("variance"),
-        )
+    return F.struct(
+        mn.alias("min"),
+        (F.array_position(a, mn) - F.lit(1)).alias("min_idx"),
+        mx.alias("max"),
+        (F.array_position(a, mx) - F.lit(1)).alias("max_idx"),
+        avg.alias("avg"),
+        F.sqrt(var).alias("stdev"),
+        var.alias("variance"),
     )
+
+
+@fn("series_stats_dynamic")
+def _series_stats_dynamic(tr, args):
+    """Bag form (JSON-text dynamic carrier) of series_stats [KQL]."""
+    return F.to_json(_series_stats_struct(_as_dseries(tr.to_col(args[0]))))
 
 
 @fn("series_fill_const")
@@ -1777,6 +1779,76 @@ _decompose_udf("series_decompose_trend", lambda s, t, b, r, th: t)
 _decompose_udf("series_decompose_baseline", lambda s, t, b, r, th: b)
 _decompose_udf("series_decompose_residual", lambda s, t, b, r, th: r)
 _decompose_udf("series_decompose_anomalies", _anomaly_flags)
+
+
+_DECOMP_SCHEMA = (
+    "baseline array<double>, seasonal array<double>, trend array<double>, "
+    "residual array<double>"
+)
+_ANOM_SCHEMA = (
+    "ad_flag array<double>, ad_score array<double>, baseline array<double>"
+)
+
+
+def _decompose_struct_factory(anomalies: bool):
+    """Struct builders backing the multi-valued forms:
+    `(baseline, seasonal, trend, residual) = series_decompose(y[, period])`
+    and `(ad_flag, ad_score, baseline) = series_decompose_anomalies(...)`
+    [KQL] — one UDF evaluation for all components."""
+
+    def build(tr, args):
+        period = int(tr.const_value(args[1])) if len(args) > 1 else 0
+        threshold = float(tr.const_value(args[2])) if len(args) > 2 else 1.5
+        key = f"decomp_struct:{anomalies}:{period}:{threshold}"
+        if key not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(_ANOM_SCHEMA if anomalies else _DECOMP_SCHEMA)
+            def udf(col):
+                import numpy as np
+                import pandas as pd
+
+                rows = []
+                for a in col:
+                    if a is None:
+                        rows.append((None, None, None) if anomalies else (None,) * 4)
+                        continue
+                    y = np.asarray(a, dtype="float64")
+                    s, t, b, r = _decompose_parts(y, period)
+                    if anomalies:
+                        rows.append(
+                            (
+                                _anomaly_flags(s, t, b, r, threshold).tolist(),
+                                _residual_scores(r).tolist(),
+                                b.tolist(),
+                            )
+                        )
+                    else:
+                        rows.append(
+                            (b.tolist(), s.tolist(), t.tolist(), r.tolist())
+                        )
+                names = (
+                    ["ad_flag", "ad_score", "baseline"]
+                    if anomalies
+                    else ["baseline", "seasonal", "trend", "residual"]
+                )
+                return pd.DataFrame(rows, columns=names)
+
+            _PANDAS_UDF_CACHE[key] = udf
+        return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+    return build
+
+
+_decompose_struct = _decompose_struct_factory(anomalies=False)
+_decompose_anom_struct = _decompose_struct_factory(anomalies=True)
+
+
+@fn("series_decompose")
+def _series_decompose(tr, args):
+    """[KQL series_decompose] — single-assign yields the component bag;
+    destructure with `(baseline, seasonal, trend, residual) = ...`."""
+    return F.to_json(_decompose_struct(tr, args))
 _decompose_udf("series_decompose_score", lambda s, t, b, r, th: _residual_scores(r))
 
 
@@ -2425,6 +2497,19 @@ def _array_sort_fields(args):
 
 MULTI_OUTPUT["array_sort_asc"] = (_array_sort_fields, _array_sort_asc_struct)
 MULTI_OUTPUT["array_sort_desc"] = (_array_sort_fields, _array_sort_desc_struct)
+MULTI_OUTPUT["series_stats"] = (
+    ["min", "min_idx", "max", "max_idx", "avg", "stdev", "variance"],
+    lambda tr, args: _series_stats_struct(_as_dseries(tr.to_col(args[0]))),
+)
+MULTI_OUTPUT["series_stats_dynamic"] = MULTI_OUTPUT["series_stats"]
+MULTI_OUTPUT["series_decompose"] = (
+    ["baseline", "seasonal", "trend", "residual"],
+    _decompose_struct,
+)
+MULTI_OUTPUT["series_decompose_anomalies"] = (
+    ["ad_flag", "ad_score", "baseline"],
+    _decompose_anom_struct,
+)
 
 
 # ------------------------------------------------------------ geohash family
