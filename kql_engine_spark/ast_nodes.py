@@ -243,7 +243,7 @@ class MvExpand(TabularOp):
     to_type: Optional[str] = None
     limit: Optional[int] = None
     with_itemindex: Optional[str] = None
-    bag_expansion: str = "array"  # 'bag' | 'array'
+    bag_expansion: str = "bag"  # Kusto default [KQL]; 'array' -> [k, v] pairs
 
 
 @dataclass

@@ -3208,6 +3208,25 @@ q(
     """SELECT 0.0 AS rmax, 1.5 AS bavg, 0.5 AS samp""",
 )
 
+q(
+    "mv_expand_bagexpansion",
+    # default (bag): one single-property bag per row; array: [key, value]
+    """print d = dynamic({'a': 1, 'b': 'x'})
+    | mv-expand bagexpansion=array d
+    | project d = tostring(d)
+    | sort by d asc""",
+    """SELECT * FROM (VALUES ('["a",1]'), ('["b","x"]')) t(d) ORDER BY d""",
+)
+
+q(
+    "mv_expand_bag_default",
+    """print d = dynamic({'a': 1, 'b': 'x'})
+    | mv-expand d
+    | project d = tostring(d)
+    | sort by d asc""",
+    """SELECT * FROM (VALUES ('{"a":1}'), ('{"b":"x"}')) t(d) ORDER BY d""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -700,7 +700,7 @@ class Parser:
         return Union(pipes, kind, withsource, isfuzzy=isfuzzy)
 
     def op_mv_expand(self) -> MvExpand:
-        bag_expansion = "array"
+        bag_expansion = "bag"
         with_itemindex = None
         while True:
             if self.at(IDENT, "bagexpansion") or self.at(IDENT, "kind"):

@@ -1517,13 +1517,58 @@ class PipeTranslator:
                 item.expr.name if isinstance(item.expr, Col) else "Column1"
             )
             dt = tr.dtype_of_ast(item.expr, col)
+            as_array = op.bag_expansion == "array"
+
+            def _quote(c):
+                esc = F.regexp_replace(
+                    F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\"'
+                )
+                return F.concat(F.lit('"'), esc, F.lit('"'))
+
+            def _entry(key_json, val_json):
+                # bagexpansion=bag [KQL default]: {'k': v} per property;
+                # =array: ['k', v] two-element arrays
+                if as_array:
+                    return F.concat(
+                        F.lit("["), key_json, F.lit(","), val_json, F.lit("]")
+                    )
+                return F.concat(
+                    F.lit("{"), key_json, F.lit(":"), val_json, F.lit("}")
+                )
+
             if isinstance(dt, T.StringType):
-                # JSON-text dynamic carrier -> array of json-encoded elements
-                col = self._json_to_array(col)
+                # JSON-text dynamic carrier: arrays explode per element;
+                # object bags explode per property (values re-encoded —
+                # JSON scalars stay raw, everything else re-quoted)
+                s = col.cast("string")
+                obj = F.transform(
+                    F.map_entries(F.from_json(s, "map<string,string>")),
+                    lambda kv: _entry(
+                        _quote(kv["key"]),
+                        F.when(
+                            kv["value"].rlike(
+                                r"^(-?[0-9][0-9.eE+-]*|true|false|null|\[.*\]|\{.*\})$"
+                            ),
+                            kv["value"],
+                        ).otherwise(_quote(kv["value"])),
+                    ),
+                )
+                col = (
+                    F.when(s.startswith("["), F.from_json(s, "array<string>"))
+                    .when(s.startswith("{"), obj)
+                    .otherwise(F.array(s))
+                )
             elif isinstance(dt, T.MapType):
+                vt = dt.valueType
+                if isinstance(vt, T.StringType):
+                    enc = _quote
+                elif isinstance(vt, (T.ArrayType, T.MapType, T.StructType)):
+                    enc = F.to_json
+                else:
+                    enc = lambda c: F.coalesce(c.cast("string"), F.lit("null"))  # noqa: E731
                 col = F.transform(
                     F.map_entries(col),
-                    lambda kv: F.to_json(F.create_map(kv["key"], kv["value"])),
+                    lambda kv: _entry(_quote(kv["key"]), enc(kv["value"])),
                 )
             cols.append((name, col))
         if op.limit is not None:
