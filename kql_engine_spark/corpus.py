@@ -3227,6 +3227,16 @@ q(
     """SELECT * FROM (VALUES ('{"a":1}'), ('{"b":"x"}')) t(d) ORDER BY d""",
 )
 
+q(
+    "series_fit_poly_quadratic",
+    # y = (x+1)^2 on x = 0..4 -> coefficients [1, 2, 1] high-order-first
+    """print y = dynamic([1.0, 4.0, 9.0, 16.0, 25.0])
+    | extend (rsq, c, v, rv, fit) = series_fit_poly(y, 2)
+    | project rsq = round(rsq, 6), c2 = round(todouble(c[0]), 6),
+              c1 = round(todouble(c[1]), 6), c0 = round(todouble(c[2]), 6)""",
+    """SELECT 1.0 AS rsq, 1.0 AS c2, 2.0 AS c1, 1.0 AS c0""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -2353,6 +2353,73 @@ def _series_fit_2lines(tr, args):
     return F.to_json(_fit_2lines_struct(tr, args))
 
 
+# ----------------------------------------------------------- polynomial fit
+_POLY_SCHEMA = (
+    "rsquare double, coefficients array<double>, variance double, "
+    "rvariance double, poly_fit array<double>"
+)
+
+
+def _fit_poly_struct(tr, args):
+    """[KQL series_fit_poly(y[, x, degree])] — least-squares polynomial fit;
+    coefficients high-order-first (Kusto convention)."""
+    degree = 1
+    x_arg = None
+    if len(args) >= 3:
+        x_arg = args[1]
+        degree = int(tr.const_value(args[2]))
+    elif len(args) == 2:
+        degree = int(tr.const_value(args[1]))
+    key = f"series_fit_poly:{degree}:{x_arg is not None}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(_POLY_SCHEMA)
+        def udf(y_col, x_col):
+            import numpy as np
+            import pandas as pd
+
+            rows = []
+            for y_a, x_a in zip(y_col, x_col):
+                if y_a is None or len(y_a) <= degree:
+                    rows.append((None, None, None, None, None))
+                    continue
+                y = np.asarray(y_a, dtype="float64")
+                x = (
+                    np.asarray(x_a, dtype="float64")
+                    if x_a is not None and len(x_a) == len(y)
+                    else np.arange(len(y), dtype="float64")
+                )
+                coefs = np.polyfit(x, y, degree)
+                fit = np.polyval(coefs, x)
+                var = float(np.var(y))
+                rvar = float(np.mean((y - fit) ** 2))
+                rsq = 1.0 - rvar / var if var > 0 else 0.0
+                rows.append(
+                    (rsq, [float(c) for c in coefs], var, rvar,
+                     [float(v) for v in fit])
+                )
+            return pd.DataFrame(
+                rows,
+                columns=["rsquare", "coefficients", "variance", "rvariance",
+                         "poly_fit"],
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    y_c = _as_dseries(tr.to_col(args[0]))
+    x_c = (
+        _as_dseries(tr.to_col(x_arg))
+        if x_arg is not None
+        else F.lit(None).cast("array<double>")
+    )
+    return _PANDAS_UDF_CACHE[key](y_c, x_c)
+
+
+@fn("series_fit_poly")
+def _series_fit_poly(tr, args):
+    return F.to_json(_fit_poly_struct(tr, args))
+
+
 # ----------------------------------------------------------------- FFT family
 _FFT_SCHEMA = "re array<double>, im array<double>"
 
@@ -2509,6 +2576,10 @@ MULTI_OUTPUT["series_decompose"] = (
 MULTI_OUTPUT["series_decompose_anomalies"] = (
     ["ad_flag", "ad_score", "baseline"],
     _decompose_anom_struct,
+)
+MULTI_OUTPUT["series_fit_poly"] = (
+    ["rsquare", "coefficients", "variance", "rvariance", "poly_fit"],
+    _fit_poly_struct,
 )
 
 
