@@ -2065,6 +2065,13 @@ def _geo_point_in_circle(tr, args):
 REGISTRY["new_guid"] = lambda tr, args: F.expr("uuid()")
 simple("current_database")(lambda: F.lit("default"))
 simple("current_cluster_endpoint")(lambda: F.lit("local"))
+# identity functions: no auth context in a library engine — documented
+# constants with Kusto-shaped output (the deployment wires real identity)
+simple("current_principal")(lambda: F.lit("aaduser=kql-engine-spark"))
+simple("current_principal_details")(
+    lambda: F.lit('{"UserPrincipalName":"kql-engine-spark","Type":"aaduser"}')
+)
+REGISTRY["current_principal_is_member_of"] = lambda tr, args: F.lit(False)
 
 
 @fn("parse_urlquery")

@@ -1194,6 +1194,8 @@ class PipeTranslator:
         """Row-count operator argument: int literal, or a constant expression
         resolved through let bindings / tabular-lambda parameters."""
         if isinstance(v, int):
+            if v < 0:
+                raise KqlSemanticError(f"row count must be non-negative, got {v}")
             return v
         e = v
         for _ in range(16):  # follow let chains: take lim -> let lim = n
@@ -1201,14 +1203,19 @@ class PipeTranslator:
                 e = self.lets[e.name]
             else:
                 break
+        n = None
         if isinstance(e, Lit):
-            return int(e.value)
-        if isinstance(e, UnaryOp) and e.op == "-" and isinstance(e.operand, Lit):
-            return -int(e.operand.value)
-        raise KqlSemanticError(
-            "take/top/sample count must be a constant (or a let-bound/"
-            "function-parameter constant)"
-        )
+            n = int(e.value)
+        elif isinstance(e, UnaryOp) and e.op == "-" and isinstance(e.operand, Lit):
+            n = -int(e.operand.value)
+        if n is None:
+            raise KqlSemanticError(
+                "take/top/sample count must be a constant (or a let-bound/"
+                "function-parameter constant)"
+            )
+        if n < 0:
+            raise KqlSemanticError(f"row count must be non-negative, got {n}")
+        return n
 
     def t_take(self, df: DataFrame, op: Take) -> DataFrame:
         return df.limit(self._const_count(op.n))

@@ -875,3 +875,22 @@ def test_array_sort_nulls_last_flag(run_kql):
     assert row.s == "[1,3,null]"       # Kusto default: nulls last
     assert row.sf == "[null,1,3]"      # nulls_last=false -> nulls first
     assert row.d == "[3,1,null]"
+
+
+def test_take_negative_typed_error(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="non-negative"):
+        run_kql("nation | take -1").collect()
+
+
+def test_current_principal_constants(run_kql):
+    row = run_kql(
+        "print p = current_principal(),"
+        " m = current_principal_is_member_of('g'),"
+        " t = tostring(current_principal_details().Type)"
+    ).collect()[0]
+    assert row.p == "aaduser=kql-engine-spark"
+    assert row.m is False and row.t == "aaduser"
