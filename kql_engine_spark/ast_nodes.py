@@ -514,6 +514,9 @@ class Lambda:
 class Query:
     lets: list[LetStmt]
     pipe: Pipe
+    # `set name = value;` query-property statements [KQL] (e.g.
+    # query_bin_auto_size); value is the raw Expr, interpreted by consumers
+    sets: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -3237,6 +3237,41 @@ q(
     """SELECT 1.0 AS rsq, 1.0 AS c2, 2.0 AS c1, 1.0 AS c0""",
 )
 
+q(
+    "bin_auto_set_property",
+    # `set query_bin_auto_size` + bin_auto(ts) ≡ bin(ts, 1d) [KQL]
+    """set query_bin_auto_size = 1d;
+    events
+    | summarize c = count() by d = bin_auto(ts)
+    | sort by d asc""",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+              COUNT(*) AS c
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "base64_fromarray_roundtrip",
+    # base64_encode_fromarray inverts base64_decode_toarray
+    """print a = base64_encode_fromarray(dynamic([75, 117, 115, 116, 111])),
+             rt = base64_encode_fromarray(base64_decode_toarray('aGVsbG8='))""",
+    """SELECT 'S3VzdG8=' AS a, 'aGVsbG8=' AS rt""",
+)
+
+q(
+    "series_periods_validate_fn",
+    # same period-8 sawtooth as series_periods_detect_fn: lag-8 ACF is the
+    # strong fundamental, lag 5 scores weak
+    """print y = dynamic([0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0,
+                          0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0])
+    | extend (periods, scores) = series_periods_validate(y, 8.0, 5.0)
+    | project p0 = todouble(periods[0]), p1 = todouble(periods[1]),
+              strong8 = todouble(scores[0]) > 0.5,
+              weak5 = todouble(scores[1]) < 0.5""",
+    """SELECT 8.0 AS p0, 5.0 AS p1, true AS strong8, true AS weak5""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -316,6 +316,32 @@ def _bin(tr, args):
     return binned
 
 
+@fn("bin_auto")
+def _bin_auto(tr, args):
+    """bin_auto(x) [KQL]: bins by the `query_bin_auto_size` query property
+    (`set query_bin_auto_size=1h;` or the kql(options=...) dict), anchored
+    at `query_bin_auto_at` when set. Mirrors Kusto, where bin_auto without
+    the property is an error."""
+    size = tr.engine.options.get("query_bin_auto_size")
+    if size is None:
+        raise KqlSemanticError(
+            "bin_auto() requires `set query_bin_auto_size = ...;` (or the "
+            "query_bin_auto_size entry in kql(options=...))"
+        )
+    at = tr.engine.options.get("query_bin_auto_at")
+    from ..ast_nodes import Expr as _Expr, Lit as _Lit
+
+    def as_ast(v):
+        if isinstance(v, _Expr):
+            return v
+        # programmatic options: bare numbers bin numerically
+        return _Lit(v, "long" if isinstance(v, int) else "real")
+
+    if at is not None:
+        return REGISTRY["bin_at"](tr, [args[0], as_ast(size), as_ast(at)])
+    return REGISTRY["bin"](tr, [args[0], as_ast(size)])
+
+
 @fn("bin_at")
 def _bin_at(tr, args):
     x = tr.to_col(args[0])
@@ -1730,6 +1756,53 @@ def _periods_detect_entry(tr, args):
 REGISTRY["series_periods_detect"] = _periods_detect_entry
 
 
+def _periods_validate_entry(tr, args):
+    """series_periods_validate(series, p1, p2, ...) [KQL §2.10]: scores each
+    suspected period with the same biased-normalized ACF that
+    series_periods_detect ranks by; returns (periods, scores) arrays."""
+    periods = [float(tr.const_value(a)) for a in args[1:]]
+    key = f"series_periods_validate:{periods}"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("periods array<double>, scores array<double>")
+        def udf(col):
+            import numpy as np
+            import pandas as pd
+
+            outp, outs = [], []
+            for a in col:
+                if a is None:
+                    outp.append(None)
+                    outs.append(None)
+                    continue
+                y = np.asarray(a, dtype="float64")
+                n = len(y)
+                scores = []
+                if n >= 4 and not np.isnan(y).all():
+                    y = np.where(np.isnan(y), np.nanmean(y), y)
+                    y = y - y.mean()
+                    var = float((y * y).sum())
+                    for p in periods:
+                        k = int(round(p))
+                        if var <= 0 or k < 2 or k > n - 2:
+                            scores.append(0.0)
+                            continue
+                        acf = float((y[: n - k] * y[k:]).sum()) / var
+                        scores.append(min(max(acf, 0.0), 1.0))
+                else:
+                    scores = [0.0] * len(periods)
+                outp.append(list(periods))
+                outs.append(scores)
+            return pd.DataFrame({"periods": outp, "scores": outs})
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](_as_dseries(tr.to_col(args[0])))
+
+
+REGISTRY["series_periods_validate"] = _periods_validate_entry
+
+
 @fn("series_decompose_forecast")
 def _series_decompose_forecast(tr, args):
     """series_decompose_forecast(y, points[, seasonality]) [KQL §2.10]:
@@ -2588,6 +2661,14 @@ MULTI_OUTPUT["series_fit_poly"] = (
     ["rsquare", "coefficients", "variance", "rvariance", "poly_fit"],
     _fit_poly_struct,
 )
+MULTI_OUTPUT["series_periods_detect"] = (
+    ["periods", "scores"],
+    _periods_detect_entry,
+)
+MULTI_OUTPUT["series_periods_validate"] = (
+    ["periods", "scores"],
+    _periods_validate_entry,
+)
 
 
 # ------------------------------------------------------------ geohash family
@@ -2912,6 +2993,23 @@ def _base64_decode_toguid(tr, args):
             F.substring(back, 21, 12),
         ),
     )
+
+
+@fn("base64_encode_fromarray")
+def _base64_encode_fromarray(tr, args):
+    """array of byte values -> base64 string [KQL] (inverse of
+    base64_decode_toarray). Bytes assemble via hex-pair concat + unhex —
+    pure column exprs."""
+    arr = tr.to_col(args[0])
+    dt = tr.dtype_of_ast(args[0], arr)
+    if isinstance(dt, T.StringType):  # JSON-text dynamic carrier
+        arr = F.from_json(arr, "array<bigint>")
+    else:
+        arr = arr.cast("array<bigint>")
+    hexpairs = F.transform(
+        arr, lambda x: F.lpad(F.hex(x.bitwiseAND(F.lit(255))), 2, "0")
+    )
+    return F.base64(F.unhex(F.array_join(hexpairs, "")))
 
 
 @fn("base64_decode_toarray")

@@ -102,15 +102,26 @@ class Parser:
     # ------------------------------------------------------------ entry point
     def parse_query(self) -> Query:
         lets: list[LetStmt] = []
-        while self.at(IDENT, "let"):
-            lets.append(self.parse_let())
+        sets: dict = {}
+        # preamble: interleaved `set name = value;` query properties [KQL]
+        # and `let` statements
+        while self.at(IDENT, "let") or (
+            self.at(IDENT, "set") and self.at(IDENT, None, 1)
+        ):
+            if self.at(IDENT, "set"):
+                self.next()
+                name = self.ident_name()
+                self.expect(OP, "=")
+                sets[name] = self.parse_expr()
+            else:
+                lets.append(self.parse_let())
             self.expect(OP, ";")
         pipe = self.parse_pipe()
         while self.accept(OP, ";"):
             pass
         if not self.at(EOF):
             raise self.error("unexpected trailing input")
-        return Query(lets, pipe)
+        return Query(lets, pipe, sets)
 
     def parse_let(self) -> LetStmt:
         self.expect(IDENT, "let")

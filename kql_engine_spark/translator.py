@@ -592,7 +592,8 @@ class PipeTranslator:
     ):
         self.spark = spark
         self.catalog = catalog
-        self.options = options or {}
+        # copied: `set` statements write query-scoped overrides into it
+        self.options = dict(options) if options else {}
         self.streaming = streaming
         self.lets: dict[str, object] = {}
         self.named_results: dict[str, DataFrame] = {}
@@ -618,6 +619,11 @@ class PipeTranslator:
 
     # -------------------------------------------------------------- translate
     def translate_query(self, q: Query) -> DataFrame:
+        # `set name = value;` query properties override session options;
+        # values stay raw Exprs so consumers (bin_auto) can interpret
+        # timespan/datetime literals with const_seconds/const_value
+        for k, v in q.sets.items():
+            self.options[k] = v
         for let in q.lets:
             self.lets[let.name] = let.value
         df = self.translate_pipe(q.pipe)
