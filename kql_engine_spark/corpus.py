@@ -3272,6 +3272,45 @@ q(
     """SELECT 8.0 AS p0, 5.0 AS p1, true AS strong8, true AS weak5""",
 )
 
+q(
+    "llm_chunk_text",
+    # token-window chunking: max_tokens=8, overlap=2 (step 6); predecessor-
+    # covered trailing windows suppressed on both sides
+    """documents
+    | where doc_id < 50
+    | evaluate chunk_text(text, 8, 2)
+    | project doc_id, chunk_id, chunk""",
+    r"""WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           array_to_string(toks[k*6+1 : k*6+8], ' ') AS chunk
+    FROM t, LATERAL (
+      SELECT unnest(range(CAST(ceil(greatest(len(toks), 1) / 6.0) AS BIGINT))) AS k
+    ) u
+    WHERE k = 0 OR (k-1)*6 + 8 < len(toks)""",
+)
+
+q(
+    "llm_pii_redact",
+    """datatable(id: long, t: string) [
+      1, "mail me at bob.smith+x@corp.example.org now",
+      2, "SSN 123-45-6789 and card 4111 1111 1111 1111",
+      3, "call (555) 123-4567 or +44 2071234567",
+      4, "server at 10.0.42.7 port 8080",
+      5, "clean text with no identifiers",
+    ]
+    | evaluate pii_redact(t)
+    | project id, pii_clean, pii_found""",
+    """SELECT 1 AS id, 'mail me at [EMAIL] now' AS pii_clean, true AS pii_found
+       UNION ALL SELECT 2, 'SSN [SSN] and card [CC]', true
+       UNION ALL SELECT 3, 'call [PHONE] or [PHONE]', true
+       UNION ALL SELECT 4, 'server at [IP] port 8080', true
+       UNION ALL SELECT 5, 'clean text with no identifiers', false""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -810,3 +810,82 @@ def _quality_filter(ptr, df: DataFrame, args) -> DataFrame:
         .withColumn("qf_stopword_hits", stop_hits)
         .withColumn("qf_pass", F.coalesce(qpass, F.lit(False)))
     )
+
+
+# ------------------------------------------------------------------ chunk_text
+@plugin("chunk_text")
+def _chunk_text(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate chunk_text(textcol, max_tokens[, overlap])` — splits each
+    document into overlapping token-window chunks (the unit a training
+    pipeline tokenizes/packs), one output row per chunk:
+
+      chunk_id   0-based window index within the document
+      chunk      the chunk text (tokens re-joined with single spaces)
+
+    Window k covers tokens [k*step, k*step + max_tokens) with
+    step = max_tokens - overlap; a window whose tokens are fully covered by
+    its predecessor is suppressed (no trailing subset-duplicate chunk).
+    Empty/whitespace-only text yields one empty chunk (the row survives).
+
+    Scale: pure column exprs (split/sequence/slice) + posexplode — per-row
+    fan-out, no shuffle, no UDF; chunk count is bounded by token count."""
+    text = _colname(args[0], "chunk_text")
+    max_tokens = int(_const_float(args[1], "chunk_text")) if len(args) > 1 else 512
+    overlap = int(_const_float(args[2], "chunk_text")) if len(args) > 2 else 0
+    if max_tokens <= 0:
+        raise KqlSemanticError("chunk_text: max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise KqlSemanticError("chunk_text: overlap must be in [0, max_tokens)")
+    step = max_tokens - overlap
+    toks = _tokens(F.col(text))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        # keep a window unless the previous one already reached the end
+        lambda s: (s == 0) | (s - F.lit(step) + F.lit(max_tokens) < n),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, max_tokens), " ")
+    )
+    return df.select(
+        "*", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+
+
+# ------------------------------------------------------------------ pii_redact
+# Conservative, RE2-compatible patterns (no lookaround/backrefs) so the
+# DuckDB oracle can run the IDENTICAL regexes. Order matters: specific
+# shapes (email, SSN, IP) redact before the broad digit-run patterns.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "[CC]"),
+    (r"\b\d{13,16}\b", "[CC]"),
+    (r"\(\d{3}\) \d{3}[-. ]\d{4}", "[PHONE]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\+\d{1,3}[ -]\d{6,12}\b", "[PHONE]"),
+]
+
+
+@plugin("pii_redact")
+def _pii_redact(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate pii_redact(textcol)` — masks common PII shapes (emails,
+    SSNs, IPv4s, credit-card digit runs, US/intl phone formats) with typed
+    placeholders, appending:
+
+      pii_clean  the redacted text
+      pii_found  true when any pattern fired
+
+    Baseline regex pass (the shapes public scrubbers like Presidio key on);
+    ML/NER-based detection plugs in behind the same two-column contract.
+
+    Scale: a chain of regexp_replace column exprs — JVM-side, no shuffle."""
+    text = _colname(args[0], "pii_redact")
+    src = F.col(text).cast("string")
+    clean = src
+    for pat, tag in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tag)
+    return df.withColumn("pii_clean", clean).withColumn(
+        "pii_found", F.coalesce(clean != src, F.lit(False))
+    )

@@ -444,3 +444,69 @@ def test_quality_filter_rules(run_kql):
     assert rows[0].qf_pass is True
     assert rows[1].qf_pass is False and rows[1].qf_symbol_ratio > 0.1
     assert rows[2].qf_pass is False and rows[2].qf_stopword_hits == 0
+
+
+def test_chunk_text_covers_all_tokens_and_overlap(run_kql):
+    # every document's token multiset must be covered by its chunks in order;
+    # consecutive chunks share exactly `overlap` tokens until the tail
+    rows = run_kql(
+        "documents | where doc_id < 20 | evaluate chunk_text(text, 8, 2)"
+        " | project doc_id, chunk_id, chunk"
+    ).collect()
+    src = {
+        r.doc_id: r.text.lower().split()
+        for r in run_kql("documents | where doc_id < 20").collect()
+    }
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk.split()
+    assert set(per_doc) == set(src)
+    for doc_id, chunks in per_doc.items():
+        ordered = [chunks[i] for i in range(len(chunks))]
+        # stitching chunks (dropping the 2-token overlap) rebuilds the doc
+        rebuilt = list(ordered[0])
+        for prev, cur in zip(ordered, ordered[1:]):
+            assert prev[-2:] == cur[:2] or len(cur) < 2
+            rebuilt.extend(cur[2:])
+        assert rebuilt == src[doc_id]
+        assert all(len(c) <= 8 for c in ordered)
+
+
+def test_chunk_text_no_overlap_is_exact_partition(run_kql):
+    rows = run_kql(
+        "documents | where doc_id < 20 | evaluate chunk_text(text, 10)"
+        " | summarize toks = sum(array_length(split(chunk, ' '))) by doc_id"
+    ).collect()
+    src = {
+        r.doc_id: len(r.text.split())
+        for r in run_kql("documents | where doc_id < 20").collect()
+    }
+    assert {r.doc_id: r.toks for r in rows} == src
+
+
+def test_chunk_text_rejects_bad_params(run_kql):
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with _pytest.raises(KqlSemanticError):
+        run_kql("documents | evaluate chunk_text(text, 0)")
+    with _pytest.raises(KqlSemanticError):
+        run_kql("documents | evaluate chunk_text(text, 8, 8)")
+
+
+def test_pii_redact_idempotent_and_clean_rows_unchanged(run_kql):
+    q = (
+        'datatable(id: long, t: string) ['
+        '1, "reach alice@example.com or 555-123-4567",'
+        '2, "no identifiers at all here",'
+        "] | evaluate pii_redact(t)"
+    )
+    rows = {r.id: r for r in run_kql(q).collect()}
+    assert rows[1].pii_found and "[EMAIL]" in rows[1].pii_clean
+    assert "[PHONE]" in rows[1].pii_clean
+    assert not rows[2].pii_found and rows[2].pii_clean == rows[2].t
+    # idempotence: redacting redacted text changes nothing
+    q2 = q + " | project id, t = pii_clean | evaluate pii_redact(t)"
+    again = {r.id: r for r in run_kql(q2).collect()}
+    assert not again[1].pii_found and again[1].pii_clean == rows[1].pii_clean
