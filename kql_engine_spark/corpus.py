@@ -3357,9 +3357,12 @@ _TIER_A = (
     "make_series_datetime", "make_series_auto_bounds", "tuple_extend_fit_line",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
     "summarize_bin_1d", "scan_overlapping_matches",
-    # §2.12 LLM data-pipeline
-    "llm_dedup_exact", "llm_similarity_search",
-    "llm_tfidf_topk", "llm_dedup_simhash", "llm_similarity_ivf_full_probe",
+    # §2.12 LLM data-pipeline (r5 batch-4: llm_dedup_exact ->
+    # llm_chunk_text and llm_tfidf_topk -> llm_pii_redact — the two new
+    # training-pipeline ops take the certified slots; dedup_exact/tfidf stay
+    # pytest-certified in the tail after three green driver rounds)
+    "llm_chunk_text", "llm_similarity_search",
+    "llm_pii_redact", "llm_dedup_simhash", "llm_similarity_ivf_full_probe",
     # §2.13 misc operators + graph + behavior analytics
     # (r5 batch-3: count_op -> graph_mark_components — count stays covered
     # inside a dozen tail entries; activity_engagement -> activity_metrics,
