@@ -26,10 +26,12 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir
         self._tables: dict[str, DataFrame] = {}
+        self._registered: set[str] = set()  # user-supplied DataFrames
         self._streams: dict[str, DataFrame] = {}
 
     def register(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
+        self._registered.add(name)
 
     def names(self) -> list[str]:
         """Known table names: explicitly registered + parquet files present
@@ -42,6 +44,24 @@ class Catalog:
                 if f.endswith(".parquet")
             )
         return sorted(out)
+
+    def file_size(self, name: str) -> int | None:
+        """On-disk bytes of the parquet backing a table, or None when the
+        table is an explicitly registered DataFrame (size unknown — callers
+        must treat that conservatively). Driver-side stat only."""
+        if name in self._registered:
+            return None
+        if self.base_dir:
+            path = os.path.join(self.base_dir, f"{name}.parquet")
+            if os.path.isfile(path):
+                return os.path.getsize(path)
+            if os.path.isdir(path):
+                return sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(path)
+                    for f in files
+                )
+        return None
 
     def register_stream(self, name: str, df: DataFrame) -> None:
         """Bind a streaming DataFrame; the translator picks it over the batch

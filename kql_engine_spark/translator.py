@@ -490,13 +490,25 @@ class ExprTranslator:
                 return rn - last_restart + F.lit(start)
             return rn + F.lit(start - 1)
         if name == "row_rank_min":
-            return F.rank().over(
-                self.engine.window_ordered_by(self.to_col(e.args[0]))
-            )
+            # minimal serialized row number at which the current Term value
+            # appears [KQL row_rank_min] — defined by the SERIALIZED order,
+            # not by ranking Term ascending (a desc sort must yield desc
+            # ranks). Stage rn in a pre-pass, take the min per Term value.
+            term = self.to_col(e.args[0])
+            rn_name = f"__kqlrank{len(self.engine.pending_prework)}"
+            self.engine.pending_prework[rn_name] = F.row_number().over(w)
+            return F.min(F.col(rn_name)).over(Window.partitionBy(term)).cast("long")
         if name == "row_rank_dense":
-            return F.dense_rank().over(
-                self.engine.window_ordered_by(self.to_col(e.args[0]))
-            )
+            # starts at 1, +1 whenever Term CHANGES between consecutive
+            # serialized rows [KQL row_rank_dense]. Stage the change flag
+            # (window-in-window is illegal), then running-sum it.
+            term = self.to_col(e.args[0])
+            chg_name = f"__kqlrank{len(self.engine.pending_prework)}"
+            self.engine.pending_prework[chg_name] = F.when(
+                F.lag(term, 1).over(w).eqNullSafe(term), 0
+            ).otherwise(1)
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            return F.sum(F.col(chg_name)).over(frame).cast("long")
         if name in ("prev", "next"):
             shift = F.lag if name == "prev" else F.lead
             off = int(self.const_value(e.args[1])) if len(e.args) > 1 else 1
@@ -2562,6 +2574,91 @@ def _plan_is_volatile(q: Query) -> bool:
     return False
 
 
+# Small-input fast path: below this many on-disk source bytes, AQE's
+# stage-by-stage driver re-planning costs more than it can save (there is
+# nothing to adapt under one cluster-grade partition of data), so the plan
+# is pinned with AQE off. Conservative by construction: any source that is
+# not a sized parquet file (registered DataFrame, range, externaldata,
+# wildcard, all-tables search) disables the fast path, and at cluster scale
+# every real table clears the threshold so AQE always runs. Tune/disable
+# via SPARK_GRAFT_SMALL_QUERY_BYTES (0 = off).
+import os as _os
+
+_SMALL_QUERY_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SMALL_QUERY_BYTES", str(32 * 1024 * 1024))
+)
+
+
+def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
+    """Sum of on-disk bytes for every table the query reads, or None when
+    any source's size is unknown (callers must then assume big)."""
+    from .ast_nodes import Source
+
+    let_names = {l.name for l in q.lets}
+    sized_sources = (DataTable, PrintSource, PipeSource, UnionSource)
+    total = 0
+    for node in _walk_ast(q):
+        if isinstance(node, TableRef):
+            if node.name in let_names or node.args is not None:
+                continue
+            if "*" in node.name:
+                return None
+            sz = catalog.file_size(node.name)
+            if sz is None:
+                return None
+            total += sz
+        elif isinstance(node, FindSource):
+            if not node.tables:
+                return None  # bare `find "term"` reads every catalog table
+            for t in node.tables:
+                sz = catalog.file_size(t) if "*" not in t else None
+                if sz is None:
+                    return None
+                total += sz
+        elif isinstance(node, SearchSource):
+            if node.op.tables is None:
+                return None  # query-initial search over all catalog tables
+        elif isinstance(node, SearchOp):
+            for t in node.tables or ():
+                sz = catalog.file_size(t) if "*" not in t else None
+                if sz is None:
+                    return None
+                total += sz
+        elif isinstance(node, Source) and not isinstance(node, sized_sources):
+            # RangeSource/ExternalData/future source kinds: unbounded or
+            # unknown input — never claim small
+            return None
+    return total
+
+
+def _translate_pinning_small_plan(
+    spark: SparkSession, q: Query, catalog: Catalog, options: dict | None
+) -> DataFrame:
+    tiny = None
+    if _SMALL_QUERY_BYTES > 0:
+        tiny = _total_source_bytes(q, catalog)
+    if tiny is None or tiny >= _SMALL_QUERY_BYTES:
+        return PipeTranslator(spark, catalog, options).translate_query(q)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if prev == "false":
+        return PipeTranslator(spark, catalog, options).translate_query(q)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # few shuffle partitions replace AQE's runtime coalesce: scheduling 32
+    # near-empty reduce tasks costs more than the parallelism returns on
+    # <32MB of input
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = PipeTranslator(spark, catalog, options).translate_query(q)
+        # force physical planning NOW so the non-AQE choice is captured in
+        # the QueryExecution this DataFrame will execute with
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return out
+
+
 def kql(
     spark: SparkSession,
     text: str,
@@ -2585,7 +2682,7 @@ def kql(
             catalog = Catalog(spark, sf_dir)
             per_session[key] = catalog
     q = parse(text)
-    out = PipeTranslator(spark, catalog, options).translate_query(q)
+    out = _translate_pinning_small_plan(spark, q, catalog, options)
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})
         if len(plans) >= _PLAN_CACHE_CAP:

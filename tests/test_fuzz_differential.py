@@ -382,3 +382,73 @@ def test_random_array_functions_match_duckdb(run_kql, duck, exprs):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+_WIN_CUMSUM_COLS = [("o_custkey", "o_custkey"), ("o_orderkey", "o_orderkey")]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    desc=st.booleans(),
+    off=st.integers(1, 3),
+    cum_ix=st.integers(0, len(_WIN_CUMSUM_COLS) - 1),
+    lo=st.integers(0, 4000),
+)
+def test_random_window_functions_match_duckdb(run_kql, duck, desc, off, cum_ix, lo):
+    # serialized window functions over a deterministic unique sort key vs
+    # DuckDB window SQL: row_number / prev / next / row_cumsum
+    dr = "desc" if desc else "asc"
+    cum_k, cum_s = _WIN_CUMSUM_COLS[cum_ix]
+    kdf = run_kql(
+        f"orders | where o_orderkey >= {lo} | sort by o_orderkey {dr}"
+        f" | extend rn = row_number(), p = prev(o_custkey, {off}),"
+        f" nx = next(o_custkey, {off}), cs = row_cumsum({cum_k})"
+        " | project o_orderkey, rn, p, nx, cs"
+    )
+    sdf = duck.sql(
+        f"""SELECT o_orderkey,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   LAG(o_custkey, {off}) OVER w AS p,
+                   LEAD(o_custkey, {off}) OVER w AS nx,
+                   CAST(SUM({cum_s}) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+            FROM orders WHERE o_orderkey >= {lo}
+            WINDOW w AS (ORDER BY o_orderkey {'DESC' if desc else 'ASC'})"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(desc=st.booleans(), lo=st.integers(0, 1200))
+def test_random_rank_functions_match_duckdb(run_kql, duck, desc, lo):
+    # rank over a NON-unique sort column (o_custkey): min-rank and dense-rank
+    # tie semantics vs DuckDB RANK/DENSE_RANK; tie-broken total order on both
+    # sides keeps row pairing deterministic
+    dr = "desc" if desc else "asc"
+    kdf = run_kql(
+        f"orders | where o_custkey >= {lo}"
+        f" | sort by o_custkey {dr}, o_orderkey asc"
+        " | extend rmin = row_rank_min(o_custkey), rden = row_rank_dense(o_custkey)"
+        " | project o_orderkey, rmin, rden"
+    )
+    sdf = duck.sql(
+        f"""SELECT o_orderkey,
+                   CAST(RANK() OVER w AS BIGINT) AS rmin,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS rden
+            FROM orders WHERE o_custkey >= {lo}
+            WINDOW w AS (ORDER BY o_custkey {'DESC' if desc else 'ASC'})"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want

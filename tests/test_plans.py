@@ -289,3 +289,32 @@ def test_notin_tabular_lowered_to_anti_join(run_kql):
     )
     plan = _plan(df)
     assert "LeftAnti" in plan
+
+
+def test_small_input_fast_path_pins_non_aqe_plan(run_kql, spark):
+    # tiny parquet inputs skip AQE (its stage-wise re-planning dominates
+    # under 32MB) and pin a small shuffle-partition count; session conf is
+    # untouched afterwards
+    df = run_kql("events | summarize c = count() by event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" not in plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_unknown_input_size_keeps_aqe(spark):
+    # a registered DataFrame has no file size -> conservative: AQE stays on
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    cat.register("mem_table", spark.range(10).withColumnRenamed("id", "x"))
+    df = kql(spark, "mem_table | summarize n = count() by x", catalog=cat)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_range_source_keeps_aqe(run_kql):
+    # range can generate unbounded rows from zero file bytes -> never small
+    df = run_kql("range x from 1 to 1000 step 1 | summarize s = sum(x) by b = x % 7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
