@@ -3311,6 +3311,25 @@ q(
        UNION ALL SELECT 5, 'clean text with no identifiers', false""",
 )
 
+q(
+    "window_rank_restart",
+    # restart predicate opens a new rank segment AT the matching row; ranks
+    # follow the serialized (desc-by-construction) order [KQL row_rank_*]
+    """datatable(Airline: string, Departures: long) [
+      "TA", 12, "TA", 11, "TA", 11, "BC", 10, "BC", 10, "BC", 9
+    ]
+    | serialize
+    | extend rk = row_rank_min(Departures, Airline != prev(Airline)),
+             dr = row_rank_dense(Departures, Airline != prev(Airline))
+    | project Airline, Departures, rk, dr""",
+    """SELECT 'TA' AS Airline, 12 AS Departures, 1 AS rk, 1 AS dr
+       UNION ALL SELECT 'TA', 11, 2, 2
+       UNION ALL SELECT 'TA', 11, 2, 2
+       UNION ALL SELECT 'BC', 10, 1, 1
+       UNION ALL SELECT 'BC', 10, 1, 1
+       UNION ALL SELECT 'BC', 9, 3, 2""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

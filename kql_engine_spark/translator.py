@@ -489,20 +489,37 @@ class ExprTranslator:
                 last_restart = F.coalesce(F.max(flag).over(frame), F.lit(1))
                 return rn - last_restart + F.lit(start)
             return rn + F.lit(start - 1)
-        if name == "row_rank_min":
-            # minimal serialized row number at which the current Term value
-            # appears [KQL row_rank_min] — defined by the SERIALIZED order,
-            # not by ranking Term ascending (a desc sort must yield desc
-            # ranks). Stage rn in a pre-pass, take the min per Term value.
+        if name in ("row_rank_min", "row_rank_dense"):
+            # ranks follow the SERIALIZED order, not Term ascending (a desc
+            # sort must yield desc ranks). Window-in-window is illegal, so
+            # helpers stage via prework (applied sequentially, so stages may
+            # chain). Optional restart predicate opens a new rank segment
+            # AT the matching row [KQL row_rank_min/row_rank_dense].
             term = self.to_col(e.args[0])
-            rn_name = f"__kqlrank{len(self.engine.pending_prework)}"
-            self.engine.pending_prework[rn_name] = F.row_number().over(w)
-            return F.min(F.col(rn_name)).over(Window.partitionBy(term)).cast("long")
-        if name == "row_rank_dense":
-            # starts at 1, +1 whenever Term CHANGES between consecutive
-            # serialized rows [KQL row_rank_dense]. Stage the change flag
-            # (window-in-window is illegal), then running-sum it.
-            term = self.to_col(e.args[0])
+            order = self.engine.order or [F.lit(1)]
+            if len(e.args) > 1:
+                frame_g = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                pred = self.to_col(e.args[1])
+                seg = f"__kqlrankseg{len(self.engine.pending_prework)}"
+                self.engine.pending_prework[seg] = F.sum(
+                    F.when(pred, 1).otherwise(0)
+                ).over(frame_g)
+                w = Window.partitionBy(F.col(seg)).orderBy(*order)
+                seg_cols = [F.col(seg)]
+            else:
+                seg_cols = []
+            if name == "row_rank_min":
+                # minimal serialized row number at which the current Term
+                # value appears (within the segment)
+                rn_name = f"__kqlrank{len(self.engine.pending_prework)}"
+                self.engine.pending_prework[rn_name] = F.row_number().over(w)
+                return (
+                    F.min(F.col(rn_name))
+                    .over(Window.partitionBy(*seg_cols, term))
+                    .cast("long")
+                )
+            # dense: starts at 1, +1 whenever Term CHANGES between
+            # consecutive serialized rows
             chg_name = f"__kqlrank{len(self.engine.pending_prework)}"
             self.engine.pending_prework[chg_name] = F.when(
                 F.lag(term, 1).over(w).eqNullSafe(term), 0
@@ -1122,9 +1139,12 @@ class PipeTranslator:
         return out
 
     def _apply_prework(self, df: DataFrame) -> DataFrame:
-        if self.pending_prework:
-            df = df.withColumns(self.pending_prework)
-            self.pending_prework = {}
+        # applied ONE AT A TIME so a staged column may reference an earlier
+        # one (rank-restart stages a segment id, then a per-segment row
+        # number over it); Catalyst collapses the adjacent projections
+        for name, col in self.pending_prework.items():
+            df = df.withColumn(name, col)
+        self.pending_prework = {}
         return df
 
     def t_project(self, df: DataFrame, op: Project) -> DataFrame:
