@@ -517,6 +517,10 @@ class Query:
     # `set name = value;` query-property statements [KQL] (e.g.
     # query_bin_auto_size); value is the raw Expr, interpreted by consumers
     sets: dict = field(default_factory=dict)
+    # `declare query_parameters(name: type [= default], ...);` [KQL] —
+    # (name, ktype, default Expr | None); bound from the kql(options=
+    # {'query_parameters': {...}}) dict at translate time
+    params: list = field(default_factory=list)
 
 
 @dataclass

@@ -3330,6 +3330,20 @@ q(
        UNION ALL SELECT 'BC', 9, 3, 2""",
 )
 
+q(
+    "declare_query_parameters",
+    # declared defaults bind when no query_parameters option is supplied;
+    # kql(options={'query_parameters': {...}}) overrides per call
+    """declare query_parameters(MinQty: real = 45.0, Flag: string = "R",
+                                Cut: datetime = datetime(1996-06-01));
+    lineitem
+    | where l_quantity >= MinQty and l_returnflag == Flag and l_shipdate < Cut
+    | summarize n = count()""",
+    """SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_quantity >= 45.0 AND l_returnflag = 'R'
+         AND l_shipdate < TIMESTAMP '1996-06-01'""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

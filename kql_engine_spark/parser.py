@@ -103,16 +103,34 @@ class Parser:
     def parse_query(self) -> Query:
         lets: list[LetStmt] = []
         sets: dict = {}
-        # preamble: interleaved `set name = value;` query properties [KQL]
-        # and `let` statements
-        while self.at(IDENT, "let") or (
-            self.at(IDENT, "set") and self.at(IDENT, None, 1)
+        params: list = []
+        # preamble: interleaved `set name = value;` query properties,
+        # `declare query_parameters(...);` and `let` statements [KQL]
+        while (
+            self.at(IDENT, "let")
+            or (self.at(IDENT, "set") and self.at(IDENT, None, 1))
+            or (self.at(IDENT, "declare") and self.at(IDENT, "query_parameters", 1))
         ):
             if self.at(IDENT, "set"):
                 self.next()
                 name = self.ident_name()
                 self.expect(OP, "=")
                 sets[name] = self.parse_expr()
+            elif self.at(IDENT, "declare"):
+                self.next()
+                self.expect(IDENT, "query_parameters")
+                self.expect(OP, "(")
+                while not self.at(OP, ")"):
+                    pname = self.ident_name()
+                    self.expect(OP, ":")
+                    ptype = self.ident_name()
+                    default = None
+                    if self.accept(OP, "="):
+                        default = self.parse_expr()
+                    params.append((pname, ptype, default))
+                    if not self.accept(OP, ","):
+                        break
+                self.expect(OP, ")")
             else:
                 lets.append(self.parse_let())
             self.expect(OP, ";")
@@ -121,7 +139,7 @@ class Parser:
             pass
         if not self.at(EOF):
             raise self.error("unexpected trailing input")
-        return Query(lets, pipe, sets)
+        return Query(lets, pipe, sets, params)
 
     def parse_let(self) -> LetStmt:
         self.expect(IDENT, "let")

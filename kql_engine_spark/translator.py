@@ -653,6 +653,19 @@ class PipeTranslator:
         # timespan/datetime literals with const_seconds/const_value
         for k, v in q.sets.items():
             self.options[k] = v
+        # `declare query_parameters(...)`: supplied values (options dict)
+        # win over declared defaults; missing with no default is an error
+        supplied = self.options.get("query_parameters") or {}
+        for pname, ptype, default in q.params:
+            if pname in supplied:
+                self.lets[pname] = _param_literal(supplied[pname], ptype)
+            elif default is not None:
+                self.lets[pname] = default
+            else:
+                raise KqlSemanticError(
+                    f"query parameter {pname!r} not supplied (pass "
+                    "options={'query_parameters': {...}}) and has no default"
+                )
         for let in q.lets:
             self.lets[let.name] = let.value
         df = self.translate_pipe(q.pipe)
@@ -2551,6 +2564,38 @@ def _split_conjuncts(pred) -> list:
     if isinstance(pred, BinOp) and pred.op == "and":
         return _split_conjuncts(pred.left) + _split_conjuncts(pred.right)
     return [pred]
+
+
+def _param_literal(value, ktype: str) -> Expr:
+    """Python value supplied for a declared query parameter -> literal AST
+    of the DECLARED type (strings for datetime/timespan/dynamic params pass
+    through the same literal parsers the query text would use)."""
+    import datetime as _dt
+
+    if value is None:
+        return Lit(None, "null")
+    if ktype in ("datetime", "date"):
+        raw = value.isoformat() if isinstance(value, _dt.datetime) else str(value)
+        return TypedLit("datetime", raw)
+    if ktype in ("timespan", "time"):
+        raw = (
+            f"{value.total_seconds()}s"
+            if isinstance(value, _dt.timedelta)
+            else str(value)
+        )
+        return TypedLit("timespan", raw)
+    if ktype == "dynamic":
+        import json as _json
+
+        raw = value if isinstance(value, str) else _json.dumps(value)
+        return TypedLit("dynamic", raw)
+    if ktype == "bool":
+        return Lit(bool(value), "bool")
+    if ktype in ("long", "int"):
+        return Lit(int(value), "long")
+    if ktype in ("real", "double", "decimal"):
+        return Lit(float(value), "real")
+    return Lit(str(value), "string")
 
 
 def _walk_ast(node):
