@@ -3344,6 +3344,30 @@ q(
          AND l_shipdate < TIMESTAMP '1996-06-01'""",
 )
 
+q(
+    "geo_azimuth_angle_fns",
+    # bearings: due north 0, east pi/2, south pi; angle at the origin
+    # between north and east lines is pi/2
+    """print az_n = round(geo_azimuth(0.0, 0.0, 0.0, 1.0), 6),
+             az_e = round(geo_azimuth(0.0, 0.0, 1.0, 0.0), 6),
+             az_s = round(geo_azimuth(0.0, 0.0, 0.0, -1.0), 6),
+             ang = round(geo_angle(0.0, 1.0, 0.0, 0.0, 1.0, 0.0), 6)""",
+    """SELECT 0.0 AS az_n, 1.570796 AS az_e, 3.141593 AS az_s,
+              1.570796 AS ang""",
+)
+
+q(
+    "geo_geohash_neighbors_fn",
+    # expected set matches the published geohash neighbor algorithm for
+    # 'gbsuv' (n gbsvj, s gbsut, e gbsuy, w gbsuu + the four diagonals)
+    """print g = 'gbsuv'
+    | mv-expand nb = geo_geohash_neighbors(g) to typeof(string)
+    | sort by nb asc""",
+    """SELECT 'gbsuv' AS g, nb FROM (VALUES ('gbsus'), ('gbsut'), ('gbsuu'),
+       ('gbsuw'), ('gbsuy'), ('gbsvh'), ('gbsvj'), ('gbsvn')) t(nb)
+       ORDER BY nb""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -2764,6 +2764,130 @@ def _geo_point_to_geohash(tr, args):
     )
 
 
+def _azimuth_col(lon1, lat1, lon2, lat2):
+    """Initial great-circle bearing from p1 to p2, clockwise-from-north
+    radians in [0, 2*pi) — pure column trig."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(p2)
+    x = F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dlon)
+    two_pi = F.lit(2.0 * 3.141592653589793)
+    theta = F.atan2(y, x)
+    return F.when(theta < 0, theta + two_pi).otherwise(theta)
+
+
+@fn("geo_azimuth")
+def _geo_azimuth(tr, args):
+    """geo_azimuth(lon1, lat1, lon2, lat2) [KQL]: bearing of the line from
+    point1 to point2, radians clockwise from true north."""
+    lon1, lat1, lon2, lat2 = [tr.to_col(a).cast("double") for a in args]
+    return _azimuth_col(lon1, lat1, lon2, lat2)
+
+
+@fn("geo_angle")
+def _geo_angle(tr, args):
+    """geo_angle(p1_lng, p1_lat, p2_lng, p2_lat, p3_lng, p3_lat) [KQL]:
+    clockwise angle at vertex p2 between the lines p2->p1 and p2->p3."""
+    lon1, lat1, lon2, lat2, lon3, lat3 = [
+        tr.to_col(a).cast("double") for a in args
+    ]
+    a31 = _azimuth_col(lon2, lat2, lon3, lat3) - _azimuth_col(lon2, lat2, lon1, lat1)
+    two_pi = F.lit(2.0 * 3.141592653589793)
+    return F.when(a31 < 0, a31 + two_pi).otherwise(a31)
+
+
+def _geohash_bounds(h):
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in h:
+        idx = _GEOHASH32.find(c)
+        if idx < 0:
+            return None
+        for shift in range(4, -1, -1):
+            bit = (idx >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lon_lo, lat_lo, lon_hi, lat_hi
+
+
+@fn("geo_geohash_to_polygon")
+def _geo_geohash_to_polygon(tr, args):
+    """geohash -> GeoJSON Polygon of the cell's bounding box [KQL]."""
+    key = "geohash:polygon"
+    if key not in _PANDAS_UDF_CACHE:
+        import json
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(h):
+            def one(x):
+                if x is None or not x:
+                    return None
+                b = _geohash_bounds(str(x))
+                if b is None:
+                    return None
+                w, s, e, n = b
+                ring = [[w, s], [e, s], [e, n], [w, n], [w, s]]
+                return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+            return h.map(one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_geohash_neighbors")
+def _geo_geohash_neighbors(tr, args):
+    """geohash -> dynamic array of the 8 neighboring cells (same precision)
+    [KQL]. Neighbor = re-encode of center +/- one cell size; cells at the
+    lat poles drop out-of-range neighbors."""
+    key = "geohash:neighbors"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def udf(h):
+            def one(x):
+                if x is None or not x:
+                    return None
+                b = _geohash_bounds(str(x))
+                if b is None:
+                    return None
+                w, s, e, n = b
+                dlon, dlat = e - w, n - s
+                clon, clat = (w + e) / 2, (s + n) / 2
+                out = []
+                for dy in (1, 0, -1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        la = clat + dy * dlat
+                        lo = clon + dx * dlon
+                        if not -90.0 <= la <= 90.0:
+                            continue
+                        lo = ((lo + 180.0) % 360.0) - 180.0  # antimeridian wrap
+                        out.append(_geohash_encode(lo, la, len(str(x))))
+                return out
+
+            return h.map(one)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](tr.to_col(args[0]).cast("string"))
+
+
 @fn("geo_geohash_to_central_point")
 def _geo_geohash_to_central_point(tr, args):
     """Returns the cell's central point as a GeoJSON-style dynamic (JSON
