@@ -3368,6 +3368,23 @@ q(
        ORDER BY nb""",
 )
 
+q(
+    "geo_s2cell_neighbors_polygon",
+    # property twin: 8 same-level neighbors, self excluded, neighborhood is
+    # symmetric, and the cell polygon is a closed 5-point ring
+    """print tok = geo_point_to_s2cell(-122.192253, 47.615554, 11)
+    | extend nb = geo_s2cell_neighbors(tok),
+             poly = geo_s2cell_to_polygon(tok)
+    | project n = array_length(nb),
+              self_excluded = array_index_of(nb, tok) < 0,
+              symmetric = set_has_element(geo_s2cell_neighbors(tostring(nb[0])), tok),
+              ring_closed = todouble(extractjson("$.coordinates[0][0][0]", poly))
+                            == todouble(extractjson("$.coordinates[0][4][0]", poly)),
+              ring_ends = isnull(extractjson("$.coordinates[0][5]", poly))""",
+    """SELECT CAST(8 AS INT) AS n, true AS self_excluded,
+              true AS symmetric, true AS ring_closed, true AS ring_ends""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

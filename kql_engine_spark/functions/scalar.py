@@ -4348,13 +4348,11 @@ def _s2_encode(lon, lat, level):
     return format(cid, "016x").rstrip("0") or "0"
 
 
-def _s2_decode(token):
-    import json
-    import math
-
+def _s2_decode_raw(token):
+    """token -> (face, i, j, level) at level resolution, or None."""
     try:
         cid = int(token.ljust(16, "0"), 16)
-    except ValueError:
+    except (ValueError, AttributeError):
         return None
     if cid == 0:
         return None
@@ -4374,10 +4372,20 @@ def _s2_decode(token):
         i = (i << 1) | (ij >> 1)
         j = (j << 1) | (ij & 1)
         orient ^= _S2_POS_TO_ORIENT[qp]
-    s = (i + 0.5) / (1 << level)
-    t = (j + 0.5) / (1 << level)
-    u, v = _s2_uv_from_st(s), _s2_uv_from_st(t)
-    x, y, z = {
+    return face, i, j, level
+
+
+def _s2_st_extended_uv(s):
+    """Quadratic st->uv transform extended continuously beyond [0, 1] (a
+    central projection stays valid past the face edge, so cross-face
+    neighbors resolve through the xyz round-trip)."""
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4 * s * s - 1)
+    return (1.0 / 3.0) * (1 - 4 * (1 - s) * (1 - s))
+
+
+def _s2_face_xyz(face, u, v):
+    return {
         0: (1.0, u, v),
         1: (-u, 1.0, v),
         2: (-u, -v, 1.0),
@@ -4385,9 +4393,27 @@ def _s2_decode(token):
         4: (v, -1.0, -u),
         5: (v, u, -1.0),
     }[face]
+
+
+def _s2_latlon(face, s, t):
+    import math
+
+    u, v = _s2_st_extended_uv(s), _s2_st_extended_uv(t)
+    x, y, z = _s2_face_xyz(face, u, v)
     n = math.sqrt(x * x + y * y + z * z)
     lat = math.degrees(math.asin(z / n))
     lon = math.degrees(math.atan2(y, x))
+    return lon, lat
+
+
+def _s2_decode(token):
+    import json
+
+    raw = _s2_decode_raw(token)
+    if raw is None:
+        return None
+    face, i, j, level = raw
+    lon, lat = _s2_latlon(face, (i + 0.5) / (1 << level), (j + 0.5) / (1 << level))
     return json.dumps({"type": "Point", "coordinates": [lon, lat]})
 
 
@@ -4419,6 +4445,63 @@ def _geo_point_to_s2cell(tr, args):
 
 
 _str_udf("geo_s2cell_to_central_point", _s2_decode)
+
+
+def _s2_polygon(token):
+    import json
+
+    raw = _s2_decode_raw(token)
+    if raw is None:
+        return None
+    face, i, j, level = raw
+    n = 1 << level
+    corners = [
+        _s2_latlon(face, (i + di) / n, (j + dj) / n)
+        for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1))
+    ]
+    ring = [[lo, la] for lo, la in corners] + [list(corners[0])]
+    return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+
+_str_udf("geo_s2cell_to_polygon", _s2_polygon)
+
+
+def _s2_neighbors(token):
+    """All 8 same-level neighbors [KQL geo_s2cell_neighbors]. Off-face
+    centers re-resolve through the extended-uv -> xyz round-trip, so cells
+    across a cube-face edge (and corner cells with only 7 distinct
+    neighbors) come out right."""
+    raw = _s2_decode_raw(token)
+    if raw is None:
+        return None
+    face, i, j, level = raw
+    n = 1 << level
+    out = []
+    for dj in (1, 0, -1):
+        for di in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            lon, lat = _s2_latlon(face, (i + di + 0.5) / n, (j + dj + 0.5) / n)
+            tok = _s2_encode(lon, lat, level)
+            if tok != token and tok not in out:
+                out.append(tok)
+    return out
+
+
+def _s2_neighbors_entry(tr, args):
+    key = "s2:neighbors"
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def udf(col):
+            return col.map(lambda s: None if s is None else _s2_neighbors(s))
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](tr.to_col(args[0]).cast("string"))
+
+
+REGISTRY["geo_s2cell_neighbors"] = _s2_neighbors_entry
 
 
 def _polygon_perimeter_m(s):
