@@ -3385,6 +3385,21 @@ q(
               true AS symmetric, true AS ring_closed, true AS ring_ends""",
 )
 
+q(
+    "geo_polygon_distance_fns",
+    # inside -> 0; outside distance equals the 2-point distance to the
+    # nearest edge point; closest point is the edge foot (1, 0)
+    """print inside = geo_distance_point_to_polygon(0.0, 0.0,
+        dynamic({"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]})),
+      away_eq_ref = abs(geo_distance_point_to_polygon(2.0, 0.0,
+        dynamic({"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]}))
+        - geo_distance_2points(2.0, 0.0, 1.0, 0.0)) < 1.0,
+      cp_lon = round(todouble(extractjson("$.coordinates[0]",
+        geo_closest_point_on_polygon(2.0, 0.0,
+          dynamic({"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]})))), 6)""",
+    """SELECT 0.0 AS inside, true AS away_eq_ref, 1.0 AS cp_lon""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

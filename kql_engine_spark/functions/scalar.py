@@ -4614,6 +4614,157 @@ def _geo_closest_point_on_line(tr, args):
     )
 
 
+def _lonlat_unit(lon, lat):
+    import numpy as np
+
+    lam, phi = np.radians(lon), np.radians(lat)
+    return np.stack(
+        [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+        axis=-1,
+    )
+
+
+def _closest_on_arcs(p, a, b):
+    """(best great-circle angle, best xyz) from unit point p to the arcs
+    a[i] -> b[i] — the same clamped cross-track walk the line functions use."""
+    import numpy as np
+
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n, axis=1)
+    best, best_pt = np.inf, a[0]
+    for i in range(len(a)):
+        cands = [a[i], b[i]]
+        if nn[i] >= 1e-15:
+            ni = n[i] / nn[i]
+            f = p - np.dot(p, ni) * ni
+            fn = np.linalg.norm(f)
+            if fn >= 1e-15:
+                f = f / fn
+                if (
+                    np.dot(np.cross(a[i], f), ni) >= -1e-12
+                    and np.dot(np.cross(f, b[i]), ni) >= -1e-12
+                ):
+                    cands.append(f)
+        for c in cands:
+            d = np.arccos(np.clip(np.dot(p, c), -1, 1))
+            if d < best:
+                best, best_pt = d, c
+    return best, best_pt
+
+
+def _point_in_rings(lo, la, rings):
+    """Planar ray cast over GeoJSON polygon rings (hole-aware: inside an
+    odd number of rings = inside)."""
+    inside = False
+    for ring in rings:
+        hits = False
+        n = len(ring)
+        for i in range(n - 1):
+            x1, y1 = ring[i][0], ring[i][1]
+            x2, y2 = ring[i + 1][0], ring[i + 1][1]
+            if (y1 > la) != (y2 > la):
+                xint = x1 + (la - y1) * (x2 - x1) / (y2 - y1)
+                if xint > lo:
+                    hits = not hits
+        if hits:
+            inside = not inside
+    return inside
+
+
+def _polygon_closest(lo, la, s):
+    """(inside?, best angle rad, best xyz) from point to a GeoJSON Polygon's
+    ring segments; None when the polygon doesn't parse."""
+    import numpy as np
+
+    rings = _geo_coords(s, "Polygon")
+    if not rings:
+        return None
+    if _point_in_rings(float(lo), float(la), rings):
+        return True, 0.0, _lonlat_unit(float(lo), float(la))
+    p = _lonlat_unit(float(lo), float(la))
+    best, best_pt = np.inf, None
+    for ring in rings:
+        seg = np.asarray(ring, dtype="float64")
+        if len(seg) < 2:
+            continue
+        a = _lonlat_unit(seg[:-1, 0], seg[:-1, 1])
+        b = _lonlat_unit(seg[1:, 0], seg[1:, 1])
+        d, pt = _closest_on_arcs(p, a, b)
+        if d < best:
+            best, best_pt = d, pt
+    if best_pt is None:
+        return None
+    return False, best, best_pt
+
+
+@fn("geo_distance_point_to_polygon")
+def _geo_distance_point_to_polygon(tr, args):
+    """geo_distance_point_to_polygon(lon, lat, polygon) [KQL]: 0 when the
+    point is inside (holes respected), else min great-circle distance to
+    the polygon's ring segments."""
+    if "geo_dist_pt_poly" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("double")
+        def udf(lons, lats, polys):
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return None
+                r = _polygon_closest(lo, la, s)
+                if r is None:
+                    return None
+                inside, ang, _ = r
+                return 0.0 if inside else float(ang * _GEO_R)
+
+            return pd.Series([one(lo, la, s) for lo, la, s in zip(lons, lats, polys)])
+
+        _PANDAS_UDF_CACHE["geo_dist_pt_poly"] = udf
+    return _PANDAS_UDF_CACHE["geo_dist_pt_poly"](
+        tr.to_col(args[0]).cast("double"),
+        tr.to_col(args[1]).cast("double"),
+        _geojson_col(tr, args[2]),
+    )
+
+
+@fn("geo_closest_point_on_polygon")
+def _geo_closest_point_on_polygon(tr, args):
+    """geo_closest_point_on_polygon(lon, lat, polygon) [KQL]: the input
+    point itself when inside, else the nearest point on the ring segments
+    (GeoJSON Point)."""
+    if "geo_closest_pt_poly" not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        @pandas_udf("string")
+        def udf(lons, lats, polys):
+            import json
+
+            import numpy as np
+
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return None
+                r = _polygon_closest(lo, la, s)
+                if r is None:
+                    return None
+                _, _, pt = r
+                lon_out = float(np.degrees(np.arctan2(pt[1], pt[0])))
+                lat_out = float(np.degrees(np.arcsin(np.clip(pt[2], -1, 1))))
+                return json.dumps(
+                    {"type": "Point", "coordinates": [lon_out, lat_out]}
+                )
+
+            return pd.Series([one(lo, la, s) for lo, la, s in zip(lons, lats, polys)])
+
+        _PANDAS_UDF_CACHE["geo_closest_pt_poly"] = udf
+    return _PANDAS_UDF_CACHE["geo_closest_pt_poly"](
+        tr.to_col(args[0]).cast("double"),
+        tr.to_col(args[1]).cast("double"),
+        _geojson_col(tr, args[2]),
+    )
+
+
 @fn("set_equals")
 def _set_equals(tr, args):
     a, b = tr.to_col(args[0]), tr.to_col(args[1])
