@@ -3400,6 +3400,32 @@ q(
     """SELECT 0.0 AS inside, true AS away_eq_ref, 1.0 AS cp_lon""",
 )
 
+q(
+    "geo_polygon_lookup_zones",
+    # point-in-polygon lookup join over events-derived points; the twin
+    # inlines the rectangle tests (axis-aligned zones -> exact BETWEENs)
+    """let zones = datatable(zone:string, shape:string)[
+      'sw', '{"type":"Polygon","coordinates":[[[-120.0,-60.0],[0.0,-60.0],[0.0,0.0],[-120.0,0.0],[-120.0,-60.0]]]}',
+      'ne', '{"type":"Polygon","coordinates":[[[0.0,0.0],[120.0,0.0],[120.0,60.0],[0.0,60.0],[0.0,0.0]]]}'];
+    events
+    | extend lon = todouble(event_id % 240) - 119.5,
+             lat = todouble(user_id % 120) - 59.5
+    | evaluate geo_polygon_lookup(zones, shape, lon, lat)
+    | summarize c = count() by zone
+    | sort by zone asc""",
+    """WITH src AS (
+      SELECT CAST(event_id % 240 AS DOUBLE) - 119.5 AS lon,
+             CAST(user_id % 120 AS DOUBLE) - 59.5 AS lat
+      FROM events)
+    SELECT zone, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT 'sw' AS zone FROM src
+       WHERE lon BETWEEN -120.0 AND 0.0 AND lat BETWEEN -60.0 AND 0.0
+      UNION ALL
+      SELECT 'ne' AS zone FROM src
+       WHERE lon BETWEEN 0.0 AND 120.0 AND lat BETWEEN 0.0 AND 60.0
+    ) m GROUP BY zone ORDER BY zone""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

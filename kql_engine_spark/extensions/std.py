@@ -1406,3 +1406,104 @@ def _diffpatterns_text(ptr, df, args):
         .select("Count_of_A", "Count_of_B", "Percent_of_A", "Percent_of_B", "Pattern")
     )
     return out
+
+
+@plugin("geo_polygon_lookup")
+def _geo_polygon_lookup(ptr, df, args):
+    """`T | evaluate geo_polygon_lookup(LookupTable, PolygonKey, SourceLon,
+    SourceLat [, return_unmatched])` [KQL]: join each row's point against a
+    table of GeoJSON polygons; one output row per CONTAINING polygon
+    (Kusto returns all matches), return_unmatched=true keeps pointless rows
+    with null lookup columns.
+
+    Lowering: the polygon table is dimension-sized by the use case, so it
+    is BROADCAST with precomputed bounding boxes (JVM-side from_json +
+    array aggregates); the join condition is the bbox range test — pure
+    codegen, prunes almost all pairs — and only survivors reach the exact
+    hole-aware ray-cast pandas UDF. At 100 TB the fact side streams
+    map-side; an S2-cover equi-join is the documented next gear if the
+    polygon table itself outgrows broadcast."""
+    from ..functions.scalar import _geo_coords, _point_in_rings
+
+    tr = ptr.expr_tr(df)
+    if len(args) < 4:
+        raise KqlSemanticError(
+            "geo_polygon_lookup(lookup_table, polygon_key_col, lon_col, "
+            "lat_col [, return_unmatched])"
+        )
+    if not isinstance(args[0], Col):
+        raise KqlSemanticError("geo_polygon_lookup: first arg must be a table name")
+    lut = ptr._resolve_table(args[0].name)
+    names = [a.name if isinstance(a, Col) else None for a in args[1:4]]
+    keyc, lonc, latc = names
+    if keyc is None or lonc is None or latc is None:
+        raise KqlSemanticError(
+            "geo_polygon_lookup: polygon key, lon and lat must be columns"
+        )
+    if keyc not in lut.columns:
+        raise KqlSemanticError(f"geo_polygon_lookup: {keyc!r} not in lookup table")
+    unmatched = bool(tr.const_value(args[4])) if len(args) > 4 else False
+
+    parsed = F.from_json(
+        F.col(keyc).cast("string"),
+        "STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>",
+    )
+    pts = F.flatten(parsed["coordinates"])
+    lons = F.transform(pts, lambda p: p[0])
+    lats = F.transform(pts, lambda p: p[1])
+    lutp = (
+        lut.withColumn("__kql_lomin", F.array_min(lons))
+        .withColumn("__kql_lomax", F.array_max(lons))
+        .withColumn("__kql_lamin", F.array_min(lats))
+        .withColumn("__kql_lamax", F.array_max(lats))
+    )
+    for c in lutp.columns:
+        if c in df.columns and not c.startswith("__kql"):
+            lutp = lutp.withColumnRenamed(c, c + "1")
+    keyout = keyc if keyc in lutp.columns else keyc + "1"
+
+    if "geo_poly_contains" not in _GEO_UDFS:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def contains(lons_s, lats_s, polys_s):
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return False
+                rings = _geo_coords(s, "Polygon")
+                if not rings:
+                    return False
+                return _point_in_rings(float(lo), float(la), rings)
+
+            return pd.Series(
+                [one(lo, la, s) for lo, la, s in zip(lons_s, lats_s, polys_s)]
+            )
+
+        _GEO_UDFS["geo_poly_contains"] = contains
+    contains = _GEO_UDFS["geo_poly_contains"]
+
+    lon_col = F.col(lonc).cast("double")
+    lat_col = F.col(latc).cast("double")
+    bbox = (
+        (lon_col >= F.col("__kql_lomin")) & (lon_col <= F.col("__kql_lomax"))
+        & (lat_col >= F.col("__kql_lamin")) & (lat_col <= F.col("__kql_lamax"))
+    )
+    cond = bbox & contains(
+        lon_col, lat_col, F.col(keyout).cast("string")
+    )
+    bbox_cols = ["__kql_lomin", "__kql_lomax", "__kql_lamin", "__kql_lamax"]
+    if not unmatched:
+        return df.join(F.broadcast(lutp), cond, "inner").drop(*bbox_cols)
+    # Python UDFs can't appear in an outer-join ON clause: inner-join a
+    # rid-tagged source, then union back the rows no polygon matched
+    src = df.withColumn("__kql_rid", F.monotonically_increasing_id())
+    matched = src.join(F.broadcast(lutp), cond, "inner")
+    missing = src.join(
+        matched.select("__kql_rid"), "__kql_rid", "left_anti"
+    )
+    out = matched.unionByName(missing, allowMissingColumns=True)
+    return out.drop("__kql_rid", *bbox_cols)
+
+
+_GEO_UDFS: dict = {}
