@@ -3426,6 +3426,28 @@ q(
     ) m GROUP BY zone ORDER BY zone""",
 )
 
+q(
+    "geo_line_lookup_radius",
+    # radius join against a meridian line; the twin reduces to a distance
+    # threshold on the lon offset at the equator-adjacent band (points are
+    # constructed inside the line's lat span so the nearest arc point is
+    # the perpendicular foot)
+    """let roads = datatable(road:string, path:string)[
+      'meridian', '{"type":"LineString","coordinates":[[0.0,-45.0],[0.0,45.0]]}'];
+    events
+    | extend lon = (todouble(event_id % 21) - 10.0) / 10.0,
+             lat = todouble(user_id % 80) - 40.0
+    | evaluate geo_line_lookup(roads, path, lon, lat, 60000.0)
+    | summarize c = count() by road""",
+    """WITH src AS (
+      SELECT (CAST(event_id % 21 AS DOUBLE) - 10.0) / 10.0 AS lon,
+             CAST(user_id % 80 AS DOUBLE) - 40.0 AS lat
+      FROM events)
+    SELECT 'meridian' AS road, CAST(COUNT(*) AS BIGINT) AS c FROM src
+    WHERE 6371009.0 * ASIN(COS(RADIANS(lat)) * ABS(SIN(RADIANS(lon))))
+          <= 60000.0""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

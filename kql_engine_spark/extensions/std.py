@@ -1507,3 +1507,111 @@ def _geo_polygon_lookup(ptr, df, args):
 
 
 _GEO_UDFS: dict = {}
+
+
+@plugin("geo_line_lookup")
+def _geo_line_lookup(ptr, df, args):
+    """`T | evaluate geo_line_lookup(LookupTable, LineKey, SourceLon,
+    SourceLat, Radius [, return_unmatched])` [KQL]: join each row's point
+    against a table of GeoJSON LineStrings, matching every line within
+    Radius meters.
+
+    Same lowering as geo_polygon_lookup: broadcast lines with JVM-side
+    bboxes PADDED by the radius (conservative degree conversion), bbox
+    range condition prunes in codegen, exact clamped cross-track distance
+    runs in a pandas UDF on survivors."""
+    from ..functions.scalar import (
+        _GEO_R, _closest_on_arcs, _geo_coords, _lonlat_unit,
+    )
+
+    tr = ptr.expr_tr(df)
+    if len(args) < 5:
+        raise KqlSemanticError(
+            "geo_line_lookup(lookup_table, line_key_col, lon_col, lat_col, "
+            "radius_meters [, return_unmatched])"
+        )
+    if not isinstance(args[0], Col):
+        raise KqlSemanticError("geo_line_lookup: first arg must be a table name")
+    lut = ptr._resolve_table(args[0].name)
+    names = [a.name if isinstance(a, Col) else None for a in args[1:4]]
+    keyc, lonc, latc = names
+    if keyc is None or lonc is None or latc is None:
+        raise KqlSemanticError("geo_line_lookup: line key, lon and lat must be columns")
+    if keyc not in lut.columns:
+        raise KqlSemanticError(f"geo_line_lookup: {keyc!r} not in lookup table")
+    radius = float(tr.const_value(args[4]))
+    if not radius > 0:
+        raise KqlSemanticError("geo_line_lookup: radius must be positive meters")
+    unmatched = bool(tr.const_value(args[5])) if len(args) > 5 else False
+
+    parsed = F.from_json(
+        F.col(keyc).cast("string"),
+        "STRUCT<type: STRING, coordinates: ARRAY<ARRAY<DOUBLE>>>",
+    )
+    pts = parsed["coordinates"]
+    lons = F.transform(pts, lambda p: p[0])
+    lats = F.transform(pts, lambda p: p[1])
+    # conservative degree padding: 1 deg lat ~ 110.6 km; lon shrinks by
+    # cos(lat), clamped away from the poles
+    pad_lat = radius / 110574.0
+    lat_max_abs = F.least(
+        F.greatest(F.abs(F.array_min(lats)), F.abs(F.array_max(lats))),
+        F.lit(89.0),
+    )
+    pad_lon = F.lit(radius) / (
+        F.lit(111320.0) * F.cos(F.radians(lat_max_abs))
+    )
+    lutp = (
+        lut.withColumn("__kql_lomin", F.array_min(lons) - pad_lon)
+        .withColumn("__kql_lomax", F.array_max(lons) + pad_lon)
+        .withColumn("__kql_lamin", F.array_min(lats) - F.lit(pad_lat))
+        .withColumn("__kql_lamax", F.array_max(lats) + F.lit(pad_lat))
+    )
+    for c in lutp.columns:
+        if c in df.columns and not c.startswith("__kql"):
+            lutp = lutp.withColumnRenamed(c, c + "1")
+    keyout = keyc if keyc in lutp.columns else keyc + "1"
+
+    udf_key = f"geo_line_within:{radius}"
+    if udf_key not in _GEO_UDFS:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def within(lons_s, lats_s, lines_s):
+            def one(lo, la, s):
+                if lo is None or la is None or s is None:
+                    return False
+                cs = _geo_coords(s, "LineString")
+                if cs is None or len(cs) < 2:
+                    return False
+                seg = np.asarray(cs, dtype="float64")
+                p = _lonlat_unit(float(lo), float(la))
+                a = _lonlat_unit(seg[:-1, 0], seg[:-1, 1])
+                b = _lonlat_unit(seg[1:, 0], seg[1:, 1])
+                ang, _ = _closest_on_arcs(p, a, b)
+                return bool(ang * _GEO_R <= radius)
+
+            return pd.Series(
+                [one(lo, la, s) for lo, la, s in zip(lons_s, lats_s, lines_s)]
+            )
+
+        _GEO_UDFS[udf_key] = within
+    within = _GEO_UDFS[udf_key]
+
+    lon_col = F.col(lonc).cast("double")
+    lat_col = F.col(latc).cast("double")
+    bbox = (
+        (lon_col >= F.col("__kql_lomin")) & (lon_col <= F.col("__kql_lomax"))
+        & (lat_col >= F.col("__kql_lamin")) & (lat_col <= F.col("__kql_lamax"))
+    )
+    cond = bbox & within(lon_col, lat_col, F.col(keyout).cast("string"))
+    bbox_cols = ["__kql_lomin", "__kql_lomax", "__kql_lamin", "__kql_lamax"]
+    if not unmatched:
+        return df.join(F.broadcast(lutp), cond, "inner").drop(*bbox_cols)
+    src = df.withColumn("__kql_rid", F.monotonically_increasing_id())
+    matched = src.join(F.broadcast(lutp), cond, "inner")
+    missing = src.join(matched.select("__kql_rid"), "__kql_rid", "left_anti")
+    out = matched.unionByName(missing, allowMissingColumns=True)
+    return out.drop("__kql_rid", *bbox_cols)
