@@ -2,15 +2,15 @@
 
 Image/audio/video payloads are opaque `binary` columns with typed metadata —
 the Spark-side plumbing (schemas, binaryFile source, Arrow-batched pandas
-UDF shape) is REAL and tested; the decode kernels are STUBS because no
-image/audio library ships in this container:
+UDF shape) is REAL and tested. Decode kernels:
 
+- ``decode_image`` REALLY decodes the library-free codecs — 8-bit
+  non-interlaced PNG (stdlib zlib + unfiltering), uncompressed 24/32-bit
+  BMP, binary PPM/PGM — in pure numpy. JPEG/GIF (entropy coders) stay
+  gated on an image library; such payloads yield null feature columns.
 - ``fake_decode_image`` produces DETERMINISTIC FAKE features derived from a
   sha256 of the payload bytes. It exists to exercise the exact mapInPandas
-  batch shape a real decoder (PIL/libvips) would use — swap the body, keep
-  the plumbing.
-- ``decode_image`` raises NotImplementedError, documenting the real-decoder
-  contract.
+  batch shape with arbitrary payload bytes (no valid image needed).
 
 Scale notes: binaryFile reads are split per-file (one row per object);
 `maxPartitionBytes` governs batching. The pandas UDF path is Arrow-batched —
@@ -116,13 +116,181 @@ def fake_decode_image(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+def _decode_bmp(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    flipped = height > 0  # positive height = bottom-up rows
+    height = abs(height)
+    nch = bpp // 8
+    row_bytes = (width * nch + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_bytes * height
+    if len(payload) < need:
+        return None
+    a = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * height, offset=data_off)
+    a = a.reshape(height, row_bytes)[:, : width * nch].reshape(height, width, nch)
+    if flipped:
+        a = a[::-1]
+    return a[..., [2, 1, 0, 3] if nch == 4 else [2, 1, 0]]  # BGR(A) -> RGB(A)
+
+
+def _decode_pnm(payload: bytes):
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        width, height, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if maxval > 255 or width <= 0 or height <= 0:
+        return None
+    nch = 3 if payload[:2] == b"P6" else 1
+    need = width * height * nch
+    if len(payload) - i < need:
+        return None
+    a = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return a.reshape(height, width, nch)
+
+
+def _decode_png(payload: bytes):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if ihdr is None or not idat:
+        return None
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    # 8-bit non-interlaced only (palette/16-bit need tables this tier skips)
+    if nch is None or depth != 8 or comp or filt or interlace:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                row[x] = (row[x] + row[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            row += prior
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - nch] if x >= nch else 0
+                row[x] = (row[x] + ((int(left) + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a_ = int(row[x - nch]) if x >= nch else 0
+                b_ = int(prior[x])
+                c_ = int(prior[x - nch]) if x >= nch else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pr = a_ if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                row[x] = (row[x] + pr) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y] = row
+        prior = row
+    return out.reshape(height, width, nch)
+
+
+def _decode_payload(payload: bytes):
+    """bytes -> HxWxC uint8 array for the self-contained codecs (BMP 24/32,
+    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib), else None.
+    JPEG/GIF stay library-gated — their entropy coders are out of scope."""
+    for dec in (_decode_png, _decode_bmp, _decode_pnm):
+        try:
+            a = dec(payload)
+        except Exception:
+            a = None
+        if a is not None:
+            return a
+    return None
+
+
 def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — NOT IMPLEMENTED in this container (no PIL/libvips).
-    Contract: same input/output schema as fake_decode_image."""
-    raise NotImplementedError(
-        "real image decoding requires an image library not present in this "
-        "environment; use fake_decode_image for plumbing tests"
-    )
+    """REAL image decode for library-free codecs (PNG/BMP/PPM/PGM — pure
+    numpy + stdlib zlib); same schema and mapInPandas batch shape as
+    fake_decode_image. Payloads the built-in codecs can't parse (JPEG/GIF
+    need an image library) decode to null feature columns rather than
+    failing the batch — filter `width IS NULL` to find them."""
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["content"]:
+                a = _decode_payload(bytes(b) if b is not None else b"")
+                if a is None:
+                    rows.append((None, None, None, None))
+                else:
+                    rows.append(
+                        (a.shape[1], a.shape[0], a.shape[2], round(float(a.mean()), 4))
+                    )
+            meta = pd.DataFrame(list(pdf["meta"]))
+            yield pd.DataFrame(
+                {
+                    "path": meta["path"],
+                    "length": meta["length"].astype("int64"),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "mean_intensity": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
 RESIZED_IMAGE_SCHEMA = T.StructType(

@@ -48,11 +48,104 @@ def test_fake_decode_image_deterministic(spark, media_dir):
     assert 0.0 <= feat.mean_intensity <= 255.0
 
 
-def test_real_decode_is_explicit_stub(spark, media_dir):
+def _png_bytes(arr, filters):
+    """Minimal PNG encoder for tests: 8-bit, per-row filter types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b""
+    prior = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        row = arr[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int32), prior[:-c]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) % 256
+        elif ft == 2:
+            enc = (row - prior) % 256
+        elif ft == 3:
+            enc = (row - (left + prior) // 2) % 256
+        else:  # paeth
+            enc = np.empty_like(row)
+            for x in range(len(row)):
+                p = int(left[x]) + int(prior[x]) - int(ul[x])
+                pa, pb, pc = abs(p - left[x]), abs(p - prior[x]), abs(p - ul[x])
+                pr = left[x] if pa <= pb and pa <= pc else (prior[x] if pb <= pc else ul[x])
+                enc[x] = (row[x] - pr) % 256
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prior = row
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(arr):
+    """Minimal bottom-up 24-bit BMP encoder for tests."""
+    import struct
+
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytes(int(v) for px in arr[y] for v in (px[2], px[1], px[0]))
+        data += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + dib + data
+
+
+def test_real_decode_png_bmp_pnm(spark, tmp_path_factory):
+    import numpy as np
+
     from kql_engine_spark.multimodal import decode_image, load_binary_dir
 
-    with pytest.raises(NotImplementedError):
-        decode_image(load_binary_dir(spark, media_dir))
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    d = tmp_path_factory.mktemp("real_media")
+    (d / "f.png").write_bytes(_png_bytes(img, [0, 1, 2, 3, 4]))
+    (d / "g.png").write_bytes(_png_bytes(gray, [4, 3, 1]))
+    (d / "h.bmp").write_bytes(_bmp_bytes(img))
+    (d / "i.bmp").write_bytes(_bmp_bytes(img[:, :3]))  # 9-byte rows pad to 12
+    (d / "p.ppm").write_bytes(
+        b"P6\n# comment\n4 5\n255\n" + bytes(img.reshape(-1))
+    )
+    (d / "j.jpg").write_bytes(b"\xff\xd8\xff\xe0-not-decodable")
+    feats = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in decode_image(load_binary_dir(spark, str(d))).collect()
+    }
+    want_mean = round(float(img.mean()), 4)
+    for name in ("f.png", "h.bmp", "p.ppm"):
+        r = feats[name]
+        assert (r.width, r.height, r.channels) == (4, 5, 3), name
+        assert r.mean_intensity == want_mean, name
+    pad = feats["i.bmp"]
+    assert (pad.width, pad.height, pad.channels) == (3, 5, 3)
+    assert pad.mean_intensity == round(float(img[:, :3].mean()), 4)
+    g = feats["g.png"]
+    assert (g.width, g.height, g.channels) == (6, 3, 1)
+    assert g.mean_intensity == round(float(gray.mean()), 4)
+    # JPEG stays library-gated: null features, row preserved
+    assert feats["j.jpg"].width is None
 
 
 def test_fake_resize_deterministic_shape(spark, media_dir):
