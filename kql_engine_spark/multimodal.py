@@ -401,3 +401,111 @@ def fake_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for the library-free codecs: decode via
+    ``_decode_payload``, numpy index-sample to (height, width), re-encode
+    as binary PPM (P6) / PGM (P5) so downstream decoders can read the
+    payload. Codecs the built-ins can't parse yield a null `resized`."""
+    import pandas as pd
+
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_image: width and height must be positive")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            out = []
+            for b in pdf["content"]:
+                a = _decode_payload(bytes(b) if b is not None else b"")
+                if a is None:
+                    out.append(None)
+                    continue
+                h, w, c = a.shape
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                r = a[ys][:, xs]
+                if c >= 3:
+                    body, magic = r[..., :3], b"P6"
+                else:
+                    body, magic = r[..., :1], b"P5"
+                out.append(
+                    magic + f"\n{width} {height}\n255\n".encode()
+                    + bytes(body.reshape(-1))
+                )
+            yield pd.DataFrame(
+                {
+                    "path": meta["path"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
+def _decode_wav(payload: bytes):
+    """(duration_sec, sample_rate, rms in [0,1]) for RIFF/WAVE PCM 8/16-bit
+    and float32 payloads, else None — stdlib struct + numpy only."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if nch == 0 or rate == 0:
+        return None
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype="u1").astype("float64") - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
+    else:
+        return None
+    if not len(x):
+        return None
+    frames = len(x) // nch
+    rms = float(np.sqrt(np.mean(x * x)))
+    return round(frames / rate, 6), int(rate), round(rms, 6)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio features for RIFF/WAVE PCM payloads (8/16-bit int,
+    32-bit float): duration, sample rate, RMS — stdlib header walk + numpy.
+    Compressed formats (mp3/flac) stay library-gated and yield null rows."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            feats = []
+            for b in pdf["content"]:
+                r = _decode_wav(bytes(b) if b is not None else b"")
+                feats.append(r if r is not None else (None, None, None))
+            yield pd.DataFrame(
+                {
+                    "path": meta["path"],
+                    "duration_sec": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: binaryFile source, metadata struct, and the
-Arrow-batched decode UDF shape (decode kernel itself is a documented
-deterministic fake — no image libs in this container)."""
+"""Multimodal tests: binaryFile source, metadata struct, the Arrow-batched
+decode UDF shape, and the REAL library-free kernels (PNG/BMP/PPM decode,
+nearest-neighbor resize, WAV audio features) against synthetic payloads
+encoded independently in this file."""
 
 from __future__ import annotations
 
@@ -188,3 +189,63 @@ def test_fake_audio_features(spark, media_dir):
     assert 1.0 <= r.duration_sec <= 300.0
     assert r.sample_rate in (8000, 16000, 22050, 44100, 48000)
     assert 0.0 <= r.rms <= 1.0
+
+
+def _wav_bytes(rate, samples16):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples16, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_resize_image_roundtrips(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import (
+        _decode_payload, load_binary_dir, resize_image,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    d = tmp_path_factory.mktemp("resize_media")
+    (d / "src.png").write_bytes(_png_bytes(img, [0, 2]))
+    (d / "bad.jpg").write_bytes(b"\xff\xd8nope")
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in resize_image(load_binary_dir(spark, str(d)), 3, 4).collect()
+    }
+    out = _decode_payload(bytes(rows["src.png"].resized))
+    assert out.shape == (4, 3, 3)
+    # nearest-neighbor: every output pixel is an input pixel
+    ys = (np.arange(4) * 8 // 4).clip(0, 7)
+    xs = (np.arange(3) * 6 // 3).clip(0, 5)
+    assert (out == img[ys][:, xs]).all()
+    assert rows["bad.jpg"].resized is None
+
+
+def test_real_audio_features_wav(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import audio_features, load_binary_dir
+
+    t = np.arange(16000)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 16384).astype("<i2")
+    d = tmp_path_factory.mktemp("audio_media")
+    (d / "tone.wav").write_bytes(_wav_bytes(16000, sine))
+    (d / "noise.mp3").write_bytes(b"ID3 not parseable")
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in audio_features(load_binary_dir(spark, str(d))).collect()
+    }
+    tone = rows["tone.wav"]
+    assert tone.sample_rate == 16000 and tone.duration_sec == 1.0
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536
+    assert abs(tone.rms - 0.3536) < 0.002
+    assert rows["noise.mp3"].sample_rate is None
