@@ -3448,6 +3448,20 @@ q(
           <= 60000.0""",
 )
 
+q(
+    "llm_count_tokens",
+    # GPT-2-style pre-tokenizer count; the twin runs the IDENTICAL regex
+    # (RE2-compatible by construction)
+    """documents
+    | project doc_id, n = count_tokens(text)
+    | summarize total = sum(n), mx = max(n)""",
+    r"""SELECT CAST(SUM(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT) AS total,
+       CAST(MAX(len(regexp_extract_all(text,
+         '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS BIGINT) AS mx
+       FROM documents""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

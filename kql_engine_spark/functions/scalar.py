@@ -1550,6 +1550,30 @@ _np_series_udf("series_outliers", _outlier_scores)
 # Both work identically on batch DataFrames (the batch twin is the oracle).
 
 
+# GPT-2-style pre-tokenizer (engine extension for training-data token
+# budgeting): contraction suffixes, space-prefixed letter/digit/punct runs,
+# whitespace runs. RE2-compatible (no lookarounds — the upstream \s+(?!\S)
+# tail merge is dropped, documented delta) so the DuckDB oracle runs the
+# IDENTICAL pattern.
+_BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@fn("count_tokens")
+def _count_tokens(tr, args):
+    """count_tokens(text) — BPE-pre-tokenizer token count (extension; Kusto
+    has no tokenizer). JVM-side regexp_extract_all, no UDF."""
+    c = tr.to_col(args[0]).cast("string")
+    n = F.size(F.regexp_extract_all(c, F.lit(_BPE_PRETOKEN_RE), F.lit(0)))
+    return F.when(c.isNotNull(), F.greatest(n, F.lit(0)).cast("bigint"))
+
+
+@fn("bpe_tokens")
+def _bpe_tokens(tr, args):
+    """bpe_tokens(text) — the pre-tokenizer's token array (extension)."""
+    c = tr.to_col(args[0]).cast("string")
+    return F.regexp_extract_all(c, F.lit(_BPE_PRETOKEN_RE), F.lit(0))
+
+
 @fn("hopping_window")
 def _hopping_window(tr, args):
     ts = tr.to_col(args[0])

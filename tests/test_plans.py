@@ -318,3 +318,21 @@ def test_range_source_keeps_aqe(run_kql):
     df = run_kql("range x from 1 to 1000 step 1 | summarize s = sum(x) by b = x % 7")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_geo_polygon_lookup_broadcasts_and_defers_udf(run_kql):
+    # the polygon side broadcasts; the codegen bbox test lives IN the join
+    # condition; the exact point-in-polygon Python UDF runs as a post-join
+    # Filter over bbox survivors only
+    q = """let zones = datatable(zone:string, shape:string)[
+      'sw', '{"type":"Polygon","coordinates":[[[-120.0,-60.0],[0.0,-60.0],[0.0,0.0],[-120.0,0.0],[-120.0,-60.0]]]}'];
+    events
+    | extend lon = todouble(event_id % 240) - 119.5,
+             lat = todouble(user_id % 120) - 59.5
+    | evaluate geo_polygon_lookup(zones, shape, lon, lat)"""
+    plan = _plan(run_kql(q))
+    assert "BroadcastNestedLoopJoin" in plan
+    # bbox condition is part of the join (codegen), not the UDF filter
+    join_section = plan.split("BroadcastNestedLoopJoin")[-1]
+    assert "__kql_lomin" in join_section
+    assert "pythonUDF" in plan  # exact test deferred to a post-join Filter
