@@ -40,7 +40,7 @@ from .ast_nodes import (
     UnionSource, Where,
 )
 from .catalog import Catalog
-from .errors import KqlSemanticError, KqlUnsupportedError
+from .errors import KqlSemanticError, KqlSyntaxError, KqlUnsupportedError
 from .functions.aggregates import AGG_REGISTRY
 from .functions.scalar import MULTI_OUTPUT
 from .functions.scalar import REGISTRY as FN_REGISTRY
@@ -2648,10 +2648,12 @@ def _plan_is_volatile(q: Query) -> bool:
 # every real table clears the threshold so AQE always runs. Tune/disable
 # via SPARK_GRAFT_SMALL_QUERY_BYTES (0 = off).
 import os as _os
+import threading as _threading
 
 _SMALL_QUERY_BYTES = int(
     _os.environ.get("SPARK_GRAFT_SMALL_QUERY_BYTES", str(32 * 1024 * 1024))
 )
+_SMALL_PLAN_LOCK = _threading.Lock()
 
 
 def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
@@ -2704,23 +2706,27 @@ def _translate_pinning_small_plan(
         tiny = _total_source_bytes(q, catalog)
     if tiny is None or tiny >= _SMALL_QUERY_BYTES:
         return PipeTranslator(spark, catalog, options).translate_query(q)
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if prev == "false":
-        return PipeTranslator(spark, catalog, options).translate_query(q)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # few shuffle partitions replace AQE's runtime coalesce: scheduling 32
-    # near-empty reduce tasks costs more than the parallelism returns on
-    # <32MB of input
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        out = PipeTranslator(spark, catalog, options).translate_query(q)
-        # force physical planning NOW so the non-AQE choice is captured in
-        # the QueryExecution this DataFrame will execute with
-        out._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    # serialize the conf flip: session conf is process-global, so a
+    # concurrent translation must not observe (or clobber) the temporary
+    # small-plan settings
+    with _SMALL_PLAN_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if prev == "false":
+            return PipeTranslator(spark, catalog, options).translate_query(q)
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # few shuffle partitions replace AQE's runtime coalesce: scheduling
+        # 32 near-empty reduce tasks costs more than the parallelism
+        # returns on <32MB of input
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            out = PipeTranslator(spark, catalog, options).translate_query(q)
+            # force physical planning NOW so the non-AQE choice is captured
+            # in the QueryExecution this DataFrame will execute with
+            out._jdf.queryExecution().executedPlan()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return out
 
 
@@ -2746,8 +2752,15 @@ def kql(
         if catalog is None:
             catalog = Catalog(spark, sf_dir)
             per_session[key] = catalog
-    q = parse(text)
-    out = _translate_pinning_small_plan(spark, q, catalog, options)
+    try:
+        q = parse(text)
+        out = _translate_pinning_small_plan(spark, q, catalog, options)
+    except RecursionError:
+        # mirror Kusto's query-complexity cap with a typed error instead of
+        # leaking the interpreter's RecursionError
+        raise KqlSyntaxError(
+            "query is too deeply nested for this engine", text, 0
+        ) from None
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})
         if len(plans) >= _PLAN_CACHE_CAP:

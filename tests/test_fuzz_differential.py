@@ -452,3 +452,41 @@ def test_random_rank_functions_match_duckdb(run_kql, duck, desc, lo):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_fragments_raise_only_typed_errors(run_kql, data):
+    # error hygiene: near-KQL token soup must either translate or raise a
+    # typed KqlError — never RecursionError / AttributeError / Py4J leaks
+    from kql_engine_spark.errors import KqlError
+
+    frag = [
+        "region", "| where", "| project", "r_name", "==", "'x'", "summarize",
+        "count()", "by", "|", "(", ")", "[", "]", ",", "extend", "=", "+",
+        "join", "on", "datatable", "take", "5", "let", ";", "sort by", "asc",
+        "mv-expand", "x", ".", "dynamic", "series_abs", "bin(", "{", "}",
+        '"q"', "*", "evaluate", "pivot", "0.5", "datetime(2024-01-01)",
+        "and", "or", "!", "scan", "top-nested", "parse", "between",
+    ]
+    n = data.draw(st.integers(1, 12))
+    q = " ".join(data.draw(st.sampled_from(frag)) for _ in range(n))
+    try:
+        run_kql(q)
+    except KqlError:
+        pass
+
+
+def test_deep_nesting_raises_typed_error(run_kql):
+    import pytest as _pytest
+
+    from kql_engine_spark.errors import KqlSyntaxError
+
+    with _pytest.raises(KqlSyntaxError):
+        run_kql("print x = " + "(" * 500 + "1" + ")" * 500)
+    with _pytest.raises(KqlSyntaxError):
+        run_kql("print x = " + "1 + " * 2000 + "1")
