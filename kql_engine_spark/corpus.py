@@ -3473,8 +3473,10 @@ q(
 # let/invoke (§2.14). Entries outside the prefix keep their relative order and
 # stay covered by tests/test_corpus_oracle.py.
 _TIER_A = (
-    # §2.1 sources
-    "tpch_q1", "datatable_literal", "range_source", "externaldata_csv",
+    # §2.1 sources (r5 batch-4: datatable_literal -> declare_query_parameters
+    # — parameterized queries are a new statement class; datatable stays
+    # exercised inside a dozen prefix entries)
+    "tpch_q1", "declare_query_parameters", "range_source", "externaldata_csv",
     # §2.2 row ops
     "where_project", "extend_arith", "project_away_keep_rename",
     "distinct_cols", "serialize_row_number",
@@ -3494,18 +3496,21 @@ _TIER_A = (
     # §2.6 summarize/aggregates (computed-key + exact-percentile entries
     # moved to the pytest tail after two green driver rounds)
     "tpch_q6", "agg_sweep", "arg_max_agg",
-    # §2.7 window
-    "window_cumsum_restart",
+    # §2.7 window (r5 batch-4: + window_rank_restart — the serialized-order
+    # rank fix and restart segments are new behavior this round)
+    "window_cumsum_restart", "window_rank_restart",
     # §2.8 mv-*/parse/evaluate (+ r5: the diffpatterns mining family, its
     # first driver-certified representative; datetime_fns rotates to the
     # pytest tail after three green rounds)
     "mv_apply_agg", "parse_pattern", "evaluate_pivot", "diffpatterns_orders",
-    # §2.9 scalar functions (+ sketch interop readout)
-    "has_term", "hll_sketch_roundtrip", "dynamic_array_fns",
+    # §2.9 scalar functions (+ sketch interop readout; r5 batch-4:
+    # dynamic_array_fns -> llm_count_tokens, the BPE pre-tokenizer scalar —
+    # array functions stay covered by several tail entries + fuzz)
+    "has_term", "hll_sketch_roundtrip", "llm_count_tokens",
     # §2.10 make-series + series stats (r5 batch-3: series_stats_fit ->
     # tuple_extend_fit_line — same fit coverage plus the multi-valued
     # assignment path)
-    "make_series_datetime", "make_series_auto_bounds", "tuple_extend_fit_line",
+    "make_series_datetime", "tuple_extend_fit_line",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
     "summarize_bin_1d", "scan_overlapping_matches",
     # §2.12 LLM data-pipeline (r5 batch-4: llm_dedup_exact ->
@@ -3518,7 +3523,10 @@ _TIER_A = (
     # (r5 batch-3: count_op -> graph_mark_components — count stays covered
     # inside a dozen tail entries; activity_engagement -> activity_metrics,
     # the newer behavior-analytics rep)
-    "graph_mark_components", "search_term", "search_and_terms",
+    # (r5 batch-4: search_term -> geo_polygon_lookup_zones — the geo lookup
+    # joins are a new operator class; single-term search stays covered by
+    # search_and_terms and the find entries)
+    "graph_mark_components", "geo_polygon_lookup_zones", "search_and_terms",
     "partition_top_per_key",
     "find_multi_table", "graph_match_varlen", "graph_shortest_paths",
     "activity_metrics_retention",
