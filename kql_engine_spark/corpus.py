@@ -3462,6 +3462,23 @@ q(
        FROM documents""",
 )
 
+q(
+    "where_star_has",
+    # `* has` = ANY column term-matches; `* !has` = NO column matches
+    """part
+    | where * has 'blue'
+    | summarize pos = count()
+    | extend neg = toscalar(part | where * !has 'blue' | count)""",
+    r"""WITH m AS (
+      SELECT regexp_matches(lower(CAST(p_partkey AS VARCHAR) || ' ' || p_name
+               || ' ' || p_brand || ' ' || p_type || ' '
+               || CAST(p_size AS VARCHAR)), '\bblue\b') AS hit
+      FROM part)
+    SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS neg
+    FROM m""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -250,6 +250,27 @@ class ExprTranslator:
         # string predicate families (KQL default is case-insensitive [KQL])
         base = op.lstrip("!")
         negate = op.startswith("!") and base not in ("=",)
+        if isinstance(e.left, Star):
+            # `* has "term"` [KQL]: the predicate holds if ANY column
+            # matches; negated forms (`* !has`) mean NO column matches
+            pos_op = {"!=": "==", "!~": "=~"}.get(op, base)
+            allowed = {
+                "contains", "contains_cs", "startswith", "startswith_cs",
+                "endswith", "endswith_cs", "has", "has_cs", "hasprefix",
+                "hasprefix_cs", "hassuffix", "hassuffix_cs", "matches",
+                "==", "=~",
+            }
+            if pos_op not in allowed:
+                raise KqlSemanticError(f"'*' is not valid with operator {op!r}")
+            if self.df is None:
+                raise KqlSemanticError("'*' predicate requires a table context")
+            cond = F.lit(False)
+            for cname in self.df.columns:
+                if cname.startswith(("__kql", "__row_order")):
+                    continue
+                c = self._binop(BinOp(pos_op, Col(cname), e.right))
+                cond = cond | F.coalesce(c, F.lit(False))
+            return ~cond if op.startswith("!") else cond
         if base in ("contains", "contains_cs"):
             lc = base.endswith("_cs")
             out = self._contains(e.left, e.right, cs=lc)
