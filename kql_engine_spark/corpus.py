@@ -3479,6 +3479,22 @@ q(
     FROM m""",
 )
 
+q(
+    "between_duration_form",
+    # `ts between (start .. 1d)` = [start, start + 1d] [KQL]
+    """events
+    | where ts between (datetime(2024-01-02) .. 1d)
+    | summarize inside = count()
+    | extend outside = toscalar(events | where ts !between (datetime(2024-01-02) .. 1d) | count)""",
+    """SELECT CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) BETWEEN
+                TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-03'
+              THEN 1 ELSE 0 END) AS BIGINT) AS inside,
+              CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) BETWEEN
+                TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-03'
+              THEN 0 ELSE 1 END) AS BIGINT) AS outside
+       FROM events""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -179,6 +179,14 @@ class ExprTranslator:
             lo = self.to_col(e.lo)
             hi = self.to_col(e.hi)
             c = self.to_col(e.expr)
+            # duration form `x between (start .. 1d)` [KQL]: a timespan high
+            # bound means start + duration
+            hi_dt = self.dtype_of_ast(e.hi, hi)
+            lo_dt = self.dtype_of_ast(e.lo, lo)
+            if isinstance(hi_dt, T.DayTimeIntervalType) and not isinstance(
+                lo_dt, T.DayTimeIntervalType
+            ):
+                hi = lo + hi
             out = (c >= lo) & (c <= hi)
             return ~out if e.negated else out
         if isinstance(e, Property):
