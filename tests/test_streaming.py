@@ -182,3 +182,26 @@ def test_stream_scan_chunked_arrow_batches(spark, run_kql):
         + " | summarize rows = count(), matches = count_distinct(m), hs = sum(hits)"
     ).collect()[0]
     assert (got.rows, got.matches, got.hs) == (want.rows, want.matches, want.hs)
+
+
+def test_stream_llm_plugins_match_batch(spark, run_kql):
+    # per-row training-pipeline plugins (pii_redact, quality_filter,
+    # count_tokens) are pure column exprs, so the SAME lowering runs on a
+    # streaming documents source unchanged
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = (
+        "documents | evaluate pii_redact(text)"
+        " | evaluate quality_filter(text, 5, 10000)"
+        " | project doc_id, pii_found, qf_pass, n = count_tokens(text)"
+    )
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    got = sorted(
+        (r.doc_id, r.pii_found, r.qf_pass, r.n)
+        for r in run_to_memory(sdf, "stream_llm", mode="append").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.pii_found, r.qf_pass, r.n) for r in run_kql(text).collect()
+    )
+    assert got == want
