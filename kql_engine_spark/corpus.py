@@ -3495,6 +3495,18 @@ q(
        FROM events""",
 )
 
+q(
+    "string_plus_concat_and_map_bags",
+    # KQL `+` concatenates strings; bag functions accept the native MAP
+    # carrier (uniform-typed dynamic literals), not only JSON text
+    """print s = 'x' + 'y' + tostring(3),
+             m = tolong(extractjson('$.b', bag_merge(dynamic({"a": 1}), dynamic({"b": 2})))),
+             r = extractjson('$.a', bag_remove_keys(dynamic({"a": 1, "b": 2}), dynamic(['a']))),
+             k = tolong(extractjson('$.b', bag_set_key(dynamic({"a": 1}), 'b', 2)))""",
+    """SELECT 'xy3' AS s, CAST(2 AS BIGINT) AS m, CAST(NULL AS VARCHAR) AS r,
+              CAST(2 AS BIGINT) AS k""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

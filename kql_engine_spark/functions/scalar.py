@@ -1019,11 +1019,21 @@ def _pack_all(tr, args):
     return F.to_json(F.struct("*"))
 
 
+def _bag_json_str(tr, a) -> Column:
+    """Bag argument -> JSON text, whichever carrier it arrives in (native
+    MAP/STRUCT columns stringify via to_json — a plain cast is NOT JSON)."""
+    c = tr.to_col(a)
+    dt = tr.dtype_of_ast(a, c)
+    if isinstance(dt, (T.MapType, T.StructType, T.ArrayType)):
+        return F.to_json(c)
+    return c.cast("string")
+
+
 @fn("bag_merge")
 def _bag_merge(tr, args):
-    # JSON-text carriers: parse to map<string,string> and merge left-to-right
+    # parse either carrier to map<string,string>, merge left-to-right
     maps = [
-        F.from_json(tr.to_col(a).cast("string"), "map<string,string>") for a in args
+        F.from_json(_bag_json_str(tr, a), "map<string,string>") for a in args
     ]
     out = maps[-1]
     for m in reversed(maps[:-1]):
@@ -1033,8 +1043,13 @@ def _bag_merge(tr, args):
 
 @fn("bag_remove_keys")
 def _bag_remove_keys(tr, args):
-    m = F.from_json(tr.to_col(args[0]).cast("string"), "map<string,string>")
+    m = F.from_json(_bag_json_str(tr, args[0]), "map<string,string>")
     keys = tr.to_col(args[1])
+    kdt = tr.dtype_of_ast(args[1], keys)
+    if isinstance(kdt, T.StringType):  # JSON-text array carrier
+        keys = F.from_json(keys, "array<string>")
+    else:
+        keys = keys.cast("array<string>")
     return F.to_json(F.map_filter(m, lambda k, v: ~F.array_contains(keys, k)))
 
 
@@ -3187,9 +3202,9 @@ def _bag_pack_columns(tr, args):
 
 @fn("bag_set_key")
 def _bag_set_key(tr, args):
-    """bag_set_key(bag, key, value): upsert one key (string-carrier bag,
+    """bag_set_key(bag, key, value): upsert one key (either bag carrier,
     same convention as bag_merge/bag_remove_keys)."""
-    m = F.from_json(tr.to_col(args[0]).cast("string"), "map<string,string>")
+    m = F.from_json(_bag_json_str(tr, args[0]), "map<string,string>")
     k = tr.to_col(args[1]).cast("string")
     v = tr.to_col(args[2]).cast("string")
     return F.to_json(

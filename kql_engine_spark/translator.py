@@ -323,6 +323,11 @@ class ExprTranslator:
         if op == ">=":
             return l >= r
         if op == "+":
+            # KQL `+` concatenates when both operands are strings
+            if isinstance(
+                self.dtype_of_ast(e.left, l), T.StringType
+            ) and isinstance(self.dtype_of_ast(e.right, r), T.StringType):
+                return F.concat(l, r)
             return l + r
         if op == "-":
             return l - r
