@@ -3507,6 +3507,18 @@ q(
               CAST(2 AS BIGINT) AS k""",
 )
 
+q(
+    "union_type_conflict_splits",
+    # same column name, different KQL types -> one name_type column per
+    # type [KQL union], never silent coercion
+    """union (datatable(x:long)[1, 2]), (datatable(x:string)['a'])
+    | project x_long, x_string
+    | sort by x_long asc nulls last""",
+    """SELECT CAST(1 AS BIGINT) AS x_long, CAST(NULL AS VARCHAR) AS x_string
+       UNION ALL SELECT 2, NULL
+       UNION ALL SELECT NULL, 'a'""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -1584,6 +1584,26 @@ class PipeTranslator:
             if withsource:
                 frame = frame.withColumn(withsource, F.lit(label))
             frames.append(frame)
+        # Kusto splits a column whose KQL type differs across operands into
+        # one `name_type` column per type [KQL union] — silent coercion to
+        # string would change values
+        types_by_col: dict[str, set[str]] = {}
+        for fr in frames:
+            for f in fr.schema.fields:
+                types_by_col.setdefault(f.name, set()).add(
+                    kql_type_name(f.dataType)
+                )
+        conflicted = {c for c, ts in types_by_col.items() if len(ts) > 1}
+        if conflicted:
+            renamed = []
+            for fr in frames:
+                for f in fr.schema.fields:
+                    if f.name in conflicted:
+                        fr = fr.withColumnRenamed(
+                            f.name, f"{f.name}_{kql_type_name(f.dataType)}"
+                        )
+                renamed.append(fr)
+            frames = renamed
         if kind == "inner":
             common = set(frames[0].columns)
             for fr in frames[1:]:

@@ -482,11 +482,20 @@ def test_random_fragments_raise_only_typed_errors(run_kql, data):
 
 
 def test_deep_nesting_raises_typed_error(run_kql):
+    import sys
+
     import pytest as _pytest
 
     from kql_engine_spark.errors import KqlSyntaxError
 
-    with _pytest.raises(KqlSyntaxError):
-        run_kql("print x = " + "(" * 500 + "1" + ")" * 500)
-    with _pytest.raises(KqlSyntaxError):
-        run_kql("print x = " + "1 + " * 2000 + "1")
+    # hypothesis may have raised the process recursion limit; pin a sane one
+    # so the depth below reliably exceeds it
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(1500)
+    try:
+        with _pytest.raises(KqlSyntaxError):
+            run_kql("print x = " + "(" * 2000 + "1" + ")" * 2000)
+        with _pytest.raises(KqlSyntaxError):
+            run_kql("print x = " + "1 + " * 4000 + "1")
+    finally:
+        sys.setrecursionlimit(old)
