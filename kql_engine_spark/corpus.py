@@ -3519,6 +3519,18 @@ q(
        UNION ALL SELECT NULL, 'a'""",
 )
 
+q(
+    "in_dynamic_array_operand",
+    # array-typed in() operands test element membership [KQL]
+    """lineitem
+    | where l_linenumber in (range(1, 7, 2), 6) and l_quantity < 5.0
+    | summarize n = count() by l_linenumber
+    | sort by l_linenumber asc""",
+    """SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+       WHERE l_linenumber IN (1, 3, 5, 6, 7) AND l_quantity < 5.0
+       GROUP BY 1 ORDER BY 1""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

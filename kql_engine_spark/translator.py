@@ -419,6 +419,36 @@ class ExprTranslator:
                 out = c.isin(*vals) if vals else F.lit(False)
             return ~out if e.negated else out
         vals = [self.to_col(i) for i in e.items]
+        # array-typed operands (`x in (dynamic([...]))`, range(...)) test
+        # membership in the array's elements [KQL]
+        arrays = [
+            v
+            for i, v in zip(e.items, vals)
+            if isinstance(self.dtype_of_ast(i, v), T.ArrayType)
+        ]
+        if arrays:
+            scalars = [
+                v
+                for i, v in zip(e.items, vals)
+                if not isinstance(self.dtype_of_ast(i, v), T.ArrayType)
+            ]
+            if e.ci:
+                cl = F.lower(c.cast("string"))
+                out = F.lit(False)
+                for a in arrays:
+                    out = out | F.array_contains(
+                        F.transform(a, lambda x: F.lower(x.cast("string"))), cl
+                    )
+                for v in scalars:
+                    out = out | (cl == F.lower(v.cast("string")))
+            else:
+                out = F.lit(False)
+                for a in arrays:
+                    out = out | F.array_contains(a, c)
+                if scalars:
+                    out = out | c.isin(*scalars)
+            out = F.coalesce(out, F.lit(False))
+            return ~out if e.negated else out
         if e.ci:
             c = F.lower(c.cast("string"))
             vals = [F.lower(v.cast("string")) for v in vals]
