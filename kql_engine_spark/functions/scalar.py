@@ -458,6 +458,7 @@ def _make_timespan(tr, args):
 _FMT_MAP = [
     ("yyyy", "yyyy"), ("yy", "yy"), ("MM", "MM"), ("M", "M"),
     ("dd", "dd"), ("d", "d"), ("HH", "HH"), ("H", "H"), ("hh", "hh"),
+    ("h", "h"),
     ("mm", "mm"), ("m", "m"), ("ss", "ss"), ("s", "s"),
     ("fffffff", "SSSSSSS"), ("ffffff", "SSSSSS"), ("fffff", "SSSSS"),
     ("ffff", "SSSS"), ("fff", "SSS"), ("ff", "SS"), ("f", "S"),
