@@ -1294,11 +1294,22 @@ def _ipv6_is_in_range(tr, args):
 
 @fn("ipv6_is_in_any_range")
 def _ipv6_is_in_any_range(tr, args):
+    from ..ast_nodes import Lit as _Lit, TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
     ip = tr.to_col(args[0]).cast("string")
+    ranges: list = []
+    for a in args[1:]:
+        if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+            ranges.extend(
+                _Lit(str(v), "string") for v in parse_dynamic_literal(a.raw)
+            )
+        else:
+            ranges.append(a)
     out = F.lit(None).cast("boolean")
     hit = F.lit(False)
     seen_null = F.lit(False)
-    for a in args[1:]:
+    for a in ranges:
         r = _ipv6_udf("inrange")(ip, tr.to_col(a).cast("string"))
         hit = hit | F.coalesce(r, F.lit(False))
         seen_null = seen_null | r.isNull()
@@ -3118,9 +3129,21 @@ def _format_ipv4_mask(tr, args):
 @fn("ipv4_is_in_any_range")
 def _ipv4_is_in_any_range(tr, args):
     """ipv4_is_in_any_range(ip, range1, range2, ...) [KQL]: true when the
-    address falls in any of the CIDR/plain ranges; null on unparsable ip."""
-    out = REGISTRY["ipv4_is_in_range"](tr, [args[0], args[1]])
-    for a in args[2:]:
+    address falls in any of the CIDR/plain ranges (a dynamic array operand
+    expands to its elements); null on unparsable ip."""
+    from ..ast_nodes import Lit as _Lit, TypedLit as _TypedLit
+    from ..semantics import parse_dynamic_literal
+
+    ranges: list = []
+    for a in args[1:]:
+        if isinstance(a, _TypedLit) and a.ktype == "dynamic":
+            ranges.extend(
+                _Lit(str(v), "string") for v in parse_dynamic_literal(a.raw)
+            )
+        else:
+            ranges.append(a)
+    out = REGISTRY["ipv4_is_in_range"](tr, [args[0], ranges[0]])
+    for a in ranges[1:]:
         out = out | REGISTRY["ipv4_is_in_range"](tr, [args[0], a])
     return out
 
