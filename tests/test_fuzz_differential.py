@@ -499,3 +499,32 @@ def test_deep_nesting_raises_typed_error(run_kql):
             run_kql("print x = " + "1 + " * 4000 + "1")
     finally:
         sys.setrecursionlimit(old)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p=st.integers(1, 99),
+    lo=st.integers(0, 4000),
+    key_ix=st.integers(0, 2),
+)
+def test_random_percentiles_match_duckdb(run_kql, duck, p, lo, key_ix):
+    # exact-mode percentile (linear interpolation = quantile_cont) across
+    # random cut points, filters and grouping keys
+    key_k, key_s = _KEYS[key_ix]
+    kdf = run_kql(
+        f"lineitem | where l_orderkey >= {lo}"
+        f" | summarize v = round(percentile(l_extendedprice, {p}), 4) by {key_k}"
+    )
+    sdf = duck.sql(
+        f"""SELECT {key_s},
+                   ROUND(quantile_cont(l_extendedprice, {p / 100.0}), 4) AS v
+            FROM lineitem WHERE l_orderkey >= {lo} GROUP BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
