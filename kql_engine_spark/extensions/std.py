@@ -1411,7 +1411,7 @@ def _diffpatterns_text(ptr, df, args):
 @plugin("geo_polygon_lookup")
 def _geo_polygon_lookup(ptr, df, args):
     """`T | evaluate geo_polygon_lookup(LookupTable, PolygonKey, SourceLon,
-    SourceLat [, return_unmatched])` [KQL]: join each row's point against a
+    SourceLat [, radius] [, return_unmatched])` [KQL]: join each row point against a
     table of GeoJSON polygons; one output row per CONTAINING polygon
     (Kusto returns all matches), return_unmatched=true keeps pointless rows
     with null lookup columns.
@@ -1442,7 +1442,19 @@ def _geo_polygon_lookup(ptr, df, args):
         )
     if keyc not in lut.columns:
         raise KqlSemanticError(f"geo_polygon_lookup: {keyc!r} not in lookup table")
-    unmatched = bool(tr.const_value(args[4])) if len(args) > 4 else False
+    # optional numeric radius then optional bool return_unmatched [KQL]
+    radius, unmatched = 0.0, False
+    rest = list(args[4:])
+    if rest and not isinstance(rest[0], Col):
+        v = tr.const_value(rest[0])
+        if isinstance(v, bool):
+            unmatched = v
+        else:
+            radius = float(v)
+            if radius < 0:
+                raise KqlSemanticError("geo_polygon_lookup: radius must be >= 0")
+            if len(rest) > 1:
+                unmatched = bool(tr.const_value(rest[1]))
 
     parsed = F.from_json(
         F.col(keyc).cast("string"),
@@ -1451,37 +1463,53 @@ def _geo_polygon_lookup(ptr, df, args):
     pts = F.flatten(parsed["coordinates"])
     lons = F.transform(pts, lambda p: p[0])
     lats = F.transform(pts, lambda p: p[1])
+    # bbox padded by the radius (conservative degree conversion, pole-clamped)
+    pad_lat = F.lit(radius / 110574.0)
+    lat_max_abs = F.least(
+        F.greatest(F.abs(F.array_min(lats)), F.abs(F.array_max(lats))),
+        F.lit(89.0),
+    )
+    pad_lon = F.lit(radius) / (F.lit(111320.0) * F.cos(F.radians(lat_max_abs)))
     lutp = (
-        lut.withColumn("__kql_lomin", F.array_min(lons))
-        .withColumn("__kql_lomax", F.array_max(lons))
-        .withColumn("__kql_lamin", F.array_min(lats))
-        .withColumn("__kql_lamax", F.array_max(lats))
+        lut.withColumn("__kql_lomin", F.array_min(lons) - pad_lon)
+        .withColumn("__kql_lomax", F.array_max(lons) + pad_lon)
+        .withColumn("__kql_lamin", F.array_min(lats) - pad_lat)
+        .withColumn("__kql_lamax", F.array_max(lats) + pad_lat)
     )
     for c in lutp.columns:
         if c in df.columns and not c.startswith("__kql"):
             lutp = lutp.withColumnRenamed(c, c + "1")
     keyout = keyc if keyc in lutp.columns else keyc + "1"
 
-    if "geo_poly_contains" not in _GEO_UDFS:
+    udf_key = f"geo_poly_contains:{radius}"
+    if udf_key not in _GEO_UDFS:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
+
+        from ..functions.scalar import _GEO_R, _polygon_closest
 
         @pandas_udf("boolean")
         def contains(lons_s, lats_s, polys_s):
             def one(lo, la, s):
                 if lo is None or la is None or s is None:
                     return False
-                rings = _geo_coords(s, "Polygon")
-                if not rings:
+                if radius <= 0:
+                    rings = _geo_coords(s, "Polygon")
+                    if not rings:
+                        return False
+                    return _point_in_rings(float(lo), float(la), rings)
+                r = _polygon_closest(lo, la, s)
+                if r is None:
                     return False
-                return _point_in_rings(float(lo), float(la), rings)
+                inside, ang, _ = r
+                return bool(inside or ang * _GEO_R <= radius)
 
             return pd.Series(
                 [one(lo, la, s) for lo, la, s in zip(lons_s, lats_s, polys_s)]
             )
 
-        _GEO_UDFS["geo_poly_contains"] = contains
-    contains = _GEO_UDFS["geo_poly_contains"]
+        _GEO_UDFS[udf_key] = contains
+    contains = _GEO_UDFS[udf_key]
 
     lon_col = F.col(lonc).cast("double")
     lat_col = F.col(latc).cast("double")
