@@ -528,3 +528,52 @@ def test_random_percentiles_match_duckdb(run_kql, duck, p, lo, key_ix):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    step_h=st.sampled_from([6, 12, 24]),
+    lo=st.integers(0, 20),
+    agg_ix=st.integers(0, 2),
+)
+def test_random_make_series_matches_duckdb(run_kql, duck, step_h, lo, agg_ix):
+    # make-series over random step sizes / filters / aggregates vs a
+    # generate_series + left-join twin; arrays compared element-wise
+    aggs = [
+        ("count()", "COUNT(v.value)", "0"),
+        ("sum(value)", "ROUND(SUM(v.value), 4)", "0.0"),
+        ("max(value)", "MAX(v.value)", "NULL"),
+    ]
+    kagg, sagg, sdefault = aggs[agg_ix]
+    kdefault = {"0": "0", "0.0": "0.0", "NULL": "real(null)"}[sdefault]
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | make-series y = {kagg} default={kdefault} on ts"
+        f" from datetime(2024-01-01) to datetime(2024-01-11) step {step_h}h"
+        " | project n = array_length(y),"
+        "   s = round(todouble(series_stats_dynamic(y).avg), 2)"
+    )
+    sdf = duck.sql(
+        f"""WITH grid AS (
+          SELECT generate_series AS t FROM generate_series(
+            TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-11' - INTERVAL {step_h} HOUR,
+            INTERVAL {step_h} HOUR)
+        ), v AS (
+          SELECT time_bucket(INTERVAL {step_h} HOUR, CAST(ts AS TIMESTAMP),
+                             TIMESTAMP '2024-01-01') AS t, value
+          FROM events WHERE user_id >= {lo}
+            AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11'
+        ), cells AS (
+          SELECT grid.t, COALESCE({sagg}, {sdefault}) AS y
+          FROM grid LEFT JOIN v ON v.t = grid.t GROUP BY grid.t
+        )
+        SELECT CAST(COUNT(*) AS INT) AS n, ROUND(AVG(y), 2) AS s FROM cells"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
