@@ -3547,8 +3547,12 @@ _TIER_A = (
     # exercised inside a dozen prefix entries)
     "tpch_q1", "declare_query_parameters", "range_source", "externaldata_csv",
     # §2.2 row ops
-    "where_project", "extend_arith", "project_away_keep_rename",
-    "distinct_cols", "serialize_row_number",
+    # (r5 batch-4: extend_arith -> between_duration_form and
+    # serialize_row_number -> where_star_has — the duration range form and
+    # any-column predicates are new semantics this session; extend/serialize
+    # stay exercised throughout the prefix)
+    "where_project", "between_duration_form", "project_away_keep_rename",
+    "distinct_cols", "where_star_has",
     # §2.3 sort/take
     "top_orders", "top_nested",
     # §2.4 joins: kinds + composite key + broadcast hint + lookup + multi-join
@@ -3560,8 +3564,9 @@ _TIER_A = (
     "join_inner", "in_tabular_semi_join", "join_innerunique",
     "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
     "join_theta_range",
-    # §2.5 union (r5 batch-3: withsource -> isfuzzy, three green rounds)
-    "union_isfuzzy_skips_unknown",
+    # §2.5 union (r5 batch-4: isfuzzy -> the type-conflict split, the
+    # union semantics change made this session)
+    "union_type_conflict_splits",
     # §2.6 summarize/aggregates (computed-key + exact-percentile entries
     # moved to the pytest tail after two green driver rounds)
     "tpch_q6", "agg_sweep", "arg_max_agg",
