@@ -28,10 +28,56 @@ class Catalog:
         self._tables: dict[str, DataFrame] = {}
         self._registered: set[str] = set()  # user-supplied DataFrames
         self._streams: dict[str, DataFrame] = {}
+        self._external: dict[str, tuple] = {}   # external_table() bindings
+        self._matviews: dict[str, str] = {}     # materialized_view() paths
 
     def register(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
         self._registered.add(name)
+
+    def register_external(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "parquet",
+        schema=None,
+        options: dict | None = None,
+    ) -> None:
+        """Bind `external_table('name')` [KQL] to a path outside the
+        database: any Spark DataSource format (parquet/csv/json/delta/...)
+        — the 100 TB deployment points this at object-store URIs; reads
+        stay lazy scans with full pushdown."""
+        self._external[name] = (path, fmt, schema, dict(options or {}))
+
+    def external_table(self, name: str) -> DataFrame:
+        if name not in self._external:
+            raise KqlSemanticError(
+                f"external table {name!r} is not registered (call "
+                "catalog.register_external(name, path, fmt=...))"
+            )
+        path, fmt, schema, options = self._external[name]
+        reader = self.spark.read.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt in ("csv",):
+            options = {"header": "true", **options}
+        if options:
+            reader = reader.options(**options)
+        return reader.load(path)
+
+    def register_matview(self, name: str, path: str) -> None:
+        """Bind `materialized_view('name')` [KQL] to the parquet directory a
+        streaming materialize_to_parquet sink maintains."""
+        self._matviews[name] = path
+
+    def materialized_view(self, name: str) -> DataFrame:
+        if name not in self._matviews:
+            raise KqlSemanticError(
+                f"materialized view {name!r} is not registered (call "
+                "catalog.register_matview(name, path) after "
+                "materialize_to_parquet)"
+            )
+        return self._read_parquet(self._matviews[name])
 
     def names(self) -> list[str]:
         """Known table names: explicitly registered + parquet files present

@@ -3531,6 +3531,34 @@ q(
        GROUP BY 1 ORDER BY 1""",
 )
 
+q(
+    "ingestion_cursor_filter",
+    # ingestion metadata [KQL ingestion_time/cursor_*]: an "extent" is a
+    # data file, its ingestion time the file's modification timestamp
+    # (Spark's hidden _metadata column). cursor_after('') = everything
+    # ingested so far; a far-future cursor admits nothing. The oracle
+    # reproduces the set algebra, not the timestamps themselves.
+    """region
+    | where cursor_after('') and isnotnull(ingestion_time())
+            and not(cursor_after('99999999999999999'))
+    | project r_regionkey, r_name
+    | sort by r_regionkey asc""",
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+)
+
+q(
+    "extent_metadata_shape",
+    # extent_id() is a guid-shaped per-file id, extent_tags() a typed empty
+    # list in a file catalog; both are constant across rows of a
+    # single-file fixture table
+    """region
+    | extend eid = extent_id(), tags = tostring(extent_tags())
+    | summarize n = count(), ids = dcount(eid) by tags
+    | project tags, n, ids""",
+    """SELECT '[]' AS tags, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(1 AS BIGINT) AS ids FROM region""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -2198,6 +2198,77 @@ simple("current_principal_details")(
 REGISTRY["current_principal_is_member_of"] = lambda tr, args: F.lit(False)
 
 
+# ---------------------------------------------------- ingestion metadata
+# Kusto's per-extent ingestion metadata [KQL: ingestion_time(), extent_id(),
+# extent_tags(), cursor_* functions] maps onto Spark's hidden file-source
+# `_metadata` column: an "extent" is a data file, its ingestion time is the
+# file's modification timestamp, and a database cursor is a stringified
+# epoch-microsecond watermark over those timestamps. The translator attaches
+# `__kql_ingest_ts` / `__kql_extent_path` at the parquet scan when (and only
+# when) the query's AST uses one of these functions, so every other query
+# keeps its exact schema; the columns ride the normal hidden-column
+# machinery and never escape to the user.
+
+
+def _ingest_col(tr, col_name: str, fname: str) -> Column:
+    df = getattr(tr, "df", None)
+    if df is not None and col_name not in df.columns:
+        raise KqlSemanticError(
+            f"{fname}() requires a file-backed table source (parquet path "
+            "in the catalog); registered DataFrames, datatable and print "
+            "sources carry no ingestion metadata"
+        )
+    return F.col(col_name)
+
+
+@fn("ingestion_time")
+def _ingestion_time(tr, args):
+    return _ingest_col(tr, "__kql_ingest_ts", "ingestion_time")
+
+
+@fn("extent_id")
+def _extent_id(tr, args):
+    # deterministic guid-shaped id derived from the backing file path
+    h = F.md5(_ingest_col(tr, "__kql_extent_path", "extent_id"))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+@fn("extent_tags")
+def _extent_tags(tr, args):
+    # no extent-tag system in a file catalog — empty tag list, typed
+    return F.expr("cast(array() as array<string>)")
+
+
+@fn("cursor_after")
+def _cursor_after(tr, args):
+    ts = _ingest_col(tr, "__kql_ingest_ts", "cursor_after")
+    cur = tr.to_col(args[0]).cast("string")
+    bound = F.timestamp_micros(cur.cast("long"))
+    return F.when((cur == "") | cur.isNull(), F.lit(True)).otherwise(ts > bound)
+
+
+@fn("cursor_before_or_at")
+def _cursor_before_or_at(tr, args):
+    ts = _ingest_col(tr, "__kql_ingest_ts", "cursor_before_or_at")
+    cur = tr.to_col(args[0]).cast("string")
+    bound = F.timestamp_micros(cur.cast("long"))
+    return F.when((cur == "") | cur.isNull(), F.lit(True)).otherwise(ts <= bound)
+
+
+@fn("cursor_current", "current_cursor")
+def _cursor_current(tr, args):
+    # evaluated at query execution (current_timestamp re-resolves per run,
+    # so a cached plan still yields a fresh cursor)
+    return F.unix_micros(F.current_timestamp()).cast("string")
+
+
 @fn("parse_urlquery")
 def _parse_urlquery(tr, args):
     """Query-string -> bag {"Query Parameters": {k: v}} (JSON-text dynamic

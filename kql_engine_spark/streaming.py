@@ -72,11 +72,15 @@ def materialize_to_parquet(
     checkpoint: str,
     mode: str = "append",
     timeout: int = 120,
+    catalog=None,
+    name: str | None = None,
 ):
     """Materialized-view style sink (SURVEY §2.11 last row): drain the
     streaming result into a parquet directory via foreachBatch (so complete/
     update aggregation modes can still target files). Processes all
-    currently-available input and stops — re-run to refresh incrementally."""
+    currently-available input and stops — re-run to refresh incrementally.
+    Pass catalog+name to also register the directory so batch queries can
+    read it back via `materialized_view('name')`."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out_mode = "overwrite" if mode in ("complete", "update") else "append"
@@ -90,4 +94,6 @@ def materialize_to_parquet(
         .start()
     )
     q.awaitTermination(timeout)
+    if catalog is not None and name:
+        catalog.register_matview(name, path)
     return path

@@ -732,6 +732,14 @@ class PipeTranslator:
                 )
         for let in q.lets:
             self.lets[let.name] = let.value
+        # ingestion-metadata functions (ingestion_time/extent_id/extent_tags/
+        # cursor_after/cursor_before_or_at) need the hidden `_metadata` file
+        # columns attached at the scan; detect usage on the parsed AST so
+        # every other query keeps its exact source schema
+        self.want_ingest_meta = any(
+            isinstance(n, FuncCall) and n.name.lower() in _INGEST_META_FUNCS
+            for n in _walk_ast(q)
+        )
         df = self.translate_pipe(q.pipe)
         # engine-internal helper columns never escape to the user
         internal = [c for c in df.columns if c.startswith(("__row_order", "__kql"))]
@@ -794,6 +802,19 @@ class PipeTranslator:
         is scalar (no piped table); omitted trailing args take the lambda's
         declared defaults; the body pipe translates with the parameters
         bound as let expressions."""
+        lname = name.lower()
+        if lname in ("external_table", "materialized_view"):
+            # `external_table('name')` / `materialized_view('name')` [KQL]:
+            # catalog-bound source references (registered via
+            # Catalog.register_external / register_matview)
+            if len(args) != 1 or not isinstance(args[0], Lit) or not isinstance(
+                args[0].value, str
+            ):
+                raise KqlSemanticError(
+                    f"{lname}() takes a single constant string name"
+                )
+            getter = getattr(self.catalog, lname)
+            return getter(args[0].value)
         bound = self.lets.get(name)
         if not isinstance(bound, Lambda) or not isinstance(bound.body, Pipe):
             raise KqlSemanticError(
@@ -845,7 +866,25 @@ class PipeTranslator:
                 # invokes with its defaults
                 return self._call_tabular_function(name, [])
             raise KqlSemanticError(f"let {name!r} is not tabular")
-        return self.catalog.table(name, streaming=self.streaming)
+        df = self.catalog.table(name, streaming=self.streaming)
+        if (
+            getattr(self, "want_ingest_meta", False)
+            and not self.streaming
+            and self.catalog.file_size(name) is not None
+        ):
+            # extent = data file: ingestion time is the file's modification
+            # timestamp, extent id derives from its path (scalar.py
+            # ingestion-metadata family). `_metadata` is Spark's hidden
+            # file-source column — resolvable through the catalog's
+            # ns-timestamp rewrites, pruned away when unused.
+            df = df.select(
+                "*",
+                F.col("_metadata.file_modification_time")
+                .cast("timestamp")
+                .alias("__kql_ingest_ts"),
+                F.col("_metadata.file_path").alias("__kql_extent_path"),
+            )
+        return df
 
     def _find_source(self, src: FindSource) -> DataFrame:
         """`find in (T1, ...) where pred` [KQL §2.13]: per-table filter +
@@ -1262,6 +1301,10 @@ class PipeTranslator:
 
     def t_distinct(self, df: DataFrame, op: Distinct) -> DataFrame:
         if op.star:
+            # hidden ingestion-metadata columns must not distort row identity
+            meta = [c for c in df.columns if c in _INGEST_META_COLS]
+            if meta:
+                df = df.drop(*meta)
             return df.distinct()
         cols = self._expand_patterns(df, op.cols)
         return df.select(*cols).distinct()
@@ -2030,9 +2073,13 @@ class PipeTranslator:
 
     # ----------------------------------------------------------- misc tabular
     def t_getschema(self, df: DataFrame, op: GetSchema) -> DataFrame:
+        fields = [
+            f for f in df.schema.fields
+            if not f.name.startswith(("__kql", "__row_order"))
+        ]
         rows = [
             (f.name, i, str(f.dataType.simpleString()), kql_type_name(f.dataType))
-            for i, f in enumerate(df.schema.fields)
+            for i, f in enumerate(fields)
         ]
         return self.spark.createDataFrame(
             rows, "ColumnName string, ColumnOrdinal int, DataType string, ColumnType string"
@@ -2611,6 +2658,14 @@ _PLAN_CACHE_CAP = 256
 #    "plans cached, results never" contract).
 _VOLATILE_FUNCS = frozenset({"now", "ago", "rand", "new_guid", "toscalar", "materialize"})
 
+# functions that require the hidden file-source `_metadata` columns to be
+# attached at the table scan (scalar.py ingestion-metadata family)
+_INGEST_META_FUNCS = frozenset(
+    {"ingestion_time", "extent_id", "extent_tags", "cursor_after",
+     "cursor_before_or_at"}
+)
+_INGEST_META_COLS = frozenset({"__kql_ingest_ts", "__kql_extent_path"})
+
 # evaluate plugins that materialize data at translate time (localCheckpoint,
 # KMeans/LSH fits, count/collect) — caching their plan would freeze results
 # across data changes, same contract as toscalar/materialize
@@ -2714,7 +2769,17 @@ def _plan_is_volatile(q: Query) -> bool:
             return True
         if isinstance(node, volatile_nodes):
             return True
+        if isinstance(node, TableRef) and node.args is not None and node.name.lower() in (
+            "external_table", "materialized_view"
+        ):
+            # their file listings are snapshotted at translate time — a
+            # cached plan would never see newly-arrived files
+            return True
         if isinstance(node, FuncCall) and node.name.lower() in _VOLATILE_FUNCS:
+            return True
+        if isinstance(node, FuncCall) and node.name.lower() in _INGEST_META_FUNCS:
+            # ingestion-cursor queries reason about data arrival; the scan's
+            # file listing is snapshotted per translation, so never cache
             return True
         if isinstance(node, Evaluate) and node.plugin in _VOLATILE_PLUGINS:
             return True

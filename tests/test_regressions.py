@@ -894,3 +894,147 @@ def test_current_principal_constants(run_kql):
     ).collect()[0]
     assert row.p == "aaduser=kql-engine-spark"
     assert row.m is False and row.t == "aaduser"
+
+
+# ------------------------------------------------- ingestion metadata family
+
+
+def test_ingestion_time_is_file_mtime(run_kql, spark):
+    import os
+
+    from tests.conftest import SF_DIR
+
+    row = run_kql(
+        "region | summarize t = take_any(ingestion_time()), n = count()"
+    ).collect()[0]
+    mtime = os.path.getmtime(os.path.join(SF_DIR, "region.parquet"))
+    assert row.n == 5
+    assert abs(row.t.timestamp() - mtime) < 2.0
+
+
+def test_extent_id_guid_shape_constant_per_file(run_kql):
+    import re
+
+    rows = run_kql("region | extend e = extent_id() | distinct e").collect()
+    assert len(rows) == 1
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        rows[0].e,
+    )
+
+
+def test_cursor_algebra(run_kql):
+    # empty cursor admits everything; current cursor bounds everything;
+    # a future cursor admits nothing after it
+    row = run_kql(
+        "region"
+        " | where cursor_after('') and cursor_before_or_at(cursor_current())"
+        " | count"
+    ).collect()[0]
+    assert row.Count == 5
+    row = run_kql(
+        "region | where cursor_after('99999999999999999') | count"
+    ).collect()[0]
+    assert row.Count == 0
+
+
+def test_ingestion_meta_requires_file_source(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="file-backed"):
+        run_kql("datatable(x: long)[1] | extend t = ingestion_time()").collect()
+
+
+def test_ingestion_meta_hidden_from_schema_and_distinct(run_kql):
+    # the hidden _metadata carrier columns never leak into getschema or
+    # change distinct * row identity
+    rows = run_kql(
+        "region | where cursor_after('') | getschema"
+    ).collect()
+    assert [r.ColumnName for r in rows] == ["r_regionkey", "r_name"]
+    df = run_kql("region | where cursor_after('') | distinct *")
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 5
+
+
+def test_ingest_meta_query_never_plan_cached(spark):
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import _plan_is_volatile
+
+    assert _plan_is_volatile(parse("region | where cursor_after('')"))
+    assert _plan_is_volatile(parse("region | extend t = ingestion_time()"))
+    assert not _plan_is_volatile(parse("region | count"))
+
+
+# ------------------------------------- external_table / materialized_view
+
+
+def test_external_table_source(spark, tmp_path):
+    import os
+
+    from tests.conftest import SF_DIR
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark, SF_DIR)
+    cat.register_external("ext_n", os.path.join(SF_DIR, "nation.parquet"))
+    rows = kql(
+        spark,
+        "external_table('ext_n') | summarize c = count() by n_regionkey"
+        " | sort by n_regionkey asc",
+        catalog=cat,
+    ).collect()
+    assert [r.c for r in rows] == [5, 5, 5, 5, 5]
+
+
+def test_external_table_csv_roundtrip(spark, tmp_path):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    p = tmp_path / "ext.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    cat = Catalog(spark, None)
+    cat.register_external("csvt", str(p), fmt="csv",
+                          options={"inferSchema": "true"})
+    rows = kql(
+        spark, "external_table('csvt') | where a > 1 | project b", catalog=cat
+    ).collect()
+    assert [r.b for r in rows] == ["y"]
+
+
+def test_external_table_unregistered_typed_error(spark):
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    with pytest.raises(KqlSemanticError, match="not registered"):
+        kql(spark, "external_table('nope') | count",
+            catalog=Catalog(spark, None)).collect()
+
+
+def test_materialized_view_readback(spark, tmp_path):
+    from tests.conftest import SF_DIR
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark, SF_DIR)
+    kql(spark, "region | project r_regionkey, r_name", catalog=cat).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "mv"))
+    cat.register_matview("mv_r", str(tmp_path / "mv"))
+    row = kql(
+        spark, "materialized_view('mv_r') | count", catalog=cat
+    ).collect()[0]
+    assert row.Count == 5
+
+
+def test_external_sources_never_plan_cached(spark):
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import _plan_is_volatile
+
+    assert _plan_is_volatile(parse("external_table('x') | count"))
+    assert _plan_is_volatile(parse("materialized_view('x') | count"))
