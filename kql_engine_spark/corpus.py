@@ -3559,6 +3559,35 @@ q(
               CAST(1 AS BIGINT) AS ids FROM region""",
 )
 
+q(
+    "ipv4_cidr_list_and_geo_simplify",
+    # ipv4_range_to_cidr_list: minimal exact CIDR partition of a range;
+    # geo_line_simplify: Douglas-Peucker with great-circle distances
+    # (collinear vertices below tolerance drop, endpoints survive)
+    """print c = tostring(ipv4_range_to_cidr_list('192.168.1.0', '192.168.2.255')),
+             c2 = tostring(ipv4_range_to_cidr_list('10.0.0.3', '10.0.0.10')),
+             s = tostring(geo_line_simplify(dynamic({"type":"LineString",
+                 "coordinates":[[0,0],[1,0.00001],[2,0],[3,0.00002],[4,0]]}), 100))""",
+    """SELECT '["192.168.1.0/24","192.168.2.0/24"]' AS c,
+              '["10.0.0.3/32","10.0.0.4/30","10.0.0.8/31","10.0.0.10/32"]' AS c2,
+              '{"type": "LineString", "coordinates": [[0.0, 0.0], [4.0, 0.0]]}' AS s""",
+)
+
+q(
+    "geo_densify_covering_shapes",
+    # densify adds geodesic points between endpoints; the s2 covering of a
+    # polygon contains the cell of each of its vertices
+    """print g = todynamic(tostring(geo_line_densify(dynamic({"type":"LineString",
+                 "coordinates":[[0,0],[10,10]]}), 1000)))
+    | extend n = array_length(g.coordinates),
+             first_lon = toreal(g.coordinates[0][0]),
+             cov = geo_polygon_to_s2cells(dynamic({"type":"Polygon",
+                 "coordinates":[[[10,10],[10.2,10],[10.2,10.2],[10,10.2],[10,10]]]}), 10)
+    | project n, first_lon,
+              has_vertex_cell = set_has_element(cov, geo_point_to_s2cell(10.1, 10.1, 10))""",
+    """SELECT CAST(4 AS BIGINT) AS n, 0.0 AS first_lon, true AS has_vertex_cell""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

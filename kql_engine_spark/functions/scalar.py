@@ -760,7 +760,16 @@ def _not(tr, args):
 
 # ------------------------------------------------------------- arrays / bags
 
-simple("array_length")(lambda c: F.when(c.isNotNull(), F.size(c)))
+@fn("array_length")
+def _array_length(tr, args):
+    """array_length [KQL]: null for null/non-array input. Accepts both
+    dynamic carriers — native array<> (F.size) and JSON text
+    (json_array_length, which yields null for non-array JSON)."""
+    c = tr.to_col(args[0])
+    dt = tr.dtype_of_ast(args[0], c)
+    if isinstance(dt, T.StringType):
+        return F.json_array_length(c)
+    return F.when(c.isNotNull(), F.size(c))
 simple("array_concat")(F.concat)
 simple("array_reverse")(F.reverse)
 @fn("pack_array")
@@ -4932,3 +4941,536 @@ def kql_timespan_string(ts: Column) -> Column:
     dayp = F.when(d > 0, F.concat(d.cast("string"), F.lit("."))).otherwise(F.lit(""))
     sign = F.when(signed < 0, F.lit("-")).otherwise(F.lit(""))
     return F.concat(sign, dayp, h, F.lit(":"), m, F.lit(":"), s, frac)
+
+
+# ------------------------------------------------- geo densify / simplify
+# geo_line_densify / geo_polygon_densify / geo_line_simplify /
+# geo_polygon_simplify / geo_line_to_s2cells / geo_polygon_to_s2cells /
+# ipv4_range_to_cidr_list [KQL geo + IP]. Written from the public KQL
+# semantics: densify converts planar edges to geodesic chains (tolerance =
+# max meters between the planar edge and its geodesic counterpart),
+# simplify is Douglas-Peucker with a great-circle point-to-segment
+# distance, and the *_to_s2cells functions emit a sound S2 covering (every
+# point of the shape lies in some returned cell; the covering may
+# overcover, which is safe for join pruning). Geometry tier: per-geometry
+# Arrow-batched pandas UDFs like the line/polygon lookups.
+
+
+def _geo_xyz(lon, lat):
+    import math
+
+    phi, lam = math.radians(lat), math.radians(lon)
+    return (
+        math.cos(phi) * math.cos(lam),
+        math.cos(phi) * math.sin(lam),
+        math.sin(phi),
+    )
+
+
+def _geo_hav_m(lon1, lat1, lon2, lat2):
+    import math
+
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2.0
+    dlon = math.radians(lon2 - lon1) / 2.0
+    h = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2.0 * _GEO_R * math.asin(min(1.0, math.sqrt(h)))
+
+
+def _geo_slerp(p1, p2, t):
+    """Great-circle interpolation between two lon/lat points."""
+    import math
+
+    a, b = _geo_xyz(*p1), _geo_xyz(*p2)
+    dot = max(-1.0, min(1.0, sum(x * y for x, y in zip(a, b))))
+    omega = math.acos(dot)
+    if omega < 1e-12:
+        return list(p1)
+    sa, sb = math.sin((1 - t) * omega) / math.sin(omega), math.sin(
+        t * omega
+    ) / math.sin(omega)
+    x, y, z = (sa * a[i] + sb * b[i] for i in range(3))
+    lat = math.degrees(math.asin(max(-1.0, min(1.0, z))))
+    lon = math.degrees(math.atan2(y, x))
+    return [lon, lat]
+
+
+def _densify_edge(p1, p2, tol_m, out, depth=0):
+    """Append intermediate points (excluding p1, including p2) such that the
+    planar midpoint never deviates more than tol_m from the geodesic."""
+    mid_geo = _geo_slerp(p1, p2, 0.5)
+    mid_pla = [(p1[0] + p2[0]) / 2.0, (p1[1] + p2[1]) / 2.0]
+    if depth >= 12 or _geo_hav_m(*mid_geo, *mid_pla) <= tol_m:
+        out.append([float(p2[0]), float(p2[1])])
+        return
+    _densify_edge(p1, mid_geo, tol_m, out, depth + 1)
+    _densify_edge(mid_geo, p2, tol_m, out, depth + 1)
+
+
+def _densify_path(coords, tol_m):
+    out = [[float(coords[0][0]), float(coords[0][1])]]
+    for a, b in zip(coords[:-1], coords[1:]):
+        _densify_edge(a, b, tol_m, out)
+    return out
+
+
+def _pt_seg_dist_m(p, a, b):
+    """Great-circle distance from point p to geodesic segment a-b (lon/lat)."""
+    import math
+
+    pv, av, bv = _geo_xyz(*p), _geo_xyz(*a), _geo_xyz(*b)
+    n = (
+        av[1] * bv[2] - av[2] * bv[1],
+        av[2] * bv[0] - av[0] * bv[2],
+        av[0] * bv[1] - av[1] * bv[0],
+    )
+    nn = math.sqrt(sum(x * x for x in n))
+    if nn < 1e-15:
+        return _geo_hav_m(*p, *a)
+    # closest point on the great circle
+    d = sum(p_i * n_i for p_i, n_i in zip(pv, n)) / nn
+    c = [p_i - d * n_i / nn for p_i, n_i in zip(pv, n)]
+    cn = math.sqrt(sum(x * x for x in c)) or 1.0
+    c = [x / cn for x in c]
+    # inside the segment's lune? compare arc lengths
+    def ang(u, v):
+        return math.acos(max(-1.0, min(1.0, sum(x * y for x, y in zip(u, v)))))
+
+    if ang(av, c) + ang(c, bv) <= ang(av, bv) + 1e-9:
+        return abs(math.asin(max(-1.0, min(1.0, d)))) * _GEO_R
+    return min(_geo_hav_m(*p, *a), _geo_hav_m(*p, *b))
+
+
+def _dp_simplify(coords, tol_m):
+    """Douglas-Peucker on lon/lat with great-circle distances."""
+    if len(coords) <= 2:
+        return list(coords)
+    keep = [False] * len(coords)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dmax, imax = -1.0, None
+        for k in range(i + 1, j):
+            d = _pt_seg_dist_m(coords[k], coords[i], coords[j])
+            if d > dmax:
+                dmax, imax = d, k
+        if dmax > tol_m:
+            keep[imax] = True
+            stack.append((i, imax))
+            stack.append((imax, j))
+    return [list(map(float, c)) for c, k in zip(coords, keep) if k]
+
+
+def _geo_shape_udf(name, transform):
+    """Register name(shape [, tolerance]) -> GeoJSON string; transform(s,
+    tol) runs per geometry in an Arrow batch."""
+
+    def entry(tr, args):
+        tol = float(tr.const_value(args[1])) if len(args) > 1 else None
+        key = f"{name}:{tol}"
+        if key not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def udf(col):
+                return col.map(
+                    lambda s: None if s is None else transform(s, tol)
+                )
+
+            _PANDAS_UDF_CACHE[key] = udf
+        return _PANDAS_UDF_CACHE[key](_geojson_col(tr, args[0]))
+
+    REGISTRY[name] = entry
+
+
+def _line_densify(s, tol):
+    import json
+
+    cs = _geo_coords(s, "LineString")
+    if cs is None or len(cs) < 2:
+        return None
+    tol = 10000.0 if tol is None else max(0.1, float(tol))
+    return json.dumps(
+        {"type": "LineString", "coordinates": _densify_path(cs, tol)}
+    )
+
+
+def _polygon_densify(s, tol):
+    import json
+
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    tol = 10000.0 if tol is None else max(0.1, float(tol))
+    return json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [_densify_path(r, tol) for r in cs],
+        }
+    )
+
+
+def _line_simplify(s, tol):
+    import json
+
+    cs = _geo_coords(s, "LineString")
+    if cs is None or len(cs) < 2:
+        return None
+    tol = 10.0 if tol is None else max(0.0, float(tol))
+    out = _dp_simplify(cs, tol)
+    if len(out) < 2:
+        return None
+    return json.dumps({"type": "LineString", "coordinates": out})
+
+
+def _polygon_simplify(s, tol):
+    import json
+
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    tol = 10.0 if tol is None else max(0.0, float(tol))
+    rings = []
+    for r in cs:
+        closed = list(r)
+        if closed and (closed[0] != closed[-1]):
+            closed.append(closed[0])
+        out = _dp_simplify(closed, tol)
+        # a valid ring needs 4 points (3 distinct + closure) [KQL: degenerate
+        # simplification yields null]
+        if len(out) < 4:
+            return None
+        rings.append(out)
+    return json.dumps({"type": "Polygon", "coordinates": rings})
+
+
+_geo_shape_udf("geo_line_densify", _line_densify)
+_geo_shape_udf("geo_polygon_densify", _polygon_densify)
+_geo_shape_udf("geo_line_simplify", _line_simplify)
+_geo_shape_udf("geo_polygon_simplify", _polygon_simplify)
+
+
+def _s2_min_edge_m(level):
+    """Conservative lower bound on an S2 cell edge at `level` (public S2
+    metrics: min edge ~ 0.231 rad at level 0, halving per level)."""
+    return 0.231 * _GEO_R / (1 << level)
+
+
+def _s2_cover_points(samples, level, cap=65536):
+    """Cells of every sample point plus their 8 neighbors — sound covering
+    of any shape whose points all lie within half a min-edge of a sample."""
+    cells = set()
+    for lon, lat in samples:
+        tok = _s2_encode(lon, lat, level)
+        if tok not in cells:
+            cells.add(tok)
+            for nb in _s2_neighbors(tok) or []:
+                cells.add(nb)
+        if len(cells) > cap:
+            return None
+    return sorted(cells)
+
+
+def _line_to_s2cells(s, level):
+    cs = _geo_coords(s, "LineString")
+    if cs is None or len(cs) < 2:
+        return None
+    step = _s2_min_edge_m(level) / 2.0
+    samples = []
+    for a, b in zip(cs[:-1], cs[1:]):
+        d = _geo_hav_m(a[0], a[1], b[0], b[1])
+        n = max(1, int(d / step) + 1)
+        for k in range(n):
+            samples.append(_geo_slerp(a, b, k / n))
+    samples.append([float(cs[-1][0]), float(cs[-1][1])])
+    return _s2_cover_points(samples, level)
+
+
+def _polygon_to_s2cells(s, level):
+    import math
+
+    cs = _geo_coords(s, "Polygon")
+    if not cs:
+        return None
+    outer = cs[0]
+    lons = [p[0] for p in outer]
+    lats = [p[1] for p in outer]
+    lo_lon, hi_lon = min(lons), max(lons)
+    lo_lat, hi_lat = min(lats), max(lats)
+    step_m = _s2_min_edge_m(level) / 2.0
+    dlat = math.degrees(step_m / _GEO_R)
+    min_cos = max(
+        0.01, min(math.cos(math.radians(lo_lat)), math.cos(math.radians(hi_lat)))
+    )
+    dlon = math.degrees(step_m / (_GEO_R * min_cos))
+    n_lat = int((hi_lat - lo_lat) / dlat) + 2
+    n_lon = int((hi_lon - lo_lon) / dlon) + 2
+    if n_lat * n_lon > 4_000_000:
+        return None  # covering would exceed the cell cap anyway
+    samples = []
+    for i in range(n_lat):
+        lat = min(lo_lat + i * dlat, hi_lat)
+        for j in range(n_lon):
+            samples.append([min(lo_lon + j * dlon, hi_lon), lat])
+    return _s2_cover_points(samples, level)
+
+
+def _geo_cells_udf(name, transform):
+    def entry(tr, args):
+        level = int(tr.const_value(args[1])) if len(args) > 1 else 11
+        if not 0 <= level <= 30:
+            raise KqlSemanticError(f"{name}: level must be in [0, 30]")
+        key = f"{name}:{level}"
+        if key not in _PANDAS_UDF_CACHE:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<string>")
+            def udf(col):
+                return col.map(
+                    lambda s: None if s is None else transform(s, level)
+                )
+
+            _PANDAS_UDF_CACHE[key] = udf
+        return _PANDAS_UDF_CACHE[key](_geojson_col(tr, args[0]))
+
+    REGISTRY[name] = entry
+
+
+_geo_cells_udf("geo_line_to_s2cells", _line_to_s2cells)
+_geo_cells_udf("geo_polygon_to_s2cells", _polygon_to_s2cells)
+
+
+# ---------------------------------------------------- ipv4_range_to_cidr_list
+
+
+def _cidr_list(start, end):
+    def ip2int(s):
+        try:
+            parts = [int(x) for x in s.strip().split("/")[0].split(".")]
+            if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+                return None
+            return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+        except (ValueError, AttributeError):
+            return None
+
+    a, b = ip2int(start), ip2int(end)
+    if a is None or b is None or a > b:
+        return None
+    out = []
+    while a <= b:
+        size = (a & -a) or (1 << 32)
+        while size > b - a + 1:
+            size >>= 1
+        out.append(
+            f"{(a >> 24) & 255}.{(a >> 16) & 255}.{(a >> 8) & 255}.{a & 255}"
+            f"/{32 - (size.bit_length() - 1)}"
+        )
+        a += size
+    return out
+
+
+@fn("ipv4_range_to_cidr_list")
+def _ipv4_range_to_cidr_list(tr, args):
+    """Minimal CIDR block list exactly covering [StartIp, EndIp] [KQL]."""
+    key = "ipv4_range_to_cidr_list"
+    if key not in _PANDAS_UDF_CACHE:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def udf(a, b):
+            return pd.Series(
+                [
+                    None if x is None or y is None else _cidr_list(x, y)
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](
+        tr.to_col(args[0]).cast("string"), tr.to_col(args[1]).cast("string")
+    )
+
+
+# --------------------------------------------------------------- H3 family
+# geo_point_to_h3cell / geo_h3cell_* [KQL geo]. Faithful H3 indexing needs
+# Uber's published base-cell/face lookup tables; rather than ship an
+# almost-H3 grid under the H3 name, these functions delegate to the public
+# `h3` package when it is installed and raise a typed error otherwise
+# (same contract as the library-gated multimodal JPEG decode). The Spark
+# plumbing — argument shapes, Arrow batching, carrier types — is real and
+# tested either way.
+
+
+def _h3_mod():
+    try:
+        import h3
+
+        return h3
+    except ImportError:
+        from ..errors import KqlUnsupportedError
+
+        raise KqlUnsupportedError(
+            "H3 functions require the public 'h3' package (pip install h3); "
+            "it is not available in this environment. geohash and S2 cell "
+            "functions cover the same bucketing use cases natively."
+        ) from None
+
+
+def _h3_udf(name, ret_type, make_fn, *cols):
+    h3 = _h3_mod()  # translate-time probe -> typed error, not executor crash
+    key = f"h3:{name}"
+    if key not in _PANDAS_UDF_CACHE:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        one = make_fn(h3)
+
+        @pandas_udf(ret_type)
+        def udf(*series):
+            return pd.Series(
+                [
+                    None if any(v is None for v in vals) else one(*vals)
+                    for vals in zip(*series)
+                ]
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](*cols)
+
+
+@fn("geo_point_to_h3cell")
+def _geo_point_to_h3cell(tr, args):
+    res = int(tr.const_value(args[2])) if len(args) > 2 else 9
+    if not 0 <= res <= 15:
+        raise KqlSemanticError("geo_point_to_h3cell: resolution must be in [0, 15]")
+    return _h3_udf(
+        f"pt2cell:{res}",
+        "string",
+        lambda h3: lambda lon, lat: h3.latlng_to_cell(lat, lon, res),
+        tr.to_col(args[0]).cast("double"),
+        tr.to_col(args[1]).cast("double"),
+    )
+
+
+@fn("geo_h3cell_to_central_point")
+def _geo_h3cell_to_central_point(tr, args):
+    def make(h3):
+        import json
+
+        def one(tok):
+            try:
+                lat, lon = h3.cell_to_latlng(tok)
+            except Exception:
+                return None
+            return json.dumps({"type": "Point", "coordinates": [lon, lat]})
+
+        return one
+
+    return _h3_udf("cell2pt", "string", make, tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_to_polygon")
+def _geo_h3cell_to_polygon(tr, args):
+    def make(h3):
+        import json
+
+        def one(tok):
+            try:
+                ring = [[lon, lat] for lat, lon in h3.cell_to_boundary(tok)]
+            except Exception:
+                return None
+            ring.append(ring[0])
+            return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+        return one
+
+    return _h3_udf("cell2poly", "string", make, tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_neighbors")
+def _geo_h3cell_neighbors(tr, args):
+    def make(h3):
+        def one(tok):
+            try:
+                return sorted(set(h3.grid_disk(tok, 1)) - {tok})
+            except Exception:
+                return None
+
+        return one
+
+    return _h3_udf("cellnbrs", "array<string>", make, tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_rings")
+def _geo_h3cell_rings(tr, args):
+    n = int(tr.const_value(args[1]))
+    if not 0 <= n <= 142:
+        raise KqlSemanticError("geo_h3cell_rings: N must be in [0, 142]")
+
+    def make(h3):
+        def one(tok):
+            try:
+                return [sorted(h3.grid_ring(tok, k)) for k in range(n + 1)]
+            except Exception:
+                return None
+
+        return one
+
+    return _h3_udf(f"cellrings:{n}", "array<array<string>>", make,
+                   tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_parent")
+def _geo_h3cell_parent(tr, args):
+    res = int(tr.const_value(args[1])) if len(args) > 1 else None
+
+    def make(h3):
+        def one(tok):
+            try:
+                r = h3.get_resolution(tok) - 1 if res is None else res
+                if r < 0:
+                    return None
+                return h3.cell_to_parent(tok, r)
+            except Exception:
+                return None
+
+        return one
+
+    return _h3_udf(f"cellparent:{res}", "string", make,
+                   tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_children")
+def _geo_h3cell_children(tr, args):
+    res = int(tr.const_value(args[1])) if len(args) > 1 else None
+
+    def make(h3):
+        def one(tok):
+            try:
+                r = h3.get_resolution(tok) + 1 if res is None else res
+                return sorted(h3.cell_to_children(tok, r))
+            except Exception:
+                return None
+
+        return one
+
+    return _h3_udf(f"cellchildren:{res}", "array<string>", make,
+                   tr.to_col(args[0]).cast("string"))
+
+
+@fn("geo_h3cell_level")
+def _geo_h3cell_level(tr, args):
+    def make(h3):
+        def one(tok):
+            try:
+                return h3.get_resolution(tok)
+            except Exception:
+                return None
+
+        return one
+
+    return _h3_udf("celllevel", "int", make, tr.to_col(args[0]).cast("string"))

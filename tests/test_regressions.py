@@ -1038,3 +1038,136 @@ def test_external_sources_never_plan_cached(spark):
 
     assert _plan_is_volatile(parse("external_table('x') | count"))
     assert _plan_is_volatile(parse("materialized_view('x') | count"))
+
+
+# ------------------------------------------------- geo densify / simplify
+
+
+def test_geo_line_densify_stays_on_geodesic(run_kql):
+    import json
+
+    from kql_engine_spark.functions.scalar import _geo_hav_m, _geo_slerp
+
+    row = run_kql(
+        'print g = tostring(geo_line_densify(dynamic({"type":"LineString",'
+        '"coordinates":[[0,0],[40,40]]}), 500))'
+    ).collect()[0]
+    pts = json.loads(row.g)["coordinates"]
+    assert pts[0] == [0.0, 0.0] and pts[-1] == [40.0, 40.0]
+    assert len(pts) > 2
+    # every interior point sits on the original great circle (slerp at the
+    # matching fraction reproduces it within metres)
+    for p in pts[1:-1]:
+        best = min(
+            _geo_hav_m(*p, *_geo_slerp([0, 0], [40, 40], t / 256.0))
+            for t in range(257)
+        )
+        assert best < 20000  # slerp sample spacing, not deviation
+
+
+def test_geo_simplify_subset_and_closure(run_kql):
+    import json
+
+    row = run_kql(
+        'print l = tostring(geo_line_simplify(dynamic({"type":"LineString",'
+        '"coordinates":[[0,0],[1,0.0001],[2,0],[3,3]]}), 500)),'
+        ' p = tostring(geo_polygon_simplify(dynamic({"type":"Polygon",'
+        '"coordinates":[[[0,0],[1,0.000001],[2,0],[2,2],[0,2],[0,0]]]}), 50))'
+    ).collect()[0]
+    line = json.loads(row.l)["coordinates"]
+    orig = [[0, 0], [1, 0.0001], [2, 0], [3, 3]]
+    assert all(pt in [[float(a), float(b)] for a, b in orig] for pt in line)
+    assert line[0] == [0.0, 0.0] and line[-1] == [3.0, 3.0]
+    ring = json.loads(row.p)["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) >= 4
+    assert [1.0, 0.000001] not in ring  # collinear vertex dropped
+
+
+def test_geo_polygon_simplify_degenerate_null(run_kql):
+    # simplifying a sliver below tolerance collapses the ring -> null
+    row = run_kql(
+        'print p = isnull(geo_polygon_simplify(dynamic({"type":"Polygon",'
+        '"coordinates":[[[0,0],[0.00001,0],[0.00001,0.00001],[0,0]]]}), 10000))'
+    ).collect()[0]
+    assert row.p is True
+
+
+def test_geo_s2_covering_contains_interior_points(run_kql):
+    import random
+
+    from kql_engine_spark.functions.scalar import _s2_encode
+
+    row = run_kql(
+        'print c = geo_polygon_to_s2cells(dynamic({"type":"Polygon",'
+        '"coordinates":[[[10,10],[10.4,10],[10.4,10.4],[10,10.4],[10,10]]]}), 12)'
+    ).collect()[0]
+    cover = set(row.c)
+    rng = random.Random(7)
+    for _ in range(200):
+        lon = 10 + 0.4 * rng.random()
+        lat = 10 + 0.4 * rng.random()
+        assert _s2_encode(lon, lat, 12) in cover
+
+
+def test_geo_line_s2_covering_contains_path_points(run_kql):
+    from kql_engine_spark.functions.scalar import _geo_slerp, _s2_encode
+
+    row = run_kql(
+        'print c = geo_line_to_s2cells(dynamic({"type":"LineString",'
+        '"coordinates":[[5,5],[5.6,5.3]]}), 12)'
+    ).collect()[0]
+    cover = set(row.c)
+    for t in range(101):
+        lon, lat = _geo_slerp([5, 5], [5.6, 5.3], t / 100.0)
+        assert _s2_encode(lon, lat, 12) in cover
+
+
+def test_ipv4_range_to_cidr_list_exact_partition(run_kql):
+    import random
+
+    from kql_engine_spark.functions.scalar import _cidr_list
+
+    def ip(n):
+        return f"{(n >> 24) & 255}.{(n >> 16) & 255}.{(n >> 8) & 255}.{n & 255}"
+
+    rng = random.Random(11)
+    for _ in range(50):
+        a = rng.randrange(0, 1 << 32)
+        b = min((1 << 32) - 1, a + rng.randrange(0, 1 << 20))
+        blocks = _cidr_list(ip(a), ip(b))
+        covered = []
+        for c in blocks:
+            base, pfx = c.split("/")
+            parts = [int(x) for x in base.split(".")]
+            lo = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+            size = 1 << (32 - int(pfx))
+            assert lo % size == 0, "unaligned block"
+            covered.append((lo, lo + size - 1))
+        covered.sort()
+        # exact, disjoint, gapless partition of [a, b]
+        assert covered[0][0] == a and covered[-1][1] == b
+        for (_, hi), (lo2, _) in zip(covered[:-1], covered[1:]):
+            assert lo2 == hi + 1
+    row = run_kql(
+        "print c = tostring(ipv4_range_to_cidr_list('10.0.0.3', '10.0.0.10')),"
+        " bad = tostring(ipv4_range_to_cidr_list('10.0.0.9', '10.0.0.1'))"
+    ).collect()[0]
+    assert row.c == '["10.0.0.3/32","10.0.0.4/30","10.0.0.8/31","10.0.0.10/32"]'
+    assert row.bad is None
+
+
+def test_h3_family_typed_error_without_library(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlUnsupportedError
+
+    try:
+        import h3  # noqa: F401
+
+        pytest.skip("h3 installed — gate inactive")
+    except ImportError:
+        pass
+    with pytest.raises(KqlUnsupportedError, match="h3"):
+        run_kql("print h = geo_point_to_h3cell(0.0, 0.0, 9)").collect()
+    with pytest.raises(KqlUnsupportedError, match="h3"):
+        run_kql("print h = geo_h3cell_neighbors('8928308280fffff')").collect()
