@@ -17,6 +17,7 @@ from .catalog import Catalog, fixture_catalog
 from .fluent import Kql, KqlQuery
 from .errors import KqlError, KqlSemanticError, KqlSyntaxError, KqlUnsupportedError
 from .session import get_spark
+from .sinks import read_table, write_bucketed, write_parquet
 from .streaming import kql_stream, materialize_to_parquet, run_to_memory
 from .translator import PipeTranslator, kql
 
@@ -33,6 +34,9 @@ __all__ = [
     "get_spark",
     "kql",
     "kql_stream",
+    "read_table",
+    "write_bucketed",
+    "write_parquet",
     "materialize_to_parquet",
     "run_to_memory",
 ]

@@ -336,3 +336,100 @@ def test_geo_polygon_lookup_broadcasts_and_defers_udf(run_kql):
     join_section = plan.split("BroadcastNestedLoopJoin")[-1]
     assert "__kql_lomin" in join_section
     assert "pythonUDF" in plan  # exact test deferred to a post-join Filter
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # two tables bucketed on the join key with the same bucket count join
+    # with ZERO Exchange on either side — the 100 TB co-location story
+    import uuid
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.sinks import read_table, write_bucketed
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR)
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    try:
+        write_bucketed(
+            kql(spark, "orders | project o_orderkey, o_totalprice", catalog=cat),
+            t1, 8, "o_orderkey", sort_by="o_orderkey",
+        )
+        write_bucketed(
+            kql(spark, "lineitem | project l_orderkey, l_quantity", catalog=cat),
+            t2, 8, "l_orderkey", sort_by="l_orderkey",
+        )
+        jcat = Catalog(spark, SF_DIR)
+        jcat.register(t1, read_table(spark, t1))
+        jcat.register(t2, read_table(spark, t2))
+        # disable broadcast so the join must pick SMJ/shuffle strategy —
+        # bucketing is what removes the Exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = kql(
+                spark,
+                f"{t1} | join kind=inner {t2} on $left.o_orderkey == $right.l_orderkey"
+                " | summarize s = sum(l_quantity) by o_orderkey",
+                catalog=jcat,
+            )
+            plan = _plan(df)
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 0
+            assert "Bucketed: true" in plan
+            rows = df.count()
+            assert rows > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_bucketed_agg_skips_shuffle(spark):
+    # aggregation keyed on the bucket column reuses the bucketed
+    # distribution: no Exchange before the final HashAggregate
+    import uuid
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.sinks import read_table, write_bucketed
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR)
+    t = f"b_events_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(
+            kql(spark, "events | project event_type, value", catalog=cat),
+            t, 4, "event_type",
+        )
+        jcat = Catalog(spark, SF_DIR)
+        jcat.register(t, read_table(spark, t))
+        plan = _plan(
+            kql(spark, f"{t} | summarize c = count(), v = sum(value) by event_type",
+                catalog=jcat)
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.sinks import write_parquet
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR)
+    p = str(tmp_path / "events_by_type")
+    write_parquet(
+        kql(spark, "events | project event_type, value", catalog=cat),
+        p, partition_by="event_type",
+    )
+    rcat = Catalog(spark, SF_DIR)
+    rcat.register("pevents", spark.read.parquet(p))
+    df = kql(spark, "pevents | where event_type == 'click' | summarize s = sum(value)",
+             catalog=rcat)
+    plan = _plan(df)
+    # partition filter reaches the scan: non-matching directories are pruned
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
