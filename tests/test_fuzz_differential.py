@@ -577,3 +577,129 @@ def test_random_make_series_matches_duckdb(run_kql, duck, step_h, lo, agg_ix):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# -------------------------------------- conditional-aggregate differential
+
+_COND_AGGS = [
+    ("countif", "c = countif({p_k})",
+     "CAST(COUNT(*) FILTER (WHERE {p_s}) AS BIGINT) AS c"),
+    ("sumif", "s = sumif(l_quantity, {p_k})",
+     "SUM(l_quantity) FILTER (WHERE {p_s}) AS s"),
+    ("minif", "mn = minif(l_extendedprice, {p_k})",
+     "MIN(l_extendedprice) FILTER (WHERE {p_s}) AS mn"),
+    ("maxif", "mx = maxif(l_extendedprice, {p_k})",
+     "MAX(l_extendedprice) FILTER (WHERE {p_s}) AS mx"),
+    ("dcountif", "d = count_distinctif(l_orderkey, {p_k})",
+     "CAST(COUNT(DISTINCT l_orderkey) FILTER (WHERE {p_s}) AS BIGINT) AS d"),
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicates(),
+    agg_ix=st.sets(st.integers(0, len(_COND_AGGS) - 1), min_size=1, max_size=3),
+    key_ix=st.integers(0, len(_KEYS) - 1),
+)
+def test_random_conditional_aggregates_match_duckdb(run_kql, duck, pred, agg_ix, key_ix):
+    # sumif/countif/minif/maxif/count_distinctif with a random inner
+    # predicate — the FILTER clause is DuckDB's exact twin
+    kql_pred, sql_pred = pred
+    key_k, key_s = _KEYS[key_ix]
+    aggs = [_COND_AGGS[i] for i in sorted(agg_ix)]
+    kql_aggs = ", ".join(a.format(p_k=kql_pred) for _, a, _ in aggs)
+    sql_aggs = ", ".join(s.format(p_s=sql_pred) for _, _, s in aggs)
+    kdf = run_kql(f"lineitem | summarize {kql_aggs} by {key_k}")
+    sdf = duck.sql(f"SELECT {key_s}, {sql_aggs} FROM lineitem GROUP BY 1")
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+# ------------------------------------------ sort null-ordering differential
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    desc=st.booleans(),
+    nulls_first=st.booleans(),
+    null_line=st.integers(1, 7),
+    n=st.integers(1, 40),
+)
+def test_random_sort_nulls_take_matches_duckdb(run_kql, duck, desc, nulls_first, null_line, n):
+    # synthesized nulls + explicit nulls first/last + unique tiebreak ->
+    # the taken prefix must match DuckDB's ORDER BY ... LIMIT exactly, in
+    # order (serialized semantics)
+    kdir = "desc" if desc else "asc"
+    sdir = "DESC" if desc else "ASC"
+    knulls = "nulls first" if nulls_first else "nulls last"
+    snulls = "NULLS FIRST" if nulls_first else "NULLS LAST"
+    kdf = run_kql(
+        f"lineitem | extend k = iff(l_linenumber == {null_line}, real(null), l_discount)"
+        f" | sort by k {kdir} {knulls}, l_orderkey asc, l_linenumber asc"
+        f" | take {n} | project l_orderkey, l_linenumber, k"
+    )
+    sdf = duck.sql(
+        f"""SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_linenumber = {null_line} THEN NULL
+                        ELSE l_discount END AS k
+            FROM lineitem
+            ORDER BY k {sdir} {snulls}, l_orderkey, l_linenumber LIMIT {n}"""
+    )
+    got = [(r.l_orderkey, r.l_linenumber, r.k) for r in kdf.collect()]
+    want = [tuple(r) for r in sdf.fetchall()]
+    assert got == want
+
+
+# ------------------------------------------------- arg_max differential
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(0, 4000),
+    use_min=st.booleans(),
+    key_ix=st.integers(0, len(_KEYS) - 1),
+)
+def test_random_arg_max_matches_duckdb(run_kql, duck, lo, use_min, key_ix):
+    # the fixture's (orderkey, linenumber) pairs are NOT unique, so arg_max
+    # ties are legitimately nondeterministic — assert the maximized value
+    # exactly, and that the companion payload is one DuckDB considers valid
+    # for that extremal key
+    key_k, key_s = _KEYS[key_ix]
+    kfn = "arg_min" if use_min else "arg_max"
+    sext = "MIN" if use_min else "MAX"
+    rows = run_kql(
+        f"lineitem | where l_orderkey >= {lo}"
+        f" | extend u = l_orderkey * 8 + l_linenumber"
+        f" | summarize best = {kfn}(u, l_extendedprice) by {key_k}"
+        f" | project {key_k}, best, price = l_extendedprice"
+    ).collect()
+    want_best = dict(
+        duck.sql(
+            f"""SELECT {key_s}, {sext}(l_orderkey * 8 + l_linenumber)
+                FROM lineitem WHERE l_orderkey >= {lo} GROUP BY 1"""
+        ).fetchall()
+    )
+    valid = {}
+    for k, u, p in duck.sql(
+        f"""SELECT {key_s}, l_orderkey * 8 + l_linenumber, l_extendedprice
+            FROM lineitem WHERE l_orderkey >= {lo}"""
+    ).fetchall():
+        valid.setdefault((k, u), set()).add(p)
+    assert len(rows) == len(want_best)
+    for r in rows:
+        assert r.best == want_best[r[key_k]]
+        assert r.price in valid[(r[key_k], r.best)]
