@@ -3588,6 +3588,26 @@ q(
     """SELECT CAST(4 AS BIGINT) AS n, 0.0 AS first_lon, true AS has_vertex_cell""",
 )
 
+q(
+    "geo_intersects_and_ipv6_terms",
+    # spherical arc-intersection predicates + canonical-form IPv6 term
+    # matching (2001:0DB8::0001 in text == 2001:db8::1 argument)
+    """print a = geo_intersects_2lines(
+               dynamic({"type":"LineString","coordinates":[[0,0],[2,2]]}),
+               dynamic({"type":"LineString","coordinates":[[0,2],[2,0]]})),
+             b = geo_intersects_2polygons(
+               dynamic({"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}),
+               dynamic({"type":"Polygon","coordinates":[[[5,5],[6,5],[6,6],[5,6],[5,5]]]})),
+             c = geo_intersects_line_with_polygon(
+               dynamic({"type":"LineString","coordinates":[[-1,1],[3,1]]}),
+               dynamic({"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]})),
+             d = has_ipv6('from 2001:0DB8::0001 port 443', '2001:db8::1'),
+             e = has_ipv6('from 2001:db8::1:5 port 443', '2001:db8::1'),
+             f = has_ipv6_prefix('src=fe80::1', 'fe80:')""",
+    """SELECT true AS a, false AS b, true AS c, true AS d, false AS e,
+              true AS f""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

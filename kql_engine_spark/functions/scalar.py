@@ -5474,3 +5474,298 @@ def _geo_h3cell_level(tr, args):
         return one
 
     return _h3_udf("celllevel", "int", make, tr.to_col(args[0]).cast("string"))
+
+
+# -------------------------------------------------- geo intersection tests
+# geo_intersects_2lines / geo_intersects_line_with_polygon /
+# geo_intersects_2polygons / geo_intersection_2lines / geo_point_buffer
+# [KQL geo]. Arcs are geodesics: two great-circle arcs intersect where the
+# cross product of their plane normals (or its antipode) lies on both
+# arcs; same-plane overlaps fall back to endpoint-on-arc checks.
+# Containment uses the planar ray cast (_point_in_rings), matching the
+# other polygon functions here.
+
+
+def _on_arc(p, a, b):
+    import math
+
+    def ang(u, v):
+        return math.acos(max(-1.0, min(1.0, sum(x * y for x, y in zip(u, v)))))
+
+    return ang(a, p) + ang(p, b) <= ang(a, b) + 1e-9
+
+
+def _arc_intersections(p1, p2, p3, p4):
+    """lon/lat segment pair -> list of intersection lon/lat points."""
+    import math
+
+    a1, a2 = _geo_xyz(*p1), _geo_xyz(*p2)
+    b1, b2 = _geo_xyz(*p3), _geo_xyz(*p4)
+
+    def cross(u, v):
+        return (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+
+    n1, n2 = cross(a1, a2), cross(b1, b2)
+    L = cross(n1, n2)
+    norm = math.sqrt(sum(x * x for x in L))
+    out = []
+    if norm < 1e-12:
+        # coplanar arcs: overlap reduces to endpoints lying on the other arc
+        for pt, xyz in ((p1, a1), (p2, a2)):
+            if _on_arc(xyz, b1, b2):
+                out.append([float(pt[0]), float(pt[1])])
+        for pt, xyz in ((p3, b1), (p4, b2)):
+            if _on_arc(xyz, a1, a2):
+                out.append([float(pt[0]), float(pt[1])])
+    else:
+        for sgn in (1.0, -1.0):
+            c = tuple(sgn * x / norm for x in L)
+            if _on_arc(c, a1, a2) and _on_arc(c, b1, b2):
+                lat = math.degrees(math.asin(max(-1.0, min(1.0, c[2]))))
+                lon = math.degrees(math.atan2(c[1], c[0]))
+                out.append([lon, lat])
+    dedup = []
+    for p in out:
+        if not any(abs(p[0] - q[0]) < 1e-9 and abs(p[1] - q[1]) < 1e-9 for q in dedup):
+            dedup.append(p)
+    return dedup
+
+
+def _paths_intersect(path1, path2):
+    for a, b in zip(path1[:-1], path1[1:]):
+        for c, d in zip(path2[:-1], path2[1:]):
+            if _arc_intersections(a, b, c, d):
+                return True
+    return False
+
+
+def _geo_pair_udf(name, ret_type, one):
+    """Register name(shape1, shape2) over two GeoJSON columns."""
+
+    def entry(tr, args):
+        if name not in _PANDAS_UDF_CACHE:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(ret_type)
+            def udf(c1, c2):
+                return pd.Series(
+                    [
+                        None if a is None or b is None else one(a, b)
+                        for a, b in zip(c1, c2)
+                    ]
+                )
+
+            _PANDAS_UDF_CACHE[name] = udf
+        return _PANDAS_UDF_CACHE[name](
+            _geojson_col(tr, args[0]), _geojson_col(tr, args[1])
+        )
+
+    REGISTRY[name] = entry
+
+
+def _intersects_2lines(s1, s2):
+    c1, c2 = _geo_coords(s1, "LineString"), _geo_coords(s2, "LineString")
+    if c1 is None or c2 is None or len(c1) < 2 or len(c2) < 2:
+        return None
+    return _paths_intersect(c1, c2)
+
+
+def _intersects_line_polygon(s1, s2):
+    line, poly = _geo_coords(s1, "LineString"), _geo_coords(s2, "Polygon")
+    if line is None or not poly or len(line) < 2:
+        return None
+    if any(_point_in_rings(p[0], p[1], poly) for p in line):
+        return True
+    return any(_paths_intersect(line, ring) for ring in poly)
+
+
+def _intersects_2polygons(s1, s2):
+    p1, p2 = _geo_coords(s1, "Polygon"), _geo_coords(s2, "Polygon")
+    if not p1 or not p2:
+        return None
+    if any(_point_in_rings(p[0], p[1], p2) for p in p1[0]):
+        return True
+    if any(_point_in_rings(p[0], p[1], p1) for p in p2[0]):
+        return True
+    return any(_paths_intersect(r1, r2) for r1 in p1 for r2 in p2)
+
+
+def _intersection_2lines(s1, s2):
+    import json
+
+    c1, c2 = _geo_coords(s1, "LineString"), _geo_coords(s2, "LineString")
+    if c1 is None or c2 is None or len(c1) < 2 or len(c2) < 2:
+        return None
+    pts = []
+    for a, b in zip(c1[:-1], c1[1:]):
+        for c, d in zip(c2[:-1], c2[1:]):
+            for p in _arc_intersections(a, b, c, d):
+                if not any(
+                    abs(p[0] - q[0]) < 1e-9 and abs(p[1] - q[1]) < 1e-9
+                    for q in pts
+                ):
+                    pts.append(p)
+    if not pts:
+        return json.dumps({"type": "GeometryCollection", "geometries": []})
+    if len(pts) == 1:
+        return json.dumps({"type": "Point", "coordinates": pts[0]})
+    return json.dumps({"type": "MultiPoint", "coordinates": pts})
+
+
+_geo_pair_udf("geo_intersects_2lines", "boolean", _intersects_2lines)
+_geo_pair_udf("geo_intersects_line_with_polygon", "boolean", _intersects_line_polygon)
+_geo_pair_udf("geo_intersects_2polygons", "boolean", _intersects_2polygons)
+_geo_pair_udf("geo_intersection_2lines", "string", _intersection_2lines)
+
+
+@fn("geo_point_buffer")
+def _geo_point_buffer(tr, args):
+    """geo_point_buffer(lng, lat, radius_m [, tolerance_m]) [KQL]: polygon
+    approximating the radius-circle; vertex count chosen so the sagitta
+    (max chord deviation) stays under tolerance (default radius/1000,
+    clamped to [8, 1024] vertices)."""
+    import math
+
+    radius = float(tr.const_value(args[2]))
+    if not 0 < radius < math.pi * _GEO_R:
+        raise KqlSemanticError("geo_point_buffer: radius out of range")
+    tol = float(tr.const_value(args[3])) if len(args) > 3 else radius / 1000.0
+    frac = max(1e-9, min(1.0, 1.0 - tol / radius))
+    n = max(8, min(1024, int(math.ceil(math.pi / math.acos(frac)))))
+    key = f"ptbuf:{radius}:{n}"
+    if key not in _PANDAS_UDF_CACHE:
+        import json
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        d = radius / _GEO_R  # angular radius
+
+        @pandas_udf("string")
+        def udf(lons, lats):
+            def one(lon, lat):
+                phi, lam = math.radians(lat), math.radians(lon)
+                ring = []
+                for k in range(n):
+                    theta = 2.0 * math.pi * k / n
+                    phi2 = math.asin(
+                        math.sin(phi) * math.cos(d)
+                        + math.cos(phi) * math.sin(d) * math.cos(theta)
+                    )
+                    lam2 = lam + math.atan2(
+                        math.sin(theta) * math.sin(d) * math.cos(phi),
+                        math.cos(d) - math.sin(phi) * math.sin(phi2),
+                    )
+                    ring.append(
+                        [
+                            math.degrees(
+                                (lam2 + math.pi) % (2 * math.pi) - math.pi
+                            ),
+                            math.degrees(phi2),
+                        ]
+                    )
+                ring.append(ring[0])
+                return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+            return pd.Series(
+                [
+                    None if lo is None or la is None else one(lo, la)
+                    for lo, la in zip(lons, lats)
+                ]
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](
+        tr.to_col(args[0]).cast("double"), tr.to_col(args[1]).cast("double")
+    )
+
+
+# ---------------------------------------------------------- has_ipv6 family
+
+_IPV6_TOKEN_RE = _re.compile(
+    r"(?<![0-9A-Fa-f:.])"
+    r"([0-9A-Fa-f]{0,4}(?::[0-9A-Fa-f]{0,4}){2,7}(?:\.\d{1,3}\.\d{1,3}\.\d{1,3})?)"
+    r"(?![0-9A-Fa-f:.])"
+)
+
+
+def _ipv6_canon(s):
+    import ipaddress
+
+    try:
+        return ipaddress.IPv6Address(s).compressed
+    except (ValueError, TypeError):
+        return None
+
+
+def _ipv6_candidates(text):
+    return [
+        c
+        for c in (
+            _ipv6_canon(m.group(1)) for m in _IPV6_TOKEN_RE.finditer(text)
+        )
+        if c is not None
+    ]
+
+
+def _has_ipv6_entry(name, wanted_fn):
+    """wanted_fn(candidates:list[str]) -> bool over canonical candidates."""
+    key = name
+    if key not in _PANDAS_UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def udf(col):
+            return col.map(
+                lambda s: False if s is None else wanted_fn(_ipv6_candidates(s))
+            )
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key]
+
+
+@fn("has_ipv6")
+def _has_ipv6(tr, args):
+    """True when the text contains the IPv6 address as a whole term; both
+    sides compare in canonical (compressed) form, so '2001:0db8::0001'
+    matches a '2001:db8::1' in the text [KQL]."""
+    want = _ipv6_canon(tr.const_string(args[1]))
+    if want is None:
+        return F.lit(False)
+    return _has_ipv6_entry(f"has_ipv6:{want}", lambda cands: want in cands)(
+        tr.to_col(args[0]).cast("string")
+    )
+
+
+@fn("has_any_ipv6")
+def _has_any_ipv6(tr, args):
+    wants = frozenset(
+        c
+        for c in (_ipv6_canon(tr.const_string(a)) for a in args[1:])
+        if c is not None
+    )
+    if not wants:
+        return F.lit(False)
+    return _has_ipv6_entry(
+        f"has_any_ipv6:{sorted(wants)}",
+        lambda cands: any(c in wants for c in cands),
+    )(tr.to_col(args[0]).cast("string"))
+
+
+@fn("has_ipv6_prefix")
+def _has_ipv6_prefix(tr, args):
+    """True when some IPv6 term's canonical form starts with the given
+    prefix (compared lowercase; supply the prefix in canonical spelling,
+    e.g. '2001:db8:') [KQL]."""
+    want = tr.const_string(args[1]).lower()
+    if not want:
+        return F.lit(False)
+    return _has_ipv6_entry(
+        f"has_ipv6_prefix:{want}",
+        lambda cands: any(c.startswith(want) for c in cands),
+    )(tr.to_col(args[0]).cast("string"))

@@ -1171,3 +1171,74 @@ def test_h3_family_typed_error_without_library(run_kql):
         run_kql("print h = geo_point_to_h3cell(0.0, 0.0, 9)").collect()
     with pytest.raises(KqlUnsupportedError, match="h3"):
         run_kql("print h = geo_h3cell_neighbors('8928308280fffff')").collect()
+
+
+# ------------------------------------- geo intersects / buffer / has_ipv6
+
+
+def test_geo_intersects_symmetry_and_containment(run_kql):
+    li = '{"type":"LineString","coordinates":[[0,0],[2,2]]}'
+    lj = '{"type":"LineString","coordinates":[[0,2],[2,0]]}'
+    pa = '{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}'
+    pb = '{"type":"Polygon","coordinates":[[[0.5,0.5],[1.5,0.5],[1.5,1.5],[0.5,1.5],[0.5,0.5]]]}'
+    row = run_kql(
+        f"print a = geo_intersects_2lines(dynamic({li}), dynamic({lj})),"
+        f" b = geo_intersects_2lines(dynamic({lj}), dynamic({li})),"
+        # pb strictly inside pa: no boundary crossing, still intersects
+        f" c = geo_intersects_2polygons(dynamic({pa}), dynamic({pb})),"
+        f" d = geo_intersects_2polygons(dynamic({pb}), dynamic({pa}))"
+    ).collect()[0]
+    assert row.a is True and row.b is True
+    assert row.c is True and row.d is True
+
+
+def test_geo_intersection_2lines_point_and_empty(run_kql):
+    import json
+
+    row = run_kql(
+        'print p = tostring(geo_intersection_2lines('
+        'dynamic({"type":"LineString","coordinates":[[0,0],[2,2]]}),'
+        'dynamic({"type":"LineString","coordinates":[[0,2],[2,0]]}))),'
+        ' e = tostring(geo_intersection_2lines('
+        'dynamic({"type":"LineString","coordinates":[[0,0],[1,1]]}),'
+        'dynamic({"type":"LineString","coordinates":[[5,5],[6,6]]})))'
+    ).collect()[0]
+    p = json.loads(row.p)
+    assert p["type"] == "Point"
+    # geodesic crossing of the two diagonals: lon 1, lat slightly above 1
+    assert abs(p["coordinates"][0] - 1.0) < 1e-6
+    assert 1.0 < p["coordinates"][1] < 1.001
+    assert json.loads(row.e) == {"type": "GeometryCollection", "geometries": []}
+
+
+def test_geo_point_buffer_radius_fidelity(run_kql):
+    import json
+
+    from kql_engine_spark.functions.scalar import _geo_hav_m, _point_in_rings
+
+    row = run_kql(
+        "print b = tostring(geo_point_buffer(10.0, 20.0, 5000.0))"
+    ).collect()[0]
+    ring = json.loads(row.b)["coordinates"][0]
+    assert ring[0] == ring[-1] and len(ring) >= 9
+    for lon, lat in ring[:-1]:
+        assert abs(_geo_hav_m(10.0, 20.0, lon, lat) - 5000.0) < 5.0
+    rings = json.loads(row.b)["coordinates"]
+    assert _point_in_rings(10.0, 20.0, rings)            # center inside
+    assert _point_in_rings(10.0, 20.0 + 0.02, rings)     # ~2.2 km north in
+    assert not _point_in_rings(10.0, 20.0 + 0.1, rings)  # ~11 km north out
+
+
+def test_has_ipv6_canonicalization_and_boundaries(run_kql):
+    row = run_kql(
+        "print a = has_ipv6('x 2001:0DB8::0001 y', '2001:db8::1'),"
+        # a longer address must not match as a shorter term inside it
+        " b = has_ipv6('x 2001:db8::1:5 y', '2001:db8::1'),"
+        " c = has_ipv6_prefix('x fe80::1 y', 'fe80:'),"
+        " d = has_ipv6_prefix('x 2001:db9::1 y', '2001:db8:'),"
+        " e = has_any_ipv6('ok ::1 here', '2001:db8::7', '0:0:0:0:0:0:0:1'),"
+        " f = has_ipv6('no address here', '2001:db8::1')"
+    ).collect()[0]
+    assert row.a is True and row.b is False
+    assert row.c is True and row.d is False
+    assert row.e is True and row.f is False
