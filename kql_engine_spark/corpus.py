@@ -3608,6 +3608,34 @@ q(
               true AS f""",
 )
 
+q(
+    "llm_decontaminate_flag",
+    # decontaminate in flag mode with the documents table as its own
+    # benchmark: every >=5-token doc is self-contaminated, and the distinct
+    # colliding-5-gram count equals its distinct 5-gram count. The oracle
+    # rebuilds the n-gram algebra in DuckDB list comprehensions.
+    """documents
+    | evaluate decontaminate(text, doc_id, documents, text, 5, 'flag')
+    | project doc_id, contaminated, contaminated_ngrams
+    | sort by doc_id asc""",
+    """WITH d AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                CAST(COUNT(DISTINCT array_to_string(t[s:s+4], ' ')) AS BIGINT) AS n
+         FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(s)
+         WHERE len(t) >= 5
+         GROUP BY 1
+       )
+       SELECT d.doc_id, g.n IS NOT NULL AS contaminated,
+              COALESCE(g.n, 0) AS contaminated_ngrams
+       FROM d LEFT JOIN g USING (doc_id)
+       ORDER BY d.doc_id""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

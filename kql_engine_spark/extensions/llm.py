@@ -889,3 +889,81 @@ def _pii_redact(ptr, df: DataFrame, args) -> DataFrame:
     return df.withColumn("pii_clean", clean).withColumn(
         "pii_found", F.coalesce(clean != src, F.lit(False))
     )
+
+
+# --------------------------------------------------------------- decontaminate
+@plugin("decontaminate")
+def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate decontaminate(textcol, idcol, BenchmarkTable,
+    bench_textcol [, n] [, mode])` — training-set decontamination against an
+    evaluation/benchmark set: a document is contaminated when it shares ANY
+    n-token n-gram (default n=13, the GPT-3 appendix-C rule) with any
+    benchmark text. mode='remove' (default) drops contaminated documents;
+    mode='flag' keeps all rows and appends `contaminated` (bool) +
+    `contaminated_ngrams` (long, distinct colliding n-grams).
+
+    Lowering (all DataFrame ops):
+      1. both sides tokenize with the shared whitespace tokenizer and roll
+         xxhash64 n-gram hashes JVM-side (transform over sequence — no UDF);
+      2. benchmark hashes are DISTINCT then joined: eval sets are
+         dimension-sized, so Catalyst broadcasts them under the threshold —
+         the 100 TB fact side never shuffles for the join;
+      3. per-doc hit counts come from the grouped semi/left join, and
+         'remove' is a left_anti on doc ids — map-side after the broadcast.
+
+    Docs shorter than n tokens have no n-grams and are trivially clean."""
+    if len(args) < 4:
+        raise KqlSemanticError(
+            "decontaminate(textcol, idcol, BenchmarkTable, bench_textcol"
+            " [, n] [, mode])"
+        )
+    text = _colname(args[0], "decontaminate")
+    idc = _colname(args[1], "decontaminate")
+    if not isinstance(args[2], Col):
+        raise KqlSemanticError("decontaminate: third arg must be a table name")
+    bench = ptr._resolve_table(args[2].name)
+    btext = _colname(args[3], "decontaminate")
+    if btext not in bench.columns:
+        raise KqlSemanticError(
+            f"decontaminate: column {btext!r} not in {args[2].name!r}"
+        )
+    n = int(_const_float(args[4], "decontaminate")) if len(args) > 4 else 13
+    if n < 1:
+        raise KqlSemanticError("decontaminate: n must be >= 1")
+    mode = "remove"
+    if len(args) > 5:
+        if not isinstance(args[5], Lit) or args[5].value not in ("remove", "flag"):
+            raise KqlSemanticError("decontaminate: mode must be 'remove' or 'flag'")
+        mode = args[5].value
+
+    def ngram_hashes(col: Column) -> Column:
+        toks = _tokens(col)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    bench_hashes = (
+        bench.select(F.explode(ngram_hashes(F.col(btext))).alias("__bh"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(idc).alias("__did"),
+        F.explode_outer(ngram_hashes(F.col(text))).alias("__dh"),
+    )
+    hits = (
+        doc_grams.join(bench_hashes, doc_grams["__dh"] == bench_hashes["__bh"], "inner")
+        .groupBy("__did")
+        .agg(F.countDistinct("__dh").alias("__nhits"))
+    )
+    if mode == "remove":
+        return df.join(hits, df[idc] == hits["__did"], "left_anti")
+    joined = df.join(hits, df[idc] == hits["__did"], "left_outer")
+    return (
+        joined.withColumn("contaminated", F.col("__nhits").isNotNull())
+        .withColumn("contaminated_ngrams", F.coalesce(F.col("__nhits"), F.lit(0)))
+        .drop("__did", "__nhits")
+    )

@@ -510,3 +510,53 @@ def test_pii_redact_idempotent_and_clean_rows_unchanged(run_kql):
     q2 = q + " | project id, t = pii_clean | evaluate pii_redact(t)"
     again = {r.id: r for r in run_kql(q2).collect()}
     assert not again[1].pii_found and again[1].pii_clean == rows[1].pii_clean
+
+
+def test_decontaminate_cross_table_exact_window(spark):
+    from tests.conftest import SF_DIR
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark, SF_DIR)
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    cat.register(
+        "bench_t",
+        spark.createDataFrame([(bench_txt,)], "question string"),
+    )
+    cat.register(
+        "docs_t",
+        spark.createDataFrame(
+            [
+                (1, f"prefix words {bench_txt} suffix words"),   # contains window
+                (2, bench_txt.replace("gamma", "GAMMA-X")),      # broken window
+                (3, "tiny"),                                     # < n tokens
+            ],
+            "doc_id long, body string",
+        ),
+    )
+    kept = kql(
+        spark,
+        "docs_t | evaluate decontaminate(body, doc_id, bench_t, question) | project doc_id",
+        catalog=cat,
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == [2, 3]
+    flagged = kql(
+        spark,
+        "docs_t | evaluate decontaminate(body, doc_id, bench_t, question, 13, 'flag')",
+        catalog=cat,
+    ).collect()
+    got = {r.doc_id: (r.contaminated, r.contaminated_ngrams) for r in flagged}
+    assert got == {1: (True, 1), 2: (False, 0), 3: (False, 0)}
+
+
+def test_decontaminate_remove_flag_consistency(run_kql):
+    # rows kept by 'remove' == rows not flagged by 'flag'
+    removed = run_kql(
+        "documents | evaluate decontaminate(text, doc_id, documents, text, 8)"
+        " | summarize n = count()"
+    ).collect()[0].n
+    unflagged = run_kql(
+        "documents | evaluate decontaminate(text, doc_id, documents, text, 8, 'flag')"
+        " | where not(contaminated) | summarize n = count()"
+    ).collect()[0].n
+    assert removed == unflagged

@@ -433,3 +433,13 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = _plan(df)
     # partition filter reaches the scan: non-matching directories are pruned
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(run_kql):
+    # the eval-set n-gram side is dimension-sized: it must broadcast so the
+    # 100 TB fact side never shuffles for the contamination join
+    plan = _plan(run_kql(
+        "documents | evaluate decontaminate(text, doc_id, documents, text, 13)"
+    ))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
