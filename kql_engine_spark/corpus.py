@@ -3636,6 +3636,21 @@ q(
        ORDER BY d.doc_id""",
 )
 
+q(
+    "llm_dedup_lines",
+    # corpus-wide C4-rule line dedup: the first occurrence (smallest
+    # (id, pos)) of each repeated line survives, later ones are deleted
+    """datatable(id:long, t:string)[1, 'a\\nb\\nc', 2, 'b\\nd', 3, 'c\\nb']
+    | evaluate dedup_lines(t, id)
+    | project id, text_deduped, lines_removed
+    | sort by id asc""",
+    """SELECT CAST(1 AS BIGINT) AS id,
+              'a' || chr(10) || 'b' || chr(10) || 'c' AS text_deduped,
+              CAST(0 AS BIGINT) AS lines_removed
+       UNION ALL SELECT 2, 'd', 1
+       UNION ALL SELECT 3, '', 2""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -967,3 +967,61 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
         .withColumn("contaminated_ngrams", F.coalesce(F.col("__nhits"), F.lit(0)))
         .drop("__did", "__nhits")
     )
+
+
+# ----------------------------------------------------------------- dedup_lines
+@plugin("dedup_lines")
+def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_lines(textcol, idcol)` — corpus-wide line-level
+    dedup (the C4 preprocessing rule): when the same non-empty line (after
+    trim) occurs in more than one place across the whole corpus, only the
+    FIRST occurrence (smallest (doc id, line position)) survives; later
+    occurrences are deleted from their documents. Appends:
+
+      text_deduped   the document with duplicated lines removed
+      lines_removed  how many of its lines were deleted
+
+    Lowering: posexplode lines -> one window ranked by (id, pos) over the
+    line-hash partition (single shuffle on xxhash64(line), no self-join)
+    -> re-assemble with array_sort + array_join. Empty/whitespace lines
+    pass through untouched (they are structure, not content).
+
+    Scale: everything is hash-partitioned by line content; the heaviest
+    step is one shuffle of (id, pos, line) — no broadcast of corpus-sized
+    state, no driver-side data."""
+    if len(args) < 2:
+        raise KqlSemanticError("dedup_lines(textcol, idcol)")
+    text = _colname(args[0], "dedup_lines")
+    idc = _colname(args[1], "dedup_lines")
+    lines = df.select(
+        F.col(idc).alias("__id"),
+        F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    norm = F.trim(F.col("__line"))
+    w = Window.partitionBy(F.xxhash64(norm)).orderBy("__id", "__pos")
+    ranked = lines.withColumn(
+        "__keep", (norm == "") | (F.row_number().over(w) == 1)
+    )
+    rebuilt = (
+        ranked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("lines_removed"),
+        )
+    )
+    return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")

@@ -560,3 +560,33 @@ def test_decontaminate_remove_flag_consistency(run_kql):
         " | where not(contaminated) | summarize n = count()"
     ).collect()[0].n
     assert removed == unflagged
+
+
+def test_dedup_lines_idempotent_and_conserving(run_kql):
+    # running dedup_lines on already-deduped text removes nothing more, and
+    # (kept + removed) line counts conserve the original corpus
+    base = (
+        "datatable(id:long, t:string)"
+        "[1, 'x\\ny\\nz', 2, 'y\\nx', 3, 'z\\nw\\nx']"
+    )
+    rows = run_kql(
+        base + " | evaluate dedup_lines(t, id)"
+        " | project id, text_deduped, lines_removed | sort by id asc"
+    ).collect()
+    total_lines = 3 + 2 + 3
+    kept = sum(
+        len([l for l in r.text_deduped.split("\n") if l]) if r.text_deduped else 0
+        for r in rows
+    )
+    removed = sum(r.lines_removed for r in rows)
+    assert kept + removed == total_lines
+    assert kept == 4  # x, y, z, w survive exactly once
+    # idempotence: feed the deduped text back through
+    lits = ", ".join(
+        f"{r.id}, '" + r.text_deduped.replace("\n", "\\n") + "'" for r in rows
+    )
+    again = run_kql(
+        f"datatable(id:long, t:string)[{lits}] | evaluate dedup_lines(t, id)"
+        " | summarize r = sum(lines_removed)"
+    ).collect()[0]
+    assert again.r == 0
