@@ -3662,17 +3662,17 @@ q(
 # let/invoke (§2.14). Entries outside the prefix keep their relative order and
 # stay covered by tests/test_corpus_oracle.py.
 _TIER_A = (
-    # §2.1 sources (r5 batch-4: datatable_literal -> declare_query_parameters
-    # — parameterized queries are a new statement class; datatable stays
-    # exercised inside a dozen prefix entries)
-    "tpch_q1", "declare_query_parameters", "range_source", "externaldata_csv",
+    # §2.1 sources (r6: range_source -> ingestion_cursor_filter — the
+    # ingestion-metadata/_metadata-column mapping is a new source-level
+    # mechanism; range stays covered by tail entries + fuzz)
+    "tpch_q1", "declare_query_parameters", "ingestion_cursor_filter",
+    "externaldata_csv",
     # §2.2 row ops
-    # (r5 batch-4: extend_arith -> between_duration_form and
-    # serialize_row_number -> where_star_has — the duration range form and
-    # any-column predicates are new semantics this session; extend/serialize
-    # stay exercised throughout the prefix)
-    "where_project", "between_duration_form", "project_away_keep_rename",
-    "distinct_cols", "where_star_has",
+    # (r6: project_away_keep_rename -> llm_dedup_lines and distinct_cols ->
+    # geo_densify_covering_shapes — both rotated out after 2+ green driver
+    # rounds; project-*/distinct stay covered by tail entries)
+    "where_project", "between_duration_form", "llm_dedup_lines",
+    "geo_densify_covering_shapes", "where_star_has",
     # §2.3 sort/take
     "top_orders", "top_nested",
     # §2.4 joins: kinds + composite key + broadcast hint + lookup + multi-join
@@ -3690,28 +3690,30 @@ _TIER_A = (
     # §2.6 summarize/aggregates (computed-key + exact-percentile entries
     # moved to the pytest tail after two green driver rounds)
     "tpch_q6", "agg_sweep", "arg_max_agg",
-    # §2.7 window (r5 batch-4: + window_rank_restart — the serialized-order
-    # rank fix and restart segments are new behavior this round)
-    "window_cumsum_restart", "window_rank_restart",
-    # §2.8 mv-*/parse/evaluate (+ r5: the diffpatterns mining family, its
-    # first driver-certified representative; datetime_fns rotates to the
-    # pytest tail after three green rounds)
-    "mv_apply_agg", "parse_pattern", "evaluate_pivot", "diffpatterns_orders",
-    # §2.9 scalar functions (+ sketch interop readout; r5 batch-4:
-    # dynamic_array_fns -> llm_count_tokens, the BPE pre-tokenizer scalar —
-    # array functions stay covered by several tail entries + fuzz)
-    "has_term", "hll_sketch_roundtrip", "llm_count_tokens",
+    # §2.7 window (r6: window_cumsum_restart -> extent_metadata_shape after
+    # 2 green driver rounds; rank restarts keep the window slot)
+    "extent_metadata_shape", "window_rank_restart",
+    # §2.8 mv-*/parse/evaluate (r6: parse_pattern ->
+    # ipv4_cidr_list_and_geo_simplify after 3 green driver rounds; parse
+    # stays covered by parse_where/parse_kv tail entries)
+    "mv_apply_agg", "ipv4_cidr_list_and_geo_simplify", "evaluate_pivot",
+    "diffpatterns_orders",
+    # §2.9 scalar functions (+ sketch interop readout; r6: has_term ->
+    # geo_intersects_and_ipv6_terms — arc-intersection predicates and
+    # canonical IPv6 term matching are new function classes; has/term
+    # predicates stay covered by search_and_terms + fuzz)
+    "geo_intersects_and_ipv6_terms", "hll_sketch_roundtrip", "llm_count_tokens",
     # §2.10 make-series + series stats (r5 batch-3: series_stats_fit ->
     # tuple_extend_fit_line — same fit coverage plus the multi-valued
     # assignment path)
     "make_series_datetime", "tuple_extend_fit_line",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
     "summarize_bin_1d", "scan_overlapping_matches",
-    # §2.12 LLM data-pipeline (r5 batch-4: llm_dedup_exact ->
-    # llm_chunk_text and llm_tfidf_topk -> llm_pii_redact — the two new
-    # training-pipeline ops take the certified slots; dedup_exact/tfidf stay
-    # pytest-certified in the tail after three green driver rounds)
-    "llm_chunk_text", "llm_similarity_search",
+    # §2.12 LLM data-pipeline (r6: llm_similarity_search ->
+    # llm_decontaminate_flag — eval-set decontamination is the round's new
+    # training-pipeline op; similarity_search rotates to the tail after 2
+    # green driver rounds, still covered by llm_similarity_ivf_full_probe)
+    "llm_chunk_text", "llm_decontaminate_flag",
     "llm_pii_redact", "llm_dedup_simhash", "llm_similarity_ivf_full_probe",
     # §2.13 misc operators + graph + behavior analytics
     # (r5 batch-3: count_op -> graph_mark_components — count stays covered
