@@ -3047,7 +3047,7 @@ q(
     | project sa = tostring(sa), sb = tostring(sb), da = tostring(da),
               mismatched = tostring(dm)""",
     """SELECT '[1,2,3]' AS sa, '["a","b","c"]' AS sb, '[3,2,1]' AS da,
-              CAST(NULL AS VARCHAR) AS mismatched""",
+              '' AS mismatched""",  # KQL tostring(null) == "" on every carrier
 )
 
 q(

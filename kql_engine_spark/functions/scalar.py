@@ -617,9 +617,11 @@ def _tostring(tr, args):
     c = tr.to_col(args[0])
     dt = tr.dtype_of_ast(args[0], c)
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        return F.to_json(c)
+        return F.coalesce(F.to_json(c), F.lit(""))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        return F.coalesce(
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")
+        )
     if isinstance(dt, T.DayTimeIntervalType):
         # Kusto renders timespans as [d.]hh:mm:ss, not Spark INTERVAL syntax
         return F.coalesce(kql_timespan_string(c), F.lit(""))

@@ -1153,7 +1153,8 @@ def test_ipv4_range_to_cidr_list_exact_partition(run_kql):
         " bad = tostring(ipv4_range_to_cidr_list('10.0.0.9', '10.0.0.1'))"
     ).collect()[0]
     assert row.c == '["10.0.0.3/32","10.0.0.4/30","10.0.0.8/31","10.0.0.10/32"]'
-    assert row.bad is None
+    # KQL tostring(null) == "" on every carrier, including null arrays
+    assert row.bad == ""
 
 
 def test_h3_family_typed_error_without_library(run_kql):
@@ -1242,3 +1243,13 @@ def test_has_ipv6_canonicalization_and_boundaries(run_kql):
     assert row.a is True and row.b is False
     assert row.c is True and row.d is False
     assert row.e is True and row.f is False
+
+
+def test_tostring_null_is_empty_on_every_carrier(run_kql):
+    # KQL: tostring(null) == "" regardless of the input type
+    row = run_kql(
+        "print a = tostring(long(null)), b = tostring(datetime(null)),"
+        " c = tostring(dynamic(null)), d = tostring(real(null)),"
+        " e = tostring(split('', 'x')[5])"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == ("", "", "", "", "")
