@@ -1000,9 +1000,17 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
         ),
     )
     norm = F.trim(F.col("__line"))
-    w = Window.partitionBy(F.xxhash64(norm)).orderBy("__id", "__pos")
+    # blank lines are always kept (structure, not content) and their rank is
+    # never read — give them per-(id, pos) partition keys so the corpus-wide
+    # blank-line population can't skew into one window task at scale
+    blank = norm == ""
+    w = Window.partitionBy(
+        F.xxhash64(norm),
+        F.when(blank, F.col("__id")).otherwise(F.lit(0)),
+        F.when(blank, F.col("__pos")).otherwise(F.lit(0)),
+    ).orderBy("__id", "__pos")
     ranked = lines.withColumn(
-        "__keep", (norm == "") | (F.row_number().over(w) == 1)
+        "__keep", blank | (F.row_number().over(w) == 1)
     )
     rebuilt = (
         ranked.groupBy("__id")

@@ -1302,7 +1302,11 @@ class PipeTranslator:
     def t_distinct(self, df: DataFrame, op: Distinct) -> DataFrame:
         if op.star:
             # hidden ingestion-metadata columns must not distort row identity
-            meta = [c for c in df.columns if c in _INGEST_META_COLS]
+            # — prefix match so join-renamed copies (__kql_ingest_ts1) drop too
+            meta = [
+                c for c in df.columns
+                if c.startswith(("__kql_ingest_ts", "__kql_extent_path"))
+            ]
             if meta:
                 df = df.drop(*meta)
             return df.distinct()
@@ -2166,6 +2170,7 @@ class PipeTranslator:
             targets = [
                 f.name for f in df.schema.fields
                 if isinstance(f.dataType, T.StringType)
+                and not f.name.startswith(("__kql", "__row_order"))
             ]
         if not targets:
             return F.lit(False)

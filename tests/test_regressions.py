@@ -1253,3 +1253,91 @@ def test_tostring_null_is_empty_on_every_carrier(run_kql):
         " e = tostring(split('', 'x')[5])"
     ).collect()[0]
     assert (row.a, row.b, row.c, row.d, row.e) == ("", "", "", "", "")
+
+
+# ---------------------------------------- round-6 review findings, pinned
+
+
+def test_search_ignores_hidden_carrier_columns(run_kql):
+    # the __kql_extent_path carrier contains the file path: an unscoped
+    # search term matching the path must not match every row
+    rows = run_kql(
+        "region | where cursor_after('') | search 'parquet'"
+    ).collect()
+    assert rows == []
+    rows = run_kql(
+        "region | where cursor_after('') | search 'ASIA'"
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_pack_all_excludes_hidden_columns(run_kql):
+    import json
+
+    row = run_kql(
+        "region | where cursor_after('') | project p = pack_all() | take 1"
+    ).collect()[0]
+    keys = set(json.loads(row.p))
+    assert keys == {"r_regionkey", "r_name"}
+
+
+def test_distinct_star_drops_renamed_meta_after_join(spark, tmp_path):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    # right side stored as TWO files with a duplicated row: per-file
+    # metadata (renamed __kql_ingest_ts1 by join collision suffixing) must
+    # not resurrect the duplicate under distinct *
+    spark.createDataFrame([(1, "x")], "k long, v string").write.parquet(
+        str(tmp_path / "tb.parquet")
+    )
+    spark.createDataFrame([(1, "x")], "k long, v string").write.mode(
+        "append"
+    ).parquet(str(tmp_path / "tb.parquet"))
+    spark.createDataFrame([(1, "a")], "k long, w string").write.parquet(
+        str(tmp_path / "ta.parquet")
+    )
+    cat = Catalog(spark, str(tmp_path))
+    rows = kql(
+        spark,
+        "ta | where cursor_after('') | join kind=inner tb on k | distinct *",
+        catalog=cat,
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_polygon_s2_covering_sound_for_tall_polygons(run_kql):
+    import random
+
+    from kql_engine_spark.functions.scalar import _s2_encode
+
+    row = run_kql(
+        'print c = geo_polygon_to_s2cells(dynamic({"type":"Polygon",'
+        '"coordinates":[[[0,0],[40,0],[40,89],[0,89],[0,0]]]}), 8)'
+    ).collect()[0]
+    cover = set(row.c)
+    rng = random.Random(3)
+    for _ in range(300):
+        lon = 40.0 * rng.random()
+        lat = 89.0 * rng.random()
+        assert _s2_encode(lon, lat, 8) in cover, (lon, lat)
+
+
+def test_geo_point_buffer_zero_tolerance_typed_error(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="tolerance"):
+        run_kql("print b = geo_point_buffer(10.0, 20.0, 5000.0, 0.0)").collect()
+    with pytest.raises(KqlSemanticError, match="tolerance"):
+        run_kql("print b = geo_point_buffer(10.0, 20.0, 5000.0, -1.0)").collect()
+
+
+def test_cursor_before_or_at_empty_admits_nothing(run_kql):
+    # empty cursor = before any ingestion: <= matches no records (while
+    # cursor_after('') matches all)
+    row = run_kql(
+        "region | where cursor_before_or_at('') | count"
+    ).collect()[0]
+    assert row.Count == 0
