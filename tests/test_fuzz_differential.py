@@ -703,3 +703,77 @@ def test_random_arg_max_matches_duckdb(run_kql, duck, lo, use_min, key_ix):
     for r in rows:
         assert r.best == want_best[r[key_k]]
         assert r.price in valid[(r[key_k], r.best)]
+
+
+# ---------------------------------------------------- scan differential fuzz
+# Independent simulator of the public scan matching model (multiple
+# concurrent sequences, at most one per step; per record, steps evaluate
+# last-to-first: promotion from k-1 [discarding any occupant of k,
+# completing+discarding on the final step], else extension at k, else at
+# step 1 a restart under the declared defaults). Any divergence from the
+# engine's walker is a bug in one of the two.
+
+
+def _scan_reference(rows, step_letters):
+    n = len(step_letters)
+    slots = [None] * n
+    next_id = 0
+    out = []
+    for ts, ev, v in rows:
+        emitted = False
+        for k in range(n - 1, -1, -1):
+            if k >= 1 and slots[k - 1] is not None and ev == step_letters[k]:
+                seq = slots[k - 1]
+                slots[k - 1] = None
+                seq["acc"] += v
+                if k == n - 1:
+                    slots[k] = None  # complete -> discard
+                else:
+                    slots[k] = seq
+                out.append((ts, ev, v, seq["acc"], seq["id"]))
+                emitted = True
+                break
+            if slots[k] is not None and ev == step_letters[k]:
+                seq = slots[k]
+                seq["acc"] += v
+                out.append((ts, ev, v, seq["acc"], seq["id"]))
+                emitted = True
+                break
+            if k == 0 and ev == step_letters[0]:
+                seq = {"acc": 0, "id": next_id}
+                next_id += 1
+                seq["acc"] += v
+                slots[0] = seq
+                out.append((ts, ev, v, seq["acc"], seq["id"]))
+                emitted = True
+                break
+        del emitted
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 9)),
+        min_size=1, max_size=22,
+    ),
+    steps=st.lists(st.sampled_from("abc"), min_size=2, max_size=3),
+)
+def test_random_scan_matches_reference_model(run_kql, evs, steps):
+    rows = [(i, ev, v) for i, (ev, v) in enumerate(evs)]
+    lits = ", ".join(f"{t}, '{e}', {v}" for t, e, v in rows)
+    step_clauses = "".join(
+        f" step s{k + 1}: ev == '{c}' => acc = acc + v;"
+        for k, c in enumerate(steps)
+    )
+    got = run_kql(
+        f"datatable(ts:long, ev:string, v:long)[{lits}]"
+        " | sort by ts asc"
+        f" | scan with_match_id = m declare (acc:long = 0) with ({step_clauses})"
+    ).collect()
+    want = _scan_reference(rows, steps)
+    assert [(r.ts, r.ev, r.v, r.acc, r.m) for r in got] == want
