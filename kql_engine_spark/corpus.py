@@ -3651,6 +3651,22 @@ q(
        UNION ALL SELECT 3, '', 2""",
 )
 
+q(
+    "schema_merge_conflicts",
+    # schema_merge over unioned getschema outputs: one distinct type keeps
+    # it, conflicts mark ERROR(...); ordinals renumber by first appearance
+    """union (datatable(a:long, b:string)[] | getschema),
+             (datatable(a:string, c:real)[] | getschema)
+    | evaluate schema_merge()
+    | project ColumnName, ColumnOrdinal, ColumnType
+    | sort by ColumnOrdinal asc""",
+    """SELECT 'a' AS ColumnName, 0 AS ColumnOrdinal,
+              'ERROR(conflicting types: long, string)' AS ColumnType
+       UNION ALL SELECT 'b', 1, 'string'
+       UNION ALL SELECT 'c', 2, 'real'
+       ORDER BY 2""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

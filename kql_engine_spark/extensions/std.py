@@ -1643,3 +1643,39 @@ def _geo_line_lookup(ptr, df, args):
     missing = src.join(matched.select("__kql_rid"), "__kql_rid", "left_anti")
     out = matched.unionByName(missing, allowMissingColumns=True)
     return out.drop("__kql_rid", *bbox_cols)
+
+
+@plugin("schema_merge")
+def _schema_merge(ptr, df, args):
+    """`... | evaluate schema_merge()` [KQL]: merge getschema-shaped rows
+    (e.g. `union (A | getschema), (B | getschema)`) into one schema.
+    Same-named columns with one distinct type keep it; conflicting types
+    yield `ERROR(conflicting types: a, b)` in DataType/ColumnType (Kusto
+    marks conflicts with an ERROR(...) cell; the message text here is
+    engine-shaped). Ordinals renumber by first appearance."""
+    from pyspark.sql import Window as _W
+
+    required = {"ColumnName", "ColumnOrdinal", "DataType", "ColumnType"}
+    missing = required - set(df.columns)
+    if missing:
+        raise KqlSemanticError(
+            f"schema_merge: input must be getschema-shaped (missing {sorted(missing)})"
+        )
+    merged = df.groupBy("ColumnName").agg(
+        F.min("ColumnOrdinal").alias("__ord"),
+        F.array_sort(F.collect_set("ColumnType")).alias("__types"),
+        F.array_sort(F.collect_set("DataType")).alias("__dtypes"),
+    )
+    conflict = F.size("__types") > 1
+    err = F.concat(
+        F.lit("ERROR(conflicting types: "), F.array_join("__types", ", "), F.lit(")")
+    )
+    out = merged.select(
+        "ColumnName",
+        (
+            F.row_number().over(_W.orderBy(F.col("__ord"), F.col("ColumnName"))) - 1
+        ).alias("ColumnOrdinal"),
+        F.when(conflict, err).otherwise(F.element_at("__dtypes", 1)).alias("DataType"),
+        F.when(conflict, err).otherwise(F.element_at("__types", 1)).alias("ColumnType"),
+    )
+    return out

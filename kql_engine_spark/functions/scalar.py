@@ -2496,14 +2496,26 @@ def _has_ipv4_prefix(tr, args):
     return F.regexp_like(s, F.lit(_has_ipv4_regex(tr.const_string(args[1]), True)))
 
 
+def _const_string_list(tr, args) -> list[str]:
+    """Variadic string args OR a single dynamic(['a', ...]) array literal
+    [KQL has_any_ipv4/has_any_ipv6 accept both forms]."""
+    from ..ast_nodes import TypedLit as _TL
+    from ..semantics import parse_dynamic_literal as _pdl
+
+    if len(args) == 1 and isinstance(args[0], _TL) and args[0].ktype == "dynamic":
+        vals = _pdl(args[0].raw)
+        if not isinstance(vals, list):
+            raise KqlSemanticError("expected a dynamic array of strings")
+        return [str(v) for v in vals]
+    return [tr.const_string(a) for a in args]
+
+
 @fn("has_any_ipv4")
 def _has_any_ipv4(tr, args):
     s = tr.to_col(args[0]).cast("string")
     out = F.lit(False)
-    for a in args[1:]:
-        out = out | F.regexp_like(
-            s, F.lit(_has_ipv4_regex(tr.const_string(a), False))
-        )
+    for ip in _const_string_list(tr, args[1:]):
+        out = out | F.regexp_like(s, F.lit(_has_ipv4_regex(ip, False)))
     return out
 
 
@@ -5772,7 +5784,7 @@ def _has_ipv6(tr, args):
 def _has_any_ipv6(tr, args):
     wants = frozenset(
         c
-        for c in (_ipv6_canon(tr.const_string(a)) for a in args[1:])
+        for c in (_ipv6_canon(v) for v in _const_string_list(tr, args[1:]))
         if c is not None
     )
     if not wants:

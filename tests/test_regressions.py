@@ -1341,3 +1341,21 @@ def test_cursor_before_or_at_empty_admits_nothing(run_kql):
         "region | where cursor_before_or_at('') | count"
     ).collect()[0]
     assert row.Count == 0
+
+
+def test_has_any_ip_dynamic_array_args(run_kql):
+    row = run_kql(
+        "print x = has_any_ipv4('at 10.0.0.1 now', dynamic(['1.2.3.4', '10.0.0.1'])),"
+        " y = has_any_ipv6('at ::1 now', dynamic(['2001:db8::7', '0:0:0:0:0:0:0:1'])),"
+        " z = has_any_ipv4('at 10.0.0.2 now', dynamic(['1.2.3.4']))"
+    ).collect()[0]
+    assert row.x is True and row.y is True and row.z is False
+
+
+def test_schema_merge_requires_getschema_shape(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="getschema-shaped"):
+        run_kql("region | evaluate schema_merge()").collect()
