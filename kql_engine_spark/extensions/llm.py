@@ -25,10 +25,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import weakref
+
 from ..ast_nodes import Col, Lit, TypedLit, UnaryOp
 from ..errors import KqlSemanticError
 from ..semantics import parse_dynamic_literal
 from . import plugin
+
+# similarity_search_ivf quantizer cache: session -> {(plan, col, nlist): model}
+_IVF_MODEL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_IVF_CACHE_CAP = 8
 
 
 def _colname(arg, what: str) -> str:
@@ -285,9 +291,12 @@ def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
       3. search: cosine top-k restricted to the probed partitions — the
          scan prunes (1 - nprobe/nlist) of the corpus.
 
-    Each call fits the quantizer (index build); a deployment that reuses
-    the index materializes the assigned table once and filters it per
-    query — the plugin contract stays the same."""
+    The fitted quantizer is CACHED per session keyed by (source plan,
+    column, nlist) — repeated queries against the same corpus skip the
+    index build and pay only the probed-partition scan. Staleness is
+    acceptable by contract: centroids are an approximation index, and
+    IVF results are approximate regardless; the cache is bounded and a
+    changed source plan (different filter/table) naturally misses."""
     emb_name = _colname(args[0], "similarity_search_ivf")
     if not isinstance(args[1], TypedLit) or args[1].ktype != "dynamic":
         raise KqlSemanticError(
@@ -304,9 +313,21 @@ def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
     feat = df.withColumn(
         "__v", array_to_vector(F.col(emb_name).cast("array<double>"))
     )
-    km = KMeans(
-        k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
-    ).fit(feat)
+    spark = df.sparkSession
+    cache = _IVF_MODEL_CACHE.setdefault(spark, {})
+    cache_key = (
+        df._jdf.queryExecution().logical().toString(),  # noqa: SLF001
+        emb_name,
+        nlist,
+    )
+    km = cache.get(cache_key)
+    if km is None:
+        km = KMeans(
+            k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+        ).fit(feat)
+        if len(cache) >= _IVF_CACHE_CAP:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = km
 
     centers = km.clusterCenters()
     qn = sum(x * x for x in qvec) ** 0.5

@@ -590,3 +590,27 @@ def test_dedup_lines_idempotent_and_conserving(run_kql):
         " | summarize r = sum(lines_removed)"
     ).collect()[0]
     assert again.r == 0
+
+
+def test_ivf_quantizer_cached_across_calls(run_kql, spark):
+    import time
+
+    from kql_engine_spark.extensions.llm import _IVF_MODEL_CACHE
+
+    q = "dynamic([" + ",".join("0.1" for _ in range(64)) + "])"
+    text = f"embeddings | evaluate similarity_search_ivf(embedding, {q}, 3, 8, 8)"
+    _IVF_MODEL_CACHE.pop(spark, None)
+    r1 = run_kql(text).collect()
+    assert len(_IVF_MODEL_CACHE.get(spark, {})) == 1
+    t0 = time.time()
+    r2 = run_kql(text).collect()
+    warm = time.time() - t0
+    assert len(_IVF_MODEL_CACHE.get(spark, {})) == 1  # hit, no refit
+    assert [r.vec_id for r in r1] == [r.vec_id for r in r2]
+    # a different source plan misses (new key), not a stale reuse
+    run_kql(
+        "embeddings | where vec_id > 10 | evaluate "
+        f"similarity_search_ivf(embedding, {q}, 3, 8, 8)"
+    ).collect()
+    assert len(_IVF_MODEL_CACHE.get(spark, {})) == 2
+    del warm
