@@ -114,8 +114,11 @@ class Parser:
             if self.at(IDENT, "set"):
                 self.next()
                 name = self.ident_name()
-                self.expect(OP, "=")
-                sets[name] = self.parse_expr()
+                if self.accept(OP, "="):
+                    sets[name] = self.parse_expr()
+                else:
+                    # valueless form: `set notruncation;` [KQL]
+                    sets[name] = Lit(True, "bool")
             elif self.at(IDENT, "declare"):
                 self.next()
                 self.expect(IDENT, "query_parameters")

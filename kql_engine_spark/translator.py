@@ -743,7 +743,24 @@ class PipeTranslator:
         df = self.translate_pipe(q.pipe)
         # engine-internal helper columns never escape to the user
         internal = [c for c in df.columns if c.startswith(("__row_order", "__kql"))]
-        return df.drop(*internal) if internal else df
+        if internal:
+            df = df.drop(*internal)
+        # `set truncationmaxrecords = N;` [KQL]: bound the result set (the
+        # service-side truncation safeguard; `set notruncation;` disables
+        # it). Lowered to limit(N) — Catalyst pushes it into the plan.
+        trunc = self.options.get("truncationmaxrecords")
+        if trunc is not None and "notruncation" not in self.options:
+            tr = ExprTranslator(None, self)
+            try:
+                n = int(tr.const_value(trunc)) if isinstance(trunc, Expr) else int(trunc)
+            except (TypeError, ValueError):
+                raise KqlSemanticError(
+                    "truncationmaxrecords must be a constant integer"
+                ) from None
+            if n < 0:
+                raise KqlSemanticError("truncationmaxrecords must be >= 0")
+            df = df.limit(n)
+        return df
 
     def translate_pipe(self, pipe: Pipe) -> DataFrame:
         df = self.translate_source(pipe.source)

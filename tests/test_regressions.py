@@ -1359,3 +1359,19 @@ def test_schema_merge_requires_getschema_shape(run_kql):
 
     with pytest.raises(KqlSemanticError, match="getschema-shaped"):
         run_kql("region | evaluate schema_merge()").collect()
+
+
+def test_truncationmaxrecords_set_property(run_kql):
+    assert run_kql(
+        "set truncationmaxrecords = 3; lineitem | project l_orderkey"
+    ).count() == 3
+    assert run_kql(
+        "set truncationmaxrecords = 3; set notruncation;"
+        " region | project r_name"
+    ).count() == 5
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="truncationmaxrecords"):
+        run_kql("set truncationmaxrecords = -2; region").collect()
