@@ -3667,6 +3667,32 @@ q(
        ORDER BY 2""",
 )
 
+q(
+    "llm_pack_sequences",
+    # greedy streaming sequence packing (single shard so the cumulative
+    # window is SQL-reproducible): block/offset come from the running
+    # token total in id order; docs are never split
+    """documents
+    | evaluate pack_sequences(text, doc_id, 512, 1)
+    | project doc_id, pack_shard, pack_block, pack_offset, pack_tokens
+    | sort by doc_id asc""",
+    """WITH d AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS BIGINT) AS pack_tokens
+         FROM documents
+       ), c AS (
+         SELECT doc_id, pack_tokens,
+                SUM(pack_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - pack_tokens AS s
+         FROM d
+       )
+       SELECT doc_id, CAST(0 AS BIGINT) AS pack_shard,
+              CAST(FLOOR(s / 512) AS BIGINT) AS pack_block,
+              s % 512 AS pack_offset, pack_tokens
+       FROM c ORDER BY doc_id""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -1054,3 +1054,50 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
         )
     )
     return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")
+
+
+# -------------------------------------------------------------- pack_sequences
+@plugin("pack_sequences")
+def _pack_sequences(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate pack_sequences(textcol, idcol, block_tokens
+    [, shards])` — assign documents to fixed-size training blocks: the
+    greedy streaming pack (concatenate in id order, cut every
+    block_tokens) made shard-parallel. Appends:
+
+      pack_shard    which of the `shards` (default 16) parallel streams
+                    the doc belongs to (hash of id)
+      pack_block    block index within the shard where the doc STARTS
+      pack_offset   token offset of the doc inside that block
+      pack_tokens   the doc's own token count (whitespace tokens, the
+                    same tokenizer the other plugins share)
+
+    Documents are never split — a doc whose tokens overrun the boundary
+    stays in its start block (split oversized docs with chunk_text
+    upstream). Scale: one window per shard partition (cumulative sum in
+    id order) — parallel across shards, no global order, no driver state;
+    real pipelines pack per output shard exactly like this."""
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "pack_sequences(textcol, idcol, block_tokens [, shards])"
+        )
+    text = _colname(args[0], "pack_sequences")
+    idc = _colname(args[1], "pack_sequences")
+    block = int(_const_float(args[2], "pack_sequences"))
+    shards = int(_const_float(args[3], "pack_sequences")) if len(args) > 3 else 16
+    if block < 1 or shards < 1:
+        raise KqlSemanticError(
+            "pack_sequences: block_tokens and shards must be positive"
+        )
+    toks = F.size(_tokens(F.col(text)))
+    shard = F.pmod(F.xxhash64(F.col(idc).cast("string")), F.lit(shards))
+    out = df.withColumn("pack_tokens", toks.cast("long")).withColumn(
+        "pack_shard", shard
+    )
+    w = Window.partitionBy("pack_shard").orderBy(idc)
+    start = (F.sum("pack_tokens").over(w) - F.col("pack_tokens")).alias("__start")
+    out = out.withColumn("__start", start)
+    return (
+        out.withColumn("pack_block", F.floor(F.col("__start") / block))
+        .withColumn("pack_offset", F.col("__start") % block)
+        .drop("__start")
+    )

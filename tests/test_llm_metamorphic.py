@@ -614,3 +614,26 @@ def test_ivf_quantizer_cached_across_calls(run_kql, spark):
     ).collect()
     assert len(_IVF_MODEL_CACHE.get(spark, {})) == 2
     del warm
+
+
+def test_pack_sequences_invariants(run_kql):
+    # every doc lands where its shard's running token total says: offsets
+    # are within [0, block); consecutive docs in a shard are contiguous in
+    # token space; shards partition the corpus
+    rows = run_kql(
+        "documents | evaluate pack_sequences(text, doc_id, 256, 4)"
+        " | project doc_id, pack_shard, pack_block, pack_offset, pack_tokens"
+    ).collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.pack_shard < 4
+        assert 0 <= r.pack_offset < 256
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in shard_rows:
+            assert r.pack_block == running // 256
+            assert r.pack_offset == running % 256
+            running += r.pack_tokens
