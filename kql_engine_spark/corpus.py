@@ -3701,6 +3701,19 @@ q(
        FROM c ORDER BY doc_id""",
 )
 
+q(
+    "llm_sample_stratified_counts",
+    # exact stratified sampling: every stratum keeps ceil(fraction * n)
+    # rows — WHICH rows is seed-random, but the per-stratum count is an
+    # exact deterministic contract the oracle can state
+    """documents
+    | evaluate sample_stratified(lang, 0.25)
+    | summarize n = count() by lang
+    | sort by lang asc""",
+    """SELECT lang, CAST(CEIL(0.25 * COUNT(*)) AS BIGINT) AS n
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

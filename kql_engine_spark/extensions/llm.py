@@ -1101,3 +1101,33 @@ def _pack_sequences(ptr, df: DataFrame, args) -> DataFrame:
         .withColumn("pack_offset", F.col("__start") % block)
         .drop("__start")
     )
+
+
+# ----------------------------------------------------------- sample_stratified
+@plugin("sample_stratified")
+def _sample_stratified(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate sample_stratified(keycol, fraction [, seed])` — EXACT
+    per-stratum sampling: every distinct key keeps ceil(fraction * n_key)
+    rows (plain Bernoulli sampling under- or over-represents small strata;
+    a training mix wants the proportions held exactly). Deterministic for
+    a given seed.
+
+    Lowering: one row_number window per key ordered by (rand(seed),
+    row identity) against a broadcast per-key count — a single shuffle on
+    the stratum key, no driver-side key list (unlike DataFrame.sampleBy,
+    which needs per-key fractions collected up front)."""
+    if len(args) < 2:
+        raise KqlSemanticError("sample_stratified(keycol, fraction [, seed])")
+    key = _colname(args[0], "sample_stratified")
+    frac = _const_float(args[1], "sample_stratified")
+    if not 0.0 < frac <= 1.0:
+        raise KqlSemanticError("sample_stratified: fraction must be in (0, 1]")
+    seed = int(_const_float(args[2], "sample_stratified")) if len(args) > 2 else 42
+    w = Window.partitionBy(key).orderBy(F.rand(seed))
+    cnt = Window.partitionBy(key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .drop("__rn", "__n")
+    )

@@ -637,3 +637,42 @@ def test_pack_sequences_invariants(run_kql):
             assert r.pack_block == running // 256
             assert r.pack_offset == running % 256
             running += r.pack_tokens
+
+
+def test_sample_stratified_exact_proportions(run_kql):
+    import math
+
+    sampled = {
+        r.lang: r.n
+        for r in run_kql(
+            "documents | evaluate sample_stratified(lang, 0.25, 7)"
+            " | summarize n = count() by lang"
+        ).collect()
+    }
+    full = {
+        r.lang: r.n
+        for r in run_kql("documents | summarize n = count() by lang").collect()
+    }
+    assert set(sampled) == set(full)
+    for lang, n in full.items():
+        assert sampled[lang] == math.ceil(0.25 * n)
+    # deterministic for a fixed seed
+    a = sorted(
+        r.doc_id
+        for r in run_kql(
+            "documents | evaluate sample_stratified(lang, 0.1, 3) | project doc_id"
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in run_kql(
+            "documents | evaluate sample_stratified(lang, 0.1, 3) | project doc_id"
+        ).collect()
+    )
+    assert a == b
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="fraction"):
+        run_kql("documents | evaluate sample_stratified(lang, 1.5)").collect()
