@@ -3736,23 +3736,29 @@ _TIER_A = (
     # rounds; project-*/distinct stay covered by tail entries)
     "where_project", "between_duration_form", "llm_dedup_lines",
     "geo_densify_covering_shapes", "where_star_has",
-    # §2.3 sort/take
-    "top_orders", "top_nested",
+    # §2.3 sort/take (r6: top_orders -> llm_pack_sequences after 3 green
+    # driver rounds; top/sort/take stay covered by top_nested + a dozen
+    # tail entries sorting their outputs)
+    "llm_pack_sequences", "top_nested",
     # §2.4 joins: kinds + composite key + broadcast hint + lookup + multi-join
     # + theta/range idiom (r5 rotation: the five remaining `kind=` variants
     # moved to the pytest-certified tail after two green driver rounds)
     # (r5 batch-3 rotation: join_fullouter -> in_tabular_semi_join — the
     # tabular-in semi/anti lowering is a new operator class; fullouter stays
     # pytest-certified in the tail)
-    "join_inner", "in_tabular_semi_join", "join_innerunique",
+    # (r6: join_innerunique -> schema_merge_conflicts after 3 green driver
+    # rounds — schema_merge is a new plugin class; innerunique stays
+    # pytest-certified in the tail)
+    "join_inner", "in_tabular_semi_join", "schema_merge_conflicts",
     "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
     "join_theta_range",
     # §2.5 union (r5 batch-4: isfuzzy -> the type-conflict split, the
     # union semantics change made this session)
     "union_type_conflict_splits",
-    # §2.6 summarize/aggregates (computed-key + exact-percentile entries
-    # moved to the pytest tail after two green driver rounds)
-    "tpch_q6", "agg_sweep", "arg_max_agg",
+    # §2.6 summarize/aggregates (r6: arg_max_agg ->
+    # llm_sample_stratified_counts — the exact-stratified-count contract is
+    # a new op class; arg_max stays covered by the arg_max fuzz + tail)
+    "tpch_q6", "agg_sweep", "llm_sample_stratified_counts",
     # §2.7 window (r6: window_cumsum_restart -> extent_metadata_shape after
     # 2 green driver rounds; rank restarts keep the window slot)
     "extent_metadata_shape", "window_rank_restart",
