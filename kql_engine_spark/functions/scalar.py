@@ -1390,18 +1390,29 @@ simple("series_sum")(
 )
 
 
-def _series_stats_struct(a: Column) -> Column:
-    """KQL series_stats(a) -> {min, min_idx, max, max_idx, avg, stdev,
-    variance}. Indices are 0-based [KQL]."""
-    n = F.size(a).cast("double")
-    total = F.aggregate(a, F.lit(0.0), lambda s, x: s + x)
+def _series_stats_struct(a: Column, ignore_nonfinite: bool = False) -> Column:
+    """KQL series_stats(a [, ignore_nonfinite]) -> {min, min_idx, max,
+    max_idx, avg, stdev, variance}. Indices are 0-based and refer to the
+    ORIGINAL series [KQL]. With the default ignore_nonfinite=false, a
+    series containing null/NaN/inf yields a null result (the documented
+    Kusto contract); with true, non-finite elements are dropped before
+    computing the statistics."""
+    finite = F.filter(
+        a,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+    src = finite if ignore_nonfinite else a
+    n = F.size(src).cast("double")
+    total = F.aggregate(src, F.lit(0.0), lambda s, x: s + x)
     avg = total / n
-    mn = F.array_min(a)
-    mx = F.array_max(a)
-    var = F.aggregate(a, F.lit(0.0), lambda s, x: s + (x - avg) * (x - avg)) / (
+    mn = F.array_min(src)
+    mx = F.array_max(src)
+    var = F.aggregate(src, F.lit(0.0), lambda s, x: s + (x - avg) * (x - avg)) / (
         n - F.lit(1.0)
     )
-    return F.struct(
+    out = F.struct(
         mn.alias("min"),
         (F.array_position(a, mn) - F.lit(1)).alias("min_idx"),
         mx.alias("max"),
@@ -1410,12 +1421,21 @@ def _series_stats_struct(a: Column) -> Column:
         F.sqrt(var).alias("stdev"),
         var.alias("variance"),
     )
+    if ignore_nonfinite:
+        return out
+    # default: any non-finite element voids the whole result [KQL]
+    return F.when(F.size(finite) == F.size(a), out)
+
+
+def _series_stats_args(tr, args) -> Column:
+    ignore = bool(tr.const_value(args[1])) if len(args) > 1 else False
+    return _series_stats_struct(_as_dseries(tr.to_col(args[0])), ignore)
 
 
 @fn("series_stats_dynamic")
 def _series_stats_dynamic(tr, args):
     """Bag form (JSON-text dynamic carrier) of series_stats [KQL]."""
-    return F.to_json(_series_stats_struct(_as_dseries(tr.to_col(args[0]))))
+    return F.to_json(_series_stats_args(tr, args))
 
 
 @fn("series_fill_const")
@@ -2802,7 +2822,7 @@ MULTI_OUTPUT["array_sort_asc"] = (_array_sort_fields, _array_sort_asc_struct)
 MULTI_OUTPUT["array_sort_desc"] = (_array_sort_fields, _array_sort_desc_struct)
 MULTI_OUTPUT["series_stats"] = (
     ["min", "min_idx", "max", "max_idx", "avg", "stdev", "variance"],
-    lambda tr, args: _series_stats_struct(_as_dseries(tr.to_col(args[0]))),
+    _series_stats_args,
 )
 MULTI_OUTPUT["series_stats_dynamic"] = MULTI_OUTPUT["series_stats"]
 MULTI_OUTPUT["series_decompose"] = (

@@ -555,7 +555,10 @@ def test_random_make_series_matches_duckdb(run_kql, duck, step_h, lo, agg_ix):
         f" | make-series y = {kagg} default={kdefault} on ts"
         f" from datetime(2024-01-01) to datetime(2024-01-11) step {step_h}h"
         " | project n = array_length(y),"
-        "   s = round(todouble(series_stats_dynamic(y).avg), 2)"
+        # ignore_nonfinite=true: the SQL twin's AVG skips the null cells the
+        # max() aggregate leaves behind (default=real(null)); Kusto's
+        # default-false mode would null the whole result instead
+        "   s = round(todouble(series_stats_dynamic(y, true).avg), 2)"
     )
     sdf = duck.sql(
         f"""WITH grid AS (

@@ -1375,3 +1375,25 @@ def test_truncationmaxrecords_set_property(run_kql):
 
     with pytest.raises(KqlSemanticError, match="truncationmaxrecords"):
         run_kql("set truncationmaxrecords = -2; region").collect()
+
+
+def test_series_stats_nonfinite_modes(run_kql):
+    # Kusto contract: default ignore_nonfinite=false -> a null element voids
+    # the whole result; true -> non-finite elements are dropped first, while
+    # min_idx/max_idx still index the ORIGINAL series
+    row = run_kql(
+        "print s = dynamic([2.0, null, 6.0])"
+        " | extend d = series_stats_dynamic(s),"
+        "   i = series_stats_dynamic(s, true)"
+        " | project d_null = isnull(d), avg = todouble(i.avg),"
+        "   mn = todouble(i.min), mx_idx = tolong(i.max_idx)"
+    ).collect()[0]
+    assert row.d_null is True
+    assert row.avg == 4.0 and row.mn == 2.0 and row.mx_idx == 2
+    # destructuring form takes the flag too
+    row2 = run_kql(
+        "print s = dynamic([1.0, null, 3.0])"
+        " | extend (mn, mni, mx, mxi, av, sd, va) = series_stats(s, true)"
+        " | project av, mx"
+    ).collect()[0]
+    assert row2.av == 2.0 and row2.mx == 3.0
