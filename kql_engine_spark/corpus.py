@@ -3714,6 +3714,45 @@ q(
        FROM documents GROUP BY lang ORDER BY lang""",
 )
 
+q(
+    "ipv6_lookup_cidr",
+    # round 5: 128-bit CIDR-range lookup join, longest prefix wins. The
+    # engine compares 32-char zero-padded hex strings; the twin does the
+    # same arithmetic in HUGEINT (2001:db8::/32 values stay < 2^127):
+    # base = 0x20010db8 << 96, group3 contributes user_id%4 << 80, the
+    # final hex group is event_id%10 (digits 0-9 are hex-safe)
+    """let lut = datatable(cidr:string, net:string)[
+      '2001:db8::/32','site', '2001:db8:1::/48','one',
+      '2001:db8:2::/48','two', '100::/64','discard'];
+    events
+    | extend ip = iff(event_id % 7 == 0, '::1',
+        strcat('2001:db8:', tostring(user_id % 4), '::', tostring(event_id % 10)))
+    | evaluate ipv6_lookup(lut, ip, cidr)
+    | summarize c = count() by net
+    | sort by net asc""",
+    """WITH lut(net, s, e, b) AS (VALUES
+         ('site', CAST('42540766411282592856903984951653826560' AS HUGEINT),
+                  CAST('42540766490510755371168322545197776895' AS HUGEINT), 32),
+         ('one',  CAST('42540766411283801782723599580828532736' AS HUGEINT),
+                  CAST('42540766411285010708543214210003238911' AS HUGEINT), 48),
+         ('two',  CAST('42540766411285010708543214210003238912' AS HUGEINT),
+                  CAST('42540766411286219634362828839177945087' AS HUGEINT), 48),
+         ('discard', CAST('1329227995784915872903807060280344576' AS HUGEINT),
+                  CAST('1329227995784915891350551133989896191' AS HUGEINT), 64)),
+       src AS (SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE CAST('42540766411282592856903984951653826560' AS HUGEINT)
+                     + (user_id % 4) * CAST('1208925819614629174706176' AS HUGEINT)
+                     + (event_id % 10) END AS v
+          FROM events),
+       m AS (SELECT event_id, net,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY b DESC, net) AS rn
+             FROM src JOIN lut ON v BETWEEN s AND e)
+       SELECT net, CAST(COUNT(*) AS BIGINT) AS c
+       FROM m WHERE rn = 1 GROUP BY net ORDER BY net""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -899,6 +899,121 @@ def _ipv4_lookup(ptr, df, args):
     return out.drop(*drop)
 
 
+# -------------------------------------------------------- ipv6_lookup (§2.8)
+_IPV6_LOOKUP_UDFS: dict = {}
+
+
+def _ipv6_lookup_udfs():
+    """Arrow-batched kernels for the 128-bit range join: addresses become
+    fixed-width 32-char hex strings (lexicographic order == numeric order,
+    so the theta join stays a plain JVM string comparison); CIDR keys
+    expand to a (start, end, bits) struct once on the broadcast side."""
+    if _IPV6_LOOKUP_UDFS:
+        return _IPV6_LOOKUP_UDFS
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.scalar import _ipv6_masked, _ipv6_value
+
+    @pandas_udf("string")
+    def ip_hex(s):
+        def one(x):
+            v, _ = _ipv6_value(x)
+            return None if v is None else format(v, "032x")
+
+        return s.map(one)
+
+    @pandas_udf("s string, e string, b int")
+    def cidr_range(col):
+        rows = []
+        for x in col:
+            v, p = _ipv6_value(x)
+            if v is None:
+                rows.append((None, None, None))
+            else:
+                lo = _ipv6_masked(v, p)
+                hi = lo | ((1 << (128 - p)) - 1) if p < 128 else lo
+                rows.append((format(lo, "032x"), format(hi, "032x"), p))
+        return pd.DataFrame(rows, columns=["s", "e", "b"])
+
+    _IPV6_LOOKUP_UDFS["ip_hex"] = ip_hex
+    _IPV6_LOOKUP_UDFS["cidr_range"] = cidr_range
+    return _IPV6_LOOKUP_UDFS
+
+
+@plugin("ipv6_lookup")
+def _ipv6_lookup(ptr, df, args):
+    """`T | evaluate ipv6_lookup(LookupTable, SourceIp, RangeKey [, extra
+    keys...] [, return_unmatched])` [KQL]: IPv6 twin of ipv4_lookup —
+    join each row's IPv6 (or IPv4, auto-mapped to ::ffff:a.b.c.d) string
+    against a lookup table of address/CIDR ranges; longest prefix wins.
+
+    Lowering: 128 bits don't fit a bigint, so both sides canonicalize to
+    32-char zero-padded hex (Arrow-batched pandas UDFs — once per
+    broadcast lookup row, once per fact row); the range join itself is a
+    JVM string-compare theta join against the BROADCAST lookup side, and
+    the longest-prefix rule is a row_number window partitioned by a
+    per-source-row id — no global order, scales with the fact side."""
+    from pyspark.sql import Window
+
+    tr = ptr.expr_tr(df)
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "ipv6_lookup(lookup_table, source_ip_col, range_key_col "
+            "[, extra_key...] [, return_unmatched])"
+        )
+    if not isinstance(args[0], Col):
+        raise KqlSemanticError("ipv6_lookup: first arg must be a table name")
+    lut = ptr._resolve_table(args[0].name)
+    ipc = args[1].name if isinstance(args[1], Col) else None
+    keyc = args[2].name if isinstance(args[2], Col) else None
+    if ipc is None or keyc is None:
+        raise KqlSemanticError("ipv6_lookup: ip and range key must be columns")
+    if keyc not in lut.columns:
+        raise KqlSemanticError(f"ipv6_lookup: {keyc!r} not in lookup table")
+    extra, unmatched = [], False
+    for a in args[3:]:
+        if isinstance(a, Col):
+            extra.append(a.name)
+        else:
+            unmatched = bool(tr.const_value(a))
+    udfs = _ipv6_lookup_udfs()
+    rng = udfs["cidr_range"](F.col(keyc).cast("string"))
+    lutp = (
+        lut.withColumn("__kql_rng", rng)
+        .withColumn("__kql_s", F.col("__kql_rng.s"))
+        .withColumn("__kql_e", F.col("__kql_rng.e"))
+        .withColumn("__kql_b", F.col("__kql_rng.b"))
+        .drop("__kql_rng")
+    )
+    for i, k in enumerate(extra):
+        if k not in lutp.columns:
+            raise KqlSemanticError(f"ipv6_lookup: extra key {k!r} not in lookup table")
+        lutp = lutp.withColumnRenamed(k, f"__kql_k{i}")
+    for c in lutp.columns:
+        if c in df.columns and not c.startswith("__kql"):
+            lutp = lutp.withColumnRenamed(c, c + "1")
+    src = df.withColumn("__kql_rid", F.monotonically_increasing_id()).withColumn(
+        "__kql_ip", udfs["ip_hex"](F.col(ipc).cast("string"))
+    )
+    cond = (F.col("__kql_ip") >= F.col("__kql_s")) & (
+        F.col("__kql_ip") <= F.col("__kql_e")
+    )
+    for i, k in enumerate(extra):
+        cond = cond & (src[k] == F.col(f"__kql_k{i}"))
+    joined = src.join(F.broadcast(lutp), cond, "left" if unmatched else "inner")
+    keyout = keyc if keyc in joined.columns else keyc + "1"
+    w = Window.partitionBy("__kql_rid").orderBy(
+        F.col("__kql_b").desc_nulls_last(), F.col(keyout).asc_nulls_last()
+    )
+    out = joined.withColumn("__kql_rn", F.row_number().over(w)).where(
+        F.col("__kql_rn") == 1
+    )
+    drop = ["__kql_rid", "__kql_ip", "__kql_s", "__kql_e", "__kql_b", "__kql_rn"]
+    drop += [f"__kql_k{i}" for i in range(len(extra))]
+    return out.drop(*drop)
+
+
 # -------------------------------------------- activity_counts_metrics (§2.8)
 @plugin("activity_counts_metrics")
 def _activity_counts_metrics(ptr, df, args):

@@ -1397,3 +1397,18 @@ def test_series_stats_nonfinite_modes(run_kql):
         " | project av, mx"
     ).collect()[0]
     assert row2.av == 2.0 and row2.mx == 3.0
+
+
+def test_ipv6_lookup_mapped_and_unmatched(run_kql):
+    # bare IPv4 addresses map into ::ffff:a.b.c.d and match v4-mapped
+    # CIDRs; return_unmatched=true keeps misses with null lookup columns
+    rows = run_kql(
+        "let lut = datatable(cidr:string, net:string)["
+        " '::ffff:10.0.0.0/104','ten-mapped', '2001:db8::/32','docs'];"
+        "datatable(ip:string)['10.1.2.3', '2001:db8::5', 'fe80::1']"
+        " | evaluate ipv6_lookup(lut, ip, cidr, true)"
+        " | project ip, net"
+        " | sort by ip asc"
+    ).collect()
+    got = {r.ip: r.net for r in rows}
+    assert got == {"10.1.2.3": "ten-mapped", "2001:db8::5": "docs", "fe80::1": None}
