@@ -3715,6 +3715,46 @@ q(
 )
 
 q(
+    "llm_repetition_filter",
+    # round 5: Gopher repetition rules — the twin recomputes the top-2/4-gram
+    # and dup-5-gram char fractions from scratch (unnest + group + window)
+    # with the same tie-break (count desc, count*len desc, gram asc) and the
+    # same per-row 4-decimal rounding before the cross-doc sum
+    """documents
+    | evaluate repetition_filter(text)
+    | summarize t2 = round(sum(rf_top_2gram_char_frac), 4),
+                t4 = round(sum(rf_top_4gram_char_frac), 4),
+                d5 = round(sum(rf_dup_5gram_char_frac), 4)""",
+    """WITH toks AS (
+         SELECT doc_id, GREATEST(length(trim(text)), 1) AS dc,
+                list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '') AS t
+         FROM documents),
+       g AS (SELECT doc_id, dc, n, unnest(CASE WHEN len(t) >= n THEN
+                list_transform(range(1, len(t) - n + 2),
+                               i -> array_to_string(t[i:i+n-1], ' '))
+                ELSE [] END) AS gram
+             FROM toks CROSS JOIN (SELECT unnest([2, 4, 5]) AS n)),
+       c AS (SELECT doc_id, dc, n, gram, COUNT(*) AS cnt,
+                    COUNT(*) * length(gram) AS score
+             FROM g GROUP BY doc_id, dc, n, gram),
+       top AS (SELECT doc_id, n,
+                      CASE WHEN cnt > 1 THEN ROUND(score / dc, 4)
+                           ELSE 0 END AS f,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                        ORDER BY cnt DESC, score DESC, gram) AS rn
+               FROM c WHERE n IN (2, 4)),
+       dup AS (SELECT doc_id,
+                      LEAST(ROUND(COALESCE(SUM(score) FILTER (WHERE cnt > 1), 0)
+                                  / ANY_VALUE(dc), 4), 1.0) AS f
+               FROM c WHERE n = 5 GROUP BY doc_id)
+       SELECT ROUND(SUM(f) FILTER (WHERE n = 2), 4) AS t2,
+              ROUND(SUM(f) FILTER (WHERE n = 4), 4) AS t4,
+              (SELECT ROUND(SUM(f), 4) FROM dup) AS d5
+       FROM top WHERE rn = 1""",
+)
+
+q(
     "ipv6_lookup_cidr",
     # round 5: 128-bit CIDR-range lookup join, longest prefix wins. The
     # engine compares 32-char zero-padded hex strings; the twin does the

@@ -833,6 +833,166 @@ def _quality_filter(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+def _dup_run_stats(arr: Column) -> Column:
+    """One sorted pass over a string array — run-length stats per distinct
+    element, all JVM-side (array_sort + aggregate, no shuffle, no UDF):
+
+      top_count    occurrences of the most frequent element
+      top_score    top_count * strlen(that element); ties on count keep the
+                   larger score, then the first element in sort order
+      extra_items  occurrences beyond each element's first (total - distinct)
+      extra_chars  strlen-weighted extra_items
+      dup_chars    strlen-weighted ALL occurrences of elements seen > once
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("top_count"),
+        F.lit(0.0).alias("top_score"),
+        F.lit(0).cast("bigint").alias("extra_items"),
+        F.lit(0.0).alias("extra_chars"),
+        F.lit(0.0).alias("dup_chars"),
+    )
+
+    def flush(acc):
+        # fold the in-progress run (acc.prev x acc.run) into the totals
+        plen = F.coalesce(F.length(acc["prev"]).cast("double"), F.lit(0.0))
+        run = acc["run"]
+        score = run.cast("double") * plen
+        better = (run > acc["top_count"]) | (
+            (run == acc["top_count"]) & (score > acc["top_score"])
+        )
+        extra = F.when(run > 1, run - 1).otherwise(F.lit(0)).cast("double")
+        return F.struct(
+            F.when(better, run).otherwise(acc["top_count"]).alias("top_count"),
+            F.when(better, score).otherwise(acc["top_score"]).alias("top_score"),
+            (acc["extra_items"] + extra.cast("bigint")).alias("extra_items"),
+            (acc["extra_chars"] + extra * plen).alias("extra_chars"),
+            (
+                acc["dup_chars"] + F.when(run > 1, score).otherwise(F.lit(0.0))
+            ).alias("dup_chars"),
+        )
+
+    def step(acc, g):
+        f = flush(acc)
+        cont = acc["prev"].eqNullSafe(g)
+        return F.struct(
+            g.alias("prev"),
+            F.when(cont, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(cont, acc["top_count"]).otherwise(f["top_count"]).alias("top_count"),
+            F.when(cont, acc["top_score"]).otherwise(f["top_score"]).alias("top_score"),
+            F.when(cont, acc["extra_items"])
+            .otherwise(f["extra_items"])
+            .alias("extra_items"),
+            F.when(cont, acc["extra_chars"])
+            .otherwise(f["extra_chars"])
+            .alias("extra_chars"),
+            F.when(cont, acc["dup_chars"]).otherwise(f["dup_chars"]).alias("dup_chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, flush)
+
+
+@plugin("repetition_filter")
+def _repetition_filter(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate repetition_filter(textcol)` — the Gopher repetition
+    rules (Rae et al. 2021 Table A1), the within-document half of quality
+    filtering that `quality_filter`'s ratio rules don't cover:
+
+      rf_dup_line_frac        lines occurring > once (beyond first) / lines     (<= 0.30)
+      rf_dup_line_char_frac   same, strlen-weighted / total line chars          (<= 0.20)
+      rf_dup_para_frac        duplicate paragraphs / paragraphs                 (<= 0.30)
+      rf_dup_para_char_frac   strlen-weighted / total paragraph chars           (<= 0.20)
+      rf_top_{2,3,4}gram_char_frac   chars of the most frequent word n-gram
+                              (count x strlen) / doc chars, 0 unless that
+                              n-gram actually repeats   (<= 0.20/0.18/0.16)
+      rf_dup_{5..10}gram_char_frac   chars of ALL occurrences of repeated
+                              n-grams / doc chars, capped at 1
+                              (<= 0.15/0.14/0.13/0.12/0.11/0.10)
+      rf_pass                 all thresholds hold
+
+    The dup-n-gram fractions count every occurrence of a repeated n-gram
+    without Gopher's overlap de-marking (a documented over-count, hence the
+    cap); paragraphs are blank-line-separated blocks, lines are trimmed
+    non-empty '\\n' splits, n-grams come from the shared lowercased
+    whitespace tokenizer.
+
+    Scale: per-row column arithmetic only — each metric is one
+    array_sort + aggregate pass (O(g log g) per row, JVM codegen); no
+    shuffle, no UDF, no driver state."""
+    if len(args) != 1:
+        raise KqlSemanticError("repetition_filter(textcol)")
+    text = _colname(args[0], "repetition_filter")
+    src = F.trim(F.col(text).cast("string"))
+    doc_chars = F.greatest(F.length(src), F.lit(1)).cast("double")
+    toks = _tokens(src)
+
+    def frac(num, den):
+        return F.round(num / F.greatest(den, F.lit(1.0)), 4)
+
+    def elem_stats(arr):
+        s = _dup_run_stats(arr)
+        n = F.size(arr).cast("double")
+        chars = F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+        )
+        return (
+            frac(s["extra_items"].cast("double"), n),
+            frac(s["extra_chars"], chars),
+        )
+
+    lines = F.filter(
+        F.transform(F.split(src, r"\n"), F.trim), lambda l: F.length(l) > 0
+    )
+    paras = F.filter(
+        F.transform(F.split(src, r"\n\s*\n"), F.trim), lambda p: F.length(p) > 0
+    )
+    line_frac, line_char = elem_stats(lines)
+    para_frac, para_char = elem_stats(paras)
+
+    def grams(n):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = (
+        df.withColumn("rf_dup_line_frac", line_frac)
+        .withColumn("rf_dup_line_char_frac", line_char)
+        .withColumn("rf_dup_para_frac", para_frac)
+        .withColumn("rf_dup_para_char_frac", para_char)
+    )
+    top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    for n, _t in top_thr.items():
+        s = _dup_run_stats(grams(n))
+        # a single occurrence is not repetition: short docs would otherwise
+        # fail on the bare length of their longest n-gram
+        out = out.withColumn(
+            f"rf_top_{n}gram_char_frac",
+            frac(F.when(s["top_count"] > 1, s["top_score"]).otherwise(0.0), doc_chars),
+        )
+    for n, _t in dup_thr.items():
+        out = out.withColumn(
+            f"rf_dup_{n}gram_char_frac",
+            F.least(frac(_dup_run_stats(grams(n))["dup_chars"], doc_chars), F.lit(1.0)),
+        )
+    qpass = (
+        (F.col("rf_dup_line_frac") <= 0.30)
+        & (F.col("rf_dup_line_char_frac") <= 0.20)
+        & (F.col("rf_dup_para_frac") <= 0.30)
+        & (F.col("rf_dup_para_char_frac") <= 0.20)
+    )
+    for n, t in top_thr.items():
+        qpass = qpass & (F.col(f"rf_top_{n}gram_char_frac") <= t)
+    for n, t in dup_thr.items():
+        qpass = qpass & (F.col(f"rf_dup_{n}gram_char_frac") <= t)
+    return out.withColumn("rf_pass", F.coalesce(qpass, F.lit(False)))
+
+
 # ------------------------------------------------------------------ chunk_text
 @plugin("chunk_text")
 def _chunk_text(ptr, df: DataFrame, args) -> DataFrame:

@@ -1412,3 +1412,29 @@ def test_ipv6_lookup_mapped_and_unmatched(run_kql):
     ).collect()
     got = {r.ip: r.net for r in rows}
     assert got == {"10.1.2.3": "ten-mapped", "2001:db8::5": "docs", "fe80::1": None}
+
+
+def test_repetition_filter_line_and_para_metrics(run_kql):
+    # Gopher repetition rules: dup-line fraction counts occurrences beyond
+    # the first; char fraction is strlen-weighted; paragraphs split on
+    # blank lines; a clean doc passes
+    rows = run_kql(
+        "datatable(id:long, t:string)["
+        " 1, 'x\\ny\\nx\\ny\\nx',"
+        " 2, 'para one here\\n\\npara one here\\n\\nunique tail']"
+        " | evaluate repetition_filter(t)"
+        " | project id, lf = rf_dup_line_frac, pf = rf_dup_para_frac,"
+        "   pcf = rf_dup_para_char_frac, p = rf_pass"
+        " | sort by id asc"
+    ).collect()
+    r1, r2 = rows
+    assert r1.lf == 0.6 and r1.p is False  # 3 of 5 lines are repeats
+    # doc 2: 3 paragraphs, 'para one here' twice -> 1 extra of 3; chars
+    # 13 extra of 13+13+11=37
+    assert r2.pf == round(1 / 3, 4) and r2.pcf == round(13 / 37, 4)
+    clean = run_kql(
+        "datatable(t:string)['the quick brown fox jumps over a lazy dog while"
+        " seven other animals watch from the tall green hill nearby today']"
+        " | evaluate repetition_filter(t) | project rf_pass"
+    ).collect()[0]
+    assert clean.rf_pass is True
