@@ -3828,9 +3828,12 @@ _TIER_A = (
     # (r6: join_innerunique -> schema_merge_conflicts after 3 green driver
     # rounds — schema_merge is a new plugin class; innerunique stays
     # pytest-certified in the tail)
+    # (r5 cont.: lookup_dim -> ipv6_lookup_cidr after 4 green driver rounds —
+    # keeps a lookup-join representative while certifying the new 128-bit
+    # CIDR range join; lookup_dim stays pytest-certified in the tail)
     "join_inner", "in_tabular_semi_join", "schema_merge_conflicts",
-    "join_multikey", "join_broadcast_hint", "lookup_dim", "tpch_q5_multijoin",
-    "join_theta_range",
+    "join_multikey", "join_broadcast_hint", "ipv6_lookup_cidr",
+    "tpch_q5_multijoin", "join_theta_range",
     # §2.5 union (r5 batch-4: isfuzzy -> the type-conflict split, the
     # union semantics change made this session)
     "union_type_conflict_splits",
@@ -3844,8 +3847,11 @@ _TIER_A = (
     # §2.8 mv-*/parse/evaluate (r6: parse_pattern ->
     # ipv4_cidr_list_and_geo_simplify after 3 green driver rounds; parse
     # stays covered by parse_where/parse_kv tail entries)
-    "mv_apply_agg", "ipv4_cidr_list_and_geo_simplify", "evaluate_pivot",
-    "diffpatterns_orders",
+    # (r5 cont.: mv_apply_agg -> llm_repetition_filter after 4 green driver
+    # rounds — certifies the new Gopher repetition rules; mv-apply stays
+    # covered by mv_apply_where in the tail)
+    "llm_repetition_filter", "ipv4_cidr_list_and_geo_simplify",
+    "evaluate_pivot", "diffpatterns_orders",
     # §2.9 scalar functions (+ sketch interop readout; r6: has_term ->
     # geo_intersects_and_ipv6_terms — arc-intersection predicates and
     # canonical IPv6 term matching are new function classes; has/term
