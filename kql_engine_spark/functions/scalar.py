@@ -5679,6 +5679,211 @@ _geo_pair_udf("geo_intersects_2polygons", "boolean", _intersects_2polygons)
 _geo_pair_udf("geo_intersection_2lines", "string", _intersection_2lines)
 
 
+# geo_intersection_line_with_polygon / geo_intersection_2polygons [KQL geo].
+# Same geodesic-arc model as the predicates above. Line clipping splits each
+# segment at its ring crossings and keeps the pieces whose midpoints fall
+# inside (hole-aware); polygon-polygon intersection is a Greiner-Hormann
+# traversal over EXTERIOR rings (holes dropped — documented simplification;
+# vertex-transversal/degenerate-overlap configurations return null).
+
+
+def _ang3(u, v):
+    import math
+
+    return math.acos(max(-1.0, min(1.0, sum(x * y for x, y in zip(u, v)))))
+
+
+def _xyz_lonlat(v):
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    return [
+        math.degrees(math.atan2(v[1], v[0])),
+        math.degrees(math.asin(max(-1.0, min(1.0, v[2] / n)))),
+    ]
+
+
+def _arc_mid(p, q):
+    a, b = _geo_xyz(*p), _geo_xyz(*q)
+    s = (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    if sum(x * x for x in s) < 1e-18:  # antipodal: midpoint undefined
+        return None
+    return _xyz_lonlat(s)
+
+
+def _intersection_line_polygon(s1, s2):
+    import json
+
+    line, rings = _geo_coords(s1, "LineString"), _geo_coords(s2, "Polygon")
+    if line is None or not rings or len(line) < 2:
+        return None
+    paths, cur = [], None
+    for a, b in zip(line[:-1], line[1:]):
+        ax = _geo_xyz(*a)
+        pts = [(0.0, [float(a[0]), float(a[1])]),
+               (_ang3(ax, _geo_xyz(*b)), [float(b[0]), float(b[1])])]
+        for ring in rings:
+            for c, d in zip(ring[:-1], ring[1:]):
+                for p in _arc_intersections(a, b, c, d):
+                    pts.append((_ang3(ax, _geo_xyz(*p)), p))
+        pts.sort(key=lambda x: x[0])
+        merged = [pts[0]]
+        for t, p in pts[1:]:
+            if t - merged[-1][0] > 1e-12:
+                merged.append((t, p))
+        for (_, p1), (_, p2) in zip(merged[:-1], merged[1:]):
+            m = _arc_mid(p1, p2)
+            keep = m is not None and _point_in_rings(m[0], m[1], rings)
+            if keep:
+                if cur is not None:
+                    cur.append(p2)
+                else:
+                    cur = [p1, p2]
+            elif cur is not None:
+                paths.append(cur)
+                cur = None
+    if cur is not None:
+        paths.append(cur)
+    if not paths:
+        return json.dumps({"type": "GeometryCollection", "geometries": []})
+    if len(paths) == 1:
+        return json.dumps({"type": "LineString", "coordinates": paths[0]})
+    return json.dumps({"type": "MultiLineString", "coordinates": paths})
+
+
+def _gh_clip(r1, r2, keep_inside=True):
+    """Greiner-Hormann over two closed exterior rings -> list of closed
+    result rings, or None on a degenerate configuration. keep_inside=True
+    walks the portions of each boundary inside the other (intersection)."""
+    a = [(float(p[0]), float(p[1])) for p in r1[:-1]]
+    b = [(float(p[0]), float(p[1])) for p in r2[:-1]]
+    if len(a) < 3 or len(b) < 3:
+        return None
+    crossings = []  # [i, ti, j, tj, point]
+    for i in range(len(a)):
+        p1, p2 = a[i], a[(i + 1) % len(a)]
+        x1 = _geo_xyz(*p1)
+        seg_a = _ang3(x1, _geo_xyz(*p2))
+        for j in range(len(b)):
+            q1, q2 = b[j], b[(j + 1) % len(b)]
+            y1 = _geo_xyz(*q1)
+            seg_b = _ang3(y1, _geo_xyz(*q2))
+            for p in _arc_intersections(p1, p2, q1, q2):
+                px = _geo_xyz(*p)
+                ti, tj = _ang3(x1, px), _ang3(y1, px)
+                eps = 1e-9
+                if ti < eps or seg_a - ti < eps or tj < eps or seg_b - tj < eps:
+                    # crossing at a vertex: degenerate, bail out honestly
+                    return None
+                crossings.append([i, ti, j, tj, (float(p[0]), float(p[1]))])
+    if not crossings:
+        in_ab = _point_in_rings(a[0][0], a[0][1], [r2])
+        in_ba = _point_in_rings(b[0][0], b[0][1], [r1])
+        if keep_inside:
+            if in_ab:
+                return [r1]
+            if in_ba:
+                return [r2]
+            return []
+        # union: nesting keeps the outer ring; disjoint keeps both
+        if in_ab:
+            return [r2]
+        if in_ba:
+            return [r1]
+        return [r1, r2]
+
+    # augmented vertex sequences: ('v', point) and ('x', crossing_id, point)
+    def augment(ring, key_ix, t_ix):
+        per_edge: dict = {}
+        for cid, c in enumerate(crossings):
+            per_edge.setdefault(c[key_ix], []).append((c[t_ix], cid))
+        seq = []
+        for i, v in enumerate(ring):
+            seq.append(("v", None, v))
+            for _, cid in sorted(per_edge.get(i, [])):
+                seq.append(("x", cid, crossings[cid][4]))
+        return seq
+
+    seq_a, seq_b = augment(a, 0, 1), augment(b, 2, 3)
+    pos_a = {n[1]: k for k, n in enumerate(seq_a) if n[0] == "x"}
+    pos_b = {n[1]: k for k, n in enumerate(seq_b) if n[0] == "x"}
+    other_ring = [r2, r1]  # inside test target per current list (a=0, b=1)
+
+    def fwd_inside(which, k):
+        """Is the arc leaving node k (forward) of ring `which` kept?"""
+        seq = seq_a if which == 0 else seq_b
+        m = _arc_mid(seq[k][2], seq[(k + 1) % len(seq)][2])
+        if m is None:
+            return False
+        ins = _point_in_rings(m[0], m[1], [other_ring[which]])
+        return ins if keep_inside else not ins
+
+    visited = set()
+    results = []
+    budget = 4 * (len(seq_a) + len(seq_b) + 4)
+    for start in range(len(crossings)):
+        if start in visited or not fwd_inside(0, pos_a[start]):
+            continue
+        which, k, direction = 0, pos_a[start], 1
+        path = [crossings[start][4]]
+        visited.add(start)
+        steps = 0
+        closed = False
+        while steps < budget:
+            steps += 1
+            seq = seq_a if which == 0 else seq_b
+            k = (k + direction) % len(seq)
+            node = seq[k]
+            path.append(list(node[2]))
+            if node[0] != "x":
+                continue
+            cid = node[1]
+            if cid == start:
+                closed = True
+                break
+            visited.add(cid)
+            # jump to the twin node on the other ring, pick the direction
+            # whose outgoing arc is kept
+            which = 1 - which
+            k = (pos_a if which == 0 else pos_b)[cid]
+            if fwd_inside(which, k):
+                direction = 1
+            else:
+                direction = -1
+                # walking backward: the kept arc is the one BEFORE the node,
+                # which backward traversal covers by construction
+        if not closed:
+            return None
+        if len(path) >= 4:
+            results.append([list(p) for p in path])
+    return results
+
+
+def _polyjson(rings):
+    import json
+
+    if rings is None:
+        return None
+    if not rings:
+        return json.dumps({"type": "GeometryCollection", "geometries": []})
+    if len(rings) == 1:
+        return json.dumps({"type": "Polygon", "coordinates": [rings[0]]})
+    return json.dumps(
+        {"type": "MultiPolygon", "coordinates": [[r] for r in rings]}
+    )
+
+
+def _intersection_2polygons(s1, s2):
+    p1, p2 = _geo_coords(s1, "Polygon"), _geo_coords(s2, "Polygon")
+    if not p1 or not p2 or len(p1[0]) < 4 or len(p2[0]) < 4:
+        return None
+    return _polyjson(_gh_clip(p1[0], p2[0], keep_inside=True))
+
+
+_geo_pair_udf("geo_intersection_line_with_polygon", "string", _intersection_line_polygon)
+_geo_pair_udf("geo_intersection_2polygons", "string", _intersection_2polygons)
+
+
 @fn("geo_point_buffer")
 def _geo_point_buffer(tr, args):
     """geo_point_buffer(lng, lat, radius_m [, tolerance_m]) [KQL]: polygon

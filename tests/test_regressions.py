@@ -1438,3 +1438,36 @@ def test_repetition_filter_line_and_para_metrics(run_kql):
         " | evaluate repetition_filter(t) | project rf_pass"
     ).collect()[0]
     assert clean.rf_pass is True
+
+
+def test_geo_intersection_polygon_and_line(run_kql):
+    # Greiner-Hormann over geodesic edges: two 2x2-degree squares offset by
+    # 1 degree overlap in a ~1x1-degree cell; containment returns the inner
+    # polygon verbatim; disjoint yields the empty collection; a meridian
+    # clips to the polygon's latitude span
+    r = run_kql(
+        'print sq1 = dynamic({"type":"Polygon","coordinates":'
+        "[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}),"
+        ' sq2 = dynamic({"type":"Polygon","coordinates":'
+        "[[[1,1],[3,1],[3,3],[1,3],[1,1]]]}),"
+        ' inner_sq = dynamic({"type":"Polygon","coordinates":'
+        "[[[0.5,0.5],[1.5,0.5],[1.5,1.5],[0.5,1.5],[0.5,0.5]]]}),"
+        ' far = dynamic({"type":"Polygon","coordinates":'
+        "[[[10,10],[12,10],[12,12],[10,12],[10,10]]]}),"
+        ' mer = dynamic({"type":"LineString","coordinates":[[1,-1],[1,5]]})'
+        " | extend ovl = geo_intersection_2polygons(sq1, sq2),"
+        "   cont_area = geo_polygon_area(geo_intersection_2polygons(sq1, inner_sq)),"
+        "   inner_area = geo_polygon_area(inner_sq),"
+        "   disj = geo_intersection_2polygons(sq1, far),"
+        "   clip_len = geo_line_length(geo_intersection_line_with_polygon(mer, sq1))"
+        " | project ovl_area = geo_polygon_area(ovl), cont_area, inner_area,"
+        "   disj, clip_len"
+    ).collect()[0]
+    import json
+
+    # ~111.19 km per degree => 1x1 deg cell near the equator ~ 1.236e10 m^2
+    assert abs(r.ovl_area - 1.236e10) / 1.236e10 < 0.01
+    assert r.cont_area == r.inner_area  # containment returns inner ring
+    assert json.loads(r.disj) == {"type": "GeometryCollection", "geometries": []}
+    # equator (geodesic bottom edge) to the slightly-bulged lat-2 top edge
+    assert abs(r.clip_len - 2.0 * 111_195) / (2.0 * 111_195) < 0.01
