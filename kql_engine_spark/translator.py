@@ -20,6 +20,7 @@ from __future__ import annotations
 import fnmatch
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -2932,6 +2933,13 @@ def kql(
         raise KqlSyntaxError(
             "query is too deeply nested for this engine", text, 0
         ) from None
+    except AnalysisException as exc:
+        # DataFrame transformations analyze eagerly, so unresolved columns
+        # and type mismatches Spark catches surface here at translate time;
+        # Kusto reports these as semantic errors, not engine internals
+        raise KqlSemanticError(
+            "semantic error: " + str(exc).split(";")[0].strip()
+        ) from exc
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})
         if len(plans) >= _PLAN_CACHE_CAP:

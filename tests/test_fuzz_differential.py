@@ -780,3 +780,118 @@ def test_random_scan_matches_reference_model(run_kql, evs, steps):
     ).collect()
     want = _scan_reference(rows, steps)
     assert [(r.ts, r.ev, r.v, r.acc, r.m) for r in got] == want
+
+
+# --------------------------------------- right-semi/anti join differential
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    anti=st.booleans(),
+    cust_lo=st.integers(0, 1200),
+    prio=st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+)
+def test_random_right_semi_anti_join_matches_duckdb(run_kql, duck, anti, cust_lo, prio):
+    # rightsemi/rightanti keep RIGHT-side rows/columns; the twin swaps the
+    # operand order of DuckDB's SEMI/ANTI join
+    kind = "rightanti" if anti else "rightsemi"
+    skind = "ANTI JOIN" if anti else "SEMI JOIN"
+    kql_q = (
+        f"customer | where c_custkey >= {cust_lo}"
+        f" | join kind={kind} (orders | where o_orderpriority == '{prio}')"
+        " on $left.c_custkey == $right.o_custkey"
+        " | summarize n = count(), s = sum(o_custkey), d = count_distinct(o_orderkey)"
+    )
+    sql_q = (
+        "SELECT COUNT(*) AS n, SUM(o_custkey) AS s,"
+        " CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d FROM"
+        f" (SELECT * FROM orders WHERE o_orderpriority = '{prio}') o"
+        f" {skind}"
+        f" (SELECT * FROM customer WHERE c_custkey >= {cust_lo}) c"
+        " ON o.o_custkey = c.c_custkey"
+    )
+    got = run_kql(kql_q).collect()[0]
+    want = duck.sql(sql_q).fetchone()
+    assert got.n == want[0]
+    assert (got.s is None and want[1] is None) or got.s == want[1]
+    assert got.d == want[2]
+
+
+# --------------------------------------------- mv-expand differential fuzz
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(0, 400),
+    span=st.integers(1, 60),
+    with_ix=st.booleans(),
+)
+def test_random_mv_expand_matches_duckdb(run_kql, duck, lo, span, with_ix):
+    # mv-expand of a split() array vs DuckDB's zipped parallel unnest;
+    # count/distinct/index-sum are order-insensitive probes
+    ix_k = "with_itemindex=ix " if with_ix else ""
+    ix_agg = ", si = sum(ix)" if with_ix else ""
+    kdf = run_kql(
+        f"documents | where doc_id >= {lo} and doc_id < {lo + span}"
+        f" | mv-expand {ix_k}w = split(text, ' ')"
+        f" | summarize n = count(), d = count_distinct(tostring(w)){ix_agg}"
+    )
+    ix_sql = ", SUM(ix) AS si" if with_ix else ""
+    sdf = duck.sql(
+        f"""WITH e AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                    unnest(range(len(string_split(text, ' ')))) AS ix
+             FROM documents WHERE doc_id >= {lo} AND doc_id < {lo + span})
+           SELECT COUNT(*) AS n,
+                  CAST(COUNT(DISTINCT w) AS BIGINT) AS d{ix_sql} FROM e"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    if not got and want and want[0][0] == "0":
+        want = []  # empty-input global summarize: KQL emits no row
+    assert got == want
+
+
+# -------------------------------------------------- union differential fuzz
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    inner=st.booleans(),
+    mod=st.integers(2, 50),
+    extra=st.booleans(),
+)
+def test_random_union_matches_duckdb(run_kql, duck, inner, mod, extra):
+    # union outer pads side-B-only columns with null, inner keeps the common
+    # subset (src appears on both sides so the group key survives inner);
+    # DuckDB twin: UNION ALL with explicit NULL padding / common cols
+    kind = "inner" if inner else "outer"
+    extra_k = ", x = s_nationkey" if extra else ""
+    kdf = run_kql(
+        f"union kind={kind}"
+        f" (customer | project k = c_custkey % {mod}, src = 'c'),"
+        f" (supplier | project k = s_suppkey % {mod}, src = 's'{extra_k})"
+        " | summarize n = count(), dk = count_distinct(k) by src"
+        " | sort by src asc"
+    )
+    sdf = duck.sql(
+        f"""WITH u AS (
+             SELECT c_custkey % {mod} AS k, 'c' AS src FROM customer
+             UNION ALL SELECT s_suppkey % {mod} AS k, 's' AS src FROM supplier)
+           SELECT src, COUNT(*) AS n, CAST(COUNT(DISTINCT k) AS BIGINT) AS dk
+           FROM u GROUP BY src ORDER BY src"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want

@@ -1471,3 +1471,18 @@ def test_geo_intersection_polygon_and_line(run_kql):
     assert json.loads(r.disj) == {"type": "GeometryCollection", "geometries": []}
     # equator (geodesic bottom edge) to the slightly-bulged lat-2 top edge
     assert abs(r.clip_len - 2.0 * 111_195) / (2.0 * 111_195) < 0.01
+
+
+def test_unknown_column_after_union_inner_is_typed(run_kql):
+    # inner union drops non-common columns; referencing one downstream must
+    # raise a typed semantic error, not leak Spark's AnalysisException
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="semantic error"):
+        run_kql(
+            "union kind=inner (customer | project k = c_custkey, src = 'c'),"
+            " (supplier | project k = s_suppkey)"
+            " | summarize n = count() by src"
+        ).collect()
