@@ -6,8 +6,10 @@ UDF shape) is REAL and tested. Decode kernels:
 
 - ``decode_image`` REALLY decodes the library-free codecs — 8-bit
   non-interlaced PNG (stdlib zlib + unfiltering), uncompressed 24/32-bit
-  BMP, binary PPM/PGM — in pure numpy. JPEG/GIF (entropy coders) stay
-  gated on an image library; such payloads yield null feature columns.
+  BMP, binary PPM/PGM, and baseline sequential JPEG (Huffman entropy
+  decode + IDCT, 4:4:4/4:2:2/4:2:0, restart markers) — in pure numpy.
+  Progressive JPEG and GIF (LZW) stay gated on an image library; such
+  payloads yield null feature columns.
 - ``fake_decode_image`` produces DETERMINISTIC FAKE features derived from a
   sha256 of the payload bytes. It exists to exercise the exact mapInPandas
   batch shape with arbitrary payload bytes (no valid image needed).
@@ -245,11 +247,248 @@ def _decode_png(payload: bytes):
     return out.reshape(height, width, nch)
 
 
+# --------------------------------------------------------------- JPEG (SOF0)
+# Baseline sequential JPEG in pure numpy + stdlib: marker parse, Huffman
+# entropy decode (bit-at-a-time — this is a correctness kernel for modest
+# batch media, not a libjpeg replacement), dequantize + dezigzag, 8x8
+# orthonormal IDCT as one matrix sandwich, per-component plane assembly
+# with nearest upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr -> RGB.
+# Progressive (SOF2), arithmetic coding, and 12-bit precision return None.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(bits, vals):
+    """(BITS counts, HUFFVAL) -> {(length, code): value} per ITU T.81 C.2."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over byte-unstuffed entropy data."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self):
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: bitstream exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+
+def _jpeg_extend(v, n):
+    """DIFF/AC value decode per T.81 F.2.2.1: n-bit code -> signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _jpeg_decode_huff(bits, table):
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.read()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("jpeg: bad huffman code")
+
+
+_JPEG_IDCT_C = None
+
+
+def _jpeg_idct(coef):
+    import numpy as np
+
+    global _JPEG_IDCT_C
+    if _JPEG_IDCT_C is None:
+        k = np.arange(8)
+        c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+        c[0] /= np.sqrt(2.0)
+        _JPEG_IDCT_C = c / 2.0  # orthonormal DCT-II basis rows
+    c = _JPEG_IDCT_C
+    return c.T @ coef @ c
+
+
+def _decode_jpeg(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt, hufft, dri = {}, {}, 0
+    frame = None
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, s + 1).astype(np.int32)
+                    s += 65
+                else:
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, s + 1).astype(np.int32)
+                    s += 129
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                bits16 = list(seg[s + 1 : s + 17])
+                n = sum(bits16)
+                vals = list(seg[s + 17 : s + 17 + n])
+                hufft[(tc, th)] = _jpeg_huff_table(bits16, vals)
+                s += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                return None
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # progressive / arithmetic: out of this tier
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            smap = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                smap[cid] = (tt >> 4, tt & 15)
+            scan = (smap, pos)
+            break
+    if frame is None or scan is None:
+        return None
+    smap, pos = scan
+    # entropy data: byte-unstuff FF00, note restart positions, stop at marker
+    data = bytearray()
+    restarts = []
+    while pos < len(payload) - 1:
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                restarts.append(len(data))
+                pos += 2
+                continue
+            break
+        data.append(b)
+        pos += 1
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    bits = _JpegBits(bytes(data))
+    pred = [0] * len(comps)
+    nrst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            # restart: byte-align at the recorded boundary, reset predictors
+            if nrst < len(restarts):
+                bits = _JpegBits(bytes(data[restarts[nrst] :]))
+                nrst += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dc_t = hufft.get((0, smap[c["id"]][0]))
+            ac_t = hufft.get((1, smap[c["id"]][1]))
+            q = qt.get(c["tq"])
+            if dc_t is None or ac_t is None or q is None:
+                return None
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int32)
+                    ssss = _jpeg_decode_huff(bits, dc_t)
+                    pred[ci] += _jpeg_extend(bits.receive(ssss), ssss)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(bits, ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC overrun")
+                        zz[k] = _jpeg_extend(bits.receive(s), s)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.int32)
+                    blk[_JPEG_ZIGZAG] = zz * q
+                    px = _jpeg_idct(blk.reshape(8, 8)) + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each plane to full MCU-grid resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    elif len(full) == 3:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    else:
+        return None
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def _decode_payload(payload: bytes):
     """bytes -> HxWxC uint8 array for the self-contained codecs (BMP 24/32,
-    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib), else None.
-    JPEG/GIF stay library-gated — their entropy coders are out of scope."""
-    for dec in (_decode_png, _decode_bmp, _decode_pnm):
+    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, baseline
+    sequential JPEG), else None. Progressive JPEG and GIF (LZW) stay
+    library-gated."""
+    for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg):
         try:
             a = dec(payload)
         except Exception:

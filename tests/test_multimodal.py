@@ -249,3 +249,202 @@ def test_real_audio_features_wav(spark, tmp_path_factory):
     # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536
     assert abs(tone.rms - 0.3536) < 0.002
     assert rows["noise.mp3"].sample_rate is None
+
+
+# ------------------------------------------------------------- baseline JPEG
+# Minimal baseline JPEG ENCODER for tests. It writes its own flat-length
+# canonical Huffman tables into DHT (no reliance on the Annex K defaults)
+# and an all-ones quant table, so decoder errors can't hide behind table
+# mismatches; only the zigzag order and DCT basis are shared spec knowledge.
+
+_TEST_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_bytes(img, sampling=None, dri=0):
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 or img.shape[2] == 1 else 3
+    img = img.reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = sampling or [(1, 1)] * 3
+    else:
+        planes = [img[..., 0]]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comp = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            pp = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        comp.append(pp)
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] /= np.sqrt(2.0)
+    C /= 2.0
+    dc_bits, dc_vals = [0] * 16, list(range(12))
+    dc_bits[3] = 12  # twelve 4-bit codes
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # flat 8-bit codes
+
+    def canon(bits, vals):
+        m, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                m[vals[i]] = (ln, code)
+                code += 1
+                i += 1
+            code <<= 1
+        return m
+
+    dc_map, ac_map = canon(dc_bits, dc_vals), canon(ac_bits, ac_vals)
+    out = bytearray()
+    st = {"b": 0, "n": 0}
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            st["b"] = (st["b"] << 1) | ((v >> i) & 1)
+            st["n"] += 1
+            if st["n"] == 8:
+                out.append(st["b"])
+                if st["b"] == 0xFF:
+                    out.append(0)
+                st["b"], st["n"] = 0, 0
+
+    def flush():
+        while st["n"]:
+            put(1, 1)
+
+    def cat(v):
+        return abs(v).bit_length()
+
+    pred = [0] * len(comp)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            flush()
+            out.extend(b"\xff" + bytes([0xD0 + rst % 8]))
+            rst += 1
+            pred = [0] * len(comp)
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    blk = comp[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    qc = np.rint(C @ blk @ C.T).astype(int)
+                    zz = [int(qc.flat[_TEST_ZIGZAG[i]]) for i in range(64)]
+                    d = zz[0] - pred[ci]
+                    pred[ci] = zz[0]
+                    s = cat(d)
+                    ln, code = dc_map[s]
+                    put(code, ln)
+                    if s:
+                        put(d if d >= 0 else d + (1 << s) - 1, s)
+                    run = 0
+                    for kk in range(1, 64):
+                        v = zz[kk]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_map[0xF0]
+                            put(code, ln)
+                            run -= 16
+                        s = cat(v)
+                        ln, code = ac_map[(run << 4) | s]
+                        put(code, ln)
+                        put(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        ln, code = ac_map[0x00]
+                        put(code, ln)
+    flush()
+    nc = len(comp)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (sh, sv) in enumerate(samp):
+        head += bytes([ci + 1, (sh << 4) | sv, 0])
+    head += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00) + bytes(dc_bits + dc_vals)
+    head += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(ac_vals), 0x10)
+        + bytes(ac_bits + ac_vals)
+    )
+    if dri:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        head += bytes([ci + 1, 0x00])
+    head += b"\x00\x3f\x00"
+    return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_decode_roundtrip_unit():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(11)
+    # constant gray, DC-only path: exact
+    g = np.full((16, 8), 136, dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_bytes(g))
+    assert got.shape == (16, 8, 1) and np.all(got == 136)
+    # random color 4:4:4 with all-ones quant: only DCT rounding survives
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_bytes(img))
+    assert got.shape == (16, 16, 3)
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    # non-multiple-of-8 dims crop back to the requested size
+    odd = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_bytes(odd))
+    assert got.shape == (12, 10, 3)
+    assert np.max(np.abs(got.astype(int) - odd.astype(int))) <= 4
+    # constant color survives 4:2:0 subsampling + upsampling exactly (+-1)
+    c420 = np.zeros((32, 16, 3), dtype=np.uint8)
+    c420[..., 0], c420[..., 1], c420[..., 2] = 70, 120, 200
+    got = _decode_jpeg(_jpeg_bytes(c420, sampling=[(2, 2), (1, 1), (1, 1)]))
+    assert got.shape == (32, 16, 3)
+    assert np.max(np.abs(got.astype(int) - c420.astype(int))) <= 1
+    # restart markers: DC predictors reset at each RST boundary
+    got = _decode_jpeg(_jpeg_bytes(img, dri=2))
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+
+
+def test_jpeg_decode_through_spark_pipeline(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import decode_image, load_binary_dir
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    d = tmp_path_factory.mktemp("jpeg_media")
+    (d / "a.jpg").write_bytes(_jpeg_bytes(img))
+    (d / "bad.jpg").write_bytes(b"\xff\xd8\xff\xe0-not-decodable")
+    feats = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in decode_image(load_binary_dir(spark, str(d))).collect()
+    }
+    a = feats["a.jpg"]
+    assert (a.width, a.height, a.channels) == (16, 24, 3)
+    assert abs(a.mean_intensity - float(img.mean())) < 2.0
+    assert feats["bad.jpg"].width is None
