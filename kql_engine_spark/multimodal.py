@@ -483,12 +483,112 @@ def _decode_jpeg(payload: bytes):
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def _decode_gif(payload: bytes):
+    """GIF87a/89a, first frame: palette lookup after GIF-variant LZW
+    (LSB-first bits, clear/end codes, width growth to 12); handles local
+    color tables and 4-pass interlacing. Animation frames past the first
+    are ignored."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        left, top, w, h, ip = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ip & 0x80:
+            n = 2 << (ip & 7)
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        # GIF LZW: LSB-first bit reader over the concatenated sub-blocks
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        table = [[i] for i in range(clear)] + [None, None]
+        width = mcs + 1
+        acc = nbits = 0
+        out: list[int] = []
+        prev = None
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [[i] for i in range(clear)] + [None, None]
+                    width = mcs + 1
+                    prev = None
+                    continue
+                if code == end:
+                    nbits = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table) and table[code] is not None:
+                        entry = table[code]
+                        table.append(table[prev] + [entry[0]])
+                    else:  # KwKwK case
+                        entry = table[prev] + [table[prev][0]]
+                        table.append(entry)
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                out.extend(entry)
+                prev = code
+        if len(out) < w * h:
+            return None
+        idx = np.asarray(out[: w * h], dtype=np.int32).reshape(h, w)
+        if ip & 0x40:  # 4-pass interlace row order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        return ct[np.clip(idx, 0, len(ct) - 1)]
+    return None
+
+
 def _decode_payload(payload: bytes):
     """bytes -> HxWxC uint8 array for the self-contained codecs (BMP 24/32,
     binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, baseline
-    sequential JPEG), else None. Progressive JPEG and GIF (LZW) stay
-    library-gated."""
-    for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg):
+    sequential JPEG, first-frame GIF), else None. Progressive JPEG and
+    audio/video codecs stay library-gated."""
+    for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg, _decode_gif):
         try:
             a = dec(payload)
         except Exception:

@@ -145,7 +145,7 @@ def test_real_decode_png_bmp_pnm(spark, tmp_path_factory):
     g = feats["g.png"]
     assert (g.width, g.height, g.channels) == (6, 3, 1)
     assert g.mean_intensity == round(float(gray.mean()), 4)
-    # JPEG stays library-gated: null features, row preserved
+    # undecodable payload: null features, row preserved
     assert feats["j.jpg"].width is None
 
 
@@ -448,3 +448,90 @@ def test_jpeg_decode_through_spark_pipeline(spark, tmp_path_factory):
     assert (a.width, a.height, a.channels) == (16, 24, 3)
     assert abs(a.mean_intensity - float(img.mean())) < 2.0
     assert feats["bad.jpg"].width is None
+
+
+def _gif_bytes(idx, palette, interlace=False, mcs=4):
+    """Minimal GIF89a encoder for tests: real LZW (dict growth + width
+    bumps mirroring the decoder), optional 4-pass interlacing."""
+    import struct
+
+    h, w = idx.shape
+    n = len(palette)
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    width = mcs + 1
+    codes.append((clear, width))
+    d = {(i,): i for i in range(clear)}
+    nxt = end + 1
+    buf = ()
+    for px in rows.reshape(-1).tolist():
+        cand = buf + (px,)
+        if cand in d:
+            buf = cand
+            continue
+        codes.append((d[buf], width))
+        d[cand] = nxt
+        nxt += 1
+        # deferred width increase: the decoder's table lags one entry
+        # behind, so bump one step later than the insert that filled 2^w
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (px,)
+    if buf:
+        codes.append((d[buf], width))
+    codes.append((end, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    gct_bits = max(1, (n - 1).bit_length()) - 1
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    for i in range(2 << gct_bits):
+        out += bytes(palette[i] if i < n else (0, 0, 0))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_unit():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_gif
+
+    rng = np.random.default_rng(23)
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    idx = rng.integers(0, 16, size=(13, 7), dtype=np.int32)
+    want = np.array(palette, dtype=np.uint8)[idx]
+    got = _decode_gif(_gif_bytes(idx, palette))
+    assert got is not None and got.shape == (13, 7, 3)
+    assert np.array_equal(got, want)
+    # interlaced rows come back in display order
+    got_i = _decode_gif(_gif_bytes(idx, palette, interlace=True))
+    assert np.array_equal(got_i, want)
+    # repetitive data exercises dict growth and the KwKwK path
+    rep = np.tile(np.arange(4, dtype=np.int32), (32, 8))
+    want_rep = np.array(palette, dtype=np.uint8)[rep]
+    got_rep = _decode_gif(_gif_bytes(rep, palette))
+    assert np.array_equal(got_rep, want_rep)
+    assert _decode_gif(b"GIF89a-garbage") is None
