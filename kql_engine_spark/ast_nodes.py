@@ -478,6 +478,8 @@ class ExternalData(Source):
     schema: list[tuple[str, str]]
     uris: list[str]
     fmt: str = "csv"
+    # remaining with(...) options, e.g. ignoreFirstRecord [KQL]
+    options: dict = field(default_factory=dict)
 
 
 @dataclass

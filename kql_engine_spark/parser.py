@@ -412,6 +412,7 @@ class Parser:
                     break
             self.expect(OP, "]")
         fmt = "csv"
+        options: dict = {}
         if self.accept(IDENT, "with"):
             self.expect(OP, "(")
             while not self.at(OP, ")"):
@@ -420,9 +421,11 @@ class Parser:
                 val = self.next().value
                 if key.lower() == "format":
                     fmt = str(val)
+                else:
+                    options[key] = val
                 self.accept(OP, ",")
             self.expect(OP, ")")
-        return ExternalData(schema, uris, fmt)
+        return ExternalData(schema, uris, fmt, options)
 
     def parse_union_opts(self) -> tuple[str, str | None, bool]:
         kind, withsource, isfuzzy = "outer", None, False

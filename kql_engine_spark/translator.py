@@ -809,10 +809,24 @@ class PipeTranslator:
             schema = T.StructType(
                 [T.StructField(n, KQL_TO_SPARK[t.lower()], True) for n, t in src.schema]
             )
+            fmtl = src.fmt.lower()
+            # Kusto's delimiter formats are all Spark csv with a sep [KQL]
+            seps = {"tsv": "\t", "psv": "|", "scsv": ";", "sohsv": "\x01"}
             fmt = {"txt": "text", "raw": "text", "multijson": "json"}.get(
-                src.fmt.lower(), src.fmt.lower()
+                fmtl, "csv" if fmtl in seps else fmtl
             )
-            return self.spark.read.format(fmt).schema(schema).load(src.uris)
+            reader = self.spark.read.format(fmt).schema(schema)
+            if fmtl in seps:
+                reader = reader.option("sep", seps[fmtl])
+            if fmtl == "multijson":
+                reader = reader.option("multiLine", "true")
+            if fmt == "csv" and str(
+                src.options.get("ignoreFirstRecord", "")
+            ).lower() in ("true", "1"):
+                # explicit schema + header=true: Spark skips the first line
+                # per file and keeps the declared column names/types
+                reader = reader.option("header", "true")
+            return reader.load(src.uris)
         raise KqlUnsupportedError(f"unsupported source {type(src).__name__}")
 
     def _call_tabular_function(self, name: str, args: list) -> DataFrame:

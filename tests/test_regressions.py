@@ -1486,3 +1486,23 @@ def test_unknown_column_after_union_inner_is_typed(run_kql):
             " (supplier | project k = s_suppkey)"
             " | summarize n = count() by src"
         ).collect()
+
+
+def test_externaldata_tsv_and_ignore_first_record(run_kql, tmp_path):
+    # Kusto's delimiter formats (tsv/psv/scsv) lower to Spark csv with a
+    # sep; ignoreFirstRecord=true skips the header line while keeping the
+    # declared schema
+    p = tmp_path / "d.tsv"
+    p.write_text("id\tname\n1\talpha\n2\tbeta\n")
+    rows = run_kql(
+        f"externaldata(id:long, name:string) ['{p}']"
+        " with (format='tsv', ignoreFirstRecord=true)"
+        " | sort by id asc"
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alpha"), (2, "beta")]
+    q = tmp_path / "d.psv"
+    q.write_text("3|gamma\n")
+    rows = run_kql(
+        f"externaldata(id:long, name:string) ['{q}'] with (format='psv')"
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(3, "gamma")]

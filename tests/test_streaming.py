@@ -193,15 +193,18 @@ def test_stream_llm_plugins_match_batch(spark, run_kql):
     text = (
         "documents | evaluate pii_redact(text)"
         " | evaluate quality_filter(text, 5, 10000)"
-        " | project doc_id, pii_found, qf_pass, n = count_tokens(text)"
+        " | evaluate repetition_filter(text)"
+        " | project doc_id, pii_found, qf_pass, rf_pass,"
+        "   t2 = rf_top_2gram_char_frac, n = count_tokens(text)"
     )
     sdf = kql_stream(spark, text, sf_dir=SF_DIR)
     assert sdf.isStreaming
     got = sorted(
-        (r.doc_id, r.pii_found, r.qf_pass, r.n)
+        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.t2, r.n)
         for r in run_to_memory(sdf, "stream_llm", mode="append").collect()
     )
     want = sorted(
-        (r.doc_id, r.pii_found, r.qf_pass, r.n) for r in run_kql(text).collect()
+        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.t2, r.n)
+        for r in run_kql(text).collect()
     )
     assert got == want
