@@ -598,8 +598,26 @@ def _range_fn(tr, args):
 
 
 def _conv(target: str):
+    int_target = target in ("int", "bigint")
+
     def impl(tr, args):
-        return tr.to_col(args[0]).try_cast(target)
+        c = tr.to_col(args[0])
+        out = c.try_cast(target)
+        if not int_target:
+            return out
+        dt = tr.dtype_of_ast(args[0], c)
+        if not isinstance(dt, T.StringType):
+            return out
+        # Kusto integer conversions accept 0x hex strings [KQL]
+        s = F.trim(c)
+        mag = F.regexp_extract(s, r"^[+-]?0[xX]([0-9a-fA-F]+)$", 1)
+        sign = (
+            F.when(F.startswith(s, F.lit("-")), F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        hexv = (F.conv(mag, 16, 10).try_cast("bigint") * sign).try_cast(target)
+        return F.when(mag != "", hexv).otherwise(out)
 
     return impl
 

@@ -1506,3 +1506,12 @@ def test_externaldata_tsv_and_ignore_first_record(run_kql, tmp_path):
         f"externaldata(id:long, name:string) ['{q}'] with (format='psv')"
     ).collect()
     assert [(r.id, r.name) for r in rows] == [(3, "gamma")]
+
+
+def test_integer_conversions_accept_hex_strings(run_kql):
+    row = run_kql(
+        "print a = tolong('0x1f'), b = toint('0xFF'), c = tolong('-0x10'),"
+        " d = tolong('0xZZ'), e = tolong('10'), f = todouble('0x10')"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e) == (31, 255, -16, None, 10)
+    assert row.f is None  # only integer conversions take hex [KQL]
