@@ -443,3 +443,25 @@ def test_decontaminate_broadcasts_benchmark_ngrams(run_kql):
     ))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ipv6_lookup_broadcasts_lookup_side(run_kql):
+    df = run_kql(
+        "let lut = datatable(cidr:string, net:string)['2001:db8::/32','docs'];"
+        "events"
+        " | extend ip = strcat('2001:db8::', tostring(event_id % 10))"
+        " | evaluate ipv6_lookup(lut, ip, cidr)"
+    )
+    plan = _plan(df)
+    # hex-string range theta join against the broadcast lookup side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_no_shuffle_no_udf(run_kql):
+    df = run_kql("documents | evaluate repetition_filter(text)")
+    plan = _plan(df)
+    # all metrics are per-row array passes: a single scan stage, no
+    # Exchange, no Python
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
