@@ -3715,6 +3715,35 @@ q(
 )
 
 q(
+    "series_stats_nonfinite_modes",
+    # round 5: Kusto's ignore_nonfinite contract — default mode voids the
+    # whole stats result when the series holds nulls (max() + default=
+    # real(null) leaves empty cells null); true drops them first, matching
+    # SQL AVG's null skipping in the twin
+    """events
+    | make-series y = max(value) default=real(null) on ts
+      from datetime(2024-01-01) to datetime(2024-01-11) step 12h
+    | project d_null = isnull(series_stats_dynamic(y)),
+              avg_i = round(todouble(series_stats_dynamic(y, true).avg), 4),
+              mx = round(todouble(series_stats_dynamic(y, true).max), 4)""",
+    """WITH grid AS (
+         SELECT generate_series AS t FROM generate_series(
+           TIMESTAMP '2024-01-01',
+           TIMESTAMP '2024-01-11' - INTERVAL 12 HOUR, INTERVAL 12 HOUR)),
+       v AS (
+         SELECT time_bucket(INTERVAL 12 HOUR, CAST(ts AS TIMESTAMP),
+                            TIMESTAMP '2024-01-01') AS t, value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11'),
+       cells AS (
+         SELECT grid.t, MAX(v.value) AS y
+         FROM grid LEFT JOIN v ON v.t = grid.t GROUP BY grid.t)
+       SELECT COUNT(*) FILTER (WHERE y IS NULL) > 0 AS d_null,
+              ROUND(AVG(y), 4) AS avg_i, ROUND(MAX(y), 4) AS mx
+       FROM cells""",
+)
+
+q(
     "llm_repetition_filter",
     # round 5: Gopher repetition rules — the twin recomputes the top-2/4-gram
     # and dup-5-gram char fractions from scratch (unnest + group + window)
