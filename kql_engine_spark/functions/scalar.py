@@ -5902,6 +5902,87 @@ _geo_pair_udf("geo_intersection_line_with_polygon", "string", _intersection_line
 _geo_pair_udf("geo_intersection_2polygons", "string", _intersection_2polygons)
 
 
+def _union_fold(rings):
+    """Pairwise-fold union of closed exterior rings -> list of disjoint
+    shells, or None. Supported: disjoint operands (multiple shells) and
+    chain/crossing merges that stay simply connected; a union that would
+    create a hole (or any degenerate crossing) returns None rather than a
+    wrong shape."""
+    shells: list = []
+    for r in rings:
+        cur = r
+        merged = True
+        while merged:
+            merged = False
+            for i, s in enumerate(shells):
+                out = _gh_clip(s, cur, keep_inside=False)
+                if out is None:
+                    return None
+                if len(out) == 1:
+                    cur = out[0]
+                    shells.pop(i)
+                    merged = True
+                    break
+                if len(out) == 2 and out[0] is s and out[1] is cur:
+                    continue  # disjoint: keep both
+                return None  # crossing union with >1 ring: hole/degenerate
+        shells.append(cur)
+    return shells
+
+
+@fn("geo_union_polygons_calculate")
+def _geo_union_polygons(tr, args):
+    """geo_union_polygons_calculate(polygon1, polygon2, ...) [KQL geo]:
+    union of >= 2 GeoJSON polygons over geodesic exterior rings (holes
+    dropped, same model as geo_intersection_2polygons). Disjoint operands
+    yield a MultiPolygon; merges that stay simply connected yield one
+    Polygon; hole-creating or degenerate configurations return null."""
+    import json
+
+    if len(args) < 2:
+        raise KqlSemanticError(
+            "geo_union_polygons_calculate takes at least two polygons"
+        )
+    n = len(args)
+    key = f"geo_union_polygons:{n}"
+    if key not in _PANDAS_UDF_CACHE:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def udf(*cols):
+            out = []
+            for vals in zip(*cols):
+                rings = []
+                ok = True
+                for s in vals:
+                    c = _geo_coords(s, "Polygon")
+                    if not c or len(c[0]) < 4:
+                        ok = False
+                        break
+                    rings.append(c[0])
+                shells = _union_fold(rings) if ok else None
+                if not shells:
+                    out.append(None)
+                elif len(shells) == 1:
+                    out.append(
+                        json.dumps({"type": "Polygon", "coordinates": [shells[0]]})
+                    )
+                else:
+                    out.append(
+                        json.dumps(
+                            {
+                                "type": "MultiPolygon",
+                                "coordinates": [[s] for s in shells],
+                            }
+                        )
+                    )
+            return pd.Series(out)
+
+        _PANDAS_UDF_CACHE[key] = udf
+    return _PANDAS_UDF_CACHE[key](*[_geojson_col(tr, a) for a in args])
+
+
 @fn("geo_point_buffer")
 def _geo_point_buffer(tr, args):
     """geo_point_buffer(lng, lat, radius_m [, tolerance_m]) [KQL]: polygon

@@ -1515,3 +1515,32 @@ def test_integer_conversions_accept_hex_strings(run_kql):
     ).collect()[0]
     assert (row.a, row.b, row.c, row.d, row.e) == (31, 255, -16, None, 10)
     assert row.f is None  # only integer conversions take hex [KQL]
+
+
+def test_geo_union_polygons_calculate(run_kql):
+    # two overlapping 2x2-deg squares union to one shell of ~7 sq-deg;
+    # disjoint operands produce a MultiPolygon; nesting keeps the outer
+    r = run_kql(
+        'print sq1 = dynamic({"type":"Polygon","coordinates":'
+        "[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}),"
+        ' sq2 = dynamic({"type":"Polygon","coordinates":'
+        "[[[1,1],[3,1],[3,3],[1,3],[1,1]]]}),"
+        ' far = dynamic({"type":"Polygon","coordinates":'
+        "[[[10,10],[12,10],[12,12],[10,12],[10,10]]]}),"
+        ' inner_sq = dynamic({"type":"Polygon","coordinates":'
+        "[[[0.5,0.5],[1.5,0.5],[1.5,1.5],[0.5,1.5],[0.5,0.5]]]})"
+        " | project u_area = geo_polygon_area(geo_union_polygons_calculate(sq1, sq2)),"
+        "   disj = geo_union_polygons_calculate(sq1, far),"
+        "   nest_area = geo_polygon_area(geo_union_polygons_calculate(sq1, inner_sq)),"
+        "   sq1_area = geo_polygon_area(sq1),"
+        "   tri = geo_union_polygons_calculate(sq1, sq2, far)"
+    ).collect()[0]
+    import json
+
+    cell = 1.236e10  # ~1x1-deg near the equator, m^2
+    assert abs(r.u_area - 7 * cell) / (7 * cell) < 0.01
+    assert json.loads(r.disj)["type"] == "MultiPolygon"
+    assert len(json.loads(r.disj)["coordinates"]) == 2
+    assert r.nest_area == r.sq1_area
+    t = json.loads(r.tri)
+    assert t["type"] == "MultiPolygon" and len(t["coordinates"]) == 2
