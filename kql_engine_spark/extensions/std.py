@@ -1794,3 +1794,40 @@ def _schema_merge(ptr, df, args):
         F.when(conflict, err).otherwise(F.element_at("__types", 1)).alias("ColumnType"),
     )
     return out
+
+
+# ------------------------------------- external-connectivity plugins (§2.8)
+# Kusto's request plugins reach outside the cluster (SQL/HTTP/CosmosDB/ADT)
+# and `evaluate R` needs an R runtime; none are available in this engine's
+# deployment model. Register them with a precise typed error so users get
+# "not available here" instead of "unknown plugin".
+def _external_plugin(name):
+    @plugin(name)
+    def _gated(ptr, df, args, _name=name):
+        raise KqlUnsupportedError(
+            f"evaluate {_name}(): external-connectivity plugins are not "
+            "available in this engine (no outbound request path in the "
+            "deployment model); materialize the remote data to parquet and "
+            "use externaldata()/a catalog table instead"
+        )
+    return _gated
+
+
+for _name in (
+    "sql_request", "mysql_request", "postgresql_request", "http_request",
+    "http_request_post", "cosmosdb_sql_request",
+    "azure_digital_twins_query_request", "ai_embeddings", "ai_chat_completion",
+    "ai_chat_completion_prompt",
+):
+    _external_plugin(_name)
+
+
+@plugin("r")
+def _r_plugin(ptr, df, args):
+    """`evaluate r(...)` [KQL]: needs an R runtime, which this deployment
+    does not ship; the Arrow-batched `evaluate python(...)` plugin is the
+    supported escape hatch."""
+    raise KqlUnsupportedError(
+        "evaluate r(): no R runtime in this engine; use evaluate python() "
+        "(KQL_ENGINE_ENABLE_PYTHON_PLUGIN=1) for custom batch logic"
+    )

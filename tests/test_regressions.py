@@ -1544,3 +1544,14 @@ def test_geo_union_polygons_calculate(run_kql):
     assert r.nest_area == r.sq1_area
     t = json.loads(r.tri)
     assert t["type"] == "MultiPolygon" and len(t["coordinates"]) == 2
+
+
+def test_external_plugins_raise_typed_guidance(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlUnsupportedError
+
+    with pytest.raises(KqlUnsupportedError, match="externaldata"):
+        run_kql("region | evaluate sql_request('c', 'q')").collect()
+    with pytest.raises(KqlUnsupportedError, match="python"):
+        run_kql("region | evaluate r(typeof(x:long), 'x')").collect()
