@@ -5729,6 +5729,24 @@ def _arc_mid(p, q):
     return _xyz_lonlat(s)
 
 
+def _geo_point_in_rings(lon, lat, rings):
+    """GEODESIC point-in-rings parity test: counts crossings of a meridian
+    ray (nudged off exact edge alignment) against the rings' great-circle
+    arcs, using the same _arc_intersections primitive the clipping code
+    uses for edge crossings. The planar _point_in_rings disagrees with the
+    arc model inside the sliver between a latitude-line edge and its
+    geodesic — mixing the two derails Greiner-Hormann traversal, so all
+    boolean-op classification goes through this test."""
+    rl = lon + 9.5e-7  # avoid rays through vertices / meridian edges
+    p = (rl, lat)
+    ray_end = (rl, 89.99) if lat < 89.0 else (rl, -89.99)
+    cnt = 0
+    for ring in rings:
+        for a, b in zip(ring[:-1], ring[1:]):
+            cnt += len(_arc_intersections(p, ray_end, a, b))
+    return cnt % 2 == 1
+
+
 def _intersection_line_polygon(s1, s2):
     import json
 
@@ -5751,7 +5769,7 @@ def _intersection_line_polygon(s1, s2):
                 merged.append((t, p))
         for (_, p1), (_, p2) in zip(merged[:-1], merged[1:]):
             m = _arc_mid(p1, p2)
-            keep = m is not None and _point_in_rings(m[0], m[1], rings)
+            keep = m is not None and _geo_point_in_rings(m[0], m[1], rings)
             if keep:
                 if cur is not None:
                     cur.append(p2)
@@ -5795,8 +5813,8 @@ def _gh_clip(r1, r2, keep_inside=True):
                     return None
                 crossings.append([i, ti, j, tj, (float(p[0]), float(p[1]))])
     if not crossings:
-        in_ab = _point_in_rings(a[0][0], a[0][1], [r2])
-        in_ba = _point_in_rings(b[0][0], b[0][1], [r1])
+        in_ab = _geo_point_in_rings(a[0][0], a[0][1], [r2])
+        in_ba = _geo_point_in_rings(b[0][0], b[0][1], [r1])
         if keep_inside:
             if in_ab:
                 return [r1]
@@ -5833,7 +5851,7 @@ def _gh_clip(r1, r2, keep_inside=True):
         m = _arc_mid(seq[k][2], seq[(k + 1) % len(seq)][2])
         if m is None:
             return False
-        ins = _point_in_rings(m[0], m[1], [other_ring[which]])
+        ins = _geo_point_in_rings(m[0], m[1], [other_ring[which]])
         return ins if keep_inside else not ins
 
     visited = set()

@@ -895,3 +895,43 @@ def test_random_union_matches_duckdb(run_kql, duck, inner, mod, extra):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------- geo boolean-op inclusion-exclusion fuzz
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ax=st.floats(-10, 10, allow_nan=False),
+    ay=st.floats(-10, 10, allow_nan=False),
+    aw=st.floats(0.5, 4, allow_nan=False),
+    ah=st.floats(0.5, 4, allow_nan=False),
+    dx=st.floats(-2, 2, allow_nan=False),
+    dy=st.floats(-2, 2, allow_nan=False),
+)
+def test_geo_intersection_union_inclusion_exclusion(run_kql, ax, ay, aw, ah, dx, dy):
+    # area(A) + area(B) == area(A u B) + area(A n B) for random rectangles;
+    # exercises both Greiner-Hormann traversals (inside + outside arcs) and
+    # the containment/disjoint fast paths in one law
+    def rect(x, y, w, h):
+        return (
+            '{"type":"Polygon","coordinates":[[[%f,%f],[%f,%f],[%f,%f],[%f,%f],[%f,%f]]]}'
+            % (x, y, x + w, y, x + w, y + h, x, y + h, x, y)
+        )
+
+    a = rect(round(ax, 3), round(ay, 3), round(aw, 3), round(ah, 3))
+    b = rect(round(ax + dx, 3), round(ay + dy, 3), round(aw, 3), round(ah, 3))
+    r = run_kql(
+        f"print a = dynamic({a}), b = dynamic({b})"
+        " | extend i = geo_intersection_2polygons(a, b),"
+        "   u = geo_union_polygons_calculate(a, b)"
+        " | project aa = geo_polygon_area(a), ab = geo_polygon_area(b),"
+        "   ai = coalesce(geo_polygon_area(i), 0.0),"
+        "   au = geo_polygon_area(u), ut = gettype(u)"
+    ).collect()[0]
+    if r.au is None:
+        return  # degenerate (vertex-transversal) configs may return null
+    assert abs((r.aa + r.ab) - (r.au + r.ai)) <= 0.002 * (r.aa + r.ab)
