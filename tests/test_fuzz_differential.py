@@ -935,3 +935,81 @@ def test_geo_intersection_union_inclusion_exclusion(run_kql, ax, ay, aw, ah, dx,
     if r.au is None:
         return  # degenerate (vertex-transversal) configs may return null
     assert abs((r.aa + r.ab) - (r.au + r.ai)) <= 0.002 * (r.aa + r.ab)
+
+
+# --------------------------- string-predicate family differential fuzz
+
+_TERMS = ["blue", "widget", "cold", "rod", "wid", "lue", "ol", "bolt", "zz"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    term=st.sampled_from(_TERMS),
+    op_ix=st.integers(0, 5),
+    neg=st.booleans(),
+)
+def test_random_string_predicates_match_duckdb(run_kql, duck, term, op_ix, neg):
+    # has/contains/startswith/endswith/hasprefix/hassuffix vs RE2/LIKE
+    # twins; KQL terms are alphanumeric runs matched case-insensitively
+    ops = [
+        ("has", rf"regexp_matches(lower(p_name), '\b{term}\b')"),
+        ("contains", f"contains(lower(p_name), '{term}')"),
+        ("startswith", f"lower(p_name) LIKE '{term}%'"),
+        ("endswith", f"lower(p_name) LIKE '%{term}'"),
+        ("hasprefix", rf"regexp_matches(lower(p_name), '\b{term}')"),
+        ("hassuffix", rf"regexp_matches(lower(p_name), '{term}\b')"),
+    ]
+    kop, sql_pred = ops[op_ix]
+    kql_pred = f"p_name {'!' if neg else ''}{kop} '{term}'"
+    if neg:
+        sql_pred = f"NOT ({sql_pred})"
+    got = run_kql(
+        f"part | where {kql_pred}"
+        " | summarize n = count(), d = count_distinct(p_partkey)"
+    ).collect()
+    want = duck.sql(
+        f"SELECT COUNT(*), CAST(COUNT(DISTINCT p_partkey) AS BIGINT)"
+        f" FROM part WHERE {sql_pred}"
+    ).fetchone()
+    if not got:
+        assert want[0] == 0  # empty-input global summarize: no row in KQL
+    else:
+        assert (got[0].n, got[0].d) == (want[0], want[1])
+
+
+# ------------------------------------ bin-grouped aggregation differential
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hours=st.sampled_from([1, 2, 3, 6, 12, 24]),
+    lo=st.integers(0, 40),
+    use_type=st.booleans(),
+)
+def test_random_bin_grouping_matches_duckdb(run_kql, duck, hours, lo, use_type):
+    by_extra = ", event_type" if use_type else ""
+    sel_extra = "event_type, " if use_type else ""
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | summarize c = count(), s = round(sum(value), 2)"
+        f"   by b = bin(ts, {hours}h){by_extra}"
+        " | sort by b asc" + (", event_type asc" if use_type else "")
+    )
+    sdf = duck.sql(
+        f"""SELECT {sel_extra}time_bucket(INTERVAL {hours} HOUR,
+                    CAST(ts AS TIMESTAMP)) AS b,
+              COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+           FROM events WHERE user_id >= {lo}
+           GROUP BY ALL ORDER BY b{', event_type' if use_type else ''}"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
