@@ -374,8 +374,11 @@ class GraphStep:
     edge_var: str
     forward: bool  # -[e]-> vs <-[e]-
     node_var: str  # the node the edge leads to
-    min_len: int = 1  # -[e*1..3]-> bounded variable-length (1..1 = plain)
+    min_len: int = 1  # -[e*1..3]-> bounded variable-length
     max_len: int = 1
+    # True when the `*` syntax appeared: `-[e*1..1]->` still binds e as an
+    # ARRAY of one edge, unlike plain `-[e]->` which binds the edge struct
+    varlen: bool = False
 
 
 @dataclass

@@ -1112,11 +1112,13 @@ class Parser:
         self.expect(OP, ")")
         steps: list[GraphStep] = []
         while self.at(OP, "-") or self.at(OP, "<"):
-            def edge_body() -> tuple[str, int, int]:
+            def edge_body() -> tuple[str, int, int, bool]:
                 self.expect(OP, "[")
                 ev = self.ident_name()
                 lo = hi = 1
+                varlen = False
                 if self.accept(OP, "*"):  # bounded variable length e*1..3
+                    varlen = True
                     # `1..3` lexes as REAL("1.") REAL(".3") — recover the
                     # integer bounds from the raw source text
                     if self.at(REAL):
@@ -1133,23 +1135,23 @@ class Parser:
                         self.expect(OP, ".")
                         hi = int(self.expect(INT).value)
                 self.expect(OP, "]")
-                return ev, lo, hi
+                return ev, lo, hi, varlen
 
             if self.accept(OP, "<"):  # <-[e]-(n)
                 self.expect(OP, "-")
-                evar, lo, hi = edge_body()
+                evar, lo, hi, vl = edge_body()
                 self.expect(OP, "-")
                 forward = False
             else:  # -[e]->(n)
                 self.expect(OP, "-")
-                evar, lo, hi = edge_body()
+                evar, lo, hi, vl = edge_body()
                 self.expect(OP, "-")
                 self.expect(OP, ">")
                 forward = True
             self.expect(OP, "(")
             nvar = self.ident_name()
             self.expect(OP, ")")
-            steps.append(GraphStep(evar, forward, nvar, lo, hi))
+            steps.append(GraphStep(evar, forward, nvar, lo, hi, vl))
         if not steps:
             raise self.error("graph-match pattern needs at least one edge")
         where = None

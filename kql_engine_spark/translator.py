@@ -2338,7 +2338,7 @@ class PipeTranslator:
                     "(each extra hop is one more join)"
                 )
             from_field, to_field = (src, dst) if step.forward else (dst, src)
-            plain = step.min_len == 1 and step.max_len == 1
+            plain = not getattr(step, "varlen", False)
             # bounded variable-length `-[e*lo..hi]->`: unroll each length L
             # into a join chain through unconstrained intermediates, bind
             # the edge var to the ARRAY of edge structs, union the lengths.

@@ -1013,3 +1013,51 @@ def test_random_bin_grouping_matches_duckdb(run_kql, duck, hours, lo, use_type):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ----------------------------------- graph-match varlen differential fuzz
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(st.sampled_from("abcde"), st.sampled_from("abcdef")).filter(
+            lambda p: p[0] < p[1]  # DAG: walks == simple paths, no cycles
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    lo=st.integers(1, 3),
+    span=st.integers(0, 2),
+    start=st.sampled_from("abc"),
+)
+def test_random_graph_match_varlen_matches_duckdb(run_kql, duck, edges, lo, span, start):
+    hi = lo + span
+    elist = sorted(edges)
+    kql_rows = ", ".join(f"'{s}', '{d}'" for s, d in elist)
+    sql_vals = ", ".join(f"('{s}','{d}')" for s, d in elist)
+    got = run_kql(
+        f"datatable(src:string, dst:string)[{kql_rows}]"
+        " | make-graph src --> dst"
+        f" | graph-match (a)-[e*{lo}..{hi}]->(b)"
+        f"   where a.node_id == '{start}'"
+        "   project t = b.node_id, hops = tolong(array_length(e))"
+        " | summarize n = count(), s = sum(hops), d = count_distinct(t)"
+    ).collect()
+    want = duck.sql(
+        f"""WITH RECURSIVE e(src, dst) AS (VALUES {sql_vals}),
+             walk(t, hops) AS (
+               SELECT dst, 1 FROM e WHERE src = '{start}'
+               UNION ALL
+               SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.t
+               WHERE w.hops < {hi})
+           SELECT COUNT(*), SUM(hops), CAST(COUNT(DISTINCT t) AS BIGINT)
+           FROM walk WHERE hops >= {lo}"""
+    ).fetchone()
+    if not got:
+        assert want[0] == 0
+    else:
+        assert (got[0].n, got[0].s, got[0].d) == (want[0], want[1], want[2])

@@ -1555,3 +1555,15 @@ def test_external_plugins_raise_typed_guidance(run_kql):
         run_kql("region | evaluate sql_request('c', 'q')").collect()
     with pytest.raises(KqlUnsupportedError, match="python"):
         run_kql("region | evaluate r(typeof(x:long), 'x')").collect()
+
+
+def test_varlen_one_hop_still_binds_array(run_kql):
+    # `-[e*1..1]->` must bind e as an ARRAY of one edge (fuzz-found):
+    # plain `-[e]->` binds the edge struct instead
+    row = run_kql(
+        "datatable(src:string, dst:string)['x','y']"
+        " | make-graph src --> dst"
+        " | graph-match (a)-[e*1..1]->(b)"
+        "   project n = tolong(array_length(e)), t = b.node_id"
+    ).collect()[0]
+    assert (row.n, row.t) == (1, "y")
