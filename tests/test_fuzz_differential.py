@@ -1061,3 +1061,47 @@ def test_random_graph_match_varlen_matches_duckdb(run_kql, duck, edges, lo, span
         assert want[0] == 0
     else:
         assert (got[0].n, got[0].s, got[0].d) == (want[0], want[1], want[2])
+
+
+# ------------------------------------------- top-nested differential fuzz
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n1=st.integers(1, 3),
+    n2=st.integers(1, 2),
+    agg_sum=st.booleans(),
+    lo=st.integers(1, 7),
+)
+def test_random_top_nested_matches_duckdb(run_kql, duck, n1, n2, agg_sum, lo):
+    # two-level top-nested with random fan-outs and aggregate vs the
+    # two-CTE window twin; l_linenumber filter varies the input
+    kagg, sagg = (
+        ("sum(l_quantity)", "SUM(l_quantity)")
+        if agg_sum
+        else ("count()", "COUNT(*)")
+    )
+    kdf = run_kql(
+        f"lineitem | where l_linenumber <= {lo}"
+        f" | top-nested {n1} of l_returnflag by r1 = {kagg},"
+        f"   top-nested {n2} of l_linestatus by r2 = {kagg}"
+    )
+    sdf = duck.sql(
+        f"""WITH src AS (SELECT * FROM lineitem WHERE l_linenumber <= {lo}),
+           l1 AS (SELECT l_returnflag, {sagg} AS r1 FROM src GROUP BY 1),
+           l1t AS (SELECT * FROM l1 ORDER BY r1 DESC, l_returnflag LIMIT {n1}),
+           l2 AS (SELECT l_returnflag, l_linestatus, {sagg} AS r2
+                  FROM src GROUP BY 1, 2),
+           j AS (SELECT l1t.l_returnflag, l1t.r1, l2.l_linestatus, l2.r2,
+                        ROW_NUMBER() OVER (PARTITION BY l1t.l_returnflag
+                          ORDER BY l2.r2 DESC, l2.l_linestatus) AS rn
+                 FROM l1t JOIN l2 ON l1t.l_returnflag = l2.l_returnflag)
+           SELECT l_returnflag, r1, l_linestatus, r2 FROM j WHERE rn <= {n2}"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
