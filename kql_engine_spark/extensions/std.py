@@ -35,20 +35,43 @@ def _preview(ptr, df, args):
 
 @plugin("pivot")
 def _pivot(ptr, df, args):
+    """`T | evaluate pivot(col [, agg(...)] [, out1, out2, ...])` [KQL].
+    Trailing names pin the EXPECTED pivot values: Spark then skips the
+    eager distinct scan and the output schema is bounded up front — the
+    form to use at scale (unpinned pivot must read the column once to
+    discover values)."""
+    from ..ast_nodes import Lit
+
     if not args or not isinstance(args[0], Col):
-        raise KqlSemanticError("evaluate pivot(column [, agg(...)])")
+        raise KqlSemanticError(
+            "evaluate pivot(column [, agg(...)] [, out_col...])"
+        )
     pivot_col = args[0].name
     rest = [c for c in df.columns if c != pivot_col]
-    if len(args) > 1 and isinstance(args[1], FuncCall):
-        agg_call = args[1]
+    tail = list(args[1:])
+    agg_expr = F.count(F.lit(1))
+    if tail and isinstance(tail[0], FuncCall):
+        agg_call = tail.pop(0)
         agg_arg_cols = [a.name for a in agg_call.args if isinstance(a, Col)]
         rest = [c for c in rest if c not in agg_arg_cols]
         tr = ptr.expr_tr(df)
         agg_cols = AGG_REGISTRY[agg_call.name](tr, agg_call.args, None)
         agg_expr = agg_cols[0][1]
-    else:
-        agg_expr = F.count(F.lit(1))
-    return df.groupBy(*rest).pivot(pivot_col).agg(agg_expr)
+    values = None
+    if tail:
+        values = []
+        for a in tail:
+            if isinstance(a, Col):
+                values.append(a.name)
+            elif isinstance(a, Lit) and isinstance(a.value, str):
+                values.append(a.value)
+            else:
+                raise KqlSemanticError(
+                    "evaluate pivot: output columns must be names or strings"
+                )
+    grouped = df.groupBy(*rest)
+    pivoted = grouped.pivot(pivot_col, values) if values else grouped.pivot(pivot_col)
+    return pivoted.agg(agg_expr)
 
 
 @plugin("narrow")

@@ -1567,3 +1567,18 @@ def test_varlen_one_hop_still_binds_array(run_kql):
         "   project n = tolong(array_length(e)), t = b.node_id"
     ).collect()[0]
     assert (row.n, row.t) == (1, "y")
+
+
+def test_pivot_with_explicit_output_columns(run_kql):
+    # pinned pivot values: no distinct scan, schema bounded; values absent
+    # from the pin are dropped, pinned-but-absent values come back null
+    rows = run_kql(
+        "datatable(k:string, t:string, v:long)["
+        " 'a','x',1, 'a','y',2, 'b','x',3, 'b','z',9]"
+        " | evaluate pivot(t, sum(v), x, y)"
+        " | sort by k asc"
+    ).collect()
+    assert [r.asDict() for r in rows] == [
+        {"k": "a", "x": 1, "y": 2},
+        {"k": "b", "x": 3, "y": None},
+    ]
