@@ -483,36 +483,86 @@ def _decode_jpeg(payload: bytes):
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-def _decode_gif(payload: bytes):
-    """GIF87a/89a, first frame: palette lookup after GIF-variant LZW
-    (LSB-first bits, clear/end codes, width growth to 12); handles local
-    color tables and 4-pass interlacing. Animation frames past the first
-    are ignored."""
+def _gif_lzw(data: bytes, mcs: int):
+    """GIF-variant LZW decode: LSB-first bits, clear/end codes, KwKwK,
+    width growth to 12. Returns the pixel-index list."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = [[i] for i in range(clear)] + [None, None]
+    width = mcs + 1
+    acc = nbits = 0
+    out: list[int] = []
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [None, None]
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            else:
+                if code < len(table) and table[code] is not None:
+                    entry = table[code]
+                    table.append(table[prev] + [entry[0]])
+                else:  # KwKwK case
+                    entry = table[prev] + [table[prev][0]]
+                    table.append(entry)
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            prev = code
+    return out
+
+
+def _gif_frames(payload: bytes, max_frames: int = 64):
+    """GIF87a/89a frame walk with minimal compositing: frames paint their
+    (left, top, w, h) rect onto the logical-screen canvas, transparency
+    index skips pixels, disposal 2 restores the rect to background.
+    Disposal 3 (restore-previous) stops the walk — frames up to that
+    point are still returned. Yields (delay_centisec, HxWx3 uint8)."""
     import struct
 
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
-    while pos < len(payload):
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = None
+    frames = []
+    transparent, delay, disposal = None, 0, 0
+    while pos < len(payload) and len(frames) < max_frames:
         b = payload[pos]
         if b == 0x3B:  # trailer
-            return None
+            break
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                blk = payload[pos + 1 : pos + 1 + payload[pos]]
+                transparent = blk[3] if blk[0] & 1 else None
+                delay = blk[1] | (blk[2] << 8)
+                disposal = (blk[0] >> 2) & 7
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
-            return None
+            return frames or None
         left, top, w, h, ip = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
         ct = gct
@@ -521,7 +571,7 @@ def _decode_gif(payload: bytes):
             ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
             pos += 3 * n
         if ct is None:
-            return None
+            return frames or None
         mcs = payload[pos]
         pos += 1
         data = bytearray()
@@ -530,44 +580,9 @@ def _decode_gif(payload: bytes):
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        # GIF LZW: LSB-first bit reader over the concatenated sub-blocks
-        clear, end = 1 << mcs, (1 << mcs) + 1
-        table = [[i] for i in range(clear)] + [None, None]
-        width = mcs + 1
-        acc = nbits = 0
-        out: list[int] = []
-        prev = None
-        for byte in data:
-            acc |= byte << nbits
-            nbits += 8
-            while nbits >= width:
-                code = acc & ((1 << width) - 1)
-                acc >>= width
-                nbits -= width
-                if code == clear:
-                    table = [[i] for i in range(clear)] + [None, None]
-                    width = mcs + 1
-                    prev = None
-                    continue
-                if code == end:
-                    nbits = 0
-                    acc = 0
-                    break
-                if prev is None:
-                    entry = table[code]
-                else:
-                    if code < len(table) and table[code] is not None:
-                        entry = table[code]
-                        table.append(table[prev] + [entry[0]])
-                    else:  # KwKwK case
-                        entry = table[prev] + [table[prev][0]]
-                        table.append(entry)
-                    if len(table) == (1 << width) and width < 12:
-                        width += 1
-                out.extend(entry)
-                prev = code
+        out = _gif_lzw(bytes(data), mcs)
         if len(out) < w * h:
-            return None
+            return frames or None
         idx = np.asarray(out[: w * h], dtype=np.int32).reshape(h, w)
         if ip & 0x40:  # 4-pass interlace row order
             order = (
@@ -579,8 +594,28 @@ def _decode_gif(payload: bytes):
             de = np.empty_like(idx)
             de[order] = idx
             idx = de
-        return ct[np.clip(idx, 0, len(ct) - 1)]
-    return None
+        if canvas is None:
+            canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+        region = canvas[top : top + h, left : left + w]
+        painted = ct[np.clip(idx, 0, len(ct) - 1)][: region.shape[0], : region.shape[1]]
+        if transparent is not None:
+            mask = (idx != transparent)[: region.shape[0], : region.shape[1]]
+            region[mask] = painted[mask]
+        else:
+            region[:] = painted
+        frames.append((delay, canvas.copy()))
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            break  # restore-previous: out of this tier, stop honestly
+        transparent, delay, disposal = None, 0, 0
+    return frames or None
+
+
+def _decode_gif(payload: bytes):
+    """First composited frame of a GIF (see _gif_frames)."""
+    frames = _gif_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
 
 
 def _decode_payload(payload: bytes):
@@ -823,6 +858,49 @@ def _decode_wav(payload: bytes):
     frames = len(x) // nch
     rms = float(np.sqrt(np.mean(x * x)))
     return round(frames / rate, 6), int(rate), round(rms, 6)
+
+
+def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
+    """REAL frame sampling for the one motion format the built-in codecs
+    cover: animated GIF (frame walk + minimal compositing in
+    ``_gif_frames``). Each payload yields up to n_frames evenly spaced
+    composited frames re-encoded as binary PPM; ts_sec comes from the
+    accumulated GIF frame delays, falling back to frame_idx/fps when the
+    file carries no timing. Non-GIF payloads (real video codecs are
+    library-gated) produce ZERO rows — same 1->N mapInPandas shape as
+    fake_sample_frames, so the fake remains the shape-contract fixture."""
+    import pandas as pd
+
+    if n_frames <= 0:
+        raise ValueError("sample_frames: n_frames must be positive")
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            rows = {"path": [], "frame_idx": [], "ts_sec": [], "frame": []}
+            for path, b in zip(meta["path"], pdf["content"]):
+                frames = _gif_frames(bytes(b) if b is not None else b"")
+                if not frames:
+                    continue
+                starts = np.cumsum([0.0] + [d / 100.0 for d, _ in frames[:-1]])
+                k = min(n_frames, len(frames))
+                picks = sorted(set(round(i * (len(frames) - 1) / max(k - 1, 1)) for i in range(k)))
+                for out_ix, fi in enumerate(picks):
+                    _, img = frames[fi]
+                    h, w, _ = img.shape
+                    ts = float(starts[fi]) if starts[-1] > 0 else out_ix / fps
+                    rows["path"].append(path)
+                    rows["frame_idx"].append(fi)
+                    rows["ts_sec"].append(round(ts, 6))
+                    rows["frame"].append(
+                        b"P6" + f"\n{w} {h}\n255\n".encode()
+                        + bytes(img[..., :3].reshape(-1))
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
 def audio_features(df: DataFrame) -> DataFrame:

@@ -450,22 +450,10 @@ def test_jpeg_decode_through_spark_pipeline(spark, tmp_path_factory):
     assert feats["bad.jpg"].width is None
 
 
-def _gif_bytes(idx, palette, interlace=False, mcs=4):
-    """Minimal GIF89a encoder for tests: real LZW (dict growth + width
-    bumps mirroring the decoder), optional 4-pass interlacing."""
-    import struct
-
-    h, w = idx.shape
-    n = len(palette)
-    rows = idx
-    if interlace:
-        order = (
-            list(range(0, h, 8))
-            + list(range(4, h, 8))
-            + list(range(2, h, 4))
-            + list(range(1, h, 2))
-        )
-        rows = idx[order]
+def _test_gif_lzw(pixels, mcs):
+    """Shared test LZW encoder: dict growth + DEFERRED width bumps (the
+    decoder's table lags one entry behind, so the width increases one
+    step later than the insert that filled 2^w)."""
     clear, end = 1 << mcs, (1 << mcs) + 1
     codes = []
     width = mcs + 1
@@ -473,7 +461,7 @@ def _gif_bytes(idx, palette, interlace=False, mcs=4):
     d = {(i,): i for i in range(clear)}
     nxt = end + 1
     buf = ()
-    for px in rows.reshape(-1).tolist():
+    for px in pixels:
         cand = buf + (px,)
         if cand in d:
             buf = cand
@@ -481,8 +469,6 @@ def _gif_bytes(idx, palette, interlace=False, mcs=4):
         codes.append((d[buf], width))
         d[cand] = nxt
         nxt += 1
-        # deferred width increase: the decoder's table lags one entry
-        # behind, so bump one step later than the insert that filled 2^w
         if nxt == (1 << width) + 1 and width < 12:
             width += 1
         buf = (px,)
@@ -500,18 +486,64 @@ def _gif_bytes(idx, palette, interlace=False, mcs=4):
             nbits -= 8
     if nbits:
         data.append(acc & 0xFF)
-    out = bytearray(b"GIF89a")
+    return data
+
+
+def _gif_header(w, h, palette):
+    import struct
+
+    n = len(palette)
     gct_bits = max(1, (n - 1).bit_length()) - 1
+    out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
     for i in range(2 << gct_bits):
         out += bytes(palette[i] if i < n else (0, 0, 0))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
-    out += bytes([mcs])
+    return out
+
+
+def _gif_subblocks(data):
+    out = bytearray()
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
-    return bytes(out)
+    return out + b"\x00"
+
+
+def _gif_bytes(idx, palette, interlace=False, mcs=4):
+    """Minimal single-frame GIF89a encoder for tests."""
+    import struct
+
+    h, w = idx.shape
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    data = _test_gif_lzw(rows.reshape(-1).tolist(), mcs)
+    out = _gif_header(w, h, palette)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([mcs]) + _gif_subblocks(data)
+    return bytes(out + b"\x3b")
+
+
+def _gif_anim_bytes(frames, palette, delays_cs, mcs=4):
+    """Animated GIF: one GCE (delay, no transparency) + full-screen image
+    descriptor per frame."""
+    import struct
+
+    h, w = frames[0].shape
+    out = _gif_header(w, h, palette)
+    for idx, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04" + bytes([0, delay & 0xFF, delay >> 8, 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([mcs]) + _gif_subblocks(
+            _test_gif_lzw(idx.reshape(-1).tolist(), mcs)
+        )
+    return bytes(out + b"\x3b")
 
 
 def test_gif_decode_roundtrip_unit():
@@ -535,3 +567,32 @@ def test_gif_decode_roundtrip_unit():
     got_rep = _decode_gif(_gif_bytes(rep, palette))
     assert np.array_equal(got_rep, want_rep)
     assert _decode_gif(b"GIF89a-garbage") is None
+
+
+def test_gif_sample_frames_real(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import load_binary_dir, sample_frames
+
+    rng = np.random.default_rng(29)
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(8)]
+    frames = [
+        np.full((6, 5), i % 8, dtype=np.int32) * 0 + i for i in range(4)
+    ]
+    d = tmp_path_factory.mktemp("gif_anim")
+    (d / "anim.gif").write_bytes(_gif_anim_bytes(frames, palette, [10, 20, 30, 40]))
+    (d / "still.png").write_bytes(b"\x89PNG-not-a-gif")
+    out = sample_frames(load_binary_dir(spark, str(d)), n_frames=3).collect()
+    # non-GIF rows produce no frames; GIF yields 3 evenly spaced of 4
+    assert all(r.path.endswith("anim.gif") for r in out)
+    assert len(out) == 3
+    by_ix = {r.frame_idx: r for r in out}
+    assert sorted(by_ix) == [0, 2, 3]  # round(i*3/2) spacing over 4 frames
+    # ts from accumulated delays (cs): frame 2 starts at (10+20)/100
+    assert abs(by_ix[2].ts_sec - 0.30) < 1e-9
+    assert abs(by_ix[3].ts_sec - 0.60) < 1e-9
+    # frames round-trip: constant color index i -> palette[i] everywhere
+    for fi, r in by_ix.items():
+        body = bytes(r.frame).split(b"\n", 3)[3]
+        px = np.frombuffer(body, np.uint8).reshape(6, 5, 3)
+        assert np.all(px == np.array(palette[fi], dtype=np.uint8))
