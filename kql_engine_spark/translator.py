@@ -2620,6 +2620,28 @@ class PipeTranslator:
             # re-attach the source row's columns to its aggregates
             keep = [c for c in sub.columns if c not in work.columns or c == rid]
             out = work.join(sub.select(*keep), on=rid, how="inner")
+            if all(
+                not sop.by
+                for sop in op.subquery
+                if isinstance(sop, Summarize)
+            ):
+                # Kusto: the subquery runs per record, and a GLOBAL summarize
+                # over an empty expansion still yields its on-empty row
+                # (count()=0, sum()=null, ...). Records whose expanded rows
+                # all filtered out re-attach to that defaults row — computed
+                # by replaying the subquery over a zero-row frame, which is
+                # exactly Spark's global-aggregate-on-empty semantics.
+                dsub = exp.limit(0)
+                for sop in op.subquery:
+                    if isinstance(sop, Summarize):
+                        dsub = self.t_summarize(dsub, sop)
+                    else:
+                        dsub = self.translate_op(dsub, sop)
+                dkeep = [c for c in dsub.columns if c not in work.columns]
+                missing = work.join(sub.select(rid), on=rid, how="left_anti")
+                out = out.unionByName(
+                    missing.crossJoin(F.broadcast(dsub.select(*dkeep)))
+                )
         else:
             out = sub
         self.order = None

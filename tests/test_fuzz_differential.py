@@ -1105,3 +1105,72 @@ def test_random_top_nested_matches_duckdb(run_kql, duck, n1, n2, agg_sum, lo):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# --------------------------------------------- mv-apply differential fuzz
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.integers(0, 400),
+    span=st.integers(1, 40),
+    thresh=st.integers(2, 8),
+)
+def test_random_mv_apply_matches_duckdb(run_kql, duck, lo, span, thresh):
+    # mv-apply with an inner where+summarize vs the unnest/FILTER twin:
+    # per-doc count of tokens longer than a threshold
+    kdf = run_kql(
+        f"documents | where doc_id >= {lo} and doc_id < {lo + span}"
+        " | extend w = split(text, ' ')"
+        " | mv-apply w to typeof(string) on ("
+        f"    where strlen(w) > {thresh} | summarize lw = count())"
+        " | summarize n = count(), s = sum(lw)"
+    )
+    sdf = duck.sql(
+        f"""WITH e AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE doc_id >= {lo} AND doc_id < {lo + span}),
+           per AS (SELECT doc_id,
+                      COUNT(*) FILTER (WHERE length(w) > {thresh}) AS lw
+                   FROM e GROUP BY doc_id)
+           SELECT COUNT(*) AS n, SUM(lw) AS s FROM per"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    if not got and want and want[0][0] == "0":
+        want = []
+    assert got == want
+
+
+# --------------------------------------- weighted percentile differential
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p=st.sampled_from([25, 50, 75, 90]),
+    lo=st.integers(1, 5),
+)
+def test_random_percentilew_matches_duckdb(run_kql, duck, p, lo):
+    # percentilew(v, w, p) == exact percentile over the weight-expanded
+    # multiset; the twin expands each row w times via unnest(range(w))
+    kdf = run_kql(
+        f"lineitem | where l_linenumber >= {lo}"
+        f" | summarize pw = percentilew(l_extendedprice, l_linenumber, {p})"
+    )
+    sdf = duck.sql(
+        f"""WITH x AS (SELECT l_extendedprice AS v,
+                     unnest(range(l_linenumber)) AS r
+              FROM lineitem WHERE l_linenumber >= {lo})
+           SELECT quantile_disc(v, {p / 100.0}) AS pw FROM x"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want

@@ -1582,3 +1582,15 @@ def test_pivot_with_explicit_output_columns(run_kql):
         {"k": "a", "x": 1, "y": 2},
         {"k": "b", "x": 3, "y": None},
     ]
+
+
+def test_mv_apply_empty_expansion_keeps_record(run_kql):
+    # fuzz-found: a record whose expanded rows all fail the inner where
+    # must still re-attach the global aggregate-on-empty row (count()=0)
+    rows = run_kql(
+        "datatable(id:long, a:dynamic)[1, dynamic([1,2]), 2, dynamic([9])]"
+        " | mv-apply a to typeof(long) on ("
+        "    where a < 5 | summarize small = count(), s = sum(a))"
+        " | project id, small, s | sort by id asc"
+    ).collect()
+    assert [(r.id, r.small, r.s) for r in rows] == [(1, 2, 3), (2, 0, None)]
