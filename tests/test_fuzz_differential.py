@@ -1174,3 +1174,41 @@ def test_random_percentilew_matches_duckdb(run_kql, duck, p, lo):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------------------------ parse operator round-trip
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    d1=st.sampled_from(["k=", "key:", "[", "<<"]),
+    d2=st.sampled_from([";p=", "|", " -> ", "##"]),
+    tail=st.sampled_from(["", "!", " end"]),
+    lo=st.integers(1, 6),
+)
+def test_random_parse_recovers_constructed_fields(run_kql, duck, d1, d2, tail, lo):
+    # build strings from columns, parse them back, aggregate the parsed
+    # fields; the twin aggregates the ORIGINAL columns — equality proves
+    # parse recovered every field exactly
+    trail_build = f", '{tail}'" if tail else ""
+    trail_parse = f" '{tail}'" if tail else ""
+    got = run_kql(
+        f"lineitem | where l_linenumber >= {lo}"
+        f" | extend s = strcat('{d1}', tostring(l_linenumber), '{d2}',"
+        f"    l_returnflag{trail_build})"
+        f" | parse s with '{d1}' kv:long '{d2}' pv{trail_parse}"
+        " | summarize n = count(), sk = sum(kv) by pv | sort by pv asc"
+    )
+    sdf = duck.sql(
+        f"""SELECT l_returnflag AS pv, COUNT(*) AS n,
+              SUM(l_linenumber) AS sk
+           FROM lineitem WHERE l_linenumber >= {lo}
+           GROUP BY 1 ORDER BY 1"""
+    )
+    gotr = canonize_rows(got.columns, [[r[c] for c in got.columns] for r in got.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert gotr == want
