@@ -99,11 +99,21 @@ _KEY_SAMPLE_ROWS = 100_000
 @plugin("bag_unpack")
 def _bag_unpack(ptr, df, args):
     if not args or not isinstance(args[0], Col):
-        raise KqlSemanticError("evaluate bag_unpack(column [, prefix])")
+        raise KqlSemanticError(
+            "evaluate bag_unpack(column [, prefix] [, columnsConflict])"
+        )
     col_name = args[0].name
     prefix = ""
+    conflict = "error"  # Kusto default [KQL bag_unpack]
     if len(args) > 1:
         prefix = ptr.expr_tr(df).const_string(args[1])
+    if len(args) > 2:
+        conflict = ptr.expr_tr(df).const_string(args[2]).lower()
+        if conflict not in ("error", "replace_source", "keep_source"):
+            raise KqlSemanticError(
+                "bag_unpack: columnsConflict must be 'error', "
+                "'replace_source' or 'keep_source'"
+            )
     dt = df.schema[col_name].dataType
     if isinstance(dt, T.MapType):
         key_col = F.explode(F.map_keys(F.col(col_name))).alias("k")
@@ -116,6 +126,16 @@ def _bag_unpack(ptr, df, args):
         .select(key_col).distinct().limit(_MAX_EXPAND).collect()
     )
     keys = sorted(r["k"] for r in keys_rows)
+    existing = {c for c in df.columns if c != col_name}
+    clash = [k for k in keys if prefix + k in existing]
+    if clash and conflict == "error":
+        raise KqlSemanticError(
+            f"bag_unpack: output column(s) {sorted(prefix + k for k in clash)} "
+            "already exist; pass columnsConflict='replace_source' or "
+            "'keep_source' [KQL]"
+        )
+    if conflict == "keep_source":
+        keys = [k for k in keys if prefix + k not in existing]
     out = df
     if isinstance(dt, T.MapType):
         for k in keys:

@@ -1594,3 +1594,25 @@ def test_mv_apply_empty_expansion_keeps_record(run_kql):
         " | project id, small, s | sort by id asc"
     ).collect()
     assert [(r.id, r.small, r.s) for r in rows] == [(1, 2, 3), (2, 0, None)]
+
+
+def test_bag_unpack_columns_conflict_modes(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    base = "datatable(a:string, d:dynamic)['orig', dynamic({'a': 'bagv', 'b': 7})]"
+    # Kusto default: clash is an error
+    with pytest.raises(KqlSemanticError, match="replace_source"):
+        run_kql(base + " | evaluate bag_unpack(d)").collect()
+    r = run_kql(
+        base + " | evaluate bag_unpack(d, '', 'replace_source')"
+    ).collect()[0]
+    assert r.a == "bagv" and r.b == "7"
+    k = run_kql(
+        base + " | evaluate bag_unpack(d, '', 'keep_source')"
+    ).collect()[0]
+    assert k.a == "orig" and k.b == "7"
+    # a prefix removes the clash entirely
+    p = run_kql(base + " | evaluate bag_unpack(d, 'u_')").collect()[0]
+    assert p.a == "orig" and p.u_a == "bagv"
