@@ -3715,6 +3715,23 @@ q(
 )
 
 q(
+    "pivot_pinned_values",
+    # round 5: pivot with pinned output columns — no distinct scan, values
+    # absent from the pin are dropped, pinned-but-absent come back null
+    """events
+    | evaluate pivot(event_type, sum(value), click, view, nosuch)
+    | sort by user_id asc, event_id asc
+    | take 50""",
+    """SELECT * FROM (
+         SELECT event_id, ts, user_id, props,
+                SUM(value) FILTER (WHERE event_type = 'click') AS click,
+                SUM(value) FILTER (WHERE event_type = 'view') AS view,
+                SUM(value) FILTER (WHERE event_type = 'nosuch') AS nosuch
+         FROM events GROUP BY event_id, ts, user_id, props)
+       ORDER BY user_id, event_id LIMIT 50""",
+)
+
+q(
     "series_stats_nonfinite_modes",
     # round 5: Kusto's ignore_nonfinite contract — default mode voids the
     # whole stats result when the series holds nulls (max() + default=
