@@ -1212,3 +1212,39 @@ def test_random_parse_recovers_constructed_fields(run_kql, duck, d1, d2, tail, l
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert gotr == want
+
+
+# ----------------------------------- computed-key summarize differential
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mod=st.integers(2, 9),
+    use_concat=st.booleans(),
+    lo=st.integers(1, 5),
+)
+def test_random_computed_key_summarize_matches_duckdb(run_kql, duck, mod, use_concat, lo):
+    # computed by-keys: arithmetic and strcat expressions as group keys
+    if use_concat:
+        kkey = "k = strcat(l_returnflag, '-', l_linestatus)"
+        skey = "l_returnflag || '-' || l_linestatus AS k"
+    else:
+        kkey = f"k = l_orderkey % {mod}"
+        skey = f"l_orderkey % {mod} AS k"
+    kdf = run_kql(
+        f"lineitem | where l_linenumber >= {lo}"
+        f" | summarize n = count(), q = sum(l_quantity) by {kkey}"
+        " | sort by k asc"
+    )
+    sdf = duck.sql(
+        f"""SELECT {skey}, COUNT(*) AS n, SUM(l_quantity) AS q
+           FROM lineitem WHERE l_linenumber >= {lo}
+           GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
