@@ -148,10 +148,10 @@ q(
     # the correctness gates run at sf0.001/sf0.01).
     """events
     | where event_type == 'click'
-    | summarize c = count(), av = round(avg(value), 4) by h = bin(ts, 1h)
+    | summarize c = count(), sv = round(sum(value), 2) by h = bin(ts, 1h)
     | sort by h asc""",
     """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
-              COUNT(*) AS c, ROUND(AVG(value), 4) AS av
+              COUNT(*) AS c, ROUND(SUM(value), 2) AS sv
        FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""",
 )
 
