@@ -726,10 +726,10 @@ q(
 q(
     "make_series_numeric",
     """events
-    | make-series av = round(avg(value), 4) default = -1.0 on value from 0.0 to 100.0 step 12.5
+    | make-series av = round(sum(value), 2) default = -1.0 on value from 0.0 to 100.0 step 12.5
     | project av = strcat_array(av, '|'), value = strcat_array(value, '|')""",
     """WITH axis AS (SELECT unnest([0.0, 12.5, 25.0, 37.5, 50.0, 62.5, 75.0, 87.5]) AS b),
-         g AS (SELECT FLOOR(value / 12.5) * 12.5 AS b, ROUND(AVG(value), 4) AS av
+         g AS (SELECT FLOOR(value / 12.5) * 12.5 AS b, ROUND(SUM(value), 2) AS av
                FROM events WHERE value >= 0 AND value < 100 GROUP BY 1)
        SELECT array_to_string(list(COALESCE(g.av, -1.0) ORDER BY axis.b), '|') AS av,
               array_to_string(list(axis.b ORDER BY axis.b), '|') AS value
