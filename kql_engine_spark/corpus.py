@@ -3906,7 +3906,10 @@ _TIER_A = (
     # §2.10 make-series + series stats (r5 batch-3: series_stats_fit ->
     # tuple_extend_fit_line — same fit coverage plus the multi-valued
     # assignment path)
-    "make_series_datetime", "tuple_extend_fit_line",
+    # (r5 cont.: make_series_datetime -> series_stats_nonfinite_modes after
+    # 4 green driver rounds — still a make-series-based entry, and it
+    # certifies the new ignore_nonfinite contract)
+    "series_stats_nonfinite_modes", "tuple_extend_fit_line",
     # §2.11 streaming twin (tumbling bin) + concurrent scan
     "summarize_bin_1d", "scan_overlapping_matches",
     # §2.12 LLM data-pipeline (r6: llm_similarity_search ->
