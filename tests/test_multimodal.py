@@ -425,6 +425,12 @@ def test_jpeg_decode_roundtrip_unit():
     got = _decode_jpeg(_jpeg_bytes(c420, sampling=[(2, 2), (1, 1), (1, 1)]))
     assert got.shape == (32, 16, 3)
     assert np.max(np.abs(got.astype(int) - c420.astype(int))) <= 1
+    # constant color also survives 4:2:2 (horizontal-only subsampling)
+    c422 = np.zeros((16, 32, 3), dtype=np.uint8)
+    c422[..., 0], c422[..., 1], c422[..., 2] = 30, 90, 180
+    got = _decode_jpeg(_jpeg_bytes(c422, sampling=[(2, 1), (1, 1), (1, 1)]))
+    assert got.shape == (16, 32, 3)
+    assert np.max(np.abs(got.astype(int) - c422.astype(int))) <= 1
     # restart markers: DC predictors reset at each RST boundary
     got = _decode_jpeg(_jpeg_bytes(img, dri=2))
     assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
