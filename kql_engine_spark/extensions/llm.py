@@ -722,19 +722,30 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         F.col(idc).alias("node")
     )
     # 100 minhashes -> 20 bands of 5: band value = hash of the 5-tuple
+    # hash each gram STRING to a long once, then derive the 100 minhash
+    # permutations by re-hashing the LONG with the seed (8-byte input) —
+    # interpreted-HOF work drops from 100 string hashes per gram to 1
+    # string hash + 100 long mixes; minhash uniformity is unchanged
+    work = work.withColumn(
+        "__gh", F.transform(F.col("__g"), lambda g: F.xxhash64(g))
+    )
+
     def _minhash(seed):
         # closure factory: a 2-param lambda (default-arg seed) would make
         # transform() pass the ELEMENT INDEX as the second argument,
         # silently replacing the seed (same trap as the simhash bit-vote)
-        def h(g):
-            return F.xxhash64(g, F.lit(seed))
+        def h(gh):
+            return F.xxhash64(gh, F.lit(seed))
 
-        return F.array_min(F.transform(F.col("__g"), h))
+        return F.array_min(F.transform(F.col("__gh"), h))
 
     mins = [_minhash(i) for i in range(100)]
+    # band rows carry ONLY (id, band, value): the gram arrays are hundreds
+    # of strings per doc, and exploding them 20x through the self-join
+    # dominated wall-clock; candidates are a tiny fraction of band rows, so
+    # fetching __g back via two id-joins is far cheaper at every scale
     banded = work.select(
         "__id",
-        "__g",
         F.explode(
             F.array(
                 *[
@@ -746,16 +757,23 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
                 ]
             )
         ).alias("__band"),
-    ).select("__id", "__g", "__band.b", "__band.v")
-    inter = F.size(F.array_intersect(F.col("l.__g"), F.col("r.__g")))
-    union_ = F.size(F.array_union(F.col("l.__g"), F.col("r.__g")))
-    pairs = (
+    ).select("__id", "__band.b", "__band.v")
+    cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["b", "v"])
         .filter(F.col("l.__id") < F.col("r.__id"))
-        .filter((inter / union_) >= F.lit(thr))
         .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
         .distinct()
+    )
+    gl = work.select(F.col("__id").alias("src"), F.col("__g").alias("__gl"))
+    gr = work.select(F.col("__id").alias("dst"), F.col("__g").alias("__gr"))
+    inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
+    union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
+    pairs = (
+        cand.join(gl, "src")
+        .join(gr, "dst")
+        .filter((inter / union_) >= F.lit(thr))
+        .select("src", "dst")
     )
     keep = _min_id_components(
         work.select(F.col("__id").alias("node")), pairs
