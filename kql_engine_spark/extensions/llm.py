@@ -349,6 +349,63 @@ def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- cluster_embeddings
+@plugin("cluster_embeddings")
+def _cluster_embeddings(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate cluster_embeddings(embcol[, k=16])` — appends
+    `cluster_id`: KMeans (fixed seed, session-cached alongside the IVF
+    coarse quantizer) over the embedding column. The training-mix
+    workhorse next to similarity search: topic bucketing, per-cluster
+    stratified sampling (compose with sample_stratified), diversity
+    analysis. Rows with null/empty embeddings keep a null cluster_id.
+
+    Scale: the fit is Spark ML KMeans (distributed, sampled init);
+    assignment is one model.transform pass — no driver-side data path
+    beyond the O(k x dim) centroids."""
+    emb_name = _colname(args[0], "cluster_embeddings")
+    k = int(_const_float(args[1], "cluster_embeddings")) if len(args) > 1 else 16
+    if k < 2:
+        raise KqlSemanticError("cluster_embeddings: k must be >= 2")
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = F.col(emb_name)
+    if df.schema[emb_name].dataType.simpleString() == "string":
+        # JSON-text dynamic carrier (datatable literals) -> numeric array
+        emb = F.from_json(emb, "array<double>")
+    ok = emb.isNotNull() & (F.size(emb) > 0)
+    feat = df.filter(ok).withColumn(
+        "__v", array_to_vector(emb.cast("array<double>"))
+    )
+    spark = df.sparkSession
+    cache = _IVF_MODEL_CACHE.setdefault(spark, {})
+    cache_key = (
+        df._jdf.queryExecution().logical().toString(),  # noqa: SLF001
+        emb_name,
+        ("cluster", k),
+    )
+    km = cache.get(cache_key)
+    if km is None:
+        try:
+            km = KMeans(
+                k=k, seed=42, featuresCol="__v", predictionCol="cluster_id"
+            ).fit(feat)
+        except Exception as exc:  # Spark ML crashes opaquely when k > rows
+            raise KqlSemanticError(
+                "cluster_embeddings: KMeans fit failed — ensure at least k "
+                "non-null embeddings of a consistent dimension"
+            ) from exc
+        if len(cache) >= _IVF_CACHE_CAP:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = km
+    out = km.transform(feat).drop("__v")
+    rest = df.filter(~F.coalesce(ok, F.lit(False))).withColumn(
+        "cluster_id", F.lit(None).cast("int")
+    )
+    return out.unionByName(rest)
+
+
 # ------------------------------------------------------------ similarity_join
 @plugin("similarity_join")
 def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:

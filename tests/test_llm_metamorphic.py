@@ -676,3 +676,45 @@ def test_sample_stratified_exact_proportions(run_kql):
 
     with pytest.raises(KqlSemanticError, match="fraction"):
         run_kql("documents | evaluate sample_stratified(lang, 1.5)").collect()
+
+
+def test_cluster_embeddings_purity_and_determinism(run_kql):
+    # synthetic well-separated clusters (the embeddings fixture's labels
+    # are not geometrically separable): 3 clusters at scaled one-hot
+    # corners with small deterministic jitter; seeded KMeans must recover
+    # them exactly and deterministically, and null embeddings pass through
+    q = (
+        "range i from 0 to 29 step 1"
+        " | extend c = i % 3, j = (i / 3) % 5"
+        " | extend embedding = pack_array("
+        "     iff(c == 0, 10.0, 0.0) + j * 0.01,"
+        "     iff(c == 1, 10.0, 0.0) + j * 0.02,"
+        "     iff(c == 2, 10.0, 0.0) + j * 0.01, 1.0)"
+        " | evaluate cluster_embeddings(embedding, 3)"
+        " | summarize n = count() by c, cluster_id"
+    )
+    rows = run_kql(q).collect()
+    # every true cluster maps to exactly one KMeans cluster of size 10
+    assert sorted(r.n for r in rows) == [10, 10, 10]
+    assert len({r.cluster_id for r in rows}) == 3
+    again = run_kql(q).collect()
+    assert sorted((r.c, r.cluster_id, r.n) for r in rows) == sorted(
+        (r.c, r.cluster_id, r.n) for r in again
+    )
+    nulls = run_kql(
+        "datatable(embedding:dynamic)["
+        " dynamic([1.0, 2.0]), dynamic([10.0, 20.0]), dynamic(null)]"
+        " | evaluate cluster_embeddings(embedding, 2)"
+        " | summarize nn = countif(isnull(cluster_id)), n = count()"
+    ).collect()[0]
+    assert (nulls.n, nulls.nn) == (3, 1)
+    # Spark ML crashes opaquely when k exceeds the usable rows: typed error
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    with pytest.raises(KqlSemanticError, match="KMeans fit"):
+        run_kql(
+            "datatable(embedding:dynamic)[dynamic([1.0, 2.0])]"
+            " | evaluate cluster_embeddings(embedding, 2)"
+        ).collect()
