@@ -208,3 +208,46 @@ def test_stream_llm_plugins_match_batch(spark, run_kql):
         for r in run_kql(text).collect()
     )
     assert got == want
+
+
+def test_random_pipelines_stream_equals_batch(spark, run_kql):
+    # batch-vs-stream equivalence over a grid of generated pipelines:
+    # filters/projections in append mode, grouped aggregates in complete
+    # mode — the SAME translator output must drain to the batch answer
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    preds = [
+        "value > 50.0",
+        "event_type == 'click'",
+        "user_id % 3 == 1 and value <= 120.0",
+        "strlen(event_type) >= 4 or value < 10.0",
+    ]
+    for i, p in enumerate(preds):
+        text = (
+            f"events | where {p}"
+            " | extend b = bin(value, 20.0)"
+            " | summarize n = count(), s = round(sum(value), 2) by event_type, b"
+        )
+        sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+        got = sorted(
+            (r.event_type, r.b, r.n, r.s)
+            for r in run_to_memory(sdf, f"stream_fuzz_{i}", mode="complete").collect()
+        )
+        want = sorted(
+            (r.event_type, r.b, r.n, r.s) for r in run_kql(text).collect()
+        )
+        assert got == want, f"pipeline {i}: {p}"
+    rowtext = (
+        "events | where value > 100.0"
+        " | project event_id, et = toupper(event_type),"
+        "   v2 = round(value * 2.0, 2), d = bin(ts, 1d)"
+    )
+    sdf = kql_stream(spark, rowtext, sf_dir=SF_DIR)
+    got = sorted(
+        (r.event_id, r.et, r.v2, r.d)
+        for r in run_to_memory(sdf, "stream_fuzz_rows", mode="append").collect()
+    )
+    want = sorted(
+        (r.event_id, r.et, r.v2, r.d) for r in run_kql(rowtext).collect()
+    )
+    assert got == want
