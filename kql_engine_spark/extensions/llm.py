@@ -117,7 +117,10 @@ def _fingerprint(ptr, df: DataFrame, args) -> DataFrame:
     shingle, array_min. No Python in the row path."""
     src = F.col(_colname(args[0], "fingerprint")).cast("string")
     k = int(_const_float(args[1], "fingerprint")) if len(args) > 1 else 3
-    toks = _tokens(src)
+    # stage tokens: element_at inside the shingle lambda must index a
+    # materialized column, not the split expression (interpreted HOFs
+    # re-evaluate indexed expressions per element)
+    toks = F.col("__fp_toks")
     shingles = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -128,11 +131,13 @@ def _fingerprint(ptr, df: DataFrame, args) -> DataFrame:
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        df.withColumn("fp", F.xxhash64(src))
+        df.withColumn("__fp_toks", _tokens(src))
+        .withColumn("fp", F.xxhash64(src))
         .withColumn(
             "fp_min",
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s))),
         )
+        .drop("__fp_toks")
     )
 
 
@@ -580,7 +585,11 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
 
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = _tokens(F.col(text))
+    # stage the token array first: element_at inside the shingle lambda
+    # re-evaluates the indexed EXPRESSION per element under interpreted
+    # HOFs, so indexing must hit a materialized column (same contract as
+    # _dup_run_stats)
+    toks = F.col("__toks")
     shingles = F.when(
         F.size(toks) >= 3,
         F.array_distinct(
@@ -595,7 +604,12 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    work = df.withColumn("__sh", shingles).filter(F.size("__sh") > 0)
+    work = (
+        df.withColumn("__toks", _tokens(F.col(text)))
+        .withColumn("__sh", shingles)
+        .drop("__toks")
+        .filter(F.size("__sh") > 0)
+    )
 
     htf = HashingTF(inputCol="__sh", outputCol="__tf", numFeatures=1 << 18)
     feat = htf.transform(work.select(F.col(idc).alias("__id"), "__sh"))
