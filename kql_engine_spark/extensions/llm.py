@@ -658,8 +658,10 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
             "banding guarantee cannot hold beyond 31"
         )
 
-    toks = F.array_distinct(_tokens(F.col(text)))
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    # staged column: the 64 bit-vote aggregates below each iterate this
+    # array, and interpreted HOFs would re-run tokenize+hash per aggregate
+    # against the raw expression (64x the work)
+    hs = F.col("__hs")
 
     def _vote(bit_j):
         # closure factory: an extra default param on the lambda would make
@@ -684,6 +686,12 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
     work = (
         df.select(F.col(idc).alias("__id"), F.col(text))
         .filter(has_tokens)
+        .withColumn(
+            "__hs",
+            F.transform(
+                F.array_distinct(_tokens(F.col(text))), lambda t: F.xxhash64(t)
+            ),
+        )
         .withColumn("__sim", sim)
         .select("__id", "__sim")
         .localCheckpoint(eager=True)  # 64-agg expression tree: compute once
