@@ -1248,3 +1248,47 @@ def test_random_computed_key_summarize_matches_duckdb(run_kql, duck, mod, use_co
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------------------- hopping-window differential
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    size_h=st.sampled_from([2, 3, 4, 6]),
+    hop_h=st.sampled_from([1, 2, 3]),
+    lo=st.integers(0, 40),
+)
+def test_random_hopping_window_matches_duckdb(run_kql, duck, size_h, hop_h, lo):
+    # hopping_window(ts, size, hop): each event lands in every window whose
+    # [start, start+size) covers it, starts aligned to hop multiples; the
+    # twin explodes each row into its ceil(size/hop) covering windows
+    if hop_h > size_h:
+        hop_h = size_h  # degenerate hop > size: clamp to tumbling
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | summarize c = count(), s = round(sum(value), 2)"
+        f"   by w = hopping_window(ts, {size_h}h, {hop_h}h)"
+        " | project ws = w.start, c, s | sort by ws asc"
+    )
+    nwin = -(-size_h // hop_h)
+    sdf = duck.sql(
+        f"""WITH e AS (
+             SELECT CAST(ts AS TIMESTAMP) AS t, value
+             FROM events WHERE user_id >= {lo}),
+           x AS (
+             SELECT time_bucket(INTERVAL {hop_h} HOUR, t)
+                      - k * INTERVAL {hop_h} HOUR AS ws, value
+             FROM e CROSS JOIN (SELECT unnest(range({nwin})) AS k)
+             WHERE time_bucket(INTERVAL {hop_h} HOUR, t)
+                     - k * INTERVAL {hop_h} HOUR + INTERVAL {size_h} HOUR > t)
+           SELECT ws, COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+           FROM x GROUP BY ws ORDER BY ws"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
