@@ -1292,3 +1292,39 @@ def test_random_hopping_window_matches_duckdb(run_kql, duck, size_h, hop_h, lo):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------------------- session-window differential
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gap_m=st.sampled_from([5, 10, 30, 60]),
+    et=st.sampled_from(["click", "view", "signup", "purchase"]),
+)
+def test_random_session_window_matches_duckdb(run_kql, duck, gap_m, et):
+    # session_window(ts, gap): sessions split where the time to the
+    # previous event >= gap; the twin is the classic islands-and-gaps
+    # LAG + running-sum construction
+    kdf = run_kql(
+        f"events | where event_type == '{et}'"
+        f" | summarize c = count() by w = session_window(ts, {gap_m}m)"
+        " | project ws = w.start, c | sort by ws asc"
+    )
+    sdf = duck.sql(
+        f"""WITH o AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events
+                  WHERE event_type = '{et}'),
+           s AS (SELECT t, CASE WHEN LAG(t) OVER (ORDER BY t) IS NULL
+                     OR t - LAG(t) OVER (ORDER BY t) >= INTERVAL {gap_m} MINUTE
+                   THEN 1 ELSE 0 END AS brk FROM o),
+           g AS (SELECT t, SUM(brk) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS sid FROM s)
+           SELECT MIN(t) AS ws, COUNT(*) AS c FROM g GROUP BY sid ORDER BY ws"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
