@@ -3715,6 +3715,27 @@ q(
 )
 
 q(
+    "mv_apply_empty_groups",
+    # round 5 (fuzz-found fix): a record whose expanded rows all fail the
+    # inner where still yields the global aggregate-on-empty row
+    # (count()=0), so every document survives; the twin's GROUP BY keeps
+    # empty FILTER counts the same way
+    """documents
+    | extend w = split(text, ' ')
+    | mv-apply w to typeof(string) on (
+        where strlen(w) > 9 | summarize lw = count())
+    | summarize n = count(), s = sum(lw), z = countif(lw == 0)""",
+    """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+       per AS (SELECT doc_id,
+                  COUNT(*) FILTER (WHERE length(w) > 9) AS lw
+               FROM e GROUP BY doc_id)
+       SELECT COUNT(*) AS n, SUM(lw) AS s,
+              CAST(COUNT(*) FILTER (WHERE lw = 0) AS BIGINT) AS z
+       FROM per""",
+)
+
+q(
     "pivot_pinned_values",
     # round 5: pivot with pinned output columns — no distinct scan, values
     # absent from the pin are dropped, pinned-but-absent come back null
