@@ -1328,3 +1328,54 @@ def test_random_session_window_matches_duckdb(run_kql, duck, gap_m, et):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ----------------------------------------- series fill differential fuzz
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    step_h=st.sampled_from([6, 12, 24]),
+    lo=st.integers(5, 12),
+    backward=st.booleans(),
+)
+def test_random_series_fill_matches_duckdb(run_kql, duck, step_h, lo, backward):
+    # series_fill_forward/backward over a null-bearing series vs SQL's
+    # LAST_VALUE(... IGNORE NULLS) window (reversed ordering for backward)
+    fn = "series_fill_backward" if backward else "series_fill_forward"
+    order = "DESC" if backward else "ASC"
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        " | make-series y = max(value) default=real(null) on ts"
+        f"   from datetime(2024-01-01) to datetime(2024-01-11) step {step_h}h"
+        f" | project f = {fn}(y)"
+        " | mv-expand f to typeof(real)"
+        " | summarize s = round(sum(f), 2), nn = count()"
+    )
+    sdf = duck.sql(
+        f"""WITH grid AS (
+          SELECT generate_series AS t FROM generate_series(
+            TIMESTAMP '2024-01-01',
+            TIMESTAMP '2024-01-11' - INTERVAL {step_h} HOUR,
+            INTERVAL {step_h} HOUR)
+        ), v AS (
+          SELECT time_bucket(INTERVAL {step_h} HOUR, CAST(ts AS TIMESTAMP),
+                             TIMESTAMP '2024-01-01') AS t, value
+          FROM events WHERE user_id >= {lo}
+            AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11'
+        ), cells AS (
+          SELECT grid.t, MAX(v.value) AS y
+          FROM grid LEFT JOIN v ON v.t = grid.t GROUP BY grid.t
+        ), filled AS (
+          SELECT t, LAST_VALUE(y IGNORE NULLS)
+                   OVER (ORDER BY t {order} ROWS UNBOUNDED PRECEDING) AS f
+          FROM cells)
+        SELECT ROUND(SUM(f), 2) AS s, COUNT(*) AS nn FROM filled"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
