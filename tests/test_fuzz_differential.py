@@ -1379,3 +1379,46 @@ def test_random_series_fill_matches_duckdb(run_kql, duck, step_h, lo, backward):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ------------------------------------------------- find-operator differential
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bal=st.integers(-500, 8000),
+    both=st.booleans(),
+)
+def test_random_find_matches_duckdb(run_kql, duck, bal, both):
+    # find in (T1, T2): columns missing from a table are null-padded, so a
+    # predicate over either side's columns selects across both tables
+    pred = (
+        f"c_acctbal > {bal} or s_acctbal > {bal}"
+        if both
+        else f"c_acctbal > {bal}"
+    )
+    kdf = run_kql(
+        f"find in (customer, supplier) where {pred}"
+        " | summarize n = count(),"
+        "   s = round(sum(coalesce(column_ifexists('c_acctbal', real(null)),"
+        "     column_ifexists('s_acctbal', real(null)))), 2)"
+    )
+    sql_pred = (
+        f"ca > {bal} OR sa > {bal}" if both else f"ca > {bal}"
+    )
+    sdf = duck.sql(
+        f"""WITH u AS (
+             SELECT c_acctbal AS ca, NULL AS sa FROM customer
+             UNION ALL SELECT NULL, s_acctbal FROM supplier)
+           SELECT COUNT(*) AS n, ROUND(SUM(COALESCE(ca, sa)), 2) AS s
+           FROM u WHERE {sql_pred}"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    if not got and want and want[0][0] == "0":
+        want = []
+    assert got == want
