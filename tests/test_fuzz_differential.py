@@ -1422,3 +1422,36 @@ def test_random_find_matches_duckdb(run_kql, duck, bal, both):
     if not got and want and want[0][0] == "0":
         want = []
     assert got == want
+
+
+# ------------------------------------------------------ distinct differential
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mod=st.integers(2, 40),
+    pred=predicates(),
+)
+def test_random_distinct_matches_duckdb(run_kql, duck, mod, pred):
+    kql_pred, sql_pred = pred
+    kdf = run_kql(
+        f"lineitem | where {kql_pred}"
+        f" | extend k = l_orderkey % {mod}"
+        " | distinct k, l_returnflag"
+        " | summarize n = count(), s = sum(k), d = count_distinct(l_returnflag)"
+    )
+    sdf = duck.sql(
+        f"""WITH d AS (SELECT DISTINCT l_orderkey % {mod} AS k, l_returnflag
+             FROM lineitem WHERE {sql_pred})
+           SELECT COUNT(*) AS n, SUM(k) AS s,
+                  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d FROM d"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [dd[0] for dd in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    if not got and want and want[0][0] == "0":
+        want = []
+    assert got == want
