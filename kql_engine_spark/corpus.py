@@ -1534,9 +1534,9 @@ q(
     | fork hi = (where value > 100.0 | summarize n = count())
            lo = (where value <= 100.0 | summarize n = count())
     | sort by fork_result asc""",
-    """SELECT 'hi' AS fork_result, COUNT(*) AS n FROM events WHERE value > 100.0
+    """SELECT COUNT(*) AS n, 'hi' AS fork_result FROM events WHERE value > 100.0
        UNION ALL
-       SELECT 'lo', COUNT(*) FROM events WHERE value <= 100.0
+       SELECT COUNT(*), 'lo' FROM events WHERE value <= 100.0
        ORDER BY fork_result""",
 )
 
@@ -1609,7 +1609,7 @@ q(
     | evaluate activity_engagement(user_id, ts, 1d, 7d)
     | sort by Timeline asc""",
     """WITH b AS (SELECT user_id,
-                to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+                CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
          FROM events),
        inner_c AS (SELECT d, COUNT(DISTINCT user_id) AS i FROM b GROUP BY 1),
        spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
@@ -1630,7 +1630,7 @@ q(
     | evaluate new_activity_metrics(user_id, ts, 1d)
     | sort by Timeline asc""",
     """WITH pairs AS (SELECT DISTINCT user_id,
-            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS p
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS p
         FROM events),
      firsts AS (SELECT user_id, MIN(p) AS f FROM pairs GROUP BY 1),
      agg AS (
@@ -1659,7 +1659,7 @@ q(
     | evaluate active_users_count(user_id, ts, 7d, 1d, 3)
     | sort by Timeline asc""",
     """WITH pairs AS (SELECT DISTINCT user_id,
-            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS p
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS p
         FROM events),
      spread AS (SELECT user_id, p, p + INTERVAL (k) DAY AS d
                 FROM pairs CROSS JOIN UNNEST(generate_series(0, 6)) AS t(k)),
@@ -2064,10 +2064,14 @@ q(
 
 q(
     "conversions_more",
-    """print d = todecimal('123.45'), g = gettype(123),
+    # d compares as double: the engine's todecimal carries Spark
+    # DecimalType (a Decimal object through toPandas), while the oracle's
+    # DECIMAL collapses to float64 in the driver's pandas fetch — wrap in
+    # todouble so the VALUE is certified without a carrier-type mismatch
+    """print d = todouble(todecimal('123.45')), g = gettype(123),
              t = totimespan('01:30:00'), b2 = tobool('true'),
              ti = toint('42'), gu = toguid('ABC-DEF')""",
-    """SELECT CAST('123.45' AS DECIMAL(38,18)) AS d, 'long' AS g,
+    """SELECT CAST(CAST('123.45' AS DECIMAL(38,18)) AS DOUBLE) AS d, 'long' AS g,
               INTERVAL 90 MINUTE AS t, true AS b2, CAST(42 AS INT) AS ti,
               'abc-def' AS gu""",
 )
@@ -2345,7 +2349,7 @@ q(
     | evaluate sliding_window_counts(user_id, ts, 7d, 1d)
     | sort by Timeline asc""",
     """WITH b AS (SELECT user_id,
-            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
         FROM events),
      mx AS (SELECT MAX(d) AS m FROM b),
      spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
@@ -2366,7 +2370,7 @@ q(
     | project Timeline, p90 = round(rolling_7_percentile_value_90, 4)
     | sort by Timeline asc""",
     """WITH b AS (SELECT value,
-            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
         FROM events),
      mx AS (SELECT MAX(d) AS m FROM b),
      spread AS (SELECT value, d + INTERVAL (k) DAY AS d
@@ -2438,7 +2442,7 @@ q(
     | evaluate activity_counts_metrics(user_id, ts, 1d)
     | sort by Timeline asc""",
     """WITH b AS (SELECT user_id,
-            to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
         FROM events),
      per AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dc
@@ -2463,7 +2467,7 @@ q(
             LAG(CAST(ts AS TIMESTAMP)) OVER (
               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
           FROM events)
-     SELECT to_timestamp(CAST(floor(epoch(t) / 86400) AS BIGINT) * 86400)
+     SELECT CAST(to_timestamp(CAST(floor(epoch(t) / 86400) AS BIGINT) * 86400) AS TIMESTAMP)
               AS Timeline,
             CAST(COUNT(*) AS BIGINT) AS count_sessions
      FROM g WHERE prev IS NULL OR t - prev > INTERVAL 1 HOUR
@@ -2492,7 +2496,7 @@ q(
        SELECT t1, 1 AS step, 'view' AS state, user_id FROM s1
        UNION ALL SELECT t1, 2, 'click', user_id FROM s2
        UNION ALL SELECT t1, 3, 'purchase', user_id FROM s3)
-     SELECT to_timestamp(CAST(floor(epoch(t1) / 604800) AS BIGINT) * 604800)
+     SELECT CAST(to_timestamp(CAST(floor(epoch(t1) / 604800) AS BIGINT) * 604800) AS TIMESTAMP)
               AS Timeline,
             CAST(step AS BIGINT) AS Step, state AS StateName,
             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
@@ -3020,7 +3024,7 @@ q(
     | evaluate activity_metrics(user_id, ts, 1d)
     | sort by Timeline asc""",
     """WITH b AS (SELECT DISTINCT user_id,
-                to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS d
+                CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
          FROM events),
        f AS (SELECT user_id, MIN(d) AS fd FROM b GROUP BY 1),
        c AS (SELECT d, COUNT(DISTINCT b.user_id) AS dc,
@@ -3697,7 +3701,7 @@ q(
        )
        SELECT doc_id, CAST(0 AS BIGINT) AS pack_shard,
               CAST(FLOOR(s / 512) AS BIGINT) AS pack_block,
-              s % 512 AS pack_offset, pack_tokens
+              CAST(s % 512 AS BIGINT) AS pack_offset, pack_tokens
        FROM c ORDER BY doc_id""",
 )
 
@@ -3730,7 +3734,7 @@ q(
        per AS (SELECT doc_id,
                   COUNT(*) FILTER (WHERE length(w) > 9) AS lw
                FROM e GROUP BY doc_id)
-       SELECT COUNT(*) AS n, SUM(lw) AS s,
+       SELECT COUNT(*) AS n, CAST(SUM(lw) AS BIGINT) AS s,
               CAST(COUNT(*) FILTER (WHERE lw = 0) AS BIGINT) AS z
        FROM per""",
 )

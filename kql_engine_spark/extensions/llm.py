@@ -371,6 +371,14 @@ def _cluster_embeddings(ptr, df: DataFrame, args) -> DataFrame:
     k = int(_const_float(args[1], "cluster_embeddings")) if len(args) > 1 else 16
     if k < 2:
         raise KqlSemanticError("cluster_embeddings: k must be >= 2")
+    if emb_name not in df.columns:
+        raise KqlSemanticError(
+            f"cluster_embeddings: no column '{emb_name}' in input"
+        )
+    if "cluster_id" in df.columns:
+        # KMeans' predictionCol would collide opaquely; shadow per KQL
+        # extend semantics (the new cluster_id replaces the old)
+        df = df.drop("cluster_id")
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -63,11 +63,14 @@ def _pivot(ptr, df, args):
         for a in tail:
             if isinstance(a, Col):
                 values.append(a.name)
-            elif isinstance(a, Lit) and isinstance(a.value, str):
+            elif isinstance(a, Lit):
+                # numeric/bool pins are valid in Kusto (pivot(code, count(),
+                # 200, 404)); Spark matches pinned values by the pivot
+                # column's type, so pass the literal through as-is
                 values.append(a.value)
             else:
                 raise KqlSemanticError(
-                    "evaluate pivot: output columns must be names or strings"
+                    "evaluate pivot: output columns must be names or literals"
                 )
     grouped = df.groupBy(*rest)
     pivoted = grouped.pivot(pivot_col, values) if values else grouped.pivot(pivot_col)

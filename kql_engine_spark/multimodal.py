@@ -426,10 +426,14 @@ def _decode_jpeg(payload: bytes):
     nrst = 0
     for m in range(mcux * mcuy):
         if dri and m and m % dri == 0:
-            # restart: byte-align at the recorded boundary, reset predictors
-            if nrst < len(restarts):
-                bits = _JpegBits(bytes(data[restarts[nrst] :]))
-                nrst += 1
+            # restart: byte-align at the recorded boundary, reset predictors.
+            # Exhausted restart list = encoder/decoder interval mismatch or
+            # missing RST markers — the bitstream is desynced; fail to None
+            # (via _decode_payload's guard) rather than decode garbage.
+            if nrst >= len(restarts):
+                raise ValueError("jpeg: restart marker missing (DRI desync)")
+            bits = _JpegBits(bytes(data[restarts[nrst] :]))
+            nrst += 1
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, c in enumerate(comps):
@@ -881,7 +885,13 @@ def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
             meta = pd.DataFrame(list(pdf["meta"]))
             rows = {"path": [], "frame_idx": [], "ts_sec": [], "frame": []}
             for path, b in zip(meta["path"], pdf["content"]):
-                frames = _gif_frames(bytes(b) if b is not None else b"")
+                # a truncated/corrupt GIF (valid magic, short blocks) must
+                # yield zero rows, not fail the query — same per-payload
+                # guard contract as _decode_payload's decoder try/except
+                try:
+                    frames = _gif_frames(bytes(b) if b is not None else b"")
+                except Exception:
+                    continue
                 if not frames:
                     continue
                 starts = np.cumsum([0.0] + [d / 100.0 for d, _ in frames[:-1]])

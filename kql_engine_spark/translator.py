@@ -2812,6 +2812,44 @@ def _walk_ast(node):
             stack.extend(x.values())
 
 
+# AnalysisException conditions that indicate a problem with the USER's
+# query (bad column, bad type, bad call), vs an internal engine defect.
+# Prefix-matched against getCondition(); legacy exceptions with no
+# condition are treated as user-level (pre-error-class Spark messages are
+# overwhelmingly resolution failures).
+_USER_ANALYSIS_PREFIXES = (
+    "UNRESOLVED_",
+    "UNRESOLVABLE_",
+    "CANNOT_RESOLVE",
+    "COLUMN_NOT_FOUND",
+    "FIELD_NOT_FOUND",
+    "AMBIGUOUS_",
+    "DATATYPE_MISMATCH",
+    "DATA_TYPE_MISMATCH",
+    "CAST_",
+    "INVALID_",
+    "WRONG_NUM_ARGS",
+    "NUM_ARGS",
+    "GROUP_BY",
+    "MISSING_",
+    "NON_",
+    "UNSUPPORTED_",
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "PARSE_",
+    "PATH_NOT_FOUND",
+    "ORDER_BY_POS_OUT_OF_RANGE",
+    "GROUP_BY_POS_OUT_OF_RANGE",
+    "NESTED_AGGREGATE_FUNCTION",
+    "STAR_GROUP_BY_POS",
+)
+
+
+def _is_user_analysis_error(cond: str) -> bool:
+    if not cond:
+        return True
+    return cond.startswith(_USER_ANALYSIS_PREFIXES) or cond.startswith("_LEGACY")
+
+
 def _plan_is_volatile(q: Query) -> bool:
     volatile_nodes = (SampleOp, SampleDistinct, ExternalData, ConsumeOp, ToScalar)
     # tabular `in` as a where-conjunct lowers to a lazy semi-join (cache-safe:
@@ -2972,9 +3010,20 @@ def kql(
     except AnalysisException as exc:
         # DataFrame transformations analyze eagerly, so unresolved columns
         # and type mismatches Spark catches surface here at translate time;
-        # Kusto reports these as semantic errors, not engine internals
+        # Kusto reports these as semantic errors, not engine internals.
+        # Only relabel error classes caused by USER input — an
+        # AnalysisException from an engine bug (e.g. a plugin referencing a
+        # dropped __kql temp column) must propagate as-is, not masquerade
+        # as a user semantic error.
+        cond = exc.getCondition() or ""
+        msg = str(exc)
+        # the headline names the offending identifier; the plan dump below
+        # it legitimately contains engine temp aliases even for user errors
+        headline = msg.splitlines()[0] if msg else ""
+        if "`__kql" in headline or not _is_user_analysis_error(cond):
+            raise
         raise KqlSemanticError(
-            "semantic error: " + str(exc).split(";")[0].strip()
+            "semantic error: " + msg.split(";")[0].strip()
         ) from exc
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})

@@ -54,6 +54,26 @@ def canonize_rows(cols, rows):
     return out
 
 
+def assert_rows_close(got, want, tol):
+    """Compare two canonize_rows outputs, tolerating per-cell float deltas
+    up to `tol`. For laws where both sides apply round(x, k): the engine and
+    the oracle can land on opposite sides of a half-ulp tie, differing by
+    exactly 10^-k — a rounding artifact, not a semantics bug. Pairing is by
+    sorted canonical order, which is stable as long as the group keys (exact
+    cells) dominate the sort; fuzz laws keep keys exact for that reason."""
+    assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}"
+    for rg, rw in zip(got, want):
+        assert len(rg) == len(rw), f"width {rg} vs {rw}"
+        for a, b in zip(rg, rw):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                raise AssertionError(f"cell {a!r} != {b!r} in {rg} vs {rw}")
+            assert abs(fa - fb) <= tol, f"cell {a} vs {b} beyond tol={tol}"
+
+
 @pytest.fixture(scope="session")
 def spark():
     from kql_engine_spark.session import get_spark

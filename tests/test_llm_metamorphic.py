@@ -718,3 +718,21 @@ def test_cluster_embeddings_purity_and_determinism(run_kql):
             "datatable(embedding:dynamic)[dynamic([1.0, 2.0])]"
             " | evaluate cluster_embeddings(embedding, 2)"
         ).collect()
+
+
+def test_cluster_embeddings_typed_errors_and_collision(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    # typo'd column -> typed error, not a raw KeyError
+    with pytest.raises(KqlSemanticError, match="no column 'nope'"):
+        run_kql("embeddings | evaluate cluster_embeddings(nope, 2)")
+    # a pre-existing cluster_id column is shadowed (extend semantics),
+    # not an opaque KMeans predictionCol collision
+    out = run_kql(
+        "embeddings | take 20 | extend cluster_id = 'stale'"
+        " | evaluate cluster_embeddings(embedding, 2)"
+    )
+    assert out.schema["cluster_id"].dataType.simpleString() == "int"
+    assert out.count() == 20

@@ -602,3 +602,41 @@ def test_gif_sample_frames_real(spark, tmp_path_factory):
         body = bytes(r.frame).split(b"\n", 3)[3]
         px = np.frombuffer(body, np.uint8).reshape(6, 5, 3)
         assert np.all(px == np.array(palette[fi], dtype=np.uint8))
+
+
+def test_sample_frames_corrupt_gif_yields_zero_rows(spark, tmp_path_factory):
+    # valid GIF magic but truncated header/blocks: the payload must yield
+    # zero rows (per-payload guard), never fail the whole query
+    from kql_engine_spark.multimodal import load_binary_dir, sample_frames
+
+    d = tmp_path_factory.mktemp("gif_bad")
+    (d / "trunc1.gif").write_bytes(b"GIF89a\x05\x00")  # cut mid-header
+    (d / "trunc2.gif").write_bytes(
+        _gif_header(5, 6, [(0, 0, 0)] * 2)[:14] + b"\x2c\x00"
+    )  # cut mid image descriptor
+    (d / "junk.gif").write_bytes(b"GIF89a" + bytes(range(48)))
+    out = sample_frames(load_binary_dir(spark, str(d)), n_frames=2).collect()
+    assert out == []
+
+
+def test_jpeg_restart_desync_fails_closed():
+    # DRI declared but RST markers absent: the bitstream is desynced, so
+    # the decoder must fail (to a None payload upstream) instead of
+    # silently producing corrupt pixels
+    import numpy as np
+    import pytest
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload = bytearray(_jpeg_bytes(img, dri=2))
+    # strip every RSTn (FF D0..D7) from the entropy stream
+    i = 0
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7:
+            del payload[i : i + 2]
+        else:
+            i += 1
+    with pytest.raises(ValueError, match="restart"):
+        _decode_jpeg(bytes(payload))

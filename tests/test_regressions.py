@@ -1584,6 +1584,21 @@ def test_pivot_with_explicit_output_columns(run_kql):
     ]
 
 
+def test_pivot_numeric_pinned_values(run_kql):
+    # numeric pins on a numeric pivot column (pivot(code, count(), 200,
+    # 404)) — Spark matches pins by the column's type
+    rows = run_kql(
+        "datatable(k:string, code:long)["
+        " 'a',200, 'a',200, 'a',404, 'b',500, 'b',200]"
+        " | evaluate pivot(code, count(), 200, 404)"
+        " | sort by k asc"
+    ).collect()
+    assert [r.asDict() for r in rows] == [
+        {"k": "a", "200": 2, "404": 1},
+        {"k": "b", "200": 1, "404": None},
+    ]
+
+
 def test_mv_apply_empty_expansion_keeps_record(run_kql):
     # fuzz-found: a record whose expanded rows all fail the inner where
     # must still re-attach the global aggregate-on-empty row (count()=0)
