@@ -34,3 +34,9 @@ class KqlSemanticError(KqlError):
 
 class KqlUnsupportedError(KqlError):
     """Recognized KQL construct that this engine does not implement."""
+
+
+class KqlLimitError(KqlError):
+    """A documented engine resource limit was exceeded (e.g. streaming
+    scan state size) — mirrors Kusto's query-limits failures, which abort
+    the query rather than silently degrade."""

@@ -425,13 +425,28 @@ def run_scan_streaming(
     machine's slots across micro-batches (pickled — sequences are plain
     data). Rows are processed in `sort by` order WITHIN each micro-batch
     (streams cannot be globally sorted; the per-batch ordering is the
-    documented contract). Global scan = one state group; state size is
-    O(n_steps), not O(rows)."""
+    documented contract). Global scan = one state group.
+
+    State-size contract: concurrent sequences are structurally capped at
+    one per step (n_steps slots), each holding at most n_steps row
+    snapshots — so state is O(n_steps^2 * row_width), FLAT in stream
+    length. The one unbounded vector is a declared variable that
+    accumulates per row (e.g. `acc = strcat(s1.acc, text)` in a
+    never-completing sequence); a pickled-state byte cap (env
+    KQL_ENGINE_SCAN_MAX_STATE_BYTES, default 16 MiB) aborts the query
+    with a typed KqlLimitError instead of letting the state store grow
+    without bound — mirroring Kusto's fail-loud query limits."""
+    import os
     import pickle
 
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .errors import KqlLimitError
+
+    max_state = int(
+        os.environ.get("KQL_ENGINE_SCAN_MAX_STATE_BYTES", str(16 << 20))
+    )
     ctx = ScanCtx(df, op)
     state_schema = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
@@ -457,7 +472,15 @@ def run_scan_streaming(
             out_rows.extend(machine.process(row))
         yield pd.DataFrame(out_rows, columns=ctx.out_cols)
         # no finalize: output=last buffers stay in state for the next batch
-        state.update((pickle.dumps((machine.slots, machine.next_id)),))
+        blob = pickle.dumps((machine.slots, machine.next_id))
+        if len(blob) > max_state:
+            raise KqlLimitError(
+                f"streaming scan state ({len(blob)} bytes) exceeds the "
+                f"{max_state}-byte cap (KQL_ENGINE_SCAN_MAX_STATE_BYTES); "
+                "a declared variable is accumulating per-row data in a "
+                "sequence that never completes"
+            )
+        state.update((blob,))
 
     # the grouping key must be a real column for the state operator
     return (

@@ -1455,3 +1455,157 @@ def test_random_distinct_matches_duckdb(run_kql, duck, mod, pred):
     if not got and want and want[0][0] == "0":
         want = []
     assert got == want
+
+
+# --------------------------- behavior-analytics plugin differential fuzz
+# (round 6: the r5 twin-type bugs clustered in this family — fuzz the
+# window/period parameters, not just the corpus' pinned 1d/7d shapes)
+
+_DAY_TS = "CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP)"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(outer_d=st.integers(2, 10), lo=st.integers(0, 400))
+def test_random_activity_engagement_matches_duckdb(run_kql, duck, outer_d, lo):
+    # rolling inner/outer distinct-activity ratio over a random outer
+    # window; spread-join twin
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate activity_engagement(user_id, ts, 1d, {outer_d}d)"
+        " | sort by Timeline asc"
+    )
+    sdf = duck.sql(
+        f"""WITH b AS (SELECT user_id, {_DAY_TS} AS d
+             FROM events WHERE user_id >= {lo}),
+           inner_c AS (SELECT d, COUNT(DISTINCT user_id) AS i FROM b GROUP BY 1),
+           spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
+                      FROM b CROSS JOIN UNNEST(generate_series(0, {outer_d - 1})) AS t(k)),
+           outer_c AS (SELECT d, COUNT(DISTINCT user_id) AS o FROM spread GROUP BY 1)
+           SELECT inner_c.d AS Timeline,
+                  CAST(i AS BIGINT) AS dcount_activities_inner,
+                  CAST(o AS BIGINT) AS dcount_activities_outer,
+                  ROUND(CAST(i AS DOUBLE) / o, 4) AS activity_ratio
+           FROM inner_c JOIN outer_c USING (d) ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert_rows_close(got, want, tol=0.00011)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(look_d=st.integers(2, 10), lo=st.integers(0, 400))
+def test_random_sliding_window_counts_matches_duckdb(run_kql, duck, look_d, lo):
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate sliding_window_counts(user_id, ts, {look_d}d, 1d)"
+        " | sort by Timeline asc"
+    )
+    sdf = duck.sql(
+        f"""WITH b AS (SELECT user_id, {_DAY_TS} AS d
+             FROM events WHERE user_id >= {lo}),
+           mx AS (SELECT MAX(d) AS m FROM b),
+           spread AS (SELECT user_id, d + INTERVAL (k) DAY AS d
+                      FROM b CROSS JOIN UNNEST(generate_series(0, {look_d - 1})) AS t(k))
+           SELECT d AS Timeline,
+                  CAST(COUNT(*) AS BIGINT) AS "Count",
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "Dcount"
+           FROM spread, mx WHERE d <= m GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gap_h=st.integers(1, 36), lo=st.integers(0, 400))
+def test_random_session_count_matches_duckdb(run_kql, duck, gap_h, lo):
+    # sessions started per day under a random inactivity gap
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate session_count(user_id, ts, 1d, {gap_h}h)"
+        " | sort by Timeline asc"
+    )
+    sdf = duck.sql(
+        f"""WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                LAG(CAST(ts AS TIMESTAMP)) OVER (
+                  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+              FROM events WHERE user_id >= {lo})
+         SELECT CAST(to_timestamp(CAST(floor(epoch(t) / 86400) AS BIGINT) * 86400) AS TIMESTAMP)
+                  AS Timeline,
+                CAST(COUNT(*) AS BIGINT) AS count_sessions
+         FROM g WHERE prev IS NULL OR t - prev > INTERVAL {gap_h} HOUR
+         GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(look_d=st.integers(2, 8), min_p=st.integers(1, 5), lo=st.integers(0, 400))
+def test_random_active_users_count_matches_duckdb(run_kql, duck, look_d, min_p, lo):
+    # ids active on >= min_p distinct days within a random trailing window
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate active_users_count(user_id, ts, {look_d}d, 1d, {min_p})"
+        " | sort by Timeline asc"
+    )
+    sdf = duck.sql(
+        f"""WITH pairs AS (SELECT DISTINCT user_id, {_DAY_TS} AS p
+             FROM events WHERE user_id >= {lo}),
+           spread AS (SELECT user_id, p, p + INTERVAL (k) DAY AS d
+                      FROM pairs CROSS JOIN UNNEST(generate_series(0, {look_d - 1})) AS t(k)),
+           pu AS (SELECT d, user_id, COUNT(DISTINCT p) AS np FROM spread GROUP BY 1, 2)
+         SELECT d AS Timeline, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+         FROM pu WHERE np >= {min_p} GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=st.sampled_from([25, 50, 75, 90, 99]), nbins=st.integers(2, 8))
+def test_random_rolling_percentile_matches_duckdb(run_kql, duck, p, nbins):
+    kdf = run_kql(
+        f"events | evaluate rolling_percentile(value, {p}, ts, 1d, {nbins})"
+        f" | project Timeline, v = round(rolling_{nbins}_percentile_value_{p}, 4)"
+        " | sort by Timeline asc"
+    )
+    sdf = duck.sql(
+        f"""WITH b AS (SELECT value, {_DAY_TS} AS d FROM events),
+           mx AS (SELECT MAX(d) AS m FROM b),
+           spread AS (SELECT value, d + INTERVAL (k) DAY AS d
+                      FROM b CROSS JOIN UNNEST(generate_series(0, {nbins - 1})) AS t(k))
+           SELECT d AS Timeline,
+                  ROUND(quantile_cont(value, {p / 100.0}), 4) AS v
+           FROM spread, mx WHERE d <= m GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert_rows_close(got, want, tol=0.00011)

@@ -251,3 +251,69 @@ def test_random_pipelines_stream_equals_batch(spark, run_kql):
         (r.event_id, r.et, r.v2, r.d) for r in run_kql(rowtext).collect()
     )
     assert got == want
+
+
+def test_stream_scan_state_stays_flat_on_never_completing_sequence():
+    # state-size contract (round 6): slots are structurally capped at one
+    # sequence per step, each with at most n_steps row snapshots — a
+    # never-completing sequence must NOT grow state with stream length
+    import pickle
+
+    from kql_engine_spark.ast_nodes import ScanOp
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.scan import ScanCtx, ScanMachine
+
+    q = parse(
+        "events | scan declare (hits:long = 0) with ("
+        "  step s1: event_type == 'view' => hits = hits + 1;"
+        "  step s2: event_type == 'nosuch' => hits = hits;)"
+    )
+    op = next(o for o in q.pipe.ops if isinstance(o, ScanOp))
+
+    class _FakeDF:  # ScanCtx only reads .schema.fields
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+
+    ctx = ScanCtx(_FakeDF(), op)
+    machine = ScanMachine(ctx)
+    sizes = []
+    for i in range(5000):
+        machine.process({"event_type": "view", "v": i})
+        if i in (99, 999, 4999):
+            sizes.append(len(pickle.dumps((machine.slots, machine.next_id))))
+    assert sizes[0] > 0
+    # flat: 50x more rows processed, state within a few bytes (varint ids)
+    assert sizes[-1] - sizes[0] <= 16, sizes
+
+
+def test_stream_scan_state_cap_typed_error(spark):
+    # a declared variable accumulating per-row data in a never-completing
+    # sequence is the one unbounded state vector; the byte cap must abort
+    # the query with the typed KqlLimitError, not grow without bound
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    os.environ["KQL_ENGINE_SCAN_MAX_STATE_BYTES"] = "2048"
+    try:
+        sdf = kql_stream(
+            spark,
+            "events | sort by event_id asc"
+            " | scan declare (acc:string = '') with ("
+            "    step s1: true => acc = strcat(s1.acc, 'xxxxxxxxxxxxxxxx');"
+            "    step s2: event_type == 'nosuch' => acc = acc;)",
+            sf_dir=SF_DIR,
+        )
+        with pytest.raises(StreamingQueryException, match="exceeds the 2048-byte cap"):
+            run_to_memory(sdf, "stream_scan_cap_t", mode="append")
+    finally:
+        del os.environ["KQL_ENGINE_SCAN_MAX_STATE_BYTES"]
