@@ -253,7 +253,9 @@ def _decode_png(payload: bytes):
 # batch media, not a libjpeg replacement), dequantize + dezigzag, 8x8
 # orthonormal IDCT as one matrix sandwich, per-component plane assembly
 # with nearest upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr -> RGB.
-# Progressive (SOF2), arithmetic coding, and 12-bit precision return None.
+# Baseline (SOF0/1) and progressive (SOF2: spectral selection +
+# successive approximation per ITU T.81 G.2) are decoded; arithmetic
+# coding and 12-bit precision return None.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -331,6 +333,171 @@ def _jpeg_idct(coef):
     return c.T @ coef @ c
 
 
+def _jpeg_entropy_slice(payload: bytes, pos: int):
+    """Byte-unstuff the entropy-coded segment starting at `pos`: FF00 ->
+    FF, RSTn positions recorded, stops at any other marker. Returns
+    (data, restart_offsets, next_marker_pos)."""
+    data = bytearray()
+    restarts = []
+    while pos < len(payload) - 1:
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                restarts.append(len(data))
+                pos += 2
+                continue
+            break
+        data.append(b)
+        pos += 1
+    return bytes(data), restarts, pos
+
+
+def _jpeg_decode_scan(data, restarts, scan_comps, ss, se, ah, al, hufft,
+                      smap, dri, coefs, comps, mcux, mcuy, progressive):
+    """Decode one entropy-coded scan into the per-component zigzag
+    coefficient stores (T.81 F.2 sequential / G.2 progressive). Handles
+    interleaved (multi-component, MCU walk) and non-interleaved
+    (single-component, block walk) scans, EOBRUN, and successive-
+    approximation refinement."""
+    bits = _JpegBits(data)
+    pred = {ci: 0 for ci in scan_comps}
+    state = {"eobrun": 0, "bits": bits}
+    nrst = 0
+
+    def first_block(zz, ci):
+        # DC (if ss==0) + AC first pass, shifted left by al
+        k = ss
+        if ss == 0:
+            dc_t = hufft.get((0, smap[comps[ci]["id"]][0]))
+            if dc_t is None:
+                raise ValueError("jpeg: missing DC table")
+            t = _jpeg_decode_huff(state["bits"], dc_t)
+            pred[ci] += _jpeg_extend(state["bits"].receive(t), t)
+            zz[0] = pred[ci] << al
+            k = 1
+        if k > se:
+            return
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_t = hufft.get((1, smap[comps[ci]["id"]][1]))
+        if ac_t is None:
+            raise ValueError("jpeg: missing AC table")
+        b = state["bits"]
+        while k <= se:
+            rs = _jpeg_decode_huff(b, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                # EOBn (progressive) / plain EOB (baseline: r == 0)
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += b.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC overrun")
+            zz[k] = _jpeg_extend(b.receive(s), s) << al
+            k += 1
+
+    def refine_block(zz, ci):
+        # successive-approximation refinement (T.81 G.2 / G.1.2.3)
+        b = state["bits"]
+        p1 = 1 << al
+        if ss == 0:
+            # DC refinement: one correction bit per block
+            if b.read():
+                zz[0] |= p1
+            return
+        ac_t = hufft.get((1, smap[comps[ci]["id"]][1]))
+        if ac_t is None:
+            raise ValueError("jpeg: missing AC table")
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _jpeg_decode_huff(b, ac_t)
+                r, s = rs >> 4, rs & 15
+                sval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("jpeg: bad AC refine magnitude")
+                    sval = p1 if b.read() else -p1
+                elif r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += b.receive(r)
+                    break
+                # advance past r zero-history coefficients, reading a
+                # correction bit at every nonzero-history one passed
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if b.read() and (abs(c) & p1) == 0:
+                            zz[k] = c + (p1 if c > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if sval and k <= se:
+                    zz[k] = sval
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB span: correction bits for remaining nonzero-history
+            # coefficients in the band, then consume one span unit
+            while k <= se:
+                c = int(zz[k])
+                if c != 0 and b.read() and (abs(c) & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else -p1)
+                k += 1
+            state["eobrun"] -= 1
+
+    decode_block = refine_block if ah else first_block
+
+    if len(scan_comps) > 1:
+        n_units = mcux * mcuy
+    else:
+        ci = scan_comps[0]
+        c = comps[ci]
+        # non-interleaved scans walk the component's TRUE block grid
+        # (ceil of scaled dims), not the MCU-padded grid
+        bw = -(-c["w_px"] // 8)
+        bh = -(-c["h_px"] // 8)
+        n_units = bw * bh
+    for m in range(n_units):
+        if dri and m and m % dri == 0:
+            # restart: byte-align at the recorded boundary, reset state.
+            # Exhausted restart list = encoder/decoder interval mismatch or
+            # missing RST markers — the bitstream is desynced; fail to None
+            # (via _decode_payload's guard) rather than decode garbage.
+            if nrst >= len(restarts):
+                raise ValueError("jpeg: restart marker missing (DRI desync)")
+            state["bits"] = _JpegBits(data[restarts[nrst] :])
+            nrst += 1
+            for ci2 in pred:
+                pred[ci2] = 0
+            state["eobrun"] = 0
+        if len(scan_comps) > 1:
+            my, mx = divmod(m, mcux)
+            for ci in scan_comps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        decode_block(
+                            coefs[ci][my * c["v"] + by, mx * c["h"] + bx], ci
+                        )
+        else:
+            by, bx = divmod(m, bw)
+            decode_block(coefs[ci][by, bx], ci)
+
+
 def _decode_jpeg(payload: bytes):
     import struct
 
@@ -340,8 +507,13 @@ def _decode_jpeg(payload: bytes):
         return None
     qt, hufft, dri = {}, {}, 0
     frame = None
+    progressive = False
+    coefs = None
+    mcux = mcuy = 0
+    comps = []
+    h = w = 0
+    saw_scan = False
     pos = 2
-    scan = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
@@ -370,7 +542,8 @@ def _decode_jpeg(payload: bytes):
                 vals = list(seg[s + 17 : s + 17 + n])
                 hufft[(tc, th)] = _jpeg_huff_table(bits16, vals)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 return None
@@ -378,102 +551,71 @@ def _decode_jpeg(payload: bytes):
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = []
+            for c in comps:
+                c["w_px"] = -(-w * c["h"] // hmax)
+                c["h_px"] = -(-h * c["v"] // vmax)
+                coefs.append(
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # progressive / arithmetic: out of this tier
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # lossless / arithmetic / hierarchical: out of tier
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg)[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
             ns = seg[0]
             smap = {}
+            scan_comps = []
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cid] = (tt >> 4, tt & 15)
-            scan = (smap, pos)
-            break
-    if frame is None or scan is None:
+                if cid not in by_id:
+                    return None
+                scan_comps.append(by_id[cid])
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            data, restarts, pos = _jpeg_entropy_slice(payload, pos)
+            _jpeg_decode_scan(
+                data, restarts, scan_comps, ss, se, ah, al, hufft, smap,
+                dri, coefs, comps, mcux, mcuy, progressive,
+            )
+            saw_scan = True
+    if frame is None or not saw_scan:
         return None
-    smap, pos = scan
-    # entropy data: byte-unstuff FF00, note restart positions, stop at marker
-    data = bytearray()
-    restarts = []
-    while pos < len(payload) - 1:
-        b = payload[pos]
-        if b == 0xFF:
-            nxt = payload[pos + 1]
-            if nxt == 0x00:
-                data.append(0xFF)
-                pos += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                restarts.append(len(data))
-                pos += 2
-                continue
-            break
-        data.append(b)
-        pos += 1
-    h, w, comps = frame
+    # dequantize + de-zigzag + one vectorized IDCT pass per component
+    import numpy as np
+
+    if _JPEG_IDCT_C is None:
+        _jpeg_idct(np.zeros((8, 8)))  # build the basis
+    cbasis = _JPEG_IDCT_C
+    zig = np.asarray(_JPEG_ZIGZAG)
+    full = []
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    bits = _JpegBits(bytes(data))
-    pred = [0] * len(comps)
-    nrst = 0
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            # restart: byte-align at the recorded boundary, reset predictors.
-            # Exhausted restart list = encoder/decoder interval mismatch or
-            # missing RST markers — the bitstream is desynced; fail to None
-            # (via _decode_payload's guard) rather than decode garbage.
-            if nrst >= len(restarts):
-                raise ValueError("jpeg: restart marker missing (DRI desync)")
-            bits = _JpegBits(bytes(data[restarts[nrst] :]))
-            nrst += 1
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(comps):
-            dc_t = hufft.get((0, smap[c["id"]][0]))
-            ac_t = hufft.get((1, smap[c["id"]][1]))
-            q = qt.get(c["tq"])
-            if dc_t is None or ac_t is None or q is None:
-                return None
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int32)
-                    ssss = _jpeg_decode_huff(bits, dc_t)
-                    pred[ci] += _jpeg_extend(bits.receive(ssss), ssss)
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _jpeg_decode_huff(bits, ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("jpeg: AC overrun")
-                        zz[k] = _jpeg_extend(bits.receive(s), s)
-                        k += 1
-                    blk = np.zeros(64, dtype=np.int32)
-                    blk[_JPEG_ZIGZAG] = zz * q
-                    px = _jpeg_idct(blk.reshape(8, 8)) + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample each plane to full MCU-grid resolution, crop, color-convert
-    full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
+        q = qt.get(c["tq"])
+        if q is None:
+            return None
+        deq = coefs[ci].astype(np.float64) * q[None, None, :]
+        blocks = np.zeros(deq.shape[:2] + (64,), dtype=np.float64)
+        blocks[..., zig] = deq
+        blocks = blocks.reshape(deq.shape[0], deq.shape[1], 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", cbasis.T, blocks, cbasis) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(
+            deq.shape[0] * 8, deq.shape[1] * 8
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         out = full[0][:, :, None]
     elif len(full) == 3:

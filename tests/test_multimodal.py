@@ -640,3 +640,324 @@ def test_jpeg_restart_desync_fails_closed():
             i += 1
     with pytest.raises(ValueError, match="restart"):
         _decode_jpeg(bytes(payload))
+
+
+def _jpeg_progressive_bytes(img, use_sa=True):
+    """Minimal progressive JPEG encoder (tests only; written independently
+    of the engine decoder per this file's contract). 1:1 sampling, all-ones
+    quant table, flat Huffman codes. use_sa=True emits the 4-scan
+    successive-approximation ladder (DC@Al=1 -> AC@Al=1 per comp -> DC
+    refine -> AC refine per comp); use_sa=False emits spectral-selection
+    only (DC, then AC bands 1-5 and 6-63 per comp), both with EOBRUN."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 or img.shape[2] == 1 else 3
+    img = img.reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[..., 0]]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] /= np.sqrt(2.0)
+    C /= 2.0
+    # quantized zigzag coefficient blocks per component
+    blocks = []  # blocks[ci][by][bx] -> list of 64 ints (zigzag)
+    for p in planes:
+        pp = np.pad(p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+        rows = []
+        for by in range(mcuy):
+            row = []
+            for bx in range(mcux):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qc = np.rint(C @ blk @ C.T).astype(int)
+                row.append([int(qc.flat[_TEST_ZIGZAG[i]]) for i in range(64)])
+            rows.append(row)
+        blocks.append(rows)
+
+    dc_bits, dc_vals = [0] * 16, list(range(12))
+    dc_bits[3] = 12
+    # full AC alphabet incl. EOBn (r<<4|0, r<15) and refine (r<<4|1)
+    ac_vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)
+
+    def canon(bits, vals):
+        m, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                m[vals[i]] = (ln, code)
+                code += 1
+                i += 1
+            code <<= 1
+        return m
+
+    dc_map, ac_map = canon(dc_bits, dc_vals), canon(ac_bits, ac_vals)
+
+    out_all = bytearray()
+
+    class Bitwriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.b = 0
+            self.n = 0
+
+        def put(self, v, n):
+            for i in range(n - 1, -1, -1):
+                self.b = (self.b << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.b)
+                    if self.b == 0xFF:
+                        self.out.append(0)
+                    self.b, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+
+    def cat(v):
+        return abs(v).bit_length()
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hd = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            hd += bytes([cid, 0x00])
+        hd += bytes([ss, se, (ah << 4) | al])
+        return hd
+
+    def dc_first_scan(al):
+        bw = Bitwriter()
+        pred = [0] * len(blocks)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(len(blocks)):
+                v = blocks[ci][my][mx][0] >> al  # arithmetic shift per T.81
+                d = v - pred[ci]
+                pred[ci] = v
+                s = cat(d)
+                ln, code = dc_map[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+        bw.flush()
+        return bw.out
+
+    def dc_refine_scan(al):
+        bw = Bitwriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(len(blocks)):
+                bw.put((blocks[ci][my][mx][0] >> al) & 1, 1)
+        bw.flush()
+        return bw.out
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = Bitwriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ln, code = ac_map[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(mcuy):
+            for bx in range(mcux):
+                zz = blocks[ci][by][bx]
+                band = [
+                    (int(np.fix(zz[kk] / (1 << al))) if al else zz[kk])
+                    for kk in range(ss, se + 1)
+                ]
+                last = -1
+                for i, v in enumerate(band):
+                    if v:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                for i in range(last + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_map[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s = cat(v)
+                    ln, code = ac_map[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bw.out
+
+    def ac_refine_scan(ci, ss, se, al):
+        # T.81 G.2 correction-bit encoding (libjpeg-style bit buffering)
+        bw = Bitwriter()
+        eobrun = 0
+        pending_bits = []
+
+        def flush_eobrun():
+            nonlocal eobrun, pending_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ln, code = ac_map[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                for bit in pending_bits:
+                    bw.put(bit, 1)
+                pending_bits = []
+                eobrun = 0
+
+        for by in range(mcuy):
+            for bx in range(mcux):
+                zz = blocks[ci][by][bx]
+                absv = [abs(zz[kk]) >> al for kk in range(ss, se + 1)]
+                # EOB = after the last newly-nonzero (magnitude exactly 1)
+                last_new = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        last_new = i
+                if last_new < 0:
+                    # no new coefficients: whole band is EOB-span bits
+                    eobrun += 1
+                    pending_bits.extend(t & 1 for t in absv if t > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                r = 0
+                br = []
+                for i in range(last_new + 1):
+                    t = absv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    while r > 15:
+                        ln, code = ac_map[0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                        for bit in br:
+                            bw.put(bit, 1)
+                        br = []
+                    ln, code = ac_map[(r << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if zz[ss + i] > 0 else 0, 1)
+                    for bit in br:
+                        bw.put(bit, 1)
+                    br = []
+                    r = 0
+                tail = [t & 1 for t in absv[last_new + 1 :] if t > 1]
+                if r > 0 or tail:
+                    eobrun += 1
+                    pending_bits.extend(tail)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bw.out
+
+    nc = len(blocks)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        head += bytes([ci + 1, 0x11, 0])
+    head += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00) + bytes(dc_bits + dc_vals)
+    head += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 19 + len(ac_vals), 0x10)
+        + bytes(ac_bits + ac_vals)
+    )
+    out_all += head
+    ids = [ci + 1 for ci in range(nc)]
+    if use_sa:
+        out_all += sos_header(ids, 0, 0, 0, 1) + dc_first_scan(1)
+        for ci in range(nc):
+            out_all += sos_header([ci + 1], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+        out_all += sos_header(ids, 0, 0, 1, 0) + dc_refine_scan(0)
+        for ci in range(nc):
+            out_all += sos_header([ci + 1], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
+    else:
+        out_all += sos_header(ids, 0, 0, 0, 0) + dc_first_scan(0)
+        for ci in range(nc):
+            out_all += sos_header([ci + 1], 1, 5, 0, 0) + ac_first_scan(ci, 1, 5, 0)
+            out_all += sos_header([ci + 1], 6, 63, 0, 0) + ac_first_scan(ci, 6, 63, 0)
+    return bytes(out_all) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_spectral_selection_roundtrip():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    got = _decode_jpeg(_jpeg_progressive_bytes(img, use_sa=False))
+    assert got is not None and got.shape == (24, 17, 3)
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+
+    g = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    got = _decode_jpeg(_jpeg_progressive_bytes(g, use_sa=False))
+    assert got is not None and got.shape == (16, 16, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - g.astype(int))) <= 1
+
+
+def test_jpeg_progressive_successive_approximation_roundtrip():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    got = _decode_jpeg(_jpeg_progressive_bytes(img, use_sa=True))
+    assert got is not None and got.shape == (24, 17, 3)
+    # after the refinement ladder, precision equals the sequential path
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+
+    g = rng.integers(0, 256, (23, 9)).astype(np.uint8)
+    got = _decode_jpeg(_jpeg_progressive_bytes(g, use_sa=True))
+    assert got is not None and got.shape == (23, 9, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - g.astype(int))) <= 1
+
+
+def test_jpeg_progressive_smooth_image_exercises_eobrun():
+    # a smooth gradient quantizes to long zero tails -> EOBn spans > 1
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    y, x = np.mgrid[0:40, 0:33]
+    img = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    for sa in (False, True):
+        got = _decode_jpeg(_jpeg_progressive_bytes(img, use_sa=sa))
+        assert got is not None and got.shape == (40, 33, 1)
+        assert np.max(np.abs(got[..., 0].astype(int) - img.astype(int))) <= 1
