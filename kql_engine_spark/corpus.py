@@ -2988,6 +2988,21 @@ q(
 )
 
 q(
+    "geo_wkt_carriers",
+    # round 6: WKT <-> GeoJSON converters + WKT accepted directly by the
+    # scalar geo family (here: geo_distance_2points via a WKT point pair,
+    # polygon area from a WKT polygon)
+    """print gj = geo_wkt_to_geojson('LINESTRING (0 0, 2 0)'),
+             w = geo_geojson_to_wkt('{"type": "Point", "coordinates": [1.5, -2.0]}'),
+             a = round(geo_polygon_area(geo_wkt_to_geojson('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')), 0),
+             ml = geo_geojson_to_wkt('{"type": "MultiPolygon", "coordinates": []}')""",
+    """SELECT '{"type": "LineString", "coordinates": [[0.0, 0.0], [2.0, 0.0]]}' AS gj,
+              'POINT (1.5 -2)' AS w,
+              12363718921.0 AS a,
+              'MULTIPOLYGON EMPTY' AS ml""",
+)
+
+q(
     "tuple_extend_fit_line",
     """print y = dynamic([1.0, 2.0, 3.0, 4.0])
     | extend (rsquare, slope, variance, rvariance, interception, line_fit) = series_fit_line(y)

@@ -4295,11 +4295,181 @@ def _convert_temperature(tr, args):
 _GEO_R = 6371009.0
 
 
+_WKT_TYPES = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
+
+
+def _wkt_to_geojson_obj(s: str):
+    """Parse OGC WKT (round 6) into a GeoJSON dict. Z kept as a third
+    coordinate, M dropped (GeoJSON has no measure); EMPTY -> empty
+    coordinates. Returns None on malformed input."""
+    import re
+
+    toks = re.findall(r"[A-Za-z]+|[()]|,|[-+0-9.eE]+", s or "")
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def coords(dims):
+        nums = []
+        while peek() not in (",", ")", None):
+            nums.append(float(take()))
+        if len(nums) < 2:
+            raise ValueError("wkt: bad coordinate")
+        if dims == "M":
+            nums = nums[:2]
+        else:
+            # Z / ZM / untagged-3D keep the third coordinate (GeoJSON
+            # positions allow [x, y, z]); M-measures are dropped
+            nums = nums[:3]
+        return nums
+
+    def seq(depth, dims):
+        # depth 0: one position; 1: list of positions; 2: list of rings; ...
+        if depth == 0:
+            return coords(dims)
+        if take() != "(":
+            raise ValueError("wkt: expected (")
+        out = []
+        while True:
+            # MULTIPOINT allows both (10 40, 40 30) and ((10 40), (40 30))
+            if depth == 1 and peek() == "(":
+                take()
+                out.append(coords(dims))
+                if take() != ")":
+                    raise ValueError("wkt: expected )")
+            else:
+                out.append(seq(depth - 1, dims))
+            t = take()
+            if t == ")":
+                return out
+            if t != ",":
+                raise ValueError("wkt: expected , or )")
+
+    def geometry():
+        t = take()
+        if t is None:
+            raise ValueError("wkt: empty input")
+        gtype = _WKT_TYPES.get(t.upper())
+        if gtype is None:
+            raise ValueError(f"wkt: unknown type {t}")
+        dims = ""
+        if peek() and peek().upper() in ("Z", "M", "ZM"):
+            dims = take().upper()
+        if peek() and peek().upper() == "EMPTY":
+            take()
+            if gtype == "GeometryCollection":
+                return {"type": gtype, "geometries": []}
+            return {"type": gtype, "coordinates": []}
+        if gtype == "GeometryCollection":
+            if take() != "(":
+                raise ValueError("wkt: expected (")
+            geoms = [geometry()]
+            while True:
+                t2 = take()
+                if t2 == ")":
+                    return {"type": gtype, "geometries": geoms}
+                if t2 != ",":
+                    raise ValueError("wkt: expected , or )")
+                geoms.append(geometry())
+        depth = {
+            "Point": 1, "LineString": 1, "Polygon": 2,
+            "MultiPoint": 1, "MultiLineString": 2, "MultiPolygon": 3,
+        }[gtype]
+        c = seq(depth, dims)
+        if gtype == "Point":
+            # seq(1) wrapped the single position in a list
+            c = c[0]
+        return {"type": gtype, "coordinates": c}
+
+    try:
+        g = geometry()
+        if peek() is not None:
+            return None
+        return g
+    except (ValueError, IndexError):
+        return None
+
+
+def _geojson_obj_to_wkt(g) -> str | None:
+    """GeoJSON dict -> OGC WKT text (inverse of _wkt_to_geojson_obj)."""
+
+    def num(x):
+        f = float(x)
+        return str(int(f)) if f == int(f) else repr(f)
+
+    def pt(c):
+        return " ".join(num(x) for x in c)
+
+    def ring(c):
+        return "(" + ", ".join(pt(p) for p in c) + ")"
+
+    def rings(c):
+        return "(" + ", ".join(ring(r) for r in c) + ")"
+
+    try:
+        t = g["type"]
+        if t == "GeometryCollection":
+            inner = [_geojson_obj_to_wkt(x) for x in g["geometries"]]
+            if any(x is None for x in inner):
+                return None
+            if not inner:
+                return "GEOMETRYCOLLECTION EMPTY"
+            return "GEOMETRYCOLLECTION (" + ", ".join(inner) + ")"
+        c = g["coordinates"]
+        up = t.upper()
+        if c == [] or c is None:
+            return f"{up} EMPTY"
+        if t == "Point":
+            return f"POINT ({pt(c)})"
+        if t == "LineString":
+            return f"LINESTRING {ring(c)}"
+        if t == "MultiPoint":
+            return f"MULTIPOINT {ring(c)}"
+        if t == "Polygon":
+            return f"POLYGON {rings(c)}"
+        if t == "MultiLineString":
+            return f"MULTILINESTRING {rings(c)}"
+        if t == "MultiPolygon":
+            return (
+                "MULTIPOLYGON ("
+                + ", ".join(rings(p) for p in c)
+                + ")"
+            )
+        return None
+    except (KeyError, TypeError, ValueError):
+        return None
+
+
 def _geo_coords(s, want):
     import json
 
     try:
-        g = json.loads(s) if isinstance(s, str) else s
+        if isinstance(s, str):
+            txt = s.lstrip()
+            if txt[:1] == "{":
+                g = json.loads(s)
+            else:
+                # WKT carrier (round 6): accepted wherever the scalar geo
+                # family takes GeoJSON dynamics
+                g = _wkt_to_geojson_obj(s)
+                if g is None:
+                    return None
+        else:
+            g = s
         if g.get("type") != want:
             return None
         return g["coordinates"]
@@ -4406,6 +4576,30 @@ def _polygon_centroid_json(s):
         cy = float(np.sum((y + y2) * cross) / (3.0 * area2))
     return json.dumps({"type": "Point", "coordinates": [cx, cy]})
 
+
+def _wkt_to_geojson_text(s):
+    import json
+
+    g = _wkt_to_geojson_obj(s)
+    return None if g is None else json.dumps(g, separators=(", ", ": "))
+
+
+def _geojson_to_wkt_text(s):
+    import json
+
+    try:
+        txt = s.lstrip()
+        g = json.loads(s) if txt[:1] == "{" else _wkt_to_geojson_obj(s)
+    except Exception:
+        return None
+    return None if g is None else _geojson_obj_to_wkt(g)
+
+
+# WKT carriers (round 6, beyond-Kusto utility pair): convert between OGC
+# WKT text and the engine's GeoJSON dynamic carrier; the scalar geo family
+# also accepts WKT directly via _geo_coords
+_geo_json_udf("geo_wkt_to_geojson", "string", _wkt_to_geojson_text)
+_geo_json_udf("geo_geojson_to_wkt", "string", _geojson_to_wkt_text)
 
 _geo_json_udf("geo_line_length", "double", _line_length_m)
 _geo_json_udf("geo_polygon_area", "double", _polygon_area_m2)

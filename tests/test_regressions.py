@@ -1631,3 +1631,82 @@ def test_bag_unpack_columns_conflict_modes(run_kql):
     # a prefix removes the clash entirely
     p = run_kql(base + " | evaluate bag_unpack(d, 'u_')").collect()[0]
     assert p.a == "orig" and p.u_a == "bagv"
+
+
+def test_wkt_geojson_roundtrip_all_types():
+    # round 6: WKT <-> GeoJSON converters, all seven OGC types + EMPTY +
+    # Z/M dims + MULTIPOINT both paren conventions
+    import json
+
+    from kql_engine_spark.functions.scalar import (
+        _geojson_obj_to_wkt,
+        _wkt_to_geojson_obj,
+    )
+
+    cases = {
+        "POINT (30 10)": {"type": "Point", "coordinates": [30.0, 10.0]},
+        "POINT Z (30 10 5)": {"type": "Point", "coordinates": [30.0, 10.0, 5.0]},
+        "POINT M (30 10 99)": {"type": "Point", "coordinates": [30.0, 10.0]},
+        "POINT ZM (1 2 3 4)": {"type": "Point", "coordinates": [1.0, 2.0, 3.0]},
+        "LINESTRING (30 10, 10 30, 40 40)": {
+            "type": "LineString",
+            "coordinates": [[30.0, 10.0], [10.0, 30.0], [40.0, 40.0]],
+        },
+        "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))": {
+            "type": "Polygon",
+            "coordinates": [
+                [[35.0, 10.0], [45.0, 45.0], [15.0, 40.0], [10.0, 20.0], [35.0, 10.0]],
+                [[20.0, 30.0], [35.0, 35.0], [30.0, 20.0], [20.0, 30.0]],
+            ],
+        },
+        "MULTIPOINT ((10 40), (40 30))": {
+            "type": "MultiPoint",
+            "coordinates": [[10.0, 40.0], [40.0, 30.0]],
+        },
+        "MULTIPOINT (10 40, 40 30)": {
+            "type": "MultiPoint",
+            "coordinates": [[10.0, 40.0], [40.0, 30.0]],
+        },
+        "MULTILINESTRING ((10 10, 20 20), (40 40, 30 30))": {
+            "type": "MultiLineString",
+            "coordinates": [[[10.0, 10.0], [20.0, 20.0]], [[40.0, 40.0], [30.0, 30.0]]],
+        },
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 15 5)))": {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[30.0, 20.0], [45.0, 40.0], [10.0, 40.0], [30.0, 20.0]]],
+                [[[15.0, 5.0], [40.0, 10.0], [10.0, 20.0], [15.0, 5.0]]],
+            ],
+        },
+        "GEOMETRYCOLLECTION (POINT (4 6), LINESTRING (4 6, 7 10))": {
+            "type": "GeometryCollection",
+            "geometries": [
+                {"type": "Point", "coordinates": [4.0, 6.0]},
+                {"type": "LineString", "coordinates": [[4.0, 6.0], [7.0, 10.0]]},
+            ],
+        },
+        "POINT EMPTY": {"type": "Point", "coordinates": []},
+        "GEOMETRYCOLLECTION EMPTY": {"type": "GeometryCollection", "geometries": []},
+    }
+    for wkt, want in cases.items():
+        got = _wkt_to_geojson_obj(wkt)
+        assert got == want, (wkt, got)
+        # serialize -> reparse fixpoint (M is dropped so text can differ)
+        back = _geojson_obj_to_wkt(got)
+        assert back is not None, wkt
+        assert _wkt_to_geojson_obj(back) == want, (wkt, back)
+    # malformed inputs fail to None, never raise
+    for bad in ("POINT", "POINT (1)", "POLYGON (1 2, 3 4)", "CIRCLE (0 0, 5)",
+                "POINT (1 2", "", "POINT (1 2) junk"):
+        assert _wkt_to_geojson_obj(bad) is None, bad
+
+
+def test_wkt_accepted_directly_by_scalar_geo_family(run_kql):
+    # _geo_coords sniffs non-JSON strings as WKT
+    r = run_kql(
+        "print d = round(geo_line_length('LINESTRING (0 0, 2 0)'), 0),"
+        " a = round(geo_polygon_area(geo_wkt_to_geojson("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')), 0)"
+    ).collect()[0]
+    assert r.d == 222390.0
+    assert r.a == 12363718921.0
