@@ -1,18 +1,29 @@
 """Differential oracle over the whole corpus (SURVEY.md §5.2) at sf0.001.
 
-Each corpus entry runs through the full KQL pipeline AND its DuckDB twin;
-results must agree on column names, row count, and canonical multiset
-(columns sorted by name, floats at 9 significant digits) — the same compare
-the driver's correctness gate performs at sf0.01.
+Each corpus entry runs through the full KQL pipeline AND its DuckDB twin
+with the DRIVER-STRICT comparator from tools/oracle_check.py (round 6):
+both sides fetched through pandas (toPandas / rel.df()) so oracle
+DECIMAL/HUGEINT collapse to float64 while engine Decimals stay tagged,
+tz-awareness and int-vs-float mismatch FAIL, ordered column names, floats
+at 9 significant digits. This makes every pytest run a full-corpus
+replica of the driver's certification — twin type bugs can no longer
+hide behind a laxer local gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
 
 from kql_engine_spark.corpus import CORPUS
 
-from conftest import canonize_rows
+from oracle_check import canonize
 
 ENTRIES = sorted(CORPUS.items())
 
@@ -22,16 +33,20 @@ def test_corpus_entry(name, run_kql, duck):
     kql_text, sql = CORPUS[name]
     sdf = run_kql(kql_text)
     scols = sdf.columns
-    srows = [[r[c] for c in scols] for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if sql is None:
         # rows-only contract: runs, stable schema, deterministic row count
         again = run_kql(kql_text)
         assert again.columns == scols
-        assert len(again.collect()) == len(srows)
+        assert len(again.toPandas()) == len(spdf)
         return
     rel = duck.sql(sql)
     dcols = rel.columns
-    drows = rel.fetchall()
-    assert sorted(scols) == sorted(dcols), f"columns: {scols} vs {dcols}"
-    assert len(srows) == len(drows), f"rowcount: {len(srows)} vs {len(drows)}"
-    assert canonize_rows(scols, srows) == canonize_rows(dcols, drows)
+    dpdf = rel.df()
+    assert list(scols) == list(dcols), f"columns: {scols} vs {dcols}"
+    assert len(spdf) == len(dpdf), f"rowcount: {len(spdf)} vs {len(dpdf)}"
+    cs = canonize(scols, spdf)
+    cd = canonize(dcols, dpdf)
+    if cs != cd:
+        diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        pytest.fail(f"values differ, first diffs: {diffs}")
