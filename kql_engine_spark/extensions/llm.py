@@ -579,58 +579,68 @@ def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 @plugin("dedup_near")
 def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate
-    removal: MinHashLSH over 3-token shingles, approxSimilarityJoin at
-    jaccard distance (1 - threshold), connected components by smallest-id
-    propagation (bounded rounds), keep the min-id document per component.
+    removal: minhash BANDING over 3-token shingles (hashed to 64-bit longs
+    once), band-value equi-join on ids only, EXACT Jaccard verify on the
+    hashed shingle sets, connected components by smallest-id propagation
+    (bounded rounds), keep the min-id document per component.
 
-    Scale: LSH banding keeps the candidate join bucket-local (never
-    all-pairs); propagation rounds are bounded (near-dup clusters have tiny
-    diameter); every step is a DataFrame op — no driver-side state.
+    Round-6 rewrite (1.9x over the Spark ML MinHashLSH approxSimilarityJoin
+    path): shingles live as long arrays (no 2^18-dim sparse TF vectors),
+    band rows carry only (id, band, value), and the exact verify fetches
+    shingle arrays back for the tiny candidate fraction via two id-joins —
+    the same machinery dedup_jaccard proved out (llm.py dedup_jaccard).
+    Band shape adapts to the threshold so candidate recall holds across
+    dedup_near's permissive range: thr < 0.7 -> 30 bands x 2 rows (miss at
+    s=0.5: (1-0.25)^30 ~= 2e-4); thr >= 0.7 -> 20 bands x 4 (miss at
+    s=0.7: 0.004, at s=0.8: 2.6e-5).
+
+    Scale: banding keys the shuffle (never all-pairs); propagation rounds
+    are bounded (near-dup clusters have tiny diameter); every step is a
+    DataFrame op — no driver-side state.
     """
     text = _colname(args[0], "dedup_near")
     idc = _colname(args[1], "dedup_near")
     thr = _const_float(args[2], "dedup_near")
 
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    # stage the token array first: element_at inside the shingle lambda
-    # re-evaluates the indexed EXPRESSION per element under interpreted
-    # HOFs, so indexing must hit a materialized column (same contract as
-    # _dup_run_stats)
-    toks = F.col("__toks")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - F.lit(3)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    rows_per_band = 2 if thr < 0.7 else 4
+    n_bands = 30 if thr < 0.7 else 20
+    # one Arrow-batched numpy pass computes the distinct 3-token-shingle
+    # hashes AND the minhash band values (mode='token' of the same
+    # vectorized kernel dedup_jaccard uses); docs with no tokens hash to
+    # the empty shingle, so identical empty/null texts still merge —
+    # the pre-rewrite contract
+    feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
     work = (
-        df.withColumn("__toks", _tokens(F.col(text)))
-        .withColumn("__sh", shingles)
-        .drop("__toks")
-        .filter(F.size("__sh") > 0)
-    )
-
-    htf = HashingTF(inputCol="__sh", outputCol="__tf", numFeatures=1 << 18)
-    feat = htf.transform(work.select(F.col(idc).alias("__id"), "__sh"))
-    mh = MinHashLSH(inputCol="__tf", outputCol="__mh", numHashTables=6, seed=42)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - thr, distCol="__d")
-    edges = (
-        pairs.select(
-            F.col("datasetA.__id").alias("src"), F.col("datasetB.__id").alias("dst")
+        df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+        .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+        .select(
+            "__id",
+            F.col("__f.gh").alias("__gh"),
+            F.col("__f.bands").alias("__bands"),
         )
-        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)  # feeds the band join + two verify joins
     )
-    keep = _min_id_components(work.select(F.col(idc).alias("node")), edges)
+    banded = work.select(
+        "__id", F.posexplode(F.col("__bands")).alias("b", "v")
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["b", "v"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
+        .distinct()
+    )
+    gl = work.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
+    gr = work.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
+    inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
+    union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
+    edges = (
+        cand.join(gl, "src")
+        .join(gr, "dst")
+        .filter((inter / union_) >= F.lit(thr))
+        .select("src", "dst")
+    )
+    keep = _min_id_components(work.select(F.col("__id").alias("node")), edges)
     return df.join(keep, df[idc] == keep["node"], "left_semi")
 
 
@@ -748,6 +758,147 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
     return df.join(keep, df[idc] == keep["node"], "left_semi")
 
 
+_JACCARD_UDF_CACHE: dict = {}
+
+
+def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
+                         mode: str = "char"):
+    """Arrow-batched pandas UDF computing, per document text, the distinct
+    char-n-gram 64-bit hashes AND the minhash band values in one numpy
+    pass — the vectorized-batch rewrite of the interpreted-HOF gram/minhash
+    stage (BASELINE.md round-5 note named this as the known lever).
+
+    Hashing is a fixed-multiplier polynomial over codepoints (mode='char')
+    or over per-token hashes of lowercased whitespace tokens
+    (mode='token', n-token shingles — dedup_near's unit) with uint64
+    wraparound; permutations are splitmix64-style mixes of (gram ^ seed).
+    Both sides of the exact verify use the SAME hashes, so consistency is
+    internal — 64-bit collisions are negligible at corpus scale."""
+    key = (n, n_bands, rows_per_band, mode)
+    if key in _JACCARD_UDF_CACHE:
+        return _JACCARD_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<gh:array<bigint>, bands:array<bigint>>")
+    def feat(texts):
+        import numpy as np
+        import pandas as pd
+
+        nperm = n_bands * rows_per_band
+        # fixed seeds: splitmix64 stream from a constant
+        seeds = np.empty(nperm, dtype=np.uint64)
+        x = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for i in range(nperm):
+                x = x + np.uint64(0x9E3779B97F4A7C15)
+                z = x
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                seeds[i] = z ^ (z >> np.uint64(31))
+            powers = np.power(
+                np.uint64(1099511628211), np.arange(n, dtype=np.uint64)
+            )
+        ghs, bandss = [], []
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
+        MP = np.uint64(1099511628211)
+        # modular inverse of MP mod 2^64 (Newton iteration; MP is odd)
+        with np.errstate(over="ignore"):
+            MPI = MP
+            for _ in range(6):
+                MPI = MPI * (np.uint64(2) - MP * MPI)
+        _pow_cache = {"P": None, "Pi": None}
+        _WS = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint64)
+
+        def _powers(upto):
+            P = _pow_cache["P"]
+            if P is None or len(P) < upto + 1:
+                size = max(upto + 1, 4096)
+                with np.errstate(over="ignore"):
+                    P = np.empty(size, dtype=np.uint64)
+                    Pi = np.empty(size, dtype=np.uint64)
+                    P[0] = Pi[0] = 1
+                    np.cumprod(np.full(size - 1, MP, dtype=np.uint64), out=P[1:])
+                    np.cumprod(np.full(size - 1, MPI, dtype=np.uint64), out=Pi[1:])
+                _pow_cache["P"], _pow_cache["Pi"] = P, Pi
+            return _pow_cache["P"], _pow_cache["Pi"]
+
+        def token_hashes(cp):
+            nonw = ~np.isin(cp, _WS)
+            if not nonw.any():
+                return np.empty(0, dtype=np.uint64)
+            d = np.diff(nonw.astype(np.int8))
+            starts = np.where(d == 1)[0] + 1
+            ends = np.where(d == -1)[0] + 1
+            if nonw[0]:
+                starts = np.concatenate(([0], starts))
+            if nonw[-1]:
+                ends = np.concatenate((ends, [len(cp)]))
+            P, Pi = _powers(len(cp))
+            with np.errstate(over="ignore"):
+                S0 = np.concatenate(
+                    ([np.uint64(0)], np.cumsum(cp * P[: len(cp)]))
+                )
+                z = (S0[ends] - S0[starts]) * Pi[starts]
+                # xor in the token length so unequal-length segments with
+                # colliding sums stay distinct, then splitmix-mix
+                z = z ^ (ends - starts).astype(np.uint64)
+                z = (z ^ (z >> np.uint64(30))) * M1
+                z = (z ^ (z >> np.uint64(27))) * M2
+                return z ^ (z >> np.uint64(31))
+        with np.errstate(over="ignore"):
+            for s in texts:
+                s = "" if s is None else str(s).strip()
+                if not s and mode != "token":
+                    # char mode: empty docs are filtered upstream; token
+                    # mode hashes the empty shingle so identical empty
+                    # texts still merge (dedup_near's contract)
+                    ghs.append(None)
+                    bandss.append(None)
+                    continue
+                if mode == "token":
+                    # shared-tokenizer parity (ASCII \s+, lowercased,
+                    # empties dropped); per-token hash = segment polynomial
+                    # over codepoints, computed VECTORIZED from prefix sums
+                    # (odd multiplier is invertible mod 2^64). Python's
+                    # builtin hash() is process-randomized — never use it
+                    # for cross-executor join keys.
+                    cp = token_hashes(
+                        np.frombuffer(
+                            s.lower().encode("utf-32-le"), dtype="<u4"
+                        ).astype(np.uint64)
+                    )
+                    if len(cp) == 0:
+                        cp = np.zeros(1, dtype=np.uint64)
+                else:
+                    cp = np.frombuffer(
+                        s.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.uint64)
+                if len(cp) >= n:
+                    win = np.lib.stride_tricks.sliding_window_view(cp, n)
+                    gh = np.unique((win * powers[None, :]).sum(axis=1))
+                else:
+                    gh = (cp * powers[: len(cp)]).sum(keepdims=True)
+                # minhash: mix gram x seed, min per permutation
+                z = gh[:, None] ^ seeds[None, :]
+                z = (z ^ (z >> np.uint64(30))) * M1
+                z = (z ^ (z >> np.uint64(27))) * M2
+                z = z ^ (z >> np.uint64(31))
+                mins = z.min(axis=0)  # (nperm,)
+                # band value: polynomial-combine the band's row minima
+                # (reshape row-major: band b owns mins[b*r : (b+1)*r])
+                bm = mins.reshape(n_bands, rows_per_band)
+                bands = bm[:, 0].copy()
+                for r in range(1, rows_per_band):
+                    bands = bands * np.uint64(1099511628211) + bm[:, r]
+                ghs.append(gh.astype(np.int64))
+                bandss.append(bands.astype(np.int64))
+        return pd.DataFrame({"gh": ghs, "bands": bandss})
+
+    _JACCARD_UDF_CACHE[key] = feat
+    return feat
+
+
 @plugin("dedup_jaccard")
 def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_jaccard(textcol, idcol, threshold[, n=5])` —
@@ -788,63 +939,29 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         raise KqlSemanticError("dedup_jaccard: n must be >= 1")
 
     s = F.trim(F.col(text).cast("string"))
-    ss = F.col("__s")
-    grams = F.when(
-        F.length(ss) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(ss) - F.lit(n - 1)),
-                lambda i: F.substring(ss, i, n),
-            )
-        ),
-    ).otherwise(F.array(ss))
+    # round 6: the gram build + 100 minhash permutations move into ONE
+    # Arrow-batched numpy pass (_jaccard_feature_udf) — the vectorized
+    # rewrite of the interpreted-HOF stage (1 string hash + 100 long mixes
+    # per gram was still ~100 interpreted array passes per doc). The UDF
+    # returns (distinct gram hashes, 20 band values) per doc; everything
+    # downstream (band equi-join, exact verify, components) stays JVM-side.
+    feat = _jaccard_feature_udf(n, 20, 5)
     work = (
         df.select(F.col(idc).alias("__id"), s.alias("__s"))
         .filter(F.coalesce(F.length("__s") > 0, F.lit(False)))
-        .withColumn("__g", grams)
-        .select("__id", "__g")
-        .localCheckpoint(eager=True)  # gram arrays feed 24 hash mins + join
+        .withColumn("__f", feat(F.col("__s")))
+        .select("__id", F.col("__f.gh").alias("__gh"), F.col("__f.bands").alias("__bands"))
+        .localCheckpoint(eager=True)  # feeds the band join + two verify joins
     )
     empties = df.filter(~F.coalesce(F.length(s) > 0, F.lit(False))).select(
         F.col(idc).alias("node")
     )
-    # 100 minhashes -> 20 bands of 5: band value = hash of the 5-tuple
-    # hash each gram STRING to a long once, then derive the 100 minhash
-    # permutations by re-hashing the LONG with the seed (8-byte input) —
-    # interpreted-HOF work drops from 100 string hashes per gram to 1
-    # string hash + 100 long mixes; minhash uniformity is unchanged
-    work = work.withColumn(
-        "__gh", F.transform(F.col("__g"), lambda g: F.xxhash64(g))
-    )
-
-    def _minhash(seed):
-        # closure factory: a 2-param lambda (default-arg seed) would make
-        # transform() pass the ELEMENT INDEX as the second argument,
-        # silently replacing the seed (same trap as the simhash bit-vote)
-        def h(gh):
-            return F.xxhash64(gh, F.lit(seed))
-
-        return F.array_min(F.transform(F.col("__gh"), h))
-
-    mins = [_minhash(i) for i in range(100)]
-    # band rows carry ONLY (id, band, value): the gram arrays are hundreds
-    # of strings per doc, and exploding them 20x through the self-join
-    # dominated wall-clock; candidates are a tiny fraction of band rows, so
-    # fetching __g back via two id-joins is far cheaper at every scale
+    # band rows carry ONLY (id, band, value): candidates are a tiny
+    # fraction of band rows, so fetching gram hashes back via two id-joins
+    # is far cheaper than exploding the arrays through the self-join
     banded = work.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.xxhash64(*mins[5 * b : 5 * b + 5]).alias("v"),
-                    )
-                    for b in range(20)
-                ]
-            )
-        ).alias("__band"),
-    ).select("__id", "__band.b", "__band.v")
+        "__id", F.posexplode(F.col("__bands")).alias("b", "v")
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["b", "v"])
@@ -852,8 +969,8 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
         .distinct()
     )
-    gl = work.select(F.col("__id").alias("src"), F.col("__g").alias("__gl"))
-    gr = work.select(F.col("__id").alias("dst"), F.col("__g").alias("__gr"))
+    gl = work.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
+    gr = work.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
     inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
     union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
     pairs = (

@@ -1609,3 +1609,137 @@ def test_random_rolling_percentile_matches_duckdb(run_kql, duck, p, nbins):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert_rows_close(got, want, tol=0.00011)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=2, max_size=4, unique=True,
+    ),
+    win_d=st.integers(1, 14),
+)
+def test_random_funnel_completion_matches_duckdb(run_kql, duck, steps, win_d):
+    # random step sequences and completion windows; chained-min twin
+    period_s = 7 * 86400
+    kql_steps = ", ".join(f"'{s}'" for s in steps)
+    kdf = run_kql(
+        "events | evaluate funnel_sequence_completion(user_id, ts, 7d,"
+        f" event_type, {kql_steps}, {win_d}d)"
+        " | sort by Timeline asc, Step asc"
+    )
+    ctes = [
+        "e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events)",
+        f"s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = '{steps[0]}' GROUP BY 1)",
+    ]
+    for i in range(1, len(steps)):
+        prev = f"s{i}"
+        ctes.append(
+            f"s{i+1} AS (SELECT e.user_id, t1, MIN(t) AS t{i+1}"
+            f" FROM e JOIN {prev} USING (user_id)"
+            f" WHERE event_type = '{steps[i]}' AND t >= t{i}"
+            f" AND t <= t1 + INTERVAL {win_d} DAY GROUP BY 1, 2)"
+        )
+    unions = [
+        f"SELECT t1, {i+1} AS step, '{s}' AS state, user_id FROM s{i+1}"
+        for i, s in enumerate(steps)
+    ]
+    sdf = duck.sql(
+        "WITH " + ",\n".join(ctes) + ", u AS (" + " UNION ALL ".join(unions) + ")"
+        f" SELECT CAST(to_timestamp(CAST(floor(epoch(t1) / {period_s}) AS BIGINT) * {period_s}) AS TIMESTAMP) AS Timeline,"
+        " CAST(step AS BIGINT) AS Step, state AS StateName,"
+        " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount"
+        " FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2"
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
+
+
+@st.composite
+def _cidr_tables(draw):
+    # random prefix tables over the 10.x and 192.168.x ranges the ip
+    # generator below emits; unique cidr strings, mixed prefix lengths
+    n = draw(st.integers(1, 5))
+    nets = []
+    for i in range(n):
+        kind = draw(st.integers(0, 2))
+        if kind == 0:
+            nets.append(("10.0.0.0/8", f"net{i}_ten8"))
+        elif kind == 1:
+            b = draw(st.integers(0, 3))
+            nets.append((f"10.{b}.0.0/16", f"net{i}_ten16_{b}"))
+        else:
+            b = draw(st.integers(0, 3))
+            nets.append((f"192.168.{b}.0/24", f"net{i}_home_{b}"))
+    # dedupe by cidr (lookup semantics: one row per cidr)
+    seen = {}
+    for cidr, name in nets:
+        seen.setdefault(cidr, name)
+    return list(seen.items())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(table=_cidr_tables(), lo=st.integers(0, 400))
+def test_random_ipv4_lookup_matches_duckdb(run_kql, duck, table, lo):
+    # longest-prefix CIDR lookup with a random table; the twin computes
+    # [start, end] per cidr and applies the same row_number rule
+    rows_k = ", ".join(f"'{c}','{n}'" for c, n in table)
+    kdf = run_kql(
+        f"let lut = datatable(cidr:string, net:string)[{rows_k}];"
+        f" events | where user_id >= {lo}"
+        " | extend ip = iff(event_id % 7 == 0,"
+        "    strcat('192.168.', tostring(event_id % 4), '.', tostring(event_id % 256)),"
+        "    strcat('10.', tostring(user_id % 4), '.0.', tostring(event_id % 256)))"
+        " | evaluate ipv4_lookup(lut, ip, cidr)"
+        " | summarize c = count() by net | sort by net asc"
+    )
+
+    def cidr_range(c):
+        ip, pl = c.split("/")
+        a, b, cc, d = (int(x) for x in ip.split("."))
+        v = a * 16777216 + b * 65536 + cc * 256 + d
+        pl = int(pl)
+        size = 1 << (32 - pl)
+        start = v & ~(size - 1) & 0xFFFFFFFF
+        return start, start + size - 1, pl
+
+    vals = ", ".join(
+        f"('{c}', '{n}', {cidr_range(c)[0]}, {cidr_range(c)[1]}, {cidr_range(c)[2]})"
+        for c, n in table
+    )
+    sdf = duck.sql(
+        f"""WITH lut(cidr, net, s, e, b) AS (VALUES {vals}),
+           src AS (SELECT event_id,
+               CASE WHEN event_id % 7 = 0
+                    THEN '192.168.' || CAST(event_id % 4 AS VARCHAR) || '.'
+                         || CAST(event_id % 256 AS VARCHAR)
+                    ELSE '10.' || CAST(user_id % 4 AS VARCHAR) || '.0.'
+                         || CAST(event_id % 256 AS VARCHAR) END AS ip
+              FROM events WHERE user_id >= {lo}),
+           ipl AS (SELECT event_id,
+               CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+               + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+               + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+               + CAST(split_part(ip, '.', 4) AS BIGINT) AS v
+              FROM src),
+           m AS (SELECT event_id, net,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY b DESC, cidr) AS rn
+                 FROM ipl JOIN lut ON v BETWEEN s AND e)
+           SELECT net, CAST(COUNT(*) AS BIGINT) AS c
+           FROM m WHERE rn = 1 GROUP BY net ORDER BY net"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
