@@ -678,7 +678,12 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
 
     # staged column: the 64 bit-vote aggregates below each iterate this
     # array, and interpreted HOFs would re-run tokenize+hash per aggregate
-    # against the raw expression (64x the work)
+    # against the raw expression (64x the work). A vectorized-UDF rewrite
+    # was tried in round 6 and REVERTED: swapping the token hash function
+    # shifts marginal hamming distances (the one-word-diff fixture sits at
+    # E[hamming] ~ 6.75 for 13 tokens, a coin flip around the certified
+    # max_hamming=6), and the measured gain was only ~18% — xxhash64
+    # parity is worth more than that here.
     hs = F.col("__hs")
 
     def _vote(bit_j):
@@ -761,6 +766,67 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
 _JACCARD_UDF_CACHE: dict = {}
 
 
+def _np_hash_helpers():
+    """numpy hashing kernel shared by the dedup feature UDFs (module scope
+    so cloudpickle serializes the UDFs by reference): splitmix64-style
+    mixing and vectorized per-token polynomial hashes. Token hashes come
+    from prefix sums — the odd multiplier is invertible mod 2^64, so a
+    segment hash is two cumsum lookups; whitespace per the shared
+    tokenizer's ASCII \\s class. Returns (mix, token_hashes)."""
+    import numpy as np
+
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    MP = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        MPI = MP  # Newton iteration: modular inverse of odd MP mod 2^64
+        for _ in range(6):
+            MPI = MPI * (np.uint64(2) - MP * MPI)
+    _pow_cache: dict = {"P": None, "Pi": None}
+    _WS = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint64)
+
+    def _powers(upto):
+        P = _pow_cache["P"]
+        if P is None or len(P) < upto + 1:
+            size = max(upto + 1, 4096)
+            with np.errstate(over="ignore"):
+                P = np.empty(size, dtype=np.uint64)
+                Pi = np.empty(size, dtype=np.uint64)
+                P[0] = Pi[0] = 1
+                np.cumprod(np.full(size - 1, MP, dtype=np.uint64), out=P[1:])
+                np.cumprod(np.full(size - 1, MPI, dtype=np.uint64), out=Pi[1:])
+            _pow_cache["P"], _pow_cache["Pi"] = P, Pi
+        return _pow_cache["P"], _pow_cache["Pi"]
+
+    def mix(z):
+        with np.errstate(over="ignore"):
+            z = (z ^ (z >> np.uint64(30))) * M1
+            z = (z ^ (z >> np.uint64(27))) * M2
+            return z ^ (z >> np.uint64(31))
+
+    def token_hashes(cp):
+        nonw = ~np.isin(cp, _WS)
+        if not nonw.any():
+            return np.empty(0, dtype=np.uint64)
+        d = np.diff(nonw.astype(np.int8))
+        starts = np.where(d == 1)[0] + 1
+        ends = np.where(d == -1)[0] + 1
+        if nonw[0]:
+            starts = np.concatenate(([0], starts))
+        if nonw[-1]:
+            ends = np.concatenate((ends, [len(cp)]))
+        P, Pi = _powers(len(cp))
+        with np.errstate(over="ignore"):
+            S0 = np.concatenate(([np.uint64(0)], np.cumsum(cp * P[: len(cp)])))
+            z = (S0[ends] - S0[starts]) * Pi[starts]
+            # xor in the token length so unequal-length segments with
+            # colliding sums stay distinct
+            z = z ^ (ends - starts).astype(np.uint64)
+        return mix(z)
+
+    return mix, token_hashes
+
+
 def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
                          mode: str = "char"):
     """Arrow-batched pandas UDF computing, per document text, the distinct
@@ -799,53 +865,7 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
                 np.uint64(1099511628211), np.arange(n, dtype=np.uint64)
             )
         ghs, bandss = [], []
-        M1 = np.uint64(0xBF58476D1CE4E5B9)
-        M2 = np.uint64(0x94D049BB133111EB)
-        MP = np.uint64(1099511628211)
-        # modular inverse of MP mod 2^64 (Newton iteration; MP is odd)
-        with np.errstate(over="ignore"):
-            MPI = MP
-            for _ in range(6):
-                MPI = MPI * (np.uint64(2) - MP * MPI)
-        _pow_cache = {"P": None, "Pi": None}
-        _WS = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint64)
-
-        def _powers(upto):
-            P = _pow_cache["P"]
-            if P is None or len(P) < upto + 1:
-                size = max(upto + 1, 4096)
-                with np.errstate(over="ignore"):
-                    P = np.empty(size, dtype=np.uint64)
-                    Pi = np.empty(size, dtype=np.uint64)
-                    P[0] = Pi[0] = 1
-                    np.cumprod(np.full(size - 1, MP, dtype=np.uint64), out=P[1:])
-                    np.cumprod(np.full(size - 1, MPI, dtype=np.uint64), out=Pi[1:])
-                _pow_cache["P"], _pow_cache["Pi"] = P, Pi
-            return _pow_cache["P"], _pow_cache["Pi"]
-
-        def token_hashes(cp):
-            nonw = ~np.isin(cp, _WS)
-            if not nonw.any():
-                return np.empty(0, dtype=np.uint64)
-            d = np.diff(nonw.astype(np.int8))
-            starts = np.where(d == 1)[0] + 1
-            ends = np.where(d == -1)[0] + 1
-            if nonw[0]:
-                starts = np.concatenate(([0], starts))
-            if nonw[-1]:
-                ends = np.concatenate((ends, [len(cp)]))
-            P, Pi = _powers(len(cp))
-            with np.errstate(over="ignore"):
-                S0 = np.concatenate(
-                    ([np.uint64(0)], np.cumsum(cp * P[: len(cp)]))
-                )
-                z = (S0[ends] - S0[starts]) * Pi[starts]
-                # xor in the token length so unequal-length segments with
-                # colliding sums stay distinct, then splitmix-mix
-                z = z ^ (ends - starts).astype(np.uint64)
-                z = (z ^ (z >> np.uint64(30))) * M1
-                z = (z ^ (z >> np.uint64(27))) * M2
-                return z ^ (z >> np.uint64(31))
+        mix, token_hashes = _np_hash_helpers()
         with np.errstate(over="ignore"):
             for s in texts:
                 s = "" if s is None else str(s).strip()
@@ -880,11 +900,7 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
                 else:
                     gh = (cp * powers[: len(cp)]).sum(keepdims=True)
                 # minhash: mix gram x seed, min per permutation
-                z = gh[:, None] ^ seeds[None, :]
-                z = (z ^ (z >> np.uint64(30))) * M1
-                z = (z ^ (z >> np.uint64(27))) * M2
-                z = z ^ (z >> np.uint64(31))
-                mins = z.min(axis=0)  # (nperm,)
+                mins = mix(gh[:, None] ^ seeds[None, :]).min(axis=0)  # (nperm,)
                 # band value: polynomial-combine the band's row minima
                 # (reshape row-major: band b owns mins[b*r : (b+1)*r])
                 bm = mins.reshape(n_bands, rows_per_band)
