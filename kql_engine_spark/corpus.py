@@ -3879,6 +3879,111 @@ q(
        FROM m WHERE rn = 1 GROUP BY net ORDER BY net""",
 )
 
+# ------------------------- round-6: SQL twins for formerly rows-only classes
+q(
+    "getschema_lineitem_twin",
+    # getschema output is fully deterministic — pin the whole table
+    """lineitem | getschema | sort by ColumnOrdinal asc""",
+    """SELECT * FROM (VALUES
+         ('l_orderkey',  CAST(0 AS BIGINT), 'bigint', 'long'),
+         ('l_partkey',   1, 'bigint', 'long'),
+         ('l_suppkey',   2, 'bigint', 'long'),
+         ('l_linenumber',3, 'int',    'int'),
+         ('l_quantity',  4, 'double', 'real'),
+         ('l_extendedprice', 5, 'double', 'real'),
+         ('l_discount',  6, 'double', 'real'),
+         ('l_tax',       7, 'double', 'real'),
+         ('l_returnflag',8, 'string', 'string'),
+         ('l_linestatus',9, 'string', 'string'),
+         ('l_shipdate', 10, 'timestamp_ntz', 'datetime')
+       ) AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)
+       ORDER BY 2""",
+)
+
+q(
+    "sample_count_pinned",
+    # seeded sample returns EXACTLY n rows when the table has >= n; the
+    # content is random but the count contract is oracle-certifiable
+    """lineitem | sample 100 | count""",
+    """SELECT CAST(100 AS BIGINT) AS Count""",
+)
+
+q(
+    "sample_distinct_count_pinned",
+    # l_returnflag has exactly 3 values, so sample-distinct 3 must keep
+    # all of them (which ROWS carry them is random; the distinct set isn't)
+    """lineitem | sample-distinct 3 of l_returnflag
+    | summarize n = count_distinct(l_returnflag)""",
+    """SELECT CAST(3 AS BIGINT) AS n""",
+)
+
+q(
+    "llm_dedup_near_exact_clusters",
+    # deterministic dedup_near certification: exact duplicates ALWAYS band
+    # together (identical shingle sets -> identical minhash) and pass the
+    # exact verify at jaccard 1.0; the unrelated doc shares no 3-shingle.
+    # Survivor set = min id per distinct text — an exact SQL contract.
+    """datatable(id:long, t:string)[
+       1, 'alpha beta gamma delta epsilon zeta eta theta',
+       2, 'alpha beta gamma delta epsilon zeta eta theta',
+       3, 'one two three four five six seven eight nine',
+       4, 'alpha beta gamma delta epsilon zeta eta theta',
+       5, 'red orange yellow green blue indigo violet shade']
+    | evaluate dedup_near(t, id, 0.9)
+    | summarize n = count(), ids = make_list(id)
+    | project n, ids = tostring(array_sort_asc(ids))""",
+    """SELECT CAST(3 AS BIGINT) AS n, '[1,3,5]' AS ids""",
+)
+
+q(
+    "llm_dedup_jaccard_brute_twin",
+    # exact-Jaccard dedup vs a BRUTE-FORCE DuckDB twin computing the same
+    # char-5-gram Jaccard for every pair; the fixture's near-dup clusters
+    # are cliques, so min-id survival = "no smaller similar neighbor"
+    # (no recursion needed)
+    """datatable(id:long, t:string)[
+       1, 'the quick brown fox jumps over the lazy dog near the river bank',
+       2, 'the quick brown fox jumps over the lazy dog near the river bend',
+       3, 'entirely different content about query engines and parquet files',
+       4, 'the quick brown fox jumps over the lazy dog near the river bank',
+       5, 'unrelated musings on distributed shuffles and broadcast joins']
+    | evaluate dedup_jaccard(t, id, 0.7, 5)
+    | summarize ids = make_list(id)
+    | project ids = tostring(array_sort_asc(ids))""",
+    """WITH d(id, t) AS (VALUES
+         (1, 'the quick brown fox jumps over the lazy dog near the river bank'),
+         (2, 'the quick brown fox jumps over the lazy dog near the river bend'),
+         (3, 'entirely different content about query engines and parquet files'),
+         (4, 'the quick brown fox jumps over the lazy dog near the river bank'),
+         (5, 'unrelated musings on distributed shuffles and broadcast joins')),
+       g AS (SELECT id, list_distinct(list_transform(
+                 generate_series(1, length(t) - 4),
+                 i -> t[i : i + 4])) AS gr
+             FROM d),
+       sim AS (SELECT a.id AS hi, b.id AS lo
+               FROM g a JOIN g b ON b.id < a.id
+               WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.7)
+       SELECT '[' || string_agg(id, ',' ORDER BY id) || ']' AS ids
+       FROM d WHERE id NOT IN (SELECT hi FROM sim)""",
+)
+
+q(
+    "llm_similarity_join_exact_twin",
+    # similarity_join certification on a crafted fixture: identical unit
+    # vectors are ALWAYS LSH candidates (same buckets) at cos 1.0;
+    # orthogonal ones can never pass 0.9 even if bucketed together
+    """datatable(id:long, v:dynamic)[
+       1, dynamic([1.0, 0.0, 0.0]),
+       2, dynamic([1.0, 0.0, 0.0]),
+       3, dynamic([0.0, 1.0, 0.0]),
+       4, dynamic([0.0, 0.0, 1.0])]
+    | evaluate similarity_join(v, id, 0.9)
+    | summarize n = count(), lo = min(left_id), hi = max(right_id)""",
+    """SELECT CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS lo,
+              CAST(2 AS BIGINT) AS hi""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

@@ -484,6 +484,10 @@ def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
     path evaluates the projection on a filtered row."""
     from pyspark.ml.functions import array_to_vector
 
+    if dict(df.dtypes).get(emb) == "string":
+        # JSON-text dynamic carrier (datatable literals) -> numeric array
+        # (same rule as cluster_embeddings)
+        df = df.withColumn(emb, F.from_json(F.col(emb), "array<double>"))
     norm = F.sqrt(
         F.aggregate(
             F.col(emb), F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
