@@ -1013,7 +1013,20 @@ class Parser:
             while not self.at(OP, ")"):
                 key = self.ident_name()
                 self.expect(OP, "=")
-                props[key] = self.next().value
+                val = self.next().value
+                if key.lower() in ("ycolumns", "anomalycolumns"):
+                    # multi-name props: names continue until the next
+                    # `prop =` or the closing paren [KQL render with()]
+                    names = [val]
+                    while self.accept(OP, ","):
+                        if self.at(OP, ")") or (
+                            self.at(IDENT) and self.at(OP, "=", 1)
+                        ):
+                            break
+                        names.append(self.ident_name())
+                    props[key] = names
+                    continue
+                props[key] = val
                 self.accept(OP, ",")
             self.expect(OP, ")")
         return Render(chart, props)

@@ -465,3 +465,33 @@ def test_repetition_filter_no_shuffle_no_udf(run_kql):
     # Exchange, no Python
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_dedup_near_band_join_shape(run_kql):
+    # round 6: dedup_near dropped Spark ML MinHashLSH/approxSimilarityJoin.
+    # The banded self-join + exact verify execute EAGERLY behind a
+    # localCheckpoint (lineage truncation for the component fixpoint), so
+    # the final plan shows only the keep-semi-join — pin that it is a
+    # plain join with no all-pairs nested-loop anywhere, and that the
+    # feature stage is the Arrow-batched pandas UDF (not row-at-a-time).
+    from pyspark.sql.functions import PandasUDFType  # noqa: F401
+    from pyspark.rdd import PythonEvalType
+
+    from kql_engine_spark.extensions.llm import _jaccard_feature_udf
+
+    udf = _jaccard_feature_udf(5, 20, 5)
+    assert udf.evalType == PythonEvalType.SQL_SCALAR_PANDAS_UDF
+
+    df = run_kql("documents | take 500 | evaluate dedup_near(text, doc_id, 0.8)")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan  # never all-pairs
+    assert df.count() > 0
+
+
+def test_dedup_jaccard_band_join_shape(run_kql):
+    df = run_kql(
+        "documents | take 500 | evaluate dedup_jaccard(text, doc_id, 0.8)"
+    )
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan  # never all-pairs
+    assert df.count() > 0

@@ -1710,3 +1710,59 @@ def test_wkt_accepted_directly_by_scalar_geo_family(run_kql):
     ).collect()[0]
     assert r.d == 222390.0
     assert r.a == 12363718921.0
+
+
+def test_render_to_vega_lite_specs(run_kql):
+    # round 6: the client half of `| render` — Vega-Lite spec synthesis
+    # from the attached metadata (Kusto renders client-side by contract)
+    from kql_engine_spark.render import to_vega_lite
+
+    df = run_kql(
+        "datatable(day:datetime, clicks:long, views:long)["
+        " datetime(2024-01-01), 5, 50, datetime(2024-01-02), 7, 70]"
+        " | render timechart with (title='traffic', ycolumns=clicks, views,"
+        "    xtitle='day')"
+    )
+    spec = to_vega_lite(df)
+    assert spec["mark"] == "line"
+    assert spec["title"] == "traffic"
+    # two y columns fold into long form
+    assert spec["transform"][0]["fold"] == ["clicks", "views"]
+    assert spec["encoding"]["x"]["field"] == "day"
+    assert spec["encoding"]["x"]["type"] == "temporal"
+    assert spec["encoding"]["x"]["axis"]["title"] == "day"
+    assert len(spec["data"]["values"]) == 2
+    assert spec["data"]["values"][0]["day"].startswith("2024-01-01")
+
+    # barchart is horizontal: category on y, value on x
+    df = run_kql(
+        "datatable(k:string, n:long)['a', 3, 'b', 5]"
+        " | render barchart"
+    )
+    spec = to_vega_lite(df)
+    assert spec["mark"] == "bar"
+    assert spec["encoding"]["y"]["field"] == "k"
+    assert spec["encoding"]["x"]["field"] == "n"
+
+    # piechart: theta/color
+    spec = to_vega_lite(
+        run_kql("datatable(k:string, n:long)['a', 3, 'b', 5] | render piechart")
+    )
+    assert spec["mark"] == "arc"
+    assert spec["encoding"]["theta"]["field"] == "n"
+    assert spec["encoding"]["color"]["field"] == "k"
+
+    # stacked area: stack=zero; series split from the leftover column
+    spec = to_vega_lite(
+        run_kql(
+            "datatable(d:long, grp:string, v:long)[1,'x',2, 1,'y',3, 2,'x',4]"
+            " | render stackedareachart with (kind=stacked)"
+        )
+    )
+    assert spec["mark"] == "area"
+    assert spec["encoding"]["y"]["stack"] == "zero"
+    assert spec["encoding"]["color"]["field"] == "grp"
+
+    # render table / no render -> nothing to draw
+    assert to_vega_lite(run_kql("datatable(x:long)[1] | render table")) is None
+    assert to_vega_lite(run_kql("datatable(x:long)[1]")) is None
