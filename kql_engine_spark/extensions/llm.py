@@ -832,7 +832,7 @@ def _np_hash_helpers():
 
 
 def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
-                         mode: str = "char"):
+                         mode: str = "char", short_gram: bool = True):
     """Arrow-batched pandas UDF computing, per document text, the distinct
     char-n-gram 64-bit hashes AND the minhash band values in one numpy
     pass — the vectorized-batch rewrite of the interpreted-HOF gram/minhash
@@ -844,7 +844,7 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
     wraparound; permutations are splitmix64-style mixes of (gram ^ seed).
     Both sides of the exact verify use the SAME hashes, so consistency is
     internal — 64-bit collisions are negligible at corpus scale."""
-    key = (n, n_bands, rows_per_band, mode)
+    key = (n, n_bands, rows_per_band, mode, short_gram)
     if key in _JACCARD_UDF_CACHE:
         return _JACCARD_UDF_CACHE[key]
     from pyspark.sql.functions import pandas_udf
@@ -901,8 +901,16 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
                 if len(cp) >= n:
                     win = np.lib.stride_tricks.sliding_window_view(cp, n)
                     gh = np.unique((win * powers[None, :]).sum(axis=1))
-                else:
+                elif short_gram:
+                    # whole-text singleton gram (dedup semantics: short
+                    # docs can still merge with identical short docs)
                     gh = (cp * powers[: len(cp)]).sum(keepdims=True)
+                else:
+                    # no n-gram exists (decontaminate semantics: a doc
+                    # shorter than n tokens is trivially clean)
+                    ghs.append(np.empty(0, dtype=np.int64))
+                    bandss.append(None)
+                    continue
                 # minhash: mix gram x seed, min per permutation
                 mins = mix(gh[:, None] ^ seeds[None, :]).min(axis=0)  # (nperm,)
                 # band value: polynomial-combine the band's row minima
@@ -1446,15 +1454,16 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
             raise KqlSemanticError("decontaminate: mode must be 'remove' or 'flag'")
         mode = args[5].value
 
+    # round 6: both sides' n-gram hashes come from the shared vectorized
+    # numpy kernel (one Arrow batch pass instead of an O(tokens x n)
+    # interpreted slice+concat+hash per position); short_gram=False keeps
+    # the shorter-than-n-docs-are-clean rule. Internal consistency is all
+    # that matters — the oracle twin rebuilds the n-gram algebra on
+    # strings, hash-agnostic.
+    feat = _jaccard_feature_udf(n, 1, 1, mode="token", short_gram=False)
+
     def ngram_hashes(col: Column) -> Column:
-        toks = _tokens(col)
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        return feat(col.cast("string"))["gh"]
 
     bench_hashes = (
         bench.select(F.explode(ngram_hashes(F.col(btext))).alias("__bh"))

@@ -1743,3 +1743,119 @@ def test_random_ipv4_lookup_matches_duckdb(run_kql, duck, table, lo):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg_ix=st.integers(0, 2),
+    pins=st.sets(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=0, max_size=3,
+    ),
+    lo=st.integers(0, 400),
+)
+def test_random_pivot_matches_duckdb(run_kql, duck, agg_ix, pins, lo):
+    # pivot with random aggregate and (optionally) pinned output columns;
+    # the twin uses FILTER-per-value projections. Pinned values absent from
+    # the data come back null; unpinned mode discovers values eagerly.
+    aggs = [
+        ("count()", "COUNT({v})", "CAST({x} AS BIGINT)"),
+        ("sum(value)", "SUM(value) FILTER (WHERE {w})", "ROUND({x}, 4)"),
+        ("max(value)", "MAX(value) FILTER (WHERE {w})", "ROUND({x}, 4)"),
+    ]
+    kagg, _, _ = aggs[agg_ix]
+    vals = sorted(pins) if pins else ["click", "error", "purchase", "signup", "view"]
+    pin_clause = (", " + ", ".join(vals)) if pins else ""
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        " | project user_id = user_id % 7, event_type"
+        + (", value" if agg_ix else "")
+        + f" | evaluate pivot(event_type, {kagg}{pin_clause})"
+        " | sort by user_id asc"
+    )
+    cols_sql = []
+    for v in vals:
+        if agg_ix == 0:
+            c = f"CAST(COUNT(*) FILTER (WHERE event_type = '{v}') AS BIGINT)"
+            # Spark pivot count yields null (not 0) for absent combinations
+            c = f"CASE WHEN {c} = 0 THEN NULL ELSE {c} END"
+        elif agg_ix == 1:
+            c = f"ROUND(SUM(value) FILTER (WHERE event_type = '{v}'), 4)"
+        else:
+            c = f"ROUND(MAX(value) FILTER (WHERE event_type = '{v}'), 4)"
+        cols_sql.append(f'{c} AS "{v}"')
+    sdf = duck.sql(
+        f"""SELECT user_id % 7 AS user_id, {', '.join(cols_sql)}
+           FROM events WHERE user_id >= {lo}
+           GROUP BY 1 ORDER BY 1"""
+    )
+    kcols = kdf.columns
+    srows = kdf.collect()
+    if agg_ix == 1:
+        # round the engine's sum cells for the comparison (twin rounds too)
+        import math
+        srows = [
+            [
+                (round(r[c], 4) if isinstance(r[c], float) and not math.isnan(r[c]) else r[c])
+                for c in kcols
+            ]
+            for r in srows
+        ]
+    else:
+        srows = [[r[c] for c in kcols] for r in srows]
+    got = canonize_rows(kcols, srows)
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert_rows_close(got, want, tol=0.00011)
+
+
+@st.composite
+def _wkt_geometries(draw):
+    def pt():
+        return [
+            round(draw(st.floats(-179, 179, allow_nan=False)), 4),
+            round(draw(st.floats(-89, 89, allow_nan=False)), 4),
+        ]
+
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        return {"type": "Point", "coordinates": pt()}
+    if kind == 1:
+        return {
+            "type": "LineString",
+            "coordinates": [pt() for _ in range(draw(st.integers(2, 5)))],
+        }
+    if kind == 2:
+        ring = [pt() for _ in range(3)]
+        ring.append(ring[0])
+        return {"type": "Polygon", "coordinates": [ring]}
+    if kind == 3:
+        return {
+            "type": "MultiPoint",
+            "coordinates": [pt() for _ in range(draw(st.integers(1, 4)))],
+        }
+    return {
+        "type": "MultiLineString",
+        "coordinates": [
+            [pt() for _ in range(2)] for _ in range(draw(st.integers(1, 3)))
+        ],
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(g=_wkt_geometries())
+def test_wkt_serialize_parse_roundtrip(g):
+    # property: GeoJSON -> WKT -> GeoJSON is the identity
+    from kql_engine_spark.functions.scalar import (
+        _geojson_obj_to_wkt,
+        _wkt_to_geojson_obj,
+    )
+
+    wkt = _geojson_obj_to_wkt(g)
+    assert wkt is not None
+    back = _wkt_to_geojson_obj(wkt)
+    assert back == g, (g, wkt, back)
