@@ -3984,6 +3984,20 @@ q(
               CAST(2 AS BIGINT) AS hi""",
 )
 
+q(
+    "geo_simplify_polygons_union_shared_edge",
+    # round 6: set-simplification preserving mutual boundaries via vertex
+    # locking — the shared x=1 edge survives on both squares while the
+    # collinear outer midpoints simplify away
+    """print m = geo_simplify_polygons_union(dynamic([
+        {"type":"Polygon","coordinates":[[[0,0],[0.5,0],[1,0],[1,0.5],[1,1],[0.5,1],[0,1],[0,0]]]},
+        {"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0.5],[1,0]]]}]), 100000)
+    | project shared_kept = m contains '[1, 0.5]',
+              outer_gone = not(m contains '[0.5, 0]'),
+              two_polys = array_length(parse_json(m).coordinates) == 2""",
+    """SELECT true AS shared_kept, true AS outer_gone, true AS two_polys""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A

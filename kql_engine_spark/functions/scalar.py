@@ -5401,10 +5401,94 @@ def _polygon_simplify(s, tol):
     return json.dumps({"type": "Polygon", "coordinates": rings})
 
 
+def _dp_simplify_locked(ring, tol_m, locked):
+    """Douglas-Peucker over a CLOSED ring with a set of locked vertices
+    that must survive: the ring is split into chains at locked points and
+    each chain simplifies independently (DP always keeps endpoints), so
+    locked vertices — shared boundaries — are preserved exactly."""
+    body = ring[:-1] if ring and ring[0] == ring[-1] else list(ring)
+    lock_ix = [i for i, p in enumerate(body) if tuple(p) in locked]
+    if not lock_ix:
+        closed = [*body, body[0]]
+        return _dp_simplify(closed, tol_m)
+    # rotate so the ring starts at a locked vertex, then chain-split
+    start = lock_ix[0]
+    rot = body[start:] + body[:start]
+    lock_rot = sorted(
+        i for i, p in enumerate(rot) if tuple(p) in locked
+    )
+    out = []
+    bounds = [*lock_rot, len(rot)]
+    for a, b in zip(bounds, bounds[1:]):
+        chain = rot[a : b + 1] if b < len(rot) else [*rot[a:], rot[0]]
+        simp = _dp_simplify(chain, tol_m)
+        out.extend(simp[:-1])  # chain endpoints overlap
+    out.append(out[0])
+    return out
+
+
+def _simplify_polygons_union(s, tol):
+    """geo_simplify_polygons_union(polygons [, tolerance]) [KQL geo]:
+    simplify a SET of polygons while preserving their mutual boundaries.
+    Input: dynamic array of Polygon/MultiPolygon GeoJSONs (or one
+    MultiPolygon); output: MultiPolygon. Mutual-boundary preservation is
+    by VERTEX LOCKING — any vertex appearing in more than one ring across
+    the set survives simplification on every ring that carries it, so a
+    shared edge made of the same vertex sequence stays identical on both
+    sides (documented delta vs Kusto: no snapping of nearly-equal shared
+    vertices; boundaries must agree exactly, the normal case for
+    tiled/administrative polygon sets)."""
+    import json
+    from collections import Counter
+
+    try:
+        g = json.loads(s) if s.lstrip()[:1] in "[{" else _wkt_to_geojson_obj(s)
+        if isinstance(g, dict) and g.get("type") == "MultiPolygon":
+            polys = g["coordinates"]
+        elif isinstance(g, dict) and g.get("type") == "Polygon":
+            polys = [g["coordinates"]]
+        elif isinstance(g, list):
+            polys = []
+            for item in g:
+                if isinstance(item, str):
+                    item = json.loads(item)
+                if item.get("type") == "Polygon":
+                    polys.append(item["coordinates"])
+                elif item.get("type") == "MultiPolygon":
+                    polys.extend(item["coordinates"])
+                else:
+                    return None
+        else:
+            return None
+    except Exception:
+        return None
+    if not polys:
+        return None
+    tol_m = 10.0 if tol is None else max(0.0, float(tol))
+    cnt: Counter = Counter()
+    for p in polys:
+        for ring in p:
+            body = ring[:-1] if ring and ring[0] == ring[-1] else ring
+            for v in body:
+                cnt[tuple(v)] += 1
+    locked = {v for v, c in cnt.items() if c > 1}
+    out_polys = []
+    for p in polys:
+        rings = []
+        for ring in p:
+            simp = _dp_simplify_locked(ring, tol_m, locked)
+            if len(simp) < 4:
+                return None  # degenerate ring: same null rule as simplify
+            rings.append(simp)
+        out_polys.append(rings)
+    return json.dumps({"type": "MultiPolygon", "coordinates": out_polys})
+
+
 _geo_shape_udf("geo_line_densify", _line_densify)
 _geo_shape_udf("geo_polygon_densify", _polygon_densify)
 _geo_shape_udf("geo_line_simplify", _line_simplify)
 _geo_shape_udf("geo_polygon_simplify", _polygon_simplify)
+_geo_shape_udf("geo_simplify_polygons_union", _simplify_polygons_union)
 
 
 def _s2_min_edge_m(level):

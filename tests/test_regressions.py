@@ -1766,3 +1766,36 @@ def test_render_to_vega_lite_specs(run_kql):
     # render table / no render -> nothing to draw
     assert to_vega_lite(run_kql("datatable(x:long)[1] | render table")) is None
     assert to_vega_lite(run_kql("datatable(x:long)[1]")) is None
+
+
+def test_geo_simplify_polygons_union_preserves_shared_edge(run_kql):
+    # two adjacent squares share the x=1 edge (same vertex sequence incl. a
+    # redundant midpoint); simplification removes collinear OUTER points
+    # but every shared vertex survives on BOTH polygons
+    import json
+
+    r = run_kql(
+        "print m = geo_simplify_polygons_union(dynamic(["
+        '{"type":"Polygon","coordinates":[[[0,0],[0.5,0],[1,0],[1,0.5],[1,1],[0.5,1],[0,1],[0,0]]]},'
+        '{"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0.5],[1,0]]]}'
+        "]), 100000)"
+    ).collect()[0]
+    g = json.loads(r.m)
+    assert g["type"] == "MultiPolygon"
+    a, b = g["coordinates"]
+    # shared edge vertices (1,0), (1,0.5), (1,1) survive on both sides
+    for v in ([1, 0], [1, 0.5], [1, 1]):
+        assert v in a[0], (v, a[0])
+        assert v in b[0], (v, b[0])
+    # the collinear outer midpoints (0.5,0) and (0.5,1) were simplified away
+    assert [0.5, 0] not in a[0] and [0.5, 1] not in a[0]
+    # single MultiPolygon input and degenerate tolerance-0 passthrough
+    r = run_kql(
+        "print m = geo_simplify_polygons_union(dynamic("
+        '{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]}), 0)'
+    ).collect()[0]
+    g = json.loads(r.m)
+    assert g["coordinates"][0][0][0] == [0, 0]
+    # malformed input -> null
+    r = run_kql("print m = geo_simplify_polygons_union(dynamic([1,2]))").collect()[0]
+    assert r.m is None
