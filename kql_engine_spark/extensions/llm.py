@@ -423,10 +423,11 @@ def _cluster_embeddings(ptr, df: DataFrame, args) -> DataFrame:
 @plugin("similarity_join")
 def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate similarity_join(embcol, idcol, threshold)` — pairs of
-    rows with cosine similarity >= threshold, via BucketedRandomProjectionLSH
-    over UNIT vectors (cos >= t  <=>  euclidean <= sqrt(2-2t)), so the join
-    is bucket-local, never all-pairs. Output: left_id, right_id (left < right),
-    sim (rounded 6dp)."""
+    rows with cosine similarity >= threshold: sign-random-projection
+    banding over UNIT vectors (round 6; threshold-adaptive shape, one
+    numpy matmul per Arrow batch) keys a bucket-local band join — never
+    all-pairs — and the EXACT cosine filters the candidates. Output:
+    left_id, right_id (left < right), sim (rounded 6dp)."""
     emb = _colname(args[0], "similarity_join")
     idc = _colname(args[1], "similarity_join")
     thr = _const_float(args[2], "similarity_join")
@@ -452,9 +453,9 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
     min-id canonical document.
 
     Lowering reuses the similarity_join machinery: unit-normalize,
-    BucketedRandomProjectionLSH candidate pairs (cos >= t <=> L2 <=
-    sqrt(2-2t), bucket-local — never all-pairs), min-id connected
-    components to fixpoint, left_semi keep. Rows with a null/empty or
+    sign-random-projection band join (bucket-local, never all-pairs) with
+    exact-cosine verification, min-id connected components to fixpoint,
+    left_semi keep. Rows with a null/empty or
     zero-norm embedding cannot be near anything — they pass through as
     their own canonicals (same rule as dedup_simhash).
 
@@ -477,13 +478,11 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
 
 
 def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
-    """(unit-normalized LSH-ready frame, usable predicate). Degenerate rows
-    (null/empty/zero-norm embeddings) are filtered out; the division is made
-    TOTAL with coalesce(0.0) because 0/0 is null under ANSI-off and a null
-    array element trips array_to_vector's non-null assertion if any plan
-    path evaluates the projection on a filtered row."""
-    from pyspark.ml.functions import array_to_vector
-
+    """(unit-normalized frame (__id, __u array<double>), usable predicate).
+    Degenerate rows (null/empty/zero-norm embeddings) are filtered out;
+    the division is made TOTAL with coalesce(0.0) because 0/0 is null
+    under ANSI-off and a null element would poison downstream kernels if
+    any plan path evaluates the projection on a filtered row."""
     if dict(df.dtypes).get(emb) == "string":
         # JSON-text dynamic carrier (datatable literals) -> numeric array
         # (same rule as cluster_embeddings)
@@ -499,36 +498,108 @@ def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
     unit = F.transform(
         F.col(emb), lambda v: F.coalesce(v.cast("double") / norm, F.lit(0.0))
     )
-    feat = (
-        df.filter(usable)
-        .select(F.col(idc).alias("__id"), array_to_vector(unit).alias("__v"))
-        # lineage barrier: Catalyst pushes the LSH hash UDF's predicates
-        # below this filter (both are deterministic), making the hash UDF
-        # evaluate on degenerate rows (dim-0 vectors crash it). The
-        # checkpoint pins the filter before the UDF and is the same
-        # materialization the component fixpoint pays anyway.
-        .localCheckpoint(eager=True)
+    feat = df.filter(usable).select(
+        F.col(idc).alias("__id"),
+        unit.cast("array<double>").alias("__u"),
     )
+    # no checkpoint here: _cosine_lsh_pairs materializes ONCE after adding
+    # the band values (one Arrow pass), which also serves as the lineage
+    # barrier for the component fixpoint
     return feat, usable
 
 
-def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
-    """Candidate cosine pairs over unit vectors via BucketedRandomProjection
-    LSH (cos >= t <=> L2 <= sqrt(2-2t)) — bucket-local, never all-pairs.
-    Returns (src, dst, sim) with src != dst, both directions."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+def _srp_bands_udf(n_bands: int, rows_per_band: int):
+    """Arrow-batched sign-random-projection band values over unit vectors
+    (round 6; replaces Spark ML BucketedRandomProjectionLSH): one numpy
+    matmul per batch against a deterministic Gaussian hyperplane matrix
+    (seeded rng, built lazily per embedding dim — identical on every
+    executor), sign bits packed per band into int64 values. Identical
+    vectors always produce identical band values, so exact duplicates are
+    guaranteed candidates at any threshold."""
+    key = ("srp", n_bands, rows_per_band)
+    if key in _JACCARD_UDF_CACHE:
+        return _JACCARD_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
 
-    brp = BucketedRandomProjectionLSH(
-        inputCol="__v", outputCol="__h", bucketLength=0.5, numHashTables=4, seed=42
+    @pandas_udf("array<bigint>")
+    def bands(vecs):
+        import numpy as np
+        import pandas as pd
+
+        planes: dict = {}
+        nbits = n_bands * rows_per_band
+        weights = np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64)
+        out = []
+        # batch rows by dim so each group is ONE matmul
+        arrs = [None if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+        by_dim: dict = {}
+        for i, a in enumerate(arrs):
+            if a is None or a.ndim != 1 or len(a) == 0:
+                continue
+            by_dim.setdefault(len(a), []).append(i)
+        res = [None] * len(arrs)
+        for dim, idxs in by_dim.items():
+            H = planes.get(dim)
+            if H is None:
+                H = np.random.default_rng(20240542 + dim).standard_normal(
+                    (dim, nbits)
+                )
+                planes[dim] = H
+            M = np.vstack([arrs[i] for i in idxs])  # (k, dim)
+            bits = (M @ H) >= 0.0  # (k, nbits)
+            bb = bits.reshape(len(idxs), n_bands, rows_per_band)
+            vals = (bb.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+            vals = vals.astype(np.int64)
+            for row, i in enumerate(idxs):
+                res[i] = vals[row]
+        for a, r in zip(arrs, res):
+            out.append(r)
+        return pd.Series(out, dtype="object")
+
+    _JACCARD_UDF_CACHE[key] = bands
+    return bands
+
+
+def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
+    """Candidate cosine pairs over unit vectors: sign-random-projection
+    banding (threshold-adaptive shape; P(bit match) = 1 - theta/pi) keys a
+    bucket-local band equi-join — never all-pairs — then the EXACT cosine
+    (JVM dot product on the candidate fraction) filters at the threshold.
+    Returns (src, dst, sim) with src < dst, one direction. Miss bound at
+    s = thr: (1 - p^r)^b with p = 1 - arccos(thr)/pi — 4e-5 at 0.95
+    (24x10), 3e-3 at 0.7 (30x6), <2% down to 0.4 (40x4)."""
+    if thr >= 0.9:
+        n_bands, rows_per_band = 24, 10
+    elif thr >= 0.7:
+        n_bands, rows_per_band = 30, 6
+    else:
+        n_bands, rows_per_band = 40, 4
+    bands = _srp_bands_udf(n_bands, rows_per_band)
+    work = feat.withColumn("__bands", bands(F.col("__u"))).localCheckpoint(
+        eager=True
     )
-    model = brp.fit(feat)
-    dist_thr = max(2.0 - 2.0 * thr, 0.0) ** 0.5
-    pairs = model.approxSimilarityJoin(feat, feat, dist_thr, distCol="__dist")
-    return pairs.select(
-        F.col("datasetA.__id").alias("src"),
-        F.col("datasetB.__id").alias("dst"),
-        F.round(1.0 - F.col("__dist") * F.col("__dist") / 2.0, 6).alias("sim"),
-    ).filter(F.col("src") != F.col("dst"))
+    banded = work.select("__id", F.posexplode(F.col("__bands")).alias("b", "v"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["b", "v"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
+        .distinct()
+    )
+    ul = work.select(F.col("__id").alias("src"), F.col("__u").alias("__ul"))
+    ur = work.select(F.col("__id").alias("dst"), F.col("__u").alias("__ur"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__ul"), F.col("__ur"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    return (
+        cand.join(ul, "src")
+        .join(ur, "dst")
+        .withColumn("__dot", dot)
+        .filter(F.col("__dot") >= F.lit(thr))
+        .select("src", "dst", F.round(F.col("__dot"), 6).alias("sim"))
+    )
 
 
 # ----------------------------------------------------------------- dedup_near
