@@ -1859,3 +1859,99 @@ def test_wkt_serialize_parse_roundtrip(g):
     assert wkt is not None
     back = _wkt_to_geojson_obj(wkt)
     assert back == g, (g, wkt, back)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hint=st.sampled_from(["broadcast", "shuffle"]),
+    kind=st.sampled_from(["inner", "leftouter", "leftsemi", "leftanti"]),
+    bal=st.integers(-500, 5000),
+)
+def test_join_hint_plan_independence(run_kql, hint, kind, bal):
+    # metamorphic: a join strategy HINT changes the physical plan, never
+    # the result — hinted and unhinted runs must agree exactly
+    q = (
+        "orders | join kind={k}{h} (customer | where c_acctbal > {b})"
+        " on $left.o_custkey == $right.c_custkey"
+        " | summarize n = count(), s = sum(o_totalprice)"
+    )
+    base = run_kql(q.format(k=kind, h="", b=bal)).collect()[0]
+    hinted = run_kql(
+        q.format(k=kind, h=f" hint.strategy={hint}", b=bal)
+    ).collect()[0]
+    assert (base.n, base.s) == (hinted.n, hinted.s)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(k=st.integers(1, 5), lo=st.integers(0, 400))
+def test_random_top_hitters_matches_duckdb(run_kql, duck, k, lo):
+    kdf = run_kql(
+        f"events | where user_id >= {lo} | top-hitters {k} of event_type"
+    )
+    sdf = duck.sql(
+        f"""SELECT event_type, COUNT(*) AS approximate_count_event_type
+           FROM events WHERE user_id >= {lo}
+           GROUP BY event_type ORDER BY 2 DESC, event_type LIMIT {k}"""
+    )
+    # ties at the cut are resolution-order-dependent; compare the COUNTS
+    # multiset and that every kept value's count is >= the dropped max
+    got = sorted(
+        (r.approximate_count_event_type for r in kdf.collect()), reverse=True
+    )
+    want = sorted((r[1] for r in sdf.fetchall()), reverse=True)
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lo=st.integers(0, 400), use_prefix=st.booleans(), mod=st.integers(2, 9))
+def test_random_bag_unpack_matches_duckdb(run_kql, duck, lo, use_prefix, mod):
+    # bag_unpack over the events props bag (single key `k`, long values)
+    # with/without a column prefix, grouped over a random modulus of the
+    # unpacked value; the twin extracts by JSON path
+    prefix = "p_" if use_prefix else ""
+    parg = f", '{prefix}'" if use_prefix else ""
+    n_match = duck.sql(
+        f"SELECT COUNT(*) FROM events WHERE user_id >= {lo}"
+    ).fetchone()[0]
+    text = (
+        f"events | where user_id >= {lo}"
+        f" | evaluate bag_unpack(props{parg})"
+        f" | summarize n = count(), s = sum({prefix}k)"
+        f"   by g = {prefix}k % {mod}"
+        " | sort by g asc"
+    )
+    if n_match == 0:
+        # bag_unpack's schema is DATA-DRIVEN (as in Kusto): an empty input
+        # yields no unpacked columns, so the downstream reference is a
+        # typed semantic error, not a silent empty result
+        import pytest
+
+        from kql_engine_spark.errors import KqlSemanticError
+
+        with pytest.raises(KqlSemanticError):
+            run_kql(text)
+        return
+    kdf = run_kql(text)
+    sdf = duck.sql(
+        f"""SELECT CAST(json_extract(props, '$.k') AS DOUBLE) % {mod} AS g,
+              COUNT(*) AS n,
+              SUM(CAST(json_extract(props, '$.k') AS DOUBLE)) AS s
+           FROM events WHERE user_id >= {lo}
+           GROUP BY 1 ORDER BY 1"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert got == want
