@@ -118,17 +118,63 @@ def _bag_unpack(ptr, df, args):
                 "'replace_source' or 'keep_source'"
             )
     dt = df.schema[col_name].dataType
+    ktypes: dict = {}
     if isinstance(dt, T.MapType):
-        key_col = F.explode(F.map_keys(F.col(col_name))).alias("k")
+        keys_rows = (
+            df.select(F.col(col_name)).limit(_KEY_SAMPLE_ROWS)
+            .select(F.explode(F.map_keys(F.col(col_name))).alias("k"))
+            .distinct().limit(_MAX_EXPAND).collect()
+        )
+        keys = sorted(r["k"] for r in keys_rows)
     else:
-        key_col = F.explode(
-            F.json_object_keys(F.col(col_name).cast("string"))
-        ).alias("k")
-    keys_rows = (
-        df.select(F.col(col_name)).limit(_KEY_SAMPLE_ROWS)
-        .select(key_col).distinct().limit(_MAX_EXPAND).collect()
-    )
-    keys = sorted(r["k"] for r in keys_rows)
+        # JSON-text carrier: one bounded driver-side sample discovers the
+        # key set AND the per-key value types (Kusto types the unpacked
+        # columns by the values' dynamic types — round 6; the raw JSON is
+        # inspected because get_json_object strips string quotes, which
+        # would make "123" indistinguishable from 123)
+        import json
+
+        sample = [
+            r[0]
+            for r in df.select(F.col(col_name).cast("string"))
+            .limit(_KEY_SAMPLE_ROWS)
+            .collect()
+        ]
+        seen: dict = {}
+        for s in sample:
+            if not s:
+                continue
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                if len(seen) >= _MAX_EXPAND and k not in seen:
+                    continue
+                if v is None:
+                    t = seen.get(k)
+                elif isinstance(v, bool):
+                    t = "boolean"
+                elif isinstance(v, int):
+                    t = "bigint"
+                elif isinstance(v, float):
+                    t = "double"
+                elif isinstance(v, str):
+                    t = "string"
+                else:  # object/array -> dynamic (JSON-string carrier)
+                    t = "dynamic"
+                prev = seen.get(k)
+                if prev is None or prev == t:
+                    merged = t
+                elif {prev, t} == {"bigint", "double"}:
+                    merged = "double"
+                else:
+                    merged = "string" if "dynamic" not in (prev, t) else "dynamic"
+                seen[k] = merged
+        keys = sorted(seen)
+        ktypes = seen
     existing = {c for c in df.columns if c != col_name}
     clash = [k for k in keys if prefix + k in existing]
     if clash and conflict == "error":
@@ -145,9 +191,13 @@ def _bag_unpack(ptr, df, args):
             out = out.withColumn(prefix + k, F.element_at(F.col(col_name), k))
     else:
         for k in keys:
-            out = out.withColumn(
-                prefix + k, F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
-            )
+            raw = F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
+            t = ktypes.get(k)
+            if t in ("bigint", "double", "boolean"):
+                raw = raw.cast(t)
+            # string/dynamic keep the text carrier (get_json_object yields
+            # the unquoted scalar / the raw JSON for objects and arrays)
+            out = out.withColumn(prefix + k, raw)
     return out.drop(col_name)
 
 

@@ -1945,9 +1945,9 @@ def test_random_bag_unpack_matches_duckdb(run_kql, duck, lo, use_prefix, mod):
         return
     kdf = run_kql(text)
     sdf = duck.sql(
-        f"""SELECT CAST(json_extract(props, '$.k') AS DOUBLE) % {mod} AS g,
+        f"""SELECT CAST(json_extract(props, '$.k') AS BIGINT) % {mod} AS g,
               COUNT(*) AS n,
-              SUM(CAST(json_extract(props, '$.k') AS DOUBLE)) AS s
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS s
            FROM events WHERE user_id >= {lo}
            GROUP BY 1 ORDER BY 1"""
     )

@@ -1623,11 +1623,11 @@ def test_bag_unpack_columns_conflict_modes(run_kql):
     r = run_kql(
         base + " | evaluate bag_unpack(d, '', 'replace_source')"
     ).collect()[0]
-    assert r.a == "bagv" and r.b == "7"
+    assert r.a == "bagv" and r.b == 7  # typed inference: long
     k = run_kql(
         base + " | evaluate bag_unpack(d, '', 'keep_source')"
     ).collect()[0]
-    assert k.a == "orig" and k.b == "7"
+    assert k.a == "orig" and k.b == 7
     # a prefix removes the clash entirely
     p = run_kql(base + " | evaluate bag_unpack(d, 'u_')").collect()[0]
     assert p.a == "orig" and p.u_a == "bagv"
@@ -1799,3 +1799,28 @@ def test_geo_simplify_polygons_union_preserves_shared_edge(run_kql):
     # malformed input -> null
     r = run_kql("print m = geo_simplify_polygons_union(dynamic([1,2]))").collect()[0]
     assert r.m is None
+
+
+def test_bag_unpack_types_columns_by_values(run_kql):
+    # round 6: unpacked columns are typed by the sampled VALUES (Kusto's
+    # data-driven schema): ints -> long, int/float mix -> real, bools ->
+    # bool, quoted digits stay string, objects stay dynamic JSON text
+    df = run_kql(
+        "datatable(d:dynamic)["
+        " dynamic({'i': 1, 'f': 1.5, 'b': true,  'qs': '123', 'o': {'x': 1}, 'm': 2}),"
+        " dynamic({'i': 2, 'f': 2,   'b': false, 'qs': '456', 'o': {'x': 2}, 'm': 2.5})]"
+        " | evaluate bag_unpack(d)"
+    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["i"] == "bigint"
+    assert types["f"] == "double"
+    assert types["m"] == "double"  # int/float mix widens to real
+    assert types["b"] == "boolean"
+    assert types["qs"] == "string"
+    assert types["o"] == "string"  # dynamic carrier
+    rows = sorted(df.collect(), key=lambda r: r.i)
+    assert rows[0].i == 1 and rows[0].f == 1.5 and rows[0].b is True
+    assert rows[0].qs == "123"
+    import json
+
+    assert json.loads(rows[0].o) == {"x": 1}
