@@ -72,6 +72,14 @@ def _pivot(ptr, df, args):
                 raise KqlSemanticError(
                     "evaluate pivot: output columns must be names or literals"
                 )
+    if values is None and df.isStreaming:
+        # unpinned pivot needs an eager distinct scan of the pivot column;
+        # the PINNED form (explicit output columns) is the streaming path
+        raise KqlUnsupportedError(
+            "pivot on a streaming source needs pinned output columns "
+            "(evaluate pivot(col, agg(...), v1, v2, ...)) — value "
+            "discovery requires an eager scan"
+        )
     grouped = df.groupBy(*rest)
     pivoted = grouped.pivot(pivot_col, values) if values else grouped.pivot(pivot_col)
     return pivoted.agg(agg_expr)
@@ -117,6 +125,15 @@ def _bag_unpack(ptr, df, args):
                 "bag_unpack: columnsConflict must be 'error', "
                 "'replace_source' or 'keep_source'"
             )
+    if df.isStreaming:
+        # the key/type discovery is an eager bounded collect — impossible
+        # on an unbounded stream; Kusto-style typed error instead of the
+        # raw "must be executed with writeStream.start()" leak
+        raise KqlUnsupportedError(
+            "bag_unpack needs a data-dependent schema (eager key sample) "
+            "and cannot run on a streaming source; unpack known keys with "
+            "extend col = tostring(bag['key']) instead"
+        )
     dt = df.schema[col_name].dataType
     ktypes: dict = {}
     if isinstance(dt, T.MapType):

@@ -317,3 +317,32 @@ def test_stream_scan_state_cap_typed_error(spark):
             run_to_memory(sdf, "stream_scan_cap_t", mode="append")
     finally:
         del os.environ["KQL_ENGINE_SCAN_MAX_STATE_BYTES"]
+
+
+def test_streaming_eager_plugins_raise_typed_errors(spark):
+    # round 6: eager-discovery plugins cannot run on unbounded streams —
+    # typed KqlUnsupportedError, not Spark's raw writeStream.start() leak
+    import pytest
+
+    from kql_engine_spark.errors import KqlUnsupportedError
+    from kql_engine_spark.streaming import kql_stream
+
+    with pytest.raises(KqlUnsupportedError, match="bag_unpack"):
+        kql_stream(
+            spark,
+            "events | evaluate bag_unpack(props) | summarize n = count()",
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(KqlUnsupportedError, match="pinned output columns"):
+        kql_stream(
+            spark,
+            "events | evaluate pivot(event_type, count())",
+            sf_dir=SF_DIR,
+        )
+    # the PINNED pivot form IS stream-legal (bounded schema, no discovery)
+    sdf = kql_stream(
+        spark,
+        "events | evaluate pivot(event_type, count(), click, view)",
+        sf_dir=SF_DIR,
+    )
+    assert sdf.isStreaming and "click" in sdf.columns
