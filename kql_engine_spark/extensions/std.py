@@ -1670,6 +1670,7 @@ def _geo_polygon_lookup(ptr, df, args):
         )
     if keyc not in lut.columns:
         raise KqlSemanticError(f"geo_polygon_lookup: {keyc!r} not in lookup table")
+    lut = lut.withColumn(keyc, _geojson_or_wkt(F.col(keyc)))  # WKT carrier OK
     # optional numeric radius then optional bool return_unmatched [KQL]
     radius, unmatched = 0.0, False
     rest = list(args[4:])
@@ -1765,6 +1766,26 @@ def _geo_polygon_lookup(ptr, df, args):
 _GEO_UDFS: dict = {}
 
 
+def _geojson_or_wkt(col):
+    """Normalize a geometry key column: JSON text passes through, anything
+    else converts from WKT (round 6 — carrier parity with the scalar geo
+    family, which sniffs WKT in _geo_coords). Lookup tables are
+    dimension-sized, so the conditional pandas-UDF conversion cost is
+    negligible; malformed WKT nulls out and simply never matches."""
+    if "wkt2gj" not in _GEO_UDFS:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.scalar import _wkt_to_geojson_text
+
+        @pandas_udf("string")
+        def conv(s):
+            return s.map(lambda v: None if v is None else _wkt_to_geojson_text(v))
+
+        _GEO_UDFS["wkt2gj"] = conv
+    c = col.cast("string")
+    return F.when(F.ltrim(c).startswith("{"), c).otherwise(_GEO_UDFS["wkt2gj"](c))
+
+
 @plugin("geo_line_lookup")
 def _geo_line_lookup(ptr, df, args):
     """`T | evaluate geo_line_lookup(LookupTable, LineKey, SourceLon,
@@ -1795,6 +1816,7 @@ def _geo_line_lookup(ptr, df, args):
         raise KqlSemanticError("geo_line_lookup: line key, lon and lat must be columns")
     if keyc not in lut.columns:
         raise KqlSemanticError(f"geo_line_lookup: {keyc!r} not in lookup table")
+    lut = lut.withColumn(keyc, _geojson_or_wkt(F.col(keyc)))  # WKT carrier OK
     radius = float(tr.const_value(args[4]))
     if not radius > 0:
         raise KqlSemanticError("geo_line_lookup: radius must be positive meters")

@@ -1824,3 +1824,25 @@ def test_bag_unpack_types_columns_by_values(run_kql):
     import json
 
     assert json.loads(rows[0].o) == {"x": 1}
+
+
+def test_geo_lookups_accept_wkt_polygons(run_kql):
+    # round 6: the geo lookup plugins normalize WKT geometry keys to the
+    # GeoJSON carrier — same contract as the scalar geo family
+    rows = run_kql(
+        "let zones = datatable(zone:string, poly:string)["
+        " 'west', 'POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))',"
+        " 'east', 'POLYGON ((5 0, 10 0, 10 5, 5 5, 5 0))'];"
+        " datatable(id:long, lon:real, lat:real)[1, 2.0, 2.0, 2, 7.0, 2.0, 3, 20.0, 20.0]"
+        " | evaluate geo_polygon_lookup(zones, poly, lon, lat)"
+        " | project id, zone | sort by id asc"
+    ).collect()
+    assert [(r.id, r.zone) for r in rows] == [(1, "west"), (2, "east")]
+    rows = run_kql(
+        "let roads = datatable(name:string, line:string)["
+        " 'r1', 'LINESTRING (0 0, 10 0)'];"
+        " datatable(id:long, lon:real, lat:real)[1, 5.0, 0.0001, 2, 5.0, 3.0]"
+        " | evaluate geo_line_lookup(roads, line, lon, lat, 1000)"
+        " | project id, name | sort by id asc"
+    ).collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "r1")]
