@@ -1,18 +1,26 @@
 """LLM-data-pipeline `evaluate` plugins (SURVEY.md §2.12, north star).
 
 All operators are Spark-first: native `pyspark.sql.functions` compositions
-(JVM-side, whole-stage codegen) for the hot paths, `pyspark.ml` LSH for the
-bucketed near-dup / similarity paths. No Python row-UDFs anywhere.
+(JVM-side, whole-stage codegen) for the hot paths; the candidate-generation
+step of the near-dup / similarity paths runs a shared Arrow-batched numpy
+banding kernel (round 6 — replaced Spark ML LSH): one vectorized pass per
+batch computes shingle/gram hashes + minhash band values (dedup_near,
+dedup_jaccard, decontaminate) or sign-random-projection band values
+(dedup_embedding, similarity_join), the band equi-join runs on
+(id, band, value) only, and every candidate pair is re-verified EXACTLY
+(Jaccard on hashed shingle sets / true cosine). No Python row-UDFs
+anywhere — all Python kernels are pandas_udf/mapInPandas.
 
 Scale notes (100 TB posture):
 - dedup_exact lowers to dropDuplicates -> hash shuffle on the dedup keys
   with map-side partial dedup; no driver-side state.
-- dedup_near is MinHashLSH-bucketed (approxSimilarityJoin), never the
-  all-pairs O(n^2) join; connected components run a BOUNDED number of
-  smallest-id propagation rounds (diameter of near-dup clusters is tiny in
-  practice — exact dups form cliques of diameter 1).
+- dedup_near/dedup_jaccard/dedup_embedding are banded candidate generation
+  + exact verify, never the all-pairs O(n^2) join; connected components
+  run a BOUNDED number of smallest-id propagation rounds with
+  localCheckpoint lineage truncation (diameter of near-dup clusters is
+  tiny in practice — exact dups form cliques of diameter 1).
 - similarity_search is a brute-force cosine top-k (TakeOrderedAndProject:
-  per-partition top-k then driver merge, no global sort); the LSH-bucketed
+  per-partition top-k then driver merge, no global sort); the banded
   variant for corpus-vs-corpus workloads is similarity_join.
 - tfidf_topk is exploded-token groupBys (two shuffles) + a per-doc window;
   the corpus size joins in via a broadcast 1-row aggregate, not an eager
@@ -521,12 +529,16 @@ def _srp_bands_udf(n_bands: int, rows_per_band: int):
         return _JACCARD_UDF_CACHE[key]
     from pyspark.sql.functions import pandas_udf
 
+    # closure-scoped so the (dim x n_bits) hyperplane matrix is built once
+    # per executor worker per dim and reused across Arrow batches (the
+    # deterministic seed keeps it identical on every executor regardless)
+    planes: dict = {}
+
     @pandas_udf("array<bigint>")
     def bands(vecs):
         import numpy as np
         import pandas as pd
 
-        planes: dict = {}
         nbits = n_bands * rows_per_band
         weights = np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64)
         out = []

@@ -106,6 +106,74 @@ def _narrow(ptr, df, args):
 # carry unseen keys lose them (documented delta; Kusto scans everything).
 _KEY_SAMPLE_ROWS = 100_000
 
+# lazily-built Arrow kernel: JSON bag -> [(key, value-type)] pairs, so the
+# discovery collect ships only DISTINCT (key, type) pairs to the driver —
+# O(keys x types) bytes regardless of how fat the bags are (round 7; the
+# previous implementation collected the raw JSON strings, unbounded in
+# bytes). Raw JSON is inspected (not get_json_object output) because
+# get_json_object strips string quotes, which would make "123"
+# indistinguishable from 123.
+_BAG_KEY_TYPES_UDF = None
+
+
+def _bag_key_types_udf():
+    global _BAG_KEY_TYPES_UDF
+    if _BAG_KEY_TYPES_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<struct<k:string,t:string>>")
+        def key_types(s):
+            import json
+
+            import pandas as pd
+
+            out = []
+            for raw in s:
+                if not raw:
+                    out.append(None)
+                    continue
+                try:
+                    obj = json.loads(raw)
+                except ValueError:
+                    out.append(None)
+                    continue
+                if not isinstance(obj, dict):
+                    out.append(None)
+                    continue
+                pairs = []
+                for k, v in obj.items():
+                    if v is None:
+                        t = "null"  # registers the key, constrains no type
+                    elif isinstance(v, bool):
+                        t = "boolean"
+                    elif isinstance(v, int):
+                        t = "bigint"
+                    elif isinstance(v, float):
+                        t = "double"
+                    elif isinstance(v, str):
+                        t = "string"
+                    else:  # object/array -> dynamic (JSON-string carrier)
+                        t = "dynamic"
+                    pairs.append((k, t))
+                out.append(pairs)
+            return pd.Series(out, dtype="object")
+
+        _BAG_KEY_TYPES_UDF = key_types
+    return _BAG_KEY_TYPES_UDF
+
+
+def _merge_bag_type(prev, t):
+    """Kusto-style common-type lattice for sampled bag values: equal types
+    stick, long+real widens to real, anything involving dynamic is dynamic,
+    any other mix falls back to the string carrier."""
+    if t is None:
+        return prev
+    if prev is None or prev == t:
+        return t
+    if {prev, t} == {"bigint", "double"}:
+        return "double"
+    return "dynamic" if "dynamic" in (prev, t) else "string"
+
 
 @plugin("bag_unpack")
 def _bag_unpack(ptr, df, args):
@@ -144,52 +212,32 @@ def _bag_unpack(ptr, df, args):
         )
         keys = sorted(r["k"] for r in keys_rows)
     else:
-        # JSON-text carrier: one bounded driver-side sample discovers the
-        # key set AND the per-key value types (Kusto types the unpacked
-        # columns by the values' dynamic types — round 6; the raw JSON is
-        # inspected because get_json_object strips string quotes, which
-        # would make "123" indistinguishable from 123)
-        import json
-
-        sample = [
-            r[0]
-            for r in df.select(F.col(col_name).cast("string"))
+        # JSON-text carrier: key set AND per-key value types discovered
+        # executor-side (Kusto types the unpacked columns by the values'
+        # dynamic types). The row sample bounds compute; the driver only
+        # ever sees distinct (key, type) pairs — byte-bounded no matter
+        # how large the individual bags are. The ordered limit keeps the
+        # surviving key set deterministic when a pathological input
+        # carries more than _MAX_EXPAND keys (pairs per key <= 7, so the
+        # first _MAX_EXPAND keys in sort order are always fully covered).
+        pair_rows = (
+            df.select(F.col(col_name).cast("string").alias("__kql_bag"))
             .limit(_KEY_SAMPLE_ROWS)
+            .select(
+                F.explode(_bag_key_types_udf()(F.col("__kql_bag"))).alias("p")
+            )
+            .select("p.k", "p.t")
+            .distinct()
+            .orderBy("k", "t")
+            .limit(_MAX_EXPAND * 8)
             .collect()
-        ]
+        )
         seen: dict = {}
-        for s in sample:
-            if not s:
+        for r in pair_rows:
+            t = None if r["t"] == "null" else r["t"]
+            if len(seen) >= _MAX_EXPAND and r["k"] not in seen:
                 continue
-            try:
-                obj = json.loads(s)
-            except ValueError:
-                continue
-            if not isinstance(obj, dict):
-                continue
-            for k, v in obj.items():
-                if len(seen) >= _MAX_EXPAND and k not in seen:
-                    continue
-                if v is None:
-                    t = seen.get(k)
-                elif isinstance(v, bool):
-                    t = "boolean"
-                elif isinstance(v, int):
-                    t = "bigint"
-                elif isinstance(v, float):
-                    t = "double"
-                elif isinstance(v, str):
-                    t = "string"
-                else:  # object/array -> dynamic (JSON-string carrier)
-                    t = "dynamic"
-                prev = seen.get(k)
-                if prev is None or prev == t:
-                    merged = t
-                elif {prev, t} == {"bigint", "double"}:
-                    merged = "double"
-                else:
-                    merged = "string" if "dynamic" not in (prev, t) else "dynamic"
-                seen[k] = merged
+            seen[r["k"]] = _merge_bag_type(seen.get(r["k"]), t)
         keys = sorted(seen)
         ktypes = seen
     existing = {c for c in df.columns if c != col_name}
@@ -211,7 +259,36 @@ def _bag_unpack(ptr, df, args):
             raw = F.get_json_object(F.col(col_name).cast("string"), f"$.{k}")
             t = ktypes.get(k)
             if t in ("bigint", "double", "boolean"):
-                raw = raw.cast(t)
+                casted = raw.cast(t)
+                # a value whose type drifts OUTSIDE the sampled rows must
+                # fail loudly, not silently corrupt: under non-ANSI Spark a
+                # '1.5' under an all-int key TRUNCATES to 1, 'abc'/overflow
+                # casts to NULL, and '1' under a bool key casts to true.
+                # Per-type drift predicates catch all three; the user can
+                # widen with a tostring()/todouble() extend or grow the
+                # sample.
+                if t == "bigint":
+                    drift = casted.isNull() | (
+                        casted.cast("double") != raw.cast("double")
+                    )
+                elif t == "boolean":
+                    drift = ~raw.isin("true", "false")
+                else:  # double: every numeric string casts; others null out
+                    drift = casted.isNull()
+                raw = F.when(
+                    raw.isNotNull() & drift,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("bag_unpack: value '"),
+                            raw,
+                            F.lit(
+                                f"' under key '{k}' does not fit the "
+                                f"sampled column type {t} (type drift "
+                                "outside the discovery sample)"
+                            ),
+                        )
+                    ),
+                ).otherwise(casted)
             # string/dynamic keep the text carrier (get_json_object yields
             # the unquoted scalar / the raw JSON for objects and arrays)
             out = out.withColumn(prefix + k, raw)

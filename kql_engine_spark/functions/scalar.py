@@ -1,9 +1,14 @@
 """KQL scalar function registry -> PySpark Column builders (SURVEY.md §2.9).
 
-Every function stays JVM-side (`pyspark.sql.functions` compositions inside
-whole-stage codegen) — no Python UDFs in this module, so the hot path never
-crosses the Arrow boundary. KQL semantic deltas (0-based indexing, -1
-not-found, natural log, regex trim) are encoded here once.
+The hot path stays JVM-side: string/math/datetime/conversion/dynamic
+functions lower to `pyspark.sql.functions` compositions inside whole-stage
+codegen, never crossing the Arrow boundary. The exceptions are deliberate
+and Arrow-batched: the IPv6, geo-shape (geodesic intersection/union/
+densify/simplify, S2/geohash covering), and series-DSP families run as
+vectorized `pandas_udf` kernels — algorithms Spark has no builtin for —
+registered via the `_*_udf` helpers below; none is a row-at-a-time
+`F.udf`. KQL semantic deltas (0-based indexing, -1 not-found, natural log,
+regex trim) are encoded here once.
 
 Registry contract: REGISTRY[name](tr, args) -> Column, where `tr` is the
 ExprTranslator (gives .to_col(ast), .const_seconds(ast), .dtype_of(col))
@@ -5406,11 +5411,18 @@ def _dp_simplify_locked(ring, tol_m, locked):
     that must survive: the ring is split into chains at locked points and
     each chain simplifies independently (DP always keeps endpoints), so
     locked vertices — shared boundaries — are preserved exactly."""
+    def _floats(pts):
+        # canonical float coordinates: _dp_simplify float-converts interior
+        # work but short chains (<=2 points) pass original (possibly int)
+        # vertices through — mixed [1, 0] / [1.0, 0.0] in one ring would
+        # make the JSON carrier non-canonical for string-level matching
+        return [[float(c) for c in p] for p in pts]
+
     body = ring[:-1] if ring and ring[0] == ring[-1] else list(ring)
     lock_ix = [i for i, p in enumerate(body) if tuple(p) in locked]
     if not lock_ix:
         closed = [*body, body[0]]
-        return _dp_simplify(closed, tol_m)
+        return _floats(_dp_simplify(closed, tol_m))
     # rotate so the ring starts at a locked vertex, then chain-split
     start = lock_ix[0]
     rot = body[start:] + body[:start]
@@ -5424,7 +5436,7 @@ def _dp_simplify_locked(ring, tol_m, locked):
         simp = _dp_simplify(chain, tol_m)
         out.extend(simp[:-1])  # chain endpoints overlap
     out.append(out[0])
-    return out
+    return _floats(out)
 
 
 def _simplify_polygons_union(s, tol):

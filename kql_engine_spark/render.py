@@ -95,6 +95,13 @@ def to_vega_lite(df: DataFrame, max_rows: int = 5000) -> dict | None:
             c for c in cols
             if c != xcol and _field_type(dtypes[c]) == "quantitative"
         ]
+    # every chart kind except card/table needs a quantitative value axis;
+    # with none resolvable a spec would carry "field": None (invalid
+    # Vega-Lite) — nothing to draw, same contract as `render table`
+    if not ycols and chart not in ("card", "table"):
+        return None
+    if chart == "card" and not cols:
+        return None
     series = meta.get("series")
     if series is None:
         leftovers = [c for c in cols if c != xcol and c not in ycols]

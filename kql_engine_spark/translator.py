@@ -3022,8 +3022,13 @@ def kql(
         headline = msg.splitlines()[0] if msg else ""
         if "`__kql" in headline or not _is_user_analysis_error(cond):
             raise
+        # keep the original Spark error class in the message: the prefix
+        # match above is deliberately broad, so a misclassified engine
+        # error must stay diagnosable from the user-facing text alone
+        # (skip when Spark's own headline already leads with it)
+        tag = f" [{cond}]" if cond and f"[{cond}]" not in headline else ""
         raise KqlSemanticError(
-            "semantic error: " + msg.split(";")[0].strip()
+            "semantic error: " + msg.split(";")[0].strip() + tag
         ) from exc
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})

@@ -1826,6 +1826,51 @@ def test_bag_unpack_types_columns_by_values(run_kql):
     assert json.loads(rows[0].o) == {"x": 1}
 
 
+def test_bag_unpack_fat_bags_discovery_byte_bounded(spark):
+    # round 7: key/type discovery parses the bags executor-side and ships
+    # only DISTINCT (key, type) pairs to the driver — with 1 MB bags the
+    # driver-side allocation stays flat (the old implementation collected
+    # the raw JSON sample: ~16 MB here)
+    import json
+    import tracemalloc
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    big = "x" * (1 << 20)
+    rows = [(json.dumps({"i": n, "blob": big}),) for n in range(16)]
+    df = spark.createDataFrame(rows, "d string")
+    cat = Catalog(spark)
+    cat.register("fat", df)
+    tracemalloc.start()
+    out = kql(spark, "fat | evaluate bag_unpack(d)", catalog=cat)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * (1 << 20), f"discovery allocated {peak} bytes on driver"
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {"i": "bigint", "blob": "string"}
+    assert sorted(r.i for r in out.select("i").collect()) == list(range(16))
+
+
+def test_bag_unpack_type_drift_outside_sample_raises(spark, monkeypatch):
+    # round 7 (ADVICE): a value whose type drifts outside the discovery
+    # sample must raise, not silently cast to NULL
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import std
+    from kql_engine_spark.translator import kql
+
+    monkeypatch.setattr(std, "_KEY_SAMPLE_ROWS", 2)
+    rows = [('{"v": 1}',), ('{"v": 2}',), ('{"v": 1.5}',)]
+    df = spark.createDataFrame(rows, "d string").coalesce(1)
+    cat = Catalog(spark)
+    cat.register("drifty", df)
+    out = kql(spark, "drifty | evaluate bag_unpack(d)", catalog=cat)
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["v"] == "bigint"  # sampled rows are all ints
+    with pytest.raises(Exception, match="type drift"):
+        out.collect()
+
+
 def test_geo_lookups_accept_wkt_polygons(run_kql):
     # round 6: the geo lookup plugins normalize WKT geometry keys to the
     # GeoJSON carrier — same contract as the scalar geo family
