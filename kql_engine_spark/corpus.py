@@ -3992,8 +3992,8 @@ q(
     """print m = geo_simplify_polygons_union(dynamic([
         {"type":"Polygon","coordinates":[[[0,0],[0.5,0],[1,0],[1,0.5],[1,1],[0.5,1],[0,1],[0,0]]]},
         {"type":"Polygon","coordinates":[[[1,0],[2,0],[2,1],[1,1],[1,0.5],[1,0]]]}]), 100000)
-    | project shared_kept = m contains '[1, 0.5]',
-              outer_gone = not(m contains '[0.5, 0]'),
+    | project shared_kept = m contains '[1.0, 0.5]',
+              outer_gone = not(m contains '[0.5, 0.0]'),
               two_polys = array_length(parse_json(m).coordinates) == 2""",
     """SELECT true AS shared_kept, true AS outer_gone, true AS two_polys""",
 )
@@ -4009,53 +4009,43 @@ q(
 # let/invoke (§2.14). Entries outside the prefix keep their relative order and
 # stay covered by tests/test_corpus_oracle.py.
 _TIER_A = (
-    # ---- round-6 rotation: the driver has certified 101 distinct entries
-    # over r1-r5; this prefix is drawn almost entirely from the ~163
-    # never-driver-certified twins (plus the two r5 reds and the eleven
-    # latent type-fixed twins, which MUST re-certify after their oracle
-    # fixes). Previously-green entries rotate to the pytest-certified tail.
-    # §2.1 sources
-    "database_scoped_table", "table_fn_source",
-    # §2.2 row ops
-    "distinct_star", "getschema_region",
-    # §2.3 sort/take/top
-    "top_hitters", "top_nested_others",
-    # §2.4 joins: remaining kinds + hints + theta/as-of + tabular not-in
-    "join_rightanti", "join_shuffle_hint", "join_pure_theta",
-    "join_asof_window", "notin_tabular_anti_join", "ipv4_lookup_cidr",
-    # §2.5 union
-    "union_wildcard",
-    # §2.6 aggregates
-    "agg_binary_covar", "percentilew_weighted", "make_list_with_nulls_agg",
-    "dcount_intersect_hll",
-    # §2.7 window / sessionization
-    "window_session", "session_fn_on_events",
-    # §2.8 plugins (mv_apply_empty_groups + pivot_pinned_values carry the
-    # r5 latent twin fixes: HUGEINT sum cast, numeric pins)
-    "mv_apply_empty_groups", "pivot_pinned_values", "evaluate_narrow",
-    "reduce_by_pattern",
-    # §2.9 scalar functions (conversions_more + typed_literal_ctors carry
-    # the Decimal-carrier twin fixes)
-    "conversions_more", "typed_literal_ctors", "datetime_boundaries",
-    "math_more_fns", "geohash_fns", "unit_conversion_fns",
-    # §2.10 series
-    "series_fit_2lines_split", "series_fft_roundtrip", "series_outliers_tukey",
-    # §2.11 streaming batch-twin
-    "hopping_window_batch",
-    # §2.12 LLM data-pipeline (llm_pack_sequences = r5 red, twin offset
-    # now BIGINT)
-    "llm_pack_sequences", "llm_quality_filter", "llm_dedup_embedding",
-    # §2.13 misc + behavior analytics (activity_metrics_retention = r5 red;
-    # the eight entries after it carry the TIMESTAMPTZ twin fixes)
-    "activity_metrics_retention", "fork_branches",
-    "activity_engagement_dau_wau", "session_count_daily",
-    "funnel_completion_steps", "sliding_window_counts_7d",
-    "rolling_percentile_p90", "activity_counts_metrics_1d",
-    "active_users_count_rolling", "new_activity_metrics_retention",
-    "graph_match_2hop", "tpch_q3",
-    # §2.14 let / lambdas (lambda_default_params carries the int32/int64
-    # driver-tolerated delta — certify it explicitly)
-    "lambda_default_params", "stored_function_source_call",
+    # ---- round-8 rotation (VERDICT r7 items 2+5): the driver has
+    # certified 152 distinct entries over r1-r7; this prefix is 48
+    # never-certified entries + 2 re-certifications of round-7-regressed
+    # fixes (extractjson_props — the JSON single-parse canary — and
+    # geo_densify_covering_shapes), bringing cumulative unique certified
+    # to 200/287. Drawn from the families the r7 verdict named
+    # (extract_all_*, format_datetime, bag_ops, geo_*) plus the series
+    # tuple-assign shapes adjacent to the r7 regression.
+    # regression-fix certification (r7 NameError blast radius)
+    "extractjson_props", "geo_densify_covering_shapes",
+    "make_series_then_fit", "series_stats_fit",
+    "geo_s2cell_neighbors_polygon", "geo_simplify_polygons_union_shared_edge",
+    # verdict-named families
+    "extract_all_words", "extract_all_multigroup",
+    "format_datetime_literal_delims", "bag_ops_fns", "bag_zip_fn",
+    "ipv4_mask_bag_fns",
+    # geo twins (never certified)
+    "geo_line_polygon_fns", "geo_line_polygon_fns2", "geo_s2cell_fns",
+    "geo_wkt_carriers", "geo_azimuth_angle_fns", "geo_geohash_neighbors_fn",
+    "geo_polygon_distance_fns", "geo_line_lookup_radius",
+    "geo_point_in_polygon_fn", "ipv4_geo_fns",
+    # network scalar families
+    "ipv6_fns", "ipv4_mask_fns",
+    # string/hash/datetime scalar sweeps
+    "string_more_fns", "hash_fns", "base64_url_fns", "string_preds_more",
+    "has_any_matches", "datetime_more_fns", "arrays_more_fns",
+    "datetime_part_fn", "bitwise_series_misc_fns", "round5_fn_sweep",
+    # series (incl. the tuple-assign shapes sharing the r7 root cause)
+    "series_vector_math", "series_arith", "series_fill", "series_fir_filter",
+    "series_stats_tuple_assign", "series_decompose_tuple_assign",
+    # mv-expand / parse plugins
+    "mv_expand_bagexpansion", "mv_expand_itemindex", "parse_kv_pairs",
+    "parse_command_line_fn", "parse_user_agent_fn",
+    # LLM data-pipeline (never certified)
+    "llm_tokenize", "llm_lang_detect", "llm_fingerprint", "llm_dedup_near",
+    # segmentation plugin
+    "basket_frequent_segments",
 )
 assert len(_TIER_A) == 50, len(_TIER_A)
 _missing = [n for n in _TIER_A if n not in CORPUS]

@@ -222,11 +222,26 @@ def _extract_all(tr, args):
     )
 
 
+# extractjson paths eligible for single-parse sharing (must stay in sync
+# with translator._JSON_TOP_KEY): exactly one top-level `$.key` hop
+_EJ_TOP_KEY = _re.compile(r"^\$\.([A-Za-z_][A-Za-z0-9_]*)$")
+
+
 @fn("extractjson")
 def _extractjson(tr, args):
+    from ..ast_nodes import Col as _Col
+
     path = tr.const_string(args[0])
-    s = tr.to_col(args[1])
-    out = F.get_json_object(s, path)
+    out = None
+    a1 = args[1]
+    if isinstance(a1, _Col) and a1.side is None and a1.name not in tr.env:
+        m = _EJ_TOP_KEY.match(path)
+        if m:
+            # single-parse JSON projection: the enclosing project/extend may
+            # have staged one from_json struct covering this access
+            out = tr.engine.json_shared.get((a1.name, m.group(1)))
+    if out is None:
+        out = F.get_json_object(tr.to_col(a1), path)
     if len(args) >= 3:
         out = out.cast(KQL_CAST_NAME[tr.const_typename(args[2])])
     return out

@@ -74,6 +74,7 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _QIDENT_RE = re.compile(
     r"\[\s*'((?:[^'\\]|\\.)*?)'\s*\]|\[\s*\"((?:[^\"\\]|\\.)*?)\"\s*\]"
 )
+_QIDENT_ESC_RE = re.compile(r"\\u([0-9a-fA-F]{4})|\\(.)")
 _WS_RE = re.compile(r"[ \t\r\n]+")
 _COMMENT_RE = re.compile(r"//[^\n]*")
 _BANGWORD_RE = re.compile(r"![a-z_]+~?")
@@ -170,6 +171,15 @@ def tokenize(text: str) -> list[Token]:
             m = _QIDENT_RE.match(text, i)
             if m:
                 val = m.group(1) if m.group(1) is not None else m.group(2)
+                # same escape semantics as string literals — a QIDENT is
+                # also a one-cell datatable row block, so `["{\"a\": 1}"]`
+                # must decode \" exactly like the STRING path would
+                val = _QIDENT_ESC_RE.sub(
+                    lambda em: chr(int(em.group(1), 16))
+                    if em.group(1) is not None
+                    else _ESCAPES.get(em.group(2), em.group(2)),
+                    val,
+                )
                 tokens.append(Token(QIDENT, val, i, m.end()))
                 i = m.end()
                 continue

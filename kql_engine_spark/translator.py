@@ -60,6 +60,13 @@ _WINDOW_FNS = {
 
 _NULLABLE_TYPE_CTORS = set(KQL_CAST_NAME) | {"time"}
 
+# single-parse JSON projection (see PipeTranslator._shared_json_map):
+# keys eligible for sharing must be plain identifiers — anything with dots,
+# brackets, quotes or wildcards stays on the per-access get_json_object path
+_JSON_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# extractjson paths eligible for sharing: exactly one top-level `$.key` hop
+_JSON_TOP_KEY = re.compile(r"^\$\.([A-Za-z_][A-Za-z0-9_]*)$")
+
 
 class ExprTranslator:
     """Translates scalar/aggregate expressions to Columns against a DataFrame."""
@@ -477,6 +484,16 @@ class ExprTranslator:
             return F.try_variant_get(base, path, "string")
         # JSON-text dynamic carrier
         if isinstance(key, Lit) and key.ktype == "string":
+            if (
+                isinstance(e.base, Col)
+                and e.base.side is None
+                and e.base.name not in self.env
+            ):
+                shared = self.engine.json_shared.get(
+                    (e.base.name, str(key.value))
+                )
+                if shared is not None:
+                    return shared
             return F.get_json_object(base.cast("string"), f"$.{key.value}")
         idx_val = int(self.const_value(key))
         if idx_val < 0:
@@ -770,10 +787,19 @@ class PipeTranslator:
         return df
 
     def translate_pipe(self, pipe: Pipe) -> DataFrame:
-        df = self.translate_source(pipe.source)
-        for op in pipe.ops:
-            df = self.translate_op(df, op)
-        return df
+        # isolate per-clause expression state from nested pipe translations
+        # (toscalar, tabular `in`, join sides): a nested clause must never
+        # resolve a property access against the OUTER clause's staged
+        # __kqlseg_json columns — they don't exist on the nested DataFrame
+        saved_shared, saved_pre = self.json_shared, self.pending_prework
+        self.json_shared, self.pending_prework = {}, {}
+        try:
+            df = self.translate_source(pipe.source)
+            for op in pipe.ops:
+                df = self.translate_op(df, op)
+            return df
+        finally:
+            self.json_shared, self.pending_prework = saved_shared, saved_pre
 
     def translate_source(self, src) -> DataFrame:
         self.order = None
@@ -1334,14 +1360,21 @@ class PipeTranslator:
         """Single-parse JSON projection (round 7): when one project/extend
         extracts two or more distinct top-level keys from the same
         string-carrier dynamic column, stage ONE from_json struct with
-        all-string fields — verified bit-identical to get_json_object,
-        including the raw-JSON text carrier for object/array values — and
-        route every access through it. N extractions then cost one JSON
-        parse per row instead of N, the dominant scan-stage cost on wide
-        JSON at 100 TB (measured 1.7-2.2x on a 3-key projection).
-        Conservative by construction: plain column bases only, simple $.key
-        paths, and never for columns (re)assigned in the same clause
-        (sequential visibility could rebind them mid-list)."""
+        all-string fields — verified bit-identical to get_json_object
+        (tests/test_regressions.py differential: scalars, nested
+        object/array raw-text carriers, escapes, unicode, missing keys,
+        malformed JSON, huge numbers) — and route every access through it
+        via self.json_shared, consulted by _property and _extractjson.
+        N extractions then cost one JSON parse per row instead of N, the
+        dominant scan-stage cost on wide JSON at 100 TB.
+        Known delta (documented): an object with DUPLICATE top-level keys
+        (RFC 8259 undefined) yields the first occurrence under
+        get_json_object but the last under from_json — Kusto's parse_json
+        also keeps the last, so the shared path matches Kusto more closely.
+        Conservative by construction: plain column bases only (not env- or
+        let-bound), simple $.key identifier paths, and never for columns
+        (re)assigned in the same clause (sequential visibility could rebind
+        them mid-list)."""
         assigned: set[str] = set()
         for it in items:
             if getattr(it, "names", None):
@@ -1371,6 +1404,7 @@ class PipeTranslator:
                 and isinstance(x.key, Lit)
                 and x.key.ktype == "string"
                 and dtypes.get(x.base.name) == "string"
+                and x.base.name not in self.lets
                 and _JSON_IDENT.match(str(x.key.value))
             ):
                 per_base.setdefault(x.base.name, set()).add(str(x.key.value))
@@ -1382,6 +1416,7 @@ class PipeTranslator:
                 and isinstance(x.args[1], Col)
                 and x.args[1].side is None
                 and dtypes.get(x.args[1].name) == "string"
+                and x.args[1].name not in self.lets
             ):
                 m = _JSON_TOP_KEY.match(str(x.args[0].value))
                 if m:

