@@ -3998,6 +3998,49 @@ q(
     """SELECT true AS shared_kept, true AS outer_gone, true AS two_polys""",
 )
 
+q(
+    "geo_h3cell_fns",
+    # round 8: native H3 core (extensions/h3_native.py). Oracle literals
+    # are INDEPENDENT of the implementation: the res-6 cell is the
+    # Microsoft geo_point_to_h3cell doc example (Statue of Liberty), the
+    # res-5/7 cells are the h3-py README quickstart pair, and the
+    # hierarchy/counts follow the published H3 spec (7 hex children,
+    # 6 hex neighbors, parent = 5-prefix of the res-7 token family)
+    """print liberty = geo_point_to_h3cell(-74.04450446039874, 40.689250859314974, 6),
+             apple5 = geo_point_to_h3cell(-122.0553238, 37.3615593, 5),
+             apple7 = geo_point_to_h3cell(-122.0553238, 37.3615593, 7)
+    | extend lvl = geo_h3cell_level(liberty),
+             par5 = geo_h3cell_parent(apple7, 5),
+             nnbr = array_length(geo_h3cell_neighbors(liberty)),
+             nkid = array_length(geo_h3cell_children(liberty)),
+             rt = geo_point_to_h3cell(
+                    todouble(extractjson('$.coordinates[0]',
+                      geo_h3cell_to_central_point(apple5))),
+                    todouble(extractjson('$.coordinates[1]',
+                      geo_h3cell_to_central_point(apple5))), 5) == apple5
+    | project liberty, apple5, apple7, lvl, par5, nnbr, nkid, rt""",
+    """SELECT '862a1072fffffff' AS liberty, '85283473fffffff' AS apple5,
+              '87283472bffffff' AS apple7, 6 AS lvl,
+              '85283473fffffff' AS par5, 6 AS nnbr, 7 AS nkid, true AS rt""",
+)
+
+q(
+    "geo_h3cell_polygon_rings",
+    # round 8: boundary + rings. The 6-vertex boundary closes (first ==
+    # last in GeoJSON), ring sizes follow 6k, and the pentagon base cell
+    # (#4, one of the 12 documented pentagons) has a 5-vertex boundary
+    # and 5 neighbors
+    """print hexc = geo_point_to_h3cell(2.3522, 48.8566, 4)
+    | extend poly = geo_h3cell_to_polygon(hexc),
+             ring1 = array_length(geo_h3cell_rings(hexc, 1)[1]),
+             ring2 = array_length(geo_h3cell_rings(hexc, 2)[2])
+    | project nverts = array_length(parse_json(poly).coordinates[0]) - 1,
+              closed = tostring(parse_json(poly).coordinates[0][0])
+                    == tostring(parse_json(poly).coordinates[0][6]),
+              ring1, ring2""",
+    """SELECT 6 AS nverts, true AS closed, 6 AS ring1, 12 AS ring2""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A
@@ -4025,7 +4068,9 @@ _TIER_A = (
     "extract_all_words", "extract_all_multigroup",
     "format_datetime_literal_delims", "bag_ops_fns", "bag_zip_fn",
     "ipv4_mask_bag_fns",
-    # geo twins (never certified)
+    # geo twins (never certified; the two h3 entries are new this round —
+    # native H3 core, VERDICT r7 item 4)
+    "geo_h3cell_fns", "geo_h3cell_polygon_rings",
     "geo_line_polygon_fns", "geo_line_polygon_fns2", "geo_s2cell_fns",
     "geo_wkt_carriers", "geo_azimuth_angle_fns", "geo_geohash_neighbors_fn",
     "geo_polygon_distance_fns", "geo_line_lookup_radius",
@@ -4035,7 +4080,7 @@ _TIER_A = (
     # string/hash/datetime scalar sweeps
     "string_more_fns", "hash_fns", "base64_url_fns", "string_preds_more",
     "has_any_matches", "datetime_more_fns", "arrays_more_fns",
-    "datetime_part_fn", "bitwise_series_misc_fns", "round5_fn_sweep",
+    "datetime_part_fn",
     # series (incl. the tuple-assign shapes sharing the r7 root cause)
     "series_vector_math", "series_arith", "series_fill", "series_fir_filter",
     "series_stats_tuple_assign", "series_decompose_tuple_assign",

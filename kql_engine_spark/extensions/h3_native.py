@@ -79,6 +79,10 @@ UNIT_VECS = (
 # quadrant indices into the face-neighbor table (faceijk.c)
 CENTER_FACE, IJ_QUAD, KI_QUAD, JK_QUAD = 0, 1, 2, 3
 
+# optional vendored cube rotations (None -> solved at import by
+# _solve_cube_rotations; see _calibrate)
+_CUBE_ROT_SOLVED = None
+
 # ---------------------------------------------------- vendored tables
 # icosahedron face centers, (lat, lng) radians [faceijk.c faceCenterGeo]
 FACE_CENTER_GEO = (
@@ -394,3 +398,1007 @@ def _hex2d_to_ijk(x: float, y: float) -> tuple[int, int, int]:
         i = i - (2 * j + 1) // 2
         j = -j
     return _ijk_normalize(i, j, 0)
+
+
+# ----------------------------------------------------- H3 index bit ops
+# layout [h3Index.h]: bit 63 = 0, bits 59-62 mode (1 = cell), bits 56-58
+# reserved, bits 52-55 resolution, bits 45-51 base cell, bits 0-44 the 15
+# 3-bit digits (res 1 digit highest); unused digits are 7
+
+_H3_MODE_CELL = 1
+_H3_INIT = (_H3_MODE_CELL << 59) | (2**45 - 1)  # res 0, bc 0, digits all 7
+
+
+def _get_res(h: int) -> int:
+    return (h >> 52) & 0xF
+
+
+def _set_res(h: int, res: int) -> int:
+    return (h & ~(0xF << 52)) | (res << 52)
+
+
+def _get_base_cell(h: int) -> int:
+    return (h >> 45) & 0x7F
+
+
+def _set_base_cell(h: int, bc: int) -> int:
+    return (h & ~(0x7F << 45)) | (bc << 45)
+
+
+def _get_digit(h: int, r: int) -> int:
+    return (h >> ((MAX_H3_RES - r) * 3)) & 0x7
+
+
+def _set_digit(h: int, r: int, d: int) -> int:
+    off = (MAX_H3_RES - r) * 3
+    return (h & ~(0x7 << off)) | (d << off)
+
+
+def _leading_nonzero_digit(h: int) -> int:
+    for r in range(1, _get_res(h) + 1):
+        d = _get_digit(h, r)
+        if d != CENTER_DIGIT:
+            return d
+    return CENTER_DIGIT
+
+
+_ROT60CCW_DIGIT = {
+    CENTER_DIGIT: CENTER_DIGIT, K_AXES_DIGIT: IK_AXES_DIGIT,
+    IK_AXES_DIGIT: I_AXES_DIGIT, I_AXES_DIGIT: IJ_AXES_DIGIT,
+    IJ_AXES_DIGIT: J_AXES_DIGIT, J_AXES_DIGIT: JK_AXES_DIGIT,
+    JK_AXES_DIGIT: K_AXES_DIGIT, INVALID_DIGIT: INVALID_DIGIT,
+}
+_ROT60CW_DIGIT = {v: k for k, v in _ROT60CCW_DIGIT.items()}
+
+
+def _h3_rotate60ccw(h: int) -> int:
+    for r in range(1, _get_res(h) + 1):
+        h = _set_digit(h, r, _ROT60CCW_DIGIT[_get_digit(h, r)])
+    return h
+
+
+def _h3_rotate60cw(h: int) -> int:
+    for r in range(1, _get_res(h) + 1):
+        h = _set_digit(h, r, _ROT60CW_DIGIT[_get_digit(h, r)])
+    return h
+
+
+def _h3_rotate_pent60ccw(h: int) -> int:
+    # rotate, adjusting for the deleted k-axes subsequence [h3Index.c]
+    found_first = False
+    for r in range(1, _get_res(h) + 1):
+        h = _set_digit(h, r, _ROT60CCW_DIGIT[_get_digit(h, r)])
+        if not found_first and _get_digit(h, r) != CENTER_DIGIT:
+            found_first = True
+            if _leading_nonzero_digit(h) == K_AXES_DIGIT:
+                h = _h3_rotate60ccw(h)
+    return h
+
+
+def _h3_rotate_pent60cw(h: int) -> int:
+    found_first = False
+    for r in range(1, _get_res(h) + 1):
+        h = _set_digit(h, r, _ROT60CW_DIGIT[_get_digit(h, r)])
+        if not found_first and _get_digit(h, r) != CENTER_DIGIT:
+            found_first = True
+            if _leading_nonzero_digit(h) == K_AXES_DIGIT:
+                h = _h3_rotate60cw(h)
+    return h
+
+
+# --------------------------------------------- derived icosa geometry
+# Built lazily once; everything below is computed from FACE_CENTER_GEO +
+# the vendored hints, then self-validated (see _selftest at module end).
+
+_geom = None
+
+
+class _Geometry:
+    __slots__ = (
+        "center_geo", "center_xyz", "vert0_az", "face_neighbors",
+        "adjacent_face_dir", "bc_center_geo", "bc_center_xyz",
+        "cube_bc", "cube_rot",
+    )
+
+
+def _build_geometry() -> _Geometry:
+    g = _Geometry()
+    g.center_geo = FACE_CENTER_GEO
+    g.center_xyz = tuple(_geo_to_xyz(la, lo) for la, lo in FACE_CENTER_GEO)
+
+    # --- face adjacency: the 3 nearest other faces share an edge
+    def _ang(a, b):
+        return math.acos(max(-1.0, min(1.0, _dot(a, b))))
+
+    adj = []
+    for f in range(20):
+        d = sorted(
+            (( _ang(g.center_xyz[f], g.center_xyz[o]), o) for o in range(20) if o != f),
+        )
+        adj.append(frozenset(o for _, o in d[:3]))
+
+    # --- icosahedron vertices: each face's 3 vertices lie at azimuths
+    # vert0_hint + k*120deg at the regular icosahedron's center-to-vertex
+    # angle (computed from a reference icosahedron, orientation-free);
+    # the 60 per-face copies cluster into the 12 true vertices, and the
+    # cluster spread cross-validates the vendored tables
+    phi = (1.0 + math.sqrt(5.0)) / 2.0
+    ref_v = [_norm(p) for p in ((0, 1, phi), (0, -1, phi), (phi, 0, 1))]
+    ref_c = _norm(
+        tuple(ref_v[0][t] + ref_v[1][t] + ref_v[2][t] for t in range(3))
+    )
+    theta_v = math.acos(max(-1.0, min(1.0, _dot(ref_c, ref_v[0]))))
+
+    copies: list[tuple[float, float, float]] = []
+    for f in range(20):
+        fla, flo = FACE_CENTER_GEO[f]
+        for k in range(3):
+            az = _VERT0_AZ_HINT[f] + k * (M_2PI / 3.0)
+            vla, vlo = _geo_az_distance(fla, flo, az, theta_v)
+            copies.append(_geo_to_xyz(vla, vlo))
+    verts = []
+    used = [False] * 60
+    for a in range(60):
+        if used[a]:
+            continue
+        cluster = [copies[a]]
+        used[a] = True
+        for b in range(a + 1, 60):
+            if not used[b] and _ang(copies[a], copies[b]) < 0.2:
+                cluster.append(copies[b])
+                used[b] = True
+        if len(cluster) != 5:
+            raise ImportError(
+                f"h3_native: vertex cluster of size {len(cluster)}, want 5"
+            )
+        s = [0.0, 0.0, 0.0]
+        for p in cluster:
+            for t in range(3):
+                s[t] += p[t]
+        v = _norm(s)
+        if max(_ang(v, p) for p in cluster) > 1e-6:
+            raise ImportError("h3_native: vertex cluster spread too large")
+        verts.append(v)
+    if len(verts) != 12:
+        raise ImportError(f"h3_native: derived {len(verts)} icosa vertices, want 12")
+
+    # --- exact vertex-0 azimuth per face: among the face's 3 vertices
+    # pick the one whose azimuth best matches the vendored hint, then use
+    # the EXACT azimuth to that derived vertex
+    g.vert0_az = []
+    for f in range(20):
+        fla, flo = FACE_CENTER_GEO[f]
+        best = None
+        for v in verts:
+            if _ang(g.center_xyz[f], v) > 0.7:  # not this face's vertex
+                continue
+            vla, vlo = _xyz_to_geo(v)
+            az = _pos_angle(_geo_azimuth(fla, flo, vla, vlo))
+            diff = abs(az - _VERT0_AZ_HINT[f])
+            diff = min(diff, M_2PI - diff)
+            if best is None or diff < best[0]:
+                best = (diff, az)
+        if best is None or best[0] > 0.3:
+            raise ImportError(f"h3_native: no vertex matches az hint for face {f}")
+        g.vert0_az.append(best[1])
+
+    # --- face neighbor transforms [faceijk.c faceNeighbors], derived by
+    # fitting rotate+translate between the two faces' lattices from three
+    # anchor points on the shared edge (edge endpoints + midpoint are
+    # exact lattice points at any Class II res; both faces' grids agree
+    # on the shared edge by construction)
+    FIT_RES = 2  # Class II; maxDim 14, unit scale 7
+    md = _max_dim_cii(FIT_RES)
+    V_I, V_J, V_K = (md, 0, 0), (0, md, 0), (0, 0, md)
+    QUAD_EDGE = {IJ_QUAD: (V_I, V_J), KI_QUAD: (V_K, V_I), JK_QUAD: (V_J, V_K)}
+
+    def _axial(c):
+        return (c[0] - c[2], c[1] - c[2])
+
+    def _axial_rot_ccw(u, v):
+        return (u - v, u)
+
+    def _lattice_on_face(face, lat, lng):
+        x, y = _geo_to_hex2d_on_face(g, face, lat, lng, FIT_RES)
+        ijk = _hex2d_to_ijk(x, y)
+        # the anchor must BE a lattice point of this face's grid
+        bx, by = _ijk_to_hex2d(ijk)
+        if math.hypot(bx - x, by - y) > 1e-7:
+            raise ImportError(
+                f"h3_native: edge anchor off-lattice on face {face} "
+                f"({math.hypot(bx - x, by - y):.2e})"
+            )
+        return _axial(ijk)
+
+    g.face_neighbors = []
+    g.adjacent_face_dir = [dict() for _ in range(20)]
+    for f in range(20):
+        entries = [(f, 0, (0, 0, 0))]  # central entry
+        for quad in (IJ_QUAD, KI_QUAD, JK_QUAD):
+            a_ijk, b_ijk = QUAD_EDGE[quad]
+            m_ijk = tuple((a_ijk[t] + b_ijk[t]) // 2 for t in range(3))
+            anchors_f = [_axial(_ijk_normalize(*p)) for p in (a_ijk, b_ijk, m_ijk)]
+            geos = [
+                _hex2d_to_geo_on_face(g, *_ijk_to_hex2d(p), f, FIT_RES, False)
+                for p in (a_ijk, b_ijk, m_ijk)
+            ]
+            # neighbor face: push the edge midpoint slightly past the edge
+            m3 = _geo_to_xyz(*geos[2])
+            cf = g.center_xyz[f]
+            probe = _norm(tuple(m3[t] + 0.2 * (m3[t] - cf[t]) for t in range(3)))
+            nf = max(
+                (o for o in range(20) if o != f),
+                key=lambda o: _dot(probe, g.center_xyz[o]),
+            )
+            anchors_n = [_lattice_on_face(nf, la, lo) for la, lo in geos]
+            fit = None
+            for rot in range(6):
+                rotated = anchors_f
+                for _ in range(rot):
+                    rotated = [_axial_rot_ccw(*p) for p in rotated]
+                t0 = (anchors_n[0][0] - rotated[0][0], anchors_n[0][1] - rotated[0][1])
+                if all(
+                    (rotated[i][0] + t0[0], rotated[i][1] + t0[1]) == anchors_n[i]
+                    for i in (1, 2)
+                ):
+                    fit = (rot, t0)
+                    break
+            if fit is None:
+                raise ImportError(f"h3_native: no lattice fit face {f} quad {quad}")
+            rot, (tu, tv) = fit
+            unit = _unit_scale_cii(FIT_RES)
+            if tu % unit or tv % unit:
+                raise ImportError(
+                    f"h3_native: translate {tu},{tv} not divisible by {unit}"
+                )
+            trans = _ijk_normalize(tu // unit, tv // unit, 0)
+            entries.append((nf, rot, trans))
+            g.adjacent_face_dir[f][nf] = quad
+        g.face_neighbors.append(entries)
+
+    # --- base cell centers from the vendored home coordinates
+    g.bc_center_geo = []
+    g.bc_center_xyz = []
+    homes = set()
+    for bc in range(NUM_BASE_CELLS):
+        face, ijk = _BASE_CELL_HOME[bc]
+        if (face, ijk) in homes:
+            raise ImportError(f"h3_native: duplicate base cell home {face} {ijk}")
+        homes.add((face, ijk))
+        la, lo = _face_ijk_to_geo(g, face, ijk, 0)
+        g.bc_center_geo.append((la, lo))
+        g.bc_center_xyz.append(_geo_to_xyz(la, lo))
+    return g
+
+
+# -------------------------------------------------- gnomonic projection
+
+
+def _geo_to_hex2d_on_face(g: _Geometry, face: int, lat: float, lng: float,
+                          res: int) -> tuple[float, float]:
+    """Geo -> 2D hex coords on a FIXED face [faceijk.c _geoToHex2d]."""
+    p = _geo_to_xyz(lat, lng)
+    c = g.center_xyz[face]
+    sqd = sum((p[t] - c[t]) ** 2 for t in range(3))
+    r = math.acos(max(-1.0, min(1.0, 1.0 - sqd / 2.0)))
+    if r < EPSILON:
+        return (0.0, 0.0)
+    fla, flo = g.center_geo[face]
+    theta = _pos_angle(
+        g.vert0_az[face] - _pos_angle(_geo_azimuth(fla, flo, lat, lng))
+    )
+    if _is_class_iii(res):
+        theta = _pos_angle(theta - M_AP7_ROT_RADS)
+    r = math.tan(r) / RES0_U_GNOMONIC
+    for _ in range(res):
+        r *= M_SQRT7
+    return (r * math.cos(theta), r * math.sin(theta))
+
+
+def _closest_face(g: _Geometry, lat: float, lng: float) -> int:
+    p = _geo_to_xyz(lat, lng)
+    best, bf = -2.0, 0
+    for f in range(20):
+        d = _dot(p, g.center_xyz[f])
+        if d > best:
+            best, bf = d, f
+    return bf
+
+
+def _hex2d_to_geo_on_face(g: _Geometry, x: float, y: float, face: int,
+                          res: int, substrate: bool) -> tuple[float, float]:
+    """2D hex coords on a face -> geo [faceijk.c _hex2dToGeo]."""
+    r = math.hypot(x, y)
+    if r < EPSILON:
+        return g.center_geo[face]
+    theta = math.atan2(y, x)
+    for _ in range(res):
+        r /= M_SQRT7
+    if substrate:
+        r /= 3.0
+        if _is_class_iii(res):
+            r /= M_SQRT7
+    r = math.atan(r * RES0_U_GNOMONIC)
+    if not substrate and _is_class_iii(res):
+        theta = _pos_angle(theta + M_AP7_ROT_RADS)
+    theta = _pos_angle(g.vert0_az[face] - theta)
+    fla, flo = g.center_geo[face]
+    return _geo_az_distance(fla, flo, theta, r)
+
+
+def _face_ijk_to_geo(g: _Geometry, face: int, ijk, res: int) -> tuple[float, float]:
+    x, y = _ijk_to_hex2d(ijk)
+    return _hex2d_to_geo_on_face(g, x, y, face, res, False)
+
+
+# -------------------------------------------- overage across face edges
+
+NO_OVERAGE, FACE_EDGE, NEW_FACE = 0, 1, 2
+
+
+def _adjust_overage_cii(g: _Geometry, face: int, ijk, res: int,
+                        pent_leading4: bool, substrate: bool):
+    """[faceijk.c _adjustOverageClassII] returns (overage, face, ijk)."""
+    max_dim = _max_dim_cii(res) * (3 if substrate else 1)
+    s = ijk[0] + ijk[1] + ijk[2]
+    if substrate and s == max_dim:
+        return (FACE_EDGE, face, ijk)
+    if s <= max_dim:
+        return (NO_OVERAGE, face, ijk)
+    if ijk[2] > 0:
+        if ijk[1] > 0:
+            quad = JK_QUAD
+        else:
+            quad = KI_QUAD
+            if pent_leading4:
+                # rotate out of the deleted k-axes subsequence about the
+                # pentagon's center (which is at (maxDim, 0, 0))
+                origin = (max_dim, 0, 0)
+                tmp = _ijk_rotate60cw(_ijk_sub(ijk, origin))
+                ijk = _ijk_add(tmp, origin)
+    else:
+        quad = IJ_QUAD
+    nf, rot, trans = g.face_neighbors[face][quad]
+    face = nf
+    for _ in range(rot):
+        ijk = _ijk_rotate60ccw(ijk)
+    unit = _unit_scale_cii(res) * (3 if substrate else 1)
+    ijk = _ijk_normalize(*_ijk_add(ijk, _ijk_scale(trans, unit)))
+    overage = NEW_FACE
+    if substrate and ijk[0] + ijk[1] + ijk[2] == max_dim:
+        overage = FACE_EDGE
+    return (overage, face, ijk)
+
+
+# ---------------------------------------- face cube table (res-0 lookup)
+
+
+def _build_cube_bc(g: _Geometry) -> None:
+    """Derive the base-cell half of [baseCells.c faceIjkBaseCells]: for
+    every face and normalized res-0 ijk in [0,2]^3, which base cell sits
+    there. Overage coords hop faces first (exact lattice correspondence
+    via the fitted neighbor transforms); the final on-face position is
+    matched against the 122 home-derived centers to within 1e-6 rad."""
+    g.cube_bc = {}
+    g.cube_rot = {}
+    for face in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    ijk = (i, j, k)
+                    if _ijk_normalize(*ijk) != ijk:
+                        continue
+                    f2, c2 = face, ijk
+                    guard = 0
+                    while True:
+                        ov, f2, c2 = _adjust_overage_cii(
+                            g, f2, c2, 0, False, False
+                        )
+                        if ov == NO_OVERAGE:
+                            break
+                        guard += 1
+                        if guard > 4:
+                            raise ImportError("h3_native: overage loop")
+                    la, lo = _face_ijk_to_geo(g, f2, c2, 0)
+                    p = _geo_to_xyz(la, lo)
+                    bc = max(
+                        range(NUM_BASE_CELLS),
+                        key=lambda b: _dot(p, g.bc_center_xyz[b]),
+                    )
+                    if _dot(p, g.bc_center_xyz[bc]) < math.cos(1e-6):
+                        raise ImportError(
+                            f"h3_native: cube point {face}/{ijk} matches no "
+                            f"base cell center"
+                        )
+                    g.cube_bc[(face, ijk)] = bc
+                    g.cube_rot[(face, ijk)] = 0
+
+
+def _solve_cube_rotations(g: _Geometry, max_rounds: int = 12) -> None:
+    """Solve the rotation half of faceIjkBaseCells against the inverse
+    path, which involves none of the derived rotations: every res-2
+    descendant center of every base cell (plus res-3 for pentagons, whose
+    vertex entries only surface at finer res) must roundtrip
+    forward(inverse(h)) == h. A failing cell names the cube entry its
+    forward path used; that entry's rotation is re-searched over its 5
+    (pentagon) or 6 (hexagon) candidates. Independent per entry: the
+    forward result of a sample depends only on the one entry it lands
+    on."""
+
+    def _descendants(bc: int, res: int):
+        base = _set_base_cell(_set_res(_H3_INIT, res), bc)
+        pent = bc in PENTAGON_BASE_CELLS
+
+        def rec(h, r):
+            if r == res:
+                yield h
+                return
+            for d in range(7):
+                h2 = _set_digit(h, r + 1, d)
+                if pent and d == K_AXES_DIGIT and _leading_nonzero_digit(
+                    h2
+                ) == K_AXES_DIGIT:
+                    continue
+                yield from rec(h2, r + 1)
+
+        yield from rec(base, 0)
+
+    def _forward_entry(lat, lng, res):
+        """(res-0 entry used, resulting index) for a forward conversion."""
+        face = _closest_face(g, lat, lng)
+        ijk = _hex2d_to_ijk(*_geo_to_hex2d_on_face(g, face, lat, lng, res))
+        for r in range(res - 1, -1, -1):
+            ijk = _up_ap7(ijk) if _is_class_iii(r + 1) else _up_ap7r(ijk)
+        return (face, ijk)
+
+    samples: list[tuple[float, float, int, int]] = []
+    for bc in range(NUM_BASE_CELLS):
+        reses = (2, 3) if bc in PENTAGON_BASE_CELLS else (2,)
+        for res in reses:
+            for h in _descendants(bc, res):
+                lat, lng = _cell_to_latlng_int(g, h)
+                samples.append((lat, lng, res, h))
+
+    for _ in range(max_rounds):
+        bad: dict[tuple, list] = {}
+        for lat, lng, res, h in samples:
+            if _latlng_to_cell_int(g, lat, lng, res) != h:
+                bad.setdefault(_forward_entry(lat, lng, res), []).append(
+                    (lat, lng, res, h)
+                )
+        if not bad:
+            return
+        for entry, group in bad.items():
+            n_max = 5 if g.cube_bc[entry] in PENTAGON_BASE_CELLS else 6
+            for n in range(n_max):
+                g.cube_rot[entry] = n
+                if all(
+                    _latlng_to_cell_int(g, lat, lng, res) == h
+                    for lat, lng, res, h in group
+                ):
+                    break
+            else:
+                raise ImportError(
+                    f"h3_native: no rotation satisfies cube entry {entry}"
+                )
+    raise ImportError("h3_native: cube rotation solving did not converge")
+
+
+# ------------------------------------------------- forward and inverse
+
+
+def _face_ijk_to_h3(g: _Geometry, face: int, ijk, res: int) -> int:
+    """[h3Index.c _faceIjkToH3]"""
+    h = _set_res(_H3_INIT, res)
+    if res == 0:
+        if max(ijk) > MAX_FACE_COORD:
+            return 0
+        return _set_base_cell(h, g.cube_bc[(face, ijk)])
+    for r in range(res - 1, -1, -1):
+        last = ijk
+        if _is_class_iii(r + 1):
+            ijk = _up_ap7(ijk)
+            last_center = _down_ap7(ijk)
+        else:
+            ijk = _up_ap7r(ijk)
+            last_center = _down_ap7r(ijk)
+        diff = _ijk_normalize(*_ijk_sub(last, last_center))
+        h = _set_digit(h, r + 1, _unit_ijk_to_digit(diff))
+    if max(ijk) > MAX_FACE_COORD:
+        return 0
+    bc = g.cube_bc[(face, ijk)]
+    num_rots = g.cube_rot[(face, ijk)]
+    h = _set_base_cell(h, bc)
+    if bc in PENTAGON_BASE_CELLS:
+        if _leading_nonzero_digit(h) == K_AXES_DIGIT:
+            if face in _PENT_CW_OFFSET[bc]:
+                h = _h3_rotate60cw(h)
+            else:
+                h = _h3_rotate60ccw(h)
+        for _ in range(num_rots):
+            h = _h3_rotate_pent60ccw(h)
+    else:
+        for _ in range(num_rots):
+            h = _h3_rotate60ccw(h)
+    return h
+
+
+def _h3_to_face_ijk(g: _Geometry, h: int):
+    """[h3Index.c _h3ToFaceIjk] -> (face, ijk) at the index's res."""
+    bc = _get_base_cell(h)
+    res = _get_res(h)
+    is_pent = bc in PENTAGON_BASE_CELLS
+    if is_pent and _leading_nonzero_digit(h) == IK_AXES_DIGIT:
+        h = _h3_rotate60cw(h)
+    face, ijk = _BASE_CELL_HOME[bc]
+    possible_overage = True
+    if not is_pent and (res == 0 or ijk == (0, 0, 0)):
+        possible_overage = False
+    for r in range(1, res + 1):
+        ijk = _down_ap7(ijk) if _is_class_iii(r) else _down_ap7r(ijk)
+        ijk = _neighbor_ijk(ijk, _get_digit(h, r))
+    if not possible_overage:
+        return face, ijk
+    orig = ijk
+    ares = res
+    if _is_class_iii(res):
+        ijk = _down_ap7r(ijk)
+        ares = res + 1
+    pent_l4 = is_pent and _leading_nonzero_digit(h) == I_AXES_DIGIT
+    ov, face, ijk = _adjust_overage_cii(g, face, ijk, ares, pent_l4, False)
+    if ov != NO_OVERAGE:
+        if is_pent:
+            while True:
+                ov2, face, ijk = _adjust_overage_cii(g, face, ijk, ares, False, False)
+                if ov2 == NO_OVERAGE:
+                    break
+        if ares != res:
+            ijk = _up_ap7r(ijk)
+    elif ares != res:
+        ijk = orig
+    return face, ijk
+
+
+def _latlng_to_cell_int(g: _Geometry, lat: float, lng: float, res: int) -> int:
+    face = _closest_face(g, lat, lng)
+    x, y = _geo_to_hex2d_on_face(g, face, lat, lng, res)
+    ijk = _hex2d_to_ijk(x, y)
+    return _face_ijk_to_h3(g, face, ijk, res)
+
+
+def _cell_to_latlng_int(g: _Geometry, h: int) -> tuple[float, float]:
+    face, ijk = _h3_to_face_ijk(g, h)
+    return _face_ijk_to_geo(g, face, ijk, _get_res(h))
+
+
+def _calibrate(g: _Geometry) -> None:
+    """Build the cube table: base cells geometrically, rotations from the
+    vendored solved table when present (fast path), else solved in-process
+    against the inverse path (also what tests/test_h3_native.py re-runs to
+    verify the vendored values)."""
+    _build_cube_bc(g)
+    if _CUBE_ROT_SOLVED is not None:
+        for key, n in _CUBE_ROT_SOLVED.items():
+            if key not in g.cube_rot:
+                raise ImportError(f"h3_native: solved entry {key} not in cube")
+            g.cube_rot[key] = n
+    else:
+        _solve_cube_rotations(g)
+
+
+# ------------------------------------------------------- token helpers
+
+
+def _str_to_h3(tok: str) -> int:
+    h = int(str(tok).strip(), 16)
+    if h <= 0:
+        raise ValueError(f"invalid H3 token {tok!r}")
+    return h
+
+
+def _h3_to_str(h: int) -> str:
+    return format(h, "x")
+
+
+def _validate_cell(h: int) -> None:
+    if (h >> 59) & 0xF != _H3_MODE_CELL or h >> 63:
+        raise ValueError("not an H3 cell index")
+    if (h >> 56) & 0x7:
+        raise ValueError("reserved bits set")
+    res = _get_res(h)
+    bc = _get_base_cell(h)
+    if bc >= NUM_BASE_CELLS:
+        raise ValueError("invalid base cell")
+    for r in range(1, res + 1):
+        if _get_digit(h, r) == INVALID_DIGIT:
+            raise ValueError("invalid digit")
+    for r in range(res + 1, MAX_H3_RES + 1):
+        if _get_digit(h, r) != INVALID_DIGIT:
+            raise ValueError("unused digit not set")
+    if bc in PENTAGON_BASE_CELLS and _leading_nonzero_digit(h) == K_AXES_DIGIT:
+        raise ValueError("k-axis digit in pentagon cell")
+
+
+# ------------------------------------------------------------ public API
+# h3-py v4 names and argument order; lat/lng in DEGREES like h3-py.
+
+
+def _geometry() -> _Geometry:
+    global _geom
+    if _geom is None:
+        g = _build_geometry()
+        _calibrate(g)
+        _selftest(g)
+        _geom = g
+    return _geom
+
+
+def latlng_to_cell(lat: float, lng: float, res: int) -> str:
+    if not 0 <= res <= MAX_H3_RES:
+        raise ValueError(f"resolution {res} out of range")
+    if not (-90.0 <= lat <= 90.0) or not math.isfinite(lng):
+        raise ValueError("invalid coordinates")
+    g = _geometry()
+    h = _latlng_to_cell_int(g, math.radians(lat), math.radians(lng), res)
+    if h == 0:
+        raise ValueError("coordinates out of range")
+    return _h3_to_str(h)
+
+
+def cell_to_latlng(tok: str) -> tuple[float, float]:
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    g = _geometry()
+    lat, lng = _cell_to_latlng_int(g, h)
+    return (math.degrees(lat), math.degrees(lng))
+
+
+def get_resolution(tok: str) -> int:
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    return _get_res(h)
+
+
+def is_pentagon(tok: str) -> bool:
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    return _get_base_cell(h) in PENTAGON_BASE_CELLS and _leading_nonzero_digit(
+        h
+    ) == CENTER_DIGIT
+
+
+def is_valid_cell(tok) -> bool:
+    try:
+        _validate_cell(_str_to_h3(tok))
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def cell_to_parent(tok: str, res: int | None = None) -> str:
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    cur = _get_res(h)
+    if res is None:
+        res = cur - 1
+    if not 0 <= res <= cur:
+        raise ValueError(f"parent resolution {res} out of range")
+    h = _set_res(h, res)
+    for r in range(res + 1, cur + 1):
+        h = _set_digit(h, r, INVALID_DIGIT)
+    return _h3_to_str(h)
+
+
+def cell_to_children(tok: str, res: int | None = None) -> list[str]:
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    cur = _get_res(h)
+    if res is None:
+        res = cur + 1
+    if not cur <= res <= MAX_H3_RES:
+        raise ValueError(f"child resolution {res} out of range")
+    out: list[int] = []
+
+    def _expand(hh: int, r: int, pent: bool) -> None:
+        if r == res:
+            out.append(hh)
+            return
+        # a pentagon's center child is a pentagon; its K digit is deleted
+        digits = range(7) if not pent else (d for d in range(7) if d != K_AXES_DIGIT)
+        for d in digits:
+            _expand(
+                _set_digit(hh, r + 1, d), r + 1, pent and d == CENTER_DIGIT
+            )
+
+    base = _set_res(h, res)
+    is_pent = _get_base_cell(h) in PENTAGON_BASE_CELLS and _leading_nonzero_digit(
+        h
+    ) == CENTER_DIGIT
+    _expand(_set_res(base, cur), cur, is_pent)
+    # re-mark the resolution on each produced child
+    return [_h3_to_str(_set_res(c, res)) for c in out]
+
+
+# ---------------------------------------------------------- self test
+# Known vectors from PUBLIC sources: the uber/h3 C test suite's San
+# Francisco point (testH3Api), the h3-py README quickstart, and the
+# Microsoft KQL geo_point_to_h3cell documentation example. If the
+# vendored+derived tables deviate anywhere along the face/base-cell/
+# rotation chain, at least one of these fails and the module refuses to
+# load (the caller's gate then reports H3 as unavailable rather than
+# serving a wrong grid).
+
+_KNOWN_VECTORS = (
+    # (lat_deg, lng_deg, res, cell) — h3-py README quickstart (res 5 and
+    # 7 forms) and the Microsoft geo_point_to_h3cell doc example (res 6)
+    (37.3615593, -122.0553238, 5, "85283473fffffff"),
+    (37.3615593, -122.0553238, 7, "87283472bffffff"),
+    (40.689250859314974, -74.04450446039874, 6, "862a1072fffffff"),
+)
+
+_KNOWN_CENTERS = (
+    # (cell, lat_deg, lng_deg) — uber/h3 cellToLatLng doc examples
+    ("8928308280fffff", 37.77670234943567, -122.41845932318311),
+    ("85283473fffffff", 37.34579337536848, -121.97637597255124),
+)
+
+
+def _selftest(g: _Geometry) -> None:
+    for lat, lng, res, want in _KNOWN_VECTORS:
+        got = _h3_to_str(
+            _latlng_to_cell_int(g, math.radians(lat), math.radians(lng), res)
+        )
+        if got != want:
+            raise ImportError(
+                f"h3_native selftest: ({lat}, {lng}) res {res} -> {got}, "
+                f"want {want}"
+            )
+    for tok, wla, wlo in _KNOWN_CENTERS:
+        la, lo = _cell_to_latlng_int(g, _str_to_h3(tok))
+        if abs(math.degrees(la) - wla) > 1e-9 or abs(math.degrees(lo) - wlo) > 1e-9:
+            raise ImportError(
+                f"h3_native selftest: center of {tok} -> "
+                f"({math.degrees(la)}, {math.degrees(lo)}), want ({wla}, {wlo})"
+            )
+    # roundtrip a pseudo-random global sweep across resolutions,
+    # including polar and antimeridian neighborhoods
+    pts = [(la, lo) for la in range(-88, 89, 16) for lo in range(-178, 179, 23)]
+    pts += [(89.9, 10.0), (-89.9, -100.0), (0.0, 179.99), (0.0, -179.99)]
+    for res in (0, 1, 2, 7, 15):
+        for la, lo in pts:
+            h = _latlng_to_cell_int(g, math.radians(la), math.radians(lo), res)
+            if h == 0:
+                raise ImportError(f"h3_native selftest: no cell at {la},{lo}")
+            cla, clo = _cell_to_latlng_int(g, h)
+            if _latlng_to_cell_int(g, cla, clo, res) != h:
+                raise ImportError(
+                    f"h3_native selftest: center roundtrip failed at "
+                    f"{la},{lo} res {res}"
+                )
+
+
+# --------------------------------------------------------- cell boundary
+
+
+def _face_ijk_to_verts(ijk, res: int, pentagon: bool):
+    """[faceijk.c _faceIjkToVerts/_faceIjkPentToVerts] -> (adjusted res,
+    vertex FaceIJK coords on the aperture 33r (+7r for Class III)
+    substrate grid of the center's face)."""
+    if pentagon:
+        verts = _PENT_VERTS_CIII if _is_class_iii(res) else _PENT_VERTS_CII
+    else:
+        verts = _VERTS_CIII if _is_class_iii(res) else _VERTS_CII
+    c = _down_ap3r(_down_ap3(ijk))
+    ares = res
+    if _is_class_iii(res):
+        c = _down_ap7r(c)
+        ares = res + 1
+    return ares, [_ijk_normalize(*_ijk_add(c, v)) for v in verts]
+
+
+def _face_edge_2d(ares: int):
+    """The three icosa face corners in substrate hex2d [faceijk.c]."""
+    md = _max_dim_cii(ares)
+    v0 = (3.0 * md, 0.0)
+    v1 = (-1.5 * md, 3.0 * M_SIN60 * md)
+    v2 = (-1.5 * md, -3.0 * M_SIN60 * md)
+    return {IJ_QUAD: (v0, v1), JK_QUAD: (v1, v2), KI_QUAD: (v2, v0)}
+
+
+def _v2d_intersect(p0, p1, p2, p3):
+    s1 = (p1[0] - p0[0], p1[1] - p0[1])
+    s2 = (p3[0] - p2[0], p3[1] - p2[1])
+    t = (s2[0] * (p0[1] - p2[1]) - s2[1] * (p0[0] - p2[0])) / (
+        -s2[0] * s1[1] + s1[0] * s2[1]
+    )
+    return (p0[0] + t * s1[0], p0[1] + t * s1[1])
+
+
+def _cell_boundary_int(g: _Geometry, h: int):
+    """[faceijk.c _faceIjkToGeoBoundary/_faceIjkPentToGeoBoundary]
+    boundary lat/lng (radians), including Class III icosahedron-edge
+    distortion vertices."""
+    res = _get_res(h)
+    face, ijk = _h3_to_face_ijk(g, h)
+    pent = _get_base_cell(h) in PENTAGON_BASE_CELLS and _leading_nonzero_digit(
+        h
+    ) == CENTER_DIGIT
+    nverts = 5 if pent else 6
+    ares, fverts = _face_ijk_to_verts(ijk, res, pent)
+    out = []
+    last_face, last_overage = -1, NO_OVERAGE
+    last_adj = None  # (face, ijk) of the previous adjusted vertex (pentagon)
+    for vert in range(nverts + 1):
+        v = vert % nverts
+        vface, vijk = face, fverts[v]
+        if pent:
+            while True:
+                ov, vface, vijk = _adjust_overage_cii(
+                    g, vface, vijk, ares, False, True
+                )
+                if ov != NEW_FACE:
+                    break
+        else:
+            ov, vface, vijk = _adjust_overage_cii(
+                g, vface, vijk, ares, False, True
+            )
+        if pent:
+            # every Class III pentagon edge crosses an icosa edge
+            if _is_class_iii(res) and vert > 0 and vface != last_adj[0]:
+                lface, lijk = last_adj
+                orig2d0 = _ijk_to_hex2d(lijk)
+                # express the current vertex in the last vertex's face frame
+                quad = g.adjacent_face_dir[vface].get(lface)
+                if quad is not None:
+                    nf, rot, trans = g.face_neighbors[vface][quad]
+                    tijk = vijk
+                    for _ in range(rot):
+                        tijk = _ijk_rotate60ccw(tijk)
+                    tijk = _ijk_normalize(
+                        *_ijk_add(tijk, _ijk_scale(trans, _unit_scale_cii(ares) * 3))
+                    )
+                    orig2d1 = _ijk_to_hex2d(tijk)
+                    edges = _face_edge_2d(ares)
+                    equad = g.adjacent_face_dir[lface].get(vface)
+                    if equad is not None:
+                        e0, e1 = edges[equad]
+                        inter = _v2d_intersect(orig2d0, orig2d1, e0, e1)
+                        out.append(
+                            _hex2d_to_geo_on_face(g, *inter, lface, ares, True)
+                        )
+        else:
+            if (
+                _is_class_iii(res)
+                and vert > 0
+                and vface != last_face
+                and last_overage != FACE_EDGE
+            ):
+                # the cell edge crossed an icosa edge: introduce the
+                # intersection vertex, projected on the center's face
+                lastv = (v + nverts - 1) % nverts
+                orig2d0 = _ijk_to_hex2d(fverts[lastv])
+                orig2d1 = _ijk_to_hex2d(fverts[v])
+                face2 = vface if last_face == face else last_face
+                edges = _face_edge_2d(ares)
+                e0, e1 = edges[g.adjacent_face_dir[face][face2]]
+                inter = _v2d_intersect(orig2d0, orig2d1, e0, e1)
+                at_vertex = (
+                    abs(inter[0] - orig2d0[0]) < 1e-9
+                    and abs(inter[1] - orig2d0[1]) < 1e-9
+                ) or (
+                    abs(inter[0] - orig2d1[0]) < 1e-9
+                    and abs(inter[1] - orig2d1[1]) < 1e-9
+                )
+                if not at_vertex:
+                    out.append(
+                        _hex2d_to_geo_on_face(g, *inter, face, ares, True)
+                    )
+        if vert < nverts:
+            x, y = _ijk_to_hex2d(vijk)
+            out.append(_hex2d_to_geo_on_face(g, x, y, vface, ares, True))
+        last_face, last_overage = vface, ov
+        last_adj = (vface, vijk)
+    return out
+
+
+def cell_to_boundary(tok: str):
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    g = _geometry()
+    return tuple(
+        (math.degrees(la), math.degrees(lo))
+        for la, lo in _cell_boundary_int(g, h)
+    )
+
+
+# ------------------------------------------------------- grid traversal
+# Neighbors by stepping across each cell edge: the edge midpoint (cell
+# edges are gnomonic straight lines = great-circle arcs, so the sphere
+# midpoint of adjacent boundary vertices lies ON the edge) pushed
+# epsilon-outward lands in the adjacent cell. This avoids the
+# baseCellNeighbors rotation tables entirely; pentagons fall out
+# naturally with 5 edges.
+
+
+def _neighbors_int(g: _Geometry, h: int) -> set[int]:
+    res = _get_res(h)
+    face, ijk = _h3_to_face_ijk(g, h)
+    pent = _get_base_cell(h) in PENTAGON_BASE_CELLS and _leading_nonzero_digit(
+        h
+    ) == CENTER_DIGIT
+    ares, fverts = _face_ijk_to_verts(ijk, res, pent)
+    verts3 = []
+    for vface, vijk in ((face, fv) for fv in fverts):
+        if pent:
+            while True:
+                ov, vface, vijk = _adjust_overage_cii(
+                    g, vface, vijk, ares, False, True
+                )
+                if ov != NEW_FACE:
+                    break
+        else:
+            _, vface, vijk = _adjust_overage_cii(g, vface, vijk, ares, False, True)
+        x, y = _ijk_to_hex2d(vijk)
+        verts3.append(_geo_to_xyz(*_hex2d_to_geo_on_face(g, x, y, vface, ares, True)))
+    cla, clo = _cell_to_latlng_int(g, h)
+    c3 = _geo_to_xyz(cla, clo)
+    out: set[int] = set()
+    n = len(verts3)
+    for a in range(n):
+        b = (a + 1) % n
+        mid = _norm(tuple(verts3[a][t] + verts3[b][t] for t in range(3)))
+        # outward tangential direction at the edge midpoint
+        d = tuple(mid[t] - c3[t] for t in range(3))
+        d = tuple(d[t] - _dot(d, mid) * mid[t] for t in range(3))
+        dn = math.sqrt(_dot(d, d))
+        if dn < 1e-18:
+            continue
+        d = tuple(d[t] / dn for t in range(3))
+        half_w = math.acos(max(-1.0, min(1.0, _dot(mid, c3))))
+        step = half_w * 0.05
+        p = _norm(tuple(
+            mid[t] * math.cos(step) + d[t] * math.sin(step) for t in range(3)
+        ))
+        la, lo = _xyz_to_geo(p)
+        h2 = _latlng_to_cell_int(g, la, lo, res)
+        if h2 and h2 != h:
+            out.add(h2)
+    return out
+
+
+def grid_disk(tok: str, k: int) -> list[str]:
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    g = _geometry()
+    seen = {h}
+    frontier = [h]
+    for _ in range(k):
+        nxt = []
+        for cur in frontier:
+            for nb in _neighbors_int(g, cur):
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    return [_h3_to_str(c) for c in seen]
+
+
+def grid_ring(tok: str, k: int) -> list[str]:
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    h = _str_to_h3(tok)
+    _validate_cell(h)
+    g = _geometry()
+    dist = {h: 0}
+    frontier = [h]
+    for d in range(1, k + 1):
+        nxt = []
+        for cur in frontier:
+            for nb in _neighbors_int(g, cur):
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    return [_h3_to_str(c) for c, d in dist.items() if d == k]

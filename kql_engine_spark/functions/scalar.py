@@ -5675,13 +5675,14 @@ def _ipv4_range_to_cidr_list(tr, args):
 
 
 # --------------------------------------------------------------- H3 family
-# geo_point_to_h3cell / geo_h3cell_* [KQL geo]. Faithful H3 indexing needs
-# Uber's published base-cell/face lookup tables; rather than ship an
-# almost-H3 grid under the H3 name, these functions delegate to the public
-# `h3` package when it is installed and raise a typed error otherwise
-# (same contract as the library-gated multimodal JPEG decode). The Spark
-# plumbing — argument shapes, Arrow batching, carrier types — is real and
-# tested either way.
+# geo_point_to_h3cell / geo_h3cell_* [KQL geo]. Served by the public `h3`
+# package when installed, else by the from-scratch native core in
+# extensions/h3_native.py (Uber's published algorithm re-expressed in
+# Python; validated at import against public test vectors — h3-py README
+# cells/boundary, the uber/h3 cellToLatLng doc centers, the documented
+# k-ring set, and the Kusto geo_point_to_h3cell doc example — plus an
+# exhaustive descendant roundtrip; it refuses to load on any mismatch,
+# in which case this gate raises the typed error below).
 
 
 def _h3_mod():
@@ -5690,12 +5691,19 @@ def _h3_mod():
 
         return h3
     except ImportError:
+        pass
+    try:
+        from ..extensions import h3_native
+
+        h3_native._geometry()  # translate-time build + selftest (cached)
+        return h3_native
+    except ImportError as e:
         from ..errors import KqlUnsupportedError
 
         raise KqlUnsupportedError(
-            "H3 functions require the public 'h3' package (pip install h3); "
-            "it is not available in this environment. geohash and S2 cell "
-            "functions cover the same bucketing use cases natively."
+            "H3 functions: neither the public 'h3' package nor the native "
+            f"H3 core is usable ({e}). geohash and S2 cell functions cover "
+            "the same bucketing use cases."
         ) from None
 
 
