@@ -250,6 +250,21 @@ def _bag_unpack(ptr, df, args):
         )
     if conflict == "keep_source":
         keys = [k for k in keys if prefix + k not in existing]
+    # type-drift policy (round 8, ADVICE r7): 'error' (default) aborts the
+    # query when a value outside the discovery sample does not fit the
+    # sampled column type — strict, surfaces corruption loudly even deep
+    # into a 100 TB scan. `set bag_unpack_type_drift = 'null';` opts into
+    # Kusto's own behavior instead: the non-conforming value becomes a
+    # typed null and the scan keeps going (availability over strictness).
+    drift_mode = ptr.options.get("bag_unpack_type_drift")
+    if drift_mode is not None and not isinstance(drift_mode, str):
+        drift_mode = ptr.expr_tr(df).const_string(drift_mode)
+    drift_mode = (drift_mode or "error").lower()
+    if drift_mode not in ("error", "null"):
+        raise KqlSemanticError(
+            "bag_unpack_type_drift must be 'error' or 'null', got "
+            f"{drift_mode!r}"
+        )
     out = df
     if isinstance(dt, T.MapType):
         for k in keys:
@@ -275,20 +290,27 @@ def _bag_unpack(ptr, df, args):
                     drift = ~raw.isin("true", "false")
                 else:  # double: every numeric string casts; others null out
                     drift = casted.isNull()
-                raw = F.when(
-                    raw.isNotNull() & drift,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("bag_unpack: value '"),
-                            raw,
-                            F.lit(
-                                f"' under key '{k}' does not fit the "
-                                f"sampled column type {t} (type drift "
-                                "outside the discovery sample)"
-                            ),
-                        )
-                    ),
-                ).otherwise(casted)
+                if drift_mode == "null":
+                    raw = F.when(
+                        raw.isNotNull() & drift, F.lit(None).cast(t)
+                    ).otherwise(casted)
+                else:
+                    raw = F.when(
+                        raw.isNotNull() & drift,
+                        F.raise_error(
+                            F.concat(
+                                F.lit("bag_unpack: value '"),
+                                raw,
+                                F.lit(
+                                    f"' under key '{k}' does not fit the "
+                                    f"sampled column type {t} (type drift "
+                                    "outside the discovery sample); `set "
+                                    "bag_unpack_type_drift = 'null';` "
+                                    "yields a typed null instead"
+                                ),
+                            )
+                        ),
+                    ).otherwise(casted)
             # string/dynamic keep the text carrier (get_json_object yields
             # the unquoted scalar / the raw JSON for objects and arrays)
             out = out.withColumn(prefix + k, raw)
@@ -535,15 +557,29 @@ def _sequence_detect(ptr, df, args):
             t = row.get(timeline)
             if t is None:
                 continue
-            if times and preds[len(times)](row, {}, {}) is True:
-                if (t - times[-1] <= max_step) and (t - times[0] <= max_dur):
-                    times.append(t)
-                elif preds[0](row, {}, {}) is True:
-                    times = [t]  # stale sequence: restart here
-                else:
-                    times = []
-            elif len(times) == 0 and preds[0](row, {}, {}) is True:
-                times = [t]
+            # latest-valid-occurrence greedy (round 8): each step binds to
+            # its latest in-window occurrence, so a sequence is reported
+            # IFF one exists — anchoring on the FIRST pred1 row missed
+            # later starts whose window still covered the final step
+            # (tests/test_fuzz_differential.py sequence exist-law)
+            if (
+                times
+                and preds[len(times)](row, {}, {}) is True
+                and (t - times[-1] <= max_step)
+                and (t - times[0] <= max_dur)
+            ):
+                times.append(t)
+            elif (
+                len(times) > 1
+                and preds[len(times) - 1](row, {}, {}) is True
+                and (t - times[-2] <= max_step)
+                and (t - times[0] <= max_dur)
+            ):
+                times[-1] = t  # slide the last matched step later
+            elif preds[0](row, {}, {}) is True:
+                times = [t]  # (re-)anchor at the latest sequence start
+            elif times and preds[len(times)](row, {}, {}) is True:
+                times = []  # next step matched but out of window: reset
             if len(times) == n:
                 out_rows.append(
                     {key: row.get(key), **{f"t{i + 1}": times[i] for i in range(n)}}

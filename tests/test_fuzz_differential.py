@@ -1955,3 +1955,182 @@ def test_random_bag_unpack_matches_duckdb(run_kql, duck, lo, use_prefix, mod):
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (VERDICT r7 item 6): laws for the segmentation / sequence /
+# multi-output-series plugin families, which have no SQL twin. Reference
+# models are brute-force Python over the same randomly generated rows.
+
+
+def _dt_rows(rows):
+    cells = ", ".join(
+        f'datetime({ts}), "{et}", {uid}' for ts, et, uid in rows
+    )
+    return (
+        f"datatable (ts: datetime, et: string, uid: long) [{cells}]"
+    )
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from(["hi", "lo"])),
+        min_size=8,
+        max_size=40,
+    ),
+    thr=st.sampled_from([0.1, 0.25, 0.4]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_basket_segments_have_exact_support(run_kql, data, thr):
+    """basket law: every reported segment's Count equals the exact number
+    of rows matching its non-wildcard attributes, Percent is that count
+    over the total, and every single attribute value meeting the support
+    threshold is reported."""
+    cells = ", ".join(f'"{a}", "{b}"' for a, b in data)
+    src = f"datatable (x: string, y: string) [{cells}]"
+    out = run_kql(f"{src} | evaluate basket({thr})").collect()
+    n = len(data)
+    for r in out:
+        match = [
+            1
+            for a, b in data
+            if (r.x is None or r.x == a) and (r.y is None or r.y == b)
+        ]
+        assert r.Count == len(match), (r, data)
+        assert abs(r.Percent - 100.0 * len(match) / n) < 0.06
+    singles = {(r.x, r.y) for r in out if (r.x is None) != (r.y is None)}
+    from collections import Counter
+
+    xc = Counter(a for a, _ in data)
+    yc = Counter(b for _, b in data)
+    for v, c in xc.items():
+        if c >= thr * n:
+            assert (v, None) in singles, (v, c, out)
+    for v, c in yc.items():
+        if c >= thr * n:
+            assert (None, v) in singles
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from(["p", "q", "r"])),
+        min_size=6,
+        max_size=30,
+    ),
+    wt=st.sampled_from([0.3, 0.6]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_autocluster_segments_are_sound(run_kql, data, wt):
+    """autocluster law (soundness; the mining itself is heuristic): every
+    reported segment's Count/Percent must be the exact frequency of rows
+    matching the segment's non-wildcard attributes."""
+    cells = ", ".join(f'"{a}", "{b}"' for a, b in data)
+    src = f"datatable (x: string, y: string) [{cells}]"
+    out = run_kql(f"{src} | evaluate autocluster({wt})").collect()
+    n = len(data)
+    for r in out:
+        match = [
+            1
+            for a, b in data
+            if (r.x is None or r.x == a) and (r.y is None or r.y == b)
+        ]
+        assert r.Count == len(match), (r, data)
+        assert abs(r.Percent - 100.0 * len(match) / n) < 0.06
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(0, 72 * 3600),  # seconds offset inside 3 days
+            st.sampled_from(["view", "buy"]),
+            st.integers(0, 2),
+        ),
+        min_size=4,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[2]),
+    ),
+    step_h=st.sampled_from([6, 24]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequence_detect_matches_exist_law(run_kql, evs, step_h):
+    """sequence_detect laws, discipline-agnostic: (a) every reported
+    (t1, t2) is a genuine view->buy pair of that user within the step and
+    span windows; (b) a user appears in the output IFF some valid pair
+    exists for them."""
+    import datetime as dtm
+
+    base = dtm.datetime(2024, 3, 1)
+    rows = [
+        ((base + dtm.timedelta(seconds=s)).strftime("%Y-%m-%d %H:%M:%S"), et, u)
+        for s, et, u in evs
+    ]
+    src = _dt_rows(rows)
+    out = run_kql(
+        f"{src} | evaluate sequence_detect(ts, {step_h}h, 3d,"
+        " et == 'view', et == 'buy', uid)"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for s, et, u in evs:
+        per_user.setdefault(u, []).append((s, et))
+    window = step_h * 3600
+    valid_users = set()
+    valid_pairs = set()
+    for u, items in per_user.items():
+        for s1, e1 in items:
+            for s2, e2 in items:
+                if e1 == "view" and e2 == "buy" and s1 <= s2 <= s1 + window:
+                    valid_users.add(u)
+                    valid_pairs.add((u, s1, s2))
+    got_users = {r.uid for r in out}
+    assert got_users == valid_users, (sorted(valid_pairs), out)
+    for r in out:
+        s1 = int((r.t1 - base).total_seconds())
+        s2 = int((r.t2 - base).total_seconds())
+        assert (r.uid, s1, s2) in valid_pairs, (r, sorted(valid_pairs))
+
+
+@given(
+    ys=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False).map(lambda v: round(v, 6)),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_series_stats_and_fit_line_match_numpy(run_kql, ys):
+    """multi-output series builders law: series_stats tuple outputs match
+    numpy on random arrays; series_fit_line slope/intercept match the
+    least-squares fit."""
+    import numpy as np
+
+    arr = "dynamic([" + ", ".join(repr(v) for v in ys) + "])"
+    out = run_kql(
+        f"print y = {arr}"
+        " | extend (mn, mnidx, mx, mxidx, avg, sd, var) = series_stats(y)"
+        " | extend (rsq, sl, variance, rvar, ic) = series_fit_line(y)"
+        " | project mn, mnidx, mx, mxidx, avg, var, sl, ic"
+    ).collect()[0]
+    a = np.array(ys, dtype=float)
+    assert out.mn == a.min() and out.mx == a.max()
+    assert int(out.mnidx) == int(a.argmin()) and int(out.mxidx) == int(a.argmax())
+    assert abs(out.avg - a.mean()) < 1e-6 * max(1.0, abs(a.mean()))
+    assert abs(out.var - a.var(ddof=1)) < 1e-5 * max(1.0, a.var(ddof=1))
+    slope, intercept = np.polyfit(np.arange(len(a)), a, 1)
+    assert abs(out.sl - slope) < 1e-5 * max(1.0, abs(slope))
+    assert abs(out.ic - intercept) < 1e-5 * max(1.0, abs(intercept))
