@@ -3999,6 +3999,31 @@ q(
 )
 
 q(
+    "geo_polygon_boolean_holes",
+    # round 8: hole-aware polygon booleans (fragment classification).
+    # A hole-CREATING union (U-shape + cap -> ring with hole), an
+    # intersection against a cell fully inside the other's hole (empty),
+    # and a union whose second operand sits inside the first's hole
+    # (two disjoint polygons) — the three configurations the old
+    # exterior-ring-only code nulled or got wrong
+    """print ushape = dynamic({"type":"Polygon","coordinates":[[[0,0],[3,0],[3,3],[2,3],[2,1],[1,1],[1,3],[0,3],[0,0]]]}),
+             cap = dynamic({"type":"Polygon","coordinates":[[[-0.5,2.5],[3.5,2.5],[3.5,3.5],[-0.5,3.5],[-0.5,2.5]]]}),
+             holed = dynamic({"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[3,1],[3,3],[1,3],[1,1]]]}),
+             inner = dynamic({"type":"Polygon","coordinates":[[[1.5,1.5],[2.5,1.5],[2.5,2.5],[1.5,2.5],[1.5,1.5]]]})
+    | extend u1 = geo_union_polygons_calculate(ushape, cap),
+             i1 = geo_intersection_2polygons(holed, inner),
+             u2 = geo_union_polygons_calculate(holed, inner)
+    | project u1_rings = array_length(parse_json(u1).coordinates),
+              u1_has_hole = array_length(parse_json(u1).coordinates) == 2,
+              i1_empty = array_length(parse_json(i1).geometries) == 0,
+              u2_polys = array_length(parse_json(u2).coordinates),
+              holed_area_lt_outer = geo_polygon_area(holed)
+                  < geo_polygon_area(dynamic({"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}))""",
+    """SELECT 2 AS u1_rings, true AS u1_has_hole, true AS i1_empty,
+              2 AS u2_polys, true AS holed_area_lt_outer""",
+)
+
+q(
     "geo_h3cell_fns",
     # round 8: native H3 core (extensions/h3_native.py). Oracle literals
     # are INDEPENDENT of the implementation: the res-6 cell is the
@@ -4075,8 +4100,10 @@ _TIER_A = (
     "geo_wkt_carriers", "geo_azimuth_angle_fns", "geo_geohash_neighbors_fn",
     "geo_polygon_distance_fns", "geo_line_lookup_radius",
     "geo_point_in_polygon_fn", "ipv4_geo_fns",
+    # hole-aware polygon booleans (new this round)
+    "geo_polygon_boolean_holes",
     # network scalar families
-    "ipv6_fns", "ipv4_mask_fns",
+    "ipv6_fns",
     # string/hash/datetime scalar sweeps
     "string_more_fns", "hash_fns", "base64_url_fns", "string_preds_more",
     "has_any_matches", "datetime_more_fns", "arrays_more_fns",

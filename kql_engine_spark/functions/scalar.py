@@ -4563,12 +4563,18 @@ def _ring_area_sterad(ring):
 
 
 def _polygon_area_m2(s):
+    # accepts Polygon AND MultiPolygon, like Kusto's geo_polygon_area
+    # (round 8: MultiPolygon support — union results are often multi)
     cs = _geo_coords(s, "Polygon")
-    if not cs:
+    polys = [cs] if cs else _geo_coords(s, "MultiPolygon")
+    if not polys:
         return None
-    outer = abs(_ring_area_sterad(cs[0]))
-    holes = sum(abs(_ring_area_sterad(r)) for r in cs[1:])
-    return (outer - holes) * _GEO_R * _GEO_R
+    total = 0.0
+    for poly in polys:
+        outer = abs(_ring_area_sterad(poly[0]))
+        holes = sum(abs(_ring_area_sterad(r)) for r in poly[1:])
+        total += outer - holes
+    return total * _GEO_R * _GEO_R
 
 
 def _polygon_centroid_json(s):
@@ -6100,176 +6106,219 @@ def _intersection_line_polygon(s1, s2):
     return json.dumps({"type": "MultiLineString", "coordinates": paths})
 
 
-def _gh_clip(r1, r2, keep_inside=True):
-    """Greiner-Hormann over two closed exterior rings -> list of closed
-    result rings, or None on a degenerate configuration. keep_inside=True
-    walks the portions of each boundary inside the other (intersection)."""
-    a = [(float(p[0]), float(p[1])) for p in r1[:-1]]
-    b = [(float(p[0]), float(p[1])) for p in r2[:-1]]
-    if len(a) < 3 or len(b) < 3:
+def _geo_multipoly(s):
+    """Parse a Polygon or MultiPolygon carrier (incl. WKT) -> list of
+    polygons, each a list of CLOSED rings (exterior first, holes after);
+    None if neither or malformed."""
+    cs = _geo_coords(s, "Polygon")
+    polys = [cs] if cs is not None else _geo_coords(s, "MultiPolygon")
+    if not polys:
         return None
-    crossings = []  # [i, ti, j, tj, point]
-    for i in range(len(a)):
-        p1, p2 = a[i], a[(i + 1) % len(a)]
-        x1 = _geo_xyz(*p1)
-        seg_a = _ang3(x1, _geo_xyz(*p2))
-        for j in range(len(b)):
-            q1, q2 = b[j], b[(j + 1) % len(b)]
-            y1 = _geo_xyz(*q1)
-            seg_b = _ang3(y1, _geo_xyz(*q2))
-            for p in _arc_intersections(p1, p2, q1, q2):
-                px = _geo_xyz(*p)
-                ti, tj = _ang3(x1, px), _ang3(y1, px)
-                eps = 1e-9
-                if ti < eps or seg_a - ti < eps or tj < eps or seg_b - tj < eps:
-                    # crossing at a vertex: degenerate, bail out honestly
-                    return None
-                crossings.append([i, ti, j, tj, (float(p[0]), float(p[1]))])
-    if not crossings:
-        in_ab = _geo_point_in_rings(a[0][0], a[0][1], [r2])
-        in_ba = _geo_point_in_rings(b[0][0], b[0][1], [r1])
-        if keep_inside:
-            if in_ab:
-                return [r1]
-            if in_ba:
-                return [r2]
-            return []
-        # union: nesting keeps the outer ring; disjoint keeps both
-        if in_ab:
-            return [r2]
-        if in_ba:
-            return [r1]
-        return [r1, r2]
-
-    # augmented vertex sequences: ('v', point) and ('x', crossing_id, point)
-    def augment(ring, key_ix, t_ix):
-        per_edge: dict = {}
-        for cid, c in enumerate(crossings):
-            per_edge.setdefault(c[key_ix], []).append((c[t_ix], cid))
-        seq = []
-        for i, v in enumerate(ring):
-            seq.append(("v", None, v))
-            for _, cid in sorted(per_edge.get(i, [])):
-                seq.append(("x", cid, crossings[cid][4]))
-        return seq
-
-    seq_a, seq_b = augment(a, 0, 1), augment(b, 2, 3)
-    pos_a = {n[1]: k for k, n in enumerate(seq_a) if n[0] == "x"}
-    pos_b = {n[1]: k for k, n in enumerate(seq_b) if n[0] == "x"}
-    other_ring = [r2, r1]  # inside test target per current list (a=0, b=1)
-
-    def fwd_inside(which, k):
-        """Is the arc leaving node k (forward) of ring `which` kept?"""
-        seq = seq_a if which == 0 else seq_b
-        m = _arc_mid(seq[k][2], seq[(k + 1) % len(seq)][2])
-        if m is None:
-            return False
-        ins = _geo_point_in_rings(m[0], m[1], [other_ring[which]])
-        return ins if keep_inside else not ins
-
-    visited = set()
-    results = []
-    budget = 4 * (len(seq_a) + len(seq_b) + 4)
-    for start in range(len(crossings)):
-        if start in visited or not fwd_inside(0, pos_a[start]):
-            continue
-        which, k, direction = 0, pos_a[start], 1
-        path = [crossings[start][4]]
-        visited.add(start)
-        steps = 0
-        closed = False
-        while steps < budget:
-            steps += 1
-            seq = seq_a if which == 0 else seq_b
-            k = (k + direction) % len(seq)
-            node = seq[k]
-            path.append(list(node[2]))
-            if node[0] != "x":
-                continue
-            cid = node[1]
-            if cid == start:
-                closed = True
-                break
-            visited.add(cid)
-            # jump to the twin node on the other ring, pick the direction
-            # whose outgoing arc is kept
-            which = 1 - which
-            k = (pos_a if which == 0 else pos_b)[cid]
-            if fwd_inside(which, k):
-                direction = 1
-            else:
-                direction = -1
-                # walking backward: the kept arc is the one BEFORE the node,
-                # which backward traversal covers by construction
-        if not closed:
+    out = []
+    for poly in polys:
+        rings = []
+        for ring in poly or []:
+            r = [[float(q[0]), float(q[1])] for q in ring]
+            if r and r[0] != r[-1]:
+                r.append(list(r[0]))
+            if len(r) < 4:
+                return None
+            rings.append(r)
+        if not rings:
             return None
-        if len(path) >= 4:
-            results.append([list(p) for p in path])
-    return results
+        out.append(rings)
+    return out or None
 
 
-def _polyjson(rings):
+def _mp_bool(mp_a, mp_b, keep_inside):
+    """Boolean of two multipolygons-with-holes over geodesic arcs, by
+    FRAGMENT CLASSIFICATION (round 8; replaces the exterior-ring-only
+    Greiner-Hormann): split every ring of each side at its crossings with
+    the other side, keep each fragment whose midpoint is inside
+    (intersection) / outside (union) the other polygon, stitch the kept
+    fragments into closed rings (every stitch point has exactly two kept
+    incident fragments, else the configuration is degenerate), then
+    assign shell/hole roles by containment parity. Holes on either side
+    and hole-CREATING unions come out correctly; vertex-transversal
+    crossings and overlapping boundary segments return None (honest null,
+    same contract as before) rather than a wrong shape.
+
+    Returns a list of polygons ([] = empty result), or None."""
+    rings_a = [r for poly in mp_a for r in poly]
+    rings_b = [r for poly in mp_b for r in poly]
+
+    # --- crossing table, computed ONCE so both sides share bit-identical
+    # cut points (stitching then matches endpoints exactly)
+    eps = 1e-9
+    cuts_a: dict = {}
+    cuts_b: dict = {}
+    for ia, ra in enumerate(rings_a):
+        for i in range(len(ra) - 1):
+            p1, p2 = ra[i], ra[i + 1]
+            x1 = _geo_xyz(*p1)
+            seg_a = _ang3(x1, _geo_xyz(*p2))
+            for ib, rb in enumerate(rings_b):
+                for j in range(len(rb) - 1):
+                    q1, q2 = rb[j], rb[j + 1]
+                    for pt in _arc_intersections(p1, p2, q1, q2):
+                        px = _geo_xyz(*pt)
+                        ti = _ang3(x1, px)
+                        y1 = _geo_xyz(*q1)
+                        tj = _ang3(y1, px)
+                        seg_b = _ang3(y1, _geo_xyz(*q2))
+                        if (
+                            ti < eps
+                            or seg_a - ti < eps
+                            or tj < eps
+                            or seg_b - tj < eps
+                        ):
+                            return None  # vertex-transversal / overlap
+                        p = (float(pt[0]), float(pt[1]))
+                        cuts_a.setdefault((ia, i), []).append((ti, p))
+                        cuts_b.setdefault((ib, j), []).append((tj, p))
+
+    def fragments(rings, cuts):
+        frags = []
+        for ir, ring in enumerate(rings):
+            for i in range(len(ring) - 1):
+                p1 = (float(ring[i][0]), float(ring[i][1]))
+                p2 = (float(ring[i + 1][0]), float(ring[i + 1][1]))
+                pts = [p1] + [p for _, p in sorted(cuts.get((ir, i), []))] + [p2]
+                for a, b in zip(pts[:-1], pts[1:]):
+                    if a != b:
+                        frags.append((a, b))
+        return frags
+
+    def classify(frags, other_rings):
+        kept = []
+        for a, b in frags:
+            m = _arc_mid(a, b)
+            if m is None:
+                return None  # antipodal fragment: undefined midpoint
+            if _geo_point_in_rings(m[0], m[1], other_rings) == keep_inside:
+                kept.append((a, b))
+        return kept
+
+    kept_a = classify(fragments(rings_a, cuts_a), rings_b)
+    kept_b = classify(fragments(rings_b, cuts_b), rings_a)
+    if kept_a is None or kept_b is None:
+        return None
+    segs = kept_a + kept_b
+    if not segs:
+        return []
+
+    # --- stitch: undirected walk; every endpoint must have degree 2
+    def pkey(p):
+        return (round(p[0], 9), round(p[1], 9))
+
+    incident: dict = {}
+    for idx, (a, b) in enumerate(segs):
+        incident.setdefault(pkey(a), []).append(idx)
+        incident.setdefault(pkey(b), []).append(idx)
+    for ids in incident.values():
+        if len(ids) != 2:
+            return None  # non-manifold junction (boundary overlap etc.)
+    used = [False] * len(segs)
+    out_rings = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        a0, b0 = segs[start]
+        ring = [list(a0), list(b0)]
+        used[start] = True
+        cur, prev = pkey(b0), start
+        home = pkey(a0)
+        guard = 0
+        while cur != home:
+            guard += 1
+            if guard > len(segs) + 1:
+                return None
+            ids = incident[cur]
+            nxt = ids[1] if ids[0] == prev else ids[0]
+            if used[nxt]:
+                return None
+            na, nb = segs[nxt]
+            nxt_pt = nb if pkey(na) == cur else na
+            ring.append(list(nxt_pt))
+            used[nxt] = True
+            cur, prev = pkey(nxt_pt), nxt
+        ring[-1] = list(ring[0])  # close exactly
+        if len(ring) >= 4:
+            out_rings.append(ring)
+    if not out_rings:
+        return []
+
+    # --- shell/hole assignment by containment parity
+    reps = []
+    for r in out_rings:
+        m = _arc_mid(r[0], r[1])
+        if m is None:
+            return None
+        reps.append(m)
+    depths = []
+    for i in range(len(out_rings)):
+        d = sum(
+            1
+            for j, o in enumerate(out_rings)
+            if j != i and _geo_point_in_rings(reps[i][0], reps[i][1], [o])
+        )
+        depths.append(d)
+
+    def orient(ring, ccw):
+        # GeoJSON winding: exteriors counterclockwise, holes clockwise
+        if (_ring_area_sterad(ring) > 0) != ccw:
+            return ring[::-1]
+        return ring
+
+    shells = [i for i, d in enumerate(depths) if d % 2 == 0]
+    polys = {i: [orient(out_rings[i], True)] for i in shells}
+    for i, d in enumerate(depths):
+        if d % 2 == 0:
+            continue
+        parent = None
+        for j in shells:
+            if depths[j] == d - 1 and _geo_point_in_rings(
+                reps[i][0], reps[i][1], [out_rings[j]]
+            ):
+                parent = j
+                break
+        if parent is None:
+            return None
+        polys[parent].append(orient(out_rings[i], False))
+    return [polys[i] for i in shells]
+
+
+def _mp_json(mp):
     import json
 
-    if rings is None:
+    if mp is None:
         return None
-    if not rings:
+    if not mp:
         return json.dumps({"type": "GeometryCollection", "geometries": []})
-    if len(rings) == 1:
-        return json.dumps({"type": "Polygon", "coordinates": [rings[0]]})
-    return json.dumps(
-        {"type": "MultiPolygon", "coordinates": [[r] for r in rings]}
-    )
+    if len(mp) == 1:
+        return json.dumps({"type": "Polygon", "coordinates": mp[0]})
+    return json.dumps({"type": "MultiPolygon", "coordinates": mp})
 
 
 def _intersection_2polygons(s1, s2):
-    p1, p2 = _geo_coords(s1, "Polygon"), _geo_coords(s2, "Polygon")
-    if not p1 or not p2 or len(p1[0]) < 4 or len(p2[0]) < 4:
+    a, b = _geo_multipoly(s1), _geo_multipoly(s2)
+    if not a or not b:
         return None
-    return _polyjson(_gh_clip(p1[0], p2[0], keep_inside=True))
+    return _mp_json(_mp_bool(a, b, keep_inside=True))
 
 
 _geo_pair_udf("geo_intersection_line_with_polygon", "string", _intersection_line_polygon)
 _geo_pair_udf("geo_intersection_2polygons", "string", _intersection_2polygons)
 
 
-def _union_fold(rings):
-    """Pairwise-fold union of closed exterior rings -> list of disjoint
-    shells, or None. Supported: disjoint operands (multiple shells) and
-    chain/crossing merges that stay simply connected; a union that would
-    create a hole (or any degenerate crossing) returns None rather than a
-    wrong shape."""
-    shells: list = []
-    for r in rings:
-        cur = r
-        merged = True
-        while merged:
-            merged = False
-            for i, s in enumerate(shells):
-                out = _gh_clip(s, cur, keep_inside=False)
-                if out is None:
-                    return None
-                if len(out) == 1:
-                    cur = out[0]
-                    shells.pop(i)
-                    merged = True
-                    break
-                if len(out) == 2 and out[0] is s and out[1] is cur:
-                    continue  # disjoint: keep both
-                return None  # crossing union with >1 ring: hole/degenerate
-        shells.append(cur)
-    return shells
-
-
 @fn("geo_union_polygons_calculate")
 def _geo_union_polygons(tr, args):
     """geo_union_polygons_calculate(polygon1, polygon2, ...) [KQL geo]:
-    union of >= 2 GeoJSON polygons over geodesic exterior rings (holes
-    dropped, same model as geo_intersection_2polygons). Disjoint operands
-    yield a MultiPolygon; merges that stay simply connected yield one
-    Polygon; hole-creating or degenerate configurations return null."""
-    import json
-
+    union of >= 2 GeoJSON (or WKT) Polygons/MultiPolygons over geodesic
+    arcs, folded pairwise through the hole-aware fragment boolean
+    (_mp_bool) — hole-creating unions, holes on the inputs, and nested
+    islands all come out correctly; vertex-transversal or
+    boundary-overlap configurations return null."""
     if len(args) < 2:
         raise KqlSemanticError(
             "geo_union_polygons_calculate takes at least two polygons"
@@ -6284,30 +6333,13 @@ def _geo_union_polygons(tr, args):
         def udf(*cols):
             out = []
             for vals in zip(*cols):
-                rings = []
-                ok = True
-                for s in vals:
-                    c = _geo_coords(s, "Polygon")
-                    if not c or len(c[0]) < 4:
-                        ok = False
+                acc = _geo_multipoly(vals[0])
+                for s in vals[1:]:
+                    if acc is None:
                         break
-                    rings.append(c[0])
-                shells = _union_fold(rings) if ok else None
-                if not shells:
-                    out.append(None)
-                elif len(shells) == 1:
-                    out.append(
-                        json.dumps({"type": "Polygon", "coordinates": [shells[0]]})
-                    )
-                else:
-                    out.append(
-                        json.dumps(
-                            {
-                                "type": "MultiPolygon",
-                                "coordinates": [[s] for s in shells],
-                            }
-                        )
-                    )
+                    nxt = _geo_multipoly(s)
+                    acc = None if nxt is None else _mp_bool(acc, nxt, False)
+                out.append(_mp_json(acc))
             return pd.Series(out)
 
         _PANDAS_UDF_CACHE[key] = udf

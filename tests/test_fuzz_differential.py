@@ -2134,3 +2134,99 @@ def test_series_stats_and_fit_line_match_numpy(run_kql, ys):
     slope, intercept = np.polyfit(np.arange(len(a)), a, 1)
     assert abs(out.sl - slope) < 1e-5 * max(1.0, abs(slope))
     assert abs(out.ic - intercept) < 1e-5 * max(1.0, abs(intercept))
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["alpha", "beta", "gamma"]),
+            st.sampled_from(["red", "blue"]),
+            st.booleans(),  # side
+        ),
+        min_size=8,
+        max_size=40,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_diffpatterns_text_counts_are_exact(run_kql, data):
+    """diffpatterns_text laws (partition discipline, as in Kusto: each
+    row is attributed to exactly ONE pattern): (a) per side, the pattern
+    counts sum to the side total; (b) no pattern's count exceeds the
+    exact number of rows it matches (tokens literal, '*' any token);
+    (c) percents are counts over side totals."""
+    cells = ", ".join(
+        f'"{w1} {w2}", "{"A" if s else "B"}"' for w1, w2, s in data
+    )
+    src = f"datatable (msg: string, side: string) [{cells}]"
+    out = run_kql(
+        f"{src} | evaluate diffpatterns_text(msg, side, 'A', 'B')"
+    ).collect()
+    a_rows = [(w1, w2) for w1, w2, s in data if s]
+    b_rows = [(w1, w2) for w1, w2, s in data if not s]
+
+    def matches(pattern, row):
+        toks = pattern.split()
+        return len(toks) == len(row) and all(
+            p == "*" or p == t for p, t in zip(toks, row)
+        )
+
+    for r in out:
+        ca = sum(1 for row in a_rows if matches(r.Pattern, row))
+        cb = sum(1 for row in b_rows if matches(r.Pattern, row))
+        assert 0 <= r.Count_of_A <= ca, (r, a_rows)
+        assert 0 <= r.Count_of_B <= cb, (r, b_rows)
+        assert r.Count_of_A + r.Count_of_B > 0, r
+        if a_rows:
+            assert abs(r.Percent_of_A - 100.0 * r.Count_of_A / len(a_rows)) < 0.06
+        if b_rows:
+            assert abs(r.Percent_of_B - 100.0 * r.Count_of_B / len(b_rows)) < 0.06
+    assert sum(r.Count_of_A for r in out) == len(a_rows), out
+    assert sum(r.Count_of_B for r in out) == len(b_rows), out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hx=st.floats(0.5, 2.0),
+    hy=st.floats(0.5, 2.0),
+    hw=st.floats(0.5, 1.5),
+    dx=st.floats(-3.0, 5.0),
+    dy=st.floats(-3.0, 5.0),
+    bw=st.floats(0.8, 4.0),
+)
+def test_geo_boolean_inclusion_exclusion_with_holes(run_kql, hx, hy, hw, dx, dy, bw):
+    """Round 8: area(A) + area(B) == area(A u B) + area(A n B) where A is
+    a 5x5 square with a random rectangular hole and B a random square —
+    exercises hole-preserving intersection, hole-filling/hole-creating
+    union, the containment fast paths, and MultiPolygon area in one law
+    (the old exterior-ring-only booleans could not satisfy it)."""
+
+    def ring(x, y, w, h):
+        return "[[%f,%f],[%f,%f],[%f,%f],[%f,%f],[%f,%f]]" % (
+            x, y, x + w, y, x + w, y + h, x, y + h, x, y,
+        )
+
+    hx, hy = round(hx, 3), round(hy, 3)
+    hw = round(min(hw, 4.4 - hx, 4.4 - hy), 3)
+    a = ('{"type":"Polygon","coordinates":[%s,%s]}'
+         % (ring(0, 0, 5, 5), ring(hx, hy, hw, hw)))
+    b = ('{"type":"Polygon","coordinates":[%s]}'
+         % ring(round(dx, 3), round(dy, 3), round(bw, 3), round(bw, 3)))
+    r = run_kql(
+        f"print a = dynamic({a}), b = dynamic({b})"
+        " | extend i = geo_intersection_2polygons(a, b),"
+        "   u = geo_union_polygons_calculate(a, b)"
+        " | project aa = geo_polygon_area(a), ab = geo_polygon_area(b),"
+        "   ai = coalesce(geo_polygon_area(i), 0.0),"
+        "   au = geo_polygon_area(u)"
+    ).collect()[0]
+    if r.au is None:
+        return  # degenerate (vertex-transversal) configs may return null
+    assert abs((r.aa + r.ab) - (r.au + r.ai)) <= 0.002 * (r.aa + r.ab), r
