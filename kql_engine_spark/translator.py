@@ -790,8 +790,13 @@ class PipeTranslator:
         # isolate per-clause expression state from nested pipe translations
         # (toscalar, tabular `in`, join sides): a nested clause must never
         # resolve a property access against the OUTER clause's staged
-        # __kqlseg_json columns — they don't exist on the nested DataFrame
+        # __kqlseg_json columns — they don't exist on the nested DataFrame —
+        # and (round 8) the nested translate_source resetting the
+        # serialized-order state must not clobber the OUTER pipe's order
+        # (`sort by ts | extend x = toscalar(...), r = row_number()` raised
+        # a spurious needs-serialization error)
         saved_shared, saved_pre = self.json_shared, self.pending_prework
+        saved_order, saved_odf = self.order, self.order_desc_first
         self.json_shared, self.pending_prework = {}, {}
         try:
             df = self.translate_source(pipe.source)
@@ -800,6 +805,7 @@ class PipeTranslator:
             return df
         finally:
             self.json_shared, self.pending_prework = saved_shared, saved_pre
+            self.order, self.order_desc_first = saved_order, saved_odf
 
     def translate_source(self, src) -> DataFrame:
         self.order = None

@@ -2033,3 +2033,15 @@ def test_bag_unpack_type_drift_modes(spark):
     )
     row = lax.collect()[0]
     assert row.s == sum(range(100_000)) and row.nulls == 1
+
+
+def test_toscalar_does_not_clobber_serialized_order(run_kql):
+    # round 8: the nested toscalar pipe translation reset the serialized-
+    # order state, so a row_number() LATER in the same extend clause
+    # raised a spurious needs-serialization error
+    out = run_kql(
+        "events | take 5 | sort by ts asc"
+        " | extend x = toscalar(region | count), r = row_number()"
+        " | summarize n = count(), rmax = max(r), x = any(x)"
+    ).collect()[0]
+    assert out.n == 5 and out.rmax == 5 and out.x == 5
