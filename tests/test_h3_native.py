@@ -146,3 +146,42 @@ def test_cube_rotation_solver_is_stable():
     live = H3._geometry()
     assert g.cube_bc == live.cube_bc
     assert g.cube_rot == live.cube_rot
+
+
+def test_pentagon_boundary_vertex_counts():
+    # published structure: Class II pentagons have 5 boundary vertices;
+    # Class III pentagon edges all cross icosa edges, adding 5 distortion
+    # vertices (10 total)
+    for bc in (4, 83, 117):
+        p0 = H3._h3_to_str(H3._set_base_cell(H3._set_res(H3._H3_INIT, 0), bc))
+        assert len(H3.cell_to_boundary(p0)) == 5
+        kid = [c for c in H3.cell_to_children(p0) if H3.is_pentagon(c)][0]
+        assert len(H3.cell_to_boundary(kid)) == 10
+
+
+def test_boundary_encloses_center_and_excludes_neighbors():
+    # point-in-polygon of the boundary ring: the cell's own center is
+    # inside; every ring-1 neighbor's center is outside
+    import math
+
+    for tok in ("85283473fffffff", H3.latlng_to_cell(30.0, 0.0, 1)):
+        b = H3.cell_to_boundary(tok)
+        cla, clo = H3.cell_to_latlng(tok)
+
+        def inside(lat, lng):
+            # planar ray cast is fine at these scales for a convex-ish ring
+            n, j, c = len(b), len(b) - 1, False
+            for i in range(n):
+                yi, xi = b[i]
+                yj, xj = b[j]
+                if (yi > lat) != (yj > lat) and lng < (xj - xi) * (
+                    lat - yi
+                ) / (yj - yi) + xi:
+                    c = not c
+                j = i
+            return c
+
+        assert inside(cla, clo)
+        for nb in H3.grid_ring(tok, 1):
+            nla, nlo = H3.cell_to_latlng(nb)
+            assert not inside(nla, nlo), (tok, nb)
