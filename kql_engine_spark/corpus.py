@@ -4050,6 +4050,24 @@ q(
 )
 
 q(
+    "geo_polygon_to_h3cells_covering",
+    # round 8: H3 polygon covering over the native core. Oracle literals
+    # are structural: the covering contains the cells of interior,
+    # corner-adjacent and edge points (soundness), stays bounded, and the
+    # hole of a holed polygon is NOT interior-filled (its center cell
+    # only enters via the boundary wall of the hole ring's pad)
+    """print p = dynamic({"type":"Polygon","coordinates":[[[10,10],[12,10],[12,12],[10,12],[10,10]]]})
+    | extend cells = geo_polygon_to_h3cells(p, 4)
+    | project covers_mid = set_has_element(cells, geo_point_to_h3cell(11.0, 11.0, 4)),
+              covers_corner = set_has_element(cells, geo_point_to_h3cell(11.99, 11.99, 4)),
+              covers_edge = set_has_element(cells, geo_point_to_h3cell(10.0, 11.0, 4)),
+              bounded = array_length(cells) < 1000,
+              lvl = geo_h3cell_level(tostring(cells[0]))""",
+    """SELECT true AS covers_mid, true AS covers_corner, true AS covers_edge,
+              true AS bounded, 4 AS lvl""",
+)
+
+q(
     "geo_h3cell_polygon_rings",
     # round 8: boundary + rings. The 6-vertex boundary closes (first ==
     # last in GeoJSON), ring sizes follow 6k, and the pentagon base cell

@@ -5869,6 +5869,88 @@ def _geo_h3cell_level(tr, args):
     return _h3_udf("celllevel", "int", make, tr.to_col(args[0]).cast("string"))
 
 
+@fn("geo_polygon_to_h3cells")
+def _geo_polygon_to_h3cells(tr, args):
+    """geo_polygon_to_h3cells(polygon [, resolution]) [KQL geo]: sound H3
+    covering of a GeoJSON/WKT Polygon or MultiPolygon. Boundary cells
+    come from edge densification at half-cell spacing plus a 1-ring pad
+    (same soundness recipe as geo_polygon_to_s2cells); the interior is a
+    BFS flood fill from each ring's inside seeds bounded by that wall.
+    A covering that would exceed the cell budget returns null (the geo
+    family's convention for unrepresentable results) rather than
+    truncating silently."""
+    import math as _m
+
+    res = int(tr.const_value(args[1])) if len(args) > 1 else 6
+    if not 0 <= res <= 15:
+        raise KqlSemanticError(
+            "geo_polygon_to_h3cells: resolution must be in [0, 15]"
+        )
+    cap = 40_000
+
+    def make(h3):
+        # approximate cell center spacing (radians) at this res
+        spacing = 2.0 * _m.atan(0.38196601125010500003) / (7.0 ** (res / 2.0))
+
+        def one(s):
+            mp = _geo_multipoly(s)
+            if not mp:
+                return None
+            wall: set[str] = set()
+            inside_pts = []
+            for poly in mp:
+                for ring in poly:
+                    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                        d = _m.radians(
+                            _m.hypot(x2 - x1, (y2 - y1))
+                        )
+                        n = max(1, int(d / (spacing / 2.0)) + 1)
+                        for i in range(n + 1):
+                            t = i / n
+                            c = h3.latlng_to_cell(
+                                y1 + t * (y2 - y1), x1 + t * (x2 - x1), res
+                            )
+                            if c not in wall:
+                                wall.add(c)
+                                wall.update(h3.grid_disk(c, 1))
+                        if len(wall) > cap:
+                            return None  # covering over budget: null
+                rings = poly
+                # BFS interior fill from cells just inside the exterior,
+                # stopping at the boundary wall
+                seeds = []
+                for c in list(wall):
+                    la, lo = h3.cell_to_latlng(c)
+                    if _geo_point_in_rings(lo, la, rings):
+                        seeds.append(c)
+                seen = set(wall)
+                frontier = [c for c in seeds]
+                filled = set(seeds)
+                while frontier:
+                    nxt = []
+                    for c in frontier:
+                        for nb in h3.grid_disk(c, 1):
+                            if nb in seen:
+                                continue
+                            seen.add(nb)
+                            la, lo = h3.cell_to_latlng(nb)
+                            if _geo_point_in_rings(lo, la, rings):
+                                filled.add(nb)
+                                nxt.append(nb)
+                            if len(seen) > 3 * cap:
+                                return None  # covering over budget
+                    frontier = nxt
+                wall.update(filled)
+            return sorted(wall)
+
+        return one
+
+    return _h3_udf(
+        f"poly2cells:{res}", "array<string>", make,
+        _geojson_col(tr, args[0]),
+    )
+
+
 # -------------------------------------------------- geo intersection tests
 # geo_intersects_2lines / geo_intersects_line_with_polygon /
 # geo_intersects_2polygons / geo_intersection_2lines / geo_point_buffer

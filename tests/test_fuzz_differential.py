@@ -2230,3 +2230,36 @@ def test_geo_boolean_inclusion_exclusion_with_holes(run_kql, hx, hy, hw, dx, dy,
     if r.au is None:
         return  # degenerate (vertex-transversal) configs may return null
     assert abs((r.aa + r.ab) - (r.au + r.ai)) <= 0.002 * (r.aa + r.ab), r
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    x=st.floats(-170.0, 160.0),
+    y=st.floats(-80.0, 70.0),
+    w=st.floats(0.2, 3.0),
+    h=st.floats(0.2, 3.0),
+    px=st.floats(0.05, 0.95),
+    py=st.floats(0.05, 0.95),
+    res=st.sampled_from([3, 4, 5]),
+)
+def test_geo_polygon_to_h3cells_covering_is_sound(run_kql, x, y, w, h, px, py, res):
+    """Covering soundness: any point of the polygon lands in a cell that
+    the covering contains (interior fill + boundary wall + padding)."""
+    x, y, w, h = round(x, 3), round(y, 3), round(w, 3), round(h, 3)
+    qx, qy = round(x + px * w, 4), round(y + py * h, 4)
+    poly = (
+        '{"type":"Polygon","coordinates":[[[%f,%f],[%f,%f],[%f,%f],[%f,%f],[%f,%f]]]}'
+        % (x, y, x + w, y, x + w, y + h, x, y + h, x, y)
+    )
+    r = run_kql(
+        f"print p = dynamic({poly})"
+        f" | extend cells = geo_polygon_to_h3cells(p, {res})"
+        f" | project n = array_length(cells),"
+        f"   covered = set_has_element(cells, geo_point_to_h3cell({qx}, {qy}, {res}))"
+    ).collect()[0]
+    assert r.n and r.n > 0
+    assert r.covered, (poly, qx, qy, res)
