@@ -1402,3 +1402,196 @@ def grid_ring(tok: str, k: int) -> list[str]:
                     nxt.append(nb)
         frontier = nxt
     return [_h3_to_str(c) for c, d in dist.items() if d == k]
+
+
+# ------------------------------------------------ vectorized forward path
+# The one H3 operation that runs on the FACT side of a 100 TB pipeline is
+# point->cell bucketing; the scalar path costs ~50us/row in Python. This
+# numpy implementation of the same algorithm (same tables, same rounding)
+# processes whole Arrow batches; tests/test_h3_native.py pins exact
+# equality against the scalar path over random global points.
+
+
+def cells_from_latlng(lat_deg, lng_deg, res: int):
+    """Vectorized latlng_to_cell: float arrays (degrees) -> uint64 cells
+    (0 where the input is NaN/out of range)."""
+    import numpy as np
+
+    g = _geometry()
+    lat = np.radians(np.asarray(lat_deg, dtype="float64"))
+    lng = np.radians(np.asarray(lng_deg, dtype="float64"))
+    ok = np.isfinite(lat) & np.isfinite(lng) & (np.abs(lat) <= M_PI_2 + 1e-12)
+    lat = np.where(ok, lat, 0.0)
+    lng = np.where(ok, lng, 0.0)
+    n = lat.shape[0]
+
+    # --- face selection (max dot with the 20 face centers)
+    cx = np.cos(lat) * np.cos(lng)
+    cy = np.cos(lat) * np.sin(lng)
+    cz = np.sin(lat)
+    centers = np.asarray(g.center_xyz)  # 20 x 3
+    dots = centers[:, 0, None] * cx + centers[:, 1, None] * cy + centers[:, 2, None] * cz
+    face = np.argmax(dots, axis=0)
+    maxdot = np.clip(dots[face, np.arange(n)], -1.0, 1.0)
+    r = np.arccos(maxdot)
+
+    # --- azimuth from the face center, theta ccw from the i-axis
+    f_lat = np.asarray([p[0] for p in g.center_geo])[face]
+    f_lng = np.asarray([p[1] for p in g.center_geo])[face]
+    az0 = np.asarray(g.vert0_az)[face]
+    dl = lng - f_lng
+    az = np.arctan2(
+        np.cos(lat) * np.sin(dl),
+        np.cos(f_lat) * np.sin(lat) - np.sin(f_lat) * np.cos(lat) * np.cos(dl),
+    )
+    theta = (az0 - (az % M_2PI)) % M_2PI
+    if _is_class_iii(res):
+        theta = (theta - M_AP7_ROT_RADS) % M_2PI
+    rr = np.where(r < EPSILON, 0.0, np.tan(r)) / RES0_U_GNOMONIC * (
+        M_SQRT7 ** res
+    )
+    vx = rr * np.cos(theta)
+    vy = rr * np.sin(theta)
+
+    # --- hex2d -> IJK rounding [coordijk.c _hex2dToCoordIJK], vectorized
+    a1 = np.abs(vx)
+    a2 = np.abs(vy)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = x1.astype("int64")
+    m2 = x2.astype("int64")
+    r1 = x1 - m1
+    r2 = x2 - m2
+    i = np.zeros(n, dtype="int64")
+    j = np.zeros(n, dtype="int64")
+    c1 = r1 < 0.5
+    c1a = c1 & (r1 < 1.0 / 3.0)
+    i = np.where(c1a, m1, i)
+    j = np.where(c1a, np.where(r2 < (1.0 + r1) / 2.0, m2, m2 + 1), j)
+    c1b = c1 & ~c1a
+    j = np.where(c1b, np.where(r2 < (1.0 - r1), m2, m2 + 1), j)
+    i = np.where(
+        c1b, np.where(((1.0 - r1) <= r2) & (r2 < 2.0 * r1), m1 + 1, m1), i
+    )
+    c2 = ~c1
+    c2a = c2 & (r1 < 2.0 / 3.0)
+    j = np.where(c2a, np.where(r2 < (1.0 - r1), m2, m2 + 1), j)
+    i = np.where(
+        c2a, np.where((2.0 * r1 - 1.0 < r2) & (r2 < 1.0 - r1), m1, m1 + 1), i
+    )
+    c2b = c2 & ~c2a
+    i = np.where(c2b, m1 + 1, i)
+    j = np.where(c2b, np.where(r2 < r1 / 2.0, m2, m2 + 1), j)
+    # fold across axes
+    neg_x = vx < 0.0
+    even_j = (j % 2) == 0
+    axisi = np.where(even_j, j // 2, (j + 1) // 2)
+    diff = i - axisi
+    i = np.where(neg_x, np.where(even_j, i - 2 * diff, i - (2 * diff + 1)), i)
+    neg_y = vy < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+    k = np.zeros(n, dtype="int64")
+    # normalize
+    def _norm3(i, j, k):
+        m = np.minimum(np.minimum(i, j), k)
+        return i - m, j - m, k - m
+
+    neg = i < 0
+    j = np.where(neg, j - i, j)
+    k = np.where(neg, k - i, k)
+    i = np.where(neg, 0, i)
+    neg = j < 0
+    i = np.where(neg, i - j, i)
+    k = np.where(neg, k - j, k)
+    j = np.where(neg, 0, j)
+    neg = k < 0
+    i = np.where(neg, i - k, i)
+    j = np.where(neg, j - k, j)
+    k = np.where(neg, 0, k)
+    i, j, k = _norm3(i, j, k)
+
+    # --- build digits from res up to 0 [h3Index.c _faceIjkToH3]
+    h = np.full(n, _set_res(_H3_INIT, res), dtype="uint64")
+    for rr_ in range(res - 1, -1, -1):
+        li, lj, lk = i, j, k
+        ci = i - k
+        cj = j - k
+        if _is_class_iii(rr_ + 1):
+            # upAp7
+            i = np.round((3 * ci - cj) / 7.0).astype("int64")
+            j = np.round((ci + 2 * cj) / 7.0).astype("int64")
+        else:
+            i = np.round((2 * ci + cj) / 7.0).astype("int64")
+            j = np.round((3 * cj - ci) / 7.0).astype("int64")
+        k = np.zeros(n, dtype="int64")
+        i, j, k = _norm3(i, j, k)
+        # center = downAp7[r](parent)
+        if _is_class_iii(rr_ + 1):
+            di = 3 * i + 1 * j + 0 * k
+            dj = 0 * i + 3 * j + 1 * k
+            dk = 1 * i + 0 * j + 3 * k
+        else:
+            di = 3 * i + 0 * j + 1 * k
+            dj = 1 * i + 3 * j + 0 * k
+            dk = 0 * i + 1 * j + 3 * k
+        di, dj, dk = _norm3(di, dj, dk)
+        ui, uj, uk = _norm3(li - di, lj - dj, lk - dk)
+        # unit ijk -> digit: digit table indexed by i*4 + j*2 + k
+        digit = (ui * 4 + uj * 2 + uk).astype("uint64")
+        digit = np.asarray(
+            [0, 1, 2, 3, 4, 5, 6, 7], dtype="uint64"
+        )[np.clip(digit, 0, 7)]
+        # UNIT_VECS order: (0,0,0)=0,(0,0,1)=K,(0,1,0)=J,(0,1,1)=JK,
+        # (1,0,0)=I,(1,0,1)=IK,(1,1,0)=IJ — i*4+j*2+k IS the digit value
+        shift = np.uint64((MAX_H3_RES - (rr_ + 1)) * 3)
+        h = (h & ~(np.uint64(7) << shift)) | (digit << shift)
+
+    # --- base cell + rotations from the derived cube
+    bc_arr = np.zeros((20, 3, 3, 3), dtype="int64")
+    rot_arr = np.zeros((20, 3, 3, 3), dtype="int64")
+    for (f_, (ci_, cj_, ck_)), b in g.cube_bc.items():
+        bc_arr[f_, ci_, cj_, ck_] = b
+        rot_arr[f_, ci_, cj_, ck_] = g.cube_rot[(f_, (ci_, cj_, ck_))]
+    in_range = (i <= 2) & (j <= 2) & (k <= 2)
+    ic = np.clip(i, 0, 2)
+    jc = np.clip(j, 0, 2)
+    kc = np.clip(k, 0, 2)
+    bc = bc_arr[face, ic, jc, kc]
+    rots = rot_arr[face, ic, jc, kc]
+    h = (h & ~(np.uint64(0x7F) << np.uint64(45))) | (
+        bc.astype("uint64") << np.uint64(45)
+    )
+
+    # --- apply rotations; pentagon adjustments are rare, do them per-row
+    pent_mask = np.isin(bc, list(PENTAGON_BASE_CELLS))
+    plain = ~pent_mask
+    rot_digit_ccw = np.asarray([0, 5, 3, 1, 6, 4, 2, 7], dtype="uint64")
+    for _ in range(5):
+        m = plain & (rots > 0)
+        if not m.any():
+            break
+        hm = h[m]
+        out = np.zeros_like(hm)
+        for rpos in range(1, res + 1):
+            shift = np.uint64((MAX_H3_RES - rpos) * 3)
+            d = (hm >> shift) & np.uint64(7)
+            out |= rot_digit_ccw[d] << shift
+        keep = ~np.uint64(0)
+        for rpos in range(1, res + 1):
+            keep &= ~(np.uint64(7) << np.uint64((MAX_H3_RES - rpos) * 3))
+        h[m] = (hm & keep) | out
+        rots = np.where(m, rots - 1, rots)
+    if pent_mask.any():
+        idx = np.nonzero(pent_mask)[0]
+        for t in idx:
+            hh = int(h[t])
+            if _leading_nonzero_digit(hh) == K_AXES_DIGIT:
+                if int(face[t]) in _PENT_CW_OFFSET[int(bc[t])]:
+                    hh = _h3_rotate60cw(hh)
+                else:
+                    hh = _h3_rotate60ccw(hh)
+            for _ in range(int(rots[t])):
+                hh = _h3_rotate_pent60ccw(hh)
+            h[t] = hh
+    return np.where(ok & in_range, h, np.uint64(0))

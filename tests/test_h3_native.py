@@ -185,3 +185,23 @@ def test_boundary_encloses_center_and_excludes_neighbors():
         for nb in H3.grid_ring(tok, 1):
             nla, nlo = H3.cell_to_latlng(nb)
             assert not inside(nla, nlo), (tok, nb)
+
+
+def test_vectorized_forward_matches_scalar():
+    # the numpy whole-batch path must be bit-identical to the scalar walk
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    lats = rng.uniform(-89.9, 89.9, 4000)
+    lngs = rng.uniform(-180.0, 180.0, 4000)
+    for res in (0, 2, 7, 9, 15):
+        vec = H3.cells_from_latlng(lats, lngs, res)
+        for t in range(0, 4000, 37):
+            assert format(int(vec[t]), "x") == H3.latlng_to_cell(
+                lats[t], lngs[t], res
+            )
+    # NaN / out-of-range rows -> 0
+    out = H3.cells_from_latlng(
+        np.array([float("nan"), 91.0, 45.0]), np.array([0.0, 0.0, 0.0]), 5
+    )
+    assert out[0] == 0 and out[1] == 0 and out[2] != 0
