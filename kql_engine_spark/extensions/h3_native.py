@@ -25,11 +25,12 @@ Table policy — vendor the minimum, derive the rest, validate everything:
   the caller's library-gate falls back to its typed error instead of
   serving wrong cells.
 
-Known delta vs the C library (documented): `cell_to_boundary` emits the
-cell's true vertices including Class III icosahedron-edge distortion
-points for hexagons; for the 12 pentagon base cells' descendants the
-distortion points on pentagon edges are approximated by the same
-hex-path intersection (C uses a dedicated pentagon walk).
+`cell_to_boundary` emits the cell's true vertices including Class III
+icosahedron-edge distortion points for both hexagons and pentagons
+(pentagon walks express each vertex in the previous vertex's face frame
+before intersecting, like the C pentagon path); the test suite pins that
+every distortion vertex lies exactly on an icosahedron edge and that
+Class III pentagons alternate 5 main + 5 distortion vertices.
 
 Scale note: these run inside the Arrow-batched pandas_udf wrappers in
 functions/scalar.py (one Python call per row, no JVM crossing per call);

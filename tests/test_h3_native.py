@@ -205,3 +205,22 @@ def test_vectorized_forward_matches_scalar():
         np.array([float("nan"), 91.0, 45.0]), np.array([0.0, 0.0, 0.0]), 5
     )
     assert out[0] == 0 and out[1] == 0 and out[2] != 0
+
+
+def test_distortion_vertices_lie_on_icosa_edges():
+    """Class III cells crossing icosahedron edges emit distortion
+    vertices AT the crossing: each must be equidistant from its two
+    nearest face centers (i.e., exactly on an icosa edge), and Class III
+    pentagons alternate main/distortion 5+5."""
+    g = H3._geometry()
+
+    def on_edge(lat, lng, tol=1e-9):
+        p = H3._geo_to_xyz(math.radians(lat), math.radians(lng))
+        d = sorted((H3._dot(p, c) for c in g.center_xyz), reverse=True)
+        return abs(d[0] - d[1]) < tol
+
+    for bc in (4, 83, 117):
+        p0 = H3._h3_to_str(H3._set_base_cell(H3._set_res(H3._H3_INIT, 0), bc))
+        kid = [c for c in H3.cell_to_children(p0) if H3.is_pentagon(c)][0]
+        flags = [on_edge(la, lo) for la, lo in H3.cell_to_boundary(kid)]
+        assert flags == [False, True] * 5, flags

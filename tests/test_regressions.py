@@ -2045,3 +2045,20 @@ def test_toscalar_does_not_clobber_serialized_order(run_kql):
         " | summarize n = count(), rmax = max(r), x = any(x)"
     ).collect()[0]
     assert out.n == 5 and out.rmax == 5 and out.x == 5
+
+
+def test_polygon_boolean_across_antimeridian(run_kql):
+    # round 8: the fragment boolean works across the +-180 seam (3D arcs,
+    # dlam-normalized areas): two bands straddling the antimeridian obey
+    # inclusion-exclusion and the intersection is exactly half of A
+    a = '{"type":"Polygon","coordinates":[[[179,-1],[-179,-1],[-179,1],[179,1],[179,-1]]]}'
+    b = '{"type":"Polygon","coordinates":[[[179.5,-2],[-179.5,-2],[-179.5,2],[179.5,2],[179.5,-2]]]}'
+    r = run_kql(
+        f"print a = dynamic({a}), b = dynamic({b})"
+        " | extend i = geo_intersection_2polygons(a, b),"
+        "   u = geo_union_polygons_calculate(a, b)"
+        " | project ai = geo_polygon_area(i), au = geo_polygon_area(u),"
+        "   aa = geo_polygon_area(a), ab = geo_polygon_area(b)"
+    ).collect()[0]
+    assert abs(r.ai - r.aa / 2.0) < 0.01 * r.aa
+    assert abs((r.aa + r.ab) - (r.au + r.ai)) < 0.002 * (r.aa + r.ab)
