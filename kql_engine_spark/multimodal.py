@@ -6,10 +6,12 @@ UDF shape) is REAL and tested. Decode kernels:
 
 - ``decode_image`` REALLY decodes the library-free codecs — 8-bit
   non-interlaced PNG (stdlib zlib + unfiltering), uncompressed 24/32-bit
-  BMP, binary PPM/PGM, and baseline sequential JPEG (Huffman entropy
-  decode + IDCT, 4:4:4/4:2:2/4:2:0, restart markers) — in pure numpy.
-  Progressive JPEG and GIF (LZW) stay gated on an image library; such
-  payloads yield null feature columns.
+  BMP, binary PPM/PGM, baseline sequential AND progressive JPEG (Huffman
+  entropy decode + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and GIF
+  (LZW, interlace, animated compositing) — in pure numpy. ``audio_features``
+  decodes RIFF/WAVE PCM and native FLAC (RFC 9639). Arithmetic-coded
+  JPEG and mp3 stay gated on a media library; such payloads yield null
+  feature columns.
 - ``fake_decode_image`` produces DETERMINISTIC FAKE features derived from a
   sha256 of the payload bytes. It exists to exercise the exact mapInPandas
   batch shape with arbitrary payload bytes (no valid image needed).
@@ -22,6 +24,7 @@ payload bytes cross the JVM->Python boundary once per batch, not per row.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1006,6 +1009,303 @@ def _decode_wav(payload: bytes):
     return round(frames / rate, 6), int(rate), round(rms, 6)
 
 
+# --------------------------------------------------------------- FLAC
+# Native FLAC decode (RFC 9639 / the published format spec): metadata
+# walk, frame-header parse with CRC-8, constant/verbatim/fixed/LPC
+# subframes, Rice/Rice2 partitioned residuals, wasted-bits shift,
+# left-side / right-side / mid-side stereo decorrelation, frame CRC-16.
+# Pure stdlib + numpy; bit-at-a-time like the JPEG kernel — a
+# correctness kernel for modest batch media, not a libFLAC replacement.
+# Any CRC mismatch or reserved field fails the payload closed (-> null
+# feature columns) rather than decoding garbage.
+
+
+class _FlacBits:
+    """MSB-first bit reader over bytes (no unstuffing — FLAC frames are
+    plain byte streams; headers/footers are byte-aligned)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise ValueError("flac: bitstream exhausted")
+            avail = 8 - self.bit
+            take = n if n < avail else avail
+            v = (v << take) | (
+                (self.data[self.pos] >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return v
+
+    def sread(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residual(br: _FlacBits, bs: int, order: int) -> list[int]:
+    """Partitioned Rice residual (coding methods 0/1; escape = raw)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits, esc = (4, 15) if method == 0 else (5, 31)
+    porder = br.read(4)
+    nparts = 1 << porder
+    base = bs >> porder
+    if bs != base << porder:
+        raise ValueError("flac: block size not divisible by partitions")
+    out: list[int] = []
+    for p in range(nparts):
+        cnt = base - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        param = br.read(pbits)
+        if param == esc:
+            nb = br.read(5)
+            for _ in range(cnt):
+                out.append(br.sread(nb))
+        else:
+            for _ in range(cnt):
+                q = br.unary()
+                v = (q << param) | br.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _flac_subframe(br: _FlacBits, bs: int, bps: int) -> list[int]:
+    """One subframe (T.D. per RFC 9639 §9.2): header, optional wasted
+    bits, then constant / verbatim / fixed / LPC payload."""
+    if br.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eb = bps - wasted
+    if eb <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        s = [br.sread(eb)] * bs
+    elif stype == 1:  # VERBATIM
+        s = [br.sread(eb) for _ in range(bs)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        s = [br.sread(eb) for _ in range(order)]
+        coefs = _FLAC_FIXED_COEF[order]
+        for r in _flac_residual(br, bs, order):
+            s.append(r + sum(c * s[-1 - j] for j, c in enumerate(coefs)))
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        s = [br.sread(eb) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid qlp precision")
+        shift = br.sread(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        qc = [br.sread(prec) for _ in range(order)]
+        for r in _flac_residual(br, bs, order):
+            s.append(r + (sum(c * s[-1 - j] for j, c in enumerate(qc)) >> shift))
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        s = [x << wasted for x in s]
+    return s
+
+
+def _flac_frame(data: bytes, pos: int, def_rate: int, def_bps: int):
+    """Decode one frame starting at byte `pos`. Returns
+    (next_pos, rate, [channel sample lists])."""
+    br = _FlacBits(data, pos)
+    if br.read(14) != 0x3FFE:
+        raise ValueError("flac: lost frame sync")
+    if br.read(1):
+        raise ValueError("flac: reserved header bit")
+    br.read(1)  # blocking strategy (frame vs sample number — not needed)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    ch_code = br.read(4)
+    ss_code = br.read(3)
+    if br.read(1):
+        raise ValueError("flac: reserved header bit")
+    # coded (UTF-8-style) frame/sample number — validated, value unused
+    first = br.read(8)
+    if first >= 0x80:
+        nbytes = 0
+        mask = 0x80
+        while first & mask:
+            nbytes += 1
+            mask >>= 1
+        if nbytes < 2 or nbytes > 7:
+            raise ValueError("flac: bad coded number")
+        for _ in range(nbytes - 1):
+            if br.read(8) >> 6 != 0b10:
+                raise ValueError("flac: bad coded-number continuation")
+    if bs_code == 0:
+        raise ValueError("flac: reserved block size")
+    elif bs_code == 1:
+        bs = 192
+    elif bs_code <= 5:
+        bs = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        bs = br.read(8) + 1
+    elif bs_code == 7:
+        bs = br.read(16) + 1
+    else:
+        bs = 256 << (bs_code - 8)
+    if sr_code == 0:
+        rate = def_rate
+    elif sr_code in _FLAC_RATES:
+        rate = _FLAC_RATES[sr_code]
+    elif sr_code == 12:
+        rate = br.read(8) * 1000
+    elif sr_code == 13:
+        rate = br.read(16)
+    elif sr_code == 14:
+        rate = br.read(16) * 10
+    else:
+        raise ValueError("flac: invalid sample rate code")
+    if ss_code == 0:
+        bps = def_bps
+    elif ss_code in _FLAC_BPS:
+        bps = _FLAC_BPS[ss_code]
+    else:
+        raise ValueError("flac: reserved sample size")
+    if not rate or not bps:
+        raise ValueError("flac: frame needs STREAMINFO defaults")
+    if _flac_crc8(data[pos : br.pos]) != br.read(8):
+        raise ValueError("flac: frame header CRC-8 mismatch")
+    if ch_code <= 7:
+        nch, mode = ch_code + 1, None
+    elif ch_code <= 10:
+        nch, mode = 2, ch_code
+    else:
+        raise ValueError("flac: reserved channel assignment")
+    chans = []
+    for c in range(nch):
+        ebps = bps
+        # the side channel of a stereo-decorrelated pair carries one
+        # extra bit (RFC 9639 §9.2.2)
+        if (mode == 8 and c == 1) or (mode == 9 and c == 0) or (
+            mode == 10 and c == 1
+        ):
+            ebps += 1
+        chans.append(_flac_subframe(br, bs, ebps))
+    br.align()
+    if _flac_crc16(data[pos : br.pos]) != br.read(16):
+        raise ValueError("flac: frame CRC-16 mismatch")
+    if mode == 8:  # left/side: R = L - side
+        left, side = chans
+        chans = [left, [l - s for l, s in zip(left, side)]]
+    elif mode == 9:  # right/side: L = R + side
+        side, right = chans
+        chans = [[r + s for r, s in zip(right, side)], right]
+    elif mode == 10:  # mid/side
+        mid, side = chans
+        left, right = [], []
+        for m, s in zip(mid, side):
+            mm = (m << 1) | (s & 1)
+            left.append((mm + s) >> 1)
+            right.append((mm - s) >> 1)
+        chans = [left, right]
+    return br.pos, rate, chans
+
+
+def _decode_flac(payload: bytes):
+    """(duration_sec, sample_rate, rms in [0,1]) for native FLAC payloads,
+    else None. Decodes every frame (all subframe types), validates both
+    CRCs per frame, and computes RMS from the reconstructed samples
+    normalized by 2^(bps-1)."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC" or len(payload) < 42:
+        return None
+    pos, def_rate, def_bps = 4, 0, 0
+    last = False
+    while not last:
+        if pos + 4 > len(payload):
+            return None
+        head = payload[pos]
+        last, btype = bool(head & 0x80), head & 0x7F
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:  # STREAMINFO
+            if ln < 34:
+                return None
+            bits = int.from_bytes(body[10:18], "big")
+            def_rate = bits >> 44
+            def_bps = ((bits >> 36) & 0x1F) + 1
+        pos += 4 + ln
+    nsamp = 0
+    sumsq = 0.0
+    rate = 0
+    try:
+        while pos < len(payload):
+            pos, rate, chans = _flac_frame(payload, pos, def_rate, def_bps)
+            nsamp += len(chans[0])
+            for ch in chans:
+                a = np.asarray(ch, dtype=np.float64)
+                sumsq += float(np.sum(a * a)) / len(chans)
+    except Exception:
+        return None  # CRC mismatch / reserved field / truncation: fail closed
+    if not nsamp or not rate:
+        return None
+    scale = float(1 << (def_bps - 1)) if def_bps else 32768.0
+    rms = math.sqrt(sumsq / nsamp) / scale
+    return round(nsamp / rate, 6), int(rate), round(rms, 6)
+
+
 def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
     """REAL frame sampling for the one motion format the built-in codecs
     cover: animated GIF (frame walk + minimal compositing in
@@ -1057,8 +1357,9 @@ def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
 
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio features for RIFF/WAVE PCM payloads (8/16-bit int,
-    32-bit float): duration, sample rate, RMS — stdlib header walk + numpy.
-    Compressed formats (mp3/flac) stay library-gated and yield null rows."""
+    32-bit float) and native FLAC (full frame decode, all subframe types,
+    CRC-validated): duration, sample rate, RMS — stdlib + numpy only.
+    mp3 stays library-gated and yields null rows."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1066,7 +1367,13 @@ def audio_features(df: DataFrame) -> DataFrame:
             meta = pd.DataFrame(list(pdf["meta"]))
             feats = []
             for b in pdf["content"]:
-                r = _decode_wav(bytes(b) if b is not None else b"")
+                raw = bytes(b) if b is not None else b""
+                r = _decode_wav(raw)
+                if r is None:
+                    try:
+                        r = _decode_flac(raw)
+                    except Exception:
+                        r = None
                 feats.append(r if r is not None else (None, None, None))
             yield pd.DataFrame(
                 {

@@ -961,3 +961,288 @@ def test_jpeg_progressive_smooth_image_exercises_eobrun():
         got = _decode_jpeg(_jpeg_progressive_bytes(img, use_sa=sa))
         assert got is not None and got.shape == (40, 33, 1)
         assert np.max(np.abs(got[..., 0].astype(int) - img.astype(int))) <= 1
+
+
+# ------------------------------------------------------------------ FLAC
+# Minimal FLAC ENCODER for tests — independent bit writer, CRC-8/CRC-16,
+# Rice coder, and frame assembly written against the published format
+# (RFC 9639), sharing nothing with the decoder but the spec constants.
+# Strategies cover constant / verbatim / fixed / LPC subframes, wasted
+# bits, and all three stereo decorrelation modes.
+
+
+class _FlacW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v, bits):
+        v &= (1 << bits) - 1
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.w(0, 1)
+
+
+def _tcrc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _tcrc16(data):
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _rice_write(w, residuals, param):
+    for r in residuals:
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        q = u >> param
+        for _ in range(q):
+            w.w(0, 1)
+        w.w(1, 1)
+        w.w(u & ((1 << param) - 1), param)
+
+
+def _flac_subframe_write(w, samples, bps, kind, wasted=0):
+    w.w(0, 1)  # padding
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        w.w(0, 6)
+        w.w(1 if wasted else 0, 1)
+        if wasted:
+            w.w(1, wasted)  # unary: (wasted-1) zeros then a 1
+        w.w(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.w(1, 6)
+        w.w(1 if wasted else 0, 1)
+        if wasted:
+            w.w(1, wasted)
+        for s in samples:
+            w.w(s, bps)
+        return
+    if kind == "fixed2":
+        order, coefs = 2, [2, -1]
+        w.w(8 + order, 6)
+        w.w(1 if wasted else 0, 1)
+        if wasted:
+            w.w(1, wasted)
+        for s in samples[:order]:
+            w.w(s, bps)
+        res = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+        w.w(0, 2)  # rice method 0
+        w.w(0, 4)  # partition order 0
+        param = 6
+        w.w(param, 4)
+        _rice_write(w, res, param)
+        return
+    if kind == "lpc2":
+        order, shift, qc = 2, 5, [58, -27]  # ~ mild second-order predictor
+        w.w(32 + order - 1, 6)
+        w.w(1 if wasted else 0, 1)
+        if wasted:
+            w.w(1, wasted)
+        for s in samples[:order]:
+            w.w(s, bps)
+        prec = 12
+        w.w(prec - 1, 4)
+        w.w(shift, 5)
+        for c in qc:
+            w.w(c, prec)
+        res = [
+            samples[i]
+            - ((sum(c * samples[i - 1 - j] for j, c in enumerate(qc))) >> shift)
+            for i in range(order, len(samples))
+        ]
+        w.w(0, 2)
+        w.w(2, 4)  # partition order 2: exercises multi-partition path
+        nparts = 4
+        base = len(samples) // nparts
+        idx = 0
+        for p in range(nparts):
+            cnt = base - (order if p == 0 else 0)
+            chunk = res[idx : idx + cnt]
+            idx += cnt
+            if p == 1:
+                w.w(15, 4)  # escape partition: raw 17-bit residuals
+                w.w(17, 5)
+                for r in chunk:
+                    w.w(r, 17)
+            else:
+                w.w(8, 4)
+                _rice_write(w, chunk, 8)
+        return
+    raise AssertionError(kind)
+
+
+def _flac_bytes(rate, chans, bps=16, block=None, kind="verbatim", stereo=None,
+                wasted=0, corrupt_crc=False):
+    """Encode channel sample lists as a FLAC stream. `stereo` in
+    {None, 'left', 'right', 'mid'} applies decorrelation to 2 channels."""
+    n = len(chans[0])
+    block = block or n
+    nch = len(chans)
+    info = _FlacW()
+    info.w(block, 16)
+    info.w(block, 16)
+    info.w(0, 24)
+    info.w(0, 24)
+    info.w(rate, 20)
+    info.w(nch - 1, 3)
+    info.w(bps - 1, 5)
+    info.w(n, 36)
+    info.buf.extend(b"\x00" * 16)  # md5 unset
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last block, STREAMINFO
+    out.extend(len(info.buf).to_bytes(3, "big"))
+    out.extend(info.buf)
+    frame_no = 0
+    for start in range(0, n, block):
+        seg = [c[start : start + block] for c in chans]
+        bs = len(seg[0])
+        w = _FlacW()
+        w.w(0x3FFE, 14)
+        w.w(0, 1)
+        w.w(0, 1)  # fixed blocking
+        w.w(7, 4)  # 16-bit uncommon block size (always explicit)
+        w.w(0, 4)  # rate from STREAMINFO
+        if stereo is None:
+            w.w(nch - 1, 4)
+        else:
+            w.w({"left": 8, "right": 9, "mid": 10}[stereo], 4)
+        w.w({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+        w.w(0, 1)
+        assert frame_no < 0x80
+        w.w(frame_no, 8)
+        frame_no += 1
+        w.w(bs - 1, 16)
+        w.w(_tcrc8(w.buf), 8)
+        if stereo is None:
+            for c in seg:
+                _flac_subframe_write(w, c, bps, kind, wasted)
+        else:
+            l, r = seg
+            side = [a - b for a, b in zip(l, r)]
+            if stereo == "left":
+                _flac_subframe_write(w, l, bps, kind, wasted)
+                _flac_subframe_write(w, side, bps + 1, kind)
+            elif stereo == "right":
+                _flac_subframe_write(w, side, bps + 1, kind)
+                _flac_subframe_write(w, r, bps, kind, wasted)
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(l, r)]
+                _flac_subframe_write(w, mid, bps, kind, wasted)
+                _flac_subframe_write(w, side, bps + 1, kind)
+        w.align()
+        crc = _tcrc16(w.buf)
+        if corrupt_crc:
+            crc ^= 1
+        w.w(crc, 16)
+        out.extend(w.buf)
+    return bytes(out)
+
+
+def _expected_features(rate, chans, bps=16):
+    import numpy as np
+
+    a = np.asarray(chans, dtype=np.float64) / float(1 << (bps - 1))
+    return round(len(chans[0]) / rate, 6), rate, round(float(np.sqrt(np.mean(a * a))), 6)
+
+
+def test_flac_verbatim_matches_wav():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_flac, _decode_wav
+
+    t = np.arange(4000)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 16384).astype(np.int64)
+    got = _decode_flac(_flac_bytes(16000, [list(sine)], block=1000))
+    assert got == _decode_wav(_wav_bytes(16000, sine.astype("<i2")))
+
+
+def test_flac_fixed_and_lpc_roundtrip_exact():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_flac
+
+    rng = np.random.default_rng(7)
+    # smooth ramp + noise: small fixed/LPC residuals, but correctness is
+    # exact regardless of how well the predictor fits
+    x = (np.cumsum(rng.integers(-50, 51, 4096)) + 1000).astype(np.int64)
+    x = np.clip(x, -32768, 32767)
+    samples = list(x)
+    want = _expected_features(22050, [samples])
+    assert _decode_flac(_flac_bytes(22050, [samples], block=1024, kind="fixed2")) == want
+    assert _decode_flac(_flac_bytes(22050, [samples], block=1024, kind="lpc2")) == want
+
+
+def test_flac_stereo_decorrelation_modes():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_flac
+
+    rng = np.random.default_rng(9)
+    l = list(rng.integers(-3000, 3000, 2048).astype(np.int64))
+    r = list((np.asarray(l) + rng.integers(-40, 40, 2048)).astype(np.int64))
+    want = _expected_features(8000, [l, r])
+    for mode in (None, "left", "right", "mid"):
+        got = _decode_flac(_flac_bytes(8000, [l, r], block=512, stereo=mode))
+        assert got == want, mode
+
+
+def test_flac_constant_wasted_bits_and_crc_guard():
+    from kql_engine_spark.multimodal import _decode_flac
+
+    silence = [0] * 1024
+    d, rate, rms = _decode_flac(_flac_bytes(44100, [silence], kind="constant"))
+    assert (d, rate, rms) == (round(1024 / 44100, 6), 44100, 0.0)
+    # wasted bits: every sample divisible by 4 -> 2 wasted bits
+    vals = [((i % 37) - 18) * 4 for i in range(1024)]
+    want = _expected_features(44100, [vals])
+    assert _decode_flac(_flac_bytes(44100, [vals], wasted=2)) == want
+    # corrupt CRC-16 must fail closed (None), not return wrong numbers
+    assert _decode_flac(_flac_bytes(44100, [vals], corrupt_crc=True)) is None
+
+
+def test_flac_through_audio_features(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import audio_features, load_binary_dir
+
+    t = np.arange(16000)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 16384).astype(np.int64)
+    d = tmp_path_factory.mktemp("flac_media")
+    (d / "tone.flac").write_bytes(_flac_bytes(16000, [list(sine)], block=4096))
+    (d / "clip.mp3").write_bytes(b"\xff\xfbnot really audio")
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in audio_features(load_binary_dir(spark, str(d))).collect()
+    }
+    tone = rows["tone.flac"]
+    assert tone.sample_rate == 16000 and tone.duration_sec == 1.0
+    assert abs(tone.rms - 0.3536) < 0.002
+    assert rows["clip.mp3"].sample_rate is None
