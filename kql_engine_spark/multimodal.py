@@ -9,9 +9,10 @@ UDF shape) is REAL and tested. Decode kernels:
   BMP, binary PPM/PGM, baseline sequential AND progressive JPEG (Huffman
   entropy decode + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and GIF
   (LZW, interlace, animated compositing) — in pure numpy. ``audio_features``
-  decodes RIFF/WAVE PCM and native FLAC (RFC 9639). Arithmetic-coded
-  JPEG and mp3 stay gated on a media library; such payloads yield null
-  feature columns.
+  decodes RIFF/WAVE PCM and native FLAC (RFC 9639), and walks MPEG-audio
+  frame headers for exact mp3 duration/rate. Arithmetic-coded JPEG and
+  mp3 sample reconstruction stay gated on a media library; such payloads
+  yield null feature columns.
 - ``fake_decode_image`` produces DETERMINISTIC FAKE features derived from a
   sha256 of the payload bytes. It exists to exercise the exact mapInPandas
   batch shape with arbitrary payload bytes (no valid image needed).
@@ -1009,6 +1010,94 @@ def _decode_wav(payload: bytes):
     return round(frames / rate, 6), int(rate), round(rms, 6)
 
 
+# ---------------------------------------------------------------- MP3
+# MPEG audio FRAME WALK (headers only — ISO/IEC 11172-3 / 13818-3 frame
+# header layout and the published bitrate/sample-rate tables): exact
+# duration and sample rate without entropy decode. Full sample
+# reconstruction (hence RMS) stays library-gated.
+
+_MP3_RATES = {  # version bits -> sample-rate table (index 3 reserved)
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+_MP3_KBPS = {
+    # (is_mpeg1, layer) -> bitrate kbps for index 1..14
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+
+def _mp3_frame_info(payload: bytes, pos: int):
+    """Parse one MPEG audio frame header at `pos`. Returns
+    (frame_bytes, samples_per_frame, sample_rate) or None."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, _b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 3  # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_code = (b1 >> 1) & 3  # 1=III, 2=II, 3=I
+    if version == 1 or layer_code == 0:
+        return None
+    layer = 4 - layer_code  # 1/2/3
+    brx = (b2 >> 4) & 15
+    srx = (b2 >> 2) & 3
+    pad = (b2 >> 1) & 1
+    if brx in (0, 15) or srx == 3:
+        return None  # free-format / invalid: length unknowable from header
+    rate = _MP3_RATES[version][srx]
+    kbps = _MP3_KBPS[(version == 3, layer)][brx - 1]
+    bitrate = kbps * 1000
+    if layer == 1:
+        nbytes = (12 * bitrate // rate + pad) * 4
+        nsamples = 384
+    else:
+        nsamples = 1152 if (version == 3 or layer == 2) else 576
+        nbytes = nsamples // 8 * bitrate // rate + pad
+    return nbytes, nsamples, rate
+
+
+def _decode_mp3(payload: bytes):
+    """(duration_sec, sample_rate, None) from a strict MPEG-audio frame
+    walk: ID3v2 skip, then consecutive valid frame headers to EOF (an
+    ID3v1 'TAG' trailer is tolerated). Any gap, free-format frame, or
+    mid-stream rate change fails the payload closed -> None."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None  # not syncsafe
+            sz = (sz << 7) | b
+        pos = 10 + sz + (10 if payload[5] & 0x10 else 0)
+    nframes = 0
+    total_sec = 0.0
+    rate0 = None
+    while pos < len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break  # ID3v1 trailer
+        info = _mp3_frame_info(payload, pos)
+        if info is None:
+            return None
+        nbytes, nsamples, rate = info
+        if rate0 is None:
+            rate0 = rate
+        elif rate != rate0:
+            return None
+        total_sec += nsamples / rate
+        pos += nbytes
+        nframes += 1
+    if nframes < 2 or pos > len(payload):
+        return None  # demand >= 2 consistent frames before trusting a sync
+    return round(total_sec, 6), int(rate0), None
+
+
 # --------------------------------------------------------------- FLAC
 # Native FLAC decode (RFC 9639 / the published format spec): metadata
 # walk, frame-header parse with CRC-8, constant/verbatim/fixed/LPC
@@ -1359,7 +1448,8 @@ def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio features for RIFF/WAVE PCM payloads (8/16-bit int,
     32-bit float) and native FLAC (full frame decode, all subframe types,
     CRC-validated): duration, sample rate, RMS — stdlib + numpy only.
-    mp3 stays library-gated and yields null rows."""
+    MPEG audio (mp3) gets an exact header frame-walk — true duration and
+    sample rate, null RMS (sample reconstruction stays library-gated)."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1372,6 +1462,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                 if r is None:
                     try:
                         r = _decode_flac(raw)
+                    except Exception:
+                        r = None
+                if r is None:
+                    try:
+                        r = _decode_mp3(raw)
                     except Exception:
                         r = None
                 feats.append(r if r is not None else (None, None, None))

@@ -1246,3 +1246,81 @@ def test_flac_through_audio_features(spark, tmp_path_factory):
     assert tone.sample_rate == 16000 and tone.duration_sec == 1.0
     assert abs(tone.rms - 0.3536) < 0.002
     assert rows["clip.mp3"].sample_rate is None
+
+
+# ------------------------------------------------------------------- MP3
+# Synthetic MPEG-audio frame sequences: headers built bit-by-bit from the
+# published ISO 11172-3 layout, zero-filled payloads. The walk must
+# recover exact duration/rate, skip ID3v2, tolerate ID3v1, and fail
+# closed on truncation, rate drift, or free-format frames.
+
+
+def _mp3_header(version, layer, brx, srx, pad=0):
+    b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 1
+    b2 = (brx << 4) | (srx << 2) | (pad << 1)
+    return bytes([0xFF, b1, b2, 0xC0])
+
+
+def _mp3_frames(version, layer, brx, srx, n, kbps_table_rate, pads=None):
+    out = bytearray()
+    pads = pads or [0] * n
+    for i in range(n):
+        hdr = _mp3_header(version, layer, brx, srx, pads[i])
+        rate, kbps = kbps_table_rate
+        if layer == 1:
+            ln = (12 * kbps * 1000 // rate + pads[i]) * 4
+        else:
+            spf = 1152 if (version == 3 or layer == 2) else 576
+            ln = spf // 8 * kbps * 1000 // rate + pads[i]
+        out += hdr + b"\x00" * (ln - 4)
+    return bytes(out)
+
+
+def test_mp3_frame_walk_exact_duration():
+    from kql_engine_spark.multimodal import _decode_mp3
+
+    # MPEG1 Layer III, 44.1 kHz, 128 kbps, 10 frames
+    p = _mp3_frames(3, 3, 9, 0, 10, (44100, 128))
+    assert _decode_mp3(p) == (round(10 * 1152 / 44100, 6), 44100, None)
+    # MPEG2.5 Layer III, 8 kHz, 64 kbps -> 576 samples/frame
+    p = _mp3_frames(0, 3, 8, 2, 5, (8000, 64))
+    assert _decode_mp3(p) == (round(5 * 576 / 8000, 6), 8000, None)
+    # MPEG1 Layer I, 32 kHz, 32 kbps -> 384 samples/frame, 48-byte frames
+    p = _mp3_frames(3, 1, 1, 2, 8, (32000, 32))
+    assert _decode_mp3(p) == (round(8 * 384 / 32000, 6), 32000, None)
+    # padding bit lengthens frames without changing the duration
+    p = _mp3_frames(3, 3, 9, 0, 6, (44100, 128), pads=[0, 1, 0, 1, 1, 0])
+    assert _decode_mp3(p) == (round(6 * 1152 / 44100, 6), 44100, None)
+
+
+def test_mp3_tags_and_fail_closed():
+    from kql_engine_spark.multimodal import _decode_mp3
+
+    body = _mp3_frames(3, 3, 9, 0, 4, (44100, 128))
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0x02, 0x01]) + b"\x00" * (0x101)
+    id3v1 = b"TAG" + b"\x00" * 125
+    assert _decode_mp3(id3v2 + body + id3v1) == (
+        round(4 * 1152 / 44100, 6), 44100, None,
+    )
+    assert _decode_mp3(body[:-10]) is None          # truncated final frame
+    assert _decode_mp3(body[: 417]) is None         # single frame: not enough
+    drift = body + _mp3_frames(3, 3, 9, 1, 2, (48000, 128))
+    assert _decode_mp3(drift) is None               # mid-stream rate change
+    free = bytearray(body)
+    free[2] = (0 << 4) | (0 << 2)                   # free-format bitrate
+    assert _decode_mp3(bytes(free)) is None
+
+
+def test_mp3_through_audio_features(spark, tmp_path_factory):
+    from kql_engine_spark.multimodal import audio_features, load_binary_dir
+
+    d = tmp_path_factory.mktemp("mp3_media")
+    (d / "song.mp3").write_bytes(_mp3_frames(3, 3, 9, 0, 40, (44100, 128)))
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in audio_features(load_binary_dir(spark, str(d))).collect()
+    }
+    song = rows["song.mp3"]
+    assert song.sample_rate == 44100
+    assert song.duration_sec == round(40 * 1152 / 44100, 6)
+    assert song.rms is None
