@@ -257,9 +257,10 @@ def _decode_png(payload: bytes):
 # batch media, not a libjpeg replacement), dequantize + dezigzag, 8x8
 # orthonormal IDCT as one matrix sandwich, per-component plane assembly
 # with nearest upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr -> RGB.
-# Baseline (SOF0/1) and progressive (SOF2: spectral selection +
-# successive approximation per ITU T.81 G.2) are decoded; arithmetic
-# coding and 12-bit precision return None.
+# Baseline/extended sequential (SOF0/1, 8- and 12-bit), progressive
+# (SOF2: spectral selection + successive approximation per ITU T.81
+# G.2), and lossless (SOF3, Annex H predictors 1-7, modulo-2^16) are
+# decoded; arithmetic coding returns None.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -502,6 +503,55 @@ def _jpeg_decode_scan(data, restarts, scan_comps, ss, se, ah, al, hufft,
             decode_block(coefs[ci][by, bx], ci)
 
 
+def _jpeg_lossless_scan(data, scan_comps, pred_sel, pt, hufft, smap,
+                        planes, comps, h, w, prec):
+    """Lossless JPEG (SOF3) scan decode per T.81 Annex H: Huffman-coded
+    prediction differences (SSSS 0-16, 16 = +32768), predictors 1-7,
+    modulo-2^16 reconstruction, point transform applied at the end.
+    Sampling factors must all be 1 (the common lossless shape)."""
+    bits = _JpegBits(data)
+    default = 1 << (prec - pt - 1)
+    tabs = {}
+    for ci in scan_comps:
+        t = hufft.get((0, smap[comps[ci]["id"]][0]))
+        if t is None:
+            raise ValueError("jpeg: missing lossless table")
+        tabs[ci] = t
+    for y in range(h):
+        for x in range(w):
+            for ci in scan_comps:
+                ssss = _jpeg_decode_huff(bits, tabs[ci])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _jpeg_extend(bits.receive(ssss), ssss)
+                p = planes[ci]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a, b = int(p[y, x - 1]), int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = a
+                    elif pred_sel == 2:
+                        px = b
+                    elif pred_sel == 3:
+                        px = c
+                    elif pred_sel == 4:
+                        px = a + b - c
+                    elif pred_sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif pred_sel == 6:
+                        px = b + ((a - c) >> 1)
+                    elif pred_sel == 7:
+                        px = (a + b) >> 1
+                    else:
+                        raise ValueError("jpeg: bad lossless predictor")
+                p[y, x] = (px + diff) & 0xFFFF
+
+
 def _decode_jpeg(payload: bytes):
     import struct
 
@@ -512,6 +562,8 @@ def _decode_jpeg(payload: bytes):
     qt, hufft, dri = {}, {}, 0
     frame = None
     progressive = False
+    lossless = False
+    prec, pt_used = 8, 0
     coefs = None
     mcux = mcuy = 0
     comps = []
@@ -546,10 +598,15 @@ def _decode_jpeg(payload: bytes):
                 vals = list(seg[s + 17 : s + 17 + n])
                 hufft[(tc, th)] = _jpeg_huff_table(bits16, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    return None
+            elif prec not in (8, 12):  # 12-bit extended sequential/progressive
                 return None
             comps = []
             for i in range(nc):
@@ -557,6 +614,12 @@ def _decode_jpeg(payload: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            if lossless:
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    return None  # subsampled lossless: out of tier
+                coefs = [np.zeros((h, w), dtype=np.int32) for _ in comps]
+                frame = (h, w, comps)
+                continue
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             coefs = []
@@ -567,8 +630,8 @@ def _decode_jpeg(payload: bytes):
                     np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
                 )
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # lossless / arithmetic / hierarchical: out of tier
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # arithmetic / hierarchical: out of tier
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg)[0]
         elif marker == 0xDA:  # SOS
@@ -587,15 +650,35 @@ def _decode_jpeg(payload: bytes):
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             data, restarts, pos = _jpeg_entropy_slice(payload, pos)
-            _jpeg_decode_scan(
-                data, restarts, scan_comps, ss, se, ah, al, hufft, smap,
-                dri, coefs, comps, mcux, mcuy, progressive,
-            )
+            if lossless:
+                if dri:
+                    return None  # restart prediction reset: out of tier
+                pt_used = al
+                _jpeg_lossless_scan(
+                    data, scan_comps, ss, al, hufft, smap, coefs, comps,
+                    h, w, prec,
+                )
+            else:
+                _jpeg_decode_scan(
+                    data, restarts, scan_comps, ss, se, ah, al, hufft, smap,
+                    dri, coefs, comps, mcux, mcuy, progressive,
+                )
             saw_scan = True
     if frame is None or not saw_scan:
         return None
-    # dequantize + de-zigzag + one vectorized IDCT pass per component
     import numpy as np
+
+    if lossless:
+        # exact samples already reconstructed; apply the point transform,
+        # scale >8-bit precisions down to the uint8 contract. Lossless
+        # JPEG carries no JFIF color transform — planes come out as-is.
+        out = np.stack(
+            [(c.astype(np.int64) << pt_used) for c in coefs], axis=2
+        ).astype(np.float64)
+        if prec > 8:
+            out = out / float(1 << (prec - 8))
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # dequantize + de-zigzag + one vectorized IDCT pass per component
 
     if _JPEG_IDCT_C is None:
         _jpeg_idct(np.zeros((8, 8)))  # build the basis
@@ -612,7 +695,9 @@ def _decode_jpeg(payload: bytes):
         blocks = np.zeros(deq.shape[:2] + (64,), dtype=np.float64)
         blocks[..., zig] = deq
         blocks = blocks.reshape(deq.shape[0], deq.shape[1], 8, 8)
-        px = np.einsum("ij,abjk,kl->abil", cbasis.T, blocks, cbasis) + 128.0
+        px = np.einsum("ij,abjk,kl->abil", cbasis.T, blocks, cbasis) + float(
+            1 << (prec - 1)
+        )
         plane = px.transpose(0, 2, 1, 3).reshape(
             deq.shape[0] * 8, deq.shape[1] * 8
         )
@@ -630,6 +715,8 @@ def _decode_jpeg(payload: bytes):
         )
     else:
         return None
+    if prec > 8:  # 12-bit extended sequential/progressive -> uint8 contract
+        out = out / float(1 << (prec - 8))
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 

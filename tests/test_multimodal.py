@@ -265,13 +265,15 @@ _TEST_ZIGZAG = [
 ]
 
 
-def _jpeg_bytes(img, sampling=None, dri=0):
+def _jpeg_bytes(img, sampling=None, dri=0, prec=8):
     import struct
 
     import numpy as np
 
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 or img.shape[2] == 1 else 3
+    if prec != 8:
+        assert ch == 1, "12-bit test encoder is grayscale-only"
     img = img.reshape(h, w, ch).astype(np.float64)
     if ch == 3:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
@@ -299,9 +301,11 @@ def _jpeg_bytes(img, sampling=None, dri=0):
     C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
     C[0] /= np.sqrt(2.0)
     C /= 2.0
-    dc_bits, dc_vals = [0] * 16, list(range(12))
-    dc_bits[3] = 12  # twelve 4-bit codes
-    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ncat = 12 if prec == 8 else 16
+    dc_bits, dc_vals = [0] * 16, list(range(ncat))
+    dc_bits[4] = ncat  # flat 5-bit codes
+    smax = 11 if prec == 8 else 15
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, smax)]
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_vals)  # flat 8-bit codes
 
@@ -349,7 +353,7 @@ def _jpeg_bytes(img, sampling=None, dri=0):
             for by in range(sv):
                 for bx in range(sh):
                     y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
-                    blk = comp[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    blk = comp[ci][y0 : y0 + 8, x0 : x0 + 8] - float(1 << (prec - 1))
                     qc = np.rint(C @ blk @ C.T).astype(int)
                     zz = [int(qc.flat[_TEST_ZIGZAG[i]]) for i in range(64)]
                     d = zz[0] - pred[ci]
@@ -381,10 +385,12 @@ def _jpeg_bytes(img, sampling=None, dri=0):
     nc = len(comp)
     head = bytearray(b"\xff\xd8")
     head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
-    head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    head += (b"\xff\xc0" if prec == 8 else b"\xff\xc1") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, prec, h, w, nc
+    )
     for ci, (sh, sv) in enumerate(samp):
         head += bytes([ci + 1, (sh << 4) | sv, 0])
-    head += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00) + bytes(dc_bits + dc_vals)
+    head += b"\xff\xc4" + struct.pack(">HB", 19 + ncat, 0x00) + bytes(dc_bits + dc_vals)
     head += (
         b"\xff\xc4"
         + struct.pack(">HB", 19 + len(ac_vals), 0x10)
@@ -1324,3 +1330,141 @@ def test_mp3_through_audio_features(spark, tmp_path_factory):
     assert song.sample_rate == 44100
     assert song.duration_sec == round(40 * 1152 / 44100, 6)
     assert song.rms is None
+
+
+# ----------------------------------------------------- 12-bit + lossless JPEG
+# Independent test encoders for extended sequential 12-bit (reusing
+# _jpeg_bytes with prec=12) and lossless SOF3 (T.81 Annex H): flat
+# canonical Huffman tables over SSSS 0..16, predictors 1-7, point
+# transform, modulo-2^16 differences.
+
+
+def _jpeg_lossless_bytes(img, predictor=1, prec=8, pt=0):
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    planes = [
+        (img.reshape(h, w, nc)[..., c].astype(np.int64) >> pt) for c in range(nc)
+    ]
+    vals17 = list(range(17))
+    bits = [0] * 16
+    bits[4] = 17  # seventeen flat 5-bit codes
+
+    def canon(bits_, vals_):
+        m, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits_[ln - 1]):
+                m[vals_[i]] = (ln, code)
+                code += 1
+                i += 1
+            code <<= 1
+        return m
+
+    cmap = canon(bits, vals17)
+    out = bytearray()
+    st = {"b": 0, "n": 0}
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            st["b"] = (st["b"] << 1) | ((v >> i) & 1)
+            st["n"] += 1
+            if st["n"] == 8:
+                out.append(st["b"])
+                if st["b"] == 0xFF:
+                    out.append(0)
+                st["b"], st["n"] = 0, 0
+
+    default = 1 << (prec - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for p in planes:
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+                    px = {
+                        1: a, 2: b, 3: c, 4: a + b - c,
+                        5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1,
+                    }[predictor]
+                d = ((int(p[y, x]) - px + 32768) & 0xFFFF) - 32768
+                if d == -32768:
+                    ln, code = cmap[16]
+                    put(code, ln)  # SSSS 16: no extra bits
+                    continue
+                s = abs(d).bit_length()
+                ln, code = cmap[s]
+                put(code, ln)
+                if s:
+                    put(d if d >= 0 else d + (1 << s) - 1, s)
+    while st["n"]:
+        put(1, 1)
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
+    for ci in range(nc):
+        head += bytes([ci + 1, 0x11, 0])
+    head += b"\xff\xc4" + struct.pack(">HB", 19 + 17, 0x00) + bytes(bits + vals17)
+    head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        head += bytes([ci + 1, 0x00])
+    head += bytes([predictor, 0, pt])
+    return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_lossless_exact_all_predictors():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (13, 9), dtype=np.int64)
+    for pred in range(1, 8):
+        got = _decode_jpeg(_jpeg_lossless_bytes(img, predictor=pred))
+        assert got is not None and got.shape == (13, 9, 1), pred
+        assert (got[..., 0].astype(np.int64) == img).all(), pred
+
+
+def test_jpeg_lossless_rgb_and_16bit_and_pt():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (7, 11, 3), dtype=np.int64)
+    got = _decode_jpeg(_jpeg_lossless_bytes(rgb, predictor=4))
+    # lossless carries no color transform: planes come back verbatim
+    assert (got.astype(np.int64) == rgb).all()
+
+    deep = rng.integers(0, 65536, (9, 6), dtype=np.int64)
+    got = _decode_jpeg(_jpeg_lossless_bytes(deep, predictor=7, prec=16))
+    want = np.clip(np.rint(deep / 256.0), 0, 255).astype(np.uint8)
+    assert (got[..., 0] == want).all()
+
+    # point transform Pt=2: decoder returns (v >> 2) << 2
+    img = rng.integers(0, 256, (8, 8), dtype=np.int64)
+    got = _decode_jpeg(_jpeg_lossless_bytes(img, predictor=2, pt=2))
+    assert (got[..., 0].astype(np.int64) == (img >> 2) << 2).all()
+
+
+def test_jpeg_12bit_extended_sequential():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    # constant 12-bit image: DC-only blocks decode exactly, then >>4
+    flat = np.full((16, 16), 3000, dtype=np.int64)
+    got = _decode_jpeg(_jpeg_bytes(flat, prec=12))
+    assert got is not None and got.shape == (16, 16, 1)
+    assert (got[..., 0] == round(3000 / 16)).all()
+
+    # random 12-bit data: within DCT rounding after the 12->8 scale-down
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 4096, (24, 17), dtype=np.int64)
+    got = _decode_jpeg(_jpeg_bytes(img, prec=12))
+    want = img.astype(np.float64) / 16.0
+    assert np.max(np.abs(got[..., 0].astype(np.float64) - want)) <= 1.5
