@@ -860,7 +860,8 @@ def _decode_payload(payload: bytes):
     binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, baseline
     sequential JPEG, first-frame GIF), else None. Progressive JPEG and
     audio/video codecs stay library-gated."""
-    for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg, _decode_gif):
+    for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg, _decode_gif,
+                _decode_avi):
         try:
             a = dec(payload)
         except Exception:
@@ -1095,6 +1096,108 @@ def _decode_wav(payload: bytes):
     frames = len(x) // nch
     rms = float(np.sqrt(np.mean(x * x)))
     return round(frames / rate, 6), int(rate), round(rms, 6)
+
+
+# ----------------------------------------------------------------- AVI
+# RIFF/AVI frame walk (public 'hdrl'/'strh'/'strf'/'movi' layout):
+# MJPEG ('NNdc' chunks decoded by the built-in JPEG kernel) and
+# uncompressed DIB ('NNdb' chunks re-wrapped as BMP for the built-in BMP
+# kernel). Frame timing from the video strh scale/rate, falling back to
+# avih microseconds-per-frame. Other codecs yield undecodable frames ->
+# skipped; a stream with no decodable frames behaves like a non-AVI
+# payload (None).
+
+
+def _avi_frames(payload: bytes, max_frames: int = 64):
+    """AVI -> [(delay_centisec, HxWx3 uint8), ...] or None."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    us_per_frame = 0
+    scale = rate = 0
+    in_video_stream = False
+    strf_video = None
+    raw_frames: list[tuple[bytes, bytes]] = []  # (kind, bytes)
+
+    def walk(pos: int, end: int):
+        nonlocal us_per_frame, scale, rate, in_video_stream, strf_video
+        while pos + 8 <= end:
+            fcc = payload[pos : pos + 4]
+            ln = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if body + ln > len(payload):
+                raise ValueError("avi: truncated chunk")
+            if fcc == b"LIST":
+                if ln >= 4:
+                    if payload[body : body + 4] == b"strl":
+                        in_video_stream = False  # reset per stream list
+                    walk(body + 4, body + ln)
+            elif fcc == b"avih" and ln >= 4:
+                us_per_frame = struct.unpack_from("<I", payload, body)[0]
+            elif fcc == b"strh" and ln >= 28:
+                in_video_stream = payload[body : body + 4] == b"vids"
+                if in_video_stream:
+                    scale, rate = struct.unpack_from("<II", payload, body + 20)
+            elif fcc == b"strf" and in_video_stream:
+                strf_video = payload[body : body + ln]
+            elif (
+                len(fcc) == 4
+                and fcc[:2].isdigit()
+                and fcc[2:4] in (b"dc", b"db")
+                and len(raw_frames) < max_frames
+            ):
+                raw_frames.append((bytes(fcc[2:4]), payload[body : body + ln]))
+            pos = body + ln + (ln & 1)  # chunks pad to even
+
+    try:
+        walk(12, len(payload))
+    except Exception:
+        return None
+    if not raw_frames:
+        return None
+    if rate:
+        delay_cs = scale / rate * 100.0
+    elif us_per_frame:
+        delay_cs = us_per_frame / 10000.0
+    else:
+        delay_cs = 0.0
+    frames = []
+    for kind, data in raw_frames:
+        img = None
+        if kind == b"dc":
+            try:
+                img = _decode_jpeg(data)
+            except Exception:
+                img = None
+        elif strf_video is not None and len(strf_video) >= 40:
+            # DIB bits + the stream's BITMAPINFOHEADER == a headerless BMP
+            import struct as _s
+
+            bmp = (
+                b"BM"
+                + _s.pack("<IHHI", 14 + len(strf_video) + len(data), 0, 0,
+                          14 + len(strf_video))
+                + strf_video
+                + data
+            )
+            try:
+                img = _decode_bmp(bmp)
+            except Exception:
+                img = None
+        if img is not None:
+            if img.shape[2] == 1:
+                import numpy as np
+
+                img = np.repeat(img, 3, axis=2)
+            frames.append((delay_cs, img[:, :, :3]))
+    return frames or None
+
+
+def _decode_avi(payload: bytes):
+    """First decodable frame of an AVI (MJPEG or DIB), for decode_image."""
+    frames = _avi_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
 
 
 # ---------------------------------------------------------------- MP3
@@ -1483,14 +1586,17 @@ def _decode_flac(payload: bytes):
 
 
 def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
-    """REAL frame sampling for the one motion format the built-in codecs
+    """REAL frame sampling for the motion formats the built-in codecs
     cover: animated GIF (frame walk + minimal compositing in
-    ``_gif_frames``). Each payload yields up to n_frames evenly spaced
-    composited frames re-encoded as binary PPM; ts_sec comes from the
-    accumulated GIF frame delays, falling back to frame_idx/fps when the
-    file carries no timing. Non-GIF payloads (real video codecs are
-    library-gated) produce ZERO rows — same 1->N mapInPandas shape as
-    fake_sample_frames, so the fake remains the shape-contract fixture."""
+    ``_gif_frames``) and AVI with MJPEG or uncompressed DIB video
+    (``_avi_frames``: RIFF walk, strh scale/rate timing, frames decoded
+    by the built-in JPEG/BMP kernels). Each payload yields up to
+    n_frames evenly spaced frames re-encoded as binary PPM; ts_sec
+    comes from the container's frame timing, falling back to
+    frame_idx/fps when the file carries none. Other payloads (real
+    video codecs are library-gated) produce ZERO rows — same 1->N
+    mapInPandas shape as fake_sample_frames, so the fake remains the
+    shape-contract fixture."""
     import pandas as pd
 
     if n_frames <= 0:
@@ -1503,11 +1609,14 @@ def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
             meta = pd.DataFrame(list(pdf["meta"]))
             rows = {"path": [], "frame_idx": [], "ts_sec": [], "frame": []}
             for path, b in zip(meta["path"], pdf["content"]):
-                # a truncated/corrupt GIF (valid magic, short blocks) must
-                # yield zero rows, not fail the query — same per-payload
-                # guard contract as _decode_payload's decoder try/except
+                # a truncated/corrupt GIF/AVI (valid magic, short blocks)
+                # must yield zero rows, not fail the query — same
+                # per-payload guard contract as _decode_payload
+                raw = bytes(b) if b is not None else b""
                 try:
-                    frames = _gif_frames(bytes(b) if b is not None else b"")
+                    frames = _gif_frames(raw)
+                    if not frames:
+                        frames = _avi_frames(raw)
                 except Exception:
                     continue
                 if not frames:

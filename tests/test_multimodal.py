@@ -1468,3 +1468,102 @@ def test_jpeg_12bit_extended_sequential():
     got = _decode_jpeg(_jpeg_bytes(img, prec=12))
     want = img.astype(np.float64) / 16.0
     assert np.max(np.abs(got[..., 0].astype(np.float64) - want)) <= 1.5
+
+
+# ------------------------------------------------------------------- AVI
+# Minimal AVI WRITER for tests: RIFF/hdrl/strl/movi layout with MJPEG
+# ('00dc', payloads from the independent test JPEG encoder) or
+# uncompressed bottom-up DIB ('00db') frames.
+
+
+def _avi_bytes(frames_rgb, fps_scale_rate=(1, 10), codec="mjpeg",
+               with_audio_chunks=False):
+    import struct
+
+    import numpy as np
+
+    h, w = frames_rgb[0].shape[:2]
+    scale, rate = fps_scale_rate
+
+    def chunk(fcc, body):
+        return fcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIII", int(scale / rate * 1e6), 0, 0, 0,
+                       len(frames_rgb), 0, 1, 0, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIII", 0, 0, 0, 0, scale,
+                                            rate, 0, len(frames_rgb))
+            + b"\x00" * 16)
+    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+    movi = b"movi"
+    for i, f in enumerate(frames_rgb):
+        if with_audio_chunks:
+            movi += chunk(b"01wb", b"\x00" * 33)  # interleaved audio: skipped
+        if codec == "mjpeg":
+            movi += chunk(b"00dc", _jpeg_bytes(f))
+        else:
+            row_bytes = (w * 3 + 3) & ~3
+            bits = b""
+            for y in range(h - 1, -1, -1):  # bottom-up BGR
+                row = bytes(int(v) for px in f[y] for v in (px[2], px[1], px[0]))
+                bits += row + b"\x00" * (row_bytes - len(row))
+            movi += chunk(b"00db", bits)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih)))
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi[4:])
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_avi_dib_frames_exact():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _avi_frames, _decode_payload
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    payload = _avi_bytes(frames, codec="dib", fps_scale_rate=(1, 4))
+    got = _avi_frames(payload)
+    assert got is not None and len(got) == 4
+    for (delay, img), want in zip(got, frames):
+        assert abs(delay - 25.0) < 1e-9  # 4 fps -> 25 centisec
+        assert (img == want).all()
+    # decode_image path sees the first frame
+    first = _decode_payload(payload)
+    assert (first == frames[0]).all()
+
+
+def test_avi_mjpeg_frames_and_audio_interleave():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _avi_frames
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    frames = [np.clip(base + 40 * i, 0, 255).astype(np.uint8) for i in range(5)]
+    payload = _avi_bytes(frames, codec="mjpeg", with_audio_chunks=True)
+    got = _avi_frames(payload)
+    assert got is not None and len(got) == 5
+    for (_, img), want in zip(got, frames):
+        # constant-color MJPEG decodes exactly (DC-only blocks)
+        assert (img == want).all()
+    assert _avi_frames(payload[: len(payload) // 2]) is None  # truncated
+
+
+def test_avi_through_sample_frames(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import load_binary_dir, sample_frames
+
+    rng = np.random.default_rng(14)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(6)]
+    d = tmp_path_factory.mktemp("avi_media")
+    (d / "clip.avi").write_bytes(_avi_bytes(frames, codec="dib", fps_scale_rate=(1, 2)))
+    (d / "noise.mp4").write_bytes(b"\x00\x00\x00 ftypisom not supported")
+    out = sample_frames(load_binary_dir(spark, str(d)), n_frames=3).collect()
+    assert all(r.path.endswith("clip.avi") for r in out)
+    assert sorted(r.frame_idx for r in out) == [0, 2, 5]  # evenly spaced over 6
+    ts = {r.frame_idx: r.ts_sec for r in out}
+    assert ts[0] == 0.0 and ts[2] == 1.0 and ts[5] == 2.5  # 2 fps timing
+    for r in out:
+        assert bytes(r.frame).startswith(b"P6\n8 8\n255\n")
