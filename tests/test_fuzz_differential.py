@@ -2263,3 +2263,104 @@ def test_geo_polygon_to_h3cells_covering_is_sound(run_kql, x, y, w, h, px, py, r
     ).collect()[0]
     assert r.n and r.n > 0
     assert r.covered, (poly, qx, qy, res)
+
+
+# ---------------------------------------------------------------- codecs
+# Round 8: property fuzz for the new media kernels. These don't need the
+# engine fixtures — the law is encoder/decoder roundtrip exactness over
+# randomly shaped payloads from the INDEPENDENT in-test encoders.
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(64, 900),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    kind=st.sampled_from(["verbatim", "fixed2", "lpc2"]),
+    stereo=st.sampled_from([None, "left", "right", "mid"]),
+    amp=st.integers(1, 32000),
+    seed=st.integers(0, 2**31),
+)
+def test_flac_random_roundtrip_features_exact(n, rate, kind, stereo, amp, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_flac
+    from test_multimodal import _expected_features, _flac_bytes
+
+    rng = np.random.default_rng(seed)
+    # fixed2/lpc2 write multi-partition residuals that need blocks
+    # divisible by 4; pick a block splitting n with a possibly short tail
+    if kind != "verbatim":
+        n -= n % 4
+        block = n
+    else:
+        block = max(16, n // 3)
+    base = np.clip(
+        np.cumsum(rng.integers(-amp // 8 - 1, amp // 8 + 2, n)), -32768, 32767
+    ).astype(np.int64)
+    chans = [list(base)]
+    if stereo is not None:
+        other = np.clip(base + rng.integers(-100, 101, n), -32768, 32767)
+        chans.append(list(other.astype(np.int64)))
+    got = _decode_flac(_flac_bytes(rate, chans, block=block, kind=kind, stereo=stereo))
+    assert got == _expected_features(rate, chans)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    nc=st.sampled_from([1, 3]),
+    predictor=st.integers(1, 7),
+    pt=st.integers(0, 2),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_lossless_random_roundtrip_exact(h, w, nc, predictor, pt, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+    from test_multimodal import _jpeg_lossless_bytes
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    img = rng.integers(0, 256, shape, dtype=np.int64)
+    got = _decode_jpeg(_jpeg_lossless_bytes(img, predictor=predictor, pt=pt))
+    assert got is not None and got.shape == (h, w, nc)
+    want = (img.reshape(h, w, nc) >> pt) << pt
+    assert (got.astype(np.int64) == want).all()
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    nframes=st.integers(1, 6),
+    h=st.integers(4, 16),
+    w=st.integers(4, 16),
+    scale=st.integers(1, 3),
+    rate=st.integers(4, 30),
+    codec=st.sampled_from(["dib", "mjpeg"]),
+    seed=st.integers(0, 2**31),
+)
+def test_avi_random_walk_recovers_frames(nframes, h, w, scale, rate, codec, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _avi_frames
+    from test_multimodal import _avi_bytes
+
+    rng = np.random.default_rng(seed)
+    if codec == "mjpeg":
+        # constant-color frames decode exactly through the DCT
+        frames = [
+            np.full((h, w, 3), rng.integers(0, 256), dtype=np.uint8)
+            for _ in range(nframes)
+        ]
+    else:
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(nframes)
+        ]
+    got = _avi_frames(_avi_bytes(frames, codec=codec, fps_scale_rate=(scale, rate)))
+    assert got is not None and len(got) == nframes
+    for (delay, img), want in zip(got, frames):
+        assert abs(delay - scale / rate * 100.0) < 1e-9
+        assert (img == want).all()
