@@ -4084,6 +4084,256 @@ q(
     """SELECT 6 AS nverts, true AS closed, 6 AS ring1, 12 AS ring2""",
 )
 
+# ----------------------------------------------------- TPC-H ports (round 8)
+# The remaining TPC-H queries expressible over the pruned fixture schema
+# (FIXTURES.md: no partsupp, no l_commitdate/l_receiptdate, no
+# p_container/c_phone/comment columns — q2/q4/q9/q11/q12/q16/q20/q21 are
+# out of reach; q7/q8/q13/q14/q17/q19/q22 substitute available columns
+# for the pruned ones, keeping each query's join/agg shape).
+
+q(
+    "tpch_q7",
+    """supplier
+    | join kind=inner (lineitem) on $left.s_suppkey == $right.l_suppkey
+    | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+    | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+    | join kind=inner (nation | project n1key = n_nationkey, supp_nation = n_name)
+        on $left.s_nationkey == $right.n1key
+    | join kind=inner (nation | project n2key = n_nationkey, cust_nation = n_name)
+        on $left.c_nationkey == $right.n2key
+    | where l_shipdate between (datetime(1995-01-01) .. datetime(1996-12-31))
+    | where (supp_nation == 'NATION_1' and cust_nation == 'NATION_2')
+         or (supp_nation == 'NATION_2' and cust_nation == 'NATION_1')
+    | extend l_year = getyear(l_shipdate)
+    | summarize revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        by supp_nation, cust_nation, l_year
+    | sort by supp_nation asc, cust_nation asc, l_year asc""",
+    """SELECT supp_nation, cust_nation,
+              EXTRACT(YEAR FROM l_shipdate) AS l_year,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM supplier
+       JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN (SELECT n_nationkey AS n1key, n_name AS supp_nation FROM nation) n1
+         ON s_nationkey = n1key
+       JOIN (SELECT n_nationkey AS n2key, n_name AS cust_nation FROM nation) n2
+         ON c_nationkey = n2key
+       WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+         AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+           OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+       GROUP BY supp_nation, cust_nation, EXTRACT(YEAR FROM l_shipdate)
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+
+q(
+    "tpch_q8",
+    """part
+    | where p_type == 'PROMO'
+    | join kind=inner (lineitem) on $left.p_partkey == $right.l_partkey
+    | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+    | join kind=inner (orders
+        | where o_orderdate between (datetime(1995-01-01) .. datetime(1996-12-31)))
+        on $left.l_orderkey == $right.o_orderkey
+    | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+    | join kind=inner (nation | project cnkey = n_nationkey, cnregion = n_regionkey)
+        on $left.c_nationkey == $right.cnkey
+    | join kind=inner (region) on $left.cnregion == $right.r_regionkey
+    | where r_name == 'ASIA'
+    | join kind=inner (nation | project snkey = n_nationkey, supp_nation = n_name)
+        on $left.s_nationkey == $right.snkey
+    | extend o_year = getyear(o_orderdate),
+             volume = l_extendedprice * (1.0 - l_discount)
+    | summarize mkt_share = round(
+          sum(iff(supp_nation == 'NATION_3', volume, 0.0)) / sum(volume), 4)
+        by o_year
+    | sort by o_year asc""",
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+              ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN l_extendedprice * (1.0 - l_discount)
+                             ELSE 0.0 END)
+                    / SUM(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+       FROM part
+       JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+       GROUP BY 1 ORDER BY 1""",
+)
+
+q(
+    "tpch_q10",
+    """customer
+    | join kind=inner (orders
+        | where o_orderdate >= datetime(1995-10-01) and o_orderdate < datetime(1996-01-01))
+        on $left.c_custkey == $right.o_custkey
+    | join kind=inner (lineitem | where l_returnflag == 'R')
+        on $left.o_orderkey == $right.l_orderkey
+    | join kind=inner (nation) on $left.c_nationkey == $right.n_nationkey
+    | summarize revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        by c_custkey, c_name, c_acctbal, n_name
+    | sort by revenue desc, c_custkey asc
+    | take 20""",
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o_orderdate < TIMESTAMP '1996-01-01' AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+
+q(
+    "tpch_q13",
+    """customer
+    | join kind=leftouter (orders | where o_orderpriority != '1-URGENT')
+        on $left.c_custkey == $right.o_custkey
+    | summarize c_count = countif(isnotnull(o_orderkey)) by c_custkey
+    | summarize custdist = count() by c_count
+    | sort by custdist desc, c_count desc""",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+)
+
+q(
+    "tpch_q14",
+    """lineitem
+    | where l_shipdate >= datetime(1996-03-01) and l_shipdate < datetime(1996-04-01)
+    | join kind=inner (part) on $left.l_partkey == $right.p_partkey
+    | summarize promo_revenue = round(
+          100.0 * sum(iff(p_type == 'PROMO', l_extendedprice * (1.0 - l_discount), 0.0))
+          / sum(l_extendedprice * (1.0 - l_discount)), 4)""",
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1.0 - l_discount)
+                                     ELSE 0.0 END)
+                    / SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         AND l_shipdate < TIMESTAMP '1996-04-01'""",
+)
+
+q(
+    "tpch_q15",
+    """let revenue = lineitem
+        | where l_shipdate >= datetime(1996-01-01) and l_shipdate < datetime(1996-04-01)
+        | summarize total_revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+            by l_suppkey;
+    let mx = toscalar(revenue | summarize max(total_revenue));
+    supplier
+    | join kind=inner (revenue) on $left.s_suppkey == $right.l_suppkey
+    | where total_revenue == mx
+    | project s_suppkey, s_name, total_revenue
+    | sort by s_suppkey asc""",
+    """WITH revenue AS (
+         SELECT l_suppkey,
+                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       ORDER BY s_suppkey""",
+)
+
+q(
+    "tpch_q17",
+    """let avgq = lineitem | summarize aq = 0.2 * avg(l_quantity) by l_partkey;
+    lineitem
+    | join kind=inner (part | where p_brand == 'Brand#13')
+        on $left.l_partkey == $right.p_partkey
+    | join kind=inner (avgq) on $left.l_partkey == $right.l_partkey
+    | where l_quantity < aq
+    | summarize avg_yearly = round(sum(l_extendedprice) / 7.0, 2)""",
+    """WITH avgq AS (
+         SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS aq
+         FROM lineitem GROUP BY l_partkey)
+       SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN avgq ON l_partkey = pk
+       WHERE p_brand = 'Brand#13' AND l_quantity < aq""",
+)
+
+q(
+    "tpch_q18",
+    """let big = lineitem
+        | summarize sumq = sum(l_quantity) by l_orderkey
+        | where sumq > 300.0;
+    customer
+    | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+    | join kind=inner (big) on $left.o_orderkey == $right.l_orderkey
+    | project c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sumq
+    | sort by o_totalprice desc, o_orderkey asc
+    | take 100""",
+    """WITH big AS (
+         SELECT l_orderkey AS bok, SUM(l_quantity) AS sumq
+         FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300.0)
+       SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sumq
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN big ON o_orderkey = bok
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+
+q(
+    "tpch_q19",
+    """lineitem
+    | join kind=inner (part) on $left.l_partkey == $right.p_partkey
+    | where (p_brand == 'Brand#1' and p_size between (1 .. 10)
+             and l_quantity between (1.0 .. 11.0))
+         or (p_brand == 'Brand#7' and p_size between (11 .. 30)
+             and l_quantity between (10.0 .. 20.0))
+         or (p_brand == 'Brand#9' and p_size between (20 .. 50)
+             and l_quantity between (20.0 .. 30.0))
+    | summarize revenue = round(sum(l_extendedprice * (1.0 - l_discount)), 2)""",
+    """SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 1.0 AND 11.0)
+          OR (p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 30
+              AND l_quantity BETWEEN 10.0 AND 20.0)
+          OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+              AND l_quantity BETWEEN 20.0 AND 30.0)""",
+)
+
+q(
+    "tpch_q22",
+    """let avgbal = toscalar(customer
+        | where c_acctbal > 0.0 and c_nationkey in (1, 3, 5, 7, 9, 11, 13)
+        | summarize avg(c_acctbal));
+    customer
+    | where c_nationkey in (1, 3, 5, 7, 9, 11, 13) and c_acctbal > avgbal
+    | join kind=leftanti (orders | where o_orderpriority == '1-URGENT')
+        on $left.c_custkey == $right.o_custkey
+    | summarize numcust = count(), totacctbal = round(sum(c_acctbal), 2)
+        by c_nationkey
+    | sort by c_nationkey asc""",
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+              ROUND(SUM(c_acctbal), 2) AS totacctbal
+       FROM customer
+       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+         AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0
+                            AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+         AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A
