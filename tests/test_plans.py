@@ -517,3 +517,29 @@ def test_json_single_key_stays_unshared(run_kql):
     df = run_kql("events | project a = props.k")
     plan = _plan(df)
     assert "from_json" not in plan, plan
+
+
+def test_tpch_q10_dims_broadcast_filters_pushed(run_kql):
+    # round 8 TPC-H ports: the canonical join shapes must come out with
+    # the 100 TB-safe physical plan — small dims broadcast (customer,
+    # nation at these sizes), selective filters pushed to the scans
+    from kql_engine_spark.corpus import CORPUS
+
+    df = run_kql(CORPUS["tpch_q10"][0])
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # take 20 after sort: top-k
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_returnflag" in p for p in pushed)  # reaches lineitem scan
+    assert any("o_orderdate" in p for p in pushed)  # reaches orders scan
+
+
+def test_tpch_q18_single_fact_pass(run_kql):
+    # q18's big-order CTE aggregates lineitem once; the fact table must
+    # appear in exactly one scan subtree feeding a partial/final hash agg
+    from kql_engine_spark.corpus import CORPUS
+
+    df = run_kql(CORPUS["tpch_q18"][0])
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "HashAggregate" in plan
