@@ -1053,6 +1053,10 @@ BENCH_QUERIES: dict[str, str] = {
     "b8_agg_dcount": "agg_sweep",
     "b9_make_series": "make_series_datetime",
     "b10_has_scan": "has_term",
+    # round 8: the two heaviest TPC-H ports join the bench — fact
+    # self-aggregation + 3 joins (q18) and 4-way join + top-k (q10)
+    "b11_tpch_q18": "tpch_q18",
+    "b12_tpch_q10": "tpch_q10",
 }
 
 
@@ -4273,9 +4277,9 @@ q(
     """let big = lineitem
         | summarize sumq = sum(l_quantity) by l_orderkey
         | where sumq > 300.0;
-    customer
-    | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
-    | join kind=inner (big) on $left.o_orderkey == $right.l_orderkey
+    big
+    | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+    | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
     | project c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sumq
     | sort by o_totalprice desc, o_orderkey asc
     | take 100""",
