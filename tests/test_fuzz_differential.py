@@ -2364,3 +2364,79 @@ def test_avi_random_walk_recovers_frames(nframes, h, w, scale, rate, codec, seed
     for (delay, img), want in zip(got, frames):
         assert abs(delay - scale / rate * 100.0) < 1e-9
         assert (img == want).all()
+
+
+# ------------------------------------------------- MPEG-audio frame-walk fuzz
+# Independent stream builder from the published ISO 11172-3 / 13818-3
+# header layout and bitrate/sample-rate tables (same tables, independent
+# walk): random VBR streams — per-frame bitrate index AND padding bit,
+# every version x layer x rate combination, adversarial payload fill
+# (0xFF bytes form fake sync words inside frame bodies), optional ID3v2
+# prefix / ID3v1 trailer. The walker must land exactly on every frame
+# boundary (duration exact to the sample), and any mid-frame truncation
+# must fail closed. Pins the walk discipline the CBR example tests
+# (test_multimodal.py::test_mp3_frame_walk_exact_duration) can't.
+
+_MPEG_RATES_LAW = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                   0: (11025, 12000, 8000)}
+_MPEG_KBPS_LAW = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+
+def _mpeg_vbr_stream(version, layer, srx, brxs, pads, fill):
+    rate = _MPEG_RATES_LAW[version][srx]
+    out = bytearray()
+    spf = 384 if layer == 1 else (1152 if (version == 3 or layer == 2) else 576)
+    for brx, pad in zip(brxs, pads):
+        b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 1
+        b2 = (brx << 4) | (srx << 2) | (pad << 1)
+        bps = _MPEG_KBPS_LAW[(version == 3, layer)][brx - 1] * 1000
+        if layer == 1:
+            ln = (12 * bps // rate + pad) * 4
+        else:
+            ln = spf // 8 * bps // rate + pad
+        out += bytes([0xFF, b1, b2, 0xC0]) + bytes([fill]) * (ln - 4)
+    return bytes(out), rate, spf
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    version=st.sampled_from([3, 2, 0]),
+    layer=st.sampled_from([1, 2, 3]),
+    srx=st.integers(0, 2),
+    brxs=st.lists(st.integers(1, 14), min_size=2, max_size=20),
+    data=st.data(),
+    fill=st.sampled_from([0x00, 0xFF, 0x55]),
+    id3v2_extra=st.one_of(st.none(), st.integers(0, 200)),
+    id3v1=st.booleans(),
+    cut=st.one_of(st.none(), st.integers(1, 3)),
+)
+def test_mp3_random_vbr_walk_exact(version, layer, srx, brxs, data, fill,
+                                   id3v2_extra, id3v1, cut):
+    from kql_engine_spark.multimodal import _decode_mp3
+
+    pads = data.draw(st.lists(st.integers(0, 1), min_size=len(brxs),
+                              max_size=len(brxs)))
+    body, rate, spf = _mpeg_vbr_stream(version, layer, srx, brxs, pads, fill)
+    payload = body
+    if id3v2_extra is not None:  # syncsafe size, zero-filled tag body
+        sz = id3v2_extra
+        payload = (b"ID3\x04\x00\x00"
+                   + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                            (sz >> 7) & 0x7F, sz & 0x7F])
+                   + bytes(sz) + payload)
+    if id3v1:
+        payload = payload + b"TAG" + bytes(125)
+    if cut is not None:
+        # slice 1-3 bytes off the final frame (the shortest legal frame is
+        # 24 bytes, so this is never a clean boundary): the walk must fail
+        # closed, not report a shorter duration
+        assert _decode_mp3(body[: len(body) - cut]) is None
+        return
+    assert _decode_mp3(payload) == (round(len(brxs) * spf / rate, 6), rate, None)
