@@ -259,8 +259,10 @@ def _decode_png(payload: bytes):
 # with nearest upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr -> RGB.
 # Baseline/extended sequential (SOF0/1, 8- and 12-bit), progressive
 # (SOF2: spectral selection + successive approximation per ITU T.81
-# G.2), and lossless (SOF3, Annex H predictors 1-7, modulo-2^16) are
-# decoded; arithmetic coding returns None.
+# G.2), lossless (SOF3, Annex H predictors 1-7, modulo-2^16), and
+# arithmetic-coded sequential/progressive (SOF9/SOF10, Annex D QM coder
+# with F.1.4.4 conditioning + DAC-marker parameters) are decoded;
+# hierarchical and arithmetic lossless return None.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -552,6 +554,315 @@ def _jpeg_lossless_scan(data, scan_comps, pred_sel, pt, hufft, smap,
                 p[y, x] = (px + diff) & 0xFFFF
 
 
+# ------------------------------------------------- JPEG arithmetic (SOF9/10)
+# QM-coder probability estimation state machine, ITU-T T.81 Table D.3
+# (Qe, NMPS, NLPS, SWITCH). Entry 113 is the non-adapting equiprobable
+# state used for AC sign / refinement decisions (the "fixed bin" of the
+# public IJG codec, whose register conventions the decoder below also
+# follows). NOTE on validation: the round-trip tests drive this table
+# through an INDEPENDENTLY WRITTEN in-test encoder (T.81 Annex D encoder
+# flowcharts), which proves the coder/conditioning logic but would not
+# catch a transcription error in the shared table itself; the structural
+# invariants (chain reachability, SWITCH only at MPS-exchange states,
+# Qe monotone along the fast-attack chain) are asserted in tests.
+_JPEG_ARITAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _JpegArithDec:
+    """QM arithmetic decoder per ITU-T T.81 Annex D / F.2.2 (DECODE with
+    conditional MPS/LPS exchange), using the lazy-renormalization register
+    layout of the public IJG implementation: the code register C is never
+    shifted during renormalization — CT tracks how many low-order bits C
+    holds beyond A's alignment, and the subinterval boundary is scaled by
+    CT at compare time. `data` is the byte-unstuffed entropy segment from
+    _jpeg_entropy_slice; reads past its end feed zero bytes (a marker was
+    reached — legal mid-stream in arithmetic coding, F.2.2.5).
+
+    A statistics bin is one byte: bit 7 = current MPS sense, bits 0-6 =
+    Table D.3 state index."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the two INITDEC byte loads on first decode
+
+    def decode(self, st: bytearray, i: int) -> int:
+        a, c, ct = self.a, self.c, self.ct
+        data, n = self.data, len(self.data)
+        while a < 0x8000:
+            ct -= 1
+            if ct < 0:
+                if self.pos < n:
+                    b = data[self.pos]
+                    self.pos += 1
+                else:
+                    b = 0
+                c = (c << 8) | b
+                ct += 8
+                if ct < 0:  # still inside INITDEC: need 2 bytes in C
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # -> 0x10000 after the shift below
+            a <<= 1
+        sv = st[i]
+        qe, nmps, nlps, sw = _JPEG_ARITAB[sv & 0x7F]
+        a -= qe
+        bound = a << ct
+        if c >= bound:
+            c -= bound
+            # LPS region, conditional exchange (T.81 Figure F.22)
+            if a < qe:
+                bit = sv >> 7
+                st[i] = (sv & 0x80) | nmps
+            else:
+                bit = 1 - (sv >> 7)
+                if sw:
+                    sv ^= 0x80
+                st[i] = (sv & 0x80) | nlps
+            a = qe
+        elif a < 0x8000:
+            # MPS region needing renorm, conditional exchange (F.23)
+            if a < qe:
+                bit = 1 - (sv >> 7)
+                if sw:
+                    sv ^= 0x80
+                st[i] = (sv & 0x80) | nlps
+            else:
+                bit = sv >> 7
+                st[i] = (sv & 0x80) | nmps
+        else:
+            bit = sv >> 7  # MPS, no renormalization, no state change
+        self.a, self.c, self.ct = a, c, ct
+        return bit
+
+
+def _jpeg_arith_scan(data, restarts, scan_comps, ss, se, ah, al, cond,
+                     smap, dri, coefs, comps, mcux, mcuy, progressive):
+    """Decode one arithmetic-coded scan (SOF9 sequential / SOF10
+    progressive) into the zigzag-order coefficient stores, mirroring the
+    Huffman path's walk. Conditioning per T.81 F.1.4.4: DC uses a
+    5-category context from the previous block's diff classified against
+    the DAC (L, U) bounds; AC sign and refinement use the fixed
+    equiprobable bin; AC magnitude-category bins split at the DAC Kx
+    threshold. Statistics areas, DC contexts/predictors, and the decoder
+    registers all reset at restart markers (F.2.4). Each restart segment
+    is decoded against ITS OWN byte range: reads past a segment's end
+    must feed zeros (the marker was reached, F.2.2.5) — handing the
+    decoder the following segment's bytes instead desyncs the final
+    symbols before the boundary."""
+    state = {"dec": _JpegArithDec(data[: restarts[0]] if restarts else data)}
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    last_dc = {ci: 0 for ci in scan_comps}
+    dc_ctx = {ci: 0 for ci in scan_comps}
+
+    def dstat(t):
+        if t not in dc_stats:
+            dc_stats[t] = bytearray(64)
+        return dc_stats[t]
+
+    def astat(t):
+        if t not in ac_stats:
+            ac_stats[t] = bytearray(256)
+        return ac_stats[t]
+
+    def decode_dc(zz, ci):
+        # T.81 F.2.4.1 / Figures F.22-F.24 (layout: Table F.4)
+        td = smap[comps[ci]["id"]][0]
+        st = dstat(td)
+        d = state["dec"]
+        i = dc_ctx[ci]
+        if d.decode(st, i) == 0:
+            dc_ctx[ci] = 0
+        else:
+            sign = d.decode(st, i + 1)
+            i += 2 + sign  # SP = S0+2, SN = S0+3
+            m = d.decode(st, i)
+            if m:
+                i = 20  # X1
+                while d.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("jpeg: arith DC magnitude overrun")
+                    i += 1
+            lo, up = cond.get((0, td), (0, 1))
+            if m < (1 << lo) >> 1:
+                dc_ctx[ci] = 0  # zero diff category
+            elif m > (1 << up) >> 1:
+                dc_ctx[ci] = 12 + 4 * sign  # large diff category
+            else:
+                dc_ctx[ci] = 4 + 4 * sign  # small diff category
+            v = m
+            i += 14  # magnitude bits share one bin at X + 14
+            m >>= 1
+            while m:
+                if d.decode(st, i):
+                    v |= m
+                m >>= 1
+            v += 1
+            last_dc[ci] += -v if sign else v
+        zz[0] = last_dc[ci] << al
+
+    def decode_ac_first(zz, ci, kstart):
+        # T.81 F.2.4.2 (sequential) == G.2 first-pass band with << al
+        ta = smap[comps[ci]["id"]][1]
+        st = astat(ta)
+        kx = cond.get((1, ta), 5)
+        d = state["dec"]
+        k = kstart
+        while k <= se:
+            i = 3 * (k - 1)
+            if d.decode(st, i):
+                return  # EOB
+            while d.decode(st, i + 1) == 0:
+                i += 3
+                k += 1
+                if k > se:
+                    raise ValueError("jpeg: arith AC overrun")
+            sign = d.decode(fixed, 0)
+            i += 2
+            m = d.decode(st, i)
+            if m and d.decode(st, i):
+                m = 2
+                i = 189 if k <= kx else 217  # X2 of the lo/hi band
+                while d.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("jpeg: arith AC magnitude overrun")
+                    i += 1
+            v = m
+            i += 14
+            m >>= 1
+            while m:
+                if d.decode(st, i):
+                    v |= m
+                m >>= 1
+            v += 1
+            zz[k] = (-v if sign else v) << al
+            k += 1
+
+    def decode_ac_refine(zz, ci):
+        # T.81 G.2 successive-approximation correction scan
+        ta = smap[comps[ci]["id"]][1]
+        st = astat(ta)
+        d = state["dec"]
+        p1, m1 = 1 << al, -1 << al
+        kex = se
+        while kex > 0 and zz[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            i = 3 * (k - 1)
+            if k > kex and d.decode(st, i):
+                return  # EOB
+            while True:
+                c = int(zz[k])
+                if c:
+                    if d.decode(st, i + 2):
+                        zz[k] = c + (m1 if c < 0 else p1)
+                    break
+                if d.decode(st, i + 1):
+                    zz[k] = m1 if d.decode(fixed, 0) else p1
+                    break
+                i += 3
+                k += 1
+                if k > se:
+                    raise ValueError("jpeg: arith AC refine overrun")
+            k += 1
+
+    def decode_block(zz, ci):
+        if ah == 0:
+            if ss == 0:
+                decode_dc(zz, ci)
+            if se >= 1:
+                decode_ac_first(zz, ci, max(ss, 1))
+        elif ss == 0:
+            # DC refinement: one fixed-bin correction bit per block
+            if state["dec"].decode(fixed, 0):
+                zz[0] |= 1 << al
+        else:
+            decode_ac_refine(zz, ci)
+
+    if len(scan_comps) > 1:
+        n_units = mcux * mcuy
+    else:
+        ci0 = scan_comps[0]
+        c0 = comps[ci0]
+        bw = -(-c0["w_px"] // 8)
+        bh = -(-c0["h_px"] // 8)
+        n_units = bw * bh
+    nrst = 0
+    for m in range(n_units):
+        if dri and m and m % dri == 0:
+            if nrst >= len(restarts):
+                raise ValueError("jpeg: restart marker missing (DRI desync)")
+            nxt = restarts[nrst + 1] if nrst + 1 < len(restarts) else len(data)
+            state["dec"] = _JpegArithDec(data[restarts[nrst] : nxt])
+            nrst += 1
+            for t in dc_stats.values():
+                t[:] = bytes(len(t))
+            for t in ac_stats.values():
+                t[:] = bytes(len(t))
+            fixed[0] = 113
+            for ci in scan_comps:
+                last_dc[ci] = 0
+                dc_ctx[ci] = 0
+        if len(scan_comps) > 1:
+            my, mx = divmod(m, mcux)
+            for ci in scan_comps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        decode_block(
+                            coefs[ci][my * c["v"] + by, mx * c["h"] + bx], ci
+                        )
+        else:
+            by, bx = divmod(m, bw)
+            decode_block(coefs[ci0][by, bx], ci0)
+
+
 def _decode_jpeg(payload: bytes):
     import struct
 
@@ -563,6 +874,8 @@ def _decode_jpeg(payload: bytes):
     frame = None
     progressive = False
     lossless = False
+    arith = False
+    arith_cond: dict[tuple[int, int], object] = {}
     prec, pt_used = 8, 0
     coefs = None
     mcux = mcuy = 0
@@ -598,10 +911,12 @@ def _decode_jpeg(payload: bytes):
                 vals = list(seg[s + 17 : s + 17 + n])
                 hufft[(tc, th)] = _jpeg_huff_table(bits16, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
+            # SOF9/10 arithmetic-coded sequential/progressive
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if lossless:
                 if not 2 <= prec <= 16:
@@ -630,8 +945,23 @@ def _decode_jpeg(payload: bytes):
                     np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
                 )
             frame = (h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # arithmetic / hierarchical: out of tier
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
+            return None  # hierarchical / arithmetic lossless: out of tier
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            s = 0
+            while s + 1 < len(seg):
+                tc, tb = seg[s] >> 4, seg[s] & 15
+                cs = seg[s + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up or up > 15:
+                        return None
+                    arith_cond[(0, tb)] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        return None
+                    arith_cond[(1, tb)] = cs
+                s += 2
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg)[0]
         elif marker == 0xDA:  # SOS
@@ -657,6 +987,11 @@ def _decode_jpeg(payload: bytes):
                 _jpeg_lossless_scan(
                     data, scan_comps, ss, al, hufft, smap, coefs, comps,
                     h, w, prec,
+                )
+            elif arith:
+                _jpeg_arith_scan(
+                    data, restarts, scan_comps, ss, se, ah, al, arith_cond,
+                    smap, dri, coefs, comps, mcux, mcuy, progressive,
                 )
             else:
                 _jpeg_decode_scan(
@@ -872,11 +1207,13 @@ def _decode_payload(payload: bytes):
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """REAL image decode for library-free codecs (PNG/BMP/PPM/PGM — pure
-    numpy + stdlib zlib); same schema and mapInPandas batch shape as
-    fake_decode_image. Payloads the built-in codecs can't parse (JPEG/GIF
-    need an image library) decode to null feature columns rather than
-    failing the batch — filter `width IS NULL` to find them."""
+    """REAL image decode for library-free codecs (PNG/BMP/PPM/PGM/GIF and
+    JPEG — baseline, extended sequential, progressive, lossless, and
+    arithmetic-coded SOF9/SOF10 — all pure numpy + stdlib zlib); same
+    schema and mapInPandas batch shape as fake_decode_image. Payloads the
+    built-in codecs can't parse (hierarchical / arithmetic-lossless JPEG,
+    truncated streams) decode to null feature columns rather than failing
+    the batch — filter `width IS NULL` to find them."""
     import pandas as pd
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

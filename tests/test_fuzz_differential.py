@@ -2331,6 +2331,45 @@ def test_jpeg_lossless_random_roundtrip_exact(h, w, nc, predictor, pt, seed):
     assert (got.astype(np.int64) == want).all()
 
 
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    h=st.integers(1, 28),
+    w=st.integers(1, 28),
+    nc=st.sampled_from([1, 3]),
+    dri=st.sampled_from([0, 0, 1, 2, 3]),
+    lo=st.integers(0, 3),
+    du=st.integers(0, 3),
+    kx=st.sampled_from([1, 5, 13, 63]),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_arith_entropy_layer_is_invisible(h, w, nc, dri, lo, du, kx,
+                                               progressive, seed):
+    # LAW: swapping the entropy coder (Huffman <-> T.81 Annex D
+    # arithmetic) must not change a single decoded pixel — both carry the
+    # same quantized coefficients. Randomizes dims, restart interval,
+    # DAC conditioning (L<=U, Kx), and the progressive SA ladder.
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+    from test_multimodal import _jpeg_arith_bytes, _jpeg_bytes
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if nc == 1 else (h, w, nc)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    cond_dc = (lo, lo + du)
+    if progressive:
+        payload = _jpeg_arith_bytes(img, cond_dc=cond_dc, cond_ac=kx,
+                                    progressive=True)
+    else:
+        payload = _jpeg_arith_bytes(img, dri=dri, cond_dc=cond_dc, cond_ac=kx)
+    got = _decode_jpeg(payload)
+    ref = _decode_jpeg(_jpeg_bytes(img))
+    assert got is not None and ref is not None
+    assert np.array_equal(got, ref)
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(

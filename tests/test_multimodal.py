@@ -969,6 +969,533 @@ def test_jpeg_progressive_smooth_image_exercises_eobrun():
         assert np.max(np.abs(got[..., 0].astype(int) - img.astype(int))) <= 1
 
 
+# ------------------------------------------------- JPEG arithmetic (SOF9/10)
+# Minimal arithmetic-coded JPEG ENCODER for tests, written against the
+# T.81 Annex D ENCODER flowcharts (CODE0/CODE1, RENORME, BYTEOUT with
+# carry/FF-stack/zero-deferral, FLUSH) and the F.1.4.4 conditioning
+# procedures — independent of the engine's DECODER logic. The one shared
+# artifact is the Table D.3 state machine itself (duplicated below so a
+# later engine-side edit is pinned); a transcription error common to both
+# copies would not be caught by these round-trips and is called out in the
+# engine docstring.
+
+_TEST_ARITAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithW:
+    """T.81 Annex D arithmetic ENCODER: CODE0/CODE1 with conditional
+    exchange, RENORME with BYTEOUT (carry propagation over stacked 0xFF
+    bytes, deferred zero bytes), 0x00 stuffing after emitted 0xFF, and
+    the D.1.8 FLUSH that drops trailing zero bytes."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # deferred 0x00 bytes
+        self.out = bytearray()
+
+    def _emit(self, b):
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0)
+
+    def _flush_zc(self):
+        if self.zc:
+            self.out.extend(b"\x00" * self.zc)
+            self.zc = 0
+
+    def encode(self, st, i, bit):
+        sv = st[i]
+        qe, nmps, nlps, sw = _TEST_ARITAB[sv & 0x7F]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS, conditional exchange
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            if sw:
+                sv ^= 0x80
+            st[i] = (sv & 0x80) | nlps
+        else:
+            # MPS
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) | nmps
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:  # BYTEOUT
+                temp = self.c >> 19
+                if temp > 0xFF:
+                    # carry: ripple into buffer, stacked FFs become 00
+                    if self.buffer >= 0:
+                        self._flush_zc()
+                        self._emit(self.buffer + 1)
+                    self.zc += self.sc
+                    self.sc = 0
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    elif self.buffer >= 0:
+                        self._flush_zc()
+                        self._emit(self.buffer)
+                    if self.sc:
+                        self._flush_zc()
+                        self.out.extend(b"\xff\x00" * self.sc)
+                        self.sc = 0
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                return
+
+    def finish(self):
+        # D.1.8: pick the in-interval codepoint with most trailing zeros
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._flush_zc()
+                self._emit(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_zc()
+                self._emit(self.buffer)
+            if self.sc:
+                self._flush_zc()
+                self.out.extend(b"\xff\x00" * self.sc)
+                self.sc = 0
+        if self.c & 0x7FFF800:  # trailing zero bytes are dropped
+            self._flush_zc()
+            self._emit((self.c >> 19) & 0xFF)
+            if self.c & 0x7F800:
+                self._emit((self.c >> 11) & 0xFF)
+        self.buffer = -1
+        return bytes(self.out)
+
+
+class _ArithJpegCtx:
+    """Per-restart-interval encode state: coder, statistics, DC contexts."""
+
+    def __init__(self, ncomp):
+        self.w = _ArithW()
+        self.dc_st = bytearray(64)
+        self.ac_st = bytearray(256)
+        self.fixed = bytearray([113])
+        self.pred = [0] * ncomp
+        self.dc_ctx = [0] * ncomp
+
+    def enc_dc(self, ci, v, cond_dc):
+        # F.1.4.1 / F.1.4.4.1 (v already point-transformed)
+        w, st = self.w, self.dc_st
+        d = v - self.pred[ci]
+        self.pred[ci] = v
+        i = self.dc_ctx[ci]
+        if d == 0:
+            w.encode(st, i, 0)
+            self.dc_ctx[ci] = 0
+            return
+        w.encode(st, i, 1)
+        sign = 1 if d < 0 else 0
+        w.encode(st, i + 1, sign)
+        i += 2 + sign
+        v2 = (-d if sign else d) - 1
+        m = 0
+        if v2:
+            w.encode(st, i, 1)
+            m = 1
+            i = 20  # X1
+            vt = v2
+            while vt >> 1:
+                w.encode(st, i, 1)
+                m <<= 1
+                i += 1
+                vt >>= 1
+        w.encode(st, i, 0)
+        lo, up = cond_dc
+        if m < (1 << lo) >> 1:
+            self.dc_ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            self.dc_ctx[ci] = 12 + 4 * sign
+        else:
+            self.dc_ctx[ci] = 4 + 4 * sign
+        i += 14
+        mm = m >> 1
+        while mm:
+            w.encode(st, i, 1 if v2 & mm else 0)
+            mm >>= 1
+
+    def enc_ac_band(self, zz, kstart, se, al, kx):
+        # F.1.4.2 sequential / G.1.3.2 first-pass band with >> al
+        w, st = self.w, self.ac_st
+        ke = se
+        while ke >= kstart and (abs(zz[ke]) >> al) == 0:
+            ke -= 1
+        k = kstart
+        while k <= ke:
+            i = 3 * (k - 1)
+            w.encode(st, i, 0)  # not EOB yet
+            while (abs(zz[k]) >> al) == 0:
+                w.encode(st, i + 1, 0)
+                i += 3
+                k += 1
+            w.encode(st, i + 1, 1)
+            sign = 1 if zz[k] < 0 else 0
+            w.encode(self.fixed, 0, sign)
+            v = (abs(zz[k]) >> al) - 1
+            i += 2
+            m = 0
+            if v:
+                w.encode(st, i, 1)
+                m = 1
+                if v >> 1:
+                    w.encode(st, i, 1)
+                    m = 2
+                    i = 189 if k <= kx else 217  # X2 lo/hi band
+                    vt = v >> 1
+                    while vt >> 1:
+                        w.encode(st, i, 1)
+                        m <<= 1
+                        i += 1
+                        vt >>= 1
+            w.encode(st, i, 0)
+            i += 14
+            mm = m >> 1
+            while mm:
+                w.encode(st, i, 1 if v & mm else 0)
+                mm >>= 1
+            k += 1
+        if ke < se:
+            w.encode(st, 3 * (k - 1), 1)  # EOB
+
+    def enc_ac_refine(self, zz, kstart, se, al):
+        # G.1.3.3 successive-approximation correction scan
+        w, st = self.w, self.ac_st
+        ke = se
+        while ke >= kstart and (abs(zz[ke]) >> al) == 0:
+            ke -= 1
+        kex = ke
+        while kex >= kstart and (abs(zz[kex]) >> (al + 1)) == 0:
+            kex -= 1
+        k = kstart
+        while k <= ke:
+            i = 3 * (k - 1)
+            if k > kex:
+                w.encode(st, i, 0)
+            while True:
+                t = abs(zz[k]) >> al
+                if t:
+                    if t >> 1:  # previously nonzero: correction bit
+                        w.encode(st, i + 2, t & 1)
+                    else:  # newly nonzero: significance + sign
+                        w.encode(st, i + 1, 1)
+                        w.encode(self.fixed, 0, 1 if zz[k] < 0 else 0)
+                    break
+                w.encode(st, i + 1, 0)
+                i += 3
+                k += 1
+            k += 1
+        if ke < se:
+            w.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _jpeg_arith_bytes(img, sampling=None, dri=0, cond_dc=(0, 1), cond_ac=5,
+                      progressive=False):
+    """Arithmetic-coded JPEG encoder (tests only). Sequential SOF9 with
+    optional subsampling/restarts/conditioning, or — progressive=True,
+    1:1 only — SOF10 as a 4-scan successive-approximation ladder
+    (DC@Al=1, per-comp AC@Al=1, DC refine, per-comp AC refine)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 or img.shape[2] == 1 else 3
+    img = img.reshape(h, w, ch).astype(np.float64)
+    if ch == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = sampling or [(1, 1)] * 3
+    else:
+        planes = [img[..., 0]]
+        samp = [(1, 1)]
+    if progressive:
+        assert all(s == (1, 1) for s in samp), "progressive test enc is 1:1"
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0] /= np.sqrt(2.0)
+    C /= 2.0
+    # quantized zigzag blocks per component on the MCU-padded grid
+    blocks = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        pp = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            pp = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        rows = []
+        for by in range(mcuy * sv):
+            row = []
+            for bx in range(mcux * sh):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qc = np.rint(C @ blk @ C.T).astype(int)
+                row.append([int(qc.flat[_TEST_ZIGZAG[i]]) for i in range(64)])
+            rows.append(row)
+        blocks.append(rows)
+    nc = len(planes)
+
+    def walk_mcu(ctx_holder, per_block, out):
+        """Interleaved MCU walk with restart handling shared by the
+        sequential scan and the progressive DC scans."""
+        rst = 0
+        for m in range(mcux * mcuy):
+            if dri and m and m % dri == 0:
+                out.extend(ctx_holder[0].w.finish())
+                out.extend(b"\xff" + bytes([0xD0 + rst % 8]))
+                rst += 1
+                ctx_holder[0] = _ArithJpegCtx(nc)
+            my, mx = divmod(m, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        per_block(
+                            ctx_holder[0],
+                            blocks[ci][my * sv + by][mx * sh + bx], ci,
+                        )
+        out.extend(ctx_holder[0].w.finish())
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hd = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                       len(comp_ids))
+        for cid in comp_ids:
+            hd += bytes([cid, 0x00])  # Td=0 (DC cond table), Ta=0 (AC)
+        hd += bytes([ss, se, (ah << 4) | al])
+        return hd
+
+    scans = bytearray()
+    if not progressive:
+        scans += sos_header(list(range(1, nc + 1)), 0, 63, 0, 0)
+        holder = [_ArithJpegCtx(nc)]
+
+        def seq_block(ctx, zz, ci):
+            ctx.enc_dc(ci, zz[0], cond_dc)
+            ctx.enc_ac_band(zz, 1, 63, 0, cond_ac)
+
+        walk_mcu(holder, seq_block, scans)
+    else:
+        # DC first @ Al=1 (interleaved)
+        scans += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1)
+        holder = [_ArithJpegCtx(nc)]
+        walk_mcu(
+            holder,
+            lambda ctx, zz, ci: ctx.enc_dc(ci, zz[0] >> 1, cond_dc), scans,
+        )
+        # AC first @ Al=1, one non-interleaved scan per component
+        for ci in range(nc):
+            scans += sos_header([ci + 1], 1, 63, 0, 1)
+            ctx = _ArithJpegCtx(nc)
+            for row in blocks[ci]:
+                for zz in row:
+                    ctx.enc_ac_band(zz, 1, 63, 1, cond_ac)
+            scans += ctx.w.finish()
+        # DC refine @ Ah=1, Al=0 (fixed-bin correction bits)
+        scans += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0)
+        holder = [_ArithJpegCtx(nc)]
+        walk_mcu(
+            holder,
+            lambda ctx, zz, ci: ctx.w.encode(ctx.fixed, 0, zz[0] & 1), scans,
+        )
+        # AC refine @ Ah=1, Al=0 per component
+        for ci in range(nc):
+            scans += sos_header([ci + 1], 1, 63, 1, 0)
+            ctx = _ArithJpegCtx(nc)
+            for row in blocks[ci]:
+                for zz in row:
+                    ctx.enc_ac_refine(zz, 1, 63, 0)
+            scans += ctx.w.finish()
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    head += (b"\xff\xca" if progressive else b"\xff\xc9") + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
+    for ci, (sh, sv) in enumerate(samp):
+        head += bytes([ci + 1, (sh << 4) | sv, 0])
+    # DAC: DC table 0 conditioning (L | U<<4), AC table 0 Kx
+    head += b"\xff\xcc" + struct.pack(">H", 6) + bytes(
+        [0x00, (cond_dc[1] << 4) | cond_dc[0], 0x10, cond_ac]
+    )
+    if dri:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    return bytes(head) + bytes(scans) + b"\xff\xd9"
+
+
+def test_jpeg_aritab_structural_invariants():
+    from kql_engine_spark.multimodal import _JPEG_ARITAB
+
+    assert _JPEG_ARITAB == _TEST_ARITAB  # test-side pin against edits
+    assert len(_JPEG_ARITAB) == 114
+    for idx, (qe, nmps, nlps, sw) in enumerate(_JPEG_ARITAB):
+        assert 0 < qe <= 0x5B12
+        assert 0 <= nmps < 114 and 0 <= nlps < 114
+        # SWITCH only at states whose Qe is near 0.5 (MPS sense can flip
+        # only where the LPS has become the more probable symbol)
+        if sw:
+            assert qe > 0x5000, (idx, hex(qe))
+    # the fast-attack chain from state 0 strictly decreases Qe
+    seen, i = set(), 1
+    while i not in seen and i != _JPEG_ARITAB[i][1]:
+        seen.add(i)
+        assert _JPEG_ARITAB[_JPEG_ARITAB[i][1]][0] < _JPEG_ARITAB[i][0]
+        i = _JPEG_ARITAB[i][1]
+    # state 113 is the non-adapting equiprobable bin
+    qe, nmps, nlps, sw = _JPEG_ARITAB[113]
+    assert (nmps, nlps, sw) == (113, 113, 0)
+
+
+def test_jpeg_arith_sequential_roundtrip():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(47)
+    # constant gray, DC-only: exact
+    g = np.full((16, 8), 136, dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(g))
+    assert got is not None and got.shape == (16, 8, 1) and np.all(got == 136)
+    # random color 4:4:4, all-ones quant: only DCT rounding survives
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(img))
+    assert got is not None and got.shape == (16, 16, 3)
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 4
+    # odd dims crop back
+    odd = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(odd))
+    assert got is not None and got.shape == (12, 10, 3)
+    assert np.max(np.abs(got.astype(int) - odd.astype(int))) <= 4
+    # 4:2:0 constant color survives subsample+upsample within +-1
+    c420 = np.zeros((32, 16, 3), dtype=np.uint8)
+    c420[..., 0], c420[..., 1], c420[..., 2] = 70, 120, 200
+    got = _decode_jpeg(_jpeg_arith_bytes(c420, sampling=[(2, 2), (1, 1), (1, 1)]))
+    assert got is not None and np.max(np.abs(got.astype(int) - c420.astype(int))) <= 1
+
+
+def test_jpeg_arith_matches_huffman_pixels():
+    # same source, same quantized coefficients -> the entropy layer must
+    # be invisible: arithmetic and Huffman decodes are bit-identical
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(53)
+    for shape in ((16, 16, 3), (24, 17, 3), (8, 8)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        ha = _decode_jpeg(_jpeg_bytes(img))
+        ar = _decode_jpeg(_jpeg_arith_bytes(img))
+        assert ha is not None and ar is not None
+        assert np.array_equal(ha, ar)
+
+
+def test_jpeg_arith_restart_and_conditioning():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 256, size=(32, 16, 3), dtype=np.uint8)
+    # restart markers reset coder, statistics, and DC contexts
+    got = _decode_jpeg(_jpeg_arith_bytes(img, dri=2))
+    ref = _decode_jpeg(_jpeg_bytes(img))
+    assert got is not None and np.array_equal(got, ref)
+    # non-default DAC conditioning must round-trip identically too
+    got = _decode_jpeg(_jpeg_arith_bytes(img, cond_dc=(2, 4), cond_ac=13))
+    assert got is not None and np.array_equal(got, ref)
+    # smooth gradient: long EOB chains, low-activity statistics
+    y, x = np.mgrid[0:40, 0:33]
+    grad = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(grad))
+    assert got is not None and got.shape == (40, 33, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - grad.astype(int))) <= 1
+
+
+def test_jpeg_arith_progressive_roundtrip():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(img, progressive=True))
+    ref = _decode_jpeg(_jpeg_bytes(img))
+    # the SA ladder reconstructs the same coefficients as sequential
+    assert got is not None and np.array_equal(got, ref)
+    g = rng.integers(0, 256, size=(23, 9), dtype=np.uint8)
+    got = _decode_jpeg(_jpeg_arith_bytes(g, progressive=True))
+    assert got is not None and got.shape == (23, 9, 1)
+    assert np.max(np.abs(got[..., 0].astype(int) - g.astype(int))) <= 1
+
+
 # ------------------------------------------------------------------ FLAC
 # Minimal FLAC ENCODER for tests — independent bit writer, CRC-8/CRC-16,
 # Rice coder, and frame assembly written against the published format
