@@ -1196,7 +1196,7 @@ def _decode_payload(payload: bytes):
     sequential JPEG, first-frame GIF), else None. Progressive JPEG and
     audio/video codecs stay library-gated."""
     for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg, _decode_gif,
-                _decode_avi):
+                _decode_avi, _decode_mp4_video):
         try:
             a = dec(payload)
         except Exception:
@@ -1922,12 +1922,269 @@ def _decode_flac(payload: bytes):
     return round(nsamp / rate, 6), int(rate), round(rms, 6)
 
 
+# ----------------------------------------------------------- MP4/MOV/M4A
+# ISO BMFF container walk (ISO/IEC 14496-12 box grammar + the QuickTime
+# File Format sample-table layout it standardized): moov/trak/mdia/stbl
+# parse with stts/stsc/stsz/stco(co64) sample materialization. Video
+# tracks whose sample-entry codec is JPEG ('jpeg'/'mjpa' — Motion-JPEG
+# samples are interchange-format JPEG streams the built-in T.81 kernel
+# decodes) yield real frames; uncompressed PCM audio tracks ('sowt',
+# 'twos', 'raw ', 'fl32') yield real RMS; every other codec (avc1/hevc/
+# mp4a-AAC...) is library-gated — container metadata (duration, rate,
+# timing) is still parsed exactly, samples are not decoded. Malformed
+# or truncated box trees fail the payload closed.
+
+def _mp4_boxes(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each box in [pos, end)."""
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("bmff: truncated largesize")
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body = pos + 16
+            if size < 16:
+                raise ValueError("bmff: bad largesize")
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        elif size < 8:
+            raise ValueError("bmff: bad box size")
+        if pos + size > end:
+            raise ValueError("bmff: truncated box")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_child(payload: bytes, pos: int, end: int, typ: bytes):
+    for t, b, e in _mp4_boxes(payload, pos, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def _mp4_u32s(payload: bytes, pos: int, n: int):
+    import numpy as np
+
+    if pos + 4 * n > len(payload):
+        raise ValueError("bmff: truncated table")
+    return np.frombuffer(payload, dtype=">u4", count=n, offset=pos).astype("int64")
+
+
+def _mp4_tracks(payload: bytes):
+    """Parse the moov of an ISO BMFF payload into per-track dicts:
+    {handler, codec, timescale, duration_sec, width, height, channels,
+    sample_rate, samples: [(offset, size)...], deltas: media-ticks per
+    sample}. Requires the standard 'ftyp' signature at offset 4. Raises
+    on structural damage; returns [] when there is no moov."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    moov = _mp4_child(payload, 0, len(payload), b"moov")
+    if moov is None:
+        return []
+    tracks = []
+    for t, b, e in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_child(payload, b, e, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _mp4_child(payload, *mdia, b"mdhd")
+        hdlr = _mp4_child(payload, *mdia, b"hdlr")
+        minf = _mp4_child(payload, *mdia, b"minf")
+        if not (mdhd and hdlr and minf):
+            continue
+        stbl = _mp4_child(payload, *minf, b"stbl")
+        if stbl is None:
+            continue
+        ver = payload[mdhd[0]]
+        if ver == 1:  # 64-bit creation/modification/duration
+            timescale = int.from_bytes(payload[mdhd[0] + 20 : mdhd[0] + 24], "big")
+            duration = int.from_bytes(payload[mdhd[0] + 24 : mdhd[0] + 32], "big")
+        else:
+            timescale = int.from_bytes(payload[mdhd[0] + 12 : mdhd[0] + 16], "big")
+            duration = int.from_bytes(payload[mdhd[0] + 16 : mdhd[0] + 20], "big")
+        if timescale == 0:
+            raise ValueError("bmff: zero timescale")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+
+        stsd = _mp4_child(payload, *stbl, b"stsd")
+        stts = _mp4_child(payload, *stbl, b"stts")
+        stsc = _mp4_child(payload, *stbl, b"stsc")
+        stsz = _mp4_child(payload, *stbl, b"stsz")
+        stco = _mp4_child(payload, *stbl, b"stco")
+        co64 = _mp4_child(payload, *stbl, b"co64")
+        if not (stsd and stts and stsc and stsz and (stco or co64)):
+            continue
+
+        # first sample entry: codec fourcc + the fixed-layout AV fields
+        entry = stsd[0] + 8
+        codec = payload[entry + 4 : entry + 8]
+        width = height = channels = rate = None
+        if handler == b"vide" and entry + 36 <= stsd[1]:
+            width = int.from_bytes(payload[entry + 32 : entry + 34], "big")
+            height = int.from_bytes(payload[entry + 34 : entry + 36], "big")
+        elif handler == b"soun" and entry + 36 <= stsd[1]:
+            channels = int.from_bytes(payload[entry + 24 : entry + 26], "big")
+            rate = int.from_bytes(payload[entry + 32 : entry + 34], "big")  # 16.16
+
+        # stts -> per-sample deltas (media ticks)
+        n_tt = int.from_bytes(payload[stts[0] + 4 : stts[0] + 8], "big")
+        tt = _mp4_u32s(payload, stts[0] + 8, 2 * n_tt).reshape(-1, 2)
+        import numpy as np
+
+        if int(tt[:, 0].sum()) > 1_000_000:
+            raise ValueError("bmff: stts sample count out of bounds")
+        deltas = np.repeat(tt[:, 1], tt[:, 0])
+
+        # stsz -> per-sample sizes
+        fixed_sz = int.from_bytes(payload[stsz[0] + 4 : stsz[0] + 8], "big")
+        n_samples = int.from_bytes(payload[stsz[0] + 8 : stsz[0] + 12], "big")
+        if n_samples > 1_000_000:
+            raise ValueError("bmff: stsz sample count out of bounds")
+        if fixed_sz:
+            sizes = np.full(n_samples, fixed_sz, dtype="int64")
+        else:
+            sizes = _mp4_u32s(payload, stsz[0] + 12, n_samples)
+
+        # stco/co64 chunk offsets + stsc runs -> absolute (offset, size)
+        if stco:
+            n_ch = int.from_bytes(payload[stco[0] + 4 : stco[0] + 8], "big")
+            offs = _mp4_u32s(payload, stco[0] + 8, n_ch)
+        else:
+            n_ch = int.from_bytes(payload[co64[0] + 4 : co64[0] + 8], "big")
+            if co64[0] + 8 + 8 * n_ch > len(payload):
+                raise ValueError("bmff: truncated co64")
+            offs = np.frombuffer(
+                payload, dtype=">u8", count=n_ch, offset=co64[0] + 8
+            ).astype("int64")
+        n_sc = int.from_bytes(payload[stsc[0] + 4 : stsc[0] + 8], "big")
+        sc = _mp4_u32s(payload, stsc[0] + 8, 3 * n_sc).reshape(-1, 3)
+
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for ri in range(n_sc):
+            first = int(sc[ri, 0])
+            per = int(sc[ri, 1])
+            last = int(sc[ri + 1, 0]) - 1 if ri + 1 < n_sc else n_ch
+            if first < 1 or last < first - 1 or per < 0:
+                raise ValueError("bmff: bad stsc run")
+            for ch in range(first - 1, last):
+                pos = int(offs[ch])
+                for _ in range(per):
+                    if si >= n_samples:
+                        break
+                    sz = int(sizes[si])
+                    if pos + sz > len(payload):
+                        raise ValueError("bmff: sample past EOF")
+                    samples.append((pos, sz))
+                    pos += sz
+                    si += 1
+        samples = samples[:n_samples]
+
+        tracks.append(
+            {
+                "handler": handler,
+                "codec": codec,
+                "timescale": timescale,
+                "duration_sec": duration / timescale,
+                "width": width,
+                "height": height,
+                "channels": channels,
+                "sample_rate": rate,
+                "samples": samples,
+                "deltas": deltas,
+            }
+        )
+    return tracks
+
+
+def _mp4_frames(payload: bytes, max_frames: int = 64):
+    """MP4/MOV -> [(delay_centisec, HxWx3 uint8), ...] for a JPEG-codec
+    video track, or None (no such track / not BMFF / damaged)."""
+    import numpy as np
+
+    try:
+        tracks = _mp4_tracks(payload)
+    except Exception:
+        return None
+    if not tracks:
+        return None
+    frames = []
+    for tr in tracks:
+        if tr["handler"] != b"vide" or tr["codec"] not in (b"jpeg", b"mjpa"):
+            continue
+        ts = tr["timescale"]
+        for i, (off, sz) in enumerate(tr["samples"][:max_frames]):
+            try:
+                img = _decode_jpeg(payload[off : off + sz])
+            except Exception:
+                img = None
+            if img is None:
+                continue
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            d = int(tr["deltas"][i]) if i < len(tr["deltas"]) else 0
+            frames.append((d / ts * 100.0, img[:, :, :3]))
+        if frames:
+            break
+    return frames or None
+
+
+def _decode_mp4_video(payload: bytes):
+    """First decodable JPEG-codec frame of an MP4/MOV, for decode_image."""
+    frames = _mp4_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
+
+
+# QuickTime uncompressed-PCM audio codecs the built-in kernel reconstructs
+_MP4_PCM = {
+    b"sowt": ("<i2", 32768.0),  # s16 little-endian
+    b"twos": (">i2", 32768.0),  # s16 big-endian
+    b"raw ": ("u1", None),      # u8 offset-binary
+    b"fl32": (">f4", 1.0),      # float32 big-endian
+}
+
+
+def _decode_mp4_audio(payload: bytes):
+    """(duration_sec, sample_rate, rms|None) for the first audio track of
+    an MP4/MOV/M4A. Duration and rate come from the container's exact
+    mdhd/stsd fields for ANY codec; RMS is reconstructed only for the
+    uncompressed PCM codecs (AAC etc. stay library-gated -> null RMS)."""
+    import numpy as np
+
+    tracks = _mp4_tracks(payload)
+    if not tracks:
+        return None
+    for tr in tracks:
+        if tr["handler"] != b"soun":
+            continue
+        rate = tr["sample_rate"] or tr["timescale"]
+        rms = None
+        fmt = _MP4_PCM.get(tr["codec"])
+        if fmt is not None and tr["samples"]:
+            dt, scale = fmt
+            raw = b"".join(payload[o : o + s] for o, s in tr["samples"])
+            x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            if x.size:
+                if scale is None:
+                    x = (x - 128.0) / 128.0
+                else:
+                    x = x / scale
+                rms = round(float(np.sqrt(np.mean(x * x))), 6)
+        return round(tr["duration_sec"], 6), int(rate), rms
+    return None
+
+
 def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
     """REAL frame sampling for the motion formats the built-in codecs
     cover: animated GIF (frame walk + minimal compositing in
-    ``_gif_frames``) and AVI with MJPEG or uncompressed DIB video
+    ``_gif_frames``), AVI with MJPEG or uncompressed DIB video
     (``_avi_frames``: RIFF walk, strh scale/rate timing, frames decoded
-    by the built-in JPEG/BMP kernels). Each payload yields up to
+    by the built-in JPEG/BMP kernels), and MP4/MOV with a JPEG-codec
+    video track (``_mp4_frames``: ISO BMFF box walk, stts timing,
+    stsc/stsz/stco sample materialization). Each payload yields up to
     n_frames evenly spaced frames re-encoded as binary PPM; ts_sec
     comes from the container's frame timing, falling back to
     frame_idx/fps when the file carries none. Other payloads (real
@@ -1954,6 +2211,8 @@ def sample_frames(df: DataFrame, n_frames: int, fps: float = 1.0) -> DataFrame:
                     frames = _gif_frames(raw)
                     if not frames:
                         frames = _avi_frames(raw)
+                    if not frames:
+                        frames = _mp4_frames(raw)
                 except Exception:
                     continue
                 if not frames:
@@ -1982,7 +2241,10 @@ def audio_features(df: DataFrame) -> DataFrame:
     32-bit float) and native FLAC (full frame decode, all subframe types,
     CRC-validated): duration, sample rate, RMS — stdlib + numpy only.
     MPEG audio (mp3) gets an exact header frame-walk — true duration and
-    sample rate, null RMS (sample reconstruction stays library-gated)."""
+    sample rate, null RMS (sample reconstruction stays library-gated).
+    MP4/MOV/M4A audio tracks get exact container duration/rate for any
+    codec, plus real RMS when the codec is uncompressed PCM
+    (sowt/twos/raw/fl32); AAC samples stay library-gated."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -2000,6 +2262,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                 if r is None:
                     try:
                         r = _decode_mp3(raw)
+                    except Exception:
+                        r = None
+                if r is None:
+                    try:
+                        r = _decode_mp4_audio(raw)
                     except Exception:
                         r = None
                 feats.append(r if r is not None else (None, None, None))

@@ -2479,3 +2479,79 @@ def test_mp3_random_vbr_walk_exact(version, layer, srx, brxs, data, fill,
         assert _decode_mp3(body[: len(body) - cut]) is None
         return
     assert _decode_mp3(payload) == (round(len(brxs) * spf / rate, 6), rate, None)
+
+
+# ------------------------------------------------------- ISO BMFF walk fuzz
+# Independent muxer (test_multimodal._mp4_bytes, written from the box
+# grammar) vs the decoder: random frame counts / fps / chunk grouping /
+# co64 / version-1 mdhd must recover every frame with exact stts timing;
+# random PCM payloads must reproduce RMS exactly through the sample
+# tables; and truncation at ANY byte must fail closed out of
+# _mp4_frames, never raise.
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    nframes=st.integers(1, 6),
+    h=st.integers(4, 16),
+    w=st.integers(4, 16),
+    fps=st.integers(1, 30),
+    per_chunk=st.integers(1, 7),
+    co64=st.booleans(),
+    version1=st.booleans(),
+    cut=st.floats(0.05, 0.98),
+    seed=st.integers(0, 2**31),
+)
+def test_mp4_random_walk_recovers_frames(nframes, h, w, fps, per_chunk,
+                                         co64, version1, cut, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _mp4_frames
+    from test_multimodal import _mp4_bytes
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        np.full((h, w, 3), rng.integers(0, 256), dtype=np.uint8)
+        for _ in range(nframes)
+    ]
+    payload = _mp4_bytes(video_frames=frames, fps=fps, per_chunk=per_chunk,
+                         co64=co64, version1=version1)
+    got = _mp4_frames(payload)
+    assert got is not None and len(got) == nframes
+    for (delay, img), want in zip(got, frames):
+        # exact stts timing: delta is 100 ticks at timescale fps*100
+        assert abs(delay - 100.0 / fps) < 1e-9
+        assert (img == want).all()
+    # moov trails the file, so any truncation must fail closed, not raise
+    assert _mp4_frames(payload[: int(len(payload) * cut)]) is None
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(16, 1200),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    codec=st.sampled_from([b"sowt", b"twos", b"raw "]),
+    per_chunk=st.integers(1, 600),
+    amp=st.integers(1, 30000),
+    seed=st.integers(0, 2**31),
+)
+def test_mp4_pcm_rms_matches_numpy(n, rate, codec, per_chunk, amp, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_mp4_audio
+    from test_multimodal import _mp4_bytes
+
+    rng = np.random.default_rng(seed)
+    if codec == b"raw ":
+        pcm = rng.integers(0, 256, n).astype(np.uint8)
+        want = float(np.sqrt(np.mean(((pcm.astype(np.float64) - 128) / 128) ** 2)))
+    else:
+        pcm = rng.integers(-amp, amp + 1, n)
+        want = float(np.sqrt(np.mean((pcm / 32768.0) ** 2)))
+    dur, got_rate, rms = _decode_mp4_audio(
+        _mp4_bytes(pcm=pcm, rate=rate, audio_codec=codec, per_chunk=per_chunk)
+    )
+    assert got_rate == rate
+    assert abs(dur - round(n / rate, 6)) < 1e-9
+    assert abs(rms - round(want, 6)) < 5e-7

@@ -2094,3 +2094,235 @@ def test_avi_through_sample_frames(spark, tmp_path_factory):
     assert ts[0] == 0.0 and ts[2] == 1.0 and ts[5] == 2.5  # 2 fps timing
     for r in out:
         assert bytes(r.frame).startswith(b"P6\n8 8\n255\n")
+
+
+# ------------------------------------------------------------- MP4 / MOV
+# Independent ISO BMFF muxer (box grammar + QuickTime sample tables
+# written from the spec, not from the decoder under test).
+
+
+def _mp4_box(typ, body):
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _mp4_full(typ, version, body):
+    import struct
+
+    return _mp4_box(typ, struct.pack(">B3x", version) + body)
+
+
+def _mp4_sample_tables(sizes, deltas, offsets_of, per_chunk, co64=False):
+    """stsd is supplied by the caller; build stts/stsc/stsz/stco|co64."""
+    import struct
+
+    runs = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = _mp4_full(
+        b"stts", 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    n_chunks = (len(sizes) + per_chunk - 1) // per_chunk
+    stsc = _mp4_full(b"stsc", 0, struct.pack(">IIII", 1, 1, per_chunk, 1))
+    fixed = sizes[0] if len(set(sizes)) == 1 else 0
+    if fixed:
+        stsz = _mp4_full(b"stsz", 0, struct.pack(">II", fixed, len(sizes)))
+    else:
+        stsz = _mp4_full(
+            b"stsz", 0,
+            struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    fmt, typ = (">Q", b"co64") if co64 else (">I", b"stco")
+    stco = _mp4_full(
+        typ, 0,
+        __import__("struct").pack(">I", n_chunks)
+        + b"".join(__import__("struct").pack(fmt, offsets_of(c)) for c in range(n_chunks)),
+    )
+    return stts + stsc + stsz + stco
+
+
+def _mp4_bytes(video_frames=None, fps=10, pcm=None, rate=8000,
+               audio_codec=b"sowt", per_chunk=2, co64=False, version1=False):
+    """Minimal but spec-shaped MP4/MOV: ftyp + mdat + moov with a 'jpeg'
+    video track and/or a PCM audio track. Samples grouped per_chunk to
+    exercise the stsc walk; mdat precedes moov so stco holds real file
+    offsets."""
+    import struct
+
+    import numpy as np
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomqt  ")
+    mdat_payload = b""
+    v_sizes, v_offs, a_sizes, a_offs = [], [], [], []
+    base = len(ftyp) + 8
+    if video_frames is not None:
+        for f in video_frames:
+            jb = _jpeg_bytes(f)
+            v_offs.append(base + len(mdat_payload))
+            v_sizes.append(len(jb))
+            mdat_payload += jb
+    if pcm is not None:
+        if audio_codec == b"sowt":
+            raw = np.asarray(pcm, dtype="<i2").tobytes()
+            bps = 2
+        elif audio_codec == b"twos":
+            raw = np.asarray(pcm, dtype=">i2").tobytes()
+            bps = 2
+        elif audio_codec == b"raw ":
+            raw = np.asarray(pcm, dtype="u1").tobytes()
+            bps = 1
+        else:  # opaque codec payload (e.g. fake AAC): one blob sample
+            raw = bytes(pcm)
+            bps = len(raw)
+        for i in range(0, len(raw), bps):
+            a_offs.append(base + len(mdat_payload) + i)
+            a_sizes.append(bps)
+        mdat_payload += raw
+    mdat = _mp4_box(b"mdat", mdat_payload)
+
+    mv_ts = 1000
+    tracks = b""
+    if video_frames is not None:
+        h, w = video_frames[0].shape[:2]
+        ts = fps * 100
+        entry = (
+            struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16 + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000) + b"\x00" * 4
+            + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _mp4_full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        n = len(video_frames)
+        if version1:
+            mdhd = _mp4_full(b"mdhd", 1, struct.pack(">QQIQHH", 0, 0, ts, 100 * n, 0x55C4, 0))
+        else:
+            mdhd = _mp4_full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, ts, 100 * n, 0x55C4, 0))
+        hdlr = _mp4_full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00")
+        tabs = _mp4_sample_tables(
+            v_sizes, [100] * n, lambda c: v_offs[c * per_chunk], per_chunk, co64
+        )
+        stbl = _mp4_box(b"stbl", stsd + tabs)
+        minf = _mp4_box(b"minf", _mp4_full(b"vmhd", 0, b"\x00" * 8) + stbl)
+        tkhd = _mp4_full(b"tkhd", 0, b"\x00" * 76 + struct.pack(">II", w << 16, h << 16))
+        trak = _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr + minf))
+        tracks += trak
+    if pcm is not None:
+        entry = (
+            struct.pack(">I", 36) + audio_codec + b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH4x", 0, 0)
+            + struct.pack(">HHHH", 1, 8 * (a_sizes[0] if audio_codec != b"mp4a" else 2), 0, 0)
+            + struct.pack(">I", rate << 16)
+        )
+        stsd = _mp4_full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        n = len(a_sizes)
+        mdhd = _mp4_full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0))
+        hdlr = _mp4_full(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"s\x00")
+        tabs = _mp4_sample_tables(
+            a_sizes, [1] * n, lambda c: a_offs[c * per_chunk], per_chunk, co64
+        )
+        stbl = _mp4_box(b"stbl", stsd + tabs)
+        minf = _mp4_box(b"minf", _mp4_full(b"smhd", 0, b"\x00" * 4) + stbl)
+        tkhd = _mp4_full(b"tkhd", 0, b"\x00" * 84)
+        tracks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr + minf))
+    mvhd = _mp4_full(b"mvhd", 0, struct.pack(">IIII", 0, 0, mv_ts, 0) + b"\x00" * 80)
+    return ftyp + mdat + _mp4_box(b"moov", mvhd + tracks)
+
+
+def test_mp4_jpeg_frames_exact():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_payload, _mp4_frames
+
+    base = np.zeros((16, 16, 3), dtype=np.uint8)
+    frames = [np.clip(base + 50 * i, 0, 255).astype(np.uint8) for i in range(5)]
+    payload = _mp4_bytes(video_frames=frames, fps=4, per_chunk=2)
+    got = _mp4_frames(payload)
+    assert got is not None and len(got) == 5
+    for (delay, img), want in zip(got, frames):
+        assert abs(delay - 25.0) < 1e-9  # 4 fps -> 25 centisec
+        assert (img == want).all()  # constant-color MJPEG is exact
+    assert (_decode_payload(payload) == frames[0]).all()
+    # structural damage fails closed, never raises out of the guard
+    assert _mp4_frames(payload[: len(payload) // 3]) is None
+    from kql_engine_spark.multimodal import _mp4_tracks
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _mp4_tracks(payload[: len(payload) - 30])  # moov truncated
+    assert _decode_payload(payload[: len(payload) - 30]) is None
+
+
+def test_mp4_co64_and_version1_mdhd():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _mp4_frames
+
+    rng = np.random.default_rng(21)
+    frames = [np.full((8, 8, 3), 90, dtype=np.uint8) for _ in range(3)]
+    payload = _mp4_bytes(video_frames=frames, fps=2, co64=True, version1=True)
+    got = _mp4_frames(payload)
+    assert got is not None and len(got) == 3
+    assert all(abs(d - 50.0) < 1e-9 for d, _ in got)
+    assert all((img == 90).all() for _, img in got)
+
+
+def test_mp4_audio_pcm_rms_exact():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_mp4_audio
+
+    t = np.arange(800)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    for codec in (b"sowt", b"twos"):
+        payload = _mp4_bytes(pcm=sine, rate=8000, audio_codec=codec, per_chunk=256)
+        dur, rate, rms = _decode_mp4_audio(payload)
+        assert dur == 0.1 and rate == 8000
+        want = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+        assert abs(rms - want) < 1e-6
+    # u8 offset-binary
+    u8 = ((sine / 256) + 128).astype(np.uint8)
+    dur, rate, rms = _decode_mp4_audio(
+        _mp4_bytes(pcm=u8, rate=8000, audio_codec=b"raw ", per_chunk=100)
+    )
+    want = float(np.sqrt(np.mean(((u8.astype(np.float64) - 128) / 128) ** 2)))
+    assert dur == 0.1 and abs(rms - want) < 1e-6
+    # gated codec: exact container metadata, null RMS
+    dur, rate, rms = _decode_mp4_audio(
+        _mp4_bytes(pcm=b"\x01\x02\x03\x04", rate=44100, audio_codec=b"mp4a", per_chunk=1)
+    )
+    assert rate == 44100 and rms is None and dur > 0
+
+
+def test_mp4_through_spark_surface(spark, tmp_path_factory):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import (
+        audio_features,
+        load_binary_dir,
+        sample_frames,
+    )
+
+    frames = [np.full((8, 8, 3), 30 * i, dtype=np.uint8) for i in range(6)]
+    sine = (20000 * np.sin(np.arange(1600) / 3.0)).astype(np.int64)
+    d = tmp_path_factory.mktemp("mp4_media")
+    (d / "clip.mp4").write_bytes(_mp4_bytes(video_frames=frames, fps=2))
+    (d / "tone.m4a").write_bytes(_mp4_bytes(pcm=sine, rate=16000, per_chunk=512))
+    df = load_binary_dir(spark, str(d))
+    out = sample_frames(df, n_frames=3).collect()
+    assert all(r.path.endswith("clip.mp4") for r in out)
+    assert sorted(r.frame_idx for r in out) == [0, 2, 5]
+    ts = {r.frame_idx: r.ts_sec for r in out}
+    assert ts[0] == 0.0 and ts[2] == 1.0 and ts[5] == 2.5
+    au = {r.path.rsplit("/", 1)[-1]: r for r in audio_features(df).collect()}
+    assert au["tone.m4a"].duration_sec == 0.1 and au["tone.m4a"].sample_rate == 16000
+    want = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+    assert abs(au["tone.m4a"].rms - want) < 1e-6
+    assert au["clip.mp4"].duration_sec is None  # no audio track
