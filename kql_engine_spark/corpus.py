@@ -1205,6 +1205,26 @@ q(
 )
 
 q(
+    "llm_similarity_ivfpq_full_probe",
+    # nprobe == nlist and k*rerank >= corpus size: candidate generation
+    # cannot lose a true neighbor and the exact re-rank makes the result
+    # equal brute force, so the brute-force SQL twin certifies the whole
+    # encode -> ADC -> re-rank path
+    f"""embeddings
+    | evaluate similarity_search_ivfpq(embedding, vec_id, dynamic({_QVEC}), 10, 8, 8, 8, 50)
+    | project vec_id, s = round(sim, 6)""",
+    f"""WITH qv AS (SELECT unnest(CAST({_QVEC} AS DOUBLE[])) AS qa,
+                          generate_subscripts(CAST({_QVEC} AS DOUBLE[]), 1) AS i),
+         ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+         d AS (SELECT vec_id, SUM(x * qa) AS dot, SUM(x * x) AS nx, SUM(qa * qa) AS nq
+               FROM ev JOIN qv USING (i) GROUP BY vec_id)
+       SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(nq)), 6) AS s
+       FROM d ORDER BY dot / (SQRT(nx) * SQRT(nq)) DESC LIMIT 10""",
+)
+
+q(
     "llm_dedup_near",
     """documents
     | evaluate dedup_near(text, doc_id, 0.8)

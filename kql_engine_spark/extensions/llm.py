@@ -44,6 +44,10 @@ from . import plugin
 _IVF_MODEL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _IVF_CACHE_CAP = 8
 
+# similarity_search_ivfpq index cache:
+# session -> {(plan, col, nlist, m): (codebooks ndarray, persisted codes DF)}
+_PQ_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def _colname(arg, what: str) -> str:
     if not isinstance(arg, Col):
@@ -359,6 +363,246 @@ def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
         .orderBy(F.col("sim").desc())
         .limit(k)
         .drop("__v", "__cluster")
+    )
+
+
+# ------------------------------------------------------ similarity_search_ivfpq
+_PQ_TRAIN_CAP = 16_384  # bounded driver-side codebook training sample
+_PQ_KS = 256            # centroids per subspace -> one uint8 code each
+
+
+def _pq_train(sample, m: int, seed: int = 42):
+    """numpy Lloyd's per subspace over a bounded unit-normalized sample ->
+    codebooks float64[m, ks, dsub]. Deterministic (fixed seed, fixed
+    iteration count); ks shrinks to the sample size when tiny."""
+    import numpy as np
+
+    n, dim = sample.shape
+    dsub = dim // m
+    ks = min(_PQ_KS, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cent = x[rng.choice(n, ks, replace=False)].copy()
+        for _ in range(15):
+            # (n, ks) squared distances via the expanded dot identity
+            d2 = (x * x).sum(1)[:, None] - 2.0 * x @ cent.T + (cent * cent).sum(1)
+            assign = d2.argmin(1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+@plugin("similarity_search_ivfpq")
+def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate similarity_search_ivfpq(embcol, idcol, dynamic([...]),
+    k[, nlist=16, nprobe=3, m=8, rerank=4])` — IVF + product quantization,
+    the memory-bounded scale path beyond similarity_search_ivf (SURVEY
+    §2.12). At 100 TB the raw float corpus cannot be rescanned per query;
+    the deployment shape is FAISS's: a one-time encode pass produces
+    m-byte codes (32-64x smaller than the vectors) that fit in cluster
+    memory, and each query touches only codes plus k*rerank exact rows.
+
+      1. coarse quantizer: the SAME session-cached KMeans the ivf path
+         uses (shared cache key), so ivf and ivfpq agree on partitions;
+      2. PQ codebooks: per-subspace numpy Lloyd's (m subspaces, <=256
+         centroids each -> one uint8 code per subspace) trained on a
+         bounded unit-normalized sample (<= 16384 rows, driver-side by
+         design — same order as a broadcast);
+      3. encode once per (plan, col, nlist, m): mapInPandas Arrow pass
+         emitting (id, cluster, m-byte code), persisted MEMORY_AND_DISK
+         and session-cached — repeat queries never rescan the corpus;
+      4. query: probe nprobe clusters, ADC — per-subspace dot-product
+         lookup tables against the UNIT-NORMALIZED query, so the code
+         scan ranks by approximate cosine with m table adds per row;
+      5. exact re-rank: the top k*rerank candidate ids (a bounded
+         broadcast) join back to the source, true cosine orders the
+         final k — reported `sim` is therefore EXACT for returned rows.
+
+    Zero-norm/null embeddings can't rank and are excluded. dim % m != 0
+    raises a typed error (the standard PQ constraint). Cache staleness
+    contract matches similarity_search_ivf."""
+    import numpy as np
+
+    emb = _colname(args[0], "similarity_search_ivfpq")
+    idc = _colname(args[1], "similarity_search_ivfpq")
+    if not isinstance(args[2], TypedLit) or args[2].ktype != "dynamic":
+        raise KqlSemanticError(
+            "similarity_search_ivfpq: query vector must be dynamic([...])"
+        )
+    qvec = [float(x) for x in parse_dynamic_literal(args[2].raw)]
+    k = int(_const_float(args[3], "similarity_search_ivfpq"))
+    nlist = int(_const_float(args[4], "similarity_search_ivfpq")) if len(args) > 4 else 16
+    nprobe = int(_const_float(args[5], "similarity_search_ivfpq")) if len(args) > 5 else 3
+    m = int(_const_float(args[6], "similarity_search_ivfpq")) if len(args) > 6 else 8
+    rerank = int(_const_float(args[7], "similarity_search_ivfpq")) if len(args) > 7 else 4
+    dim = len(qvec)
+    if dim == 0 or dim % m:
+        raise KqlSemanticError(
+            f"similarity_search_ivfpq: query dim {dim} not divisible by m={m}"
+        )
+    for name in (emb, idc):
+        if name not in df.columns:
+            raise KqlSemanticError(
+                f"similarity_search_ivfpq: no column '{name}' in input"
+            )
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    feat = df.withColumn(
+        "__v", array_to_vector(F.col(emb).cast("array<double>"))
+    )
+    plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    ivf_cache = _IVF_MODEL_CACHE.setdefault(spark, {})
+    km_key = (plan_key, emb, nlist)
+    km = ivf_cache.get(km_key)
+    if km is None:
+        km = KMeans(
+            k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+        ).fit(feat)
+        if len(ivf_cache) >= _IVF_CACHE_CAP:
+            ivf_cache.pop(next(iter(ivf_cache)))
+        ivf_cache[km_key] = km
+
+    pq_cache = _PQ_CACHE.setdefault(spark, {})
+    pq_key = (plan_key, emb, nlist, m)
+    entry = pq_cache.get(pq_key)
+    if entry is None:
+        train = np.array(
+            [
+                r[0]
+                for r in feat.filter(F.col(emb).isNotNull())
+                .select(F.col(emb).cast("array<double>"))
+                .limit(_PQ_TRAIN_CAP)
+                .collect()
+                if r[0] is not None and len(r[0]) == dim
+            ],
+            dtype=np.float64,
+        )
+        if train.size == 0:
+            raise KqlSemanticError(
+                f"similarity_search_ivfpq: no embeddings of dim {dim} to index"
+            )
+        norms = np.linalg.norm(train, axis=1, keepdims=True)
+        books = _pq_train(np.where(norms > 0, train / np.where(norms == 0, 1, norms), 0.0), m)
+
+        code_schema = T.StructType(
+            [
+                T.StructField("__pqid", df.schema[idc].dataType),
+                T.StructField("__cluster", T.IntegerType()),
+                T.StructField("__code", T.BinaryType()),
+            ]
+        )
+        dsub = dim // m
+        bx = books  # closure copy shipped to executors once per task
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vecs = pdf[emb].to_numpy()
+                ok = np.array(
+                    [v is not None and len(v) == dim for v in vecs], dtype=bool
+                )
+                out_codes: list = [None] * len(vecs)
+                if ok.any():
+                    x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+                    n = np.linalg.norm(x, axis=1, keepdims=True)
+                    nz = (n > 0).ravel()
+                    x = np.where(n > 0, x / np.where(n == 0, 1, n), 0.0)
+                    codes = np.empty((len(x), m), dtype=np.uint8)
+                    for j in range(m):
+                        xs = x[:, j * dsub : (j + 1) * dsub]
+                        cj = bx[j]
+                        d2 = (
+                            (xs * xs).sum(1)[:, None]
+                            - 2.0 * xs @ cj.T
+                            + (cj * cj).sum(1)
+                        )
+                        codes[:, j] = d2.argmin(1)
+                    ki = 0
+                    for i in np.flatnonzero(ok):
+                        # zero-norm rows can't rank: leave code null
+                        out_codes[i] = bytes(codes[ki]) if nz[ki] else None
+                        ki += 1
+                yield pd.DataFrame(
+                    {
+                        "__pqid": pdf[idc],
+                        "__cluster": pdf["__cluster"].astype("int32"),
+                        "__code": out_codes,
+                    }
+                )
+
+        codes_df = (
+            km.transform(feat)
+            .select(idc, emb, "__cluster")
+            .mapInPandas(encode, code_schema)
+            .filter(F.col("__code").isNotNull())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if len(pq_cache) >= _IVF_CACHE_CAP:
+            _, old = pq_cache.pop(next(iter(pq_cache)))
+            old.unpersist()
+        pq_cache[pq_key] = entry = (books, codes_df)
+    books, codes_df = entry
+
+    qn = sum(x * x for x in qvec) ** 0.5
+    if qn == 0:
+        raise KqlSemanticError("similarity_search_ivfpq: zero-norm query vector")
+    qhat = np.asarray(qvec, dtype=np.float64) / qn
+    centers = km.clusterCenters()
+
+    def _cos(c):
+        dot = sum(a * b for a, b in zip(c, qvec))
+        n = sum(a * a for a in c) ** 0.5
+        return dot / (n * qn) if n > 0 else -1.0
+
+    probes = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:nprobe]
+    dsub = dim // m
+    # ADC lookup table: LUT[j][c] = dot(codebook[j][c], qhat_j)
+    lut = np.stack(
+        [books[j] @ qhat[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("__pqid", df.schema[idc].dataType),
+            T.StructField("__adc", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"__pqid": pdf["__pqid"], "__adc": []})
+                continue
+            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["__code"]])
+            score = lut[np.arange(m)[None, :], codes].sum(1)
+            yield pd.DataFrame({"__pqid": pdf["__pqid"], "__adc": score})
+
+    cand = (
+        codes_df.filter(F.col("__cluster").isin(probes))
+        .mapInPandas(adc, adc_schema)
+        .orderBy(F.col("__adc").desc())
+        .limit(k * rerank)
+        .select("__pqid")
+    )
+    sim = _cosine_to_query(F.col(emb), qvec)
+    return (
+        df.join(F.broadcast(cand), df[idc] == cand["__pqid"], "left_semi")
+        .withColumn("sim", sim)
+        .orderBy(F.col("sim").desc())
+        .limit(k)
     )
 
 

@@ -736,3 +736,127 @@ def test_cluster_embeddings_typed_errors_and_collision(run_kql):
     )
     assert out.schema["cluster_id"].dataType.simpleString() == "int"
     assert out.count() == 20
+
+
+# ------------------------------------------------------ similarity_search_ivfpq
+def _qvec_literal():
+    import re
+
+    import kql_engine_spark.corpus as _c
+
+    with open(_c.__file__.rstrip("c")) as f:
+        return re.search(r'_QVEC = "(\[.*?\])"', f.read()).group(1)
+
+
+def test_ivfpq_full_probe_equals_brute_force(run_kql):
+    qv = _qvec_literal()
+    brute = run_kql(
+        f"embeddings | evaluate similarity_search(embedding, dynamic({qv}), 10)"
+        " | project vec_id, s = round(sim, 6)"
+    ).collect()
+    pq = run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 10, 8, 8, 8, 50)"
+        " | project vec_id, s = round(sim, 6)"
+    ).collect()
+    assert sorted((r.vec_id, r.s) for r in pq) == sorted(
+        (r.vec_id, r.s) for r in brute
+    )
+
+
+def test_ivfpq_sim_is_exact_cosine_for_returned_rows(run_kql):
+    # the re-rank recomputes true cosine, so every reported sim must match
+    # an independent numpy computation bit-for-bit at 1e-12
+    import numpy as np
+
+    qv = _qvec_literal()
+    out = run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 5, 4, 2, 4, 2)"
+    ).collect()
+    assert 0 < len(out) <= 5
+    q = np.array(eval(qv))
+    for r in out:
+        e = np.array(r.embedding, dtype=np.float64)
+        want = float(e @ q / (np.linalg.norm(e) * np.linalg.norm(q)))
+        assert abs(r.sim - want) < 1e-12
+
+
+def test_ivfpq_recall_improves_with_rerank_budget(run_kql):
+    # candidate-budget monotonicity on the fixed fixture: recall@10 with
+    # k*rerank = corpus size must be 1.0; a small budget can only be <=
+    qv = _qvec_literal()
+    brute = {
+        r.vec_id
+        for r in run_kql(
+            f"embeddings | evaluate similarity_search(embedding, dynamic({qv}), 10)"
+        ).collect()
+    }
+    full = {
+        r.vec_id
+        for r in run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 8, 8, 8, 50)"
+        ).collect()
+    }
+    small = {
+        r.vec_id
+        for r in run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 2)"
+        ).collect()
+    }
+    assert full == brute
+    assert len(small & brute) <= len(full & brute)
+    assert len(small & brute) >= 4  # sanity floor on random vectors
+
+
+def test_ivfpq_index_cache_reused_across_queries(run_kql, spark):
+    from kql_engine_spark.extensions.llm import _PQ_CACHE
+
+    qv = _qvec_literal()
+    run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 3, 4, 4, 8, 10)"
+    ).collect()
+    cache = _PQ_CACHE.get(spark)
+    assert cache
+    key = next(k for k in cache if k[2] == 4 and k[3] == 8)
+    books0, codes0 = cache[key]
+    assert codes0.storageLevel.useMemory  # persisted codes relation
+    run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 7, 4, 2, 8, 10)"
+    ).collect()
+    books1, codes1 = cache[key]
+    assert books1 is books0 and codes1 is codes0  # no retrain, no re-encode
+
+
+def test_ivfpq_rerank_join_is_broadcast(run_kql):
+    qv = _qvec_literal()
+    df = run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 5, 4, 2, 8, 4)"
+    )
+    plan = df._jdf.queryExecution().explainString(  # noqa: SLF001
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan  # bounded candidate ids build side
+
+
+def test_ivfpq_typed_errors(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    qv = _qvec_literal()
+    with pytest.raises(KqlSemanticError, match="not divisible"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 5, 4, 2, 7)"
+        )
+    with pytest.raises(KqlSemanticError, match="no column 'nope'"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"nope, vec_id, dynamic({qv}), 5)"
+        )
