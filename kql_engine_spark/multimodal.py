@@ -186,7 +186,85 @@ def _decode_pnm(payload: bytes):
     return a.reshape(height, width, nch)
 
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, pos, height, stride, bpp):
+    """Reverse the per-scanline filters (PNG spec 9, filter types 0-4)
+    over `height` scanlines of `stride` bytes starting at raw[pos]; the
+    filter's left-neighbor distance is bpp bytes (ceil bits-per-pixel/8).
+    Returns (uint8 array [height, stride], position after the last row)."""
+    import numpy as np
+
+    if len(raw) - pos < height * (stride + 1):
+        raise ValueError("png: truncated scanlines")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row += prior
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((int(left) + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a_ = int(row[x - bpp]) if x >= bpp else 0
+                b_ = int(prior[x])
+                c_ = int(prior[x - bpp]) if x >= bpp else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pr = a_ if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                row[x] = (row[x] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError("png: bad filter type")
+        out[y] = row
+        prior = row
+    return out, pos
+
+
+def _png_samples(rows, width, nch, depth, palette):
+    """Unfiltered scanline bytes [h, stride] -> uint8 pixels [h, w, out_ch].
+    16-bit planes keep the high byte (the same scaled-to-uint8 contract as
+    the >8-bit JPEG tiers); 1/2/4-bit grayscale scales by 255/(2^d - 1)
+    exactly; palette indices map through PLTE to RGB."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        px = rows[:, : width * nch].reshape(h, width, nch)
+    elif depth == 16:
+        px = rows[:, : width * nch * 2].reshape(h, width, nch, 2)[..., 0]
+    else:  # 1/2/4-bit, single channel (gray or palette index)
+        bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        px = (bits.reshape(h, width, depth) * weights).sum(2).astype(np.uint8)
+        px = px[:, :, None]
+    if palette is not None:
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("png: palette index out of range")
+        return palette[px[:, :, 0]]
+    if depth < 8:
+        px = px * np.uint8(255 // ((1 << depth) - 1))
+    return np.ascontiguousarray(px)
+
+
 def _decode_png(payload: bytes):
+    """PNG (spec-complete pixel tiers): color types 0/2/3/4/6, bit depths
+    1/2/4/8/16 where the spec allows them, all five scanline filters,
+    non-interlaced and Adam7-interlaced streams, multi-IDAT. 16-bit
+    samples scale to the uint8 contract via the high byte; tRNS is
+    ignored (features are computed on the color planes)."""
     import struct
     import zlib
 
@@ -194,12 +272,16 @@ def _decode_png(payload: bytes):
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte = 8, b"", None, None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            if ln % 3 or ln == 0 or ln > 768:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -208,47 +290,44 @@ def _decode_png(payload: bytes):
     if ihdr is None or not idat:
         return None
     width, height, depth, ctype, comp, filt, interlace = ihdr
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    # 8-bit non-interlaced only (palette/16-bit need tables this tier skips)
-    if nch is None or depth != 8 or comp or filt or interlace:
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
+    if (
+        nch is None or depth not in valid_depths[ctype] or comp or filt
+        or interlace > 1 or width == 0 or height == 0
+        or (ctype == 3 and plte is None)
+    ):
         return None
+    palette = plte if ctype == 3 else None
     try:
         raw = zlib.decompress(idat)
     except zlib.error:
         return None
-    stride = width * nch
-    if len(raw) < height * (stride + 1):
+    bpp = max(1, nch * depth // 8)
+
+    def stride_of(w):
+        return (w * nch * depth + 7) // 8
+
+    try:
+        if not interlace:
+            rows, _ = _png_unfilter(raw, 0, height, stride_of(width), bpp)
+            return _png_samples(rows, width, nch, depth, palette)
+        out_ch = 3 if ctype == 3 else nch
+        out = np.zeros((height, width, out_ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos = _png_unfilter(raw, pos, ph, stride_of(pw), bpp)
+            out[y0::dy, x0::dx] = _png_samples(rows, pw, nch, depth, palette)
+        return out
+    except ValueError:
         return None
-    out = np.empty((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
-        pos += stride + 1
-        if ftype == 1:  # Sub
-            for x in range(nch, stride):
-                row[x] = (row[x] + row[x - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            row += prior
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = row[x - nch] if x >= nch else 0
-                row[x] = (row[x] + ((int(left) + int(prior[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a_ = int(row[x - nch]) if x >= nch else 0
-                b_ = int(prior[x])
-                c_ = int(prior[x - nch]) if x >= nch else 0
-                p = a_ + b_ - c_
-                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
-                pr = a_ if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
-                row[x] = (row[x] + pr) & 0xFF
-        elif ftype != 0:
-            return None
-        out[y] = row
-        prior = row
-    return out.reshape(height, width, nch)
 
 
 # --------------------------------------------------------------- JPEG (SOF0)

@@ -2555,3 +2555,53 @@ def test_mp4_pcm_rms_matches_numpy(n, rate, codec, per_chunk, amp, seed):
     assert got_rate == rate
     assert abs(dur - round(n / rate, 6)) < 1e-9
     assert abs(rms - round(want, 6)) < 5e-7
+
+
+# ---------------------------------------------------------- PNG tier fuzz
+# Random (depth, color type, interlace, filter mix, size) against the
+# independent spec-written encoder: decoded pixels must equal the exact
+# expected transform (identity at 8-bit, high byte at 16, 255/(2^d-1)
+# scaling below 8, PLTE mapping for palette) for every legal combination.
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ctype=st.sampled_from([0, 2, 3, 4, 6]),
+    depth_ix=st.integers(0, 4),
+    interlace=st.integers(0, 1),
+    f0=st.integers(0, 4), f1=st.integers(0, 4), f2=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_png_random_tiers_roundtrip(h, w, ctype, depth_ix, interlace,
+                                    f0, f1, f2, seed):
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_png
+    from test_multimodal import _png_bytes_ext
+
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}[ctype]
+    depth = valid[depth_ix % len(valid)]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    rng = np.random.default_rng(seed)
+    pal = None
+    if ctype == 3:
+        pal = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+        img = rng.integers(0, 1 << depth, (h, w, 1))
+        want = pal[img[:, :, 0]]
+    elif depth == 16:
+        img = rng.integers(0, 65536, (h, w, nch))
+        want = (img >> 8).astype(np.uint8)
+    elif depth == 8:
+        img = rng.integers(0, 256, (h, w, nch))
+        want = img.astype(np.uint8)
+    else:
+        img = rng.integers(0, 1 << depth, (h, w, nch))
+        want = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    payload = _png_bytes_ext(img, depth, ctype, palette=pal,
+                             interlace=interlace, filters=(f0, f1, f2))
+    got = _decode_png(payload)
+    assert got is not None and got.shape == want.shape
+    assert (got == want).all()

@@ -2326,3 +2326,163 @@ def test_mp4_through_spark_surface(spark, tmp_path_factory):
     want = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
     assert abs(au["tone.m4a"].rms - want) < 1e-6
     assert au["clip.mp4"].duration_sec is None  # no audio track
+
+
+# ------------------------------------------------- PNG extended pixel tiers
+# Independent encoder covering depth 1/2/4/8/16, palette, and Adam7 —
+# written from the PNG spec (bit packing MSB-first, byte-level filters
+# with bpp left-distance, pass-ordered interlace scanlines).
+
+_PNG_ADAM7_T = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_bytes_ext(samples, depth, ctype, palette=None, interlace=0, filters=(0,)):
+    """samples: (h, w, nch) ints at the target depth (palette: indices)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = samples.shape
+    bpp = max(1, nch * depth // 8)
+
+    def pack_rows(sub):
+        sh, sw, _ = sub.shape
+        rows = []
+        for y in range(sh):
+            if depth == 8:
+                rows.append(sub[y].reshape(-1).astype(np.uint8).tobytes())
+            elif depth == 16:
+                rows.append(sub[y].reshape(-1).astype(">u2").tobytes())
+            else:
+                bits = []
+                for v in sub[y].reshape(-1):
+                    bits.extend(int(v) >> (depth - 1 - i) & 1 for i in range(depth))
+                while len(bits) % 8:
+                    bits.append(0)
+                rows.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
+        return rows
+
+    def filter_rows(rows):
+        out = b""
+        prior = bytes(len(rows[0])) if rows else b""
+        for y, rb in enumerate(rows):
+            ft = filters[y % len(filters)]
+            cur = np.frombuffer(rb, dtype=np.uint8).astype(np.int32)
+            pri = np.frombuffer(prior, dtype=np.uint8).astype(np.int32)
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if len(cur) > bpp else np.zeros_like(cur)
+            ul = np.concatenate([np.zeros(bpp, np.int32), pri[:-bpp]]) if len(pri) > bpp else np.zeros_like(pri)
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = (cur - left) % 256
+            elif ft == 2:
+                enc = (cur - pri) % 256
+            elif ft == 3:
+                enc = (cur - (left + pri) // 2) % 256
+            else:
+                enc = np.empty_like(cur)
+                for x in range(len(cur)):
+                    p = int(left[x]) + int(pri[x]) - int(ul[x])
+                    pa, pb, pc = abs(p - left[x]), abs(p - pri[x]), abs(p - ul[x])
+                    pr = left[x] if pa <= pb and pa <= pc else (pri[x] if pb <= pc else ul[x])
+                    enc[x] = (cur[x] - pr) % 256
+            out += bytes([ft]) + bytes(enc.astype(np.uint8))
+            prior = rb
+        return out
+
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _PNG_ADAM7_T:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_rows(pack_rows(sub))
+    else:
+        raw = filter_rows(pack_rows(samples))
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(np.asarray(palette, dtype=np.uint8).reshape(-1)))
+    # split the stream over two IDATs to pin multi-IDAT reassembly
+    z = zlib.compress(raw)
+    png += chunk(b"IDAT", z[: len(z) // 2]) + chunk(b"IDAT", z[len(z) // 2 :])
+    return png + chunk(b"IEND", b"")
+
+
+def test_png_palette_roundtrip():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_png
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 7, 1))
+    for depth in (4, 8):
+        got = _decode_png(_png_bytes_ext(idx, depth, 3, palette=pal, filters=(0, 1, 2)))
+        assert got.shape == (9, 7, 3)
+        assert (got == pal[idx[:, :, 0]]).all()
+    # out-of-range palette index fails closed
+    bad = _png_bytes_ext(np.full((2, 2, 1), 9), 8, 3, palette=pal[:4])
+    assert _decode_png(bad) is None
+
+
+def test_png_16bit_high_byte_contract():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_png
+
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 65536, (6, 5, 3))
+    got = _decode_png(_png_bytes_ext(img, 16, 2, filters=(2, 4, 3, 1)))
+    assert (got == (img >> 8).astype(np.uint8)).all()
+    gray = rng.integers(0, 65536, (4, 4, 1))
+    got = _decode_png(_png_bytes_ext(gray, 16, 0))
+    assert (got == (gray >> 8).astype(np.uint8)).all()
+
+
+def test_png_low_depth_gray_scaling():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_png
+
+    rng = np.random.default_rng(33)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        img = rng.integers(0, mx + 1, (5, 11, 1))  # odd width: partial final byte
+        got = _decode_png(_png_bytes_ext(img, depth, 0, filters=(0, 2)))
+        assert got.shape == (5, 11, 1)
+        assert (got == (img * (255 // mx)).astype(np.uint8)).all()
+
+
+def test_png_adam7_equals_noninterlaced():
+    import numpy as np
+
+    from kql_engine_spark.multimodal import _decode_png
+
+    rng = np.random.default_rng(34)
+    # sizes chosen to exercise empty and single-pixel interlace passes
+    for h, w in ((1, 1), (2, 3), (5, 5), (8, 8), (9, 13), (16, 4)):
+        img = rng.integers(0, 256, (h, w, 3))
+        plain = _decode_png(_png_bytes_ext(img, 8, 2, interlace=0, filters=(0, 1, 2, 3, 4)))
+        inter = _decode_png(_png_bytes_ext(img, 8, 2, interlace=1, filters=(4, 3, 2, 1, 0)))
+        assert (plain == img).all()
+        assert (inter == img).all()
+    # interlaced palette + 16-bit tiers too
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (9, 9, 1))
+    got = _decode_png(_png_bytes_ext(idx, 4, 3, palette=pal, interlace=1))
+    assert (got == pal[idx[:, :, 0]]).all()
+    img16 = rng.integers(0, 65536, (7, 6, 4))
+    got = _decode_png(_png_bytes_ext(img16, 16, 6, interlace=1, filters=(1, 2)))
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
