@@ -323,25 +323,39 @@ def _similarity_search_ivf(ptr, df: DataFrame, args) -> DataFrame:
     k = int(_const_float(args[2], "similarity_search_ivf"))
     nlist = int(_const_float(args[3], "similarity_search_ivf")) if len(args) > 3 else 16
     nprobe = int(_const_float(args[4], "similarity_search_ivf")) if len(args) > 4 else 3
+    if k < 1 or nlist < 1 or nprobe < 1:
+        raise KqlSemanticError(
+            "similarity_search_ivf: k, nlist and nprobe must all be >= 1"
+        )
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = df.withColumn(
-        "__v", array_to_vector(F.col(emb_name).cast("array<double>"))
-    )
+    # null / wrong-dim embeddings can't rank: excluded before fit/transform
+    # (array_to_vector inside KMeans dies on nulls with an opaque Py4J NPE)
+    arr = F.col(emb_name).cast("array<double>")
+    feat = df.filter(
+        F.col(emb_name).isNotNull() & (F.size(arr) == len(qvec))
+    ).withColumn("__v", array_to_vector(arr))
     spark = df.sparkSession
     cache = _IVF_MODEL_CACHE.setdefault(spark, {})
     cache_key = (
         df._jdf.queryExecution().logical().toString(),  # noqa: SLF001
         emb_name,
         nlist,
+        len(qvec),
     )
     km = cache.get(cache_key)
     if km is None:
-        km = KMeans(
-            k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
-        ).fit(feat)
+        try:
+            km = KMeans(
+                k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+            ).fit(feat)
+        except Exception as exc:  # Spark ML crashes opaquely when rows < k
+            raise KqlSemanticError(
+                "similarity_search_ivf: KMeans fit failed — ensure at least "
+                f"nlist={nlist} non-null embeddings of dim {len(qvec)}"
+            ) from exc
         if len(cache) >= _IVF_CACHE_CAP:
             cache.pop(next(iter(cache)))
         cache[cache_key] = km
@@ -440,6 +454,10 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     nprobe = int(_const_float(args[5], "similarity_search_ivfpq")) if len(args) > 5 else 3
     m = int(_const_float(args[6], "similarity_search_ivfpq")) if len(args) > 6 else 8
     rerank = int(_const_float(args[7], "similarity_search_ivfpq")) if len(args) > 7 else 4
+    if m < 1 or k < 1 or nlist < 1 or nprobe < 1 or rerank < 1:
+        raise KqlSemanticError(
+            "similarity_search_ivfpq: k, nlist, nprobe, m and rerank must all be >= 1"
+        )
     dim = len(qvec)
     if dim == 0 or dim % m:
         raise KqlSemanticError(
@@ -457,23 +475,33 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
-    feat = df.withColumn(
-        "__v", array_to_vector(F.col(emb).cast("array<double>"))
-    )
+    # null / wrong-dim embeddings can't rank: excluded before fit/encode
+    # (array_to_vector inside KMeans dies on nulls with an opaque Py4J NPE);
+    # the final left_semi join back to df preserves output semantics
+    arr = F.col(emb).cast("array<double>")
+    feat = df.filter(
+        F.col(emb).isNotNull() & (F.size(arr) == dim)
+    ).withColumn("__v", array_to_vector(arr))
     plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
     ivf_cache = _IVF_MODEL_CACHE.setdefault(spark, {})
-    km_key = (plan_key, emb, nlist)
+    km_key = (plan_key, emb, nlist, dim)
     km = ivf_cache.get(km_key)
     if km is None:
-        km = KMeans(
-            k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
-        ).fit(feat)
+        try:
+            km = KMeans(
+                k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+            ).fit(feat)
+        except Exception as exc:  # Spark ML crashes opaquely when rows < k
+            raise KqlSemanticError(
+                "similarity_search_ivfpq: KMeans fit failed — ensure at "
+                f"least nlist={nlist} non-null embeddings of dim {dim}"
+            ) from exc
         if len(ivf_cache) >= _IVF_CACHE_CAP:
             ivf_cache.pop(next(iter(ivf_cache)))
         ivf_cache[km_key] = km
 
     pq_cache = _PQ_CACHE.setdefault(spark, {})
-    pq_key = (plan_key, emb, nlist, m)
+    pq_key = (plan_key, emb, nlist, m, dim)
     entry = pq_cache.get(pq_key)
     if entry is None:
         train = np.array(

@@ -210,13 +210,13 @@ def _png_unfilter(raw, pos, height, stride, bpp):
         pos += stride + 1
         if ftype == 1:  # Sub
             for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
         elif ftype == 2:  # Up
             row += prior
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + ((int(left) + int(prior[x])) >> 1)) & 0xFF
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
                 a_ = int(row[x - bpp]) if x >= bpp else 0
@@ -225,7 +225,7 @@ def _png_unfilter(raw, pos, height, stride, bpp):
                 p = a_ + b_ - c_
                 pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
                 pr = a_ if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
-                row[x] = (row[x] + pr) & 0xFF
+                row[x] = (int(row[x]) + pr) & 0xFF
         elif ftype != 0:
             raise ValueError("png: bad filter type")
         out[y] = row
@@ -1271,9 +1271,12 @@ def _decode_gif(payload: bytes):
 
 def _decode_payload(payload: bytes):
     """bytes -> HxWxC uint8 array for the self-contained codecs (BMP 24/32,
-    binary PPM/PGM, 8-bit non-interlaced PNG via stdlib zlib, baseline
-    sequential JPEG, first-frame GIF), else None. Progressive JPEG and
-    audio/video codecs stay library-gated."""
+    binary PPM/PGM, PNG — all bit depths / interlace / palette tiers via
+    stdlib zlib, JPEG — baseline, extended sequential, progressive,
+    lossless, and arithmetic-coded SOF9/SOF10, first-frame GIF, AVI
+    MJPEG-track, MP4/MOV JPEG-track), else None. Hierarchical and
+    arithmetic-lossless JPEG plus inter-coded video (H.26x) stay gated
+    to None — see decode_image's null-column contract."""
     for dec in (_decode_png, _decode_bmp, _decode_pnm, _decode_jpeg, _decode_gif,
                 _decode_avi, _decode_mp4_video):
         try:

@@ -860,3 +860,55 @@ def test_ivfpq_typed_errors(run_kql):
             "embeddings | evaluate similarity_search_ivfpq("
             f"nope, vec_id, dynamic({qv}), 5)"
         )
+
+
+def test_ivf_and_ivfpq_tolerate_null_and_wrong_dim_embeddings(spark):
+    # round-9 ADVICE fix: a null (or wrong-dim) embedding row must be
+    # excluded from fit/encode, not crash KMeans with an opaque Py4J NPE
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+    from kql_engine_spark.parser import parse
+    from kql_engine_spark.translator import PipeTranslator
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(8)] * 5
+    rows = [(i * 10 + n, v) for n, (i, v) in enumerate(rows)]
+    rows.append((999, None))          # null embedding
+    rows.append((998, [1.0, 2.0]))    # wrong dimension
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ptr = PipeTranslator(spark, Catalog(spark))
+
+    args = parse(
+        "T | where f(embedding, dynamic([1.0, 0.0, 0.0, 0.0]), 3, 2, 2)"
+    ).pipe.ops[0].pred.args
+    got = EVALUATE_REGISTRY["similarity_search_ivf"](ptr, df, args).collect()
+    assert 0 < len(got) <= 3
+    assert all(r.vec_id not in (998, 999) for r in got)
+
+    args = parse(
+        "T | where f(embedding, vec_id, dynamic([1.0, 0.0, 0.0, 0.0]), 3, 2, 2, 2, 4)"
+    ).pipe.ops[0].pred.args
+    got = EVALUATE_REGISTRY["similarity_search_ivfpq"](ptr, df, args).collect()
+    assert 0 < len(got) <= 3
+    assert all(r.vec_id not in (998, 999) for r in got)
+
+
+def test_ivfpq_typed_errors_on_nonpositive_params(run_kql):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    qv = _qvec_literal()
+    with pytest.raises(KqlSemanticError, match=">= 1"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 5, 4, 2, 0)"
+        )
+    with pytest.raises(KqlSemanticError, match=">= 1"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 0)"
+        )
+    with pytest.raises(KqlSemanticError, match=">= 1"):
+        run_kql(
+            f"embeddings | evaluate similarity_search_ivf(embedding, dynamic({qv}), 5, 4, 0)"
+        )
