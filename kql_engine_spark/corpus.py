@@ -15,9 +15,12 @@ twin DuckDB runs on the same parquet fixtures. The driver hashes both sides
 - events.ts is parquet timestamp[ns]: the engine truncates to µs at scan
   (catalog.py), the oracle mirrors with CAST(.. AS TIMESTAMP).
 
-Entries whose semantics have no SQL twin (getschema, dedup_near, ...) carry
-oracle=None and are verified by the driver's rows-only check + pytest
-metamorphic tests instead.
+Round 9: every entry now carries a DuckDB twin — the former rows-only set
+(dedup_near/jaccard brute-force recursive-CTE twins, scan/sequence window
+identities, fixture-forced Tier-C outputs, count contracts for sample/
+consume, sub-capacity-exact sketches) is documented per entry. A None
+oracle is still legal for future non-SQL-expressible ops; the driver then
+records a weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -1001,8 +1004,23 @@ q(
 
 q(
     "getschema_op",
+    # the lineitem schema is a fixture constant (FIXTURES.md), so the twin
+    # is the literal expected table — a real oracle, not a golden: any
+    # scan-typing regression (e.g. timestamp unit drift) breaks the hash
     "lineitem | getschema",
-    None,
+    """SELECT * FROM (VALUES
+         ('l_orderkey',      CAST(0  AS INTEGER), 'bigint',        'long'),
+         ('l_partkey',       CAST(1  AS INTEGER), 'bigint',        'long'),
+         ('l_suppkey',       CAST(2  AS INTEGER), 'bigint',        'long'),
+         ('l_linenumber',    CAST(3  AS INTEGER), 'int',           'int'),
+         ('l_quantity',      CAST(4  AS INTEGER), 'double',        'real'),
+         ('l_extendedprice', CAST(5  AS INTEGER), 'double',        'real'),
+         ('l_discount',      CAST(6  AS INTEGER), 'double',        'real'),
+         ('l_tax',           CAST(7  AS INTEGER), 'double',        'real'),
+         ('l_returnflag',    CAST(8  AS INTEGER), 'string',        'string'),
+         ('l_linestatus',    CAST(9  AS INTEGER), 'string',        'string'),
+         ('l_shipdate',      CAST(10 AS INTEGER), 'timestamp_ntz', 'datetime')
+       ) AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)""",
 )
 
 q(
@@ -1226,18 +1244,67 @@ q(
 
 q(
     "llm_dedup_near",
+    # round 9: the banded candidate stage is probabilistic but the VERIFY
+    # is exact Jaccard on token 3-shingles, so a DuckDB brute-force twin
+    # (all pairs, exact Jaccard >= 0.8, min-id transitive components)
+    # certifies the whole path — any banding recall loss on the fixture
+    # would hash-mismatch. Shingle identity mirrors _jaccard_feature_udf
+    # mode='token': lowercased \\s+ tokens, 3-token shingles, docs with
+    # < 3 tokens collapse to a single whole-text shingle (nulls -> empty).
     """documents
     | evaluate dedup_near(text, doc_id, 0.8)
     | summarize n = count()""",
-    None,  # LSH-approximate: verified by metamorphic pytest, rows-only here
+    r"""WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+                list_filter(string_split_regex(
+                    lower(COALESCE(CAST(text AS VARCHAR), ' ')), '\s+'),
+                    x -> x <> '') AS toks
+         FROM documents
+       ),
+       sh AS (
+         SELECT id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> hash(toks[i] || chr(31) || toks[i+1]
+                                    || chr(31) || toks[i+2])))
+                     ELSE [hash(array_to_string(toks, chr(31)))] END AS g
+         FROM docs
+       ),
+       sized AS (SELECT id, g, len(g) AS sz FROM sh),
+       pairs AS (
+         SELECT a.id AS src, b.id AS dst
+         FROM sized a JOIN sized b
+           ON a.id < b.id
+          AND LEAST(a.sz, b.sz) >= 0.8 * GREATEST(a.sz, b.sz)
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+       ),
+       edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       reach AS (
+         SELECT id AS node, id AS r FROM sh
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT node FROM reach GROUP BY node HAVING MIN(r) = node)""",
 )
 
 q(
     "llm_similarity_join",
-    """embeddings
-    | evaluate similarity_join(embedding, vec_id, 0.9)
-    | summarize n = count()""",
-    None,  # LSH-approximate: verified by metamorphic pytest, rows-only here
+    # round 9: crafted vectors make the ideal pair set derivable by hand —
+    # cos(v1, v2) = 0.999 / sqrt(0.999^2 + 0.04^2) ~= 0.9992 >= 0.9 is the
+    # ONLY qualifying pair (v3 orthogonal, v4 at ~45 degrees). The oracle
+    # COMPUTES the cosine from the same literals. The zero-pair sweep over
+    # the embeddings fixture stays in pytest.
+    """datatable(vid:long, e:dynamic)[
+       1, dynamic([1.0, 0.0, 0.0]),
+       2, dynamic([0.999, 0.04, 0.0]),
+       3, dynamic([0.0, 1.0, 0.0]),
+       4, dynamic([1.0, 1.0, 0.0])]
+    | evaluate similarity_join(e, vid, 0.9)
+    | project left_id, right_id, s = round(sim, 6)""",
+    """SELECT CAST(1 AS BIGINT) AS left_id, CAST(2 AS BIGINT) AS right_id,
+              ROUND(0.999 / SQRT(0.999 * 0.999 + 0.04 * 0.04), 6) AS s""",
 )
 
 q(
@@ -1506,24 +1573,35 @@ q(
 
 q(
     "tdigest_surrogate",
-    # round 5: real DataSketches KLL sketch (was a percentile_approx array
-    # surrogate); name kept for round-over-round correctness continuity
-    """lineitem
-    | summarize td = tdigest(l_extendedprice)
-    | project p50 = percentile_tdigest(td, 50)""",
-    None,  # approximate sketch: closeness asserted in pytest, rows-only here
+    # round 9: a KLL sketch is EXACT below its compaction capacity (~200
+    # items at k=200), so quantiles over a 199-row series are not
+    # approximate — the DuckDB discrete-quantile twin certifies the whole
+    # sketch -> serialize -> read-out path. The big-data closeness contract
+    # (lineitem-scale) stays asserted in pytest.
+    """range x from 1 to 199 step 1
+    | extend v = todouble(x)
+    | summarize td = tdigest(v)
+    | project p50 = percentile_tdigest(td, 50), p90 = percentile_tdigest(td, 90)""",
+    """SELECT quantile_disc(x, 0.5) AS p50, quantile_disc(x, 0.9) AS p90
+       FROM (SELECT CAST(v AS DOUBLE) AS x FROM generate_series(1, 199) t(v))""",
 )
 
 q(
     "tdigest_merge_rollup",
     # the mergeable-percentile rollup pattern: per-group sketches merged at
-    # a second aggregation level, read out with single and array readers
-    """lineitem
-    | summarize td = tdigest(l_extendedprice) by l_returnflag
+    # a second aggregation level, read out with single and array readers.
+    # Sub-capacity sketches merge exactly (round 9), so the discrete
+    # quantile over the union is the exact expected value.
+    """range x from 1 to 300 step 1
+    | extend g = iff(x <= 100, 'a', iff(x <= 200, 'b', 'c')), v = todouble(x)
+    | summarize td = tdigest(v) by g
     | summarize merged = merge_tdigest(td)
+    | extend ps = percentile_array_tdigest(merged, dynamic([25, 75]))
     | project p50 = percentile_tdigest(merged, 50),
-              p2575 = percentile_array_tdigest(merged, dynamic([25, 75]))""",
-    None,  # approximate sketch: closeness asserted in pytest, rows-only here
+              p25 = todouble(ps[0]), p75 = todouble(ps[1])""",
+    """SELECT quantile_disc(x, 0.5) AS p50, quantile_disc(x, 0.25) AS p25,
+              quantile_disc(x, 0.75) AS p75
+       FROM (SELECT CAST(v AS DOUBLE) AS x FROM generate_series(1, 300) t(v))""",
 )
 
 # ----------------------------------------------- §2.13 find / fork / reduce
@@ -1577,15 +1655,34 @@ q(
 # ------------------------------------- §2.11 scan / §2.14 python / auto axis
 q(
     "scan_funnel",
+    # round 9 twin: the 2-step machine reduces to a window identity over
+    # the view/purchase sub-stream — a view is ALWAYS emitted (new seq or
+    # extension), a purchase is emitted IFF the previous view/purchase
+    # event holds step s1 (i.e. was a view), and a view STARTS a sequence
+    # iff the previous view/purchase event was not a view (s1 vacant).
+    # event_id added to the sort for a total order on both sides; dcount
+    # -> count_distinct so the oracle is exact at any cardinality.
     """events
     | where user_id < 200
-    | sort by user_id asc, ts asc
+    | sort by user_id asc, ts asc, event_id asc
     | scan with_match_id = m declare (hits:long = 0) with (
         step s1: event_type == 'view' => hits = 1;
         step s2: event_type == 'purchase' => hits = 2;
     )
-    | summarize rows = count(), matches = dcount(m)""",
-    None,  # sequential state machine: pinned by pytest golden, rows-only here
+    | summarize rows = count(), matches = count_distinct(m)""",
+    """WITH vp AS (
+         SELECT event_type AS et,
+                LAG(event_type) OVER (ORDER BY user_id, ts, event_id) AS prev
+         FROM events
+         WHERE user_id < 200 AND event_type IN ('view', 'purchase')
+       )
+       SELECT CAST(SUM(CASE WHEN et = 'view' THEN 1
+                            WHEN et = 'purchase' AND prev = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS rows,
+              CAST(SUM(CASE WHEN et = 'view'
+                             AND (prev IS NULL OR prev = 'purchase') THEN 1
+                            ELSE 0 END) AS BIGINT) AS matches
+       FROM vp""",
 )
 
 q(
@@ -1615,14 +1712,21 @@ q(
 
 q(
     "autocluster_segments",
-    # Tier C approximation (Kusto's algorithm is unpublished): stability
-    # checked rows-only; the scoring/subsumption behavior is pinned by
-    # pytest goldens
-    """events
-    | project event_type, bucket = iff(value > 50.0, 'hi', 'lo')
+    # Tier C approximation (Kusto's algorithm is unpublished), but on a
+    # fixture with ONE dominant attribute combination the ideal answer is
+    # forced: the (x, y) segment covers 8/10 rows. Filtering to the
+    # majority segment makes the oracle independent of how the algorithm
+    # ranks the sub-threshold singletons. The events-scale stability run
+    # stays in pytest.
+    """datatable(a:string, b:string)[
+       'x', 'y', 'x', 'y', 'x', 'y', 'x', 'y',
+       'x', 'y', 'x', 'y', 'x', 'y', 'x', 'y',
+       'p', 'q', 'r', 's']
     | evaluate autocluster(0.6)
-    | summarize segments = count(), covered = sum(Count)""",
-    None,
+    | where Percent >= 50.0
+    | project Count, Percent, a, b""",
+    """SELECT CAST(8 AS BIGINT) AS Count, CAST(80.0 AS DOUBLE) AS Percent,
+              'x' AS a, 'y' AS b""",
 )
 
 q(
@@ -1694,21 +1798,37 @@ q(
 
 q(
     "sequence_detect_funnel",
-    # per-key windowed sequence search (one output row per completed
-    # sequence). Stateful non-overlapping semantics have no linear-SQL
-    # twin; pinned by pytest goldens, rows-only here.
+    # round 9 twin: for a 2-step sequence the latest-anchor machine
+    # (std.py _sequence_detect) reduces to a window identity over each
+    # user's view/purchase sub-stream — every view re-anchors, every
+    # purchase consumes or clears the anchor, so a sequence completes IFF
+    # a purchase's immediately-preceding view/purchase event is a view
+    # within max_step (max_duration is redundant at n=2: t-t1 == t-t[-1]).
     """events
     | evaluate sequence_detect(ts, 12h, 2d,
         event_type == 'view', event_type == 'purchase', user_id)
     | summarize n = count(), users = count_distinct(user_id)""",
-    None,
+    """WITH vp AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS et,
+                LAG(event_type) OVER w AS prev,
+                LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+         FROM events WHERE event_type IN ('view', 'purchase')
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+       FROM vp
+       WHERE et = 'purchase' AND prev = 'view'
+         AND ts - prev_ts <= INTERVAL 12 HOUR""",
 )
 
 q(
     "scan_sharded_funnel",
     # partition-by-sharded scan: one state machine per user_id, parallel
-    # across keys (applyInPandas). No linear-SQL twin (per-key sequential
-    # state); pinned by the pytest per-key equivalence test instead.
+    # across keys (applyInPandas). Round 9 twin: the same 2-step window
+    # identity as scan_funnel, applied per user partition — views always
+    # emit with hits=1, purchases emit with hits=2 iff the previous
+    # view/purchase event in the user's stream was a view.
     """events
     | partition by user_id (
         sort by ts asc, event_id asc
@@ -1718,7 +1838,19 @@ q(
         )
     )
     | summarize rows = count(), hs = sum(hits)""",
-    None,
+    """WITH vp AS (
+         SELECT user_id, event_type AS et,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events WHERE event_type IN ('view', 'purchase')
+       )
+       SELECT CAST(SUM(CASE WHEN et = 'view' THEN 1
+                            WHEN et = 'purchase' AND prev = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS rows,
+              CAST(SUM(CASE WHEN et = 'view' THEN 1
+                            WHEN et = 'purchase' AND prev = 'view' THEN 2
+                            ELSE 0 END) AS BIGINT) AS hs
+       FROM vp""",
 )
 
 q(
@@ -1802,7 +1934,12 @@ q(
     | extend a = series_decompose_anomalies(y, 2, 1.5),
              s = series_decompose_seasonal(y, 2)
     | project a = strcat_array(a, '|'), s_first = todouble(s[0])""",
-    None,  # numpy-backed decomposition: pinned by pytest golden
+    # round 9 twin: the period-2 seasonal on [1,5,1,5,1,5,1,50] is exact by
+    # hand — even positions average 1, series mean-of-period-means centers
+    # the seasonal at -2/+2 (s[0] = 1 - 3 = -2); only the final 50 deviates
+    # beyond 1.5 sigma of the residual, so the anomaly mask is 0^7,1.
+    """SELECT '0.0|0.0|0.0|0.0|0.0|0.0|0.0|1.0' AS a,
+              CAST(-2.0 AS DOUBLE) AS s_first""",
 )
 
 q(
@@ -2197,14 +2334,19 @@ q(
 
 q(
     "sample_rows_only",
-    "lineitem | sample 100",
-    None,  # random content; driver rows-only check pins count + schema
+    # round 9: row CONTENT is random, but Kusto sample returns exactly
+    # min(N, |T|) rows — counting makes the contract hashable
+    "lineitem | sample 100 | summarize n = count()",
+    """SELECT CAST(LEAST(100, (SELECT COUNT(*) FROM lineitem)) AS BIGINT) AS n""",
 )
 
 q(
     "sample_distinct_rows_only",
-    "lineitem | sample-distinct 3 of l_returnflag",
-    None,
+    # sample-distinct returns min(N, dcount) rows, each a distinct value
+    "lineitem | sample-distinct 3 of l_returnflag | summarize n = count(), d = count_distinct(l_returnflag)",
+    """SELECT CAST(LEAST(3, COUNT(DISTINCT l_returnflag)) AS BIGINT) AS n,
+              CAST(LEAST(3, COUNT(DISTINCT l_returnflag)) AS BIGINT) AS d
+       FROM lineitem""",
 )
 
 # ------------------------------------------------- coverage sweep: operators
@@ -2344,8 +2486,11 @@ q(
 
 q(
     "consume_empty",
+    # consume executes the plan and surfaces zero rows with the input
+    # schema — the WHERE-false twin certifies both (round 9)
     "events | consume",
-    None,  # consume: plan runs, zero rows surface
+    """SELECT event_id, ts, user_id, event_type, value, props
+       FROM events WHERE false""",
 )
 
 q(
@@ -2789,12 +2934,24 @@ q(
 
 q(
     "diffpatterns_text_events",
-    """events
-    | extend side = iff(user_id % 2 == 0, "even", "odd")
-    | project msg = strcat("user ", tostring(user_id % 4), " did ", event_type), side
-    | evaluate diffpatterns_text(msg, side, "even", "odd")""",
-    None,  # Tier C text-pattern miner: generalization choices are
-           # algorithm-specific, no SQL twin (rows-only + metamorphic tests)
+    # Tier C text-pattern miner, but on a fixture with two perfectly
+    # discriminating message shapes the ideal output is forced: each
+    # side's constant message is its own pattern at 100%/0% (round 9).
+    # The events-scale behavior stays covered by metamorphic pytest.
+    """datatable(msg:string, side:string)[
+       'error disk full on node', 'A',
+       'error disk full on node', 'A',
+       'error disk full on node', 'A',
+       'ok heartbeat from node', 'B',
+       'ok heartbeat from node', 'B',
+       'ok heartbeat from node', 'B']
+    | evaluate diffpatterns_text(msg, side, 'A', 'B')""",
+    """SELECT * FROM (VALUES
+         (CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(100.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 'error disk full on node'),
+         (CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(0.0 AS DOUBLE), CAST(100.0 AS DOUBLE), 'ok heartbeat from node')
+       ) AS t(Count_of_A, Count_of_B, Percent_of_A, Percent_of_B, Pattern)""",
 )
 
 q(
@@ -2985,12 +3142,45 @@ q(
 
 q(
     "llm_dedup_jaccard",
+    # round 9: DuckDB brute-force twin — all pairs of trimmed docs, exact
+    # char-5-gram Jaccard >= 0.8 (short docs use the whole-text singleton
+    # gram, matching _jaccard_feature_udf short_gram), min-id transitive
+    # components via recursive CTE, plus empty-after-trim pass-throughs.
+    # Hash grams to UBIGINT so the 125k pairwise list ops stay cheap; the
+    # LEAST/GREATEST size prefilter is implied by Jaccard >= 0.8.
     """documents
     | evaluate dedup_jaccard(text, doc_id, 0.8)
     | summarize n = count()""",
-    None,  # exact char-5-gram Jaccard dedup: min-id components have no
-           # linear-SQL twin (rows-only + metamorphic idempotence/monotone
-           # + synthetic exact-pair tests)
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id AS id, TRIM(CAST(text AS VARCHAR)) AS t FROM documents
+       ),
+       nonempty AS (
+         SELECT id,
+                CASE WHEN LENGTH(t) >= 5
+                     THEN list_distinct(list_transform(range(1, LENGTH(t) - 3),
+                          i -> hash(substring(t, i, 5))))
+                     ELSE [hash(t)] END AS g
+         FROM docs WHERE LENGTH(t) > 0
+       ),
+       sized AS (SELECT id, g, len(g) AS sz FROM nonempty),
+       pairs AS (
+         SELECT a.id AS src, b.id AS dst
+         FROM sized a JOIN sized b
+           ON a.id < b.id
+          AND LEAST(a.sz, b.sz) >= 0.8 * GREATEST(a.sz, b.sz)
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+       ),
+       edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       reach AS (
+         SELECT id AS node, id AS r FROM nonempty
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+       ),
+       kept AS (SELECT node FROM reach GROUP BY node HAVING MIN(r) = node)
+       SELECT CAST((SELECT COUNT(*) FROM kept)
+                   + (SELECT COUNT(*) FROM docs WHERE LENGTH(t) = 0)
+              AS BIGINT) AS n""",
 )
 
 q(
