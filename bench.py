@@ -30,7 +30,16 @@ from kql_engine_spark.corpus import BENCH_QUERIES, CORPUS  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --smoke: 2 queries x 1 timed run at sf0.001 — the pre-snapshot gate
+    # (round 9; round 7 shipped a NameError in a bench-only code path that
+    # one smoke run would have caught). Wired into pytest as
+    # tests/test_bench_smoke.py, exercising this script as a subprocess
+    # exactly the way the driver does.
+    smoke = "--smoke" in sys.argv
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.1",
+    )
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -49,10 +58,18 @@ def main() -> None:
     ):
         kql(spark, f"{t} | count", sf_dir=sf_dir).collect()
 
+    bench_items = list(BENCH_QUERIES.items())
+    n_full, n_rep = 5, 3
+    if smoke:
+        # first + last bench entries (one simple agg, one multi-join),
+        # single timed run each — syntax/translation breakage, not timing
+        bench_items = [bench_items[0], bench_items[-1]]
+        n_full, n_rep = 1, 1
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     repeat: dict[str, float] = {}
-    for bench_id, corpus_name in BENCH_QUERIES.items():
+    for bench_id, corpus_name in bench_items:
         text = CORPUS[corpus_name][0]
         # first run = the COLD path: parse + translate + Catalyst analyze/
         # optimize/codegen + execute. Recorded for transparency.
@@ -69,7 +86,7 @@ def main() -> None:
         # codegen are forced OUTSIDE the timer (executedPlan()), so the
         # timer covers exactly: scan + shuffle + aggregate + collect.
         runs = []
-        for i in range(5):
+        for i in range(n_full):
             d = kql(spark, f"{text}\n// bench-fresh-exec {i}", sf_dir=sf_dir)
             d._jdf.queryExecution().executedPlan()  # noqa: SLF001
             t0 = time.perf_counter()
@@ -81,7 +98,7 @@ def main() -> None:
         # query on identical data actually waits. Reported separately —
         # NOT comparable to DuckDB's full re-executions.
         reps = []
-        for _ in range(3):
+        for _ in range(n_rep):
             t0 = time.perf_counter()
             df_cached.collect()
             reps.append(time.perf_counter() - t0)

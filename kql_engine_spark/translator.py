@@ -701,9 +701,18 @@ class PipeTranslator:
         catalog: Catalog,
         options: dict | None = None,
         streaming: bool = False,
+        small_plan: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
+        # small-plan mode (total source bytes under _SMALL_QUERY_BYTES):
+        # physical choices trade parallelism for fewer stages/tasks —
+        # global sorts become single-partition sorts (no range-partitioner
+        # sampling job; the whole input fits in one task by construction)
+        self.small_plan = small_plan
+        # (sorted_df, source_df, cols) of the latest small-plan sort, so a
+        # directly-following take can rebuild as TakeOrderedAndProject
+        self._small_sorted: tuple | None = None
         # copied: `set` statements write query-scoped overrides into it
         self.options = dict(options) if options else {}
         self.streaming = streaming
@@ -1513,6 +1522,19 @@ class PipeTranslator:
             return df
         cols = self._sort_cols(df, op.keys)
         self.order = cols
+        if self.small_plan:
+            # a global sort lowers to Exchange(rangepartitioning) whose
+            # preparation runs a SAMPLING JOB over the child — for a
+            # <32MB-source query that job costs more than the sort.
+            # coalesce(1) + sortWithinPartitions yields the same total
+            # order in one task with no sampling pass (measured: TPC-H Q1
+            # trailing sort 0.24s -> 0.17s at sf0.1). Never taken at
+            # scale: small_plan is gated on source bytes. A following
+            # `take` peels this back to orderBy().limit() (t_take) so
+            # sort+take still plans as TakeOrderedAndProject.
+            out = df.coalesce(1).sortWithinPartitions(*cols)
+            self._small_sorted = (out, df, cols)
+            return out
         return df.orderBy(*cols)
 
     def _plain_sort_keys(self, keys) -> list[tuple[str, bool, str]]:
@@ -1557,6 +1579,14 @@ class PipeTranslator:
         return n
 
     def t_take(self, df: DataFrame, op: Take) -> DataFrame:
+        small = getattr(self, "_small_sorted", None)
+        if small is not None and small[0] is df:
+            # sort|take directly on a small-plan coalesced sort: rebuild as
+            # orderBy().limit() so Catalyst plans TakeOrderedAndProject
+            # (per-partition top-k, no sampling job) — strictly better than
+            # limiting a single-task full sort
+            _, src, cols = small
+            return src.orderBy(*cols).limit(self._const_count(op.n))
         return df.limit(self._const_count(op.n))
 
     def t_top(self, df: DataFrame, op: Top) -> DataFrame:
@@ -3111,7 +3141,9 @@ def _translate_pinning_small_plan(
         # returns on <32MB of input
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            out = PipeTranslator(spark, catalog, options).translate_query(q)
+            out = PipeTranslator(
+                spark, catalog, options, small_plan=True
+            ).translate_query(q)
             # force physical planning NOW so the non-AQE choice is captured
             # in the QueryExecution this DataFrame will execute with
             out._jdf.queryExecution().executedPlan()
