@@ -3274,6 +3274,69 @@ q(
 )
 
 q(
+    "new_activity_metrics_cohort_dims",
+    # round 9: cohort dimensions (closes the r5 simplification) — every
+    # metric per (period, event_type); "new"/retention are measured WITHIN
+    # the dimension combination (independent cohort streams)
+    """events
+    | evaluate new_activity_metrics(user_id, ts, 1d, event_type)
+    | sort by Timeline asc, event_type asc""",
+    """WITH pairs AS (SELECT DISTINCT user_id, event_type,
+            CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS p
+        FROM events),
+     firsts AS (SELECT user_id, event_type, MIN(p) AS f
+                FROM pairs GROUP BY 1, 2),
+     agg AS (
+       SELECT p, pairs.event_type, COUNT(*) AS act,
+              COUNT(*) FILTER (WHERE p = f) AS new,
+              COUNT(*) FILTER (WHERE EXISTS (
+                 SELECT 1 FROM pairs n
+                 WHERE n.user_id = pairs.user_id
+                   AND n.event_type = pairs.event_type
+                   AND n.p = pairs.p + INTERVAL 1 DAY)) AS ret
+       FROM pairs JOIN firsts USING (user_id, event_type) GROUP BY 1, 2)
+     SELECT p AS Timeline, event_type,
+            CAST(act AS BIGINT) AS dcount_values,
+            CAST(new AS BIGINT) AS dcount_new_values,
+            CAST(ret AS BIGINT) AS dcount_retained_values,
+            CAST(act - ret AS BIGINT) AS dcount_churn_values,
+            ROUND(CAST(ret AS DOUBLE) / act, 4) AS retention_rate,
+            ROUND(CAST(act - ret AS DOUBLE) / act, 4) AS churn_rate
+     FROM agg ORDER BY 1, 2""",
+)
+
+q(
+    "activity_metrics_cohort_dims",
+    # round 9: window-over-window retention/churn per (period, event_type)
+    """events
+    | evaluate activity_metrics(user_id, ts, 1d, event_type)
+    | sort by Timeline asc, event_type asc""",
+    """WITH b AS (SELECT DISTINCT user_id, event_type,
+                CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400) AS TIMESTAMP) AS d
+         FROM events),
+       f AS (SELECT user_id, event_type, MIN(d) AS fd FROM b GROUP BY 1, 2),
+       c AS (SELECT d, b.event_type, COUNT(DISTINCT b.user_id) AS dc,
+                    COUNT(DISTINCT CASE WHEN f.fd = b.d THEN b.user_id END) AS nv
+             FROM b JOIN f USING (user_id, event_type) GROUP BY 1, 2),
+       r AS (SELECT cur.d, cur.event_type, COUNT(DISTINCT cur.user_id) AS ret
+             FROM b cur JOIN b prv
+               ON prv.user_id = cur.user_id AND prv.event_type = cur.event_type
+              AND prv.d = cur.d - INTERVAL 1 DAY
+             GROUP BY 1, 2),
+       p AS (SELECT d + INTERVAL 1 DAY AS d, event_type,
+                    COUNT(DISTINCT user_id) AS pt
+             FROM b GROUP BY 1, 2)
+       SELECT c.d AS Timeline, c.event_type AS event_type,
+              CAST(dc AS BIGINT) AS dcount_values,
+              CAST(nv AS BIGINT) AS dcount_newvalues,
+              ROUND(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.pt, 4) AS retention_rate,
+              ROUND(CAST(p.pt - COALESCE(r.ret, 0) AS DOUBLE) / p.pt, 4) AS churn_rate
+       FROM c LEFT JOIN r ON c.d = r.d AND c.event_type = r.event_type
+              LEFT JOIN p ON c.d = p.d AND c.event_type = p.event_type
+       ORDER BY 1, 2""",
+)
+
+q(
     "union_isfuzzy_skips_unknown",
     """union isfuzzy=true nation, no_such_table | count""",
     """SELECT COUNT(*) AS Count FROM nation""",

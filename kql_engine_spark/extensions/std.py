@@ -724,21 +724,39 @@ def _active_users_count(ptr, df, args):
 
 
 # ------------------------------------------------ new_activity_metrics (§2.8)
+def _activity_dims(args, start: int, plugin_name: str) -> list[str]:
+    """Trailing cohort-dimension column args (round 9 — closes the r5
+    'no cohort dims' simplification both activity plugins carried)."""
+    dims = []
+    for a in args[start:]:
+        if not isinstance(a, Col):
+            raise KqlSemanticError(
+                f"{plugin_name}: cohort dimensions must be column references"
+            )
+        dims.append(a.name)
+    return dims
+
+
 @plugin("new_activity_metrics")
 def _new_activity_metrics(ptr, df, args):
-    """`T | evaluate new_activity_metrics(id, timeline, period)` [KQL
-    behavior analytics, simplified: consecutive-period window, no cohort
-    dims]: per period — active ids, first-seen (new) ids, ids retained
+    """`T | evaluate new_activity_metrics(id, timeline, period[, dim1,
+    dim2, ...])` [KQL behavior analytics, simplified: consecutive-period
+    window]: per period (and per cohort-dimension combination when dims
+    are given — round 9) — active ids, first-seen (new) ids, ids retained
     into the NEXT period, ids churned (active now, absent next), and the
-    retention/churn rates.
+    retention/churn rates. With dims, each dimension combination is an
+    independent cohort stream: "new" means first appearance of the id
+    WITHIN that combination, retention is measured within it too.
 
-    Exact lowering: distinct (id, period) pairs; first activity via one
-    groupBy(id) min; retained via one self equi-join on (id, period+1).
-    All hash-partitioned joins/aggregations — no windows over unbounded
-    frames, no driver-side data."""
+    Exact lowering: distinct (id, dims, period) tuples; first activity via
+    one groupBy(id, dims) min; retained via one self equi-join on
+    (id, dims, period+1). All hash-partitioned joins/aggregations — no
+    windows over unbounded frames, no driver-side data."""
     tr = ptr.expr_tr(df)
-    if len(args) != 3:
-        raise KqlSemanticError("new_activity_metrics(id_col, timeline_col, period)")
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "new_activity_metrics(id_col, timeline_col, period[, dims...])"
+        )
     idc = args[0].name if isinstance(args[0], Col) else None
     tc = args[1].name if isinstance(args[1], Col) else None
     if idc is None or tc is None:
@@ -746,36 +764,41 @@ def _new_activity_metrics(ptr, df, args):
     period_s = tr.const_seconds(args[2])
     if not period_s:
         raise KqlSemanticError("new_activity_metrics: period must be a timespan")
+    dims = _activity_dims(args, 3, "new_activity_metrics")
     us = int(period_s * 1_000_000)
     binned = F.timestamp_micros(
         (F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)).cast(
             "bigint"
         )
     )
-    pairs = df.select(F.col(idc).alias("__id"), binned.alias("Timeline")).distinct()
-    first = pairs.groupBy("__id").agg(F.min("Timeline").alias("__first"))
+    pairs = df.select(
+        F.col(idc).alias("__id"), binned.alias("Timeline"), *dims
+    ).distinct()
+    first = pairs.groupBy("__id", *dims).agg(F.min("Timeline").alias("__first"))
     nxt = pairs.select(
         F.col("__id"),
         F.timestamp_micros(F.unix_micros(F.col("Timeline")) - F.lit(us)).alias(
             "Timeline"
         ),
+        *dims,
     )
     enriched = (
-        pairs.join(first, "__id")
+        pairs.join(first, ["__id", *dims])
         .withColumn("__is_new", (F.col("Timeline") == F.col("__first")).cast("int"))
         .join(
             nxt.withColumn("__ret", F.lit(1)).alias("n"),
-            ["__id", "Timeline"],
+            ["__id", "Timeline", *dims],
             "left",
         )
     )
-    out = enriched.groupBy("Timeline").agg(
+    out = enriched.groupBy("Timeline", *dims).agg(
         F.count_distinct("__id").alias("dcount_values"),
         F.sum("__is_new").alias("dcount_new_values"),
         F.count(F.col("__ret")).alias("dcount_retained_values"),
     )
     return out.select(
         "Timeline",
+        *dims,
         "dcount_values",
         "dcount_new_values",
         "dcount_retained_values",
@@ -796,22 +819,26 @@ def _new_activity_metrics(ptr, df, args):
 # ------------------------------------------------- activity_metrics (§2.8)
 @plugin("activity_metrics")
 def _activity_metrics(ptr, df, args):
-    """`T | evaluate activity_metrics(id, timeline, period)` [KQL behavior
-    analytics, simplified: consecutive-period window, no cohort dims].
-    Window-over-window flavor (vs the sibling new_activity_metrics' cohort
-    flavor): per period — active ids, first-seen ids, and retention/churn
-    measured against the PREVIOUS period's actives:
+    """`T | evaluate activity_metrics(id, timeline, period[, dim1, dim2,
+    ...])` [KQL behavior analytics, simplified: consecutive-period
+    window]. Window-over-window flavor (vs the sibling
+    new_activity_metrics' cohort flavor): per period — and per
+    cohort-dimension combination when dims are given (round 9) — active
+    ids, first-seen ids, and retention/churn measured against the
+    PREVIOUS period's actives within the same dimension combination:
       retention_rate(w) = |ids(w) ∩ ids(w-1)| / |ids(w-1)|
       churn_rate(w)     = |ids(w-1) \\ ids(w)| / |ids(w-1)|
     First period has no predecessor -> rates are null.
 
-    Exact lowering: distinct (id, period) pairs; first activity via one
-    groupBy(id) min; the previous-period intersection via one self
-    equi-join on (id, period-1). All hash-partitioned — no unbounded
-    windows, no driver-side data."""
+    Exact lowering: distinct (id, dims, period) tuples; first activity via
+    one groupBy(id, dims) min; the previous-period intersection via one
+    self equi-join on (id, dims, period-1). All hash-partitioned — no
+    unbounded windows, no driver-side data."""
     tr = ptr.expr_tr(df)
-    if len(args) != 3:
-        raise KqlSemanticError("activity_metrics(id_col, timeline_col, period)")
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "activity_metrics(id_col, timeline_col, period[, dims...])"
+        )
     idc = args[0].name if isinstance(args[0], Col) else None
     tc = args[1].name if isinstance(args[1], Col) else None
     if idc is None or tc is None:
@@ -819,44 +846,49 @@ def _activity_metrics(ptr, df, args):
     period_s = tr.const_seconds(args[2])
     if not period_s:
         raise KqlSemanticError("activity_metrics: period must be a timespan")
+    dims = _activity_dims(args, 3, "activity_metrics")
     us = int(period_s * 1_000_000)
     binned = F.timestamp_micros(
         (
             F.floor(F.unix_micros(F.col(tc).cast("timestamp")) / F.lit(us)) * F.lit(us)
         ).cast("bigint")
     )
-    pairs = df.select(F.col(idc).alias("__id"), binned.alias("Timeline")).distinct()
-    first = pairs.groupBy("__id").agg(F.min("Timeline").alias("__first"))
+    pairs = df.select(
+        F.col(idc).alias("__id"), binned.alias("Timeline"), *dims
+    ).distinct()
+    first = pairs.groupBy("__id", *dims).agg(F.min("Timeline").alias("__first"))
     # previous period's actives, relabeled to the period they precede
     prev = pairs.select(
         F.col("__id"),
         F.timestamp_micros(F.unix_micros(F.col("Timeline")) + F.lit(us)).alias(
             "Timeline"
         ),
+        *dims,
     )
-    prev_totals = prev.groupBy("Timeline").agg(
+    prev_totals = prev.groupBy("Timeline", *dims).agg(
         F.count_distinct("__id").alias("__prev_total")
     )
     enriched = (
-        pairs.join(first, "__id")
+        pairs.join(first, ["__id", *dims])
         .withColumn("__is_new", (F.col("Timeline") == F.col("__first")).cast("int"))
         .join(
             prev.withColumn("__ret", F.lit(1)).alias("p"),
-            ["__id", "Timeline"],
+            ["__id", "Timeline", *dims],
             "left",
         )
     )
     out = (
-        enriched.groupBy("Timeline")
+        enriched.groupBy("Timeline", *dims)
         .agg(
             F.count_distinct("__id").alias("dcount_values"),
             F.sum("__is_new").alias("dcount_newvalues"),
             F.count(F.col("__ret")).alias("__retained"),
         )
-        .join(prev_totals, "Timeline", "left")
+        .join(prev_totals, ["Timeline", *dims], "left")
     )
     return out.select(
         "Timeline",
+        *dims,
         "dcount_values",
         "dcount_newvalues",
         F.round(
