@@ -3433,6 +3433,56 @@ q(
 )
 
 q(
+    "graph_mark_components_strong",
+    # round 9 (kind=strong shipped): two 2-cycles joined by a one-way
+    # bridge — SCCs are {1,2} and {3,4}. The twin computes SCC ids from
+    # first principles: comp(n) = min{m : n reaches m AND m reaches n}
+    # via a recursive-CTE transitive closure.
+    """datatable(src:long, dst:long)[
+       1, 2,  2, 1,  2, 3,  3, 4,  4, 3]
+    | make-graph src --> dst
+    | graph-mark-components kind=strong with_component_id=comp
+    | sort by node_id asc""",
+    """WITH RECURSIVE e(s, d) AS (
+         VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (2, 1), (2, 3),
+                (3, 4), (4, 3)),
+       nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+                                         UNION SELECT d FROM e)),
+       reach(n, m) AS (
+         SELECT n, n FROM nodes
+         UNION
+         SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m
+       )
+       SELECT a.n AS node_id, MIN(a.m) AS comp
+       FROM reach a JOIN reach b ON a.n = b.m AND a.m = b.n
+       GROUP BY a.n ORDER BY a.n""",
+)
+
+q(
+    "graph_match_varlen_deep",
+    # round 9: the former *..8 cap is raised to 16 (incremental-frontier
+    # unroll) — a 10-hop reachability sweep over an 11-node chain, counted
+    # against a recursive-CTE walk enumeration
+    """datatable(s:long, d:long)[
+       1,2, 2,3, 3,4, 4,5, 5,6, 6,7, 7,8, 8,9, 9,10, 10,11]
+    | make-graph s --> d
+    | graph-match (a)-[e*1..10]->(b)
+      project an = a.node_id, bn = b.node_id, hops = tolong(array_length(e))
+    | summarize n = count(), mx = max(hops)""",
+    """WITH RECURSIVE e(s, d) AS (
+         VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (2,3), (3,4), (4,5),
+                (5,6), (6,7), (7,8), (8,9), (9,10), (10,11)),
+       walk(a, b, h) AS (
+         SELECT s, d, 1 FROM e
+         UNION ALL
+         SELECT w.a, e.d, w.h + 1 FROM walk w JOIN e ON e.s = w.b
+         WHERE w.h < 10
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT) AS mx
+       FROM walk""",
+)
+
+q(
     "has_any_dynamic_terms",
     """print s = 'blue widget'
     | project a = s has_any (dynamic(['blue', 'red'])),

@@ -2507,43 +2507,49 @@ class PipeTranslator:
                 )
             if not (1 <= step.min_len <= step.max_len):
                 raise KqlSemanticError("graph-match: bad *lo..hi edge bounds")
-            if step.max_len > 8:
+            if step.max_len > _GRAPH_VARLEN_CAP:
                 raise KqlSemanticError(
-                    "graph-match: variable-length edges capped at *..8 "
-                    "(each extra hop is one more join)"
+                    f"graph-match: variable-length edges capped at "
+                    f"*..{_GRAPH_VARLEN_CAP} (each hop is one keyed join; "
+                    "Catalyst analysis cost grows with the unroll — raise "
+                    "KQL_ENGINE_GRAPH_VARLEN_CAP if your pattern needs more)"
                 )
             from_field, to_field = (src, dst) if step.forward else (dst, src)
             plain = not getattr(step, "varlen", False)
-            # bounded variable-length `-[e*lo..hi]->`: unroll each length L
-            # into a join chain through unconstrained intermediates, bind
-            # the edge var to the ARRAY of edge structs, union the lengths.
+            # bounded variable-length `-[e*lo..hi]->`: INCREMENTAL frontier
+            # unroll (round 9) — one shared join chain built hop by hop,
+            # with a variant captured at every length in [lo, hi]; the
+            # per-length prefixes are identical subtrees, so planning adds
+            # O(hi) joins (was O(hi^2) with independent chains) and
+            # execution shares the shuffles via ReuseExchange. The edge var
+            # binds to the ARRAY of edge structs; the lengths union.
             variants = []
-            for length in range(step.min_len, step.max_len + 1):
-                v = cur
-                tmps = []
-                for k in range(length):
-                    tmp = f"__kqle_{step.edge_var}_{k}"
-                    e = edge_struct(tmp)
-                    left_key = (
-                        v[prev][nid] if not tmps else v[tmps[-1]][to_field]
-                    )
-                    v = v.join(e, left_key == e[tmp][from_field], "inner")
-                    tmps.append(tmp)
+            v = cur
+            tmps: list = []
+            for k in range(step.max_len):
+                tmp = f"__kqle_{step.edge_var}_{k}"
+                e = edge_struct(tmp)
+                left_key = v[prev][nid] if not tmps else v[tmps[-1]][to_field]
+                v = v.join(e, left_key == e[tmp][from_field], "inner")
+                tmps.append(tmp)
+                length = k + 1
+                if length < step.min_len:
+                    continue
                 if plain:
-                    v = v.withColumnRenamed(tmps[0], step.edge_var)
+                    vv = v.withColumnRenamed(tmps[0], step.edge_var)
                     last_to = F.col(step.edge_var)[to_field]
                 else:
-                    v = v.withColumn(
+                    vv = v.withColumn(
                         step.edge_var, F.array(*[F.col(t) for t in tmps])
                     ).drop(*tmps)
                     last_to = F.element_at(F.col(step.edge_var), -1)[to_field]
                 if step.node_var in bound:
                     # cycle back to an already-bound node -> equality filter
-                    v = v.filter(F.col(step.node_var)[nid] == last_to)
+                    vv = vv.filter(F.col(step.node_var)[nid] == last_to)
                 else:
                     n = node_struct(step.node_var)
-                    v = v.join(n, last_to == n[step.node_var][nid], "inner")
-                variants.append(v)
+                    vv = vv.join(n, last_to == n[step.node_var][nid], "inner")
+                variants.append(vv)
             cur = variants[0]
             for v in variants[1:]:
                 cur = cur.unionByName(v)
@@ -2607,23 +2613,25 @@ class PipeTranslator:
         return nodes if op.what == "nodes" else edges
 
     def t_graphmarkcomponents(self, df: DataFrame, op) -> DataFrame:
-        """`| graph-mark-components [kind=weak] [with_component_id=Col]`
-        [KQL graph]: label every node with its weakly-connected component.
-        Component id = the smallest node id reachable (deterministic, unlike
+        """`| graph-mark-components [kind=weak|strong]
+        [with_component_id=Col]` [KQL graph]: label every node with its
+        weakly- (default) or strongly-connected component. Component id =
+        the smallest node id in the component (deterministic, unlike
         Kusto's arbitrary ids — documented delta that makes the result
-        oracle-checkable). Lowering: the same min-id-propagation fixpoint
-        that backs dedup_near/dedup_simhash (extensions/llm.py) — per-round
-        keyed joins + groupBy, one 1-row changed-count to the driver per
-        round, no other driver-side data."""
+        oracle-checkable). Lowering: kind=weak is the min-id-propagation
+        fixpoint that backs dedup_near/dedup_simhash (extensions/llm.py);
+        kind=strong (round 9) is forward+reverse min-label peeling
+        (_scc_labels). Both are per-round keyed joins + groupBy with a
+        1-row driver probe per round, no other driver-side data."""
         graph = getattr(self, "_graph", None)
         if graph is None:
             raise KqlSemanticError(
                 "graph-mark-components requires a preceding make-graph"
             )
-        if op.kind not in ("weak",):
+        if op.kind not in ("weak", "strong"):
             raise KqlUnsupportedError(
-                "graph-mark-components: only kind=weak is supported "
-                "(strong components of a directed graph are not implemented)"
+                f"graph-mark-components: unknown kind {op.kind!r} "
+                "(weak | strong)"
             )
         from .extensions.llm import _component_labels
 
@@ -2631,7 +2639,7 @@ class PipeTranslator:
         edges, nodes, src, dst, nid = graph
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         n = nodes.select(F.col(nid).alias("node")).distinct()
-        labels = _component_labels(n, e)
+        labels = _scc_labels(n, e) if op.kind == "strong" else _component_labels(n, e)
         out = nodes.join(
             labels.withColumnRenamed("node", nid).withColumnRenamed(
                 "comp", op.comp_col
@@ -3075,6 +3083,99 @@ _SMALL_QUERY_BYTES = int(
     _os.environ.get("SPARK_GRAFT_SMALL_QUERY_BYTES", str(32 * 1024 * 1024))
 )
 _SMALL_PLAN_LOCK = _threading.Lock()
+
+# variable-length graph-pattern cap (round 9: raised 8 -> 16 after the
+# incremental-frontier unroll made planning O(hi) joins instead of
+# O(hi^2); 16 covers real reachability patterns with sub-second Catalyst
+# analysis). Deeper patterns: raise via env, planning cost scales ~linearly.
+_GRAPH_VARLEN_CAP = int(_os.environ.get("KQL_ENGINE_GRAPH_VARLEN_CAP", "16"))
+
+
+def _directed_min_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node, lbl) with lbl = min node id REACHABLE FORWARD from node
+    (including itself): directed min-propagation to fixpoint — the
+    one-direction sibling of extensions.llm._component_labels. Round r
+    covers paths of length <= r, so the round cap bounds usable graph
+    DIAMETER (same documented contract as the weak-components fixpoint);
+    the changed-count driver check is 1 row per round."""
+    comp = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(64):
+        nb = (
+            edges.join(comp, edges["dst"] == comp["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbmin"))
+        )
+        new = (
+            comp.join(nb, comp["node"] == nb["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("a")
+            .join(comp.alias("b"), "node")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def _scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Strongly-connected components by iterative min-label peeling
+    (round 9, the forward+reverse propagation VERDICT r8 prescribed):
+    per outer round, f(v) = min id reachable FROM v, b(v) = min id that
+    REACHES v, both over the remaining induced subgraph; nodes with
+    f(v) == b(v) == m are exactly the SCC of m (v reaches m and m reaches
+    v), get comp = m, and are peeled. Each round assigns at least the SCC
+    of the smallest remaining id (its f = b = itself), so the loop
+    terminates in <= #SCC rounds — typically 1-2 on real graphs (every
+    SCC whose min is not forward/backward-dominated assigns in parallel).
+    All set algebra is keyed joins; the only driver data is a 1-row
+    emptiness probe per round."""
+    from .errors import KqlLimitError
+
+    edges = edges.localCheckpoint(eager=True)
+    remaining = nodes.localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for _ in range(64):
+        if remaining.limit(1).count() == 0:
+            return out if out is not None else remaining.withColumn(
+                "comp", F.col("node")
+            )
+        sub = edges.join(
+            remaining.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        fwd = _directed_min_labels(remaining, sub)
+        bwd = _directed_min_labels(
+            remaining,
+            sub.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        )
+        lab = (
+            fwd.withColumnRenamed("lbl", "__f")
+            .join(bwd.withColumnRenamed("lbl", "__b"), "node")
+            .filter(F.col("__f") == F.col("__b"))
+            .select("node", F.col("__f").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        out = lab if out is None else out.unionByName(lab).localCheckpoint(
+            eager=True
+        )
+        remaining = remaining.join(
+            lab.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    raise KqlLimitError(
+        "graph-mark-components kind=strong: component peeling did not "
+        "converge within 64 rounds (graph has >64 nested SCC layers or "
+        "diameter beyond the propagation bound)"
+    )
 
 
 def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
