@@ -2605,3 +2605,70 @@ def test_png_random_tiers_roundtrip(h, w, ctype, depth_ix, interlace,
     got = _decode_png(payload)
     assert got is not None and got.shape == want.shape
     assert (got == want).all()
+
+
+# -------------------------- graph-mark-components strong differential fuzz
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 6), st.integers(1, 6)).filter(
+            lambda p: p[0] != p[1]  # self-loops don't change SCC structure
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_random_scc_matches_duckdb_mutual_closure(run_kql, duck, edges):
+    # round 9: kind=strong vs first-principles SCC — comp(n) =
+    # min{m : n reaches m AND m reaches n} over a transitive closure
+    elist = sorted(edges)
+    kql_rows = ", ".join(f"{s}, {d}" for s, d in elist)
+    sql_vals = ", ".join(f"({s},{d})" for s, d in elist)
+    got = run_kql(
+        f"datatable(src:long, dst:long)[{kql_rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=strong with_component_id=comp"
+        " | sort by node_id asc"
+    ).collect()
+    want = duck.sql(
+        f"""WITH RECURSIVE e(s, d) AS (VALUES {sql_vals}),
+             nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+                                               UNION SELECT d FROM e)),
+             reach(n, m) AS (
+               SELECT n, n FROM nodes
+               UNION
+               SELECT r.n, e.d FROM reach r JOIN e ON e.s = r.m)
+           SELECT a.n, MIN(a.m)
+           FROM reach a JOIN reach b ON a.n = b.m AND a.m = b.n
+           GROUP BY a.n ORDER BY a.n"""
+    ).fetchall()
+    assert [(r.node_id, r.comp) for r in got] == [(int(n), int(c)) for n, c in want]
+
+
+# --------------------------- activity cohort-dims consistency (round 9)
+
+def test_activity_cohort_dims_partition_consistency(run_kql):
+    # a constant dim column must reproduce the dimension-less result
+    # with the dim appended — cohort streams over one combination
+    # degenerate to the global stream
+    base = run_kql(
+        "events | evaluate new_activity_metrics(user_id, ts, 1d)"
+        " | sort by Timeline asc"
+    ).collect()
+    dimmed = run_kql(
+        "events | extend k = 'all'"
+        " | evaluate new_activity_metrics(user_id, ts, 1d, k)"
+        " | sort by Timeline asc"
+    ).collect()
+    assert len(base) == len(dimmed)
+    for b, d in zip(base, dimmed):
+        assert d.k == "all"
+        assert (b.Timeline, b.dcount_values, b.dcount_new_values,
+                b.dcount_retained_values) == (
+            d.Timeline, d.dcount_values, d.dcount_new_values,
+            d.dcount_retained_values)
