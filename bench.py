@@ -8,7 +8,7 @@ through the full KQL engine at $SPARK_GRAFT_SF_DIR (default
      "queries": {"b1_tpch_q1": sec, ...}, "sf": 0.1, ...}
 
 Protocol (round-8 correction — see BASELINE.md "Round-8 protocol
-correction"): per query, 1 cold run (translate + plan + execute), then 5
+correction"): per query, 1 cold run (translate + plan + execute), then 7
 timed FULL-EXECUTION runs — each on a fresh QueryExecution with planning
 forced outside the timer, so Spark cannot serve reused shuffle map stages —
 median reported as the headline number; plus 3 repeat-latency runs on the
@@ -59,7 +59,11 @@ def main() -> None:
         kql(spark, f"{t} | count", sf_dir=sf_dir).collect()
 
     bench_items = list(BENCH_QUERIES.items())
-    n_full, n_rep = 5, 3
+    # 7 timed runs (round 9, was 5): single-row-group sf0.1 scans put each
+    # query on 1-4 tasks, so one GC pause lands entirely on one run —
+    # median-of-7 keeps a noisy window from writing a phantom regression
+    # into BENCH_r{N}.json
+    n_full, n_rep = 7, 3
     if smoke:
         # first + last bench entries (one simple agg, one multi-join),
         # single timed run each — syntax/translation breakage, not timing
