@@ -30,9 +30,15 @@ _DCOUNT_LGK = {0: 7, 1: 9, 2: 12, 3: 14, 4: 17}
 
 
 def _sketchable(tr, arg, c):
-    """DataSketches HLL takes int/long/string/binary; stringify the rest
-    (injective per column type, so cardinality is preserved)."""
+    """DataSketches HLL takes int/long/string/binary; stringify scalar
+    types (injective per scalar type, so cardinality is preserved). Nested
+    types (array/struct/map) must NOT go through a plain string cast —
+    Spark renders ['a, b'] and ['a','b'] both as '[a, b]' — so they hash
+    through xxhash64 instead (64-bit, on par with the hashing HLL applies
+    internally; collision mass is far below sketch error)."""
     dt = tr.dtype_of_ast(arg, c)
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return F.xxhash64(c)
     if not isinstance(
         dt, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
     ):

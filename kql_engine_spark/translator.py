@@ -1229,6 +1229,13 @@ class PipeTranslator:
         meth = getattr(self, "t_" + type(op).__name__.lower(), None)
         if meth is None:
             raise KqlUnsupportedError(f"operator {type(op).__name__} not implemented")
+        # The sort|take peel-back (t_take) is only valid when Take
+        # IMMEDIATELY follows the small-plan Sort. Invalidate the marker
+        # before any other op so an intervening operator that returns its
+        # input DataFrame unchanged (bare `serialize` does today) cannot be
+        # silently dropped by the identity-keyed rebuild.
+        if not isinstance(op, Take):
+            self._small_sorted = None
         return meth(df, op)
 
     def expr_tr(self, df: DataFrame, env=None) -> ExprTranslator:
@@ -1586,6 +1593,7 @@ class PipeTranslator:
             # (per-partition top-k, no sampling job) — strictly better than
             # limiting a single-task full sort
             _, src, cols = small
+            self._small_sorted = None
             return src.orderBy(*cols).limit(self._const_count(op.n))
         return df.limit(self._const_count(op.n))
 
@@ -3091,15 +3099,42 @@ _SMALL_PLAN_LOCK = _threading.Lock()
 _GRAPH_VARLEN_CAP = int(_os.environ.get("KQL_ENGINE_GRAPH_VARLEN_CAP", "16"))
 
 
+# Graph caps, read at CALL time (graph ops are rare; tests toggle them):
+# - KQL_ENGINE_GRAPH_PROPAGATION_ROUNDS: directed min-propagation round
+#   cap (distributed SCC path only). Round r covers paths of length
+#   <= r, so this bounds usable graph DIAMETER on the distributed path —
+#   hitting it raises a typed error (round 10; it previously returned
+#   unconverged labels, which the SCC peel would have turned into
+#   spurious singleton components).
+# - KQL_ENGINE_GRAPH_LOCAL_ELEMS: graphs whose node+edge count fits this
+#   bound run exact Tarjan SCC on collected edges (Kusto's make-graph is
+#   an in-memory construct with documented memory caps, so a bounded
+#   driver-side pass is semantically faithful to the reference surface —
+#   same documented-bounded-collect pattern as the PQ 16k train sample
+#   and the tabular-`in` 1M cap). Graphs beyond it use the distributed
+#   forward/backward peeling, whose round cap is diameter-bounded.
+def _graph_prop_rounds() -> int:
+    return int(_os.environ.get("KQL_ENGINE_GRAPH_PROPAGATION_ROUNDS", "64"))
+
+
+def _graph_local_elems() -> int:
+    return int(_os.environ.get("KQL_ENGINE_GRAPH_LOCAL_ELEMS", "2000000"))
+
+
 def _directed_min_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(node, lbl) with lbl = min node id REACHABLE FORWARD from node
     (including itself): directed min-propagation to fixpoint — the
     one-direction sibling of extensions.llm._component_labels. Round r
     covers paths of length <= r, so the round cap bounds usable graph
-    DIAMETER (same documented contract as the weak-components fixpoint);
-    the changed-count driver check is 1 row per round."""
+    DIAMETER; on non-convergence this RAISES (round 10 — previously it
+    returned partial labels, silently wrong downstream). The
+    changed-count driver check is 1 row per round."""
+    from .errors import KqlLimitError
+
     comp = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
-    for _ in range(64):
+    changed = 1
+    rounds = _graph_prop_rounds()
+    for _ in range(rounds):
         nb = (
             edges.join(comp, edges["dst"] == comp["node"])
             .groupBy("src")
@@ -3125,7 +3160,87 @@ def _directed_min_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         comp = new
         if changed == 0:
             break
+    if changed != 0:
+        raise KqlLimitError(
+            "graph-mark-components kind=strong: directed min-propagation "
+            f"did not converge within {rounds} rounds (graph "
+            "diameter exceeds the distributed propagation bound; raise "
+            "KQL_ENGINE_GRAPH_PROPAGATION_ROUNDS or "
+            "KQL_ENGINE_GRAPH_LOCAL_ELEMS)"
+        )
     return comp
+
+
+def _scc_labels_local(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Exact SCC on a collected edge list via iterative Tarjan — the fast
+    path for graphs under KQL_ENGINE_GRAPH_LOCAL_ELEMS elements (the overwhelmingly
+    common case: Kusto's make-graph is an in-memory construct). Component
+    id = min node id in the SCC, matching the distributed path's
+    contract. No diameter bound — a 2^20-node path or cycle is exact."""
+    node_ids = [r[0] for r in nodes.select("node").collect()]
+    edge_rows = [
+        (r[0], r[1]) for r in edges.select("src", "dst").collect()
+    ]
+    index = {v: i for i, v in enumerate(node_ids)}
+    n = len(node_ids)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in edge_rows:
+        si, di = index.get(s), index.get(d)
+        if si is not None and di is not None:
+            adj[si].append(di)
+    # iterative Tarjan (explicit stack; recursion depth = graph size)
+    UNVISITED = -1
+    low = [0] * n
+    num = [UNVISITED] * n
+    on_stack = [False] * n
+    scc_of = [UNVISITED] * n
+    stack: list[int] = []
+    counter = 0
+    n_sccs = 0
+    for root in range(n):
+        if num[root] != UNVISITED:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                num[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if num[w] == UNVISITED:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], num[w])
+            if recurse:
+                continue
+            if low[v] == num[v]:
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    scc_of[w] = n_sccs
+                    if w == v:
+                        break
+                n_sccs += 1
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[v])
+    # comp label = min node id per SCC (the documented deterministic id)
+    comp_min: dict[int, object] = {}
+    for i, v in enumerate(node_ids):
+        c = scc_of[i]
+        if c not in comp_min or v < comp_min[c]:
+            comp_min[c] = v
+    spark = nodes.sparkSession
+    out_rows = [(v, comp_min[scc_of[i]]) for i, v in enumerate(node_ids)]
+    return spark.createDataFrame(
+        out_rows, schema=nodes.select("node", F.col("node").alias("comp")).schema
+    )
 
 
 def _scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -3139,10 +3254,19 @@ def _scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     terminates in <= #SCC rounds — typically 1-2 on real graphs (every
     SCC whose min is not forward/backward-dominated assigns in parallel).
     All set algebra is keyed joins; the only driver data is a 1-row
-    emptiness probe per round."""
+    emptiness probe per round.
+
+    Round 10: graphs whose node+edge count fits KQL_ENGINE_GRAPH_LOCAL_ELEMS run
+    _scc_labels_local (exact Tarjan, no diameter bound) instead — see
+    that docstring for why the bounded collect is faithful to Kusto's
+    in-memory graph semantics. The distributed peeling below is the
+    >2M-element scale path."""
     from .errors import KqlLimitError
 
     edges = edges.localCheckpoint(eager=True)
+    n_elems = nodes.count() + edges.count()
+    if n_elems <= _graph_local_elems():
+        return _scc_labels_local(nodes, edges)
     remaining = nodes.localCheckpoint(eager=True)
     out: DataFrame | None = None
     for _ in range(64):

@@ -15,9 +15,16 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SMOKE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(_SMOKE_SF_DIR),
+    reason=f"bench smoke fixture dir {_SMOKE_SF_DIR} not present",
+)
 def test_bench_smoke_subprocess():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--smoke"],

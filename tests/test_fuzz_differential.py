@@ -2672,3 +2672,119 @@ def test_activity_cohort_dims_partition_consistency(run_kql):
                 b.dcount_retained_values) == (
             d.Timeline, d.dcount_values, d.dcount_new_values,
             d.dcount_retained_values)
+
+
+# ------------------- graph components: long chains (round 10, no cliff)
+
+def _path_edges_kql(n, reverse_ids=False):
+    # path 1 -> 2 -> ... -> n (or with ids reversed so the min sits at
+    # the far end — the worst case for min-propagation algorithms)
+    ids = list(range(1, n + 1))
+    if reverse_ids:
+        ids = ids[::-1]
+    return ", ".join(f"{a}, {b}" for a, b in zip(ids, ids[1:]))
+
+
+def test_scc_long_path_each_node_singleton(run_kql):
+    # 120-node directed path: no cycles, every node is its own SCC.
+    # Exceeds the old 64-round propagation bound — exercises the round-10
+    # local Tarjan path (and previously would have been silently wrong).
+    rows = _path_edges_kql(120, reverse_ids=True)
+    got = run_kql(
+        f"datatable(src:long, dst:long)[{rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=strong with_component_id=comp"
+        " | sort by node_id asc"
+    ).collect()
+    assert len(got) == 120
+    assert all(r.comp == r.node_id for r in got)
+
+
+def test_scc_long_cycle_single_component(run_kql):
+    # 150-node directed cycle: one SCC, comp = min id everywhere
+    n = 150
+    rows = ", ".join(f"{i}, {i % n + 1}" for i in range(1, n + 1))
+    got = run_kql(
+        f"datatable(src:long, dst:long)[{rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=strong with_component_id=comp"
+        " | sort by node_id asc"
+    ).collect()
+    assert len(got) == n
+    assert all(r.comp == 1 for r in got)
+
+
+def test_weak_components_long_path_one_component(run_kql):
+    # 130-node path with ids reversed (min at the far end): the old
+    # 16-round linear propagation under-merged this into >1 component;
+    # large-star/small-star converges regardless of diameter
+    rows = _path_edges_kql(130, reverse_ids=True)
+    got = run_kql(
+        f"datatable(src:long, dst:long)[{rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=weak with_component_id=comp"
+        " | sort by node_id asc"
+    ).collect()
+    assert len(got) == 130
+    assert all(r.comp == 1 for r in got)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 40), st.integers(1, 40)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_random_weak_components_match_union_find(run_kql, edges):
+    # large-star/small-star vs a first-principles union-find reference
+    elist = sorted(edges)
+    kql_rows = ", ".join(f"{s}, {d}" for s, d in elist)
+    got = run_kql(
+        f"datatable(src:long, dst:long)[{kql_rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=weak with_component_id=comp"
+        " | sort by node_id asc"
+    ).collect()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in elist:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    want = {n: find(n) for n in {x for e in elist for x in e}}
+    assert {r.node_id: r.comp for r in got} == want
+
+
+def test_scc_distributed_path_matches_local(run_kql, monkeypatch):
+    # force the distributed forward/backward peeling (local cap 0) and
+    # check it agrees with the Tarjan fast path on a mixed graph:
+    # two cycles bridged one-way plus a tail
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (6, 7), (7, 8)]
+    rows = ", ".join(f"{s}, {d}" for s, d in edges)
+    q = (
+        f"datatable(src:long, dst:long)[{rows}]"
+        " | make-graph src --> dst"
+        " | graph-mark-components kind=strong with_component_id=comp"
+        " | sort by node_id asc"
+    )
+    local = [(r.node_id, r.comp) for r in run_kql(q).collect()]
+    monkeypatch.setenv("KQL_ENGINE_GRAPH_LOCAL_ELEMS", "0")
+    dist = [(r.node_id, r.comp) for r in run_kql(q).collect()]
+    assert local == dist == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7), (8, 8)]
