@@ -713,11 +713,24 @@ class PipeTranslator:
         # (sorted_df, source_df, cols) of the latest small-plan sort, so a
         # directly-following take can rebuild as TakeOrderedAndProject
         self._small_sorted: tuple | None = None
+        # Source-bytes upper estimate of the CURRENT pipeline's data
+        # (round 10, auto-broadcast): on-disk bytes of the sources feeding
+        # it, None = unknown/assume big. Filters/projections/aggregations
+        # only shrink a side so source bytes remain a sound upper
+        # estimate; row-expanding ops (mv-expand, evaluate, ...) reset to
+        # None. t_join reads it for both sides to place a broadcast hint
+        # where Catalyst's no-stats product estimate picks the wrong side.
+        self._src_bytes: int | None = None
+        # the value _src_bytes held when the most recent nested
+        # translate_pipe finished (translate_pipe restores the outer
+        # value; join/lookup/source consumers read the nested result here)
+        self._last_pipe_bytes: int | None = None
         # copied: `set` statements write query-scoped overrides into it
         self.options = dict(options) if options else {}
         self.streaming = streaming
         self.lets: dict[str, object] = {}
         self.named_results: dict[str, DataFrame] = {}
+        self._named_result_bytes: dict[str, int | None] = {}
         # pre-pass columns some window rewrites need materialized before the
         # main projection (e.g. row_cumsum restart segment ids); consumed by
         # t_extend / t_project
@@ -806,6 +819,7 @@ class PipeTranslator:
         # a spurious needs-serialization error)
         saved_shared, saved_pre = self.json_shared, self.pending_prework
         saved_order, saved_odf = self.order, self.order_desc_first
+        saved_bytes = self._src_bytes
         self.json_shared, self.pending_prework = {}, {}
         try:
             df = self.translate_source(pipe.source)
@@ -815,18 +829,34 @@ class PipeTranslator:
         finally:
             self.json_shared, self.pending_prework = saved_shared, saved_pre
             self.order, self.order_desc_first = saved_order, saved_odf
+            # expose this pipe's source-bytes result to the caller (join
+            # sides, pipe-sources), then restore the outer pipeline's
+            self._last_pipe_bytes = self._src_bytes
+            self._src_bytes = saved_bytes
 
     def translate_source(self, src) -> DataFrame:
         self.order = None
+        # default: unknown source size (auto-broadcast treats None as big);
+        # branches that can bound their bytes set it below
+        self._src_bytes = None
+        self._last_pipe_bytes = None
         if isinstance(src, TableRef):
             if src.args is not None:
-                return self._call_tabular_function(src.name, src.args)
+                df = self._call_tabular_function(src.name, src.args)
+                self._src_bytes = self._last_pipe_bytes
+                return df
             return self._resolve_table(src.name)
         if isinstance(src, PipeSource):
-            return self.translate_pipe(src.pipe)
+            df = self.translate_pipe(src.pipe)
+            self._src_bytes = self._last_pipe_bytes
+            return df
         if isinstance(src, DataTable):
-            return self._datatable(src)
+            df = self._datatable(src)
+            # literal rows: bounded by the query text itself
+            self._src_bytes = 4096
+            return df
         if isinstance(src, PrintSource):
+            self._src_bytes = 1024
             tr = ExprTranslator(None, self)
             cols = []
             for i, item in enumerate(src.items):
@@ -916,6 +946,7 @@ class PipeTranslator:
 
     def _resolve_table(self, name: str) -> DataFrame:
         if name in self.named_results:
+            self._src_bytes = self._named_result_bytes.get(name)
             return self.named_results[name]
         bound = self.lets.get(name)
         if bound is not None:
@@ -931,8 +962,12 @@ class PipeTranslator:
                     df = self.translate_pipe(bound).persist()
                     _register_persist(self.spark, df)
                     self.named_results[name] = df
+                    self._named_result_bytes[name] = self._last_pipe_bytes
+                    self._src_bytes = self._last_pipe_bytes
                     return df
-                return self.translate_pipe(bound)
+                df = self.translate_pipe(bound)
+                self._src_bytes = self._last_pipe_bytes
+                return df
             if isinstance(bound, Col):
                 return self._resolve_table(bound.name)
             if (
@@ -946,6 +981,7 @@ class PipeTranslator:
                 return self._call_tabular_function(name, [])
             raise KqlSemanticError(f"let {name!r} is not tabular")
         df = self.catalog.table(name, streaming=self.streaming)
+        self._src_bytes = self.catalog.file_size(name)
         if (
             getattr(self, "want_ingest_meta", False)
             and not self.streaming
@@ -1236,7 +1272,14 @@ class PipeTranslator:
         # silently dropped by the identity-keyed rebuild.
         if not isinstance(op, Take):
             self._small_sorted = None
-        return meth(df, op)
+        out = meth(df, op)
+        # row-expanding / size-opaque operators invalidate the
+        # source-bytes upper estimate (see _src_bytes); shrinking ops
+        # (where/project/summarize/sort/take/...) keep it, join/lookup
+        # accumulate it themselves
+        if type(op).__name__ in _SIZE_OPAQUE_OPS:
+            self._src_bytes = None
+        return out
 
     def expr_tr(self, df: DataFrame, env=None) -> ExprTranslator:
         return ExprTranslator(df, self, env=env, window=self.current_window())
@@ -1684,7 +1727,9 @@ class PipeTranslator:
             self.streaming = was
 
     def t_join(self, df: DataFrame, op: Join) -> DataFrame:
+        lbytes = self._src_bytes
         right = self._translate_join_side(op.right)
+        rbytes = self._last_pipe_bytes
         kind = op.kind
         how_map = {
             "inner": "inner", "innerunique": "inner", "leftouter": "left",
@@ -1741,6 +1786,10 @@ class PipeTranslator:
             nparts = op.hints.get("num_partitions")
             if nparts:
                 right_renamed = right_renamed.repartition(int(nparts), *right_keys2)
+        elif left_keys:
+            df, right_renamed = self._auto_broadcast(
+                df, right_renamed, lbytes, rbytes, how
+            )
         cond = self._full_cond(
             df, right_renamed, left_keys, right_keys2, theta, rename_map
         )
@@ -1748,7 +1797,58 @@ class PipeTranslator:
             right_renamed
         )
         self.order = None
+        self._src_bytes = (
+            lbytes + rbytes
+            if left_keys and lbytes is not None and rbytes is not None
+            else None
+        )
         return out
+
+    def _auto_broadcast(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        lbytes: int | None,
+        rbytes: int | None,
+        how: str,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Source-bytes broadcast side hint (round 10). Without CBO stats
+        Catalyst estimates a join's output as the PRODUCT of its input
+        sizes, so a small filtered-dim join side (customer |> orders in
+        TPC-H Q5) looks enormous while the column-pruned fact scan looks
+        small — measured at sf0.1, Spark built the broadcast from the
+        600k-row lineitem side and streamed the 23k-row dim side
+        (BASELINE.md round 10), and at sf1 fell back to sort-merge. The
+        translator knows each side's on-disk source bytes exactly;
+        filters/projections/aggregations only shrink a side, so source
+        bytes are a sound UPPER estimate (row-expanding ops reset it to
+        unknown — _SIZE_OPAQUE_OPS). Hint the smaller sub-threshold side.
+        Explicit KQL hint.strategy always wins (caller checks);
+        KQL_ENGINE_AUTO_BROADCAST=0 disables. Outer joins only hint the
+        side Spark can legally build: right for LEFT OUTER, left for
+        RIGHT OUTER."""
+        if _os.environ.get("KQL_ENGINE_AUTO_BROADCAST", "1") == "0":
+            return left, right
+        thr = _parse_size_bytes(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if thr <= 0:
+            return left, right
+        if (
+            rbytes is not None
+            and rbytes <= thr
+            and (lbytes is None or rbytes <= lbytes)
+            and how in ("inner", "left")
+        ):
+            return left, F.broadcast(right)
+        if (
+            lbytes is not None
+            and lbytes <= thr
+            and (rbytes is None or lbytes < rbytes)
+            and how in ("inner", "right")
+        ):
+            return F.broadcast(left), right
+        return left, right
 
     _THETA_OPS = {
         "==": lambda l, r: l == r,
@@ -1805,7 +1905,9 @@ class PipeTranslator:
         return right.withColumnsRenamed(rename), rename
 
     def t_lookup(self, df: DataFrame, op: Lookup) -> DataFrame:
+        lbytes = self._src_bytes
         right = self._translate_join_side(op.right)
+        rbytes = self._last_pipe_bytes
         left_keys = [c.left.name for c in op.on]
         right_keys = [c.right.name for c in op.on]
         # dimension join: broadcast small side, drop duplicate key cols (§2.4)
@@ -1827,6 +1929,9 @@ class PipeTranslator:
             ]
             out = df.join(rb, cond, how).select(*keep)
         self.order = None
+        self._src_bytes = (
+            lbytes + rbytes if lbytes is not None and rbytes is not None else None
+        )
         return out
 
     def _expand_union_wildcards(self, pipes: list[Pipe]) -> list[Pipe]:
@@ -2306,6 +2411,7 @@ class PipeTranslator:
 
     def t_asop(self, df: DataFrame, op: AsOp) -> DataFrame:
         self.named_results[op.name] = df
+        self._named_result_bytes[op.name] = self._src_bytes
         return df
 
     def t_invoke(self, df: DataFrame, op: Invoke) -> DataFrame:
@@ -2328,6 +2434,7 @@ class PipeTranslator:
         saved_results = dict(self.named_results)
         saved_lets = dict(self.lets)
         self.named_results[tname] = df
+        self._named_result_bytes[tname] = self._src_bytes
         scalar_params = bound.params[1:]
         for (pname, _), arg in zip(scalar_params, op.args):
             self.lets[pname] = arg
@@ -3090,6 +3197,31 @@ import threading as _threading
 _SMALL_QUERY_BYTES = int(
     _os.environ.get("SPARK_GRAFT_SMALL_QUERY_BYTES", str(32 * 1024 * 1024))
 )
+
+# Operators whose output size is not bounded by their input's source
+# bytes (row expansion or arbitrary sub-pipelines): they reset the
+# auto-broadcast source-bytes estimate to unknown (translate_op).
+_SIZE_OPAQUE_OPS = frozenset(
+    {
+        "MvExpand", "MvApply", "Evaluate", "ScanOp", "Fork", "Facet",
+        "Union", "SearchOp", "Invoke", "PartitionOp", "ReduceOp",
+        "MakeGraph", "GraphMatch", "GraphShortestPaths", "GraphToTable",
+        "GraphMarkComponents", "MakeSeries",
+    }
+)
+
+_SIZE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-conf string ('10MB', '10485760b', '-1') -> bytes."""
+    m = re.fullmatch(r"(-?\d+)\s*([a-zA-Z]*)", str(s).strip())
+    if not m:
+        return -1
+    return int(m.group(1)) * _SIZE_SUFFIXES.get(m.group(2).lower(), 1)
 _SMALL_PLAN_LOCK = _threading.Lock()
 
 # variable-length graph-pattern cap (round 9: raised 8 -> 16 after the
