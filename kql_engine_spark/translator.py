@@ -91,13 +91,25 @@ class ExprTranslator:
         self.side_renames = side_renames or {}
 
     # engine option passthroughs used by the registries
+    def _opt_bool(self, name: str, default: bool) -> bool:
+        """Boolean engine option, from kql(options=...) (plain bool) or a
+        `set name = true/false;` statement (raw Lit expr — round 10 fix:
+        a Lit(false) object is truthy, so `set exact_dcount = false;`
+        silently stayed exact before this unwrapped it)."""
+        v = self.engine.options.get(name, default)
+        if isinstance(v, Lit):
+            v = v.value
+        if isinstance(v, str):
+            return v.strip().lower() not in ("false", "0", "")
+        return bool(v)
+
     @property
     def exact_dcount(self) -> bool:
-        return self.engine.options.get("exact_dcount", True)
+        return self._opt_bool("exact_dcount", True)
 
     @property
     def exact_percentile(self) -> bool:
-        return self.engine.options.get("exact_percentile", True)
+        return self._opt_bool("exact_percentile", True)
 
     # ------------------------------------------------------------- helpers
     def current_columns(self) -> list[str]:

@@ -2788,3 +2788,111 @@ def test_scc_distributed_path_matches_local(run_kql, monkeypatch):
     dist = [(r.node_id, r.comp) for r in run_kql(q).collect()]
     assert local == dist == [
         (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7), (8, 8)]
+
+
+# ----------------- activity metrics cohort-dims differential fuzz (round 10)
+
+_PBIN = "CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {p}) AS BIGINT) * {p}) AS TIMESTAMP)"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(period_d=st.integers(1, 5), lo=st.integers(0, 400))
+def test_random_new_activity_metrics_dims_matches_duckdb(
+    run_kql, duck, period_d, lo
+):
+    # randomized period x id-filter grid for the round-9 cohort-dims path:
+    # each event_type is an independent cohort stream (first-seen and
+    # retention measured within it)
+    p = period_d * 86400
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate new_activity_metrics(user_id, ts, {period_d}d, event_type)"
+        " | sort by Timeline asc, event_type asc"
+    )
+    b = _PBIN.format(p=p)
+    sdf = duck.sql(
+        f"""WITH pairs AS (SELECT DISTINCT user_id, event_type, {b} AS d
+             FROM events WHERE user_id >= {lo}),
+           first AS (SELECT user_id, event_type, MIN(d) AS f
+                     FROM pairs GROUP BY 1, 2),
+           nxt AS (SELECT user_id, event_type,
+                          d - INTERVAL ({period_d}) DAY AS d, 1 AS r
+                   FROM pairs)
+           SELECT pairs.d AS Timeline, pairs.event_type,
+                  CAST(COUNT(DISTINCT pairs.user_id) AS BIGINT) AS dcount_values,
+                  CAST(SUM(CASE WHEN pairs.d = first.f THEN 1 ELSE 0 END) AS BIGINT)
+                      AS dcount_new_values,
+                  CAST(COUNT(nxt.r) AS BIGINT) AS dcount_retained_values,
+                  CAST(COUNT(DISTINCT pairs.user_id) - COUNT(nxt.r) AS BIGINT)
+                      AS dcount_churn_values,
+                  ROUND(CAST(COUNT(nxt.r) AS DOUBLE)
+                        / COUNT(DISTINCT pairs.user_id), 4) AS retention_rate,
+                  ROUND(CAST(COUNT(DISTINCT pairs.user_id) - COUNT(nxt.r) AS DOUBLE)
+                        / COUNT(DISTINCT pairs.user_id), 4) AS churn_rate
+           FROM pairs
+           JOIN first ON pairs.user_id = first.user_id
+                     AND pairs.event_type = first.event_type
+           LEFT JOIN nxt ON pairs.user_id = nxt.user_id
+                        AND pairs.event_type = nxt.event_type
+                        AND pairs.d = nxt.d
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert_rows_close(got, want, tol=0.00011)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(period_d=st.integers(1, 5), lo=st.integers(0, 400))
+def test_random_activity_metrics_dims_matches_duckdb(run_kql, duck, period_d, lo):
+    # window-over-window flavor: retention measured against the PREVIOUS
+    # period's actives within the same event_type cohort
+    p = period_d * 86400
+    kdf = run_kql(
+        f"events | where user_id >= {lo}"
+        f" | evaluate activity_metrics(user_id, ts, {period_d}d, event_type)"
+        " | sort by Timeline asc, event_type asc"
+    )
+    b = _PBIN.format(p=p)
+    sdf = duck.sql(
+        f"""WITH pairs AS (SELECT DISTINCT user_id, event_type, {b} AS d
+             FROM events WHERE user_id >= {lo}),
+           first AS (SELECT user_id, event_type, MIN(d) AS f
+                     FROM pairs GROUP BY 1, 2),
+           prev AS (SELECT user_id, event_type,
+                           d + INTERVAL ({period_d}) DAY AS d, 1 AS r
+                    FROM pairs),
+           prev_tot AS (SELECT d, event_type,
+                               COUNT(DISTINCT user_id) AS pt
+                        FROM prev GROUP BY 1, 2)
+           SELECT pairs.d AS Timeline, pairs.event_type,
+                  CAST(COUNT(DISTINCT pairs.user_id) AS BIGINT) AS dcount_values,
+                  CAST(SUM(CASE WHEN pairs.d = first.f THEN 1 ELSE 0 END) AS BIGINT)
+                      AS dcount_newvalues,
+                  ROUND(CAST(COUNT(prev.r) AS DOUBLE) / ANY_VALUE(prev_tot.pt), 4)
+                      AS retention_rate,
+                  ROUND(CAST(ANY_VALUE(prev_tot.pt) - COUNT(prev.r) AS DOUBLE)
+                        / ANY_VALUE(prev_tot.pt), 4) AS churn_rate
+           FROM pairs
+           JOIN first ON pairs.user_id = first.user_id
+                     AND pairs.event_type = first.event_type
+           LEFT JOIN prev ON pairs.user_id = prev.user_id
+                         AND pairs.event_type = prev.event_type
+                         AND pairs.d = prev.d
+           LEFT JOIN prev_tot ON pairs.d = prev_tot.d
+                             AND pairs.event_type = prev_tot.event_type
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    cols = [d[0] for d in sdf.description]
+    want = canonize_rows(cols, sdf.fetchall())
+    assert_rows_close(got, want, tol=0.00011)

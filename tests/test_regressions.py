@@ -2062,3 +2062,23 @@ def test_polygon_boolean_across_antimeridian(run_kql):
     ).collect()[0]
     assert abs(r.ai - r.aa / 2.0) < 0.01 * r.aa
     assert abs((r.aa + r.ab) - (r.au + r.ai)) < 0.002 * (r.aa + r.ab)
+
+
+def test_dcount_accuracy_ladder_lgk_in_plan(run_kql):
+    # round 10: the documented accuracy->lgConfigK ladder (aggregates.py
+    # _DCOUNT_LGK) must be auditable from the query surface, and
+    # `set exact_dcount = false;` must actually flip to the sketch path
+    # (a raw Lit(false) in the options dict was truthy before round 10)
+    import re
+
+    for lvl, lgk in ((0, 7), (1, 9), (2, 12), (3, 14), (4, 17)):
+        d = run_kql(
+            "set exact_dcount = false;"
+            f" lineitem | summarize d=dcount(l_orderkey, {lvl})"
+        )
+        plan = d._jdf.queryExecution().optimizedPlan().toString()
+        m = re.search(r"hll_sketch_agg\([^,]*, (\d+)", plan)
+        assert m and int(m.group(1)) == lgk, (lvl, plan[:200])
+    # default stays exact
+    d = run_kql("lineitem | summarize d=dcount(l_orderkey)")
+    assert "hll" not in d._jdf.queryExecution().optimizedPlan().toString().lower()
