@@ -1777,13 +1777,24 @@ class PipeTranslator:
         how = how_map[kind]
         if how in ("right_semi", "right_anti"):
             # swap: semi/anti from the right side's perspective; the condition
-            # references concrete DataFrame columns, so orientation is free
+            # references concrete DataFrame columns, so orientation is free.
+            # After the swap the BUILD side is the original left — hint it
+            # when its source bytes are small (semi/anti build must be the
+            # join's right side, so only that orientation is legal).
+            if op.hints.get("strategy") == "broadcast":
+                df = F.broadcast(df)
+            elif op.hints.get("strategy") != "shuffle" and left_keys:
+                _, df = self._auto_broadcast(right, df, rbytes, lbytes, "left")
             cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = right.join(df, cond, how.replace("right", "left"))
             self.order = None
             return out
 
         if how in ("left_semi", "left_anti"):
+            if op.hints.get("strategy") == "broadcast":
+                right = F.broadcast(right)
+            elif op.hints.get("strategy") != "shuffle" and left_keys:
+                _, right = self._auto_broadcast(df, right, lbytes, rbytes, "left")
             cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = df.join(right, cond, how)
             self.order = None

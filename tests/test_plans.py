@@ -543,3 +543,48 @@ def test_tpch_q18_single_fact_pass(run_kql):
     plan = _plan(df)
     assert plan.count("lineitem.parquet") == 1
     assert "HashAggregate" in plan
+
+
+def test_auto_broadcast_streams_fact_side(run_kql):
+    # round 10: without CBO stats Catalyst's join-output estimate is a
+    # product, so the small filtered-dim side of Q5 looked huge and Spark
+    # broadcast the pruned FACT scan. The translator's source-bytes hint
+    # must keep lineitem on the streamed side: no BroadcastExchange whose
+    # subtree scans lineitem.
+    df = run_kql(
+        "customer"
+        " | join kind=inner (orders) on $left.c_custkey == $right.o_custkey"
+        " | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey"
+        " | summarize revenue = sum(l_extendedprice) by c_nationkey"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # walk: any 'Scan parquet ... lineitem' must not sit under a
+    # BroadcastExchange subtree — approximate by indentation blocks
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" in l:
+            indent = len(l) - len(l.lstrip(" :+-*("))
+            for j in range(i + 1, len(lines)):
+                l2 = lines[j]
+                ind2 = len(l2) - len(l2.lstrip(" :+-*("))
+                if ind2 <= indent and l2.strip():
+                    break
+                assert "lineitem" not in l2, "fact table under a broadcast build"
+
+
+def test_auto_broadcast_semi_anti_build_side(run_kql):
+    # semi/anti joins: the small filter-set side is the broadcast build
+    df = run_kql(
+        "orders | join kind=leftsemi (customer | where c_mktsegment == 'BUILDING')"
+        " on $left.o_custkey == $right.c_custkey"
+    )
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    df = run_kql(
+        "customer | join kind=rightsemi (orders)"
+        " on $left.c_custkey == $right.o_custkey"
+    )
+    p = _plan(df)
+    # swapped orientation: customer (small) is the build side
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
