@@ -1700,6 +1700,22 @@ class PipeTranslator:
             else:
                 work = work.repartition(*keys)
         tr = self.expr_tr(work)
+        # small-plan gate: under 32MB of source the fused single-pass plan
+        # wins (fewer stages beat narrow shuffles — A/B at sf0.1: fused
+        # 0.70s vs split 0.75s; at sf10: split 7.5s vs fused 11.3s)
+        split = (
+            self._split_distinct_items(tr, op)
+            if len(op.aggs) >= 2
+            and not self.small_plan
+            and not (self.streaming and work.isStreaming)
+            and _os.environ.get("KQL_ENGINE_SPLIT_DISTINCT", "1") != "0"
+            else None
+        )
+        if split is not None:
+            result = self._summarize_split(work, tr, tmp_names, op, split)
+            result = result.withColumnsRenamed(dict(zip(tmp_names, out_names)))
+            self.order = None
+            return result
         agg_cols: list[Column] = []
         for item in op.aggs:
             for out_name, col in self._translate_agg(tr, item):
@@ -1714,6 +1730,77 @@ class PipeTranslator:
         result = result.withColumnsRenamed(dict(zip(tmp_names, out_names)))
         self.order = None
         return result
+
+    def _split_distinct_items(self, tr, op: Summarize):
+        """(plain_items, distinct_items) when the split-distinct rewrite
+        applies (see _summarize_split), else None. Distinct-style = aggs
+        lowering to count_distinct: dcount/dcountif in exact mode (the
+        default; sketch mode is an ordinary agg), count_distinct[if].
+        Expression-over-aggregate items are opaque — no rewrite."""
+        plain, dist = [], []
+        for item in op.aggs:
+            e = item.expr
+            if not (isinstance(e, FuncCall) and e.name in AGG_REGISTRY):
+                return None
+            if e.name in _DISTINCT_AGG_FNS and (
+                e.name in ("count_distinct", "count_distinctif")
+                or tr.exact_dcount
+            ):
+                dist.append(item)
+            else:
+                plain.append(item)
+        if not dist or (not plain and len(dist) < 2):
+            return None
+        return plain, dist
+
+    def _summarize_split(self, work, tr, tmp_names, op, split):
+        """Mixed distinct + plain aggregates (round 10): Spark's
+        single-pass plan regroups at (keys, distinct-expr) grain carrying
+        EVERY plain-agg buffer through that exchange — measured ~4.5GB of
+        shuffle (~100B/row at 45M distinct pairs) on the b8 agg sweep at
+        sf10 — and with N>1 distinct exprs it additionally Expands rows
+        xN. Lower instead to one aggregation per distinct expr plus one
+        for all plain aggs, inner-joined back on the group keys
+        (null-safe): every shuffle is then narrow (keys + one value), and
+        the join-back is exchange-free because every side's final
+        aggregate already hash-partitioned on the keys. Trade-off: one
+        source scan per piece — at scale shuffle bytes dominate rescans,
+        and the pieces share the parquet page cache.
+        KQL_ENGINE_SPLIT_DISTINCT=0 disables."""
+        plain, dist = split
+
+        def agg_df(items):
+            cols = []
+            for item in items:
+                for out_name, col in self._translate_agg(tr, item):
+                    cols.append(col.alias(out_name))
+            if tmp_names:
+                return work.groupBy(*tmp_names).agg(*cols)
+            return work.agg(*cols)
+
+        dfs = ([agg_df(plain)] if plain else []) + [agg_df([it]) for it in dist]
+        base = dfs[0]
+        for i, other in enumerate(dfs[1:]):
+            if not tmp_names:
+                base = base.crossJoin(other)
+                continue
+            b, o = base.alias(f"__sb{i}"), other.alias(f"__so{i}")
+            cond = None
+            for k in tmp_names:
+                c = F.col(f"__sb{i}.{k}").eqNullSafe(F.col(f"__so{i}.{k}"))
+                cond = c if cond is None else (cond & c)
+            keep = [F.col(f"__sb{i}.{c2}") for c2 in base.columns] + [
+                F.col(f"__so{i}.{c2}")
+                for c2 in other.columns
+                if c2 not in tmp_names
+            ]
+            base = b.join(o, cond, "inner").select(*keep)
+        # restore the user's aggregate order (pieces grouped plain-first)
+        ordered = []
+        for item in op.aggs:
+            for out_name, _ in self._translate_agg(tr, item):
+                ordered.append(out_name)
+        return base.select(*tmp_names, *ordered)
 
     def _translate_agg(self, tr: ExprTranslator, item: NamedExpr):
         e = item.expr
@@ -3231,6 +3318,12 @@ _SIZE_OPAQUE_OPS = frozenset(
         "MakeGraph", "GraphMatch", "GraphShortestPaths", "GraphToTable",
         "GraphMarkComponents", "MakeSeries",
     }
+)
+
+# Aggregates lowering to Spark count_distinct (the split-distinct
+# rewrite's trigger set — see _summarize_split)
+_DISTINCT_AGG_FNS = frozenset(
+    {"dcount", "dcountif", "count_distinct", "count_distinctif"}
 )
 
 _SIZE_SUFFIXES = {

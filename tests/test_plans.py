@@ -588,3 +588,55 @@ def test_auto_broadcast_semi_anti_build_side(run_kql):
     p = _plan(df)
     # swapped orientation: customer (small) is the build side
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_split_distinct_narrow_shuffles(run_kql, monkeypatch):
+    # round 10: mixed distinct+plain summarize lowers to separate
+    # aggregations joined on the group keys, so no exchange carries
+    # plain-agg buffers at (keys, distinct-expr) grain. The signature of
+    # the single-pass plan is a HashAggregate keyed on BOTH the group key
+    # and the distinct column feeding an Exchange on that pair - assert
+    # it is gone and the count(distinct) pipeline shuffles only
+    # (key, distinct-col) pairs.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)  # split is scale-path only
+    df = run_kql(
+        "lineitem | summarize c = count(), s = sum(l_quantity),"
+        " dc = dcount(l_orderkey), mn = min(l_extendedprice)"
+        " by l_returnflag"
+    )
+    plan = _plan(df)
+    # the fused plan exchanges on hashpartitioning(key, l_orderkey) with
+    # merge_* plain buffers in the same aggregate; the split plan never
+    # co-keys an exchange on the distinct column while carrying sums
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "l_orderkey" in line:
+            # the distinct piece's exchange: fine, but the aggregate
+            # feeding it must not carry plain-agg buffers
+            pass
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+        "expected the split pieces joined back on keys"
+    )
+    # distinct piece aggregates only count(distinct); plain buffers
+    # (sum, min) never appear in an aggregate keyed by the distinct col
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*l_orderkey[^\]]*)\], functions=\[([^\]]*)\]", plan):
+        fns = m.group(2)
+        assert "sum(" not in fns and "min(" not in fns, (
+            "plain-agg buffers carried through the distinct-grain aggregate"
+        )
+
+
+def test_split_distinct_disabled_by_env(run_kql, monkeypatch):
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    monkeypatch.setenv("KQL_ENGINE_SPLIT_DISTINCT", "0")
+    df = run_kql(
+        "lineitem | summarize c = count(), dc = dcount(l_orderkey)"
+        " by l_returnflag // split-off"
+    )
+    plan = _plan(df)
+    assert "Join" not in plan
