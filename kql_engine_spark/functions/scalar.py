@@ -2078,8 +2078,13 @@ def _has_terms(tr, args):
             terms.extend(vals)
         else:
             terms.append(tr.const_value(a))
+    # contains-prefilter + word-boundary regex, same strict-superset
+    # argument as translator._has (round 10)
     return [
-        F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
+        F.contains(F.lower(s), F.lower(F.lit(str(t))))
+        & F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
+        if str(t)
+        else F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
         for t in terms
     ]
 
@@ -3868,6 +3873,8 @@ def _has_any_index(tr, args):
     out = F.lit(-1)
     for i, t in reversed(list(enumerate(terms))):
         m = F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
+        if str(t):
+            m = F.contains(F.lower(s), F.lower(F.lit(str(t)))) & m
         out = F.when(m, F.lit(i)).otherwise(out)
     return out.cast("bigint")
 

@@ -393,7 +393,8 @@ class ExprTranslator:
         approximation: regex word boundaries (SURVEY.md §2.9 `has`)."""
         l = self.to_col(left).cast("string")
         if isinstance(right, Lit):
-            term = re.escape(str(right.value))
+            raw = str(right.value)
+            term = re.escape(raw)
             if mode == "term":
                 pat = rf"\b{term}\b"
             elif mode == "prefix":
@@ -402,7 +403,23 @@ class ExprTranslator:
                 pat = rf"{term}\b"
             if not cs:
                 pat = "(?i)" + pat
-            return F.regexp_like(l, F.lit(pat))
+            rx = F.regexp_like(l, F.lit(pat))
+            if not raw:
+                return rx
+            # substring prefilter (round 10): a whole-term regex match
+            # implies the bare substring is present — (?i) folds ASCII
+            # case only, lower() folds that too, and non-ASCII chars must
+            # match exactly — so contains() is a strict superset and the
+            # conjunction short-circuits the regex for non-matching rows
+            # (A/B sf10 documents `has` scan: 2.38 -> 1.92 s even at 78%
+            # term selectivity; the absent-term branch is near-free). The
+            # term is lowercased JVM-side so both folds are the same
+            # implementation (constant-folded at plan time).
+            if cs:
+                pre = F.contains(l, F.lit(raw))
+            else:
+                pre = F.contains(F.lower(l), F.lower(F.lit(raw)))
+            return pre & rx
         # non-literal term: build the regex dynamically, JVM-side
         r = self.to_col(right).cast("string")
         escaped = F.regexp_replace(r, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
