@@ -895,14 +895,24 @@ def _min_id_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Connected components by the ALTERNATING large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    """Connected components, two-phase (round 10):
+
+    Phase 1 — linear smallest-id propagation to fixpoint, capped at
+    KQL_ENGINE_GRAPH_LINEAR_ROUNDS (default 8). One shuffle + one 1-row
+    probe per round; round r covers diameter r. Near-dup clusters (the
+    dedup_near/dedup_simhash caller) have diameter 1-3, so this phase
+    almost always converges — it is ~3x cheaper per round than phase 2
+    (measured: the LS/SS-only round-10 draft regressed dedup_jaccard at
+    sf0.1 6x before this hybrid).
+
+    Phase 2 — if phase 1 hits its cap unconverged (a chain longer than
+    the cap), fall back to the ALTERNATING large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", 2014 — public): each round rewires edges toward the local
-    minimum, converging to per-component stars whose root is the min node
-    id. Rounds are O(log^2 n) worst-case and 3-6 in practice —
-    independent of graph DIAMETER, unlike the pre-round-10 linear
-    min-propagation whose 16-round cap under-merged chains longer than 16
-    (a threshold-chained near-dup cluster of diameter d needed d rounds).
+    minimum, converging to per-component min-rooted stars in O(log^2 n)
+    rounds INDEPENDENT of diameter — the pre-round-10 code silently
+    under-merged chains longer than its 16-round cap.
+
     Returns (node, comp) labels, comp = min node id in the component.
     Also backs `graph-mark-components kind=weak`. Every step is a keyed
     join/groupBy; lineage is truncated per round (localCheckpoint); the
@@ -914,6 +924,47 @@ def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     neighbors S(u), m = min(S(u)); emit (u, m) and (v, m) for v in S(u),
     v != m. Both preserve connectivity and never grow the edge set; at
     the fixpoint every non-root node carries exactly (node -> root)."""
+    edges = edges.localCheckpoint(eager=True)
+    linear_rounds = int(os.environ.get("KQL_ENGINE_GRAPH_LINEAR_ROUNDS", "8"))
+    if linear_rounds > 0:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        comp = nodes.withColumn("comp", F.col("node")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(linear_rounds):
+            nb = (
+                sym.join(comp, sym["dst"] == comp["node"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbmin"))
+            )
+            new_comp = (
+                comp.join(nb, comp["node"] == nb["src"], "left")
+                .select(
+                    F.col("node"),
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("nbmin"), F.col("comp")),
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                return comp
+    return _component_labels_star(nodes, edges)
+
+
+def _component_labels_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction — see _component_labels."""
     from ..errors import KqlLimitError
 
     rounds = int(os.environ.get("KQL_ENGINE_GRAPH_CC_ROUNDS", "64"))
