@@ -2082,3 +2082,38 @@ def test_dcount_accuracy_ladder_lgk_in_plan(run_kql):
     # default stays exact
     d = run_kql("lineitem | summarize d=dcount(l_orderkey)")
     assert "hll" not in d._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_split_distinct_mixed_families(run_kql, monkeypatch):
+    # round 10: the split-distinct rewrite must keep multi-column and
+    # ordering-sensitive plain aggs intact alongside distinct ones on the
+    # scale path (small-plan gate off)
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    q = (
+        "lineitem | summarize p50 = percentile(l_quantity, 50),"
+        " dc = dcount(l_orderkey), mx = arg_max(l_extendedprice, l_orderkey),"
+        " c = count() by l_returnflag"
+    )
+    got = {r.l_returnflag: tuple(r) for r in run_kql(q).collect()}
+    monkeypatch.setenv("KQL_ENGINE_SPLIT_DISTINCT", "0")
+    want = {
+        r.l_returnflag: tuple(r)
+        for r in run_kql(q + " // fused-reference").collect()
+    }
+    assert got == want
+
+
+def test_auto_broadcast_result_parity(run_kql, monkeypatch):
+    # the source-bytes hint must never change results, only plans
+    q = (
+        "customer | join kind=inner (orders) on $left.c_custkey == $right.o_custkey"
+        " | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey"
+        " | summarize n = count(), s = round(sum(l_extendedprice), 2) by c_nationkey"
+        " | sort by c_nationkey asc"
+    )
+    on = [tuple(r) for r in run_kql(q).collect()]
+    monkeypatch.setenv("KQL_ENGINE_AUTO_BROADCAST", "0")
+    off = [tuple(r) for r in run_kql(q + " // ab-off").collect()]
+    assert on == off
