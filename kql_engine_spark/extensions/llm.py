@@ -975,6 +975,7 @@ def _component_labels_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     converged = cur.limit(1).count() == 0
+    cur_n = None  # carried across rounds: one count job per round, not two
     for _ in range(rounds):
         if converged:
             break
@@ -1007,11 +1008,13 @@ def _component_labels_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         # converged iff the edge set is stable (star fixpoint): same size
         # and no edge left the set
+        if cur_n is None:
+            cur_n = cur.count()
+        nxt_n = nxt.count()
         converged = (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).limit(1).count() == 0
+            nxt_n == cur_n and nxt.exceptAll(cur).limit(1).count() == 0
         )
-        cur = nxt
+        cur, cur_n = nxt, nxt_n
     if not converged:
         raise KqlLimitError(
             "connected components did not converge within "

@@ -38,7 +38,10 @@ def _sketchable(tr, arg, c):
     internally; collision mass is far below sketch error)."""
     dt = tr.dtype_of_ast(arg, c)
     if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
-        return F.xxhash64(c)
+        # Spark hash functions map NULL to the SEED (42), not NULL — an
+        # unguarded xxhash64 would count null as a distinct value (and in
+        # dcountif every predicate-failing row becomes 42)
+        return F.when(c.isNotNull(), F.xxhash64(c))
     if not isinstance(
         dt, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
     ):

@@ -2079,14 +2079,16 @@ def _has_terms(tr, args):
         else:
             terms.append(tr.const_value(a))
     # contains-prefilter + word-boundary regex, same strict-superset
-    # argument as translator._has (round 10)
-    return [
-        F.contains(F.lower(s), F.lower(F.lit(str(t))))
-        & F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
-        if str(t)
-        else F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
-        for t in terms
-    ]
+    # argument as translator._has (round 10); ASCII terms only — lower()
+    # is context-sensitive beyond ASCII (Final_Sigma), which would break
+    # the superset property
+    def _term_match(t: str):
+        rx = F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(t) + r"\b"))
+        if t and t.isascii():
+            return F.contains(F.lower(s), F.lit(t.lower())) & rx
+        return rx
+
+    return [_term_match(str(t)) for t in terms]
 
 
 @fn("has_any")
@@ -3873,8 +3875,8 @@ def _has_any_index(tr, args):
     out = F.lit(-1)
     for i, t in reversed(list(enumerate(terms))):
         m = F.regexp_like(s, F.lit(r"(?i)\b" + _re.escape(str(t)) + r"\b"))
-        if str(t):
-            m = F.contains(F.lower(s), F.lower(F.lit(str(t)))) & m
+        if str(t) and str(t).isascii():  # Final_Sigma guard, see _has_terms
+            m = F.contains(F.lower(s), F.lit(str(t).lower())) & m
         out = F.when(m, F.lit(i)).otherwise(out)
     return out.cast("bigint")
 

@@ -412,13 +412,18 @@ class ExprTranslator:
             # match exactly — so contains() is a strict superset and the
             # conjunction short-circuits the regex for non-matching rows
             # (A/B sf10 documents `has` scan: 2.38 -> 1.92 s even at 78%
-            # term selectivity; the absent-term branch is near-free). The
-            # term is lowercased JVM-side so both folds are the same
-            # implementation (constant-folded at plan time).
+            # term selectivity; the absent-term branch is near-free).
+            # ci prefilter only for pure-ASCII terms: lower() is
+            # context-sensitive beyond ASCII (Final_Sigma — a trailing
+            # 'Σ' lowers to 'ς' in the term but 'σ' mid-word in the
+            # text), which would break the superset property and drop
+            # real matches. cs needs no case fold, so any term is safe.
             if cs:
                 pre = F.contains(l, F.lit(raw))
+            elif raw.isascii():
+                pre = F.contains(F.lower(l), F.lit(raw.lower()))
             else:
-                pre = F.contains(F.lower(l), F.lower(F.lit(raw)))
+                return rx
             return pre & rx
         # non-literal term: build the regex dynamically, JVM-side
         r = self.to_col(right).cast("string")
@@ -1007,7 +1012,9 @@ class PipeTranslator:
                 # `let v = view () { T | ... }; v | ...` [KQL]: a view (or a
                 # fully-defaulted tabular lambda) referenced by bare name
                 # invokes with its defaults
-                return self._call_tabular_function(name, [])
+                out = self._call_tabular_function(name, [])
+                self._src_bytes = self._last_pipe_bytes
+                return out
             raise KqlSemanticError(f"let {name!r} is not tabular")
         df = self.catalog.table(name, streaming=self.streaming)
         self._src_bytes = self.catalog.file_size(name)
@@ -1768,6 +1775,14 @@ class PipeTranslator:
                 plain.append(item)
         if not dist or (not plain and len(dist) < 2):
             return None
+        # duplicate output names (legal in the fused path — Spark allows
+        # repeated aliases in one agg) would be ambiguous across the
+        # join-back; bail to the fused plan
+        names = [
+            out for item in op.aggs for out, _ in self._translate_agg(tr, item)
+        ]
+        if len(set(names)) != len(names):
+            return None
         return plain, dist
 
     def _summarize_split(self, work, tr, tmp_names, op, split):
@@ -1795,6 +1810,12 @@ class PipeTranslator:
                 return work.groupBy(*tmp_names).agg(*cols)
             return work.agg(*cols)
 
+        def q(n: str) -> str:
+            # df[name] / F.col parse '.' as struct access — backtick-quote
+            # any output name that is not a plain identifier (KQL
+            # bracket-quoted names can contain dots, spaces, backticks)
+            return "`" + n.replace("`", "``") + "`" if not n.isidentifier() else n
+
         dfs = ([agg_df(plain)] if plain else []) + [agg_df([it]) for it in dist]
         base = dfs[0]
         for i, other in enumerate(dfs[1:]):
@@ -1804,12 +1825,10 @@ class PipeTranslator:
             b, o = base.alias(f"__sb{i}"), other.alias(f"__so{i}")
             cond = None
             for k in tmp_names:
-                c = F.col(f"__sb{i}.{k}").eqNullSafe(F.col(f"__so{i}.{k}"))
+                c = b[k].eqNullSafe(o[k])
                 cond = c if cond is None else (cond & c)
-            keep = [F.col(f"__sb{i}.{c2}") for c2 in base.columns] + [
-                F.col(f"__so{i}.{c2}")
-                for c2 in other.columns
-                if c2 not in tmp_names
+            keep = [b[q(c2)] for c2 in base.columns] + [
+                o[q(c2)] for c2 in other.columns if c2 not in tmp_names
             ]
             base = b.join(o, cond, "inner").select(*keep)
         # restore the user's aggregate order (pieces grouped plain-first)
@@ -1817,7 +1836,7 @@ class PipeTranslator:
         for item in op.aggs:
             for out_name, _ in self._translate_agg(tr, item):
                 ordered.append(out_name)
-        return base.select(*tmp_names, *ordered)
+        return base.select(*[base[q(c)] for c in (*tmp_names, *ordered)])
 
     def _translate_agg(self, tr: ExprTranslator, item: NamedExpr):
         e = item.expr
@@ -1892,6 +1911,9 @@ class PipeTranslator:
             cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = right.join(df, cond, how.replace("right", "left"))
             self.order = None
+            # output rows come from the RIGHT side (left_semi output ⊆
+            # left would keep lbytes; here the roles are swapped)
+            self._src_bytes = rbytes
             return out
 
         if how in ("left_semi", "left_anti"):
@@ -1924,6 +1946,14 @@ class PipeTranslator:
             right_renamed
         )
         self.order = None
+        # Composed-side estimate: lbytes+rbytes. This is a HEURISTIC, not
+        # an upper bound — a 1:N equi-join replicates the narrow side's
+        # columns N times and an N:M join multiplies rows — but for the
+        # dominant FK/star shapes pruning+filtering shrink the true size
+        # far below the sum (Q5's customer⋈orders: 3MB of sources, ~0.5MB
+        # true). A blown estimate can at worst mis-hint a later broadcast
+        # (perf cliff / typed Spark broadcast-size error, never wrong
+        # results); KQL_ENGINE_AUTO_BROADCAST=0 is the escape hatch.
         self._src_bytes = (
             lbytes + rbytes
             if left_keys and lbytes is not None and rbytes is not None

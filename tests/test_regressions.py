@@ -2117,3 +2117,43 @@ def test_auto_broadcast_result_parity(run_kql, monkeypatch):
     monkeypatch.setenv("KQL_ENGINE_AUTO_BROADCAST", "0")
     off = [tuple(r) for r in run_kql(q + " // ab-off").collect()]
     assert on == off
+
+
+def test_sketch_dcount_nested_null_not_counted(run_kql):
+    # round-10 review: Spark hash functions map NULL to the seed (42), so
+    # an unguarded xxhash64 made sketch-mode dcount over nested columns
+    # count null as a distinct value (and dcountif count every
+    # predicate-failing row once)
+    q = (
+        "datatable(i:long)[1, 2, 3]"
+        " | extend a = iff(i == 1, pack_array('x'), dynamic(null))"
+        " | summarize d = dcount(a)"
+    )
+    assert run_kql("set exact_dcount = false; " + q).collect()[0].d == 1
+    q2 = (
+        "datatable(i:long)[1, 2, 3, 4]"
+        " | extend a = pack_array(tostring(i % 2))"
+        " | summarize d = dcountif(a, i <= 2)"
+    )
+    assert run_kql("set exact_dcount = false; " + q2).collect()[0].d == 2
+
+
+def test_has_family_final_sigma_terms_still_match(run_kql):
+    # round-10 review: lower() is context-sensitive beyond ASCII
+    # (Final_Sigma: a trailing capital sigma lowers differently term-
+    # finally vs mid-word), so the contains() prefilter must not apply to
+    # non-ASCII terms
+    assert run_kql("print b = 'word AΣB here' has_any ('AΣB')").collect()[0].b
+    assert run_kql("print b = 'xx AΣB yy' hasprefix 'AΣ'").collect()[0].b
+    assert run_kql("print b = 'xx AΣ yy' has 'aσ'").collect()[0].b is False
+
+
+def test_split_distinct_quoted_dotted_name(run_kql, monkeypatch):
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    rows = run_kql(
+        "lineitem | summarize ['a.b'] = dcount(l_orderkey), c = count()"
+        " by l_returnflag | sort by l_returnflag asc"
+    ).collect()
+    assert rows and all(r["a.b"] > 0 and r.c > 0 for r in rows)

@@ -19,9 +19,18 @@ from kql_engine_spark.corpus import CORPUS  # noqa: E402
 
 
 def main() -> None:
+    # certified = appeared in a prefix AND passed all three gates; a row
+    # that errored or mismatched must be re-exported, not counted covered
     certified: set[str] = set()
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        certified |= set(json.load(open(f)).keys())
+        for name, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                certified.add(name)
     never = [n for n in CORPUS if n not in certified]
     print(f"# {len(never)} never-certified of {len(CORPUS)}")
     print("_NEVER_CERTIFIED = (")
