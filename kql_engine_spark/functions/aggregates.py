@@ -150,8 +150,10 @@ def _dcountif(tr, args, name):
     filtered = F.when(tr.to_col(args[1]), tr.to_col(args[0]))
     if tr.exact_dcount:
         return [(out, F.count_distinct(filtered))]
+    # optional accuracy arg maps through the same ladder as dcount
+    lgk = _DCOUNT_LGK.get(int(tr.const_value(args[2])) if len(args) > 2 else 1, 9)
     c = _sketchable(tr, args[0], filtered)
-    return [(out, F.hll_sketch_estimate(F.hll_sketch_agg(c, 9)))]
+    return [(out, F.hll_sketch_estimate(F.hll_sketch_agg(c, lgk)))]
 
 
 @agg("count_distinct")

@@ -1736,7 +1736,7 @@ class PipeTranslator:
             else None
         )
         if split is not None:
-            result = self._summarize_split(work, tr, tmp_names, op, split)
+            result = self._summarize_split(work, tmp_names, split)
             result = result.withColumnsRenamed(dict(zip(tmp_names, out_names)))
             self.order = None
             return result
@@ -1756,36 +1756,37 @@ class PipeTranslator:
         return result
 
     def _split_distinct_items(self, tr, op: Summarize):
-        """(plain_items, distinct_items) when the split-distinct rewrite
-        applies (see _summarize_split), else None. Distinct-style = aggs
-        lowering to count_distinct: dcount/dcountif in exact mode (the
-        default; sketch mode is an ordinary agg), count_distinct[if].
+        """(plain_pairs, distinct_pairs, ordered_names) when the
+        split-distinct rewrite applies (see _summarize_split), else None;
+        each pairs list holds the item's translated (name, Column) list so
+        the rewrite translates every aggregate exactly once. Distinct-style
+        = aggs lowering to count_distinct: dcount/dcountif in exact mode
+        (the default; sketch mode is an ordinary agg), count_distinct[if].
         Expression-over-aggregate items are opaque — no rewrite."""
-        plain, dist = [], []
+        plain, dist, ordered = [], [], []
         for item in op.aggs:
             e = item.expr
             if not (isinstance(e, FuncCall) and e.name in AGG_REGISTRY):
                 return None
+            translated = self._translate_agg(tr, item)
+            ordered.extend(out for out, _ in translated)
             if e.name in _DISTINCT_AGG_FNS and (
                 e.name in ("count_distinct", "count_distinctif")
                 or tr.exact_dcount
             ):
-                dist.append(item)
+                dist.append(translated)
             else:
-                plain.append(item)
+                plain.append(translated)
         if not dist or (not plain and len(dist) < 2):
             return None
         # duplicate output names (legal in the fused path — Spark allows
         # repeated aliases in one agg) would be ambiguous across the
         # join-back; bail to the fused plan
-        names = [
-            out for item in op.aggs for out, _ in self._translate_agg(tr, item)
-        ]
-        if len(set(names)) != len(names):
+        if len(set(ordered)) != len(ordered):
             return None
-        return plain, dist
+        return plain, dist, ordered
 
-    def _summarize_split(self, work, tr, tmp_names, op, split):
+    def _summarize_split(self, work, tmp_names, split):
         """Mixed distinct + plain aggregates (round 10): Spark's
         single-pass plan regroups at (keys, distinct-expr) grain carrying
         EVERY plain-agg buffer through that exchange — measured ~4.5GB of
@@ -1799,13 +1800,14 @@ class PipeTranslator:
         source scan per piece — at scale shuffle bytes dominate rescans,
         and the pieces share the parquet page cache.
         KQL_ENGINE_SPLIT_DISTINCT=0 disables."""
-        plain, dist = split
+        plain, dist, ordered = split
 
-        def agg_df(items):
-            cols = []
-            for item in items:
-                for out_name, col in self._translate_agg(tr, item):
-                    cols.append(col.alias(out_name))
+        def agg_df(pairs_list):
+            cols = [
+                col.alias(out_name)
+                for pairs in pairs_list
+                for out_name, col in pairs
+            ]
             if tmp_names:
                 return work.groupBy(*tmp_names).agg(*cols)
             return work.agg(*cols)
@@ -1816,7 +1818,7 @@ class PipeTranslator:
             # bracket-quoted names can contain dots, spaces, backticks)
             return "`" + n.replace("`", "``") + "`" if not n.isidentifier() else n
 
-        dfs = ([agg_df(plain)] if plain else []) + [agg_df([it]) for it in dist]
+        dfs = ([agg_df(plain)] if plain else []) + [agg_df([p]) for p in dist]
         base = dfs[0]
         for i, other in enumerate(dfs[1:]):
             if not tmp_names:
@@ -1832,10 +1834,6 @@ class PipeTranslator:
             ]
             base = b.join(o, cond, "inner").select(*keep)
         # restore the user's aggregate order (pieces grouped plain-first)
-        ordered = []
-        for item in op.aggs:
-            for out_name, _ in self._translate_agg(tr, item):
-                ordered.append(out_name)
         return base.select(*[base[q(c)] for c in (*tmp_names, *ordered)])
 
     def _translate_agg(self, tr: ExprTranslator, item: NamedExpr):
