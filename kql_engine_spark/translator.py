@@ -1730,6 +1730,13 @@ class PipeTranslator:
         split = (
             self._split_distinct_items(tr, op)
             if len(op.aggs) >= 2
+            # cheap AST pre-scan so the common no-distinct summarize never
+            # pays the guard's translation pass
+            and any(
+                isinstance(it.expr, FuncCall)
+                and it.expr.name in _DISTINCT_AGG_FNS
+                for it in op.aggs
+            )
             and not self.small_plan
             and not (self.streaming and work.isStreaming)
             and _os.environ.get("KQL_ENGINE_SPLIT_DISTINCT", "1") != "0"
