@@ -1996,6 +1996,18 @@ class PipeTranslator:
         )
         if thr <= 0:
             return left, right
+        if left.isStreaming:
+            # a stream cannot be a broadcast build side; the static right
+            # may still be hinted (stream-static enrichment). Join sides
+            # are always static (_translate_join_side), so only the left
+            # can be streaming here.
+            if (
+                rbytes is not None
+                and rbytes <= thr
+                and how in ("inner", "left")
+            ):
+                return left, F.broadcast(right)
+            return left, right
         if (
             rbytes is not None
             and rbytes <= thr
