@@ -2896,3 +2896,35 @@ def test_random_activity_metrics_dims_matches_duckdb(run_kql, duck, period_d, lo
     cols = [d[0] for d in sdf.description]
     want = canonize_rows(cols, sdf.fetchall())
     assert_rows_close(got, want, tol=0.00011)
+
+
+# ------------------- split-distinct rewrite differential fuzz (round 10)
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey % 7"]),
+    dcol=st.sampled_from(["l_orderkey", "l_partkey", "l_linestatus"]),
+    dcol2=st.sampled_from(["l_suppkey", "l_shipdate"]),
+    lo=st.integers(0, 30),
+)
+def test_random_split_distinct_matches_fused(run_kql, monkeypatch, key, dcol, dcol2, lo):
+    # the scale-path rewrite must be row-for-row identical to Spark's
+    # fused single-pass plan across random keys / distinct columns /
+    # filters, including two-distinct shapes
+    import kql_engine_spark.translator as TR
+
+    q = (
+        f"lineitem | where l_quantity > {lo}.0"
+        f" | summarize c = count(), d1 = dcount({dcol}), s = sum(l_quantity),"
+        f" d2 = dcount({dcol2}) by k = {key}"
+        " | sort by k asc"
+    )
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    split_rows = [tuple(r) for r in run_kql(q).collect()]
+    monkeypatch.setenv("KQL_ENGINE_SPLIT_DISTINCT", "0")
+    fused_rows = [tuple(r) for r in run_kql(q + " // fused").collect()]
+    assert split_rows == fused_rows
