@@ -60,45 +60,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-entry prefix of queries() per round. These entries have never
 # appeared in a CORRECTNESS_r{N} prefix (all green locally at the
 # identical comparator); exporting them FIRST converges the rotation.
-# Static snapshot of rounds 1-9 certification state - regenerate with
-# tools/rotation_order.py if more rounds land.
+# Static snapshot of rounds 1-10 certification state (60 entries: 57
+# never-seen + the 3 r10 err rows reshaped this round) - regenerate
+# with tools/rotation_order.py if more rounds land.
 _NEVER_CERTIFIED = (
-    "make_list_sorted", "make_series_numeric", "search_scoped_wildcard",
-    "graph_match_cycle", "graph_to_table_nodes", "let_materialize",
-    "find_project_missing_cols", "facet_counts", "facet_with_subquery",
-    "getschema_op", "llm_similarity_ivfpq_full_probe", "llm_similarity_join",
-    "mv_apply_where", "partition_summarize", "session_window_batch",
-    "let_scalar_inline", "percentilesw_stdevif", "tdigest_surrogate",
-    "tdigest_merge_rollup", "find_common_column", "scan_funnel",
-    "autocluster_segments", "sequence_detect_funnel", "scan_sharded_funnel",
-    "evaluate_python_plugin", "make_series_auto_bounds", "series_decompose_ops",
-    "series_periods_detect_fn", "bitwise_series_misc_fns", "round5_fn_sweep",
-    "ipv4_mask_fns", "take_any_single_valued", "as_operator",
-    "sample_rows_only", "sample_distinct_rows_only", "mv_expand_multi_zip",
-    "parse_where_drops", "format_timespan_fn", "summarize_shufflekey_hint",
-    "render_is_noop", "consume_empty", "project_reorder_cols",
-    "rows_near_hits", "series_elementwise_more", "hex_guid_bytes_fns",
-    "erf_estimate_size_fns", "codec_compress_punycode_xml", "beta_welch_iir_fns",
-    "funnel_sequence_neighborhood", "string_utility_round5", "unicode_codepoint_fns",
-    "datetime_timezone_fns", "percentrank_tdigest_fn", "diffpatterns_text_events",
-    "buildschema_agg", "url_encode_component_fn", "range_timespan_fractional",
-    "pack_array_heterogeneous", "todatetime_string_forms", "totimespan_string_forms",
-    "timespan_tostring_fns", "dynamic_heterogeneous_literal", "indexof_countof_extended",
-    "substring_negative_start", "array_negative_index", "find_term_withsource",
-    "find_withsource_where", "llm_dedup_jaccard", "set_equals_isutf8_fns",
-    "new_activity_metrics_cohort_dims", "activity_metrics_cohort_dims", "union_isfuzzy_skips_unknown",
-    "array_sort_companion_arrays", "in_tabular_under_or", "let_view_bare_join",
-    "bracket_string_key_access", "parse_regex_flags_i", "graph_mark_components_strong",
-    "graph_match_varlen_deep", "has_any_dynamic_terms", "preview_sample_count",
-    "treepath_paths", "percentiles_array_agg", "mv_expand_bag_default",
-    "series_fit_poly_quadratic", "bin_auto_set_property", "base64_fromarray_roundtrip",
-    "series_periods_validate_fn", "string_plus_concat_and_map_bags", "in_dynamic_array_operand",
-    "getschema_lineitem_twin", "sample_count_pinned", "sample_distinct_count_pinned",
-    "llm_dedup_near_exact_clusters", "llm_dedup_jaccard_brute_twin", "llm_similarity_join_exact_twin",
-    "geo_polygon_to_h3cells_covering", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q22",
+    "series_elementwise_more", "hex_guid_bytes_fns", "beta_welch_iir_fns",
+    "unicode_codepoint_fns", "datetime_timezone_fns", "percentrank_tdigest_fn",
+    "diffpatterns_text_events", "buildschema_agg", "url_encode_component_fn",
+    "range_timespan_fractional", "pack_array_heterogeneous", "todatetime_string_forms",
+    "totimespan_string_forms", "timespan_tostring_fns", "dynamic_heterogeneous_literal",
+    "indexof_countof_extended", "substring_negative_start", "array_negative_index",
+    "find_term_withsource", "find_withsource_where", "llm_dedup_jaccard",
+    "set_equals_isutf8_fns", "new_activity_metrics_cohort_dims", "activity_metrics_cohort_dims",
+    "union_isfuzzy_skips_unknown", "array_sort_companion_arrays", "in_tabular_under_or",
+    "let_view_bare_join", "bracket_string_key_access", "parse_regex_flags_i",
+    "graph_mark_components_strong", "graph_match_varlen_deep", "has_any_dynamic_terms",
+    "preview_sample_count", "treepath_paths", "percentiles_array_agg",
+    "mv_expand_bag_default", "series_fit_poly_quadratic", "bin_auto_set_property",
+    "base64_fromarray_roundtrip", "series_periods_validate_fn", "string_plus_concat_and_map_bags",
+    "in_dynamic_array_operand", "getschema_lineitem_twin", "sample_count_pinned",
+    "sample_distinct_count_pinned", "llm_dedup_near_exact_clusters", "llm_dedup_jaccard_brute_twin",
+    "llm_similarity_join_exact_twin", "geo_polygon_to_h3cells_covering", "tpch_q7",
+    "tpch_q8", "tpch_q10", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q22",
 )
 
 

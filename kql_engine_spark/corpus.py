@@ -2701,14 +2701,16 @@ q(
 
 q(
     "series_elementwise_more",
-    # round 5: ge/le comparisons, floor/ceiling, product over series
-    """print sge = series_greater_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0])),
-             sle = series_less_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0])),
-             sfl = series_floor(dynamic([1.7,-1.2])),
-             scl = series_ceiling(dynamic([1.2,-1.7])),
+    # round 5: ge/le comparisons, floor/ceiling, product over series.
+    # Array outputs tostring-wrapped (round 11): the driver's comparator
+    # sorts the pandas frame and cannot hash raw list cells (r10 err rows).
+    """print sge = tostring(series_greater_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0]))),
+             sle = tostring(series_less_equals(dynamic([1.0,2.0,3.0]), dynamic([2.0,2.0,2.0]))),
+             sfl = tostring(series_floor(dynamic([1.7,-1.2]))),
+             scl = tostring(series_ceiling(dynamic([1.2,-1.7]))),
              spr = series_product(dynamic([2.0,3.0,4.0]))""",
-    """SELECT [false, true, true] AS sge, [true, true, false] AS sle,
-              [1.0, -2.0] AS sfl, [2.0, -1.0] AS scl, 24.0 AS spr""",
+    """SELECT '[false,true,true]' AS sge, '[true,true,false]' AS sle,
+              '[1.0,-2.0]' AS sfl, '[2.0,-1.0]' AS scl, 24.0 AS spr""",
 )
 
 q(
@@ -2718,12 +2720,12 @@ q(
     """print hx = tohex(255), hxw = tohex(255, 8), hneg = tohex(-2),
              ge = base64_encode_fromguid('00112233-4455-6677-8899-aabbccddeeff'),
              gd = base64_decode_toguid('MyIRAFVEd2aImaq7zN3u/w=='),
-             ba = base64_decode_toarray('S3VzdG8='),
+             ba = tostring(base64_decode_toarray('S3VzdG8=')),
              hm_differs = hash_many('a', 1) != hash_many('a', 2)""",
     """SELECT 'ff' AS hx, '000000ff' AS hxw, 'fffffffffffffffe' AS hneg,
               'MyIRAFVEd2aImaq7zN3u/w==' AS ge,
               '00112233-4455-6677-8899-aabbccddeeff' AS gd,
-              [75, 117, 115, 116, 111] AS ba, true AS hm_differs""",
+              '[75,117,115,116,111]' AS ba, true AS hm_differs""",
 )
 
 q(
@@ -2786,11 +2788,11 @@ q(
              bc = round(beta_cdf(0.25, 2.0, 2.0), 6),
              bi = round(beta_inv(0.15625, 2.0, 2.0), 6),
              w = round(welch_test(20.6, 0.2, 6.0, 22.1, 0.7, 6.0), 6),
-             iir = series_iir(dynamic([1.0,0.0,0.0,0.0]), dynamic([1.0]), dynamic([1.0,-0.5])),
-             seas = series_seasonal(dynamic([1.0,2.0,3.0,1.0,2.0,3.0]), 3)""",
+             iir = tostring(series_iir(dynamic([1.0,0.0,0.0,0.0]), dynamic([1.0]), dynamic([1.0,-0.5]))),
+             seas = tostring(series_seasonal(dynamic([1.0,2.0,3.0,1.0,2.0,3.0]), 3))""",
     """SELECT 1.5 AS bp, 0.15625 AS bc, 0.25 AS bi, 0.005156 AS w,
-              [1.0, 0.5, 0.25, 0.125] AS iir,
-              [1.0, 2.0, 3.0, 1.0, 2.0, 3.0] AS seas""",
+              '[1.0,0.5,0.25,0.125]' AS iir,
+              '[1.0,2.0,3.0,1.0,2.0,3.0]' AS seas""",
 )
 
 q(

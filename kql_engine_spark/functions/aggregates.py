@@ -29,6 +29,23 @@ AGG_REGISTRY: dict[str, object] = {}
 _DCOUNT_LGK = {0: 7, 1: 9, 2: 12, 3: 14, 4: 17}
 
 
+def _dcount_lgk(tr, arg) -> int:
+    """Validate a dcount/dcountif accuracy argument the way Kusto does:
+    it must be a constant integer 0-4 — anything else is a semantic
+    error, not a silent fallback (round 11, ADVICE)."""
+    try:
+        acc = int(tr.const_value(arg))
+    except (TypeError, ValueError):
+        raise KqlSemanticError(
+            "dcount accuracy must be a constant integer between 0 and 4"
+        ) from None
+    if acc not in _DCOUNT_LGK:
+        raise KqlSemanticError(
+            f"dcount accuracy must be between 0 and 4, got {acc}"
+        )
+    return _DCOUNT_LGK[acc]
+
+
 def _sketchable(tr, arg, c):
     """DataSketches HLL takes int/long/string/binary; stringify scalar
     types (injective per scalar type, so cardinality is preserved). Nested
@@ -137,9 +154,13 @@ def _maxif(tr, args, name):
 @agg("dcount")
 def _dcount(tr, args, name):
     out = name or _auto("dcount", args)
+    if len(args) > 1:
+        # validate even in exact mode — Kusto rejects a bad accuracy
+        # regardless of how the distinct count is computed
+        _dcount_lgk(tr, args[1])
     if tr.exact_dcount:
         return [(out, F.count_distinct(tr.to_col(args[0])))]
-    lgk = _DCOUNT_LGK.get(int(tr.const_value(args[1])) if len(args) > 1 else 1, 9)
+    lgk = _dcount_lgk(tr, args[1]) if len(args) > 1 else _DCOUNT_LGK[1]
     c = _sketchable(tr, args[0], tr.to_col(args[0]))
     return [(out, F.hll_sketch_estimate(F.hll_sketch_agg(c, lgk)))]
 
@@ -147,11 +168,13 @@ def _dcount(tr, args, name):
 @agg("dcountif")
 def _dcountif(tr, args, name):
     out = name or _auto("dcountif", args)
+    if len(args) > 2:
+        _dcount_lgk(tr, args[2])
     filtered = F.when(tr.to_col(args[1]), tr.to_col(args[0]))
     if tr.exact_dcount:
         return [(out, F.count_distinct(filtered))]
     # optional accuracy arg maps through the same ladder as dcount
-    lgk = _DCOUNT_LGK.get(int(tr.const_value(args[2])) if len(args) > 2 else 1, 9)
+    lgk = _dcount_lgk(tr, args[2]) if len(args) > 2 else _DCOUNT_LGK[1]
     c = _sketchable(tr, args[0], filtered)
     return [(out, F.hll_sketch_estimate(F.hll_sketch_agg(c, lgk)))]
 

@@ -4,14 +4,18 @@ Image/audio/video payloads are opaque `binary` columns with typed metadata —
 the Spark-side plumbing (schemas, binaryFile source, Arrow-batched pandas
 UDF shape) is REAL and tested. Decode kernels:
 
-- ``decode_image`` REALLY decodes the library-free codecs — 8-bit
-  non-interlaced PNG (stdlib zlib + unfiltering), uncompressed 24/32-bit
-  BMP, binary PPM/PGM, baseline sequential AND progressive JPEG (Huffman
-  entropy decode + IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and GIF
-  (LZW, interlace, animated compositing) — in pure numpy. ``audio_features``
+- ``decode_image`` REALLY decodes the library-free codecs — PNG at every
+  tier (all bit depths incl. 16-bit, palette, grayscale/RGB(A),
+  non-interlaced AND Adam7-interlaced, multi-IDAT; stdlib zlib +
+  unfiltering), uncompressed 24/32-bit BMP, binary PPM/PGM, JPEG
+  Huffman baseline/progressive AND arithmetic-coded SOF9/SOF10 (T.81
+  Annex D QM coder) plus Huffman lossless (4:4:4/4:2:2/4:2:0, restart
+  markers), GIF (LZW, interlace, animated compositing), AVI MJPEG-track
+  and MP4/MOV JPEG-track first frames — in pure numpy. ``audio_features``
   decodes RIFF/WAVE PCM and native FLAC (RFC 9639), and walks MPEG-audio
-  frame headers for exact mp3 duration/rate. Arithmetic-coded JPEG and
-  mp3 sample reconstruction stay gated on a media library; such payloads
+  frame headers for exact mp3 duration/rate. Hierarchical and
+  arithmetic-lossless JPEG, inter-coded video (H.26x), AAC, and mp3
+  sample reconstruction stay gated on a media library; such payloads
   yield null feature columns.
 - ``fake_decode_image`` produces DETERMINISTIC FAKE features derived from a
   sha256 of the payload bytes. It exists to exercise the exact mapInPandas

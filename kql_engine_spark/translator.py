@@ -747,13 +747,24 @@ class PipeTranslator:
         # (sorted_df, source_df, cols) of the latest small-plan sort, so a
         # directly-following take can rebuild as TakeOrderedAndProject
         self._small_sorted: tuple | None = None
+        # True once the pipeline passed through an op whose ROW SELECTION
+        # is not deterministic across re-executions (take/limit without a
+        # total order, tie-broken sort|take, innerunique's arbitrary
+        # surviving row). The split-distinct rewrite re-executes the
+        # upstream plan once per aggregation piece, so under such an op
+        # each piece could aggregate DIFFERENT rows — it must bail to the
+        # fused single-scan plan (round 11). Sticky for the whole query:
+        # a nondeterministic join side taints the joined rows too.
+        self._rowset_nondet = False
         # Source-bytes upper estimate of the CURRENT pipeline's data
         # (round 10, auto-broadcast): on-disk bytes of the sources feeding
-        # it, None = unknown/assume big. Filters/projections/aggregations
-        # only shrink a side so source bytes remain a sound upper
-        # estimate; row-expanding ops (mv-expand, evaluate, ...) reset to
-        # None. t_join reads it for both sides to place a broadcast hint
-        # where Catalyst's no-stats product estimate picks the wrong side.
+        # it, None = unknown/assume big. Filters/aggregations shrink a
+        # side and extend/project adds row-bounded columns (unbounded
+        # growth calls screened via _GROWTH_FNS), so source bytes stay a
+        # heuristic upper estimate; row-expanding ops (mv-expand,
+        # evaluate, ...) reset to None. t_join reads it for both sides to
+        # place a broadcast hint where Catalyst's no-stats product
+        # estimate picks the wrong side.
         self._src_bytes: int | None = None
         # the value _src_bytes held when the most recent nested
         # translate_pipe finished (translate_pipe restores the outer
@@ -1315,6 +1326,16 @@ class PipeTranslator:
         # accumulate it themselves
         if type(op).__name__ in _SIZE_OPAQUE_OPS:
             self._src_bytes = None
+        elif type(op).__name__ in ("Extend", "Project") and any(
+            isinstance(n, FuncCall) and n.name in _GROWTH_FNS
+            for n in _walk_ast(op)
+        ):
+            # extend/project are size-transparent only while the added
+            # columns stay bounded by the input (column copies, parses,
+            # arithmetic). Calls that can GROW a row without bound
+            # (strrep, repeat, range, decompression) invalidate the
+            # source-bytes upper estimate (round 11, ADVICE).
+            self._src_bytes = None
         return out
 
     def expr_tr(self, df: DataFrame, env=None) -> ExprTranslator:
@@ -1665,6 +1686,10 @@ class PipeTranslator:
         return n
 
     def t_take(self, df: DataFrame, op: Take) -> DataFrame:
+        # limit without a total order (and sort|take under key ties) may
+        # select different rows on re-execution — poisons plan rewrites
+        # that re-execute the upstream (split-distinct)
+        self._rowset_nondet = True
         small = getattr(self, "_small_sorted", None)
         if small is not None and small[0] is df:
             # sort|take directly on a small-plan coalesced sort: rebuild as
@@ -1739,6 +1764,11 @@ class PipeTranslator:
             )
             and not self.small_plan
             and not (self.streaming and work.isStreaming)
+            # the split re-executes the upstream once per piece; bail if
+            # any upstream op selects rows nondeterministically (take,
+            # innerunique) — pieces could otherwise aggregate different
+            # rows (round 11, ADVICE)
+            and not self._rowset_nondet
             and _os.environ.get("KQL_ENGINE_SPLIT_DISTINCT", "1") != "0"
             else None
         )
@@ -1900,6 +1930,9 @@ class PipeTranslator:
 
         if kind == "innerunique" and left_keys:
             # KQL default: dedup left on join keys, then inner join [KQL join]
+            # dropDuplicates keeps an ARBITRARY survivor per key — row
+            # selection can differ across re-executions (see _rowset_nondet)
+            self._rowset_nondet = True
             df = df.dropDuplicates(left_keys)
 
         how = how_map[kind]
@@ -1982,9 +2015,15 @@ class PipeTranslator:
         600k-row lineitem side and streamed the 23k-row dim side
         (BASELINE.md round 10), and at sf1 fell back to sort-merge. The
         translator knows each side's on-disk source bytes exactly;
-        filters/projections/aggregations only shrink a side, so source
-        bytes are a sound UPPER estimate (row-expanding ops reset it to
-        unknown — _SIZE_OPAQUE_OPS). Hint the smaller sub-threshold side.
+        filters/aggregations only shrink a side, and extend/project adds
+        at most row-bounded columns once unbounded-growth calls are
+        screened out (_GROWTH_FNS), so source bytes are an upper
+        ESTIMATE — heuristic, not a proof: on-disk bytes are compressed,
+        and a wide extend can multiply in-memory size by a bounded
+        constant. A blown estimate mis-hints a broadcast (perf cliff or
+        typed Spark broadcast-size error, never wrong results);
+        row-expanding ops reset the estimate to unknown
+        (_SIZE_OPAQUE_OPS). Hint the smaller sub-threshold side.
         Explicit KQL hint.strategy always wins (caller checks);
         KQL_ENGINE_AUTO_BROADCAST=0 disables. Outer joins only hint the
         side Spark can legally build: right for LEFT OUTER, left for
@@ -3384,6 +3423,20 @@ _SIZE_OPAQUE_OPS = frozenset(
     }
 )
 
+# Scalar functions whose output size is NOT bounded by their input size
+# (output scales with a numeric argument or a compression ratio): an
+# extend/project computing one of these invalidates the source-bytes
+# upper estimate used by auto-broadcast (translate_op). Everything else
+# an extend can add is bounded by a constant multiple of the row it
+# read (substrings, parses, casts, hashes, fixed-size literals).
+_GROWTH_FNS = frozenset(
+    {
+        "strrep", "repeat", "range",
+        "zlib_decompress_from_base64_string",
+        "gzip_decompress_from_base64_string",
+    }
+)
+
 # Aggregates lowering to Spark count_distinct (the split-distinct
 # rewrite's trigger set — see _summarize_split)
 _DISTINCT_AGG_FNS = frozenset(
@@ -3576,8 +3629,18 @@ def _scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     from .errors import KqlLimitError
 
     edges = edges.localCheckpoint(eager=True)
-    n_elems = nodes.count() + edges.count()
-    if n_elems <= _graph_local_elems():
+    # single-job routing probe (round 11, ADVICE): limit(cap+1) over the
+    # unioned 1-lit projections short-circuits once the cap is exceeded,
+    # instead of two full count() jobs that large graphs paid just to
+    # learn they take the distributed path
+    cap = _graph_local_elems()
+    n_elems = (
+        nodes.select(F.lit(1).alias("__e"))
+        .unionAll(edges.select(F.lit(1).alias("__e")))
+        .limit(cap + 1)
+        .count()
+    )
+    if n_elems <= cap:
         return _scc_labels_local(nodes, edges)
     remaining = nodes.localCheckpoint(eager=True)
     out: DataFrame | None = None

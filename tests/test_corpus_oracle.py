@@ -32,6 +32,22 @@ ENTRIES = sorted(CORPUS.items())
 def test_corpus_entry(name, run_kql, duck):
     kql_text, sql = CORPUS[name]
     sdf = run_kql(kql_text)
+    # Driver-comparator shape invariant (round 11): the driver canonicalizes
+    # by sorting the pandas frame, which cannot hash list/dict cells — a raw
+    # ArrayType/MapType/StructType output column turns a correct answer into
+    # an `err` row (CORRECTNESS_r10's three reds). Corpus entries must
+    # tostring() complex outputs.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"corpus entry {name} returns complex-typed columns {complex_cols}; "
+        "wrap them in tostring() so the driver comparator can hash them"
+    )
     scols = sdf.columns
     spdf = sdf.toPandas()
     if sql is None:

@@ -2157,3 +2157,92 @@ def test_split_distinct_quoted_dotted_name(run_kql, monkeypatch):
         " by l_returnflag | sort by l_returnflag asc"
     ).collect()
     assert rows and all(r["a.b"] > 0 and r.c > 0 for r in rows)
+
+
+def test_split_distinct_bails_after_take(run_kql, monkeypatch):
+    # round 11 (ADVICE): the split-distinct rewrite re-executes the
+    # upstream once per aggregation piece; after a take (limit without a
+    # total order) each piece could see DIFFERENT rows, so the rewrite
+    # must bail to the fused single-scan plan. The fused plan has no
+    # join-back — assert the optimized plan is Join-free.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    df = run_kql(
+        "lineitem | take 1000 | summarize dc = dcount(l_orderkey),"
+        " c = count() by l_returnflag"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    # control: without the take the scale path DOES split (join-back)
+    df2 = run_kql(
+        "lineitem | summarize dc = dcount(l_orderkey), c = count()"
+        " by l_returnflag // no-take-control"
+    )
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan2, plan2
+
+
+def test_split_distinct_bails_after_innerunique(run_kql, monkeypatch):
+    # innerunique's dropDuplicates keeps an arbitrary survivor per key —
+    # nondeterministic row selection must disable the split. Exactly one
+    # Join (the innerunique join itself) should survive in the plan.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    df = run_kql(
+        "lineitem | join kind=innerunique (orders) on"
+        " $left.l_orderkey == $right.o_orderkey"
+        " | summarize dc = dcount(o_custkey), c = count() by l_returnflag"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join ") == 1, plan
+
+
+def test_dcount_accuracy_argument_validated(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    # Kusto rejects accuracy outside 0-4 and non-constant accuracy —
+    # both in sketch AND exact mode (round 11, ADVICE; was a silent
+    # fallback to accuracy 1 / a raw ValueError)
+    for q in (
+        "events | summarize d = dcount(user_id, 7)",
+        "set exact_dcount = false; events | summarize d = dcount(user_id, -1)",
+        "events | summarize d = dcountif(user_id, value > 0, 99)",
+        "events | summarize d = dcount(user_id, event_type)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            run_kql(q).collect()
+    # valid accuracies still work in both modes
+    assert run_kql(
+        "set exact_dcount = false; events | summarize d = dcount(user_id % 97, 4)"
+    ).collect()[0].d > 0
+    assert run_kql("events | summarize d = dcount(user_id, 2)").collect()[0].d > 0
+
+
+def test_growth_fn_extend_resets_auto_broadcast_estimate(run_kql, monkeypatch):
+    # round 11 (ADVICE): extend is size-transparent for the source-bytes
+    # auto-broadcast estimate ONLY while added columns are row-bounded; a
+    # strrep-grown side must not keep its tiny on-disk estimate (the hint
+    # would be a perf cliff / broadcast-size failure at scale). The hint
+    # is visible as ResolvedHint in the analyzed plan.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    # union makes the LEFT side size-opaque (estimate None, never
+    # hinted), so any ResolvedHint in the plan must be the right side's
+    left = "orders | union (orders | where 1 == 2) | "
+    grown = run_kql(
+        left + "join kind=inner (nation | extend p = strrep(n_name, 2))"
+        " on $left.o_custkey == $right.n_nationkey | summarize c = count()"
+    )
+    aplan = grown._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in aplan, aplan
+    # control: the un-grown dim side still receives the hint
+    plain = run_kql(
+        left + "join kind=inner (nation | extend p = strlen(n_name))"
+        " on $left.o_custkey == $right.n_nationkey | summarize c = count()"
+        " // growth-control"
+    )
+    aplan2 = plain._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in aplan2, aplan2
