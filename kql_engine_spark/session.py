@@ -50,6 +50,27 @@ def get_spark(app: str = "kql-engine-spark", master: str | None = None) -> Spark
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8MB"),
         )
+        # Runtime bloom-filter pushdown (round 11): once a filtered dim
+        # side outgrows the broadcast threshold, the fact side shuffles
+        # ALL its rows into a sort-merge join — the sf10 cost center on
+        # Q3/Q5 (BASELINE.md round 11 A/B: q5 4.64s -> 2.68s, -42%).
+        # Spark 4 enables the rule by default but gates it on a >=10GB
+        # application-side scan and a <=10MB creation side; those defaults
+        # assume warehouse-grade tables. 100MB on both matches this
+        # engine's regime — the filter fires for any 100MB+ fact scan
+        # (sf1+ locally, everything at cluster scale), and the creation
+        # side's bloom build is an O(rows) aggregate capped by
+        # runtime.bloomFilter.maxNumBits (8MB broadcast) regardless of
+        # input size. Bloom filters are conservative (false positives
+        # only) — results never change, rows just skip the shuffle.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_APP_THRESHOLD", "100MB"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD", "100MB"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")

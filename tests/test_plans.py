@@ -632,3 +632,51 @@ def test_split_distinct_disabled_by_env(run_kql, monkeypatch):
     )
     plan = _plan(df)
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_smj_fact_scan(run_kql, spark):
+    # round 11: session re-gates Spark's runtime bloom-filter rule to this
+    # engine's scale (100MB thresholds vs the 10GB/10MB defaults) so a
+    # filtered dim side past the broadcast threshold blooms the fact scan
+    # before the shuffle (sf10 A/B: q5 -42%, BASELINE.md round 11). The
+    # conf must be live in the session AND the rule must inject when its
+    # size gates pass — pin both, with gates shrunk to fixture scale.
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        == "100MB"
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        == "100MB"
+    )
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # force the SMJ regime the rule targets: no broadcast anywhere
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import os
+
+        os.environ["KQL_ENGINE_AUTO_BROADCAST"] = "0"
+        df = run_kql(
+            "lineitem | join kind=inner (orders | where o_totalprice < 1000.0)"
+            " on $left.l_orderkey == $right.o_orderkey"
+            " | summarize n = count() // bloom-pin"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        os.environ.pop("KQL_ENGINE_AUTO_BROADCAST", None)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
