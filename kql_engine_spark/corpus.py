@@ -1088,6 +1088,27 @@ q(
 )
 
 q(
+    "llm_stratified_sample",
+    # round 11: deterministic balanced subsampling — at most N rows per
+    # stratum, ranked by a portable LCG mix of the id (pure BIGINT
+    # arithmetic, so the DuckDB twin reproduces the EXACT sample)
+    """events
+    | evaluate stratified_sample(event_type, 40, event_id)
+    | summarize n = count(), s = sum(event_id) by event_type
+    | sort by event_type asc""",
+    """WITH r AS (
+         SELECT event_type, event_id,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY ((event_id % 2147483648) * 1103515245 + 12345)
+                             % 2147483648,
+                           event_id) AS rn
+         FROM events)
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(event_id) AS BIGINT) AS s
+       FROM r WHERE rn <= 40 GROUP BY event_type ORDER BY event_type""",
+)
+
+q(
     "llm_dedup_simhash",
     # deterministic: xxhash64-based simhash; docs 1/2/4 are near-identical
     # (one word differs / exact dup), doc 3 is unrelated

@@ -80,6 +80,59 @@ def _dedup_exact(ptr, df: DataFrame, args) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
+# ---------------------------------------------------------- stratified_sample
+@plugin("stratified_sample")
+def _stratified_sample(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate stratified_sample(StratumCol, N, IdCol)` — keep at
+    most N rows per stratum, selected by a DETERMINISTIC pseudo-random
+    order (round 11): the balanced-subsampling step of a training-data
+    pipeline (cap each class/language/source at N examples) where
+    reproducibility across runs and engines matters more than
+    statistical randomness. Rows are ranked per stratum by an LCG mix of
+    the numeric id, ties broken by id:
+
+        key = ((id % 2^31) * 1103515245 + 12345) % 2^31
+
+    (Knuth/ANSI-C LCG constants — public. Pure BIGINT arithmetic with no
+    intermediate over 2^61, so any ANSI-SQL engine reproduces the exact
+    sample — the DuckDB oracle twin does.)
+
+    Scale shape: one hash shuffle on the stratum + per-stratum
+    row_number; Spark 3.5+'s WindowGroupLimit pushes the <=N filter
+    below the shuffle (per-partition top-N before exchange), so a hot
+    stratum ships at most N rows per map partition, never its full
+    population."""
+    if len(args) != 3:
+        raise KqlSemanticError(
+            "stratified_sample(StratumCol, N, IdCol) takes exactly 3 arguments"
+        )
+    strat = _colname(args[0], "stratified_sample")
+    n = int(_const_float(args[1], "stratified_sample"))
+    if n <= 0:
+        raise KqlSemanticError("stratified_sample: N must be positive")
+    idc = _colname(args[2], "stratified_sample")
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[idc].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise KqlSemanticError(
+            "stratified_sample: IdCol must be an integer column "
+            "(the deterministic mixer is integer arithmetic)"
+        )
+    idl = F.col(idc).cast("bigint")
+    key = ((idl % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345)) % F.lit(
+        2147483648
+    )
+    w = Window.partitionBy(strat).orderBy(key.asc(), idl.asc())
+    return (
+        df.withColumn("__ss_rn", F.row_number().over(w))
+        .filter(F.col("__ss_rn") <= n)
+        .drop("__ss_rn")
+    )
+
+
 # ----------------------------------------------------------------- text_stats
 @plugin("text_stats")
 def _text_stats(ptr, df: DataFrame, args) -> DataFrame:

@@ -2246,3 +2246,54 @@ def test_growth_fn_extend_resets_auto_broadcast_estimate(run_kql, monkeypatch):
     )
     aplan2 = plain._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in aplan2, aplan2
+
+
+def test_stratified_sample_contract(run_kql):
+    # round 11: deterministic balanced subsampling. Per stratum the count
+    # is min(N, population); the sample is a subset of the source; two
+    # runs pick the IDENTICAL rows (the whole point vs sample/rand).
+    base = {
+        r.event_type: r.n
+        for r in run_kql(
+            "events | summarize n = count() by event_type"
+        ).collect()
+    }
+    q = (
+        "events | evaluate stratified_sample(event_type, 25, event_id)"
+        " | project event_type, event_id"
+    )
+    got1 = sorted(tuple(r) for r in run_kql(q).collect())
+    got2 = sorted(tuple(r) for r in run_kql(q + " // rerun").collect())
+    assert got1 == got2
+    from collections import Counter
+
+    per = Counter(t for t, _ in got1)
+    assert per == {t: min(25, n) for t, n in base.items()}
+    all_ids = {
+        (r.event_type, r.event_id)
+        for r in run_kql("events | project event_type, event_id").collect()
+    }
+    assert set(got1) <= all_ids
+
+
+def test_stratified_sample_validation(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    for q in (
+        "events | evaluate stratified_sample(event_type, 0, event_id)",
+        "events | evaluate stratified_sample(event_type, 10, event_type)",
+        "events | evaluate stratified_sample(event_type, 10)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            run_kql(q).collect()
+
+
+def test_stratified_sample_window_group_limit_plan(run_kql):
+    # scale pin: Spark's WindowGroupLimit must push the <=N rank filter
+    # below the shuffle so a hot stratum ships at most N rows per map
+    # partition instead of its full population
+    df = run_kql(
+        "events | evaluate stratified_sample(event_type, 5, event_id)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
