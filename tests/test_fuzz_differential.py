@@ -2928,3 +2928,36 @@ def test_random_split_distinct_matches_fused(run_kql, monkeypatch, key, dcol, dc
     monkeypatch.setenv("KQL_ENGINE_SPLIT_DISTINCT", "0")
     fused_rows = [tuple(r) for r in run_kql(q + " // fused").collect()]
     assert split_rows == fused_rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(1, 400),
+    strat_ix=st.integers(0, 1),
+)
+def test_random_stratified_sample_matches_duckdb(run_kql, duck, n, strat_ix):
+    # round 11: the stratified_sample LCG mixer is pure BIGINT arithmetic,
+    # so DuckDB must reproduce the EXACT per-stratum sample for any N
+    strat = ["event_type", "user_id"][strat_ix]
+    kdf = run_kql(
+        f"events | evaluate stratified_sample({strat}, {n}, event_id)"
+        f" | project {strat}, event_id | sort by {strat} asc, event_id asc"
+    )
+    sdf = duck.sql(
+        f"""WITH r AS (
+              SELECT {strat}, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY {strat}
+                       ORDER BY ((event_id % 2147483648) * 1103515245
+                                  + 12345) % 2147483648,
+                                event_id) AS rn
+              FROM events)
+            SELECT {strat}, event_id FROM r WHERE rn <= {n}
+            ORDER BY {strat}, event_id"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    want = canonize_rows([d[0] for d in sdf.description], sdf.fetchall())
+    assert got == want
