@@ -29,21 +29,34 @@ AGG_REGISTRY: dict[str, object] = {}
 _DCOUNT_LGK = {0: 7, 1: 9, 2: 12, 3: 14, 4: 17}
 
 
-def _dcount_lgk(tr, arg) -> int:
-    """Validate a dcount/dcountif accuracy argument the way Kusto does:
-    it must be a constant integer 0-4 — anything else is a semantic
-    error, not a silent fallback (round 11, ADVICE)."""
+# hll()/hll_if() use a finer ladder than dcount (the sketch is kept and
+# merged downstream, so the default spends more bits)
+_HLL_LGK = {0: 11, 1: 12, 2: 14, 3: 16, 4: 21}
+
+
+def _acc_lgk(tr, arg, ladder: dict[int, int], what: str) -> int:
+    """Validate an accuracy argument the way Kusto does: it must be a
+    constant integer 0-4 — anything else is a semantic error, not a
+    silent fallback (round 11, ADVICE)."""
     try:
         acc = int(tr.const_value(arg))
     except (TypeError, ValueError):
         raise KqlSemanticError(
-            "dcount accuracy must be a constant integer between 0 and 4"
+            f"{what} accuracy must be a constant integer between 0 and 4"
         ) from None
-    if acc not in _DCOUNT_LGK:
+    if acc not in ladder:
         raise KqlSemanticError(
-            f"dcount accuracy must be between 0 and 4, got {acc}"
+            f"{what} accuracy must be between 0 and 4, got {acc}"
         )
-    return _DCOUNT_LGK[acc]
+    return ladder[acc]
+
+
+def _dcount_lgk(tr, arg) -> int:
+    return _acc_lgk(tr, arg, _DCOUNT_LGK, "dcount")
+
+
+def _hll_lgk(tr, arg) -> int:
+    return _acc_lgk(tr, arg, _HLL_LGK, "hll")
 
 
 def _sketchable(tr, arg, c):
@@ -205,9 +218,7 @@ def _hll(tr, args, name):
     lgConfigK; doubles/timestamps are stringified (DataSketches HLL takes
     int/long/string/binary)."""
     out = name or _auto("hll", args)
-    lgk = {0: 11, 1: 12, 2: 14, 3: 16, 4: 21}.get(
-        int(tr.const_value(args[1])) if len(args) > 1 else 1, 12
-    )
+    lgk = _hll_lgk(tr, args[1]) if len(args) > 1 else _HLL_LGK[1]
     c = tr.to_col(args[0])
     dt = tr.dtype_of_ast(args[0], c)
     if not isinstance(
@@ -541,9 +552,7 @@ def _hll_if(tr, args, name):
     """hll_if(expr, predicate[, accuracy]) [KQL §2.6] — sketch over the
     rows satisfying the predicate (merge/readout like hll())."""
     out = name or _auto("hll_if", args)
-    lgk = {0: 11, 1: 12, 2: 14, 3: 16, 4: 21}.get(
-        int(tr.const_value(args[2])) if len(args) > 2 else 1, 12
-    )
+    lgk = _hll_lgk(tr, args[2]) if len(args) > 2 else _HLL_LGK[1]
     c = tr.to_col(args[0])
     dt = tr.dtype_of_ast(args[0], c)
     if not isinstance(

@@ -1326,7 +1326,7 @@ class PipeTranslator:
         # accumulate it themselves
         if type(op).__name__ in _SIZE_OPAQUE_OPS:
             self._src_bytes = None
-        elif type(op).__name__ in ("Extend", "Project") and any(
+        elif type(op).__name__ in ("Extend", "Project", "Serialize") and any(
             isinstance(n, FuncCall) and n.name in _GROWTH_FNS
             for n in _walk_ast(op)
         ):

@@ -2297,3 +2297,41 @@ def test_stratified_sample_window_group_limit_plan(run_kql):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_hll_accuracy_argument_validated(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    # same contract as dcount (round 11): hll/hll_if accuracy must be a
+    # constant integer 0-4, not a silent lgK default
+    for q in (
+        "events | summarize h = hll(user_id, 5)",
+        "events | summarize h = hll_if(user_id, value > 0, -2)",
+        "events | summarize h = hll(user_id, event_type)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            run_kql(q).collect()
+    # the sketch round-trip still works at every valid accuracy
+    row = run_kql(
+        "events | extend uk = user_id % 97"
+        " | summarize h = hll(uk, 4) | project d = dcount_hll(h)"
+    ).collect()[0]
+    exact = run_kql(
+        "events | extend uk = user_id % 97 | summarize d = dcount(uk)"
+    ).collect()[0].d
+    assert row.d == exact  # lgK 21 is exact at fixture cardinality
+
+
+def test_growth_fn_inside_serialize_items_screened(run_kql, monkeypatch):
+    # serialize carries extend items too — a strrep there must also reset
+    # the auto-broadcast size estimate (round-11 self-review)
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    left = "orders | union (orders | where 1 == 2) | "
+    grown = run_kql(
+        left + "join kind=inner (nation | serialize p = strrep(n_name, 2))"
+        " on $left.o_custkey == $right.n_nationkey | summarize c = count()"
+    )
+    aplan = grown._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in aplan, aplan
