@@ -4684,6 +4684,85 @@ q(
        GROUP BY c_nationkey ORDER BY c_nationkey""",
 )
 
+q(
+    "tpch_q4_adapted",
+    # round 11: TPC-H Q4 adapted to the pruned fixture schema (FIXTURES.md:
+    # no l_commitdate/l_receiptdate) — the EXISTS semi-join shape is the
+    # point: "priority counts for orders with at least one late-shipping
+    # lineitem". ref-parity: SURVEY §2 §5.3 TPC-H port contract.
+    """orders
+    | where o_orderdate >= datetime(1996-01-01) and o_orderdate < datetime(1996-07-01)
+    | join kind=leftsemi (lineitem | where l_shipdate > datetime(1996-08-01))
+        on $left.o_orderkey == $right.l_orderkey
+    | summarize order_count = count() by o_orderpriority
+    | sort by o_orderpriority asc""",
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > TIMESTAMP '1996-08-01')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+
+q(
+    "tpch_q12_adapted",
+    # round 11: Q12's case-aggregation over a fact-dim join, grouped by
+    # l_returnflag (the fixture has no l_shipmode)
+    """lineitem
+    | where l_shipdate >= datetime(1996-01-01) and l_shipdate < datetime(1997-01-01)
+    | join kind=inner (orders) on $left.l_orderkey == $right.o_orderkey
+    | summarize high_line_count = countif(o_orderpriority == '1-URGENT' or o_orderpriority == '2-HIGH'),
+                low_line_count = countif(o_orderpriority != '1-URGENT' and o_orderpriority != '2-HIGH')
+      by l_returnflag
+    | sort by l_returnflag asc""",
+    """SELECT l_returnflag,
+              COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+                AS high_line_count,
+              COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+                AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
+q(
+    "tpch_q21_adapted",
+    # round 11: Q21's correlated EXISTS + NOT EXISTS with an inequality on
+    # the correlation key — lowered as a theta SEMI join (same order,
+    # different supplier) plus a theta ANTI join (no OTHER late supplier).
+    # late = shipped >60d after order date (fixture has no receipt dates);
+    # tie-free final order (s_name unique), so take 10 is deterministic.
+    """let fl = lineitem
+      | join kind=inner (orders | where o_orderstatus == 'F')
+          on $left.l_orderkey == $right.o_orderkey
+      | project l_orderkey, l_suppkey, late = l_shipdate > o_orderdate + 60d;
+    let cand = fl | where late | distinct l_orderkey, l_suppkey;
+    cand
+    | join kind=leftsemi (fl | project r_ok = l_orderkey, r_sk = l_suppkey)
+        on $left.l_orderkey == $right.r_ok and $left.l_suppkey != $right.r_sk
+    | join kind=leftanti (fl | where late | project a_ok = l_orderkey, a_sk = l_suppkey)
+        on $left.l_orderkey == $right.a_ok and $left.l_suppkey != $right.a_sk
+    | join kind=inner (supplier) on $left.l_suppkey == $right.s_suppkey
+    | summarize numwait = count() by s_name
+    | sort by numwait desc, s_name asc
+    | take 10""",
+    """WITH fl AS (
+         SELECT l_orderkey, l_suppkey,
+                l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'),
+       cand AS (SELECT DISTINCT l_orderkey, l_suppkey FROM fl WHERE late)
+       SELECT s_name, COUNT(*) AS numwait
+       FROM cand JOIN supplier ON l_suppkey = s_suppkey
+       WHERE EXISTS (SELECT 1 FROM fl f WHERE f.l_orderkey = cand.l_orderkey
+                       AND f.l_suppkey <> cand.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM fl f WHERE f.late
+                           AND f.l_orderkey = cand.l_orderkey
+                           AND f.l_suppkey <> cand.l_suppkey)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+)
+
 # ----------------------------------------------------------------- Tier-A order
 # The driver certifies an insertion-order PREFIX of this dict (the first ~50
 # entries) against the DuckDB oracle. Reorder so that the prefix is the Tier-A
