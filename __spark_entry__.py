@@ -84,7 +84,7 @@ _NEVER_CERTIFIED = (
     "tpch_q8", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q22",
-    "llm_stratified_sample", "tpch_q4_adapted", "tpch_q12_adapted",
+    "llm_take_stratified", "tpch_q4_adapted", "tpch_q12_adapted",
     "tpch_q21_adapted",
 )
 

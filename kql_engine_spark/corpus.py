@@ -1088,12 +1088,12 @@ q(
 )
 
 q(
-    "llm_stratified_sample",
+    "llm_take_stratified",
     # round 11: deterministic balanced subsampling — at most N rows per
     # stratum, ranked by a portable LCG mix of the id (pure BIGINT
     # arithmetic, so the DuckDB twin reproduces the EXACT sample)
     """events
-    | evaluate stratified_sample(event_type, 40, event_id)
+    | evaluate take_stratified(event_type, 40, event_id)
     | summarize n = count(), s = sum(event_id) by event_type
     | sort by event_type asc""",
     """WITH r AS (

@@ -80,10 +80,10 @@ def _dedup_exact(ptr, df: DataFrame, args) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
-# ---------------------------------------------------------- stratified_sample
-@plugin("stratified_sample")
-def _stratified_sample(ptr, df: DataFrame, args) -> DataFrame:
-    """`T | evaluate stratified_sample(StratumCol, N, IdCol)` — keep at
+# ------------------------------------------------------------ take_stratified
+@plugin("take_stratified")
+def _take_stratified(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate take_stratified(StratumCol, N, IdCol)` — keep at
     most N rows per stratum, selected by a DETERMINISTIC pseudo-random
     order (round 11): the balanced-subsampling step of a training-data
     pipeline (cap each class/language/source at N examples) where
@@ -97,6 +97,10 @@ def _stratified_sample(ptr, df: DataFrame, args) -> DataFrame:
     intermediate over 2^61, so any ANSI-SQL engine reproduces the exact
     sample — the DuckDB oracle twin does.)
 
+    Sibling: `sample_stratified(key, fraction[, seed])` keeps a FRACTION
+    per stratum with Spark-seeded rand (engine-deterministic, not
+    cross-engine); take_stratified caps at N with a portable order.
+
     Scale shape: one hash shuffle on the stratum + per-stratum
     row_number; Spark 3.5+'s WindowGroupLimit pushes the <=N filter
     below the shuffle (per-partition top-N before exchange), so a hot
@@ -104,13 +108,13 @@ def _stratified_sample(ptr, df: DataFrame, args) -> DataFrame:
     population."""
     if len(args) != 3:
         raise KqlSemanticError(
-            "stratified_sample(StratumCol, N, IdCol) takes exactly 3 arguments"
+            "take_stratified(StratumCol, N, IdCol) takes exactly 3 arguments"
         )
-    strat = _colname(args[0], "stratified_sample")
-    n = int(_const_float(args[1], "stratified_sample"))
+    strat = _colname(args[0], "take_stratified")
+    n = int(_const_float(args[1], "take_stratified"))
     if n <= 0:
-        raise KqlSemanticError("stratified_sample: N must be positive")
-    idc = _colname(args[2], "stratified_sample")
+        raise KqlSemanticError("take_stratified: N must be positive")
+    idc = _colname(args[2], "take_stratified")
     from pyspark.sql import types as T
 
     if not isinstance(
@@ -118,7 +122,7 @@ def _stratified_sample(ptr, df: DataFrame, args) -> DataFrame:
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     ):
         raise KqlSemanticError(
-            "stratified_sample: IdCol must be an integer column "
+            "take_stratified: IdCol must be an integer column "
             "(the deterministic mixer is integer arithmetic)"
         )
     idl = F.col(idc).cast("bigint")

@@ -2939,12 +2939,12 @@ def test_random_split_distinct_matches_fused(run_kql, monkeypatch, key, dcol, dc
     n=st.integers(1, 400),
     strat_ix=st.integers(0, 1),
 )
-def test_random_stratified_sample_matches_duckdb(run_kql, duck, n, strat_ix):
-    # round 11: the stratified_sample LCG mixer is pure BIGINT arithmetic,
+def test_random_take_stratified_matches_duckdb(run_kql, duck, n, strat_ix):
+    # round 11: the take_stratified LCG mixer is pure BIGINT arithmetic,
     # so DuckDB must reproduce the EXACT per-stratum sample for any N
     strat = ["event_type", "user_id"][strat_ix]
     kdf = run_kql(
-        f"events | evaluate stratified_sample({strat}, {n}, event_id)"
+        f"events | evaluate take_stratified({strat}, {n}, event_id)"
         f" | project {strat}, event_id | sort by {strat} asc, event_id asc"
     )
     sdf = duck.sql(

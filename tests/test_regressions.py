@@ -2248,7 +2248,7 @@ def test_growth_fn_extend_resets_auto_broadcast_estimate(run_kql, monkeypatch):
     assert "ResolvedHint" in aplan2, aplan2
 
 
-def test_stratified_sample_contract(run_kql):
+def test_take_stratified_contract(run_kql):
     # round 11: deterministic balanced subsampling. Per stratum the count
     # is min(N, population); the sample is a subset of the source; two
     # runs pick the IDENTICAL rows (the whole point vs sample/rand).
@@ -2259,7 +2259,7 @@ def test_stratified_sample_contract(run_kql):
         ).collect()
     }
     q = (
-        "events | evaluate stratified_sample(event_type, 25, event_id)"
+        "events | evaluate take_stratified(event_type, 25, event_id)"
         " | project event_type, event_id"
     )
     got1 = sorted(tuple(r) for r in run_kql(q).collect())
@@ -2276,24 +2276,24 @@ def test_stratified_sample_contract(run_kql):
     assert set(got1) <= all_ids
 
 
-def test_stratified_sample_validation(run_kql):
+def test_take_stratified_validation(run_kql):
     from kql_engine_spark.errors import KqlSemanticError
 
     for q in (
-        "events | evaluate stratified_sample(event_type, 0, event_id)",
-        "events | evaluate stratified_sample(event_type, 10, event_type)",
-        "events | evaluate stratified_sample(event_type, 10)",
+        "events | evaluate take_stratified(event_type, 0, event_id)",
+        "events | evaluate take_stratified(event_type, 10, event_type)",
+        "events | evaluate take_stratified(event_type, 10)",
     ):
         with pytest.raises(KqlSemanticError):
             run_kql(q).collect()
 
 
-def test_stratified_sample_window_group_limit_plan(run_kql):
+def test_take_stratified_window_group_limit_plan(run_kql):
     # scale pin: Spark's WindowGroupLimit must push the <=N rank filter
     # below the shuffle so a hot stratum ships at most N rows per map
     # partition instead of its full population
     df = run_kql(
-        "events | evaluate stratified_sample(event_type, 5, event_id)"
+        "events | evaluate take_stratified(event_type, 5, event_id)"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
