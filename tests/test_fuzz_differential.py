@@ -2961,3 +2961,41 @@ def test_random_take_stratified_matches_duckdb(run_kql, duck, n, strat_ix):
     got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
     want = canonize_rows([d[0] for d in sdf.description], sdf.fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    anti=st.booleans(),
+    price=st.floats(1000, 300000, allow_nan=False),
+    theta_ix=st.integers(0, 3),
+)
+def test_random_theta_semi_anti_matches_duckdb(run_kql, duck, anti, price, theta_ix):
+    # round 11: the q21-adapted port leans on theta conditions inside
+    # semi/anti joins (equi key + inequality side condition). Fuzz the
+    # lowering against DuckDB's correlated EXISTS/NOT EXISTS.
+    kop, sop = [("<", "<"), ("<=", "<="), (">", ">"), ("!=", "<>")][theta_ix]
+    kind = "leftanti" if anti else "leftsemi"
+    p = round(price, 2)
+    kdf = run_kql(
+        f"customer | join kind={kind}"
+        f" (orders | where o_totalprice > {p!r})"
+        " on $left.c_custkey == $right.o_custkey"
+        f" and $left.c_acctbal {kop} $right.o_totalprice"
+        " | summarize n = count(), s = sum(c_custkey)"
+    )
+    neg = "NOT " if anti else ""
+    sdf = duck.sql(
+        f"""SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s
+            FROM customer WHERE {neg}EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > {p}
+                AND c_acctbal {sop} o_totalprice)"""
+    )
+    got = canonize_rows(kdf.columns, [[r[c] for c in kdf.columns] for r in kdf.collect()])
+    want = canonize_rows([d[0] for d in sdf.description], sdf.fetchall())
+    # engine count over zero rows yields n=0/s=NULL on both sides already
+    assert got == want
