@@ -1702,6 +1702,9 @@ class PipeTranslator:
         return df.limit(self._const_count(op.n))
 
     def t_top(self, df: DataFrame, op: Top) -> DataFrame:
+        # ties at the boundary make the kept rows re-execution-dependent,
+        # same as sort|take — poisons rewrites that re-execute upstream
+        self._rowset_nondet = True
         cols = self._sort_cols(df, op.keys)
         self.order = cols
         # orderBy().limit() -> Catalyst plans TakeOrderedAndProject (§4.1)
