@@ -85,7 +85,7 @@ _NEVER_CERTIFIED = (
     "tpch_q14", "tpch_q15", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q22",
     "llm_take_stratified", "tpch_q4_adapted", "tpch_q12_adapted",
-    "tpch_q21_adapted",
+    "tpch_q21_adapted", "llm_ngram_stats",
 )
 
 

@@ -1109,6 +1109,21 @@ q(
 )
 
 q(
+    "llm_ngram_stats",
+    # round 11: corpus-wide top-k bigram frequency over documents —
+    # count desc + ngram asc is a total order, so the cut is exact
+    """documents
+    | evaluate ngram_stats(text, 2, 25)""",
+    """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                    x -> x <> '') AS ws FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> array_to_string(ws[i:i+1], ' '))) AS ngram
+               FROM w WHERE len(ws) >= 2)
+       SELECT ngram, COUNT(*) AS ngram_count FROM g GROUP BY ngram
+       ORDER BY ngram_count DESC, ngram LIMIT 25""",
+)
+
+q(
     "llm_dedup_simhash",
     # deterministic: xxhash64-based simhash; docs 1/2/4 are near-identical
     # (one word differs / exact dup), doc 3 is unrelated

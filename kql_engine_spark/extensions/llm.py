@@ -137,6 +137,54 @@ def _take_stratified(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- ngram_stats
+@plugin("ngram_stats")
+def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate ngram_stats(textcol, n[, k])` — corpus-wide top-k
+    word n-gram frequency table (round 11): the boilerplate-detection /
+    contamination-review primitive of a training-data pipeline (which
+    n-grams dominate the corpus; which benchmark n-grams leak in).
+    Returns (ngram, ngram_count), count desc then ngram asc — a
+    deterministic total order, so the top-k cut is reproducible.
+
+    Scale shape: tokens and n-gram assembly are per-row JVM expressions
+    (split/transform/slice — no UDF); explode fans out, the groupBy
+    count partial-aggregates map-side before one shuffle on the n-gram,
+    and the final top-k lowers to TakeOrderedAndProject (driver holds k
+    rows, never the frequency table). At extreme corpus scale swap the
+    exact count for a count-min sketch; the exact version IS the right
+    shape up to shuffle capacity and stays fully oracle-checkable."""
+    if not 2 <= len(args) <= 3:
+        raise KqlSemanticError("ngram_stats(textcol, n[, k]) takes 2-3 arguments")
+    text = _colname(args[0], "ngram_stats")
+    n = int(_const_float(args[1], "ngram_stats"))
+    if n <= 0:
+        raise KqlSemanticError("ngram_stats: n must be positive")
+    k = int(_const_float(args[2], "ngram_stats")) if len(args) > 2 else 100
+    if k <= 0:
+        raise KqlSemanticError("ngram_stats: k must be positive")
+    toks = _tokens(F.col(text))
+    # start indices 0..len-n; the when-guard keeps sequence() from seeing
+    # negative bounds on rows shorter than n tokens (If is non-strict)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(
+            F.explode(
+                F.when(F.size(toks) >= n, ngrams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("ngram_count"))
+        .orderBy(F.col("ngram_count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------------- text_stats
 @plugin("text_stats")
 def _text_stats(ptr, df: DataFrame, args) -> DataFrame:

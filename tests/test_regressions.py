@@ -2335,3 +2335,39 @@ def test_growth_fn_inside_serialize_items_screened(run_kql, monkeypatch):
     )
     aplan = grown._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in aplan, aplan
+
+
+def test_ngram_stats_contract(run_kql):
+    # round 11: counts are exact (cross-checked vs a python recount) and
+    # the top-k cut lowers to TakeOrderedAndProject
+    import re
+    from collections import Counter
+
+    docs = run_kql("documents | project text").collect()
+    want = Counter()
+    for r in docs:
+        ws = [w for w in re.split(r"\s+", r.text.lower()) if w]
+        for i in range(len(ws) - 2):
+            want[" ".join(ws[i : i + 3])] += 1
+    df = run_kql("documents | evaluate ngram_stats(text, 3, 10)")
+    got = [(r.ngram, r.ngram_count) for r in df.collect()]
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_stats_validation(run_kql):
+    from kql_engine_spark.errors import KqlSemanticError
+
+    for q in (
+        "documents | evaluate ngram_stats(text, 0)",
+        "documents | evaluate ngram_stats(text, 2, 0)",
+        "documents | evaluate ngram_stats(text)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            run_kql(q).collect()
+    # n longer than every document -> empty result, no sequence() error
+    assert run_kql(
+        "documents | evaluate ngram_stats(text, 100000, 5)"
+    ).count() == 0
