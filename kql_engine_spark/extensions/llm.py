@@ -163,7 +163,25 @@ def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:
     k = int(_const_float(args[2], "ngram_stats")) if len(args) > 2 else 100
     if k <= 0:
         raise KqlSemanticError("ngram_stats: k must be positive")
-    toks = _tokens(F.col(text))
+    # materialize the token array ONCE per row: referencing the split()
+    # expression inside the transform lambda would re-evaluate it for
+    # EVERY n-gram element (no CSE inside higher-order lambdas — measured
+    # ~10x on 500k docs at sf10)
+    toks = F.col("__ng_toks")
+    # explode fans each row out ~tokens(n-grams)x, so scan parallelism is
+    # the wrong granularity for everything downstream: a heavily-
+    # compressed text file scans as 1-4 tasks (sf10 documents: 27M words
+    # from a 4.5MB file) and tokenize + fan-out + partial count all land
+    # on them. When scan parallelism is below the core count,
+    # redistribute the RAW text rows BEFORE tokenizing — the shuffle
+    # moves the smallest representation and spreads the tokenize CPU
+    # too. At cluster scale a real corpus scans as thousands of tasks
+    # and this branch never fires.
+    src = df.select(F.col(text).alias("__ng_text"))
+    sc = src.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    work = src.select(_tokens(F.col("__ng_text")).alias("__ng_toks"))
     # start indices 0..len-n; the when-guard keeps sequence() from seeing
     # negative bounds on rows shorter than n tokens (If is non-strict)
     ngrams = F.transform(
@@ -171,7 +189,7 @@ def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
-        df.select(
+        work.select(
             F.explode(
                 F.when(F.size(toks) >= n, ngrams).otherwise(
                     F.array().cast("array<string>")

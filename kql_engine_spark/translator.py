@@ -3440,6 +3440,18 @@ _GROWTH_FNS = frozenset(
     }
 )
 
+# Operators that can EXPAND row counts beyond any function of source
+# bytes — they disqualify the small-plan pin (_total_source_bytes).
+# Narrower than _SIZE_OPAQUE_OPS: make-series/facet/fork/union only
+# regroup or concatenate sized inputs, but these fan out per row
+# (mv-expand/mv-apply/plugins/graph patterns/scan step chains).
+_ROW_EXPANDING_OPS = frozenset(
+    {
+        "MvExpand", "MvApply", "Evaluate", "ScanOp",
+        "GraphMatch", "GraphShortestPaths",
+    }
+)
+
 # Aggregates lowering to Spark count_distinct (the split-distinct
 # rewrite's trigger set — see _summarize_split)
 _DISTINCT_AGG_FNS = frozenset(
@@ -3718,6 +3730,15 @@ def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
         elif isinstance(node, Source) and not isinstance(node, sized_sources):
             # RangeSource/ExternalData/future source kinds: unbounded or
             # unknown input — never claim small
+            return None
+        elif type(node).__name__ in _ROW_EXPANDING_OPS:
+            # on-disk bytes are the wrong size signal once the pipeline
+            # fans rows out: sf10 documents is a 4.5MB file (compressed
+            # word soup) that explodes into 26M n-grams — pinning the
+            # 4-partition small plan put that fan-out on 4 reducers
+            # (engine 18.8s vs 6.8s with the normal plan, round 11).
+            # Never claim small for expanding queries; the latency cost
+            # for genuinely tiny ones is a few extra scheduling ms.
             return None
     return total
 
