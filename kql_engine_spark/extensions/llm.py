@@ -1928,7 +1928,16 @@ def _chunk_text(ptr, df: DataFrame, args) -> DataFrame:
     if not 0 <= overlap < max_tokens:
         raise KqlSemanticError("chunk_text: overlap must be in [0, max_tokens)")
     step = max_tokens - overlap
-    toks = _tokens(F.col(text))
+    # same two scale fixes as ngram_stats (round 11): (1) spread a
+    # narrow scan of compressed text across the cores before the
+    # per-row fan-out; (2) materialize the token array once — slicing
+    # the split() expression inside the transform lambda re-tokenizes
+    # the document per chunk (no CSE inside higher-order lambdas)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    work = df.withColumn("__ct_toks", _tokens(F.col(text)))
+    toks = F.col("__ct_toks")
     n = F.size(toks)
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
@@ -1938,9 +1947,11 @@ def _chunk_text(ptr, df: DataFrame, args) -> DataFrame:
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s + 1, max_tokens), " ")
     )
-    return df.select(
-        "*", F.posexplode(chunks).alias("chunk_id", "chunk")
-    ).withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+    return (
+        work.select("*", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .drop("__ct_toks")
+        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+    )
 
 
 # ------------------------------------------------------------------ pii_redact
