@@ -69,6 +69,23 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col.cast("string")), r"\s+"), lambda t: t != "")
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Text corpora compress hard, so a big corpus can scan as 1-4 tasks
+    (sf10 documents: 500k docs / 27M words from a 4.5MB file) — and every
+    per-row fan-out (explode) or heavy per-row kernel (minhash UDF,
+    repetition metrics) downstream inherits that parallelism. When the
+    incoming partition count is below the core count, redistribute the
+    compact pre-fan-out rows. At cluster scale a real corpus scans as
+    thousands of tasks and this is a no-op (round 11; ngram_stats
+    measured 300s -> 4.5s at sf10 together with the token-CSE fix)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------- dedup_exact
 @plugin("dedup_exact")
 def _dedup_exact(ptr, df: DataFrame, args) -> DataFrame:
@@ -177,10 +194,7 @@ def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:
     # moves the smallest representation and spreads the tokenize CPU
     # too. At cluster scale a real corpus scans as thousands of tasks
     # and this branch never fires.
-    src = df.select(F.col(text).alias("__ng_text"))
-    sc = src.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+    src = _spread_narrow_scan(df.select(F.col(text).alias("__ng_text")))
     work = src.select(_tokens(F.col("__ng_text")).alias("__ng_toks"))
     # start indices 0..len-n; the when-guard keeps sequence() from seeing
     # negative bounds on rows shorter than n tokens (If is non-strict)
@@ -346,7 +360,9 @@ def _tfidf_topk(ptr, df: DataFrame, args) -> DataFrame:
     idc = _colname(args[1], "tfidf_topk")
     k = int(_const_float(args[2], "tfidf_topk"))
 
-    toks = df.select(F.col(idc).alias("__id"), F.explode(_tokens(F.col(text))).alias("__term"))
+    toks = _spread_narrow_scan(df).select(
+        F.col(idc).alias("__id"), F.explode(_tokens(F.col(text))).alias("__term")
+    )
     tf = toks.groupBy("__id", "__term").agg(F.count(F.lit(1)).alias("__tf"))
     dft = toks.distinct().groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     # corpus size joins in as a broadcast 1-row aggregate (stays lazy)
@@ -1188,7 +1204,9 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     # the pre-rewrite contract
     feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
     work = (
-        df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+        _spread_narrow_scan(
+            df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+        )
         .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
         .select(
             "__id",
@@ -1284,7 +1302,7 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
 
     has_tokens = F.size(F.filter(_tokens(F.col(text)), lambda t: t != "")) > 0
     work = (
-        df.select(F.col(idc).alias("__id"), F.col(text))
+        _spread_narrow_scan(df.select(F.col(idc).alias("__id"), F.col(text)))
         .filter(has_tokens)
         .withColumn(
             "__hs",
@@ -1548,7 +1566,7 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
     # downstream (band equi-join, exact verify, components) stays JVM-side.
     feat = _jaccard_feature_udf(n, 20, 5)
     work = (
-        df.select(F.col(idc).alias("__id"), s.alias("__s"))
+        _spread_narrow_scan(df.select(F.col(idc).alias("__id"), s.alias("__s")))
         .filter(F.coalesce(F.length("__s") > 0, F.lit(False)))
         .withColumn("__f", feat(F.col("__s")))
         .select("__id", F.col("__f.gh").alias("__gh"), F.col("__f.bands").alias("__bands"))
@@ -1603,6 +1621,7 @@ def _quality_filter(ptr, df: DataFrame, args) -> DataFrame:
 
     Scale: per-row column arithmetic only — no shuffle, no UDF."""
     text = _colname(args[0], "quality_filter")
+    df = _spread_narrow_scan(df)  # heavy per-row exprs inherit scan width
     min_w = int(_const_float(args[1], "quality_filter")) if len(args) > 1 else 50
     max_w = int(_const_float(args[2], "quality_filter")) if len(args) > 2 else 100_000
     src = F.col(text).cast("string")
@@ -1771,6 +1790,7 @@ def _repetition_filter(ptr, df: DataFrame, args) -> DataFrame:
     if len(args) != 1:
         raise KqlSemanticError("repetition_filter(textcol)")
     text = _colname(args[0], "repetition_filter")
+    df = _spread_narrow_scan(df)  # heavy per-row exprs inherit scan width
 
     # Every multi-referenced / lambda-indexed array is STAGED as a real
     # column: interpreted HOFs re-evaluate indexed expressions per element,
@@ -1933,9 +1953,7 @@ def _chunk_text(ptr, df: DataFrame, args) -> DataFrame:
     # per-row fan-out; (2) materialize the token array once — slicing
     # the split() expression inside the transform lambda re-tokenizes
     # the document per chunk (no CSE inside higher-order lambdas)
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = _spread_narrow_scan(df)
     work = df.withColumn("__ct_toks", _tokens(F.col(text)))
     toks = F.col("__ct_toks")
     n = F.size(toks)
@@ -2053,7 +2071,7 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
         bench.select(F.explode(ngram_hashes(F.col(btext))).alias("__bh"))
         .distinct()
     )
-    doc_grams = df.select(
+    doc_grams = _spread_narrow_scan(df).select(
         F.col(idc).alias("__did"),
         F.explode_outer(ngram_hashes(F.col(text))).alias("__dh"),
     )
@@ -2096,7 +2114,7 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
         raise KqlSemanticError("dedup_lines(textcol, idcol)")
     text = _colname(args[0], "dedup_lines")
     idc = _colname(args[1], "dedup_lines")
-    lines = df.select(
+    lines = _spread_narrow_scan(df).select(
         F.col(idc).alias("__id"),
         F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
             "__pos", "__line"
