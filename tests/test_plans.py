@@ -461,9 +461,16 @@ def test_ipv6_lookup_broadcasts_lookup_side(run_kql):
 def test_repetition_filter_no_shuffle_no_udf(run_kql):
     df = run_kql("documents | evaluate repetition_filter(text)")
     plan = _plan(df)
-    # all metrics are per-row array passes: a single scan stage, no
-    # Exchange, no Python
-    assert "Exchange" not in plan
+    # all metrics are per-row array passes — no Python, and the ONLY
+    # allowed Exchange is the round-11 narrow-scan spread (round-robin
+    # redistribution of the raw rows when the compressed file scans as
+    # fewer tasks than cores); the metric computation itself never
+    # shuffles (no hash/range exchange)
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(kind == "RoundRobinPartitioning" for kind in exchanges), plan
+    assert len(exchanges) <= 1, plan
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
