@@ -56,36 +56,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return kql(spark, FLAGSHIP, sf_dir="/root/testdata/sf0.001")
 
 
-# Driver-certification rotation (round 10): the driver certifies a
-# 50-entry prefix of queries() per round. These entries have never
+# Driver-certification rotation (round 12): the driver certifies a
+# 50-entry prefix of queries() per round. These 15 entries have never
 # appeared in a CORRECTNESS_r{N} prefix (all green locally at the
-# identical comparator); exporting them FIRST converges the rotation.
-# Static snapshot of rounds 1-10 certification state (60 entries: 57
-# never-seen + the 3 r10 err rows reshaped this round) - regenerate
-# with tools/rotation_order.py if more rounds land.
+# identical comparator); exporting them FIRST converges the rotation
+# to cumulative 311/311. Regenerated via tools/rotation_order.py from
+# CORRECTNESS_r01..r11.
 _NEVER_CERTIFIED = (
-    "series_elementwise_more", "hex_guid_bytes_fns", "beta_welch_iir_fns",
-    "unicode_codepoint_fns", "datetime_timezone_fns", "percentrank_tdigest_fn",
-    "diffpatterns_text_events", "buildschema_agg", "url_encode_component_fn",
-    "range_timespan_fractional", "pack_array_heterogeneous", "todatetime_string_forms",
-    "totimespan_string_forms", "timespan_tostring_fns", "dynamic_heterogeneous_literal",
-    "indexof_countof_extended", "substring_negative_start", "array_negative_index",
-    "find_term_withsource", "find_withsource_where", "llm_dedup_jaccard",
-    "set_equals_isutf8_fns", "new_activity_metrics_cohort_dims", "activity_metrics_cohort_dims",
-    "union_isfuzzy_skips_unknown", "array_sort_companion_arrays", "in_tabular_under_or",
-    "let_view_bare_join", "bracket_string_key_access", "parse_regex_flags_i",
-    "graph_mark_components_strong", "graph_match_varlen_deep", "has_any_dynamic_terms",
-    "preview_sample_count", "treepath_paths", "percentiles_array_agg",
-    "mv_expand_bag_default", "series_fit_poly_quadratic", "bin_auto_set_property",
-    "base64_fromarray_roundtrip", "series_periods_validate_fn", "string_plus_concat_and_map_bags",
-    "in_dynamic_array_operand", "getschema_lineitem_twin", "sample_count_pinned",
-    "sample_distinct_count_pinned", "llm_dedup_near_exact_clusters", "llm_dedup_jaccard_brute_twin",
-    "llm_similarity_join_exact_twin", "geo_polygon_to_h3cells_covering", "tpch_q7",
+    "llm_take_stratified", "llm_ngram_stats", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q22",
-    "llm_take_stratified", "tpch_q4_adapted", "tpch_q12_adapted",
-    "tpch_q21_adapted", "llm_ngram_stats",
+    "tpch_q4_adapted", "tpch_q12_adapted", "tpch_q21_adapted",
 )
 
 

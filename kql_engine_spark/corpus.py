@@ -1114,7 +1114,7 @@ q(
     # count desc + ngram asc is a total order, so the cut is exact
     """documents
     | evaluate ngram_stats(text, 2, 25)""",
-    """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+    r"""WITH w AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
                     x -> x <> '') AS ws FROM documents),
          g AS (SELECT unnest(list_transform(range(1, len(ws)),
                     i -> array_to_string(ws[i:i+1], ' '))) AS ngram

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 import os
 import weakref
+from urllib.parse import unquote, urlparse
 
 from ..ast_nodes import Col, Lit, TypedLit, UnaryOp
 from ..errors import KqlSemanticError
@@ -69,19 +70,74 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col.cast("string")), r"\s+"), lambda t: t != "")
 
 
+# Logical node names that imply the input already passed through an
+# exchange (or a width-setting operator): its partition count is the
+# shuffle width, not the scan width, so the spread below is moot.
+_WIDTH_SET_NODES = (
+    "Join", "Aggregate", "Deduplicate", "Window", "Sort",
+    "Repartition", "GlobalLimit", "Union",
+)
+
+
+def _est_scan_tasks(df: DataFrame) -> int | None:
+    """Expected file-scan task count, mirroring Spark's FilePartition
+    bin-packing (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    padded/parallelism))), computed from driver-side file stats. Round
+    12 (ADVICE): replaces df.rdd.getNumPartitions(), which forced full
+    physical-plan + RDD-lineage compilation on every text-plugin
+    translation and read a pre-AQE count. None = not a plain local-file
+    scan (caller skips the spread)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            # remote object store: a real cluster scan is already wide
+            return None
+        try:
+            total += os.path.getsize(unquote(p.path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    ju = spark._jvm.org.apache.spark.network.util.JavaUtils
+    max_pb = int(ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    open_cost = int(ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")))
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    padded = total + len(files) * open_cost
+    max_split = min(max_pb, max(open_cost, padded // par))
+    return -(-padded // max(max_split, 1))
+
+
 def _spread_narrow_scan(df: DataFrame) -> DataFrame:
     """Text corpora compress hard, so a big corpus can scan as 1-4 tasks
     (sf10 documents: 500k docs / 27M words from a 4.5MB file) — and every
     per-row fan-out (explode) or heavy per-row kernel (minhash UDF,
     repetition metrics) downstream inherits that parallelism. When the
-    incoming partition count is below the core count, redistribute the
+    expected scan width is below the core count, redistribute the
     compact pre-fan-out rows. At cluster scale a real corpus scans as
     thousands of tasks and this is a no-op (round 11; ngram_stats
-    measured 300s -> 4.5s at sf10 together with the token-CSE fix)."""
+    measured 300s -> 4.5s at sf10 together with the token-CSE fix).
+    Round 12: the width probe is a driver-side file-stat estimate (see
+    _est_scan_tasks) applied only to narrow chains over a file scan —
+    post-shuffle inputs already carry the exchange width."""
     if df.isStreaming:
         return df
+    try:
+        logical = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - defensive
+        logical = ""
+    if any(n in logical for n in _WIDTH_SET_NODES):
+        return df
+    est = _est_scan_tasks(df)
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if est is not None and est < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -111,7 +167,8 @@ def _take_stratified(ptr, df: DataFrame, args) -> DataFrame:
         key = ((id % 2^31) * 1103515245 + 12345) % 2^31
 
     (Knuth/ANSI-C LCG constants — public. Pure BIGINT arithmetic with no
-    intermediate over 2^61, so any ANSI-SQL engine reproduces the exact
+    intermediate over ~2.4e18 (< 2^62, comfortably inside int64), so any
+    ANSI-SQL engine reproduces the exact
     sample — the DuckDB oracle twin does.)
 
     Sibling: `sample_stratified(key, fraction[, seed])` keeps a FRACTION

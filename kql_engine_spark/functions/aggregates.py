@@ -39,7 +39,11 @@ def _acc_lgk(tr, arg, ladder: dict[int, int], what: str) -> int:
     constant integer 0-4 — anything else is a semantic error, not a
     silent fallback (round 11, ADVICE)."""
     try:
-        acc = int(tr.const_value(arg))
+        raw = tr.const_value(arg)
+        acc = int(raw)
+        # int() would silently truncate 2.9 -> 2; Kusto rejects it
+        if isinstance(raw, float) and raw != acc:
+            raise ValueError
     except (TypeError, ValueError):
         raise KqlSemanticError(
             f"{what} accuracy must be a constant integer between 0 and 4"

@@ -2383,9 +2383,14 @@ class PipeTranslator:
 
     # --------------------------------------------------------------- sampling
     def t_sampleop(self, df: DataFrame, op: SampleOp) -> DataFrame:
+        # rand() is nondeterministic across re-executions (values depend on
+        # partition layout), so downstream rewrites that re-run the upstream
+        # (split-distinct summarize) must not assume a stable row set.
+        self._rowset_nondet = True
         return df.orderBy(F.rand(seed=42)).limit(self._const_count(op.n))
 
     def t_sampledistinct(self, df: DataFrame, op: SampleDistinct) -> DataFrame:
+        self._rowset_nondet = True
         return (
             df.select(op.col)
             .distinct()

@@ -2199,6 +2199,28 @@ def test_split_distinct_bails_after_innerunique(run_kql, monkeypatch):
     assert plan.count("Join ") == 1, plan
 
 
+def test_split_distinct_bails_after_sample(run_kql, monkeypatch):
+    # round 12 (ADVICE): sample / sample-distinct select rows via
+    # orderBy(rand()) — nondeterministic across re-executions (values
+    # depend on partition layout), so the split-distinct rewrite must
+    # bail just like take/top/innerunique do.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    df = run_kql(
+        "lineitem | sample 1000 | summarize dc = dcount(l_orderkey),"
+        " c = count() by l_returnflag"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    df2 = run_kql(
+        "lineitem | sample-distinct 500 of l_orderkey"
+        " | summarize dc = dcount(l_orderkey), c = count()"
+    )
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan2, plan2
+
+
 def test_dcount_accuracy_argument_validated(run_kql):
     from kql_engine_spark.errors import KqlSemanticError
 
@@ -2210,6 +2232,8 @@ def test_dcount_accuracy_argument_validated(run_kql):
         "set exact_dcount = false; events | summarize d = dcount(user_id, -1)",
         "events | summarize d = dcountif(user_id, value > 0, 99)",
         "events | summarize d = dcount(user_id, event_type)",
+        # round 12 (ADVICE): int() would truncate 2.9 -> 2; Kusto rejects
+        "events | summarize d = dcount(user_id, 2.9)",
     ):
         with pytest.raises(KqlSemanticError):
             run_kql(q).collect()
