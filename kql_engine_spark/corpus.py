@@ -1279,6 +1279,36 @@ q(
 )
 
 q(
+    "llm_ann_index_persisted",
+    # round 12: build the IVF+PQ index to parquet, then query THROUGH the
+    # persisted index (no KMeans refit, no re-encode). Full probe
+    # (nprobe == nlist, k*rerank >= corpus) + exact re-rank == brute
+    # force, so the same brute-force twin certifies the persisted path;
+    # idx_rows pins the staleness-guard count. extend BEFORE the evaluate
+    # forces the eager toscalar build to run before the index is read.
+    f"""let built = toscalar(embeddings
+        | evaluate ann_index_build(embedding, vec_id, '/root/repo/spark-warehouse/ann_idx_corpus', 8, 8)
+        | project rows);
+    embeddings
+    | extend idx_rows = tolong(built)
+    | evaluate similarity_search_ivfpq(embedding, vec_id, dynamic({_QVEC}), 10, 8, 8, 8, 50, '/root/repo/spark-warehouse/ann_idx_corpus')
+    | project vec_id, s = round(sim, 6), idx_rows""",
+    f"""WITH qv AS (SELECT unnest(CAST({_QVEC} AS DOUBLE[])) AS qa,
+                          generate_subscripts(CAST({_QVEC} AS DOUBLE[]), 1) AS i),
+         ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+         d AS (SELECT vec_id, SUM(x * qa) AS dot, SUM(x * x) AS nx, SUM(qa * qa) AS nq
+               FROM ev JOIN qv USING (i) GROUP BY vec_id),
+         n AS (SELECT COUNT(*) AS idx_rows FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = 64
+                 AND len(list_filter(embedding, x -> x <> 0)) > 0)
+       SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(nq)), 6) AS s,
+              (SELECT idx_rows FROM n) AS idx_rows
+       FROM d ORDER BY dot / (SQRT(nx) * SQRT(nq)) DESC LIMIT 10""",
+)
+
+q(
     "llm_dedup_near",
     # round 9: the banded candidate stage is probabilistic but the VERIFY
     # is exact Jaccard on token 3-shingles, so a DuckDB brute-force twin

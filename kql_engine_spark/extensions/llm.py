@@ -38,7 +38,7 @@ import weakref
 from urllib.parse import unquote, urlparse
 
 from ..ast_nodes import Col, Lit, TypedLit, UnaryOp
-from ..errors import KqlSemanticError
+from ..errors import KqlSemanticError, KqlUnsupportedError
 from ..semantics import parse_dynamic_literal
 from . import plugin
 
@@ -55,6 +55,12 @@ def _colname(arg, what: str) -> str:
     if not isinstance(arg, Col):
         raise KqlSemanticError(f"{what}: expected a column name")
     return arg.name
+
+
+def _const_str(arg, what: str) -> str:
+    if isinstance(arg, Lit) and isinstance(arg.value, str):
+        return arg.value
+    raise KqlSemanticError(f"{what}: expected a constant string")
 
 
 def _const_float(arg, what: str) -> float:
@@ -183,6 +189,15 @@ def _take_stratified(ptr, df: DataFrame, args) -> DataFrame:
     if len(args) != 3:
         raise KqlSemanticError(
             "take_stratified(StratumCol, N, IdCol) takes exactly 3 arguments"
+        )
+    if df.isStreaming:
+        # the per-stratum rank is a non-time window — Structured Streaming
+        # rejects it at query START (opaque AnalysisException after the
+        # stream builds); fail typed at translate time instead (round 12)
+        raise KqlUnsupportedError(
+            "take_stratified: per-stratum ranking is a non-time window, "
+            "unsupported on streaming input — bound the stream to a batch "
+            "(or sample per micro-batch with sample_stratified)"
         )
     strat = _colname(args[0], "take_stratified")
     n = int(_const_float(args[1], "take_stratified"))
@@ -608,6 +623,223 @@ def _pq_train(sample, m: int, seed: int = 42):
     return books
 
 
+def _pq_code_schema(df: DataFrame, idc: str):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("__pqid", df.schema[idc].dataType),
+            T.StructField("__cluster", T.IntegerType()),
+            T.StructField("__code", T.BinaryType()),
+        ]
+    )
+
+
+def _pq_encoder(emb: str, idc: str, books, dim: int, m: int):
+    """mapInPandas encode kernel shared by similarity_search_ivfpq and
+    ann_index_build: (id, emb, cluster) Arrow batches -> (id, cluster,
+    m-byte PQ code); zero-norm / wrong-dim rows keep a null code."""
+    import numpy as np
+
+    dsub = dim // m
+    bx = books  # closure copy shipped to executors once per task
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[emb].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            out_codes: list = [None] * len(vecs)
+            if ok.any():
+                x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+                n = np.linalg.norm(x, axis=1, keepdims=True)
+                nz = (n > 0).ravel()
+                x = np.where(n > 0, x / np.where(n == 0, 1, n), 0.0)
+                codes = np.empty((len(x), m), dtype=np.uint8)
+                for j in range(m):
+                    xs = x[:, j * dsub : (j + 1) * dsub]
+                    cj = bx[j]
+                    d2 = (
+                        (xs * xs).sum(1)[:, None]
+                        - 2.0 * xs @ cj.T
+                        + (cj * cj).sum(1)
+                    )
+                    codes[:, j] = d2.argmin(1)
+                ki = 0
+                for i in np.flatnonzero(ok):
+                    # zero-norm rows can't rank: leave code null
+                    out_codes[i] = bytes(codes[ki]) if nz[ki] else None
+                    ki += 1
+            yield pd.DataFrame(
+                {
+                    "__pqid": pdf[idc],
+                    "__cluster": pdf["__cluster"].astype("int32"),
+                    "__code": out_codes,
+                }
+            )
+
+    return encode
+
+
+def _pq_train_sample(feat: DataFrame, emb: str, dim: int, what: str):
+    """Bounded driver-side codebook training sample (unit-normalized)."""
+    import numpy as np
+
+    train = np.array(
+        [
+            r[0]
+            for r in feat.filter(F.col(emb).isNotNull())
+            .select(F.col(emb).cast("array<double>"))
+            .limit(_PQ_TRAIN_CAP)
+            .collect()
+            if r[0] is not None and len(r[0]) == dim
+        ],
+        dtype=np.float64,
+    )
+    if train.size == 0:
+        raise KqlSemanticError(f"{what}: no embeddings of dim {dim} to index")
+    norms = np.linalg.norm(train, axis=1, keepdims=True)
+    return np.where(norms > 0, train / np.where(norms == 0, 1, norms), 0.0)
+
+
+def _ann_fit_coarse(spark, feat: DataFrame, plan_key: str, emb: str,
+                    nlist: int, dim: int, what: str):
+    """Session-cached coarse quantizer (shared key with the ivf path)."""
+    from pyspark.ml.clustering import KMeans
+
+    ivf_cache = _IVF_MODEL_CACHE.setdefault(spark, {})
+    km_key = (plan_key, emb, nlist, dim)
+    km = ivf_cache.get(km_key)
+    if km is None:
+        try:
+            km = KMeans(
+                k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
+            ).fit(feat)
+        except Exception as exc:  # Spark ML crashes opaquely when rows < k
+            raise KqlSemanticError(
+                f"{what}: KMeans fit failed — ensure at least "
+                f"nlist={nlist} non-null embeddings of dim {dim}"
+            ) from exc
+        if len(ivf_cache) >= _IVF_CACHE_CAP:
+            ivf_cache.pop(next(iter(ivf_cache)))
+        ivf_cache[km_key] = km
+    return km
+
+
+def _ann_load_index(spark, path: str, nlist: int, m: int, dim: int, what: str):
+    """Load a prebuilt ann_index_build directory: (books ndarray,
+    centroid list, codes DataFrame, indexed row count). Typed errors on
+    parameter mismatch — an index built with different nlist/m/dim would
+    silently return wrong neighbors."""
+    import numpy as np
+
+    try:
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception as exc:
+        raise KqlSemanticError(
+            f"{what}: cannot read ANN index meta at '{path}/meta' — "
+            "build it with ann_index_build first"
+        ) from exc
+    if (meta["nlist"], meta["m"], meta["dim"]) != (nlist, m, dim):
+        raise KqlSemanticError(
+            f"{what}: index at '{path}' was built with nlist={meta['nlist']} "
+            f"m={meta['m']} dim={meta['dim']}, query asked nlist={nlist} "
+            f"m={m} dim={dim}"
+        )
+    books = np.array(meta["books"], dtype=np.float64)
+    centers = [list(c) for c in meta["centroids"]]
+    codes_df = spark.read.parquet(path + "/codes")
+    return books, centers, codes_df, int(meta["rows"])
+
+
+@plugin("ann_index_build")
+def _ann_index_build(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate ann_index_build(embcol, idcol, 'path'[, nlist=16,
+    m=8])` — build the IVF+PQ index ONCE and persist it as parquet, so
+    similarity_search_ivfpq (and future sessions) can query without
+    re-fitting the quantizer or re-encoding the corpus. At 100 TB the
+    encode pass is the expensive step — re-running it per session is the
+    operational gap this closes (round 12; mirrors FAISS's build/load
+    split).
+
+    Layout at `path` (both plain parquet, no metastore dependency):
+      codes/ : (__pqid, __cluster, __code binary) — one row per indexed
+               embedding, written distributed (never collected);
+      meta/  : one row (nlist, m, dim, rows, centroids
+               array<array<double>>, books array<array<array<double>>>)
+               — O(nlist*dim + m*256*dim/m) floats, driver-bounded.
+
+    Eager by design (the write is the action, like the sink writers);
+    mode=overwrite so rebuilding against a changed corpus is one call.
+    Returns a 1-row summary (path, rows, nlist, m, dim). The embedding
+    dim is probed from the first non-null row (bounded limit(1))."""
+    what = "ann_index_build"
+    emb = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    path = _const_str(args[2], what)
+    nlist = int(_const_float(args[3], what)) if len(args) > 3 else 16
+    m = int(_const_float(args[4], what)) if len(args) > 4 else 8
+    if nlist < 1 or m < 1:
+        raise KqlSemanticError(f"{what}: nlist and m must be >= 1")
+    for name in (emb, idc):
+        if name not in df.columns:
+            raise KqlSemanticError(f"{what}: no column '{name}' in input")
+    if df.isStreaming:
+        raise KqlSemanticError(f"{what}: streaming input not supported")
+
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    arr = F.col(emb).cast("array<double>")
+    probe = (
+        df.filter(F.col(emb).isNotNull()).select(F.size(arr)).limit(1).collect()
+    )
+    if not probe:
+        raise KqlSemanticError(f"{what}: no non-null embeddings to index")
+    dim = int(probe[0][0])
+    if dim == 0 or dim % m:
+        raise KqlSemanticError(
+            f"{what}: embedding dim {dim} not divisible by m={m}"
+        )
+    feat = df.filter(
+        F.col(emb).isNotNull() & (F.size(arr) == dim)
+    ).withColumn("__v", array_to_vector(arr))
+    plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    km = _ann_fit_coarse(spark, feat, plan_key, emb, nlist, dim, what)
+    books = _pq_train(_pq_train_sample(feat, emb, dim, what), m)
+
+    codes = (
+        km.transform(feat)
+        .select(idc, emb, "__cluster")
+        .mapInPandas(_pq_encoder(emb, idc, books, dim, m), _pq_code_schema(df, idc))
+        .filter(F.col("__code").isNotNull())
+    )
+    codes.write.mode("overwrite").parquet(path + "/codes")
+    rows = spark.read.parquet(path + "/codes").count()
+    meta_row = {
+        "nlist": nlist,
+        "m": m,
+        "dim": dim,
+        "rows": rows,
+        "centroids": [[float(x) for x in c] for c in km.clusterCenters()],
+        "books": books.tolist(),
+    }
+    spark.createDataFrame(
+        [meta_row],
+        schema=(
+            "nlist int, m int, dim int, rows bigint, "
+            "centroids array<array<double>>, books array<array<array<double>>>"
+        ),
+    ).write.mode("overwrite").parquet(path + "/meta")
+    return spark.createDataFrame(
+        [(path, rows, nlist, m, dim)],
+        schema="path string, rows bigint, nlist int, m int, dim int",
+    )
+
+
 @plugin("similarity_search_ivfpq")
 def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate similarity_search_ivfpq(embcol, idcol, dynamic([...]),
@@ -636,7 +868,17 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
 
     Zero-norm/null embeddings can't rank and are excluded. dim % m != 0
     raises a typed error (the standard PQ constraint). Cache staleness
-    contract matches similarity_search_ivf."""
+    contract matches similarity_search_ivf.
+
+    Optional 9th argument (round 12): a constant string path to a
+    PREBUILT index written by ann_index_build — skips both the KMeans
+    fit and the corpus encode (the expensive steps at 100 TB) and reads
+    centroids/codebooks/codes from parquet instead. Guards: typed error
+    when the index was built with different nlist/m/dim, and a
+    staleness check — the indexed row count must equal the corpus's
+    current eligible (non-null, right-dim, nonzero-norm) count, else a
+    typed error tells the user to rebuild. The count is one
+    column-pruned scan — far cheaper than the re-encode it replaces."""
     import numpy as np
 
     emb = _colname(args[0], "similarity_search_ivfpq")
@@ -651,6 +893,9 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     nprobe = int(_const_float(args[5], "similarity_search_ivfpq")) if len(args) > 5 else 3
     m = int(_const_float(args[6], "similarity_search_ivfpq")) if len(args) > 6 else 8
     rerank = int(_const_float(args[7], "similarity_search_ivfpq")) if len(args) > 7 else 4
+    idx_path = (
+        _const_str(args[8], "similarity_search_ivfpq") if len(args) > 8 else None
+    )
     if m < 1 or k < 1 or nlist < 1 or nprobe < 1 or rerank < 1:
         raise KqlSemanticError(
             "similarity_search_ivfpq: k, nlist, nprobe, m and rerank must all be >= 1"
@@ -666,9 +911,8 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
                 f"similarity_search_ivfpq: no column '{name}' in input"
             )
 
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import types as T
+    from pyspark.sql import types as T  # noqa: F401 (adc schema below)
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
@@ -679,111 +923,54 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     feat = df.filter(
         F.col(emb).isNotNull() & (F.size(arr) == dim)
     ).withColumn("__v", array_to_vector(arr))
-    plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
-    ivf_cache = _IVF_MODEL_CACHE.setdefault(spark, {})
-    km_key = (plan_key, emb, nlist, dim)
-    km = ivf_cache.get(km_key)
-    if km is None:
-        try:
-            km = KMeans(
-                k=nlist, seed=42, featuresCol="__v", predictionCol="__cluster"
-            ).fit(feat)
-        except Exception as exc:  # Spark ML crashes opaquely when rows < k
-            raise KqlSemanticError(
-                "similarity_search_ivfpq: KMeans fit failed — ensure at "
-                f"least nlist={nlist} non-null embeddings of dim {dim}"
-            ) from exc
-        if len(ivf_cache) >= _IVF_CACHE_CAP:
-            ivf_cache.pop(next(iter(ivf_cache)))
-        ivf_cache[km_key] = km
-
-    pq_cache = _PQ_CACHE.setdefault(spark, {})
-    pq_key = (plan_key, emb, nlist, m, dim)
-    entry = pq_cache.get(pq_key)
-    if entry is None:
-        train = np.array(
-            [
-                r[0]
-                for r in feat.filter(F.col(emb).isNotNull())
-                .select(F.col(emb).cast("array<double>"))
-                .limit(_PQ_TRAIN_CAP)
-                .collect()
-                if r[0] is not None and len(r[0]) == dim
-            ],
-            dtype=np.float64,
+    if idx_path is not None:
+        # prebuilt index: no fit, no encode — read centroids/books/codes
+        books, centers, codes_df, idx_rows = _ann_load_index(
+            spark, idx_path, nlist, m, dim, "similarity_search_ivfpq"
         )
-        if train.size == 0:
+        # staleness guard: the indexed row count must match the corpus's
+        # current eligible count (non-null, right dim, nonzero norm —
+        # mirrors the encoder's null-code filter)
+        eligible = feat.filter(F.exists(arr, lambda v: v != 0)).count()
+        if eligible != idx_rows:
             raise KqlSemanticError(
-                f"similarity_search_ivfpq: no embeddings of dim {dim} to index"
+                f"similarity_search_ivfpq: index at '{idx_path}' holds "
+                f"{idx_rows} rows but the corpus has {eligible} eligible "
+                "embeddings — rebuild with ann_index_build"
             )
-        norms = np.linalg.norm(train, axis=1, keepdims=True)
-        books = _pq_train(np.where(norms > 0, train / np.where(norms == 0, 1, norms), 0.0), m)
-
-        code_schema = T.StructType(
-            [
-                T.StructField("__pqid", df.schema[idc].dataType),
-                T.StructField("__cluster", T.IntegerType()),
-                T.StructField("__code", T.BinaryType()),
-            ]
+    else:
+        plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+        km = _ann_fit_coarse(
+            spark, feat, plan_key, emb, nlist, dim, "similarity_search_ivfpq"
         )
-        dsub = dim // m
-        bx = books  # closure copy shipped to executors once per task
-
-        def encode(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                vecs = pdf[emb].to_numpy()
-                ok = np.array(
-                    [v is not None and len(v) == dim for v in vecs], dtype=bool
+        pq_cache = _PQ_CACHE.setdefault(spark, {})
+        pq_key = (plan_key, emb, nlist, m, dim)
+        entry = pq_cache.get(pq_key)
+        if entry is None:
+            books = _pq_train(
+                _pq_train_sample(feat, emb, dim, "similarity_search_ivfpq"), m
+            )
+            codes_df = (
+                km.transform(feat)
+                .select(idc, emb, "__cluster")
+                .mapInPandas(
+                    _pq_encoder(emb, idc, books, dim, m),
+                    _pq_code_schema(df, idc),
                 )
-                out_codes: list = [None] * len(vecs)
-                if ok.any():
-                    x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
-                    n = np.linalg.norm(x, axis=1, keepdims=True)
-                    nz = (n > 0).ravel()
-                    x = np.where(n > 0, x / np.where(n == 0, 1, n), 0.0)
-                    codes = np.empty((len(x), m), dtype=np.uint8)
-                    for j in range(m):
-                        xs = x[:, j * dsub : (j + 1) * dsub]
-                        cj = bx[j]
-                        d2 = (
-                            (xs * xs).sum(1)[:, None]
-                            - 2.0 * xs @ cj.T
-                            + (cj * cj).sum(1)
-                        )
-                        codes[:, j] = d2.argmin(1)
-                    ki = 0
-                    for i in np.flatnonzero(ok):
-                        # zero-norm rows can't rank: leave code null
-                        out_codes[i] = bytes(codes[ki]) if nz[ki] else None
-                        ki += 1
-                yield pd.DataFrame(
-                    {
-                        "__pqid": pdf[idc],
-                        "__cluster": pdf["__cluster"].astype("int32"),
-                        "__code": out_codes,
-                    }
-                )
-
-        codes_df = (
-            km.transform(feat)
-            .select(idc, emb, "__cluster")
-            .mapInPandas(encode, code_schema)
-            .filter(F.col("__code").isNotNull())
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        if len(pq_cache) >= _IVF_CACHE_CAP:
-            _, old = pq_cache.pop(next(iter(pq_cache)))
-            old.unpersist()
-        pq_cache[pq_key] = entry = (books, codes_df)
-    books, codes_df = entry
+                .filter(F.col("__code").isNotNull())
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            if len(pq_cache) >= _IVF_CACHE_CAP:
+                _, old = pq_cache.pop(next(iter(pq_cache)))
+                old.unpersist()
+            pq_cache[pq_key] = entry = (books, codes_df)
+        books, codes_df = entry
+        centers = km.clusterCenters()
 
     qn = sum(x * x for x in qvec) ** 0.5
     if qn == 0:
         raise KqlSemanticError("similarity_search_ivfpq: zero-norm query vector")
     qhat = np.asarray(qvec, dtype=np.float64) / qn
-    centers = km.clusterCenters()
 
     def _cos(c):
         dot = sum(a * b for a, b in zip(c, qvec))

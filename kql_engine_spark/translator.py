@@ -770,6 +770,17 @@ class PipeTranslator:
         # translate_pipe finished (translate_pipe restores the outer
         # value; join/lookup/source consumers read the nested result here)
         self._last_pipe_bytes: int | None = None
+        # Pipeline SHAPE tail (round 12): "agg" after a summarize,
+        # "agg_filtered" once a where follows it (projections keep the
+        # state, anything else clears it). t_join reads it to spot the
+        # filtered-aggregate join side — an output whose size static
+        # estimates cannot see (the filter's selectivity is runtime
+        # knowledge). Such a side gets a rebalance-by-join-key hint so
+        # AQE measures its ACTUAL size at the stage boundary and can
+        # convert the join to broadcast (TPC-H Q18's `big`: 15M groups
+        # statically, 47k rows at runtime). Lifecycle mirrors _src_bytes.
+        self._shape: str | None = None
+        self._last_pipe_shape: str | None = None
         # copied: `set` statements write query-scoped overrides into it
         self.options = dict(options) if options else {}
         self.streaming = streaming
@@ -865,6 +876,7 @@ class PipeTranslator:
         saved_shared, saved_pre = self.json_shared, self.pending_prework
         saved_order, saved_odf = self.order, self.order_desc_first
         saved_bytes = self._src_bytes
+        saved_shape = self._shape
         self.json_shared, self.pending_prework = {}, {}
         try:
             df = self.translate_source(pipe.source)
@@ -878,6 +890,8 @@ class PipeTranslator:
             # sides, pipe-sources), then restore the outer pipeline's
             self._last_pipe_bytes = self._src_bytes
             self._src_bytes = saved_bytes
+            self._last_pipe_shape = self._shape
+            self._shape = saved_shape
 
     def translate_source(self, src) -> DataFrame:
         self.order = None
@@ -885,15 +899,18 @@ class PipeTranslator:
         # branches that can bound their bytes set it below
         self._src_bytes = None
         self._last_pipe_bytes = None
+        self._shape = None
         if isinstance(src, TableRef):
             if src.args is not None:
                 df = self._call_tabular_function(src.name, src.args)
                 self._src_bytes = self._last_pipe_bytes
+                self._shape = self._last_pipe_shape
                 return df
             return self._resolve_table(src.name)
         if isinstance(src, PipeSource):
             df = self.translate_pipe(src.pipe)
             self._src_bytes = self._last_pipe_bytes
+            self._shape = self._last_pipe_shape
             return df
         if isinstance(src, DataTable):
             df = self._datatable(src)
@@ -1012,6 +1029,7 @@ class PipeTranslator:
                     return df
                 df = self.translate_pipe(bound)
                 self._src_bytes = self._last_pipe_bytes
+                self._shape = self._last_pipe_shape
                 return df
             if isinstance(bound, Col):
                 return self._resolve_table(bound.name)
@@ -1336,6 +1354,20 @@ class PipeTranslator:
             # (strrep, repeat, range, decompression) invalidate the
             # source-bytes upper estimate (round 11, ADVICE).
             self._src_bytes = None
+        # shape-tail tracking (see _shape in __init__): summarize starts
+        # an "agg" tail, a following where makes it "agg_filtered",
+        # row-preserving projections keep it, anything else clears it
+        opname = type(op).__name__
+        if opname == "Summarize":
+            self._shape = "agg"
+        elif opname == "Where":
+            if self._shape in ("agg", "agg_filtered"):
+                self._shape = "agg_filtered"
+        elif opname not in (
+            "Project", "ProjectAway", "ProjectKeep", "ProjectRename",
+            "ProjectReorder", "Extend", "Serialize",
+        ):
+            self._shape = None
         return out
 
     def expr_tr(self, df: DataFrame, env=None) -> ExprTranslator:
@@ -1901,8 +1933,10 @@ class PipeTranslator:
 
     def t_join(self, df: DataFrame, op: Join) -> DataFrame:
         lbytes = self._src_bytes
+        l_shape = self._shape
         right = self._translate_join_side(op.right)
         rbytes = self._last_pipe_bytes
+        r_shape = self._last_pipe_shape
         kind = op.kind
         how_map = {
             "inner": "inner", "innerunique": "inner", "leftouter": "left",
@@ -1977,9 +2011,18 @@ class PipeTranslator:
             if nparts:
                 right_renamed = right_renamed.repartition(int(nparts), *right_keys2)
         elif left_keys:
+            pre_l, pre_r = df, right_renamed
             df, right_renamed = self._auto_broadcast(
                 df, right_renamed, lbytes, rbytes, how
             )
+            if pre_l is df and pre_r is right_renamed:
+                # neither side earned a broadcast hint -> both estimates
+                # are big/unknown; give AQE a runtime-measured boundary
+                # on any filtered-aggregate side (see _aqe_probe)
+                df = self._aqe_probe(df, left_keys, l_shape, lbytes)
+                right_renamed = self._aqe_probe(
+                    right_renamed, right_keys2, r_shape, rbytes
+                )
         cond = self._full_cond(
             df, right_renamed, left_keys, right_keys2, theta, rename_map
         )
@@ -2001,6 +2044,51 @@ class PipeTranslator:
             else None
         )
         return out
+
+    def _aqe_probe(
+        self, side: DataFrame, keys: list[str], shape: str | None,
+        sbytes: int | None,
+    ) -> DataFrame:
+        """Rebalance-by-join-key stage boundary on a filtered-aggregate
+        join side (round 12). `summarize ... by k | where pred` has a
+        runtime size no static estimate can see — the filter's
+        selectivity is data knowledge (TPC-H Q18's `big` is 15M groups
+        statically but 47k rows at runtime). The rebalance hint inserts
+        one exchange of the already-aggregated+filtered rows, hashed BY
+        THE JOIN KEYS (so the partitioning stays join-compatible when no
+        conversion happens), and that exchange is an AQE query-stage
+        boundary: AQE reads the ACTUAL output size and converts the
+        downstream sort-merge join to broadcast when it fits — the big
+        fact side then never shuffles. Measured at sf10 (BASELINE.md
+        round 12). Worst case (non-selective filter) the added exchange
+        ships only the aggregate's own output — bounded by the agg
+        exchange that just ran, and small relative to the join it
+        precedes. Applied only when auto-broadcast declined both sides
+        (estimates big/unknown) and this side's estimate exceeds the
+        broadcast threshold, so small-fixture plans are untouched.
+        KQL_ENGINE_AQE_PROBE=0 disables."""
+        if shape != "agg_filtered" or not keys:
+            return side
+        if _os.environ.get("KQL_ENGINE_AQE_PROBE", "1") == "0":
+            return side
+        if self.streaming or side.isStreaming:
+            return side
+        # the REBALANCE hint is an AQE feature — without AQE the analyzer
+        # drops it as unrecognized and the boundary buys nothing (the
+        # small-plan pin translates with AQE off)
+        if self.small_plan or (
+            self.spark.conf.get("spark.sql.adaptive.enabled", "true") != "true"
+        ):
+            return side
+        thr = _parse_size_bytes(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if thr <= 0 or (sbytes is not None and sbytes <= thr):
+            return side
+        try:
+            return side.hint("rebalance", *keys)
+        except Exception:  # pragma: no cover - defensive (odd key names)
+            return side
 
     def _auto_broadcast(
         self,

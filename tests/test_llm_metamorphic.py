@@ -912,3 +912,72 @@ def test_ivfpq_typed_errors_on_nonpositive_params(run_kql):
         run_kql(
             f"embeddings | evaluate similarity_search_ivf(embedding, dynamic({qv}), 5, 4, 0)"
         )
+
+
+# ------------------------------------------------------------ ann_index_build
+def test_ann_index_persisted_equals_session_path(run_kql, tmp_path):
+    # round 12: build -> parquet -> query through the persisted index must
+    # return the SAME top-k (ids and sims) as the session-cached path —
+    # same quantizer seed, same codebook training, same ADC + exact rerank
+    qv = _qvec_literal()
+    idx = str(tmp_path / "ann_idx")
+    summary = run_kql(
+        f"embeddings | evaluate ann_index_build(embedding, vec_id, '{idx}', 8, 8)"
+    ).collect()
+    assert len(summary) == 1 and summary[0].rows > 0
+    assert summary[0].nlist == 8 and summary[0].m == 8 and summary[0].dim == 64
+    cached = run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4)"
+        " | project vec_id, s = round(sim, 9)"
+    ).collect()
+    persisted = run_kql(
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}')"
+        " | project vec_id, s = round(sim, 9)"
+    ).collect()
+    assert [(r.vec_id, r.s) for r in cached] == [(r.vec_id, r.s) for r in persisted]
+
+
+def test_ann_index_staleness_guard(run_kql, tmp_path):
+    # querying a FILTERED corpus through an index built on the full corpus
+    # must raise the typed staleness error, not silently return wrong rows
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    qv = _qvec_literal()
+    idx = str(tmp_path / "ann_idx_stale")
+    run_kql(
+        f"embeddings | evaluate ann_index_build(embedding, vec_id, '{idx}', 8, 8)"
+    ).collect()
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        run_kql(
+            "embeddings | where vec_id <= 100"
+            " | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}')"
+        ).collect()
+
+
+def test_ann_index_parameter_mismatch_typed_errors(run_kql, tmp_path):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    qv = _qvec_literal()
+    idx = str(tmp_path / "ann_idx_params")
+    run_kql(
+        f"embeddings | evaluate ann_index_build(embedding, vec_id, '{idx}', 8, 8)"
+    ).collect()
+    # nlist mismatch
+    with pytest.raises(KqlSemanticError, match="built with"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 4, 3, 8, 4, '{idx}')"
+        ).collect()
+    # missing index
+    with pytest.raises(KqlSemanticError, match="ann_index_build first"):
+        run_kql(
+            "embeddings | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}_nope')"
+        ).collect()

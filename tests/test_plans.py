@@ -687,3 +687,46 @@ def test_runtime_bloom_filter_fires_on_smj_fact_scan(run_kql, spark):
             old_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
+
+def test_aqe_probe_rebalances_filtered_agg_join_side(run_kql, spark, monkeypatch):
+    import kql_engine_spark.translator as TR
+
+    # the probe is an AQE feature; the small-plan pin translates with AQE
+    # off, so lift it for fixture-sized sources
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    # round 12: a join side shaped `summarize ... by k | where pred` has a
+    # runtime size no static estimate can see. When neither side earns a
+    # broadcast hint, the translator plants a rebalance-by-join-key
+    # exchange on that side — an AQE query-stage boundary whose MEASURED
+    # size lets AQE convert the sort-merge join to broadcast when the
+    # filter turns out selective (TPC-H Q18 at sf10: both joins convert,
+    # orders never shuffles; BASELINE.md round 12). Shrink the broadcast
+    # threshold so the fixture-sized sides count as "big" here.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        df = run_kql(
+            "let big = lineitem"
+            " | summarize sumq = sum(l_quantity) by l_orderkey"
+            " | where sumq > 100.0;"
+            "big | join kind=inner (orders) on"
+            " $left.l_orderkey == $right.o_orderkey"
+            " | summarize n = count() // aqe-probe-pin"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "RebalancePartitions" in plan, plan
+        # control: no filter after the summarize -> no probe (the agg
+        # output size IS statically bounded by its input; the side keeps
+        # its agg partitioning and needs no extra exchange)
+        df2 = run_kql(
+            "let big = lineitem"
+            " | summarize sumq = sum(l_quantity) by l_orderkey;"
+            "big | join kind=inner (orders) on"
+            " $left.l_orderkey == $right.o_orderkey"
+            " | summarize n = count() // aqe-probe-control"
+        )
+        plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+        assert "RebalancePartitions" not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -346,3 +346,37 @@ def test_streaming_eager_plugins_raise_typed_errors(spark):
         sf_dir=SF_DIR,
     )
     assert sdf.isStreaming and "click" in sdf.columns
+
+
+def test_stream_ngram_stats_matches_batch(spark, run_kql):
+    # round 12: ngram_stats is groupBy+topk — complete-mode streamable;
+    # _spread_narrow_scan must bypass the streaming input (isStreaming
+    # guard), so the SAME lowering drains to the batch answer
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+
+    text = "documents | evaluate ngram_stats(text, 2, 15)"
+    sdf = kql_stream(spark, text, sf_dir=SF_DIR)
+    assert sdf.isStreaming
+    got = sorted(
+        (r.ngram, r.ngram_count)
+        for r in run_to_memory(sdf, "stream_ngrams", mode="complete").collect()
+    )
+    want = sorted((r.ngram, r.ngram_count) for r in run_kql(text).collect())
+    assert got == want
+
+
+def test_stream_take_stratified_typed_error(spark):
+    # round 12: the per-stratum rank is a non-time window — Structured
+    # Streaming rejects it only at query START; the plugin must fail
+    # TYPED at translate time instead
+    import pytest
+
+    from kql_engine_spark.errors import KqlUnsupportedError
+    from kql_engine_spark.streaming import kql_stream
+
+    with pytest.raises(KqlUnsupportedError, match="take_stratified"):
+        kql_stream(
+            spark,
+            "events | evaluate take_stratified(event_type, 5, event_id)",
+            sf_dir=SF_DIR,
+        )
