@@ -1871,8 +1871,27 @@ class PipeTranslator:
         aggregate already hash-partitioned on the keys. Trade-off: one
         source scan per piece — at scale shuffle bytes dominate rescans,
         and the pieces share the parquet page cache.
-        KQL_ENGINE_SPLIT_DISTINCT=0 disables."""
+        KQL_ENGINE_SPLIT_DISTINCT=0 disables.
+
+        Round 12 (r11 verdict #2, A/B REJECTED): persisting a join
+        upstream (MEMORY_AND_DISK) so the pieces share one materialization
+        was measured 3x SLOWER than the double execution at sf10
+        (join-upstream mixed agg, cache cleared per run: off 11.3 s vs
+        persist 32.7 s median — the columnar cache build of the 75M-row
+        join output costs far more than re-running the SMJ over
+        page-cached parquet; identical results both ways). Default OFF;
+        KQL_ENGINE_SPLIT_PERSIST=1 opts in for deployments where the
+        re-executed upstream crosses a network shuffle that dwarfs local
+        cache-build cost. Details in BASELINE.md round 12."""
         plain, dist, ordered = split
+        if (
+            _os.environ.get("KQL_ENGINE_SPLIT_PERSIST", "0") == "1"
+            and not work.isStreaming
+        ):
+            from pyspark.storagelevel import StorageLevel
+
+            work = work.persist(StorageLevel.MEMORY_AND_DISK)
+            _register_persist(self.spark, work)
 
         def agg_df(pairs_list):
             cols = [
