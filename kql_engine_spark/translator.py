@@ -3360,6 +3360,9 @@ _VOLATILE_PLUGINS = frozenset(
         "similarity_join",
         "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
         "diffpatterns", "diffpatterns_text",
+        # side-effecting at translate time (writes the index): a cached
+        # plan would return the OLD summary without rebuilding (round 12)
+        "ann_index_build",
     }
 )
 
@@ -3505,6 +3508,16 @@ def _plan_is_volatile(q: Query) -> bool:
             # file listing is snapshotted per translation, so never cache
             return True
         if isinstance(node, Evaluate) and node.plugin in _VOLATILE_PLUGINS:
+            return True
+        if (
+            isinstance(node, Evaluate)
+            and node.plugin == "similarity_search_ivfpq"
+            and len(node.args) > 8
+        ):
+            # prebuilt-index form: reads the index snapshot + staleness-
+            # counts the corpus at translate time — a cached plan would
+            # miss a rebuilt index (round 12). The session-cached form
+            # (no path arg) stays plan-cacheable as before.
             return True
         if isinstance(node, Pipe) and node.materialize:
             return True

@@ -981,3 +981,33 @@ def test_ann_index_parameter_mismatch_typed_errors(run_kql, tmp_path):
             "embeddings | evaluate similarity_search_ivfpq("
             f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}_nope')"
         ).collect()
+
+
+def test_ann_index_queries_are_not_plan_cached(spark, tmp_path):
+    # round 12: ann_index_build writes at translate time — a plan-cached
+    # DataFrame would return the OLD summary without rebuilding; the
+    # prebuilt-index ivfpq form snapshots the index + staleness count at
+    # translate time and must re-read per call. The session-cached ivfpq
+    # form stays plan-cacheable.
+    from kql_engine_spark.translator import kql
+
+    qv = _qvec_literal()
+    idx = str(tmp_path / "ann_idx_cachevol")
+    from tests.conftest import SF_DIR
+
+    build = f"embeddings | evaluate ann_index_build(embedding, vec_id, '{idx}', 4, 8)"
+    a = kql(spark, build, sf_dir=SF_DIR)
+    a.collect()
+    assert kql(spark, build, sf_dir=SF_DIR) is not a
+    withpath = (
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 5, 4, 4, 8, 50, '{idx}')"
+    )
+    assert kql(spark, withpath, sf_dir=SF_DIR) is not kql(
+        spark, withpath, sf_dir=SF_DIR
+    )
+    sess = (
+        "embeddings | evaluate similarity_search_ivfpq("
+        f"embedding, vec_id, dynamic({qv}), 5, 4, 4, 8, 50)"
+    )
+    assert kql(spark, sess, sf_dir=SF_DIR) is kql(spark, sess, sf_dir=SF_DIR)
