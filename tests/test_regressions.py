@@ -2395,3 +2395,40 @@ def test_ngram_stats_validation(run_kql):
     assert run_kql(
         "documents | evaluate ngram_stats(text, 100000, 5)"
     ).count() == 0
+
+
+def test_aqe_probe_result_parity_across_kinds(run_kql, spark, monkeypatch):
+    # round 12: the rebalance probe must be semantics-free — identical
+    # results probe-on vs probe-off across join kinds and filter
+    # selectivities (including 0-survivor and all-survivor filters)
+    import os
+
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SMALL_QUERY_BYTES", 0)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    cases = [
+        (100.0, "inner"), (0.0, "inner"), (1e9, "inner"),
+        (100.0, "leftouter"), (100.0, "fullouter"),
+    ]
+    try:
+        for i, (thr, kind) in enumerate(cases):
+            q = (
+                f"let big = lineitem | summarize sumq = sum(l_quantity)"
+                f" by l_orderkey | where sumq > {thr};"
+                f"big | join kind={kind} (orders) on"
+                f" $left.l_orderkey == $right.o_orderkey"
+                f" | summarize n = count(), s = sum(sumq),"
+                f" k = count_distinct(o_orderkey)"
+            )
+            rows = {}
+            for mode in ("1", "0"):
+                os.environ["KQL_ENGINE_AQE_PROBE"] = mode
+                rows[mode] = sorted(
+                    map(tuple, run_kql(q + f" // parity{i}m{mode}").collect())
+                )
+            assert rows["1"] == rows["0"], (thr, kind)
+    finally:
+        os.environ.pop("KQL_ENGINE_AQE_PROBE", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
