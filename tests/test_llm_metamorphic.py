@@ -1011,3 +1011,18 @@ def test_ann_index_queries_are_not_plan_cached(spark, tmp_path):
         f"embedding, vec_id, dynamic({qv}), 5, 4, 4, 8, 50)"
     )
     assert kql(spark, sess, sf_dir=SF_DIR) is kql(spark, sess, sf_dir=SF_DIR)
+
+
+def test_est_scan_tasks_probe(spark, run_kql):
+    # round 12: the narrow-scan width probe is a driver-side file-stat
+    # estimate (no physical-plan/RDD compilation). A compact fixture file
+    # must estimate below the core count (so the spread fires), and a
+    # file-less source must return None (spread skipped)
+    from kql_engine_spark.extensions.llm import _est_scan_tasks
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    est = _est_scan_tasks(docs)
+    assert est is not None and 1 <= est < spark.sparkContext.defaultParallelism
+    local = spark.createDataFrame([(1, "x")], "id long, text string")
+    assert _est_scan_tasks(local) is None
