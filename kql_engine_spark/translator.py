@@ -1391,6 +1391,13 @@ class PipeTranslator:
             inner = self.translate_pipe(e.table)
             first = inner.columns[0]
             right = inner.select(F.col(first).alias("__kql_inval")).distinct()
+            # a filtered-aggregate `in` subquery gets the AQE stage
+            # boundary too (see _aqe_probe): runtime size drives the
+            # semi-join's broadcast conversion
+            right = self._aqe_probe(
+                right, ["__kql_inval"], self._last_pipe_shape,
+                self._last_pipe_bytes,
+            )
             lcol = self.expr_tr(df).to_col(e.expr)
             if e.ci:
                 cond = F.lower(lcol.cast("string")) == F.lower(
@@ -2001,7 +2008,12 @@ class PipeTranslator:
             if op.hints.get("strategy") == "broadcast":
                 df = F.broadcast(df)
             elif op.hints.get("strategy") != "shuffle" and left_keys:
+                pre = df
                 _, df = self._auto_broadcast(right, df, rbytes, lbytes, "left")
+                if pre is df:
+                    # the post-swap BUILD side (original left): a filtered-
+                    # aggregate gets the AQE stage boundary (see _aqe_probe)
+                    df = self._aqe_probe(df, left_keys, l_shape, lbytes)
             cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = right.join(df, cond, how.replace("right", "left"))
             self.order = None
@@ -2014,7 +2026,10 @@ class PipeTranslator:
             if op.hints.get("strategy") == "broadcast":
                 right = F.broadcast(right)
             elif op.hints.get("strategy") != "shuffle" and left_keys:
+                pre = right
                 _, right = self._auto_broadcast(df, right, lbytes, rbytes, "left")
+                if pre is right:
+                    right = self._aqe_probe(right, right_keys, r_shape, rbytes)
             cond = self._full_cond(df, right, left_keys, right_keys, theta)
             out = df.join(right, cond, how)
             self.order = None
