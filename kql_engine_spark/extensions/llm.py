@@ -1413,6 +1413,101 @@ def _component_labels_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_shape(thr: float) -> tuple[int, int]:
+    """dedup_near's threshold-adaptive band shape (shared with
+    minhash_index_build so a prebuilt index can be shape-validated)."""
+    return (30, 2) if thr < 0.7 else (20, 4)
+
+
+def _minhash_load_index(
+    df: DataFrame, path: str, n_bands: int, rows_per_band: int, what: str
+) -> DataFrame:
+    """Load a minhash_index_build signature table: (__id, __gh, __bands).
+    Typed errors on band-shape mismatch (signatures computed for a
+    different banding cannot serve this threshold) and on a row-count
+    staleness mismatch vs the current corpus."""
+    spark = df.sparkSession
+    try:
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception as exc:
+        raise KqlSemanticError(
+            f"{what}: cannot read minhash index meta at '{path}/meta' — "
+            "build it with minhash_index_build first"
+        ) from exc
+    if (meta["n_bands"], meta["rows_per_band"]) != (n_bands, rows_per_band):
+        raise KqlSemanticError(
+            f"{what}: index at '{path}' was built with band shape "
+            f"{meta['n_bands']}x{meta['rows_per_band']}, this threshold "
+            f"needs {n_bands}x{rows_per_band} — rebuild with a matching "
+            "threshold"
+        )
+    if df.count() != meta["rows"]:
+        raise KqlSemanticError(
+            f"{what}: index at '{path}' holds {meta['rows']} rows but the "
+            "corpus differs — rebuild with minhash_index_build"
+        )
+    return spark.read.parquet(path + "/sigs")
+
+
+@plugin("minhash_index_build")
+def _minhash_index_build(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate minhash_index_build(textcol, idcol, 'path'[,
+    threshold=0.8])` — persist dedup_near's signature stage (distinct
+    3-token-shingle hashes + minhash band values per document) as
+    parquet, so repeated dedup runs — and future sessions — skip the
+    per-byte shingling pass (round 12; the dedup twin of
+    ann_index_build's build/load split). At 100 TB the shingle+minhash
+    pass reads every byte of the corpus; the banding/verify/components
+    stages that follow touch only ids, band values, and the tiny
+    candidate fraction.
+
+    Layout at `path`: sigs/ parquet (__id, __gh array<bigint>, __bands
+    array<bigint>) written distributed; meta/ one row (n_bands,
+    rows_per_band, shingle_k, rows). The threshold argument fixes the
+    band shape exactly as dedup_near derives it, and dedup_near
+    validates the shape on load. The signature kernel is deterministic
+    (fixed splitmix64 seeds), so index-served dedup results are
+    identical to in-session results. Eager (the write is the action);
+    mode=overwrite. Returns a 1-row summary."""
+    what = "minhash_index_build"
+    text = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    path = _const_str(args[2], what)
+    thr = _const_float(args[3], what) if len(args) > 3 else 0.8
+    for name in (text, idc):
+        if name not in df.columns:
+            raise KqlSemanticError(f"{what}: no column '{name}' in input")
+    if df.isStreaming:
+        raise KqlSemanticError(f"{what}: streaming input not supported")
+
+    n_bands, rows_per_band = _minhash_shape(thr)
+    feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
+    spark = df.sparkSession
+    (
+        _spread_narrow_scan(
+            df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+        )
+        .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+        .select(
+            "__id",
+            F.col("__f.gh").alias("__gh"),
+            F.col("__f.bands").alias("__bands"),
+        )
+        .write.mode("overwrite")
+        .parquet(path + "/sigs")
+    )
+    rows = spark.read.parquet(path + "/sigs").count()
+    spark.createDataFrame(
+        [{"n_bands": n_bands, "rows_per_band": rows_per_band,
+          "shingle_k": 3, "rows": rows}],
+        schema="n_bands int, rows_per_band int, shingle_k int, rows bigint",
+    ).write.mode("overwrite").parquet(path + "/meta")
+    return spark.createDataFrame(
+        [(path, rows, n_bands, rows_per_band)],
+        schema="path string, rows bigint, n_bands int, rows_per_band int",
+    )
+
+
 @plugin("dedup_near")
 def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate
@@ -1434,31 +1529,44 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     Scale: banding keys the shuffle (never all-pairs); propagation rounds
     are bounded (near-dup clusters have tiny diameter); every step is a
     DataFrame op — no driver-side state.
-    """
+
+    Optional 4th argument (round 12): a constant string path to a
+    PREBUILT signature table written by minhash_index_build — skips the
+    shingle+minhash pass (the expensive per-byte step at 100 TB) and
+    reads (id, shingle hashes, band values) from parquet. Typed errors
+    when the index's band shape differs from what this threshold needs,
+    and when the indexed row count mismatches the corpus (staleness —
+    rebuild). The signature kernel is deterministic (fixed seeds), so
+    results are IDENTICAL to the in-session path."""
     text = _colname(args[0], "dedup_near")
     idc = _colname(args[1], "dedup_near")
     thr = _const_float(args[2], "dedup_near")
+    idx_path = _const_str(args[3], "dedup_near") if len(args) > 3 else None
 
-    rows_per_band = 2 if thr < 0.7 else 4
-    n_bands = 30 if thr < 0.7 else 20
-    # one Arrow-batched numpy pass computes the distinct 3-token-shingle
-    # hashes AND the minhash band values (mode='token' of the same
-    # vectorized kernel dedup_jaccard uses); docs with no tokens hash to
-    # the empty shingle, so identical empty/null texts still merge —
-    # the pre-rewrite contract
-    feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
-    work = (
-        _spread_narrow_scan(
-            df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+    n_bands, rows_per_band = _minhash_shape(thr)
+    if idx_path is not None:
+        work = _minhash_load_index(
+            df, idx_path, n_bands, rows_per_band, "dedup_near"
         )
-        .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
-        .select(
-            "__id",
-            F.col("__f.gh").alias("__gh"),
-            F.col("__f.bands").alias("__bands"),
+    else:
+        # one Arrow-batched numpy pass computes the distinct 3-token-shingle
+        # hashes AND the minhash band values (mode='token' of the same
+        # vectorized kernel dedup_jaccard uses); docs with no tokens hash to
+        # the empty shingle, so identical empty/null texts still merge —
+        # the pre-rewrite contract
+        feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
+        work = (
+            _spread_narrow_scan(
+                df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+            )
+            .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+            .select(
+                "__id",
+                F.col("__f.gh").alias("__gh"),
+                F.col("__f.bands").alias("__bands"),
+            )
+            .localCheckpoint(eager=True)  # feeds the band join + two verify joins
         )
-        .localCheckpoint(eager=True)  # feeds the band join + two verify joins
-    )
     banded = work.select(
         "__id", F.posexplode(F.col("__bands")).alias("b", "v")
     )

@@ -3377,7 +3377,7 @@ _VOLATILE_PLUGINS = frozenset(
         "diffpatterns", "diffpatterns_text",
         # side-effecting at translate time (writes the index): a cached
         # plan would return the OLD summary without rebuilding (round 12)
-        "ann_index_build",
+        "ann_index_build", "minhash_index_build",
     }
 )
 

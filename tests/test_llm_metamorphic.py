@@ -1026,3 +1026,56 @@ def test_est_scan_tasks_probe(spark, run_kql):
     assert est is not None and 1 <= est < spark.sparkContext.defaultParallelism
     local = spark.createDataFrame([(1, "x")], "id long, text string")
     assert _est_scan_tasks(local) is None
+
+
+# -------------------------------------------------------- minhash_index_build
+def test_minhash_index_persisted_equals_session_path(run_kql, tmp_path):
+    # round 12: dedup through the persisted signature table must keep the
+    # SAME survivors as the in-session path (deterministic fixed-seed
+    # signature kernel)
+    idx = str(tmp_path / "mh_idx")
+    s = run_kql(
+        f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)"
+    ).collect()
+    assert len(s) == 1 and s[0].rows > 0 and (s[0].n_bands, s[0].rows_per_band) == (20, 4)
+    a = sorted(
+        r.doc_id
+        for r in run_kql(
+            "documents | evaluate dedup_near(text, doc_id, 0.8) | project doc_id"
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in run_kql(
+            f"documents | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+            " | project doc_id"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_minhash_index_guards_typed_errors(run_kql, tmp_path):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    idx = str(tmp_path / "mh_idx_guards")
+    run_kql(
+        f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)"
+    ).collect()
+    # staleness: filtered corpus vs full-corpus index
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        run_kql(
+            "documents | where doc_id <= 100"
+            f" | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+        ).collect()
+    # band-shape mismatch: thr 0.5 needs 30x2, index is 20x4
+    with pytest.raises(KqlSemanticError, match="band shape"):
+        run_kql(
+            f"documents | evaluate dedup_near(text, doc_id, 0.5, '{idx}')"
+        ).collect()
+    # missing index
+    with pytest.raises(KqlSemanticError, match="minhash_index_build first"):
+        run_kql(
+            f"documents | evaluate dedup_near(text, doc_id, 0.8, '{idx}_nope')"
+        ).collect()
