@@ -79,9 +79,14 @@ def _tokens(col: Column) -> Column:
 # Logical node names that imply the input already passed through an
 # exchange (or a width-setting operator): its partition count is the
 # shuffle width, not the scan width, so the spread below is moot.
-_WIDTH_SET_NODES = (
-    "Join", "Aggregate", "Deduplicate", "Window", "Sort",
-    "Repartition", "GlobalLimit", "Union",
+# Matched at node position (line start after tree-drawing characters) so
+# a user column that happens to be named "Join" or "Sort" cannot
+# false-positive inside a Project's bracket list.
+import re as _re
+
+_WIDTH_SET_RE = _re.compile(
+    r"(?m)^[\s+:|-]*(?:Join|Aggregate|Deduplicate|Window|Sort|"
+    r"Repartition|RebalancePartitions|GlobalLimit|Union)\b"
 )
 
 
@@ -139,7 +144,7 @@ def _spread_narrow_scan(df: DataFrame) -> DataFrame:
         logical = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # pragma: no cover - defensive
         logical = ""
-    if any(n in logical for n in _WIDTH_SET_NODES):
+    if _WIDTH_SET_RE.search(logical):
         return df
     est = _est_scan_tasks(df)
     sc = df.sparkSession.sparkContext
