@@ -2999,3 +2999,65 @@ def test_random_theta_semi_anti_matches_duckdb(run_kql, duck, anti, price, theta
     want = canonize_rows([d[0] for d in sdf.description], sdf.fetchall())
     # engine count over zero rows yields n=0/s=NULL on both sides already
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    thr=st.sampled_from([0.5, 0.8]),
+    ndocs=st.integers(8, 40),
+)
+def test_minhash_index_equals_session_dedup_random_corpora(
+    spark, tmp_path_factory, seed, thr, ndocs
+):
+    # round 12 law: dedup through a persisted signature index must keep
+    # the SAME survivors as the in-session path on ANY corpus (the
+    # signature kernel is deterministic) — random word-soup docs with
+    # planted exact and near duplicates
+    import random
+
+    from kql_engine_spark.translator import kql
+    from kql_engine_spark.catalog import Catalog
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    rows = []
+    for i in range(ndocs):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # planted near/exact duplicate
+            dup = list(words)
+            if dup and rng.random() < 0.5:
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = Catalog(spark)
+    cat.register("fuzzdocs", df)
+    idx = str(tmp_path_factory.mktemp("mhfuzz") / "idx")
+    kql(
+        spark,
+        f"fuzzdocs | evaluate minhash_index_build(text, doc_id, '{idx}', {thr})",
+        catalog=cat,
+    ).collect()
+    a = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"fuzzdocs | evaluate dedup_near(text, doc_id, {thr}) | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"fuzzdocs | evaluate dedup_near(text, doc_id, {thr}, '{idx}')"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert a == b and len(a) >= 1
