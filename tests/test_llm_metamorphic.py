@@ -937,6 +937,22 @@ def test_ann_index_persisted_equals_session_path(run_kql, tmp_path):
         " | project vec_id, s = round(sim, 9)"
     ).collect()
     assert [(r.vec_id, r.s) for r in cached] == [(r.vec_id, r.s) for r in persisted]
+    # scale pin (round 12): the codes are hive-partitioned by cluster, so
+    # the nprobe filter is PARTITION PRUNING at read time — with
+    # nlist=1024/nprobe=8 a 100 TB code store reads 0.8% of its files
+    import os
+
+    from pyspark.sql import functions as F
+
+    assert any(
+        d.startswith("__cluster=") for d in os.listdir(idx + "/codes")
+    )
+    spark = run_kql("print x=1").sparkSession
+    probe_scan = spark.read.parquet(idx + "/codes").filter(
+        F.col("__cluster").isin([0, 1])
+    )
+    plan = probe_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__cluster" in plan, plan
 
 
 def test_ann_index_staleness_guard(run_kql, tmp_path):
