@@ -120,7 +120,18 @@ class ExprTranslator:
             if self.df is None:
                 # no bound frame (print source): resolve against a 1-row frame
                 return self.engine.spark.range(1).select(col).schema[0].dataType
-            return self.df.select(col).schema[0].dataType
+            probe = self.df
+            pre = self.engine.pending_prework
+            if pre:
+                # window helpers (row_rank_*, row_cumsum restart) stage
+                # __kqlrank columns via pending_prework; the expression
+                # references them BEFORE project/extend applies the stage,
+                # so probe against a frame that carries them — previously
+                # this path threw (and noisily ERROR-logged) an
+                # AnalysisException per probe and answered NullType
+                for name, c in pre.items():
+                    probe = probe.withColumn(name, c)
+            return probe.select(col).schema[0].dataType
         except Exception:
             return T.NullType()
 
