@@ -736,9 +736,9 @@ def _ann_fit_coarse(spark, feat: DataFrame, plan_key: str, emb: str,
 
 def _ann_load_index(spark, path: str, nlist: int, m: int, dim: int, what: str):
     """Load a prebuilt ann_index_build directory: (books ndarray,
-    centroid list, codes DataFrame, indexed row count). Typed errors on
-    parameter mismatch — an index built with different nlist/m/dim would
-    silently return wrong neighbors."""
+    centroid list, codes DataFrame, indexed row count, indexed id
+    checksum). Typed errors on parameter mismatch — an index built with
+    different nlist/m/dim would silently return wrong neighbors."""
     import numpy as np
 
     try:
@@ -757,7 +757,7 @@ def _ann_load_index(spark, path: str, nlist: int, m: int, dim: int, what: str):
     books = np.array(meta["books"], dtype=np.float64)
     centers = [list(c) for c in meta["centroids"]]
     codes_df = spark.read.parquet(path + "/codes")
-    return books, centers, codes_df, int(meta["rows"])
+    return books, centers, codes_df, int(meta["rows"]), int(meta["idsum"])
 
 
 @plugin("ann_index_build")
@@ -827,19 +827,28 @@ def _ann_index_build(ptr, df: DataFrame, args) -> DataFrame:
     # a 100 TB code store reads 0.8% of its files (plan-pinned in
     # tests/test_llm_metamorphic.py)
     codes.write.mode("overwrite").partitionBy("__cluster").parquet(path + "/codes")
-    rows = spark.read.parquet(path + "/codes").count()
+    stats = (
+        spark.read.parquet(path + "/codes")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.xxhash64("__pqid")), F.lit(0)).alias("idsum"),
+        )
+        .collect()[0]
+    )
+    rows, idsum = int(stats["rows"]), int(stats["idsum"])
     meta_row = {
         "nlist": nlist,
         "m": m,
         "dim": dim,
         "rows": rows,
+        "idsum": idsum,
         "centroids": [[float(x) for x in c] for c in km.clusterCenters()],
         "books": books.tolist(),
     }
     spark.createDataFrame(
         [meta_row],
         schema=(
-            "nlist int, m int, dim int, rows bigint, "
+            "nlist int, m int, dim int, rows bigint, idsum bigint, "
             "centroids array<array<double>>, books array<array<array<double>>>"
         ),
     ).write.mode("overwrite").parquet(path + "/meta")
@@ -934,18 +943,30 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     ).withColumn("__v", array_to_vector(arr))
     if idx_path is not None:
         # prebuilt index: no fit, no encode — read centroids/books/codes
-        books, centers, codes_df, idx_rows = _ann_load_index(
+        books, centers, codes_df, idx_rows, idx_idsum = _ann_load_index(
             spark, idx_path, nlist, m, dim, "similarity_search_ivfpq"
         )
-        # staleness guard: the indexed row count must match the corpus's
-        # current eligible count (non-null, right dim, nonzero norm —
-        # mirrors the encoder's null-code filter)
-        eligible = feat.filter(F.exists(arr, lambda v: v != 0)).count()
-        if eligible != idx_rows:
+        # staleness guard: the indexed (row count, id checksum) must match
+        # the corpus's current eligible rows (non-null, right dim, nonzero
+        # norm — mirrors the encoder's null-code filter). The checksum
+        # (wrap-sum of xxhash64(id), order-independent) catches a changed
+        # corpus that happens to keep the same count; both come from ONE
+        # column-pruned aggregation pass — far cheaper than the re-encode
+        # this path replaces.
+        cur = (
+            feat.filter(F.exists(arr, lambda v: v != 0))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum(F.xxhash64(F.col(idc))), F.lit(0)).alias("idsum"),
+            )
+            .collect()[0]
+        )
+        if (int(cur["rows"]), int(cur["idsum"])) != (idx_rows, idx_idsum):
             raise KqlSemanticError(
                 f"similarity_search_ivfpq: index at '{idx_path}' holds "
-                f"{idx_rows} rows but the corpus has {eligible} eligible "
-                "embeddings — rebuild with ann_index_build"
+                f"{idx_rows} rows but the corpus differs "
+                f"({int(cur['rows'])} eligible embeddings) — rebuild with "
+                "ann_index_build"
             )
     else:
         plan_key = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
@@ -1429,7 +1450,8 @@ def _minhash_shape(thr: float) -> tuple[int, int]:
 
 
 def _minhash_load_index(
-    df: DataFrame, path: str, n_bands: int, rows_per_band: int, what: str
+    df: DataFrame, idc: str, path: str, n_bands: int, rows_per_band: int,
+    what: str,
 ) -> DataFrame:
     """Load a minhash_index_build signature table: (__id, __gh, __bands).
     Typed errors on band-shape mismatch (signatures computed for a
@@ -1450,7 +1472,16 @@ def _minhash_load_index(
             f"needs {n_bands}x{rows_per_band} — rebuild with a matching "
             "threshold"
         )
-    if df.count() != meta["rows"]:
+    # staleness: (row count, id checksum) — the wrap-sum of xxhash64(id)
+    # is order-independent and catches same-count corpus changes; one
+    # column-pruned aggregation vs the re-shingling pass this replaces
+    cur = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.xxhash64(F.col(idc))), F.lit(0)).alias("idsum"),
+    ).collect()[0]
+    if (int(cur["rows"]), int(cur["idsum"])) != (
+        int(meta["rows"]), int(meta["idsum"])
+    ):
         raise KqlSemanticError(
             f"{what}: index at '{path}' holds {meta['rows']} rows but the "
             "corpus differs — rebuild with minhash_index_build"
@@ -1505,11 +1536,20 @@ def _minhash_index_build(ptr, df: DataFrame, args) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path + "/sigs")
     )
-    rows = spark.read.parquet(path + "/sigs").count()
+    stats = (
+        spark.read.parquet(path + "/sigs")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.xxhash64("__id")), F.lit(0)).alias("idsum"),
+        )
+        .collect()[0]
+    )
+    rows, idsum = int(stats["rows"]), int(stats["idsum"])
     spark.createDataFrame(
         [{"n_bands": n_bands, "rows_per_band": rows_per_band,
-          "shingle_k": 3, "rows": rows}],
-        schema="n_bands int, rows_per_band int, shingle_k int, rows bigint",
+          "shingle_k": 3, "rows": rows, "idsum": idsum}],
+        schema=("n_bands int, rows_per_band int, shingle_k int,"
+                " rows bigint, idsum bigint"),
     ).write.mode("overwrite").parquet(path + "/meta")
     return spark.createDataFrame(
         [(path, rows, n_bands, rows_per_band)],
@@ -1555,7 +1595,7 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     n_bands, rows_per_band = _minhash_shape(thr)
     if idx_path is not None:
         work = _minhash_load_index(
-            df, idx_path, n_bands, rows_per_band, "dedup_near"
+            df, idc, idx_path, n_bands, rows_per_band, "dedup_near"
         )
     else:
         # one Arrow-batched numpy pass computes the distinct 3-token-shingle

@@ -973,6 +973,13 @@ def test_ann_index_staleness_guard(run_kql, tmp_path):
             " | evaluate similarity_search_ivfpq("
             f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}')"
         ).collect()
+    # same COUNT, different ids: caught by the id-checksum half (round 12)
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        run_kql(
+            "embeddings | extend vec_id = vec_id + 1"
+            " | evaluate similarity_search_ivfpq("
+            f"embedding, vec_id, dynamic({qv}), 10, 8, 3, 8, 4, '{idx}')"
+        ).collect()
 
 
 def test_ann_index_parameter_mismatch_typed_errors(run_kql, tmp_path):
@@ -1083,6 +1090,13 @@ def test_minhash_index_guards_typed_errors(run_kql, tmp_path):
     with pytest.raises(KqlSemanticError, match="rebuild"):
         run_kql(
             "documents | where doc_id <= 100"
+            f" | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+        ).collect()
+    # same COUNT, different ids: the id-checksum half of the staleness
+    # guard must catch it (round 12 — a count-only guard passed this)
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        run_kql(
+            "documents | extend doc_id = doc_id + 1"
             f" | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
         ).collect()
     # band-shape mismatch: thr 0.5 needs 30x2, index is 20x4
