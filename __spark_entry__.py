@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The corpus below is trusted repo content; opt in to the (default-off)
 # `evaluate python(...)` plugin so its corpus entry runs under the driver.
 os.environ.setdefault("KQL_ENGINE_ENABLE_PYTHON_PLUGIN", "1")
+# Rotation note (round 12): the last 17 never-certified entries went green
+# in CORRECTNESS_r12 -> cumulative 313/313; _rotation_order() below now
+# orders by certification AGE instead of a hardcoded never-certified list.
 
 from kql_engine_spark.corpus import CORPUS, FLAGSHIP  # noqa: E402
 
@@ -62,25 +65,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical comparator); exporting them FIRST converges the rotation
 # to cumulative 313/313. Regenerated via tools/rotation_order.py from
 # CORRECTNESS_r01..r11 (+ the two new round-12 entries).
-_NEVER_CERTIFIED = (
-    "llm_take_stratified", "llm_ngram_stats", "llm_ann_index_persisted",
-    "llm_minhash_index_persisted", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q22", "tpch_q4_adapted",
-    "tpch_q12_adapted", "tpch_q21_adapted",
-)
-
-
 def _rotation_order() -> list[str]:
-    pri = [n for n in _NEVER_CERTIFIED if n in CORPUS]
-    rest = [n for n in CORPUS if n not in set(pri)]
-    return pri + rest
+    """Driver-certification rotation (round 13): every corpus entry has
+    been driver-certified at least once (cumulative 313/313 over
+    CORRECTNESS_r1..r12), so the rotation now optimizes FRESHNESS — the
+    driver certifies a 50-entry prefix per round, and entries whose last
+    green certification is OLDEST lead (r3/r4-era entries predate the
+    split-distinct, bloom-join, AQE-probe and small-plan rewrites of the
+    engine underneath them). Computed from the committed
+    CORRECTNESS_r*.json records next to this file; never-certified (new)
+    entries sort first; ties break in corpus order. Self-maintaining:
+    each round's new CORRECTNESS file pushes its 50 entries to the back.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(f) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    pos = {n: i for i, n in enumerate(CORPUS)}
+    return sorted(CORPUS, key=lambda n: (last.get(n, -1), pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, never-yet-
-    driver-certified entries first (see _NEVER_CERTIFIED)."""
+    """One entry per implemented operator from SURVEY.md §2, least-
+    recently-driver-certified entries first (see _rotation_order)."""
     return {name: _runner(CORPUS[name][0]) for name in _rotation_order()}
 
 

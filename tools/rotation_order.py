@@ -1,9 +1,10 @@
-"""Regenerate __spark_entry__._NEVER_CERTIFIED from CORRECTNESS_r*.json.
+"""Report the driver-certification rotation (freshness order).
 
-The driver certifies a 50-entry prefix of queries() per round; exporting
-never-yet-certified entries first converges the rotation. Run from the
-repo root after a new CORRECTNESS_r{N}.json lands and paste the printed
-tuple into __spark_entry__.py.
+Round 13: __spark_entry__._rotation_order() computes the order itself
+(least-recently-certified first) from the committed CORRECTNESS_r*.json
+records, so nothing needs to be pasted anywhere — this tool just PRINTS
+the computed order with each entry's last-certified round, for sanity
+checks and for the per-round BASELINE.md notes.
 """
 
 from __future__ import annotations
@@ -15,14 +16,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from kql_engine_spark.corpus import CORPUS  # noqa: E402
+from __spark_entry__ import _rotation_order  # noqa: E402
 
 
 def main() -> None:
-    # certified = appeared in a prefix AND passed all three gates; a row
-    # that errored or mismatched must be re-exported, not counted covered
-    certified: set[str] = set()
+    last: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(f) if ch.isdigit()))
         for name, row in json.load(open(f)).items():
             if (
                 row.get("rows_match")
@@ -30,13 +30,18 @@ def main() -> None:
                 and row.get("hash_match")
                 and row.get("err") is None
             ):
-                certified.add(name)
-    never = [n for n in CORPUS if n not in certified]
-    print(f"# {len(never)} never-certified of {len(CORPUS)}")
-    print("_NEVER_CERTIFIED = (")
-    for i in range(0, len(never), 3):
-        print("    " + " ".join(f'"{n}",' for n in never[i : i + 3]))
-    print(")")
+                last[name] = max(last.get(name, 0), rnd)
+    order = _rotation_order()
+    never = [n for n in order if n not in last]
+    print(f"# {len(order)} corpus entries, {len(never)} never certified")
+    print("# next driver prefix (first 50, with last-certified round):")
+    for i, n in enumerate(order[:50]):
+        print(f"  {i + 1:3d}. r{last.get(n, 0):<3d} {n}")
+    from collections import Counter
+
+    dist = Counter(last.get(n, 0) for n in order)
+    print("# last-certified distribution:",
+          dict(sorted(dist.items())))
 
 
 if __name__ == "__main__":
