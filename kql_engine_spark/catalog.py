@@ -65,6 +65,34 @@ class Catalog:
             reader = reader.options(**options)
         return reader.load(path)
 
+    def register_bucketed(self, name: str, table: str | None = None) -> None:
+        """Bind a KQL table name to a BUCKETED managed table written by
+        sinks.write_bucketed (round 13 — the zero-Exchange layout lever
+        measured at -31% on the q18 pre-agg shape in round 12 becomes an
+        engine feature instead of deployment guidance). The bucketing
+        metadata flows from the session catalog into every scan of the
+        name, so joins/aggregations keyed on the bucket column plan
+        WITHOUT an Exchange (plan-pinned in tests/test_plans.py).
+
+        Validates the table exists AND actually carries a bucket spec —
+        silently binding an unbucketed table would keep queries working
+        while losing the co-location property the caller registered it
+        for."""
+        table = table or name
+        if not self.spark.catalog.tableExists(table):
+            raise KqlSemanticError(
+                f"register_bucketed: no managed table {table!r} in the "
+                "session catalog — write it with sinks.write_bucketed first"
+            )
+        qualified = ".".join(f"`{p}`" for p in table.split("."))
+        desc = self.spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect()
+        if not any(r.col_name == "Num Buckets" for r in desc):
+            raise KqlSemanticError(
+                f"register_bucketed: table {table!r} has no bucket spec — "
+                "it was not written with sinks.write_bucketed(bucket_by=...)"
+            )
+        self.register(name, self.spark.table(table))
+
     def register_matview(self, name: str, path: str) -> None:
         """Bind `materialized_view('name')` [KQL] to the parquet directory a
         streaming materialize_to_parquet sink maintains."""

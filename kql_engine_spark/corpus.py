@@ -2427,6 +2427,22 @@ q(
 )
 
 q(
+    "sink_bucketed_roundtrip",
+    # round 13: materialize a hash-bucketed layout mid-pipe and keep
+    # querying over the read-back scan — results must equal the plain
+    # parquet path exactly (the zero-Exchange property itself is pinned
+    # in tests/test_plans.py; this entry certifies the data contract)
+    """lineitem
+    | project l_orderkey, l_quantity
+    | evaluate sink_bucketed('bkt_li_corpus', l_orderkey, 8)
+    | summarize sum_qty = round(sum(l_quantity), 2) by l_orderkey
+    | sort by l_orderkey asc
+    | take 20""",
+    """SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 20""",
+)
+
+q(
     "as_operator",
     """events
     | where value > 400.0
@@ -4105,6 +4121,41 @@ q(
        )
        SELECT d.doc_id, g.n IS NOT NULL AS contaminated,
               COALESCE(g.n, 0) AS contaminated_ngrams
+       FROM d LEFT JOIN g USING (doc_id)
+       ORDER BY d.doc_id""",
+)
+
+q(
+    "llm_decontaminate_persisted",
+    # round 13: decontaminate THROUGH the shared signature store — one
+    # minhash_index_build pass (with ngram_n=5) persists both dedup_near's
+    # minhash signatures and decontaminate's 5-gram hashes; the gram
+    # kernel is deterministic, so flags are IDENTICAL to the in-session
+    # path and the same DuckDB n-gram-algebra twin certifies both.
+    # extend BEFORE the evaluate forces the eager toscalar build first.
+    """let built = toscalar(documents
+        | evaluate minhash_index_build(text, doc_id, '/root/repo/spark-warehouse/mh_idx_decon', 0.8, 5)
+        | project rows);
+    documents
+    | extend idx_rows = tolong(built)
+    | evaluate decontaminate(text, doc_id, documents, text, 5, 'flag', '/root/repo/spark-warehouse/mh_idx_decon')
+    | project doc_id, contaminated, contaminated_ngrams, idx_rows
+    | sort by doc_id asc""",
+    """WITH d AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                CAST(COUNT(DISTINCT array_to_string(t[s:s+4], ' ')) AS BIGINT) AS n
+         FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(s)
+         WHERE len(t) >= 5
+         GROUP BY 1
+       )
+       SELECT d.doc_id, g.n IS NOT NULL AS contaminated,
+              COALESCE(g.n, 0) AS contaminated_ngrams,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS idx_rows
        FROM d LEFT JOIN g USING (doc_id)
        ORDER BY d.doc_id""",
 )

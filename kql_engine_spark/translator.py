@@ -3386,9 +3386,9 @@ _VOLATILE_PLUGINS = frozenset(
         "similarity_join",
         "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
         "diffpatterns", "diffpatterns_text",
-        # side-effecting at translate time (writes the index): a cached
-        # plan would return the OLD summary without rebuilding (round 12)
-        "ann_index_build", "minhash_index_build",
+        # side-effecting at translate time (writes the index/table): a
+        # cached plan would return the OLD data without rewriting (r12/r13)
+        "ann_index_build", "minhash_index_build", "sink_bucketed",
     }
 )
 

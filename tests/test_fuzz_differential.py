@@ -3061,3 +3061,141 @@ def test_minhash_index_equals_session_dedup_random_corpora(
         ).collect()
     )
     assert a == b and len(a) >= 1
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), ndocs=st.integers(8, 24))
+def test_minhash_index_lifecycle_mutate_stale_rebuild(
+    spark, tmp_path_factory, seed, ndocs
+):
+    # round 13 lifecycle law: corpus mutation -> typed staleness error ->
+    # rebuild -> index-served results identical to in-session, on ANY
+    # random corpus (the r12 laws covered build+serve and a single
+    # mutation; the rebuild cycle was untested)
+    import random
+
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for i in range(ndocs)
+    ]
+    cat = Catalog(spark)
+    cat.register("lcdocs", spark.createDataFrame(rows, "doc_id long, text string"))
+    idx = str(tmp_path_factory.mktemp("mhlc") / "idx")
+    kql(
+        spark,
+        f"lcdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    # mutate: drop one row (count diff) OR shift ids (checksum diff)
+    if rng.random() < 0.5:
+        mut = rows[1:]
+    else:
+        mut = [(i + 1, t) for i, t in rows]
+    cat.register("lcdocs", spark.createDataFrame(mut, "doc_id long, text string"))
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        kql(
+            spark,
+            f"lcdocs | evaluate dedup_near(text, doc_id, 0.8, '{idx}')",
+            catalog=cat,
+        ).collect()
+    # rebuild over the mutated corpus -> identical to in-session
+    kql(
+        spark,
+        f"lcdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    a = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            "lcdocs | evaluate dedup_near(text, doc_id, 0.8) | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"lcdocs | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert a == b and len(a) >= 1
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), nvec=st.integers(10, 24))
+def test_ann_index_lifecycle_mutate_stale_rebuild(
+    spark, tmp_path_factory, seed, nvec
+):
+    # round 13 lifecycle law (ann twin of the minhash law above): full
+    # probe + full rerank through the REBUILT index must equal brute-force
+    # cosine top-k on the mutated corpus
+    import random
+
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    rng = random.Random(seed)
+    dim, nlist, m = 8, 2, 2
+
+    def mkrows(n, base=0):
+        return [
+            (base + i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)
+        ]
+
+    rows = mkrows(nvec)
+    qv = "[" + ",".join(str(rng.uniform(-1, 1)) for _ in range(dim)) + "]"
+    cat = Catalog(spark)
+    cat.register("lcvecs", spark.createDataFrame(rows, "vec_id long, e array<double>"))
+    idx = str(tmp_path_factory.mktemp("annlc") / "idx")
+    kql(
+        spark,
+        f"lcvecs | evaluate ann_index_build(e, vec_id, '{idx}', {nlist}, {m})",
+        catalog=cat,
+    ).collect()
+    mut = rows[1:] if rng.random() < 0.5 else [(i + 1, v) for i, v in rows]
+    cat.register("lcvecs", spark.createDataFrame(mut, "vec_id long, e array<double>"))
+    served = (
+        f"lcvecs | evaluate similarity_search_ivfpq(e, vec_id, dynamic({qv}),"
+        f" 5, {nlist}, {nlist}, {m}, {len(mut)}, '{idx}') | project vec_id"
+    )
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        kql(spark, served, catalog=cat).collect()
+    kql(
+        spark,
+        f"lcvecs | evaluate ann_index_build(e, vec_id, '{idx}', {nlist}, {m})",
+        catalog=cat,
+    ).collect()
+    got = [r.vec_id for r in kql(spark, served, catalog=cat).collect()]
+    brute = [
+        r.vec_id
+        for r in kql(
+            spark,
+            f"lcvecs | evaluate similarity_search(e, dynamic({qv}), 5)"
+            " | project vec_id",
+            catalog=cat,
+        ).collect()
+    ]
+    assert got == brute

@@ -730,3 +730,80 @@ def test_aqe_probe_rebalances_filtered_agg_join_side(run_kql, spark, monkeypatch
         assert "RebalancePartitions" not in plan2, plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_register_bucketed_zero_exchange_and_matches_plain(spark):
+    # round 13: Catalog.register_bucketed surfaces the bucketing lever as
+    # an engine feature — a summarize keyed on the bucket column over the
+    # registered name plans with NO Exchange, and the results equal the
+    # plain-parquet path exactly (the layout changes the plan, never the
+    # data)
+    import uuid
+
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.sinks import write_bucketed
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(spark, SF_DIR)
+    t = f"b_li_reg_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(
+            kql(spark, "lineitem | project l_orderkey, l_quantity", catalog=cat),
+            t, 8, "l_orderkey",
+        )
+        rcat = Catalog(spark, SF_DIR)
+        rcat.register_bucketed("bli", t)
+        q = "| summarize s = round(sum(l_quantity), 2) by l_orderkey"
+        bucketed = kql(spark, f"bli {q}", catalog=rcat)
+        plan = _plan(bucketed)
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        plain = kql(
+            spark, f"lineitem | project l_orderkey, l_quantity {q}", catalog=cat
+        )
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # typed errors: unknown table; table without a bucket spec
+        with pytest.raises(KqlSemanticError, match="write_bucketed"):
+            Catalog(spark, SF_DIR).register_bucketed("x", t + "_nope")
+        flat = f"flat_{uuid.uuid4().hex[:8]}"
+        try:
+            kql(spark, "region", catalog=cat).write.saveAsTable(flat)
+            with pytest.raises(KqlSemanticError, match="bucket spec"):
+                Catalog(spark, SF_DIR).register_bucketed("x", flat)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {flat}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sink_bucketed_plugin_zero_exchange_downstream(spark):
+    # round 13: the sink_bucketed evaluate plugin materializes the layout
+    # mid-pipe; the continuation keyed on the bucket column must carry the
+    # bucketed scan (no Exchange before the aggregate)
+    import uuid
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    t = f"b_li_plug_{uuid.uuid4().hex[:8]}"
+    try:
+        df = kql(
+            spark,
+            "lineitem | project l_orderkey, l_quantity"
+            f" | evaluate sink_bucketed('{t}', l_orderkey, 8)"
+            " | summarize s = round(sum(l_quantity), 2) by l_orderkey",
+            catalog=Catalog(spark, SF_DIR),
+        )
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert df.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
