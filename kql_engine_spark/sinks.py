@@ -67,6 +67,23 @@ def write_bucketed(
     unit, before column pruning)."""
     if buckets <= 0:
         raise KqlSemanticError("write_bucketed: buckets must be positive")
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        # a managed table's warehouse directory can survive a previous
+        # session while the (default in-memory) catalog forgot the table;
+        # saveAsTable then plans a CREATE and dies with
+        # LOCATION_ALREADY_EXISTS. Overwrite semantics say the caller
+        # wants the old layout gone — clear the orphan directory first.
+        # (Hadoop FS API so any warehouse scheme works, not just file://.)
+        try:
+            jvm = spark._jvm  # noqa: SLF001
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+            if fs.exists(loc):
+                fs.delete(loc, True)
+        except Exception:  # pragma: no cover - defensive
+            pass
     bcols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     w = (
         df.write.mode(mode)
