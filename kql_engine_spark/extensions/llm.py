@@ -822,6 +822,15 @@ def _validate_index_freshness(
     only under strict mode. Returns the deepest validation mode that ran
     ('id', 'id+files', or 'strict') — a unit-test seam proving the
     default path never touches content."""
+    if df.isStreaming:
+        # the guard is an aggregation+collect — Structured Streaming
+        # rejects it opaquely at query start; fail typed at translate
+        # time (same posture as the index builders)
+        raise KqlSemanticError(
+            f"{what}: a prebuilt index cannot serve a STREAMING corpus — "
+            "the staleness guard needs a batch snapshot to validate "
+            "against; drop the index path or bound the stream to a batch"
+        )
     cur = _index_guard_agg(df, idc).collect()[0]
     if (int(cur["rows"]), int(cur["chk"])) != (
         int(meta["rows_total"]), int(meta["id_chk"])

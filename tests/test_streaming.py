@@ -380,3 +380,39 @@ def test_stream_take_stratified_typed_error(spark):
             "events | evaluate take_stratified(event_type, 5, event_id)",
             sf_dir=SF_DIR,
         )
+
+
+def test_stream_index_served_paths_typed_errors(spark, tmp_path, run_kql):
+    # round 13: the index-served paths (dedup_near / decontaminate with a
+    # store path) validate staleness with an aggregation+collect, which
+    # Structured Streaming rejects opaquely at query start — they must
+    # fail TYPED at translate time; sink_bucketed (an eager batch write)
+    # must too
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.streaming import kql_stream
+
+    idx = str(tmp_path / "mh_stream_idx")
+    run_kql(
+        f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8, 5)"
+    ).collect()
+    with pytest.raises(KqlSemanticError, match="STREAMING"):
+        kql_stream(
+            spark,
+            f"events | evaluate dedup_near(event_type, event_id, 0.8, '{idx}')",
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(KqlSemanticError, match="STREAMING"):
+        kql_stream(
+            spark,
+            "events | evaluate decontaminate(event_type, event_id, documents,"
+            f" text, 5, 'flag', '{idx}')",
+            sf_dir=SF_DIR,
+        )
+    with pytest.raises(KqlSemanticError, match="streaming"):
+        kql_stream(
+            spark,
+            "events | evaluate sink_bucketed('stream_bkt', event_id, 8)",
+            sf_dir=SF_DIR,
+        )
