@@ -1002,6 +1002,205 @@ def _ann_index_build(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+def _classify_index_delta(df: DataFrame, meta, what: str):
+    """Shared incremental-update file classification: every file the
+    index was built from must still be byte-identical (path/size/mtime),
+    and the delta is the NEW files only. Typed errors when the corpus is
+    not file-backed, when the index has no file lineage (built from an
+    in-memory corpus), or when built files changed/disappeared (an
+    in-place edit invalidates existing signatures — rebuild). Returns
+    (new file paths, current snapshot)."""
+    if df.isStreaming:
+        raise KqlSemanticError(f"{what}: streaming input not supported")
+    snap = _source_snapshot(df)
+    if snap is None:
+        raise KqlSemanticError(
+            f"{what}: incremental update needs a file-backed corpus "
+            "(the delta is detected per source file) — use the builder "
+            "to rebuild in-memory corpora"
+        )
+    built = [tuple(s) for s in (meta["src_files"] or [])]
+    if not built:
+        raise KqlSemanticError(
+            f"{what}: the index carries no source-file lineage (built "
+            "from an in-memory corpus) — rebuild instead"
+        )
+    built_set, cur_set = set(built), set(snap)
+    if not built_set <= cur_set:
+        raise KqlSemanticError(
+            f"{what}: files the index was built from changed or "
+            "disappeared (size/mtime/path diff) — existing entries are "
+            "invalid; rebuild the index"
+        )
+    return [t[0] for t in snap if t not in built_set], snap
+
+
+def _pq_assign_encoder(emb: str, idc: str, centers, books, dim: int, m: int):
+    """_pq_encoder variant for ann_index_update: the coarse cluster is
+    not precomputed by a fitted KMeans model — assign each row to its
+    nearest centroid (euclidean on the RAW vector, matching Spark ML's
+    assignment rule) in the same Arrow pass that PQ-encodes the
+    normalized vector. IVF serving only needs each row stored under a
+    near centroid, so a boundary row landing one cluster over versus the
+    fitted model is recall-neutral (full probe is assignment-invariant;
+    laws pin update == rebuild at full probe)."""
+    import numpy as np
+
+    dsub = dim // m
+    bx = books
+    cent = np.asarray([list(c) for c in centers], dtype=np.float64)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[emb].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            out_codes: list = [None] * len(vecs)
+            clusters = np.zeros(len(vecs), dtype=np.int32)
+            if ok.any():
+                raw = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[ok]])
+                d2c = (
+                    (raw * raw).sum(1)[:, None]
+                    - 2.0 * raw @ cent.T
+                    + (cent * cent).sum(1)
+                )
+                clusters[ok] = d2c.argmin(1).astype(np.int32)
+                n = np.linalg.norm(raw, axis=1, keepdims=True)
+                nz = (n > 0).ravel()
+                x = np.where(n > 0, raw / np.where(n == 0, 1, n), 0.0)
+                codes = np.empty((len(x), m), dtype=np.uint8)
+                for j in range(m):
+                    xs = x[:, j * dsub : (j + 1) * dsub]
+                    cj = bx[j]
+                    d2 = (
+                        (xs * xs).sum(1)[:, None]
+                        - 2.0 * xs @ cj.T
+                        + (cj * cj).sum(1)
+                    )
+                    codes[:, j] = d2.argmin(1)
+                ki = 0
+                for i in np.flatnonzero(ok):
+                    out_codes[i] = bytes(codes[ki]) if nz[ki] else None
+                    ki += 1
+            yield pd.DataFrame(
+                {
+                    "__pqid": pdf[idc],
+                    "__cluster": pd.Series(clusters, dtype="int32"),
+                    "__code": out_codes,
+                }
+            )
+
+    return encode
+
+
+@plugin("ann_index_update")
+def _ann_index_update(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate ann_index_update(embcol, idcol, 'path')` — append
+    NEW corpus files to a persisted ann_index_build store without
+    re-encoding the old ones (round 13; FAISS's add() analog). At 100 TB
+    a growing corpus is the common case, and a full rebuild re-reads
+    every byte; the update encodes ONLY rows from files not in the
+    index's source snapshot, assigns them to the EXISTING centroids and
+    codebooks (quantizers are NOT refit — if the data distribution
+    drifts, partial-probe recall degrades gracefully and a periodic
+    rebuild restores it; full probe is exact either way), appends the
+    codes, and advances the meta (snapshot + incremental bit_xor
+    checksums, both XOR-combinable by construction).
+
+    Guards: typed errors when the corpus is not file-backed, when any
+    built-from file changed (in-place edits invalidate existing codes —
+    rebuild), and — after the append — when the given corpus expression
+    does not reproduce the updated store's id checksum (e.g. the index
+    was built over a FILTERED expression: the store now covers the raw
+    file rows, so the filtered expression can no longer serve from it).
+    No new files is a no-op. Returns (path, added, rows)."""
+    what = "ann_index_update"
+    emb = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    path = _const_str(args[2], what)
+    for name in (emb, idc):
+        if name not in df.columns:
+            raise KqlSemanticError(f"{what}: no column '{name}' in input")
+    spark = df.sparkSession
+    try:
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception as exc:
+        raise KqlSemanticError(
+            f"{what}: cannot read ANN index meta at '{path}/meta' — "
+            "build it with ann_index_build first"
+        ) from exc
+    new_paths, snap = _classify_index_delta(df, meta, what)
+    nlist, m, dim = int(meta["nlist"]), int(meta["m"]), int(meta["dim"])
+    if not new_paths:
+        return spark.createDataFrame(
+            [(path, 0, int(meta["rows"]))],
+            schema="path string, added bigint, rows bigint",
+        )
+    ndf = spark.read.parquet(*new_paths)
+    for name in (emb, idc):
+        if name not in ndf.columns:
+            raise KqlSemanticError(
+                f"{what}: new corpus files lack column '{name}'"
+            )
+    import numpy as np
+
+    books = np.array(meta["books"], dtype=np.float64)
+    arr = F.col(emb).cast("array<double>")
+    feat = ndf.filter(F.col(emb).isNotNull() & (F.size(arr) == dim))
+    codes = (
+        feat.select(idc, emb)
+        .mapInPandas(
+            _pq_assign_encoder(emb, idc, meta["centroids"], books, dim, m),
+            _pq_code_schema(ndf, idc),
+        )
+        .filter(F.col("__code").isNotNull())
+    )
+    codes.write.mode("append").partitionBy("__cluster").parquet(path + "/codes")
+    elig = F.col(emb).isNotNull() & (F.size(arr) == dim) & F.exists(
+        arr, lambda v: v != 0
+    )
+    d = ndf.agg(
+        F.count(F.when(elig, F.lit(1))).alias("rows"),
+        F.count(F.lit(1)).alias("rows_total"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.col(idc))), F.lit(0)).alias("id_chk"),
+        F.coalesce(
+            F.bit_xor(F.when(elig, F.xxhash64(F.col(idc), arr))), F.lit(0)
+        ).alias("content_chk"),
+    ).collect()[0]
+    added = int(d["rows"])
+    rows = int(meta["rows"]) + added
+    rows_total = int(meta["rows_total"]) + int(d["rows_total"])
+    id_chk = int(meta["id_chk"]) ^ int(d["id_chk"])
+    content_chk = int(meta["content_chk"]) ^ int(d["content_chk"])
+    spark.createDataFrame(
+        [(nlist, m, dim, rows, rows_total, id_chk, content_chk, snap,
+          [[float(x) for x in c] for c in meta["centroids"]],
+          [[list(r) for r in b] for b in meta["books"]])],
+        schema=(
+            "nlist int, m int, dim int, rows bigint, rows_total bigint, "
+            f"id_chk bigint, content_chk bigint, src_files {_SNAP_SCHEMA}, "
+            "centroids array<array<double>>, books array<array<array<double>>>"
+        ),
+    ).write.mode("overwrite").parquet(path + "/meta")
+    # self-check: the corpus expression given here must reproduce the
+    # updated store (one id-column-pruned aggregation) — a filtered or
+    # transformed expression cannot, and serving would fail its guard
+    full = _index_guard_agg(df, idc).collect()[0]
+    if (int(full["rows"]), int(full["chk"])) != (rows_total, id_chk):
+        raise KqlSemanticError(
+            f"{what}: the updated index covers the raw rows of its source "
+            "files, but the given corpus expression does not match it — "
+            "rebuild with ann_index_build over this expression"
+        )
+    return spark.createDataFrame(
+        [(path, added, rows)],
+        schema="path string, added bigint, rows bigint",
+    )
+
+
 @plugin("similarity_search_ivfpq")
 def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate similarity_search_ivfpq(embcol, idcol, dynamic([...]),
@@ -1738,6 +1937,107 @@ def _minhash_index_build(ptr, df: DataFrame, args) -> DataFrame:
     return spark.createDataFrame(
         [(path, rows, n_bands, rows_per_band)],
         schema="path string, rows bigint, n_bands int, rows_per_band int",
+    )
+
+
+@plugin("minhash_index_update")
+def _minhash_index_update(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate minhash_index_update(textcol, idcol, 'path')` —
+    append NEW corpus files to a persisted minhash_index_build store
+    without re-shingling the old ones (round 13; the dedup twin of
+    ann_index_update). Signatures are per-row with no global state, so
+    the update is a pure append: shingle/minhash ONLY the rows of files
+    not in the index's source snapshot (same band shape and ngram_n the
+    store was built with, read from meta), append to sigs/, advance the
+    meta (snapshot + incremental bit_xor checksums). Same guards as
+    ann_index_update: file-backed corpora only, built-from files must be
+    unchanged, and a post-append self-check that the given corpus
+    expression reproduces the updated store's id checksum. No new files
+    is a no-op. Returns (path, added, rows)."""
+    what = "minhash_index_update"
+    text = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    path = _const_str(args[2], what)
+    for name in (text, idc):
+        if name not in df.columns:
+            raise KqlSemanticError(f"{what}: no column '{name}' in input")
+    spark = df.sparkSession
+    try:
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception as exc:
+        raise KqlSemanticError(
+            f"{what}: cannot read minhash index meta at '{path}/meta' — "
+            "build it with minhash_index_build first"
+        ) from exc
+    new_paths, snap = _classify_index_delta(df, meta, what)
+    if not new_paths:
+        return spark.createDataFrame(
+            [(path, 0, int(meta["rows"]))],
+            schema="path string, added bigint, rows bigint",
+        )
+    ndf = spark.read.parquet(*new_paths)
+    for name in (text, idc):
+        if name not in ndf.columns:
+            raise KqlSemanticError(
+                f"{what}: new corpus files lack column '{name}'"
+            )
+    n_bands, rows_per_band = int(meta["n_bands"]), int(meta["rows_per_band"])
+    ngram_n = int(meta["ngram_n"] or 0) or None
+    feat = _jaccard_feature_udf(
+        3, n_bands, rows_per_band, mode="token", extra_n=ngram_n
+    )
+    sig_cols = [
+        "__id",
+        F.col("__f.gh").alias("__gh"),
+        F.col("__f.bands").alias("__bands"),
+    ]
+    if ngram_n is not None:
+        sig_cols.append(F.col("__f.ngh").alias("__ngh"))
+    (
+        _spread_narrow_scan(
+            ndf.select(
+                F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s")
+            )
+        )
+        .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+        .select(*sig_cols)
+        .write.mode("append")
+        .parquet(path + "/sigs")
+    )
+    d = ndf.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.col(idc))), F.lit(0)).alias("id_chk"),
+        F.coalesce(
+            F.bit_xor(
+                F.xxhash64(
+                    F.col(idc),
+                    F.coalesce(F.col(text).cast("string"), F.lit(" ")),
+                )
+            ),
+            F.lit(0),
+        ).alias("content_chk"),
+    ).collect()[0]
+    added = int(d["rows"])
+    rows = int(meta["rows"]) + added
+    id_chk = int(meta["id_chk"]) ^ int(d["id_chk"])
+    content_chk = int(meta["content_chk"]) ^ int(d["content_chk"])
+    spark.createDataFrame(
+        [(n_bands, rows_per_band, 3, int(meta["ngram_n"] or 0), rows, rows,
+          id_chk, content_chk, snap)],
+        schema=("n_bands int, rows_per_band int, shingle_k int, "
+                "ngram_n int, rows bigint, rows_total bigint, "
+                f"id_chk bigint, content_chk bigint, src_files {_SNAP_SCHEMA}"),
+    ).write.mode("overwrite").parquet(path + "/meta")
+    full = _index_guard_agg(df, idc).collect()[0]
+    if (int(full["rows"]), int(full["chk"])) != (rows, id_chk):
+        raise KqlSemanticError(
+            f"{what}: the updated index covers the raw rows of its source "
+            "files, but the given corpus expression does not match it — "
+            "rebuild with minhash_index_build over this expression"
+        )
+    return spark.createDataFrame(
+        [(path, added, rows)],
+        schema="path string, added bigint, rows bigint",
     )
 
 

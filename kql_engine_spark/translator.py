@@ -3389,6 +3389,7 @@ _VOLATILE_PLUGINS = frozenset(
         # side-effecting at translate time (writes the index/table): a
         # cached plan would return the OLD data without rewriting (r12/r13)
         "ann_index_build", "minhash_index_build", "sink_bucketed",
+        "ann_index_update", "minhash_index_update",
     }
 )
 

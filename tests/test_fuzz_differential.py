@@ -3199,3 +3199,143 @@ def test_ann_index_lifecycle_mutate_stale_rebuild(
         ).collect()
     ]
     assert got == brute
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), ndocs=st.integers(10, 30))
+def test_minhash_index_update_equals_rebuild(
+    spark, tmp_path_factory, seed, ndocs
+):
+    # round 13 law: growing a file-backed corpus and APPENDING to the
+    # signature store must serve results identical to both the in-session
+    # path and a full rebuild, on any random corpus (signatures are
+    # per-row with no global state, so append == rebuild exactly)
+    import random
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+
+    def mk(i):
+        return (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+
+    cut = rng.randint(3, ndocs - 3)
+    rows = [mk(i) for i in range(ndocs)]
+    base = tmp_path_factory.mktemp("mhupd")
+    corpus, idx, idx2 = str(base / "c"), str(base / "i"), str(base / "i2")
+    spark.createDataFrame(rows[:cut], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("upddocs", spark.read.parquet(corpus))
+    kql(
+        spark,
+        f"upddocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    spark.createDataFrame(rows[cut:], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(corpus)
+    cat.register("upddocs", spark.read.parquet(corpus))
+    s = kql(
+        spark,
+        f"upddocs | evaluate minhash_index_update(text, doc_id, '{idx}')",
+        catalog=cat,
+    ).collect()
+    assert s[0].added == ndocs - cut and s[0].rows == ndocs
+    kql(
+        spark,
+        f"upddocs | evaluate minhash_index_build(text, doc_id, '{idx2}', 0.8)",
+        catalog=cat,
+    ).collect()
+
+    def survivors(suffix):
+        return sorted(
+            r.doc_id
+            for r in kql(
+                spark,
+                f"upddocs | evaluate dedup_near(text, doc_id, 0.8{suffix})"
+                " | project doc_id",
+                catalog=cat,
+            ).collect()
+        )
+
+    in_session = survivors("")
+    assert survivors(f", '{idx}'") == in_session
+    assert survivors(f", '{idx2}'") == in_session
+    assert len(in_session) >= 1
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), nvec=st.integers(12, 24))
+def test_ann_index_update_full_probe_equals_brute(
+    spark, tmp_path_factory, seed, nvec
+):
+    # round 13 law: after appending new files to the code store (existing
+    # centroids/codebooks, no refit), a full-probe + full-rerank query is
+    # still EXACT — cluster assignment only routes rows, the final order
+    # comes from true cosine on the corpus
+    import random
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    rng = random.Random(seed)
+    dim, nlist, m = 8, 2, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(nvec)
+    ]
+    cut = rng.randint(4, nvec - 4)
+    qv = "[" + ",".join(str(rng.uniform(-1, 1)) for _ in range(dim)) + "]"
+    base = tmp_path_factory.mktemp("annupd")
+    corpus, idx = str(base / "c"), str(base / "i")
+    spark.createDataFrame(
+        rows[:cut], "vec_id long, e array<double>"
+    ).coalesce(1).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("updvecs", spark.read.parquet(corpus))
+    kql(
+        spark,
+        f"updvecs | evaluate ann_index_build(e, vec_id, '{idx}', {nlist}, {m})",
+        catalog=cat,
+    ).collect()
+    spark.createDataFrame(
+        rows[cut:], "vec_id long, e array<double>"
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    cat.register("updvecs", spark.read.parquet(corpus))
+    s = kql(
+        spark,
+        f"updvecs | evaluate ann_index_update(e, vec_id, '{idx}')",
+        catalog=cat,
+    ).collect()
+    assert s[0].added == nvec - cut
+    got = [
+        r.vec_id
+        for r in kql(
+            spark,
+            f"updvecs | evaluate similarity_search_ivfpq(e, vec_id,"
+            f" dynamic({qv}), 5, {nlist}, {nlist}, {m}, {nvec}, '{idx}')"
+            " | project vec_id",
+            catalog=cat,
+        ).collect()
+    ]
+    brute = [
+        r.vec_id
+        for r in kql(
+            spark,
+            f"updvecs | evaluate similarity_search(e, dynamic({qv}), 5)"
+            " | project vec_id",
+            catalog=cat,
+        ).collect()
+    ]
+    assert got == brute

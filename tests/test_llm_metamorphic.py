@@ -1359,3 +1359,110 @@ def test_decontaminate_persisted_guards(run_kql, tmp_path):
             "documents | where doc_id <= 100 | evaluate decontaminate("
             f"text, doc_id, documents, text, 5, 'flag', '{idx}')"
         ).collect()
+
+
+# ------------------------------------------------ round-13 incremental update
+def test_index_update_guards_typed_errors(spark, tmp_path):
+    # incremental update refuses: in-memory corpora (no file delta to
+    # detect), indexes without file lineage, changed built-from files,
+    # and a corpus expression that cannot reproduce the updated store
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    docs = [(i, f"document number {i} words {i % 3}") for i in range(20)]
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(docs[:10], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("gdocs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "idx")
+    kql(
+        spark,
+        f"gdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    # in-memory corpus: no file delta
+    cat.register("memdocs", spark.createDataFrame(docs, "doc_id long, text string"))
+    with pytest.raises(KqlSemanticError, match="file-backed"):
+        kql(
+            spark,
+            f"memdocs | evaluate minhash_index_update(text, doc_id, '{idx}')",
+            catalog=cat,
+        ).collect()
+    # index built from an in-memory corpus: no lineage to diff against
+    memidx = str(tmp_path / "memidx")
+    kql(
+        spark,
+        f"memdocs | evaluate minhash_index_build(text, doc_id, '{memidx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    with pytest.raises(KqlSemanticError, match="lineage"):
+        kql(
+            spark,
+            f"gdocs | evaluate minhash_index_update(text, doc_id, '{memidx}')",
+            catalog=cat,
+        ).collect()
+    # grow the corpus, but FILTER the update expression: the self-check
+    # must catch that the expression cannot reproduce the updated store
+    spark.createDataFrame(docs[10:], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(corpus)
+    cat.register("gdocs", spark.read.parquet(corpus))
+    # note: a filtered expression over the same FILES passes the delta
+    # classification (row filters do not change the file set) — the
+    # post-append self-check is what refuses it
+    with pytest.raises(KqlSemanticError, match="does not match"):
+        kql(
+            spark,
+            "gdocs | where doc_id != 3"
+            f" | evaluate minhash_index_update(text, doc_id, '{idx}')",
+            catalog=cat,
+        ).collect()
+    # changed built-from file (mtime): typed rebuild error
+    import glob as _glob
+    import os as _os
+
+    idx2 = str(tmp_path / "idx2")
+    kql(
+        spark,
+        f"gdocs | evaluate minhash_index_build(text, doc_id, '{idx2}', 0.8)",
+        catalog=cat,
+    ).collect()
+    _os.utime(_glob.glob(corpus + "/part-*.parquet")[0], None)
+    with pytest.raises(KqlSemanticError, match="rebuild"):
+        kql(
+            spark,
+            f"gdocs | evaluate minhash_index_update(text, doc_id, '{idx2}')",
+            catalog=cat,
+        ).collect()
+
+
+def test_ann_index_update_noop_and_summary(spark, tmp_path):
+    # no new files -> no-op summary (added=0), store untouched and still
+    # serving
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    corpus = str(tmp_path / "vc")
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").coalesce(1).write.parquet(
+        corpus
+    )
+    cat = Catalog(spark)
+    cat.register("gvecs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "vidx")
+    kql(
+        spark,
+        f"gvecs | evaluate ann_index_build(embedding, vec_id, '{idx}', 8, 8)",
+        catalog=cat,
+    ).collect()
+    s = kql(
+        spark,
+        f"gvecs | evaluate ann_index_update(embedding, vec_id, '{idx}')",
+        catalog=cat,
+    ).collect()
+    assert s[0].added == 0 and s[0].rows > 0
