@@ -3236,7 +3236,7 @@ def test_minhash_index_update_equals_rebuild(
     cat.register("upddocs", spark.read.parquet(corpus))
     kql(
         spark,
-        f"upddocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        f"upddocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8, 3)",
         catalog=cat,
     ).collect()
     spark.createDataFrame(rows[cut:], "doc_id long, text string").coalesce(
@@ -3270,6 +3270,20 @@ def test_minhash_index_update_equals_rebuild(
     assert survivors(f", '{idx}'") == in_session
     assert survivors(f", '{idx2}'") == in_session
     assert len(in_session) >= 1
+    # the store was built with ngram_n=3, so the SAME updated store must
+    # also serve decontaminate identically (the shared-pass contract
+    # survives incremental growth)
+    decon = (
+        "upddocs | evaluate decontaminate(text, doc_id, upddocs, text, 3,"
+        " 'flag'{p}) | project doc_id, contaminated, contaminated_ngrams"
+        " | sort by doc_id asc"
+    )
+    a = [tuple(r) for r in kql(spark, decon.format(p=""), catalog=cat).collect()]
+    b = [
+        tuple(r)
+        for r in kql(spark, decon.format(p=f", '{idx}'"), catalog=cat).collect()
+    ]
+    assert a == b
 
 
 @settings(
