@@ -1286,6 +1286,7 @@ def _similarity_search_ivfpq(ptr, df: DataFrame, args) -> DataFrame:
     ).withColumn("__v", array_to_vector(arr))
     if idx_path is not None:
         # prebuilt index: no fit, no encode — read centroids/books/codes
+        ptr._scan_unknown = True  # the code store is an unsized scan
         books, centers, codes_df, idx_meta = _ann_load_index(
             spark, idx_path, nlist, m, dim, "similarity_search_ivfpq"
         )
@@ -2079,6 +2080,7 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
 
     n_bands, rows_per_band = _minhash_shape(thr)
     if idx_path is not None:
+        ptr._scan_unknown = True  # the signature store is an unsized scan
         sigs, _meta = _minhash_load_index(
             df, idc, text, idx_path, "dedup_near",
             n_bands=n_bands, rows_per_band=rows_per_band,
@@ -3010,6 +3012,7 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
         # dedup_near and every decontaminate run. The kernel is
         # deterministic, so flags are IDENTICAL to the in-session path
         # (identity law in tests/test_llm_metamorphic.py).
+        ptr._scan_unknown = True  # the signature store is an unsized scan
         sigs, _meta = _minhash_load_index(
             df, idc, text, idx_path, "decontaminate", ngram_n=n
         )

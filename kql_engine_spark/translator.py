@@ -781,6 +781,13 @@ class PipeTranslator:
         # translate_pipe finished (translate_pipe restores the outer
         # value; join/lookup/source consumers read the nested result here)
         self._last_pipe_bytes: int | None = None
+        # adaptive scan-split bookkeeping (round 13, see _adapt_scan_split):
+        # per-table file sizes of every catalog table this query scans, and
+        # whether any source's size is unknowable (registered DataFrame,
+        # externaldata, external_table, matview) — unknown disables the
+        # per-query split lowering so unsized scans never over-split
+        self._scan_sizes: dict[str, int] = {}
+        self._scan_unknown = False
         # Pipeline SHAPE tail (round 12): "agg" after a summarize,
         # "agg_filtered" once a where follows it (projections keep the
         # state, anything else clears it). t_join reads it to spot the
@@ -873,6 +880,13 @@ class PipeTranslator:
             if n < 0:
                 raise KqlSemanticError("truncationmaxrecords must be >= 0")
             df = df.limit(n)
+        # per-query scan-split sizing (see _adapt_scan_split): applies the
+        # lever only when every scanned source's size is known
+        if not self.streaming:
+            _adapt_scan_split(
+                self.spark,
+                None if self._scan_unknown else sum(self._scan_sizes.values()),
+            )
         return df
 
     def translate_pipe(self, pipe: Pipe) -> DataFrame:
@@ -966,6 +980,7 @@ class PipeTranslator:
                 fmtl, "csv" if fmtl in seps else fmtl
             )
             reader = self.spark.read.format(fmt).schema(schema)
+            self._scan_unknown = True  # external files: size unknowable
             if fmtl in seps:
                 reader = reader.option("sep", seps[fmtl])
             if fmtl == "multijson":
@@ -996,6 +1011,7 @@ class PipeTranslator:
                     f"{lname}() takes a single constant string name"
                 )
             getter = getattr(self.catalog, lname)
+            self._scan_unknown = True  # path outside the sized catalog
             return getter(args[0].value)
         bound = self.lets.get(name)
         if not isinstance(bound, Lambda) or not isinstance(bound.body, Pipe):
@@ -1058,6 +1074,10 @@ class PipeTranslator:
             raise KqlSemanticError(f"let {name!r} is not tabular")
         df = self.catalog.table(name, streaming=self.streaming)
         self._src_bytes = self.catalog.file_size(name)
+        if self._src_bytes is None:
+            self._scan_unknown = True
+        else:
+            self._scan_sizes[name] = self._src_bytes
         if (
             getattr(self, "want_ingest_meta", False)
             and not self.streaming
@@ -3355,6 +3375,56 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
     weakref.WeakKeyDictionary()
 )
 _PLAN_CACHE_CAP = 256
+
+# adaptive scan-split state: (ceiling, last value this engine set) per
+# session — the ceiling is the session's own configured value; a user
+# changing the conf mid-session adopts their new value as the ceiling
+_SPLIT_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _adapt_scan_split(spark: SparkSession, total_bytes: int | None) -> None:
+    """Per-query scan-split sizing (round 13). The session's configured
+    spark.sql.files.maxPartitionBytes (8MB in get_spark; >=128MB on a
+    real cluster) is right for warehouse-sized scans, but a query whose
+    WHOLE input is a few MB then scans as 1-4 tasks: sf10 b10's 4.5MB
+    compressed text corpus is 5 row groups = 1 task at 8MB splits, and
+    the measured 3.4x fix — a GLOBAL 1MB split — regressed the full
+    suite 42% by over-splitting every big scan (BASELINE.md round 12).
+    The adaptive middle: after translating a query whose every source is
+    a size-known catalog file, lower the split target to
+    total_bytes/(2*parallelism) — never below 1MB, never above the
+    session's own ceiling — and RESTORE the ceiling whenever any source
+    is unsized (registered DataFrames, externaldata, external tables,
+    index/sig stores) so unknown scans never over-split. Parquet cannot
+    split inside a row group, so the lever only converts multi-row-group
+    small files into parallel tasks; at 100 TB every scan exceeds the
+    ceiling and this is a no-op. Perf-only (plan-cache hits execute
+    under the current setting). Disable: KQL_ENGINE_ADAPTIVE_SPLIT=0."""
+    if _os.environ.get("KQL_ENGINE_ADAPTIVE_SPLIT", "1") == "0":
+        return
+    try:
+        ju = spark._jvm.org.apache.spark.network.util.JavaUtils  # noqa: SLF001
+        cur = int(ju.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        ))
+        state = _SPLIT_STATE.get(spark)
+        if state is None or cur not in state:
+            # first sight, or the user changed the conf themselves:
+            # their value is the new ceiling
+            state = (cur, cur)
+        ceiling = state[0]
+        if total_bytes is None or total_bytes <= 0:
+            target = ceiling
+        else:
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            target = min(ceiling, max(total_bytes // (2 * par), 1 << 20))
+        if target != cur:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(int(target)))
+        _SPLIT_STATE[spark] = (ceiling, target)
+    except Exception:  # pragma: no cover — perf-only, never break a query
+        pass
 
 # Volatility is decided on the PARSED AST, not by substring sniffing (round-5
 # fix: a `sample_rate` column used to defeat caching, and `"now("` inside a

@@ -807,3 +807,37 @@ def test_sink_bucketed_plugin_zero_exchange_downstream(spark):
         assert df.count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_adaptive_scan_split_lowers_and_restores(spark, run_kql):
+    # round 13: a query whose every source is a size-known catalog file
+    # lowers spark.sql.files.maxPartitionBytes to total/(2*parallelism),
+    # floored at 1MB and capped at the session ceiling; any unsized
+    # source (datatable-only = no file scan, externaldata, index stores)
+    # restores the ceiling. Perf-only — results are pinned elsewhere.
+    from kql_engine_spark.translator import kql
+    from kql_engine_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    conf = lambda: spark.conf.get("spark.sql.files.maxPartitionBytes")  # noqa: E731
+    cat = Catalog(spark, SF_DIR)
+    kql(spark, "region | count", catalog=cat)
+    # sf0.001 region is a few KB -> floor
+    assert conf() == str(1 << 20)
+    kql(spark, "print x = 1", catalog=cat)
+    assert conf() != str(1 << 20)  # restored to the session ceiling
+    ceiling = conf()
+    kql(spark, "documents | summarize n = count()", catalog=cat)
+    assert conf() == str(1 << 20)
+    # a user-set value becomes the new ceiling
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64MB")
+    try:
+        kql(spark, "print x = 1", catalog=cat)
+        assert conf() == "64MB" or conf() == str(64 << 20)
+        kql(spark, "region | count", catalog=cat)
+        assert conf() == str(1 << 20)
+        kql(spark, "print x = 2", catalog=cat)
+        assert conf() in ("64MB", str(64 << 20))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", ceiling)
+        kql(spark, "print x = 3", catalog=cat)
