@@ -1356,6 +1356,65 @@ q(
 )
 
 q(
+    "llm_dedup_against",
+    # round 13: CROSS-corpus near-dedup — planted synthetic docs: 9001 is
+    # an exact copy of the reference (jaccard 1, dropped), 9002 differs in
+    # its last token (5 of 7 distinct 3-shingles shared, jaccard 5/7 <
+    # 0.8, survives), 9003 is novel. The oracle rebuilds the exact
+    # token-3-shingle jaccard algebra on strings (the banded candidate
+    # stage is probabilistic, the verify is exact — same standard as
+    # llm_dedup_near's twin).
+    """let refc = datatable(rid:long, rtext:string)[
+        100, 'alpha beta gamma delta epsilon zeta eta theta'];
+    union (documents | project doc_id, text),
+          (datatable(doc_id:long, text:string)[
+             9001, 'alpha beta gamma delta epsilon zeta eta theta',
+             9002, 'alpha beta gamma delta epsilon zeta eta nine',
+             9003, 'wholly novel words xylophone quasar bumblebee here now'])
+    | evaluate dedup_against(text, doc_id, refc, rtext, 0.8)
+    | summarize n = count(), s9001 = countif(doc_id == 9001),
+                s9002 = countif(doc_id == 9002), s9003 = countif(doc_id == 9003)""",
+    r"""WITH inp AS (
+         SELECT doc_id, CAST(text AS VARCHAR) AS text FROM documents
+         UNION ALL
+         SELECT * FROM (VALUES
+           (9001, 'alpha beta gamma delta epsilon zeta eta theta'),
+           (9002, 'alpha beta gamma delta epsilon zeta eta nine'),
+           (9003, 'wholly novel words xylophone quasar bumblebee here now')
+         ) v(doc_id, text)
+       ), tok AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(
+                    lower(COALESCE(text, ' ')), '\s+'), x -> x <> '') AS t
+         FROM inp
+       ), sh AS (
+         SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                     THEN list_distinct(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]))
+                     ELSE [array_to_string(t, chr(31))] END AS g
+         FROM tok
+       ), ref AS (
+         SELECT CASE WHEN len(rt) >= 3
+                     THEN list_distinct(list_transform(range(1, len(rt) - 1),
+                          i -> rt[i] || chr(31) || rt[i+1] || chr(31) || rt[i+2]))
+                     ELSE [array_to_string(rt, chr(31))] END AS rg
+         FROM (SELECT list_filter(string_split_regex(
+                   lower('alpha beta gamma delta epsilon zeta eta theta'),
+                   '\s+'), x -> x <> '') AS rt)
+       ), surv AS (
+         SELECT doc_id FROM sh, ref
+         WHERE CAST(len(list_intersect(g, rg)) AS DOUBLE)
+               / len(list_distinct(list_concat(g, rg))) < 0.8
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(*) FILTER (WHERE doc_id = 9001) AS BIGINT) AS s9001,
+              CAST(COUNT(*) FILTER (WHERE doc_id = 9002) AS BIGINT) AS s9002,
+              CAST(COUNT(*) FILTER (WHERE doc_id = 9003) AS BIGINT) AS s9003
+       FROM surv""",
+)
+
+q(
     "llm_minhash_index_persisted",
     # round 12: persist dedup_near's signature stage (minhash_index_build)
     # and dedup THROUGH the index — the signature kernel is deterministic

@@ -2131,6 +2131,120 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     return df.join(keep, df[idc] == keep["node"], "left_semi")
 
 
+@plugin("dedup_against")
+def _dedup_against(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_against(textcol, idcol, RefTable, reftextcol
+    [, threshold=0.8])` or `... dedup_against(textcol, idcol, 'path'
+    [, threshold=0.8])` — CROSS-corpus near-dedup (round 13): keep only
+    the input rows whose text is NOT a near-duplicate (token-3-shingle
+    Jaccard >= threshold) of ANY document in a reference corpus. The
+    production shape of incremental corpus building — dedupe an incoming
+    crawl batch against the existing training set — where dedup_near
+    (within-corpus) does not apply and re-shingling the 100 TB reference
+    per batch is the cost the second form avoids: 'path' names a
+    minhash_index_build store of the reference, so only the (small)
+    incoming batch is shingled per run.
+
+    Same signature kernel, banding, and EXACT-Jaccard verify as
+    dedup_near (the banded candidate stage is probabilistic, the verify
+    is exact); the final step is a left_anti of the input against the
+    verified-contaminated ids — no connected components (matching is
+    against the reference only, input-internal duplicates are dedup_near's
+    job). The reference store is the dedup authority AS INDEXED — no
+    staleness guard against the input (they are different corpora by
+    definition); the band shape must match the threshold, typed error
+    otherwise. Empty/null input texts hash to the empty shingle and are
+    dropped only when the reference also contains an empty document
+    (dedup_near's empty-merge contract, applied across corpora)."""
+    what = "dedup_against"
+    text = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    if len(args) < 3:
+        raise KqlSemanticError(
+            "dedup_against(textcol, idcol, RefTable, reftextcol[, threshold])"
+            " or dedup_against(textcol, idcol, 'index_path'[, threshold])"
+        )
+    spark = df.sparkSession
+    if isinstance(args[2], Col):
+        ref = ptr._resolve_table(args[2].name)
+        reftext = _colname(args[3], what)
+        if reftext not in ref.columns:
+            raise KqlSemanticError(
+                f"{what}: column {reftext!r} not in {args[2].name!r}"
+            )
+        thr = _const_float(args[4], what) if len(args) > 4 else 0.8
+        n_bands, rows_per_band = _minhash_shape(thr)
+        feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
+        ref_sigs = (
+            _spread_narrow_scan(
+                ref.select(F.col(reftext).cast("string").alias("__s"))
+            )
+            .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+            .select(
+                F.monotonically_increasing_id().alias("__id"),
+                F.col("__f.gh").alias("__gh"),
+                F.col("__f.bands").alias("__bands"),
+            )
+            .localCheckpoint(eager=True)  # pin the synthetic ids
+        )
+    else:
+        idx_path = _const_str(args[2], what)
+        thr = _const_float(args[3], what) if len(args) > 3 else 0.8
+        n_bands, rows_per_band = _minhash_shape(thr)
+        ptr._scan_unknown = True  # the signature store is an unsized scan
+        try:
+            meta = spark.read.parquet(idx_path + "/meta").collect()[0]
+        except Exception as exc:
+            raise KqlSemanticError(
+                f"{what}: cannot read minhash index meta at '{idx_path}/meta'"
+                " — build it with minhash_index_build first"
+            ) from exc
+        if (meta["n_bands"], meta["rows_per_band"]) != (n_bands, rows_per_band):
+            raise KqlSemanticError(
+                f"{what}: index at '{idx_path}' was built with band shape "
+                f"{meta['n_bands']}x{meta['rows_per_band']}, this threshold "
+                f"needs {n_bands}x{rows_per_band} — rebuild with a matching "
+                "threshold"
+            )
+        ref_sigs = spark.read.parquet(idx_path + "/sigs").select(
+            "__id", "__gh", "__bands"
+        )
+    feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
+    inp = (
+        _spread_narrow_scan(
+            df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+        )
+        .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+        .select(
+            "__id",
+            F.col("__f.gh").alias("__gh"),
+            F.col("__f.bands").alias("__bands"),
+        )
+        .localCheckpoint(eager=True)  # feeds the band join + the verify join
+    )
+    # band rows carry only (id, band, value) — gram arrays are fetched
+    # back for the tiny candidate fraction via id-joins (dedup_near's
+    # round-6 shape; shipping the ref gram array once per band row would
+    # duplicate the 100 TB reference 20-30x through the shuffle)
+    ibands = inp.select("__id", F.posexplode(F.col("__bands")).alias("b", "v"))
+    rbands = ref_sigs.select(
+        F.col("__id").alias("__rid"), F.posexplode(F.col("__bands")).alias("b", "v")
+    )
+    cand = ibands.join(rbands, ["b", "v"]).select("__id", "__rid").distinct()
+    gl = inp.select("__id", F.col("__gh").alias("__gl"))
+    gr = ref_sigs.select(F.col("__id").alias("__rid"), F.col("__gh").alias("__gr"))
+    inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
+    union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
+    hits = (
+        cand.join(gl, "__id")
+        .join(gr, "__rid")
+        .filter((inter / union_) >= F.lit(thr))
+        .select("__id")
+        .distinct()
+    )
+    return df.join(hits, df[idc] == hits["__id"], "left_anti")
+
+
 @plugin("dedup_simhash")
 def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_simhash(textcol, idcol[, max_hamming=3])` —

@@ -3452,7 +3452,8 @@ _INGEST_META_COLS = frozenset({"__kql_ingest_ts", "__kql_extent_path"})
 # across data changes, same contract as toscalar/materialize
 _VOLATILE_PLUGINS = frozenset(
     {
-        "dedup_near", "dedup_simhash", "dedup_embedding", "dedup_jaccard",
+        "dedup_near", "dedup_against", "dedup_simhash", "dedup_embedding",
+        "dedup_jaccard",
         "similarity_join",
         "similarity_search_ivf", "basket", "autocluster", "bag_unpack",
         "diffpatterns", "diffpatterns_text",

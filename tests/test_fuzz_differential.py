@@ -3353,3 +3353,94 @@ def test_ann_index_update_full_probe_equals_brute(
         ).collect()
     ]
     assert got == brute
+
+
+def _brute_cross_jaccard_survivors(new_rows, ref_rows, thr):
+    """Exact token-3-shingle jaccard brute force (string shingles — the
+    engine hashes them, identical up to negligible 64-bit collisions)."""
+    def shingles(s):
+        toks = [t for t in (s or " ").lower().split() if t]
+        if len(toks) >= 3:
+            return {"\x1f".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {"\x1f".join(toks)}
+
+    refs = [shingles(t) for _, t in ref_rows]
+    out = []
+    for i, t in new_rows:
+        g = shingles(t)
+        hit = any(
+            len(g & r) / len(g | r) >= thr if g | r else True for r in refs
+        )
+        if not hit:
+            out.append(i)
+    return sorted(out)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), nref=st.integers(4, 15), nnew=st.integers(4, 15))
+def test_dedup_against_equals_brute_force(
+    spark, tmp_path_factory, seed, nref, nnew
+):
+    # round 13 law: cross-corpus near-dedup survivors equal the exact
+    # all-pairs jaccard brute force on ANY random corpora with planted
+    # cross-duplicates (exact copies and one-word edits of ref docs) —
+    # and the index-served form equals the table form
+    import random
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+
+    def words(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    ref = [(i, words(rng.randint(0, 10))) for i in range(nref)]
+    new = []
+    for i in range(nnew):
+        r = rng.random()
+        if r < 0.3 and ref:  # planted exact cross-dup
+            new.append((100 + i, rng.choice(ref)[1]))
+        elif r < 0.5 and ref:  # planted near cross-dup (one-word edit)
+            toks = rng.choice(ref)[1].split()
+            if toks:
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            new.append((100 + i, " ".join(toks)))
+        else:
+            new.append((100 + i, words(rng.randint(0, 10))))
+    want = _brute_cross_jaccard_survivors(new, ref, 0.8)
+
+    cat = Catalog(spark)
+    cat.register("daref", spark.createDataFrame(ref, "rid long, rtext string"))
+    cat.register("danew", spark.createDataFrame(new, "doc_id long, text string"))
+    got = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            "danew | evaluate dedup_against(text, doc_id, daref, rtext, 0.8)"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert got == want
+    idx = str(tmp_path_factory.mktemp("da") / "idx")
+    kql(
+        spark,
+        f"daref | evaluate minhash_index_build(rtext, rid, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    via_idx = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"danew | evaluate dedup_against(text, doc_id, '{idx}', 0.8)"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert via_idx == want

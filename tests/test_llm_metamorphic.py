@@ -1466,3 +1466,63 @@ def test_ann_index_update_noop_and_summary(spark, tmp_path):
         catalog=cat,
     ).collect()
     assert s[0].added == 0 and s[0].rows > 0
+
+
+# ------------------------------------------------- round-13 dedup_against
+def test_dedup_against_laws(spark, tmp_path):
+    # self-dedup drops everything; disjoint-vocabulary corpora pass
+    # through unchanged; a higher threshold keeps at least as many rows
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    ref = [(1, base), (2, "reference text about engines and shuffles today")]
+    new = [(10, base), (11, base + " extra"), (12, "novel fresh content")]
+    cat = Catalog(spark)
+    cat.register("daref", spark.createDataFrame(ref, "rid long, rtext string"))
+    cat.register("danew", spark.createDataFrame(new, "doc_id long, text string"))
+    q = "danew | evaluate dedup_against(text, doc_id, daref, rtext, {t}) | project doc_id"
+    self_q = "daref | evaluate dedup_against(rtext, rid, daref, rtext, 0.8)"
+    assert kql(spark, self_q, catalog=cat).count() == 0
+    loose = {r.doc_id for r in kql(spark, q.format(t=0.5), catalog=cat).collect()}
+    strict = {r.doc_id for r in kql(spark, q.format(t=0.99), catalog=cat).collect()}
+    assert loose <= strict  # monotone: higher threshold keeps more
+    assert 10 not in strict  # the exact copy always drops
+    assert 12 in loose  # the novel doc always survives
+    # disjoint vocabularies: nothing drops
+    cat.register(
+        "daother",
+        spark.createDataFrame([(1, "zzz yyy xxx www vvv uuu")], "rid long, rtext string"),
+    )
+    kept = kql(
+        spark,
+        "danew | evaluate dedup_against(text, doc_id, daother, rtext, 0.8)",
+        catalog=cat,
+    ).count()
+    assert kept == len(new)
+
+
+def test_dedup_against_guards(run_kql, tmp_path):
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    idx = str(tmp_path / "da_idx")
+    run_kql(
+        f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)"
+    ).collect()
+    # band-shape mismatch (0.5 needs 30x2, store is 20x4)
+    with pytest.raises(KqlSemanticError, match="band shape"):
+        run_kql(
+            f"documents | evaluate dedup_against(text, doc_id, '{idx}', 0.5)"
+        ).collect()
+    # missing store
+    with pytest.raises(KqlSemanticError, match="minhash_index_build first"):
+        run_kql(
+            f"documents | evaluate dedup_against(text, doc_id, '{idx}_nope', 0.8)"
+        ).collect()
+    # bad reference column
+    with pytest.raises(KqlSemanticError, match="not in"):
+        run_kql(
+            "documents | evaluate dedup_against(text, doc_id, documents, nocol, 0.8)"
+        ).collect()
