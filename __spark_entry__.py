@@ -77,6 +77,15 @@ def _rotation_order() -> list[str]:
     entries sort first; ties break in corpus order. Self-maintaining:
     each round's new CORRECTNESS file pushes its 50 entries to the back.
     """
+    last = _last_certified()
+    pos = {n: i for i, n in enumerate(CORPUS)}
+    return sorted(CORPUS, key=lambda n: (last.get(n, -1), pos[n]))
+
+
+def _last_certified() -> dict[str, int]:
+    """name -> newest round whose CORRECTNESS_r{N}.json certified it
+    (all three gates green). Single source of truth for the rotation;
+    tools/rotation_order.py reports from the same map."""
     import glob
     import json
     import re
@@ -99,8 +108,7 @@ def _rotation_order() -> list[str]:
                 and row.get("err") is None
             ):
                 last[name] = max(last.get(name, 0), rnd)
-    pos = {n: i for i, n in enumerate(CORPUS)}
-    return sorted(CORPUS, key=lambda n: (last.get(n, -1), pos[n]))
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -782,11 +782,13 @@ class PipeTranslator:
         # value; join/lookup/source consumers read the nested result here)
         self._last_pipe_bytes: int | None = None
         # adaptive scan-split bookkeeping (round 13, see _adapt_scan_split):
-        # per-table file sizes of every catalog table this query scans, and
-        # whether any source's size is unknowable (registered DataFrame,
+        # accumulated file bytes of every catalog-table RESOLUTION this
+        # query makes (a self-join scanning lineitem twice counts it
+        # twice — under-counting would over-lower the split), and whether
+        # any source's size is unknowable (registered DataFrame,
         # externaldata, external_table, matview) — unknown disables the
         # per-query split lowering so unsized scans never over-split
-        self._scan_sizes: dict[str, int] = {}
+        self._scan_bytes = 0
         self._scan_unknown = False
         # Pipeline SHAPE tail (round 12): "agg" after a summarize,
         # "agg_filtered" once a where follows it (projections keep the
@@ -883,10 +885,9 @@ class PipeTranslator:
         # per-query scan-split sizing (see _adapt_scan_split): applies the
         # lever only when every scanned source's size is known
         if not self.streaming:
-            _adapt_scan_split(
-                self.spark,
-                None if self._scan_unknown else sum(self._scan_sizes.values()),
-            )
+            split_input = None if self._scan_unknown else self._scan_bytes
+            _LAST_SPLIT_INPUT[self.spark] = split_input
+            _adapt_scan_split(self.spark, split_input)
         return df
 
     def translate_pipe(self, pipe: Pipe) -> DataFrame:
@@ -1077,7 +1078,7 @@ class PipeTranslator:
         if self._src_bytes is None:
             self._scan_unknown = True
         else:
-            self._scan_sizes[name] = self._src_bytes
+            self._scan_bytes += self._src_bytes
         if (
             getattr(self, "want_ingest_meta", False)
             and not self.streaming
@@ -3382,6 +3383,16 @@ _PLAN_CACHE_CAP = 256
 _SPLIT_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[int, int]]" = (
     weakref.WeakKeyDictionary()
 )
+# per-cached-plan scan-split input (total known bytes or None), so a plan
+# cache HIT re-applies its own target instead of inheriting the previous
+# query's (round-13 review); and the most recent translation's input, the
+# value the cache-store path records
+_SPLIT_INPUTS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_LAST_SPLIT_INPUT: "weakref.WeakKeyDictionary[SparkSession, object]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _adapt_scan_split(spark: SparkSession, total_bytes: int | None) -> None:
@@ -3400,8 +3411,9 @@ def _adapt_scan_split(spark: SparkSession, total_bytes: int | None) -> None:
     index/sig stores) so unknown scans never over-split. Parquet cannot
     split inside a row group, so the lever only converts multi-row-group
     small files into parallel tasks; at 100 TB every scan exceeds the
-    ceiling and this is a no-op. Perf-only (plan-cache hits execute
-    under the current setting). Disable: KQL_ENGINE_ADAPTIVE_SPLIT=0."""
+    ceiling and this is a no-op. Perf-only; plan-cache hits re-apply
+    their own recorded target (_SPLIT_INPUTS, round-13 review). Disable:
+    KQL_ENGINE_ADAPTIVE_SPLIT=0."""
     if _os.environ.get("KQL_ENGINE_ADAPTIVE_SPLIT", "1") == "0":
         return
     try:
@@ -3410,9 +3422,12 @@ def _adapt_scan_split(spark: SparkSession, total_bytes: int | None) -> None:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
         ))
         state = _SPLIT_STATE.get(spark)
-        if state is None or cur not in state:
-            # first sight, or the user changed the conf themselves:
-            # their value is the new ceiling
+        if state is None or cur != state[1]:
+            # first sight, or the conf differs from the value THIS engine
+            # last set — the user changed it; their value is the new
+            # ceiling. (Residual ambiguity: a user setting exactly the
+            # engine's last target is indistinguishable without conf
+            # listeners; the engine may later restore the old ceiling.)
             state = (cur, cur)
         ceiling = state[0]
         if total_bytes is None or total_bytes <= 0:
@@ -4014,6 +4029,14 @@ def kql(
         plans = _PLAN_CACHE.setdefault(spark, {})
         hit = plans.get(plan_key)
         if hit is not None:
+            # re-apply the query's scan-split target (round-13 review: a
+            # cache hit used to execute under whatever the PREVIOUS query
+            # set — a cached 1GB scan after a tiny query ran 8x
+            # over-split). Missing entry -> None -> ceiling restored (the
+            # safe default for big scans).
+            _adapt_scan_split(
+                spark, _SPLIT_INPUTS.get(spark, {}).get(plan_key)
+            )
             return hit
     if catalog is None:
         per_session = _CATALOG_CACHE.setdefault(spark, {})
@@ -4059,4 +4082,8 @@ def kql(
         if len(plans) >= _PLAN_CACHE_CAP:
             plans.pop(next(iter(plans)))
         plans[plan_key] = out
+        splits = _SPLIT_INPUTS.setdefault(spark, {})
+        if len(splits) >= _PLAN_CACHE_CAP:
+            splits.pop(next(iter(splits)))
+        splits[plan_key] = _LAST_SPLIT_INPUT.get(spark)
     return out

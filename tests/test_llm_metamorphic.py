@@ -1183,13 +1183,17 @@ def test_index_default_validation_never_reads_content(run_kql, tmp_path):
 
 def test_index_strict_mode_runs_content_checksum(run_kql, tmp_path, monkeypatch):
     # the opt-in strict flag must evaluate the content checksum and pass
-    # on an unchanged corpus (the env-gated deep path stays correct)
+    # on an unchanged corpus (the env-gated deep path stays correct).
+    # Round-13 review: content_chk is only computed when the flag was set
+    # AT BUILD TIME (a default build no longer re-reads corpus content
+    # for a checksum nobody consults), so set it before building.
     from kql_engine_spark.extensions.llm import (
         _ann_load_index,
         _validate_index_freshness,
     )
     from tests.conftest import SF_DIR
 
+    monkeypatch.setenv("KQL_ENGINE_INDEX_STRICT", "1")
     idx = str(tmp_path / "ann_guard_strict")
     run_kql(
         f"embeddings | evaluate ann_index_build(embedding, vec_id, '{idx}', 8, 8)"
@@ -1212,11 +1216,31 @@ def test_index_strict_mode_runs_content_checksum(run_kql, tmp_path, monkeypatch)
             ).alias("chk")
         )
     )
-    monkeypatch.setenv("KQL_ENGINE_INDEX_STRICT", "1")
     mode = _validate_index_freshness(
         emb, "vec_id", meta, "t", idx, content_chk_df=chk
     )
     assert mode == "strict"
+
+
+def test_index_strict_validation_of_default_build_typed_error(
+    run_kql, tmp_path, monkeypatch
+):
+    # a store built WITHOUT the strict flag carries no content checksum;
+    # asking for strict validation later must fail typed, not silently
+    # pass or crash
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    idx = str(tmp_path / "mh_nostrict")
+    run_kql(
+        f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)"
+    ).collect()
+    monkeypatch.setenv("KQL_ENGINE_INDEX_STRICT", "1")
+    with pytest.raises(KqlSemanticError, match="no content checksum"):
+        run_kql(
+            f"documents | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+        ).collect()
 
 
 def test_index_content_edit_detected_via_file_snapshot(spark, tmp_path):
@@ -1526,3 +1550,90 @@ def test_dedup_against_guards(run_kql, tmp_path):
         run_kql(
             "documents | evaluate dedup_against(text, doc_id, documents, nocol, 0.8)"
         ).collect()
+
+
+def test_old_format_index_meta_typed_error(spark, run_kql, tmp_path):
+    # round-13 review: a round-12-era store (meta lacks the freshness
+    # fields) must raise the typed rebuild error, not an opaque Row
+    # ValueError
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+
+    idx = str(tmp_path / "old_fmt")
+    spark.createDataFrame(
+        [(20, 4, 3, 100, 12345)],
+        schema="n_bands int, rows_per_band int, shingle_k int, rows bigint, idsum bigint",
+    ).write.parquet(idx + "/meta")
+    spark.createDataFrame(
+        [], "__id long, __gh array<bigint>, __bands array<bigint>"
+    ).write.parquet(idx + "/sigs")
+    with pytest.raises(KqlSemanticError, match="older builder"):
+        run_kql(
+            f"documents | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+        ).collect()
+    with pytest.raises(KqlSemanticError, match="older builder"):
+        run_kql(
+            f"documents | evaluate minhash_index_update(text, doc_id, '{idx}')"
+        ).collect()
+
+
+def test_failed_update_leaves_store_serviceable(spark, tmp_path):
+    # round-13 review: the post-update self-check used to run AFTER the
+    # sigs append + meta overwrite, so a refused update destroyed the
+    # store. Now the check runs first: after a refused update the
+    # original corpus must still serve.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    docs = [(i, f"doc number {i} alpha beta") for i in range(12)]
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(docs[:8], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("fdocs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "idx")
+    kql(
+        spark,
+        f"fdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    before = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"fdocs | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    # grow the files but update through a FILTERED expression: refused
+    spark.createDataFrame(docs[8:], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(corpus)
+    cat.register("fdocs", spark.read.parquet(corpus))
+    with pytest.raises(KqlSemanticError, match="store\\s+left untouched|does not match"):
+        kql(
+            spark,
+            "fdocs | where doc_id != 2"
+            f" | evaluate minhash_index_update(text, doc_id, '{idx}')",
+            catalog=cat,
+        ).collect()
+    # the ORIGINAL corpus (same ids/rows the store was built over) still
+    # serves from the untouched store — the id guard passes and the
+    # in-memory source skips the file-snapshot check
+    cat.register("forig", spark.createDataFrame(docs[:8], "doc_id long, text string"))
+    after = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            f"forig | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert after == before

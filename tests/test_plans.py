@@ -841,3 +841,34 @@ def test_adaptive_scan_split_lowers_and_restores(spark, run_kql):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", ceiling)
         kql(spark, "print x = 3", catalog=cat)
+
+
+def test_adaptive_scan_split_reapplied_on_cache_hit(spark):
+    # round-13 review: a plan-cache hit used to execute under whatever
+    # split the PREVIOUS query set; now each cached plan re-applies its
+    # own recorded target
+    import uuid
+
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    conf = lambda: spark.conf.get("spark.sql.files.maxPartitionBytes")  # noqa: E731
+    # cacheable (catalog=None) unsized query -> recorded input None
+    tag = uuid.uuid4().hex[:8]
+    qa = f"print cachehit_{tag} = 1"
+    kql(spark, qa, sf_dir=SF_DIR)
+    ceiling = conf()
+    # a small file-backed query lowers the split...
+    kql(spark, f"region | count\n// lower_{tag}", sf_dir=SF_DIR)
+    assert conf() == str(1 << 20)
+    # ...and the CACHE HIT on the unsized query restores its own target
+    kql(spark, qa, sf_dir=SF_DIR)
+    assert conf() == ceiling
+    # symmetric: the small query's cache hit re-lowers
+    qb = f"region | count\n// cached_small_{tag}"
+    kql(spark, qb, sf_dir=SF_DIR)
+    kql(spark, qa, sf_dir=SF_DIR)
+    assert conf() == ceiling
+    kql(spark, qb, sf_dir=SF_DIR)  # cache hit
+    assert conf() == str(1 << 20)
+    kql(spark, qa, sf_dir=SF_DIR)  # restore for later tests

@@ -416,3 +416,12 @@ def test_stream_index_served_paths_typed_errors(spark, tmp_path, run_kql):
             "events | evaluate sink_bucketed('stream_bkt', event_id, 8)",
             sf_dir=SF_DIR,
         )
+    # dedup_against (round-13 review): both forms fail typed, not with
+    # localCheckpoint's opaque AnalysisException
+    with pytest.raises(KqlSemanticError, match="streaming"):
+        kql_stream(
+            spark,
+            "events | evaluate dedup_against(event_type, event_id,"
+            " documents, text, 0.8)",
+            sf_dir=SF_DIR,
+        )

@@ -4,33 +4,24 @@ Round 13: __spark_entry__._rotation_order() computes the order itself
 (least-recently-certified first) from the committed CORRECTNESS_r*.json
 records, so nothing needs to be pasted anywhere — this tool just PRINTS
 the computed order with each entry's last-certified round, for sanity
-checks and for the per-round BASELINE.md notes.
+checks and for the per-round BASELINE.md notes. The last-certified map
+comes from the SAME implementation the rotation uses
+(__spark_entry__._last_certified) so the report can never disagree with
+the order the driver runs.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from __spark_entry__ import _rotation_order  # noqa: E402
+from __spark_entry__ import _last_certified, _rotation_order  # noqa: E402
 
 
 def main() -> None:
-    last: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int("".join(ch for ch in os.path.basename(f) if ch.isdigit()))
-        for name, row in json.load(open(f)).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-                and row.get("err") is None
-            ):
-                last[name] = max(last.get(name, 0), rnd)
+    last = _last_certified()
     order = _rotation_order()
     never = [n for n in order if n not in last]
     print(f"# {len(order)} corpus entries, {len(never)} never certified")
