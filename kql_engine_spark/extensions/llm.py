@@ -95,15 +95,28 @@ _WIDTH_SET_RE = _re.compile(
 )
 
 
-def _est_scan_tasks(df: DataFrame) -> int | None:
+# in-memory relation nodes whose RDD probe is trivially cheap: python
+# createDataFrame rows arrive as a pre-existing LogicalRDD, scala-side
+# literals as LocalRelation/OneRowRelation. JDBC and other remote
+# file-less relations match none of these.
+_LOCAL_REL_RE = _re.compile(
+    r"(?m)^[\s+:|-]*(?:LocalRelation|OneRowRelation|LogicalRDD)\b"
+)
+
+
+def _est_scan_tasks(df: DataFrame, logical: str | None = None) -> int | None:
     """Expected file-scan task count, mirroring Spark's FilePartition
     bin-packing (maxSplitBytes = min(maxPartitionBytes, max(openCost,
     padded/parallelism))), computed from driver-side file stats. Round
     12 (ADVICE): replaces df.rdd.getNumPartitions(), which forced full
     physical-plan + RDD-lineage compilation on every text-plugin
-    translation and read a pre-AQE count. File-less in-memory sources
-    fall back to that old probe (cheap on LocalRelation plans — round 13
-    ADVICE). None = a remote/object-store scan (a real cluster scan is
+    translation and read a pre-AQE count. File-less IN-MEMORY sources
+    fall back to that old probe — cheap on LocalRelation plans, and
+    gated on the analyzed plan actually BEING one (round 14 ADVICE:
+    JDBC and other non-file relations also report empty inputFiles(),
+    and the probe would recompile a remote scan that is already wide).
+    `logical` is the caller's already-computed analyzed-plan string.
+    None = a remote/object-store/non-file scan (a real cluster scan is
     already wide; caller skips the spread)."""
     try:
         files = df.inputFiles()
@@ -114,6 +127,13 @@ def _est_scan_tasks(df: DataFrame) -> int | None:
         # stat, but the old partition-count probe is cheap here (a
         # LocalRelation plan compiles trivially) and without it narrow
         # in-memory corpora silently lose the spread (round 13 ADVICE)
+        if logical is None:
+            try:
+                logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+            except Exception:  # pragma: no cover - defensive
+                return None
+        if not _LOCAL_REL_RE.search(logical):
+            return None
         try:
             return df.rdd.getNumPartitions()
         except Exception:  # pragma: no cover - defensive
@@ -160,7 +180,7 @@ def _spread_narrow_scan(df: DataFrame) -> DataFrame:
         logical = ""
     if _WIDTH_SET_RE.search(logical):
         return df
-    est = _est_scan_tasks(df)
+    est = _est_scan_tasks(df, logical or None)
     sc = df.sparkSession.sparkContext
     if est is not None and est < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
@@ -783,7 +803,19 @@ def _source_snapshot(df: DataFrame) -> list[tuple[str, int, int]] | None:
     via the Hadoop FileSystem API (any scheme the session can read).
     None = file-less source (in-memory datatable/createDataFrame) or a
     listing failure — callers skip the snapshot check (the id guard and
-    the strict flag still apply)."""
+    the strict flag still apply).
+
+    Granularity caveat (round 14 ADVICE): mtime is FileStatus precision
+    — milliseconds on HDFS/local, but only seconds on some object-store
+    schemes — so a same-size rewrite landing inside one mtime tick (or a
+    deliberate `touch -r`) escapes this diff AND the id checksum; the
+    opt-in KQL_ENGINE_INDEX_STRICT=1 content checksum is the guard for
+    that class. Folding FileSystem.getFileChecksum into the snapshot was
+    considered and REJECTED: this snapshot runs per index-served query,
+    and getFileChecksum is a data-path operation (HDFS fetches per-block
+    checksums from datanodes; LocalFileSystem reads .crc sidecars that a
+    surgical edit leaves stale anyway) — O(corpus blocks) per query is
+    exactly what the staleness guards exist to avoid."""
     try:
         files = sorted(df.inputFiles())
     except Exception:  # pragma: no cover - defensive

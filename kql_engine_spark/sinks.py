@@ -48,6 +48,21 @@ def write_parquet(
     return path
 
 
+def _looks_like_orphan_table(fs, loc) -> bool:
+    """Only delete directories that look like an abandoned saveAsTable
+    parquet output — part files / _SUCCESS present (or empty), and NO
+    index-store subdirectories. Round 14 (ADVICE): the cleanup used to
+    remove ANY directory sharing the table's name, which could destroy
+    an index store a user keeps under the warehouse (e.g. a
+    minhash_index_build at {warehouse}/{name}/sigs|meta)."""
+    names = [st.getPath().getName() for st in fs.listStatus(loc)]
+    if any(n in ("meta", "sigs", "codes") for n in names):
+        return False
+    if not names:  # an empty leftover still blocks CREATE — clear it
+        return True
+    return any(n == "_SUCCESS" or n.startswith("part-") for n in names)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -78,9 +93,18 @@ def write_bucketed(
         try:
             jvm = spark._jvm  # noqa: SLF001
             wh = spark.conf.get("spark.sql.warehouse.dir")
-            loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+            # warehouse layout: default-db tables live at wh/tbl, other
+            # dbs at wh/<db>.db/tbl (round 14 ADVICE: the cleanup used
+            # to string-join "wh/db.tbl", the wrong path)
+            parts = table.lower().split(".")
+            if len(parts) == 2 and parts[0] != "default":
+                loc = jvm.org.apache.hadoop.fs.Path(
+                    wh, parts[0] + ".db/" + parts[1]
+                )
+            else:
+                loc = jvm.org.apache.hadoop.fs.Path(wh, parts[-1])
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-            if fs.exists(loc):
+            if fs.exists(loc) and _looks_like_orphan_table(fs, loc):
                 fs.delete(loc, True)
         except Exception:  # pragma: no cover - defensive
             pass

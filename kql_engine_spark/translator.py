@@ -3441,6 +3441,90 @@ def _adapt_scan_split(spark: SparkSession, total_bytes: int | None) -> None:
     except Exception:  # pragma: no cover — perf-only, never break a query
         pass
 
+
+# Round 14 (ADVICE): _adapt_scan_split mutates a SESSION conf, but kql()
+# returns LAZY DataFrames — translating a small query after a big one and
+# then executing the big DataFrame used to run it at the small query's
+# split target (the 42% over-split regression class BASELINE.md round 12
+# documents, now reachable only through deferred actions). Spark offers
+# no per-plan split knob (maxPartitionBytes is not a read option, and a
+# cloned session's conf is ignored once the plan has operators above the
+# scan — both measured), so the fix is to pin the target to the RETURNED
+# DataFrame: kql() wraps its result in a subclass whose action methods
+# re-apply the query's own recorded split input (through the normal
+# _adapt_scan_split ceiling logic) immediately before delegating.
+# Actions on DERIVED frames (result.filter(...).collect()) fall back to
+# the last-applied target — exactly the pre-round-14 behavior — and
+# concurrent actions from multiple threads still race on the session
+# conf (perf-only; results are never wrong).
+_PINNED_ACTIONS = (
+    "collect", "count", "show", "toPandas", "toArrow", "toLocalIterator",
+    "foreach", "foreachPartition", "head", "take", "tail", "first",
+    "isEmpty", "checkpoint", "localCheckpoint", "persist", "cache",
+    "summary", "describe", "toJSON", "writeTo", "explain",
+)
+_PINNED_CLS: dict[type, type] = {}
+
+
+def _build_pinned_cls(base: type) -> type:
+    import functools
+
+    def _reapply(self) -> None:
+        _adapt_scan_split(self.sparkSession, self._kql_split_input)
+
+    def _wrap(fn):
+        @functools.wraps(fn)
+        def method(self, *a, **kw):
+            _reapply(self)
+            return fn(self, *a, **kw)
+
+        return method
+
+    ns: dict = {"_kql_split_input": None}
+    for name in _PINNED_ACTIONS:
+        fn = getattr(base, name, None)
+        if callable(fn):
+            ns[name] = _wrap(fn)
+    # `write` (property) and `rdd` (cached_property) need descriptor
+    # delegation rather than a plain function wrap
+    for name in ("write", "rdd"):
+        desc = None
+        for k in base.__mro__:
+            if name in k.__dict__:
+                desc = k.__dict__[name]
+                break
+        if desc is None:  # pragma: no cover - defensive
+            continue
+
+        def getter(self, _desc=desc, _base=base):
+            _reapply(self)
+            return _desc.__get__(self, _base)
+
+        ns[name] = property(getter)
+    return type("KqlSplitPinnedDataFrame", (base,), ns)
+
+
+def _pin_split_on_actions(df: DataFrame, split_input) -> DataFrame:
+    """Return `df` re-wrapped so its actions first re-apply this query's
+    scan-split target (see the block comment above). Streaming frames
+    pass through (their actions go via writeStream, and the split lever
+    never applies to them)."""
+    try:
+        if df.isStreaming:
+            return df
+        base = type(df)
+        if getattr(base, "_kql_split_input", False) is not False:
+            base = base.__mro__[1]  # never stack pins on a pinned frame
+        cls = _PINNED_CLS.get(base)
+        if cls is None:
+            cls = _build_pinned_cls(base)
+            _PINNED_CLS[base] = cls
+        out = cls(df._jdf, df.sparkSession)  # noqa: SLF001
+        out._kql_split_input = split_input
+        return out
+    except Exception:  # pragma: no cover — perf-only, never break a query
+        return df
+
 # Volatility is decided on the PARSED AST, not by substring sniffing (round-5
 # fix: a `sample_rate` column used to defeat caching, and `"now("` inside a
 # string literal used to false-positive). A plan is volatile — translated
@@ -4077,6 +4161,11 @@ def kql(
         raise KqlSemanticError(
             "semantic error: " + msg.split(";")[0].strip() + tag
         ) from exc
+    # pin this query's scan-split target to the returned frame so
+    # DEFERRED actions re-apply it (round 14 ADVICE — see
+    # _pin_split_on_actions); cached plans are stored pinned, so a cache
+    # hit keeps its own target across any interleaving
+    out = _pin_split_on_actions(out, _LAST_SPLIT_INPUT.get(spark))
     if plan_key is not None and not _plan_is_volatile(q):
         plans = _PLAN_CACHE.setdefault(spark, {})
         if len(plans) >= _PLAN_CACHE_CAP:

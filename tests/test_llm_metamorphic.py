@@ -1052,6 +1052,10 @@ def test_est_scan_tasks_probe(spark, run_kql):
     local = spark.createDataFrame([(1, "x")], "id long, text string")
     est_local = _est_scan_tasks(local)
     assert est_local is not None and est_local >= 1
+    # round 14 (ADVICE): the fallback fires ONLY for LocalRelation plans —
+    # other file-less relations (JDBC, Range, ...) must return None, not
+    # recompile a remote scan that is already wide
+    assert _est_scan_tasks(spark.range(5)) is None
 
 
 def test_width_set_re_round13_classes(spark):

@@ -872,3 +872,75 @@ def test_adaptive_scan_split_reapplied_on_cache_hit(spark):
     kql(spark, qb, sf_dir=SF_DIR)  # cache hit
     assert conf() == str(1 << 20)
     kql(spark, qa, sf_dir=SF_DIR)  # restore for later tests
+
+
+def test_split_target_pinned_to_deferred_actions(spark):
+    # round 14 (ADVICE): kql() returns LAZY DataFrames — an action on a
+    # frame translated EARLIER must run under its own recorded split
+    # target, not whatever the latest translation set. kql() pins the
+    # target to the returned frame's action methods.
+    import uuid
+
+    from kql_engine_spark.translator import kql
+    from tests.conftest import SF_DIR
+
+    conf = lambda: spark.conf.get("spark.sql.files.maxPartitionBytes")  # noqa: E731
+    tag = uuid.uuid4().hex[:8]
+    big = kql(spark, f"print deferred_{tag} = 1", sf_dir=SF_DIR)  # unsized
+    ceiling = conf()
+    small = kql(spark, f"region | count\n// d_{tag}", sf_dir=SF_DIR)
+    assert conf() == str(1 << 20)  # the small query lowered the session conf
+    # executing the EARLIER frame re-applies ITS own target first
+    assert big.collect()[0][0] == 1
+    assert conf() == ceiling
+    assert small.collect()[0][0] > 0
+    assert conf() == str(1 << 20)
+    # property-shaped actions (.rdd, .write) go through the pin too
+    big.rdd
+    assert conf() == ceiling
+    small.count()
+    assert conf() == str(1 << 20)
+    assert len(big.take(1)) == 1
+    assert conf() == ceiling
+    kql(spark, f"print restore_{tag} = 1", sf_dir=SF_DIR)
+
+
+def test_write_bucketed_never_deletes_index_stores(spark, tmp_path):
+    # round 14 (ADVICE): the orphan-directory cleanup used to delete ANY
+    # warehouse directory sharing the table's name — including an index
+    # store kept under the warehouse. Now only directories that look
+    # like abandoned saveAsTable parquet output are cleared.
+    import os
+    import uuid
+
+    from kql_engine_spark import sinks
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    name = f"idxstore_{uuid.uuid4().hex[:8]}"
+    store = os.path.join(wh, name)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    df.write.parquet(store + "/sigs")
+    df.write.parquet(store + "/meta")
+    try:
+        try:
+            sinks.write_bucketed(df, name, 2, "k")
+            raised = False
+        except Exception:
+            raised = True
+        # whether or not saveAsTable refused the occupied location, the
+        # store's contents must survive
+        assert os.path.exists(store + "/sigs") and os.path.exists(store + "/meta")
+        assert raised  # the location was occupied by a non-table
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+    # a genuine orphan (part files, no catalog entry) is still cleared
+    orphan = f"orphan_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(os.path.join(wh, orphan))  # parquet output shape
+    sinks.write_bucketed(df, orphan, 2, "k")
+    try:
+        assert spark.table(orphan).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {orphan}")
