@@ -97,3 +97,53 @@ def materialize_to_parquet(
     if catalog is not None and name:
         catalog.register_matview(name, path)
     return path
+
+
+def foreach_batch_kql(
+    sdf: DataFrame,
+    text: str,
+    out_path: str,
+    checkpoint: str,
+    table: str = "batch",
+    timeout: int = 120,
+) -> str:
+    """The streaming recipe for BATCH-ONLY operators (round 14, SURVEY
+    §2.11/§2.12): dedup_against, decontaminate('path') and the index
+    builders correctly raise typed errors on streaming inputs — their
+    signature stages need a batch snapshot. The operational shape they
+    exist for is the incremental crawl: dedupe each incoming MICRO-BATCH
+    against a PERSISTED reference store (minhash_index_build over the
+    existing training set), appending the survivors. This helper runs an
+    arbitrary KQL pipeline over every micro-batch, bound as a batch
+    table named ``table``::
+
+        foreach_batch_kql(stream,
+            "batch | evaluate dedup_against(text, doc_id, "
+            "'/stores/train_mh', 0.8)", out_dir, ckpt_dir)
+
+    Scale: only the micro-batch is shingled per trigger — the reference
+    store is served lazily (band values plus the candidate fraction's
+    gram arrays move, never the reference bytes), so per-batch cost is
+    O(batch), not O(reference). Delivery is Structured Streaming's
+    at-least-once for foreachBatch sinks: a retried batch can re-append —
+    pair with dedup_exact downstream (or an idempotent sink) where
+    retries matter. Processes all currently-available input
+    (availableNow) and stops; re-run to drain new arrivals."""
+    from .translator import kql as _kql  # local import: translator is heavy
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cat = Catalog(batch_df.sparkSession)
+        cat.register(table, batch_df)
+        _kql(batch_df.sparkSession, text, catalog=cat).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        sdf.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return out_path
