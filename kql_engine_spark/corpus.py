@@ -4220,6 +4220,32 @@ q(
 )
 
 q(
+    "llm_index_stats_persisted",
+    # round 14: index_stats over a freshly built shared minhash store.
+    # The oracle pins the CONTRACT, not the store files: rows/data_rows/
+    # rows_total all equal count(documents) for a healthy build, the
+    # 0.8-threshold band shape is 20x4 by design (_minhash_shape), the
+    # kernel shingle width is 3, ngram_n echoes the build argument, and
+    # a committed build leaves no in-progress marker. A torn or
+    # mid-write store would hash-mismatch here instead of serving.
+    """let built = toscalar(documents
+        | evaluate minhash_index_build(text, doc_id, '/root/repo/spark-warehouse/mh_idx_stats', 0.8, 5)
+        | project rows);
+    print ok = 1
+    | extend built_rows = tolong(built)
+    | evaluate index_stats('/root/repo/spark-warehouse/mh_idx_stats')
+    | project kind, rows, data_rows, rows_total, n_bands, rows_per_band,
+              shingle_k, ngram_n, in_progress""",
+    """SELECT 'minhash' AS kind,
+              CAST(COUNT(*) AS BIGINT) AS rows,
+              CAST(COUNT(*) AS BIGINT) AS data_rows,
+              CAST(COUNT(*) AS BIGINT) AS rows_total,
+              20 AS n_bands, 4 AS rows_per_band, 3 AS shingle_k,
+              5 AS ngram_n, FALSE AS in_progress
+       FROM documents""",
+)
+
+q(
     "llm_dedup_lines",
     # corpus-wide C4-rule line dedup: the first occurrence (smallest
     # (id, pos)) of each repeated line survives, later ones are deleted

@@ -2296,6 +2296,83 @@ def _minhash_index_update(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+@plugin("index_stats")
+def _index_stats(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate index_stats('path')` — one-row health/telemetry
+    summary of a persisted index store (round 14), for BOTH layouts
+    (ann_index_build: codes/+meta/; minhash_index_build: sigs/+meta/).
+    Unlike the serving paths this never raises for an unhealthy store —
+    it REPORTS: `in_progress` mirrors the write-safety marker, and
+    `data_rows` disagreeing with `rows` means torn, so an operator can
+    monitor stores without tripping the typed guards. ANN drift
+    telemetry surfaces as cdist_mean / cdist_mean_update / drift_ratio
+    (see _mean_centroid_dist — ratio > 1.5 is the documented rebuild
+    threshold). The piped input is ignored (use `print`); cost is one
+    meta read plus a parquet-footer-only count of the data store. Typed
+    error only when the path holds no readable index meta."""
+    what = "index_stats"
+    if len(args) != 1:
+        raise KqlSemanticError(f"{what}('path') takes exactly 1 argument")
+    path = _const_str(args[0], what)
+    spark = df.sparkSession
+    ptr._scan_unknown = True  # store reads are unsized scans
+    try:
+        meta = spark.read.parquet(path + "/meta").collect()[0]
+    except Exception as exc:
+        raise KqlSemanticError(
+            f"{what}: cannot read index meta at '{path}/meta' — not an "
+            "ann_index_build / minhash_index_build store"
+        ) from exc
+    fields = set(meta.__fields__)
+    kind = (
+        "ann" if "nlist" in fields
+        else "minhash" if "n_bands" in fields
+        else None
+    )
+    if kind is None:
+        raise KqlSemanticError(
+            f"{what}: meta at '{path}/meta' has neither an ANN nor a "
+            "minhash layout"
+        )
+    try:
+        data_rows = spark.read.parquet(
+            path + ("/codes" if kind == "ann" else "/sigs")
+        ).count()
+    except Exception:
+        data_rows = None  # data store unreadable: reported, not raised
+    try:
+        fs, p = _marker_fs_path(spark, path)
+        in_prog = bool(fs.exists(p))
+    except Exception:  # pragma: no cover - defensive
+        in_prog = None
+    g = lambda n: _meta_get(meta, n)  # noqa: E731
+    cm, cu = g("cdist_mean"), g("cdist_mean_update")
+    drift = (
+        float(cu) / float(cm)
+        if cm is not None and cu is not None and float(cm) > 0
+        else None
+    )
+    row = (
+        kind, g("rows"), data_rows, g("rows_total"),
+        g("nlist"), g("m"), g("dim"),
+        g("n_bands"), g("rows_per_band"), g("shingle_k"), g("ngram_n"),
+        (float(cm) if cm is not None else None),
+        (float(cu) if cu is not None else None), drift,
+        (len(g("src_files") or []) if "src_files" in fields else None),
+        in_prog,
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "kind string, rows bigint, data_rows bigint, rows_total bigint, "
+            "nlist int, m int, dim int, n_bands int, rows_per_band int, "
+            "shingle_k int, ngram_n int, cdist_mean double, "
+            "cdist_mean_update double, drift_ratio double, src_files int, "
+            "in_progress boolean"
+        ),
+    )
+
+
 @plugin("dedup_near")
 def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate

@@ -3560,6 +3560,9 @@ _VOLATILE_PLUGINS = frozenset(
         # cached plan would return the OLD data without rewriting (r12/r13)
         "ann_index_build", "minhash_index_build", "sink_bucketed",
         "ann_index_update", "minhash_index_update",
+        # reads store state at translate time: a cached plan would freeze
+        # a health snapshot (round 14)
+        "index_stats",
     }
 )
 

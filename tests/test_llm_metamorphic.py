@@ -1863,3 +1863,96 @@ def test_ann_update_drift_telemetry(spark, tmp_path):
     # ... planted drift lands far from every centroid and the stat shows it
     assert drifted["cdist_mean_update"] > 3 * max(drifted["cdist_mean"], 1e-9)
     assert drifted["cdist_mean_update"] > 3 * max(same["cdist_mean_update"], 1e-9)
+
+
+def test_index_stats_reports_health_without_raising(spark, tmp_path):
+    # round 14: index_stats is the monitoring counterpart of the typed
+    # guards — it REPORTS marker/torn state instead of raising, and
+    # surfaces the ANN drift telemetry as drift_ratio.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    docs = [(i, f"stats doc {i} kappa lambda mu") for i in range(7)]
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("sdocs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "idx")
+    kql(
+        spark,
+        f"sdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8, 5)",
+        catalog=cat,
+    ).collect()
+    stats = lambda: kql(  # noqa: E731
+        spark, f"print ok=1 | evaluate index_stats('{idx}')", catalog=cat
+    ).collect()[0]
+    r = stats()
+    assert (r.kind, r.rows, r.data_rows, r.rows_total) == ("minhash", 7, 7, 7)
+    assert (r.n_bands, r.rows_per_band, r.shingle_k, r.ngram_n) == (20, 4, 3, 5)
+    assert r.in_progress is False and r.src_files == 1
+    assert r.nlist is None and r.drift_ratio is None
+    # marker present -> reported, not raised
+    (tmp_path / "idx" / ".kql-inprogress").write_text("")
+    assert stats().in_progress is True
+    (tmp_path / "idx" / ".kql-inprogress").unlink()
+    # torn store -> data_rows disagrees with rows, still no raise
+    spark.createDataFrame(
+        [(99, [1], [2])], "__id long, __gh array<bigint>, __bands array<bigint>"
+    ).write.mode("append").parquet(idx + "/sigs")
+    r = stats()
+    assert r.data_rows == 8 and r.rows == 7
+    # not-a-store path is the only typed error
+    with pytest.raises(KqlSemanticError, match="cannot read index meta"):
+        kql(
+            spark,
+            f"print ok=1 | evaluate index_stats('{tmp_path / 'nope'}')",
+            catalog=cat,
+        ).collect()
+
+
+def test_index_stats_ann_drift_ratio(spark, tmp_path):
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    def vec(i, off=0.0):
+        return [off + (i % 5) / 5.0, off + ((i * 7) % 11) / 11.0,
+                off + ((i * 3) % 4) / 4.0, 0.3]
+
+    corpus = str(tmp_path / "v")
+    spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)], "doc_id long, emb array<double>"
+    ).coalesce(1).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("vdocs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "aidx")
+    kql(
+        spark,
+        f"vdocs | evaluate ann_index_build(emb, doc_id, '{idx}', 4, 2)",
+        catalog=cat,
+    ).collect()
+    r = kql(
+        spark, f"print ok=1 | evaluate index_stats('{idx}')", catalog=cat
+    ).collect()[0]
+    assert r.kind == "ann" and (r.nlist, r.m, r.dim) == (4, 2, 4)
+    assert r.cdist_mean is not None and r.cdist_mean_update is None
+    assert r.n_bands is None
+    # drifted update -> drift_ratio appears and exceeds the 1.5 threshold
+    spark.createDataFrame(
+        [(100 + i, vec(i, off=40.0)) for i in range(15)],
+        "doc_id long, emb array<double>",
+    ).coalesce(1).write.mode("append").parquet(corpus)
+    cat.register("vdocs", spark.read.parquet(corpus))
+    kql(
+        spark,
+        f"vdocs | evaluate ann_index_update(emb, doc_id, '{idx}')",
+        catalog=cat,
+    ).collect()
+    r = kql(
+        spark, f"print ok=1 | evaluate index_stats('{idx}')", catalog=cat
+    ).collect()[0]
+    assert r.cdist_mean_update is not None and r.drift_ratio > 1.5
