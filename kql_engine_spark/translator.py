@@ -3521,6 +3521,12 @@ def _pin_split_on_actions(df: DataFrame, split_input) -> DataFrame:
             _PINNED_CLS[base] = cls
         out = cls(df._jdf, df.sparkSession)  # noqa: SLF001
         out._kql_split_input = split_input
+        # engine-attached python-side attributes (e.g. t_render's
+        # _kql_render metadata) live on the OLD wrapper object — carry
+        # them over or `render` loses its chart spec
+        for k, v in df.__dict__.items():
+            if k.startswith("_kql") and k != "_kql_split_input":
+                setattr(out, k, v)
         return out
     except Exception:  # pragma: no cover — perf-only, never break a query
         return df
