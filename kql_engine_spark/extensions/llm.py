@@ -1004,8 +1004,17 @@ def _store_begin(spark, path: str, what: str) -> None:
 
 
 def _store_commit(spark, path: str) -> None:
-    fs, p = _marker_fs_path(spark, path)
-    fs.delete(p, False)
+    try:
+        fs, p = _marker_fs_path(spark, path)
+        fs.delete(p, False)
+    except Exception as exc:
+        # the write itself succeeded; surface WHY the store will look
+        # in-progress instead of a raw py4j error
+        raise KqlSemanticError(
+            f"cannot remove the in-progress marker under '{path}' — the "
+            "store is written but will fail typed until the marker is "
+            "cleared (or the index rebuilt)"
+        ) from exc
 
 
 def _store_check(spark, path: str, what: str) -> None:
@@ -1022,10 +1031,22 @@ def _store_check(spark, path: str, what: str) -> None:
         )
 
 
+# stores verified once per (path, meta version) per session: the count
+# check is O(store footers), and a store is immutable while its meta is
+# unchanged (every writer rewrites meta last), so re-counting per query
+# would put an O(files) job on the 100 TB serve path for nothing
+_COUNT_OK: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _store_count_check(spark, path: str, sub: str, meta, what: str) -> None:
     """Verify the data store's row count against meta (parquet footer
     metadata only — count(*) reads no data pages). Catches torn or
-    double-appended stores independently of the marker."""
+    double-appended stores independently of the marker. Memoized per
+    (path, meta rows/id_chk) per session — see _COUNT_OK."""
+    key = (path, sub, int(meta["rows"]), int(_meta_get(meta, "id_chk") or 0))
+    seen = _COUNT_OK.setdefault(spark, set())
+    if key in seen:
+        return
     try:
         n = spark.read.parquet(path + "/" + sub).count()
     except Exception as exc:
@@ -1039,6 +1060,9 @@ def _store_count_check(spark, path: str, sub: str, meta, what: str) -> None:
             f"but meta records {int(meta['rows'])} (an interrupted build/"
             "update); rebuild the index"
         )
+    if len(seen) >= 4096:  # pragma: no cover - bound the memo
+        seen.clear()
+    seen.add(key)
 
 
 _DRIFT_SAMPLE_CAP = 8192

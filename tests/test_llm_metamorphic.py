@@ -1805,10 +1805,18 @@ def test_ann_store_marker_and_torn_codes_fail_typed(spark, tmp_path):
         ).collect()
     (tmp_path / "aidx" / ".kql-inprogress").unlink()
     assert len(kql(spark, query, catalog=cat).collect()) == 3
-    # file surgery: a stray code row under an unchanged meta is torn
+    # file surgery: a stray code row under an unchanged meta is torn.
+    # The count check is memoized per (path, meta version) per session —
+    # out-of-band surgery under an UNCHANGED meta is invisible to a
+    # session that already verified the store (the marker covers every
+    # crash path; the memo keeps O(files) counts off the serve path) —
+    # so reset the memo to model a fresh session.
+    from kql_engine_spark.extensions.llm import _COUNT_OK
+
     spark.createDataFrame(
         [(999, 0, bytes([1, 2]))], "__pqid long, __cluster int, __code binary"
     ).write.mode("append").partitionBy("__cluster").parquet(idx + "/codes")
+    _COUNT_OK.pop(spark, None)
     with pytest.raises(KqlSemanticError, match="torn"):
         kql(spark, query, catalog=cat).collect()
 
