@@ -1763,6 +1763,16 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
     thr = _const_float(args[2], "dedup_embedding") if len(args) > 2 else 0.95
 
     feat, usable = _unit_norm_feat(df, emb, idc)
+    # identical-vector collapse before the LSH band join (round 14 —
+    # dedup_near's exact-dup rationale): equal unit vectors are cosine
+    # 1.0, a duplicate at any threshold <= 1, so one min-id
+    # representative per distinct vector carries its whole group and the
+    # band self-join never sees an identical-embedding clique's K^2
+    # pairs. Results are bit-identical.
+    if thr <= 1.0:
+        feat = feat.groupBy("__u").agg(F.min("__id").alias("__id")).select(
+            "__id", "__u"
+        )
     edges = _cosine_lsh_pairs(feat, thr).select("src", "dst")
     keep = _min_id_components(feat.select(F.col("__id").alias("node")), edges)
     vectorless = df.filter(~F.coalesce(usable, F.lit(False))).select(
@@ -2417,7 +2427,10 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
 
     Scale: banding keys the shuffle (never all-pairs); propagation rounds
     are bounded (near-dup clusters have tiny diameter); every step is a
-    DataFrame op — no driver-side state.
+    DataFrame op — no driver-side state. Round 14: exact-duplicate
+    groups (equal shingle sets) collapse to their min-id representative
+    BEFORE banding, killing LSH's quadratic pair blowup on identical
+    boilerplate — see the inline comment; results are bit-identical.
 
     Optional 4th argument (round 12): a constant string path to a
     PREBUILT signature table written by minhash_index_build — skips the
@@ -2460,9 +2473,32 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
                 F.col("__f.gh").alias("__gh"),
                 F.col("__f.bands").alias("__bands"),
             )
-            .localCheckpoint(eager=True)  # feeds the band join + two verify joins
         )
-    banded = work.select(
+    # Round 14 — EXACT-duplicate collapse before banding. Equal shingle
+    # SETS (gh equality; bands are a pure function of gh) mean Jaccard
+    # 1.0: every member of an exact-dup group is a near-dup of its group
+    # min at any threshold, so banding/verify/components only need ONE
+    # representative per distinct gh. This removes LSH's quadratic
+    # hazard for the dominant duplicate class of crawl corpora
+    # (identical boilerplate): a K-way exact clique used to emit
+    # n_bands*K^2/2 band pairs — on sf10 documents (500k docs, 4,992
+    # distinct texts) 540M candidate pairs and a >14-minute run; the
+    # collapsed plan emits 4.2k pairs. Semantics are preserved exactly:
+    # the representative is the group MIN id, so the component canonical
+    # (min over the whole component) is unchanged, and a non-rep member
+    # can never be canonical (its group rep is a strictly smaller dup).
+    # Guarded on thr <= 1: above 1 NOTHING matches (Jaccard maxes at 1),
+    # including exact duplicates, so the collapse must not merge them.
+    if thr <= 1.0:
+        reps = (
+            work.groupBy("__gh")
+            .agg(F.min("__id").alias("__id"), F.first("__bands").alias("__bands"))
+            .select("__id", "__gh", "__bands")
+            .localCheckpoint(eager=True)  # feeds band join + 2 verify joins + nodes
+        )
+    else:  # degenerate threshold: keep the raw per-doc rows
+        reps = work.localCheckpoint(eager=True)
+    banded = reps.select(
         "__id", F.posexplode(F.col("__bands")).alias("b", "v")
     )
     cand = (
@@ -2472,8 +2508,8 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
         .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
         .distinct()
     )
-    gl = work.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
-    gr = work.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
+    gl = reps.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
+    gr = reps.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
     inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
     union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
     edges = (
@@ -2482,7 +2518,7 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
         .filter((inter / union_) >= F.lit(thr))
         .select("src", "dst")
     )
-    keep = _min_id_components(work.select(F.col("__id").alias("node")), edges)
+    keep = _min_id_components(reps.select(F.col("__id").alias("node")), edges)
     return df.join(keep, df[idc] == keep["node"], "left_semi")
 
 
@@ -2598,18 +2634,35 @@ def _dedup_against(ptr, df: DataFrame, args) -> DataFrame:
             F.col("__f.gh").alias("__gh"),
             F.col("__f.bands").alias("__bands"),
         )
-        .localCheckpoint(eager=True)  # feeds the band join + the verify join
+        .localCheckpoint(eager=True)  # feeds the collapse + the final expand
     )
+    # Round 14 — exact-duplicate collapse of the INPUT side (dedup_near's
+    # rationale): identical batch texts share one banding/verify pass and
+    # a matched group expands back to ALL its ids afterwards (identical
+    # text => identical match outcome). The REFERENCE side is NOT
+    # collapsed: it is never self-joined (the quadratic hazard does not
+    # exist there) and a collapse would add a full shuffle of the 100 TB
+    # store's gram arrays; ref-clique cost is linear per matching input
+    # text, which banding already bounds. Guarded on thr <= 1 (above 1
+    # nothing matches, exact duplicates included).
+    if thr <= 1.0:
+        igroups = (
+            inp.groupBy("__gh")
+            .agg(F.min("__id").alias("__id"), F.first("__bands").alias("__bands"))
+            .localCheckpoint(eager=True)  # feeds band join + verify + expand
+        )
+    else:  # degenerate threshold: per-doc rows, expansion is identity
+        igroups = inp
     # band rows carry only (id, band, value) — gram arrays are fetched
     # back for the tiny candidate fraction via id-joins (dedup_near's
     # round-6 shape; shipping the ref gram array once per band row would
     # duplicate the 100 TB reference 20-30x through the shuffle)
-    ibands = inp.select("__id", F.posexplode(F.col("__bands")).alias("b", "v"))
+    ibands = igroups.select("__id", F.posexplode(F.col("__bands")).alias("b", "v"))
     rbands = ref_sigs.select(
         F.col("__id").alias("__rid"), F.posexplode(F.col("__bands")).alias("b", "v")
     )
     cand = ibands.join(rbands, ["b", "v"]).select("__id", "__rid").distinct()
-    gl = inp.select("__id", F.col("__gh").alias("__gl"))
+    gl = igroups.select("__id", F.col("__gh").alias("__gl"))
     gr = ref_sigs.select(F.col("__id").alias("__rid"), F.col("__gh").alias("__gr"))
     inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
     union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
@@ -2620,7 +2673,9 @@ def _dedup_against(ptr, df: DataFrame, args) -> DataFrame:
         .select("__id")
         .distinct()
     )
-    return df.join(hits, df[idc] == hits["__id"], "left_anti")
+    hit_gh = igroups.join(hits, "__id", "left_semi").select("__gh")
+    bad = inp.join(hit_gh, "__gh", "left_semi").select("__id")
+    return df.join(bad, df[idc] == bad["__id"], "left_anti")
 
 
 @plugin("dedup_simhash")
@@ -2696,7 +2751,17 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
         )
         .withColumn("__sim", sim)
         .select("__id", "__sim")
-        .localCheckpoint(eager=True)  # 64-agg expression tree: compute once
+    )
+    # identical-simhash collapse before banding (round 14 — dedup_near's
+    # exact-dup rationale): equal __sim is hamming 0, a duplicate at any
+    # radius, so one min-id representative per value carries its group;
+    # the banded self-join then never sees the K^2 pairs of an identical-
+    # text clique. Results are bit-identical.
+    work = (
+        work.groupBy("__sim")
+        .agg(F.min("__id").alias("__id"))
+        .select("__id", "__sim")
+        .localCheckpoint(eager=True)  # feeds the band join + nodes
     )
     # tokenless docs (null/empty/whitespace text) are trivially their own
     # canonical documents — they must survive the final left_semi
@@ -2994,7 +3059,16 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         .filter(F.coalesce(F.length("__s") > 0, F.lit(False)))
         .withColumn("__f", feat(F.col("__s")))
         .select("__id", F.col("__f.gh").alias("__gh"), F.col("__f.bands").alias("__bands"))
-        .localCheckpoint(eager=True)  # feeds the band join + two verify joins
+    )
+    # exact-duplicate collapse before banding (round 14 — see dedup_near:
+    # equal gram sets are Jaccard 1.0, so one min-id representative per
+    # distinct gh carries its whole group; results are bit-identical and
+    # LSH's quadratic blowup on identical boilerplate is gone)
+    reps = (
+        work.groupBy("__gh")
+        .agg(F.min("__id").alias("__id"), F.first("__bands").alias("__bands"))
+        .select("__id", "__gh", "__bands")
+        .localCheckpoint(eager=True)  # feeds band join + 2 verify joins + nodes
     )
     empties = df.filter(~F.coalesce(F.length(s) > 0, F.lit(False))).select(
         F.col(idc).alias("node")
@@ -3002,7 +3076,7 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
     # band rows carry ONLY (id, band, value): candidates are a tiny
     # fraction of band rows, so fetching gram hashes back via two id-joins
     # is far cheaper than exploding the arrays through the self-join
-    banded = work.select(
+    banded = reps.select(
         "__id", F.posexplode(F.col("__bands")).alias("b", "v")
     )
     cand = (
@@ -3012,8 +3086,8 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
         .distinct()
     )
-    gl = work.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
-    gr = work.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
+    gl = reps.select(F.col("__id").alias("src"), F.col("__gh").alias("__gl"))
+    gr = reps.select(F.col("__id").alias("dst"), F.col("__gh").alias("__gr"))
     inter = F.size(F.array_intersect(F.col("__gl"), F.col("__gr")))
     union_ = F.size(F.array_union(F.col("__gl"), F.col("__gr")))
     pairs = (
@@ -3023,7 +3097,7 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
         .select("src", "dst")
     )
     keep = _min_id_components(
-        work.select(F.col("__id").alias("node")), pairs
+        reps.select(F.col("__id").alias("node")), pairs
     ).union(empties)
     return df.join(keep, df[idc] == keep["node"], "left_semi")
 

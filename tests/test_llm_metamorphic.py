@@ -1964,3 +1964,59 @@ def test_index_stats_ann_drift_ratio(spark, tmp_path):
         spark, f"print ok=1 | evaluate index_stats('{idx}')", catalog=cat
     ).collect()[0]
     assert r.cdist_mean_update is not None and r.drift_ratio > 1.5
+
+
+def test_dedup_exact_clique_collapse_semantics(spark):
+    # round 14: the exact-duplicate collapse (one min-id representative
+    # per identical shingle set / simhash / unit vector, applied BEFORE
+    # the banded self-join) must be invisible in results: a large exact
+    # clique keeps exactly its min id, distinct docs survive, and a
+    # matched dedup_against input group expands back to ALL its ids.
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    rows = [(i, "the exact same boilerplate text appears here") for i in range(500)]
+    rows += [(2000, "totally different one alpha"),
+             (2001, "another unique two beta")]
+    cat.register("clq", spark.createDataFrame(rows, "doc_id long, text string"))
+    for op in ("dedup_near(text, doc_id, 0.8)",
+               "dedup_jaccard(text, doc_id, 0.8)",
+               "dedup_simhash(text, doc_id, 3)"):
+        ids = sorted(
+            r.doc_id
+            for r in kql(
+                spark, f"clq | evaluate {op} | project doc_id", catalog=cat
+            ).collect()
+        )
+        assert ids == [0, 2000, 2001], (op, ids)
+    # embedding flavor: identical vectors collapse, distinct survive
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    vecs += [(500, [0.0, 1.0, 0.0, 0.0]), (501, [0.0, 0.0, 1.0, 0.0])]
+    cat.register("vclq", spark.createDataFrame(vecs, "vec_id long, emb array<double>"))
+    ids = sorted(
+        r.vec_id
+        for r in kql(
+            spark,
+            "vclq | evaluate dedup_embedding(emb, vec_id, 0.95) | project vec_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert ids == [0, 500, 501], ids
+    # dedup_against: every member of a matched input group drops
+    cat.register("refc", spark.createDataFrame(
+        [(i, f"ref text number {i} aa bb cc") for i in range(5)],
+        "doc_id long, text string"))
+    cat.register("inpc", spark.createDataFrame(
+        [(100 + i, "ref text number 2 aa bb cc") for i in range(60)]
+        + [(900, "fresh xx yy zz")], "doc_id long, text string"))
+    ids = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            "inpc | evaluate dedup_against(text, doc_id, refc, text, 0.8)"
+            " | project doc_id",
+            catalog=cat,
+        ).collect()
+    )
+    assert ids == [900], ids
