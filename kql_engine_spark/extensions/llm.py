@@ -3173,85 +3173,115 @@ def _quality_filter(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
-def _dup_run_stats(arr: Column, elem_len=None, presorted: bool = False) -> Column:
-    """One sorted pass over an array — run-length stats per distinct
-    element, all JVM-side (array_sort + aggregate, no shuffle, no UDF):
+def _repetition_metrics_udf():
+    """Arrow-batched kernel computing ALL of repetition_filter's raw
+    (unrounded) fractions in one pass per document (round 14). The
+    round-5 pure-column formulation ("no UDF") was measured at ~33 ms
+    per 300-char document at sf10 — the 200+-node expression tree of
+    staged arrays exceeds what whole-stage codegen will compile, so
+    every higher-order function ran INTERPRETED, and 500k docs needed
+    >8 minutes of CPU. One python pass per row is ~50 us (650x): for
+    300-char docs the constant factors of the interpreted expression
+    interpreter dominate the actual work by orders of magnitude.
 
-      top_count    occurrences of the most frequent element
-      top_score    top_count * len(that element); ties on count keep the
-                   larger score, then the first element in sort order
-      extra_items  occurrences beyond each element's first (total - distinct)
-      extra_chars  len-weighted extra_items
-      dup_chars    len-weighted ALL occurrences of elements seen > once
+    Semantics are the certified ones, bit-for-bit (the DuckDB twin
+    `llm_repetition_filter` and the regression pins re-pass):
+      * trim = 0x20-strip (Spark trim), tokens = ASCII-\s+ split of the
+        lowercased text with empties dropped (the shared _tokens rule),
+        lines = trimmed non-empty \n splits, paragraphs =
+        \n\s*\n blocks;
+      * gram identity is the ACTUAL token n-gram (the round-5 layer
+        compared chained xxhash64 values — the kernel removes that
+        documented negligible-collision delta in the oracle's favor);
+      * gram chars = token lengths + (n-1) joining spaces; top ties on
+        count keep the larger count*len score (order-independent);
+      * rounding/capping stays in the COLUMN layer (F.round/F.least) so
+        Spark's HALF_UP decimal rounding is byte-identical to before.
+    Null text yields all-null metrics (rf_pass coalesces to false)."""
+    key = ("rf_metrics",)
+    if key in _JACCARD_UDF_CACHE:
+        return _JACCARD_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
 
-    Default element model is a string with len = strlen; the hashed-gram
-    path passes struct<h:bigint,l:int> elements with elem_len = e -> e.l
-    (the precomputed char length), so comparisons and lengths are cheap
-    long ops instead of string work.
+    fields = ("dlf", "dlcf", "dpf", "dpcf", "t2", "t3", "t4",
+              "d5", "d6", "d7", "d8", "d9", "d10")
+    schema = "struct<" + ",".join(f"{f}:double" for f in fields) + ">"
 
-    Perf shape (Spark interprets higher-order functions, so per-element
-    work count is what matters): native array_sort, then ONE cheap
-    neighbor-comparison per element to find run starts, and the heavy
-    accumulator folds only over the DISTINCT runs.
+    @pandas_udf(schema)
+    def metrics(texts):
+        import re
+        from collections import Counter
 
-    CALLER CONTRACT when presorted=True: `arr` must be a plain column
-    reference to an already-sorted array. The run finder indexes the
-    array from inside lambdas, and interpreted HOFs re-evaluate the
-    indexed EXPRESSION per element — a non-trivial expression here turns
-    O(n) into O(n^2); a materialized column access is O(1)."""
-    if elem_len is None:
-        elem_len = F.length
-    S = arr if presorted else F.array_sort(arr)
-    L = F.size(S)
-    # run starts: position 1 plus every neighbor-inequality boundary
-    # (sequence(1, 0) would yield [1, 0], so the L == 0 case is guarded at
-    # the end: every stat is zero on an empty array)
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
-        lambda i: (i == 1)
-        | ~F.element_at(S, i).eqNullSafe(F.element_at(S, i - 1)),
-    )
-    nxt = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(L + 1),
-    )
-    runs = F.zip_with(
-        starts,
-        nxt,
-        lambda a, b: F.struct(
-            (b - a).alias("c"),
-            elem_len(F.element_at(S, a)).cast("double").alias("l"),
-        ),
-    )
-    zero = F.struct(
-        F.lit(0).alias("top_count"),
-        F.lit(0.0).alias("top_score"),
-        F.lit(0).cast("bigint").alias("extra_items"),
-        F.lit(0.0).alias("extra_chars"),
-        F.lit(0.0).alias("dup_chars"),
-    )
+        import pandas as pd
 
-    def fold(acc, r):
-        c, ln = r["c"], r["l"]
-        score = c.cast("double") * ln
-        better = (c > acc["top_count"]) | (
-            (c == acc["top_count"]) & (score > acc["top_score"])
-        )
-        dup = c > 1
-        return F.struct(
-            F.when(better, c).otherwise(acc["top_count"]).alias("top_count"),
-            F.when(better, score).otherwise(acc["top_score"]).alias("top_score"),
-            (acc["extra_items"] + F.when(dup, c - 1).otherwise(0).cast("bigint")).alias(
-                "extra_items"
-            ),
-            (
-                acc["extra_chars"]
-                + F.when(dup, (c - 1).cast("double") * ln).otherwise(0.0)
-            ).alias("extra_chars"),
-            (acc["dup_chars"] + F.when(dup, score).otherwise(0.0)).alias("dup_chars"),
-        )
+        ws = re.compile(r"\s+", re.ASCII)
+        para_re = re.compile(r"\n\s*\n", re.ASCII)
+        rows = {f: [] for f in fields}
 
-    return F.when(L > 0, F.aggregate(runs, zero, fold)).otherwise(zero)
+        def elem_stats(parts):
+            vals = [v for v in (p.strip(" ") for p in parts) if v]
+            cnt = Counter(vals)
+            total = float(sum(len(v) * c for v, c in cnt.items()))
+            extra_items = float(len(vals) - len(cnt))
+            extra_chars = float(sum((c - 1) * len(v) for v, c in cnt.items()))
+            return (extra_items / max(len(vals), 1.0),
+                    extra_chars / max(total, 1.0))
+
+        for raw in texts:
+            if raw is None:
+                for f in fields:
+                    rows[f].append(None)
+                continue
+            src = raw.strip(" ")
+            dc = float(max(len(src), 1))
+            dlf, dlcf = elem_stats(src.split("\n"))
+            dpf, dpcf = elem_stats(para_re.split(src))
+            rows["dlf"].append(dlf)
+            rows["dlcf"].append(dlcf)
+            rows["dpf"].append(dpf)
+            rows["dpcf"].append(dpcf)
+            toks = [t for t in ws.split(src.lower()) if t]
+            lens = [len(t) for t in toks]
+            for n in range(2, 11):
+                m = len(toks) - n + 1
+                fname = f"t{n}" if n < 5 else f"d{n}"
+                if m <= 0:
+                    rows[fname].append(0.0)
+                    continue
+                cnt: Counter = Counter()
+                glen: dict = {}
+                cur = sum(lens[:n]) + (n - 1)
+                for i in range(m):
+                    if i:
+                        cur += lens[i + n - 1] - lens[i - 1]
+                    g = tuple(toks[i:i + n])
+                    cnt[g] += 1
+                    glen[g] = cur
+                if n < 5:
+                    top = max(cnt.values())
+                    if top > 1:
+                        score = top * max(glen[g] for g, c in cnt.items()
+                                          if c == top)
+                        rows[fname].append(score / dc)
+                    else:
+                        rows[fname].append(0.0)
+                else:
+                    dup = float(sum(c * glen[g] for g, c in cnt.items()
+                                    if c > 1))
+                    rows[fname].append(dup / dc)
+        return pd.DataFrame(rows)
+
+    # The kernel IS deterministic, but must be DECLARED nondeterministic:
+    # a `where rf_pass` predicate embeds it, and PushDownPredicates would
+    # push that filter (kernel and all) below _spread_narrow_scan's
+    # round-robin exchange — running the expensive per-row work at the
+    # RAW SCAN's width (a compressed 500k-doc file scans as ~4 tasks:
+    # measured 160 s vs 12 s at sf10, purely from lost parallelism).
+    # Nondeterministic expressions are never pushed through an exchange,
+    # so the kernel stays where the plugin staged it — above the spread.
+    metrics = metrics.asNondeterministic()
+    _JACCARD_UDF_CACHE[key] = metrics
+    return metrics
 
 
 @plugin("repetition_filter")
@@ -3278,136 +3308,41 @@ def _repetition_filter(ptr, df: DataFrame, args) -> DataFrame:
     non-empty '\\n' splits, n-grams come from the shared lowercased
     whitespace tokenizer.
 
-    Scale: per-row column arithmetic only — no shuffle, no UDF, no
-    driver state. Grams are incrementally-chained xxhash64/length layers
-    (count*len fractions match the string formulation exactly, modulo a
-    negligible 64-bit collision), each metric one native array_sort plus
-    a boundary-scan over a STAGED column (~2.5 ms/doc measured at sf0.1;
-    Spark interprets higher-order functions, so per-element op count and
-    materialized indexing are what matter)."""
+    Scale (round-14 rewrite): one Arrow-batched kernel computes all 13
+    raw fractions per document (see _repetition_metrics_udf — the
+    round-5 staged-column expression tree was too large for whole-stage
+    codegen and ran interpreted at ~33 ms/doc, >8 CPU-minutes per 500k
+    docs; the kernel is ~650x faster and exact on the oracle identity);
+    rounding, capping and the rf_pass conjunction stay column-side, so
+    certified values are unchanged. No shuffle, no driver state."""
     if len(args) != 1:
         raise KqlSemanticError("repetition_filter(textcol)")
     text = _colname(args[0], "repetition_filter")
-    df = _spread_narrow_scan(df)  # heavy per-row exprs inherit scan width
+    df = _spread_narrow_scan(df)  # heavy per-row kernel inherits scan width
 
-    # Every multi-referenced / lambda-indexed array is STAGED as a real
-    # column: interpreted HOFs re-evaluate indexed expressions per element,
-    # so indexing must always hit a materialized row value (see the
-    # _dup_run_stats caller contract).
-    work = df
-    tmps: list = []
-
-    def stage(name, expr):
-        nonlocal work
-        work = work.withColumn(name, expr)
-        tmps.append(name)
-        return F.col(name)
-
-    src = stage("__rf_src", F.trim(F.col(text).cast("string")))
-    doc_chars = F.greatest(F.length(src), F.lit(1)).cast("double")
-    toks = stage("__rf_toks", _tokens(src))
-
-    def frac(num, den):
-        return F.round(num / F.greatest(den, F.lit(1.0)), 4)
-
-    lines_s = stage(
-        "__rf_lines",
-        F.array_sort(
-            F.filter(
-                F.transform(F.split(src, r"\n"), F.trim), lambda l: F.length(l) > 0
-            )
-        ),
+    work = df.withColumn(
+        "__rf_m", _repetition_metrics_udf()(F.col(text).cast("string"))
     )
-    paras_s = stage(
-        "__rf_paras",
-        F.array_sort(
-            F.filter(
-                F.transform(F.split(src, r"\n\s*\n"), F.trim),
-                lambda p: F.length(p) > 0,
-            )
-        ),
-    )
+    m = F.col("__rf_m")
 
-    def elem_stats(sorted_col, stat_name):
-        s = stage(stat_name, _dup_run_stats(sorted_col, presorted=True))
-        n = F.size(sorted_col).cast("double")
-        chars = F.aggregate(
-            sorted_col, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
-        )
-        return (
-            frac(s["extra_items"].cast("double"), n),
-            frac(s["extra_chars"], chars),
-        )
-
-    line_frac, line_char = elem_stats(lines_s, "__rf_line_st")
-    para_frac, para_char = elem_stats(paras_s, "__rf_para_st")
-
-    # hashed incremental n-grams (perf: per-position array_join string
-    # building costs ~8 ms/doc interpreted; chaining
-    # h_n[i] = xxhash64(h_{n-1}[i], t_hash[i+n-1]) makes each layer one
-    # zip_with of cheap long ops over the previous MATERIALIZED layer).
-    # Char lengths chain the same way (+1 per joining space), so count*len
-    # fractions are EXACTLY the string formulation's values; a 64-bit hash
-    # collision merging two distinct grams is the only (negligible) delta.
-    th = stage("__rf_h1", F.transform(toks, lambda t: F.xxhash64(t)))
-    tl = stage("__rf_l1", F.transform(toks, lambda t: F.length(t)))
-    n_toks = F.size(toks)
-
-    gram_stats = {}
-    hn, ln = th, tl
-    for n in range(2, 11):
-        width = F.greatest(n_toks - F.lit(n - 1), F.lit(0))
-        hn = stage(
-            f"__rf_h{n}",
-            F.zip_with(
-                F.slice(hn, 1, width),
-                F.slice(th, n, width),
-                lambda a, b: F.xxhash64(a, b),
-            ),
-        )
-        ln = stage(
-            f"__rf_l{n}",
-            F.zip_with(
-                F.slice(ln, 1, width),
-                F.slice(tl, n, width),
-                lambda a, b: a + b + 1,
-            ),
-        )
-        g = stage(
-            f"__rf_g{n}",
-            F.array_sort(
-                F.zip_with(
-                    hn, ln, lambda h, l: F.struct(h.alias("h"), l.cast("int").alias("l"))
-                )
-            ),
-        )
-        gram_stats[n] = stage(
-            f"__rf_st{n}",
-            _dup_run_stats(g, elem_len=lambda e: e["l"], presorted=True),
-        )
+    def r4(c):
+        return F.round(c, 4)
 
     out = (
-        work.withColumn("rf_dup_line_frac", line_frac)
-        .withColumn("rf_dup_line_char_frac", line_char)
-        .withColumn("rf_dup_para_frac", para_frac)
-        .withColumn("rf_dup_para_char_frac", para_char)
+        work.withColumn("rf_dup_line_frac", r4(m["dlf"]))
+        .withColumn("rf_dup_line_char_frac", r4(m["dlcf"]))
+        .withColumn("rf_dup_para_frac", r4(m["dpf"]))
+        .withColumn("rf_dup_para_char_frac", r4(m["dpcf"]))
     )
     top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
     dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
     for n, _t in top_thr.items():
-        s = gram_stats[n]
-        # a single occurrence is not repetition: short docs would otherwise
-        # fail on the bare length of their longest n-gram
-        out = out.withColumn(
-            f"rf_top_{n}gram_char_frac",
-            frac(F.when(s["top_count"] > 1, s["top_score"]).otherwise(0.0), doc_chars),
-        )
+        out = out.withColumn(f"rf_top_{n}gram_char_frac", r4(m[f"t{n}"]))
     for n, _t in dup_thr.items():
         out = out.withColumn(
-            f"rf_dup_{n}gram_char_frac",
-            F.least(frac(gram_stats[n]["dup_chars"], doc_chars), F.lit(1.0)),
+            f"rf_dup_{n}gram_char_frac", F.least(r4(m[f"d{n}"]), F.lit(1.0))
         )
-    out = out.drop(*tmps)
+    out = out.drop("__rf_m")
     qpass = (
         (F.col("rf_dup_line_frac") <= 0.30)
         & (F.col("rf_dup_line_char_frac") <= 0.20)
