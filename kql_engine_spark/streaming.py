@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import Catalog
+from .errors import KqlLimitError
 from .parser import parse
 from .translator import PipeTranslator
 
@@ -105,7 +106,7 @@ def foreach_batch_kql(
     out_path: str,
     checkpoint: str,
     table: str = "batch",
-    timeout: int = 120,
+    timeout: float = 120,
 ) -> str:
     """The streaming recipe for BATCH-ONLY operators (round 14, SURVEY
     §2.11/§2.12): dedup_against, decontaminate('path') and the index
@@ -145,5 +146,16 @@ def foreach_batch_kql(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    # awaitTermination(timeout) returns False on TIMEOUT with the query
+    # still running (round 15, ADVICE): returning out_path then would let
+    # the caller read partial output or start an overlapping run against
+    # the same checkpoint. Stop the query and fail typed instead — the
+    # checkpoint makes the re-run resume, not duplicate.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise KqlLimitError(
+            f"foreach_batch_kql: query did not drain available input "
+            f"within {timeout}s — stopped; re-run to resume from the "
+            f"checkpoint at '{checkpoint}'"
+        )
     return out_path

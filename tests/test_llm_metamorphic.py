@@ -1056,6 +1056,17 @@ def test_est_scan_tasks_probe(spark, run_kql):
     # other file-less relations (JDBC, Range, ...) must return None, not
     # recompile a remote scan that is already wide
     assert _est_scan_tasks(spark.range(5)) is None
+    # round 15 (ADVICE): a CACHED file scan reports inputFiles()==[] and
+    # its analyzed plan still shows the file relation (the
+    # InMemoryRelation substitution is post-analysis) — the probe must
+    # find it in withCachedData, not return None and lose the spread
+    cached = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    try:
+        cached.count()  # materialize so the probe sees the cache
+        est_cached = _est_scan_tasks(cached.select("doc_id", "text"))
+        assert est_cached is not None and est_cached >= 1
+    finally:
+        cached.unpersist()
 
 
 def test_width_set_re_round13_classes(spark):
@@ -1764,6 +1775,43 @@ def test_shingle_k_mismatch_typed(spark, tmp_path):
     ):
         with pytest.raises(KqlSemanticError, match="4-token shingles"):
             kql(spark, q, catalog=cat).collect()
+
+
+def test_shingle_k_missing_defaults_to_3(spark, tmp_path):
+    # round 15 (ADVICE): shingle_k landed in meta in round 14, and every
+    # store this engine built before that used the fixed k=3 kernel — a
+    # meta WITHOUT the field is a pre-r14 store, not a mismatch. Both
+    # index paths must serve it (defaulting k=3) rather than forcing a
+    # rebuild; a present-but-different value still fails typed (pinned
+    # above).
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    docs = [(i, f"legacy doc {i} kappa lambda mu nu") for i in range(6)]
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("ldocs", spark.read.parquet(corpus))
+    idx = str(tmp_path / "idx")
+    kql(
+        spark,
+        f"ldocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    # strip shingle_k from meta: simulate a store written by a pre-r14
+    # builder of this engine
+    meta_df = spark.read.parquet(idx + "/meta").drop("shingle_k")
+    meta_df.collect()  # materialize before the overwrite clobbers source
+    spark.createDataFrame(meta_df.collect(), meta_df.schema).write.mode(
+        "overwrite"
+    ).parquet(idx + "/meta")
+    near = f"ldocs | evaluate dedup_near(text, doc_id, 0.8, '{idx}')"
+    assert kql(spark, near, catalog=cat).count() == 6  # all distinct docs
+    # every input doc IS in the reference store -> all removed
+    against = f"ldocs | evaluate dedup_against(text, doc_id, '{idx}', 0.8)"
+    assert kql(spark, against, catalog=cat).count() == 0
 
 
 def test_ann_store_marker_and_torn_codes_fail_typed(spark, tmp_path):

@@ -488,3 +488,30 @@ def test_stream_dedup_against_foreach_batch_recipe(spark, tmp_path):
         ).collect()
     )
     assert got == want == [200 + i for i in range(6)]
+
+
+def test_foreach_batch_kql_timeout_fails_typed(spark, tmp_path):
+    # round 15 (ADVICE): awaitTermination(timeout) returns False on
+    # timeout with the query still running — the helper must stop the
+    # query and raise typed, not hand back a partial out_path the caller
+    # would read (or start an overlapping run against). A 50ms timeout
+    # expires before any micro-batch can complete (batch startup alone
+    # is >100ms); awaitTermination rejects 0.
+    import pytest
+
+    from kql_engine_spark.errors import KqlLimitError
+    from kql_engine_spark.streaming import foreach_batch_kql
+
+    inp = str(tmp_path / "inp")
+    spark.createDataFrame(
+        [(i, f"timeout probe doc {i}") for i in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(KqlLimitError, match="did not drain"):
+        foreach_batch_kql(
+            sdf, "batch | where doc_id >= 0", out, ckpt, timeout=0.05
+        )
+    # the failed call must leave no RUNNING query behind
+    assert not spark.streams.active
