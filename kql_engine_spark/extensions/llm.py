@@ -1806,15 +1806,76 @@ def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
     thr = _const_float(args[2], "similarity_join")
 
     feat, _usable = _unit_norm_feat(df, emb, idc)
-    return (
-        _cosine_lsh_pairs(feat, thr)
-        .filter(F.col("src") < F.col("dst"))
+    # Distinct-vector decomposition (round 15 — the duplicate-clique
+    # blowup round 14 collapsed out of the dedup family, adapted to an
+    # operator that must OUTPUT every pair): a K-clique of identical
+    # vectors shares every band value, so the band self-join saw all
+    # K^2 member pairs in EVERY band, each dragging two dim-double
+    # arrays through the shuffle — 100-way cliques at sf10 spilled the
+    # disk to death. Instead: LSH + exact verify run once per DISTINCT
+    # vector (representative = min id, dedup_near's rationale), and
+    # member pairs EXPAND from the verified representative pairs with
+    # id-only columns. Output-equivalent by construction:
+    #   * recall — every member's bands equal its representative's, so
+    #     a member pair was a candidate iff its representative pair is;
+    #   * sim — identical arrays give the identical JVM fold, so
+    #     dot(member_a, member_b) == dot(rep_a, rep_b) bit-for-bit, and
+    #     intra-clique pairs carry the representative's self-dot
+    #     (float-verified >= thr like every other pair, not assumed 1.0).
+    reps = feat.groupBy("__u").agg(F.min("__id").alias("__rid"))
+    members = feat.join(reps, "__u").select("__rid", "__id")
+    members = members.localCheckpoint(eager=True)  # cut the kernel lineage
+    # intra-clique: all member pairs of one distinct vector, verified by
+    # the vector's self-dot (same JVM HOF as the pair verify — a unit
+    # vector's float self-dot can sit at 1 - 1ulp, so thr > that drops
+    # the clique, exactly as the pre-decomposition path did)
+    selfdot = F.aggregate(
+        F.zip_with(F.col("__u"), F.col("__u"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    clique_sim = (
+        reps.withColumn("__dot", selfdot)
+        .filter(F.col("__dot") >= F.lit(thr))
+        .select("__rid", F.round(F.col("__dot"), 6).alias("sim"))
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = (
+        m1.join(m2, "__rid")
+        .filter(F.col("m1.__id") < F.col("m2.__id"))
+        .join(clique_sim, "__rid")
         .select(
-            F.col("src").alias("left_id"),
-            F.col("dst").alias("right_id"),
+            F.col("m1.__id").alias("left_id"),
+            F.col("m2.__id").alias("right_id"),
             F.col("sim"),
         )
     )
+    # inter-clique: LSH + exact verify over representatives only, then
+    # expand each verified rep pair to its member cross product
+    rep_feat = reps.select(F.col("__rid").alias("__id"), "__u")
+    rep_pairs = _cosine_lsh_pairs(rep_feat, thr).filter(
+        F.col("src") < F.col("dst")
+    )
+    inter = (
+        rep_pairs.join(
+            members.select(
+                F.col("__rid").alias("src"), F.col("__id").alias("__a")
+            ),
+            "src",
+        )
+        .join(
+            members.select(
+                F.col("__rid").alias("dst"), F.col("__id").alias("__b")
+            ),
+            "dst",
+        )
+        .select(
+            F.least("__a", "__b").alias("left_id"),
+            F.greatest("__a", "__b").alias("right_id"),
+            F.col("sim"),
+        )
+    )
+    return intra.unionByName(inter)
 
 
 # ------------------------------------------------------------ dedup_embedding
@@ -1855,8 +1916,9 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
         feat = feat.groupBy("__u").agg(F.min("__id").alias("__id")).select(
             "__id", "__u"
         )
-    edges = _cosine_lsh_pairs(feat, thr).select("src", "dst")
-    keep = _min_id_components(feat.select(F.col("__id").alias("node")), edges)
+    work = _cosine_lsh_work(feat, thr)
+    edges = _cosine_lsh_pairs(feat, thr, work=work).select("src", "dst")
+    keep = _min_id_components(work.select(F.col("__id").alias("node")), edges)
     vectorless = df.filter(~F.coalesce(usable, F.lit(False))).select(
         F.col(idc).alias("node")
     )
@@ -1866,12 +1928,71 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
     return df.join(keep_all, df[idc] == keep_all["node"], "left_semi")
 
 
+def _unit_norm_udf():
+    """Arrow-batched unit-normalize kernel (round 15 codegen-fallback
+    audit): the old column formulation inlined the norm AGGREGATE inside
+    the transform lambda, and HOFs never enter whole-stage codegen — so
+    interpreted evaluation recomputed the full dim-element norm PER
+    ELEMENT (dim^2 work per row: ~30 s for 200k dim-64 embeddings at
+    sf10, the dominant dedup_embedding cost). PARITY-EXACT with the
+    certified column tree: the JVM fold `s + v*v` is a strict
+    left-to-right double accumulation, replicated here with np.cumsum
+    (sequentially accumulating in C, identical IEEE ops — NOT np.sum,
+    whose pairwise summation rounds differently), then the same
+    elementwise v / sqrt(s) division. Null arrays pass through null;
+    zero-norm arrays map to zeros (the coalesce(0/0 -> 0.0) branch of
+    the old tree) — both shapes are filtered out by the `usable`
+    predicate anyway. Rows are dim-grouped so each group is vectorized
+    across the batch (same pattern as _srp_bands_udf). Declared
+    nondeterministic per the family convention (keeps predicates above
+    the narrow-scan spread and stops re-inlining)."""
+    key = ("unit_norm",)
+    if key in _JACCARD_UDF_CACHE:
+        return _JACCARD_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def unitize(vecs):
+        import numpy as np
+        import pandas as pd
+
+        arrs = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in vecs
+        ]
+        by_dim: dict = {}
+        for i, a in enumerate(arrs):
+            if a is None:
+                continue
+            by_dim.setdefault(len(a), []).append(i)
+        res = [None] * len(arrs)
+        for dim, idxs in by_dim.items():
+            if dim == 0:
+                for i in idxs:
+                    res[i] = arrs[i]
+                continue
+            M = np.vstack([arrs[i] for i in idxs])  # (k, dim)
+            s = np.cumsum(M * M, axis=1)[:, -1]  # sequential, JVM-fold order
+            n = np.sqrt(s)
+            safe = np.where(n > 0.0, n, 1.0)
+            U = M / safe[:, None]
+            U[n <= 0.0] = 0.0
+            for row, i in enumerate(idxs):
+                res[i] = U[row]
+        return pd.Series(res, dtype="object")
+
+    unitize = unitize.asNondeterministic()
+    _JACCARD_UDF_CACHE[key] = unitize
+    return unitize
+
+
 def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
     """(unit-normalized frame (__id, __u array<double>), usable predicate).
-    Degenerate rows (null/empty/zero-norm embeddings) are filtered out;
-    the division is made TOTAL with coalesce(0.0) because 0/0 is null
-    under ANSI-off and a null element would poison downstream kernels if
-    any plan path evaluates the projection on a filtered row."""
+    Degenerate rows (null/empty/zero-norm embeddings) are filtered out by
+    `usable` (JVM-side: one norm aggregate per row); the normalization
+    itself runs in the Arrow kernel (_unit_norm_udf — see its docstring
+    for why the column tree was quadratic and how float parity is kept
+    exact)."""
     if dict(df.dtypes).get(emb) == "string":
         # JSON-text dynamic carrier (datatable literals) -> numeric array
         # (same rule as cluster_embeddings)
@@ -1884,14 +2005,11 @@ def _unit_norm_feat(df: DataFrame, emb: str, idc: str):
     usable = (
         F.col(emb).isNotNull() & (F.size(F.col(emb)) > 0) & (norm > F.lit(0.0))
     )
-    unit = F.transform(
-        F.col(emb), lambda v: F.coalesce(v.cast("double") / norm, F.lit(0.0))
-    )
     feat = df.filter(usable).select(
         F.col(idc).alias("__id"),
-        unit.cast("array<double>").alias("__u"),
+        _unit_norm_udf()(F.col(emb).cast("array<double>")).alias("__u"),
     )
-    # no checkpoint here: _cosine_lsh_pairs materializes ONCE after adding
+    # no checkpoint here: _cosine_lsh_work materializes ONCE after adding
     # the band values (one Arrow pass), which also serves as the lineage
     # barrier for the component fixpoint
     return feat, usable
@@ -1953,14 +2071,13 @@ def _srp_bands_udf(n_bands: int, rows_per_band: int):
     return bands
 
 
-def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
-    """Candidate cosine pairs over unit vectors: sign-random-projection
-    banding (threshold-adaptive shape; P(bit match) = 1 - theta/pi) keys a
-    bucket-local band equi-join — never all-pairs — then the EXACT cosine
-    (JVM dot product on the candidate fraction) filters at the threshold.
-    Returns (src, dst, sim) with src < dst, one direction. Miss bound at
-    s = thr: (1 - p^r)^b with p = 1 - arccos(thr)/pi — 4e-5 at 0.95
-    (24x10), 3e-3 at 0.7 (30x6), <2% down to 0.4 (40x4)."""
+def _cosine_lsh_work(feat: DataFrame, thr: float) -> DataFrame:
+    """Materialize (__id, __u, __bands) ONCE (localCheckpoint): the band
+    values come from one Arrow matmul pass, and the checkpoint doubles as
+    the lineage barrier for the component fixpoint. Callers that need the
+    node list (dedup_embedding) reuse this frame instead of re-evaluating
+    the normalize+collapse pipeline a second time (round 15 — the
+    recompute was half the op's sf10 wall-clock)."""
     if thr >= 0.9:
         n_bands, rows_per_band = 24, 10
     elif thr >= 0.7:
@@ -1968,9 +2085,23 @@ def _cosine_lsh_pairs(feat: DataFrame, thr: float) -> DataFrame:
     else:
         n_bands, rows_per_band = 40, 4
     bands = _srp_bands_udf(n_bands, rows_per_band)
-    work = feat.withColumn("__bands", bands(F.col("__u"))).localCheckpoint(
+    return feat.withColumn("__bands", bands(F.col("__u"))).localCheckpoint(
         eager=True
     )
+
+
+def _cosine_lsh_pairs(feat: DataFrame, thr: float, work: DataFrame = None) -> DataFrame:
+    """Candidate cosine pairs over unit vectors: sign-random-projection
+    banding (threshold-adaptive shape; P(bit match) = 1 - theta/pi) keys a
+    bucket-local band equi-join — never all-pairs — then the EXACT cosine
+    (JVM dot product on the candidate fraction) filters at the threshold.
+    Returns (src, dst, sim) with src < dst, one direction. Miss bound at
+    s = thr: (1 - p^r)^b with p = 1 - arccos(thr)/pi — 4e-5 at 0.95
+    (24x10), 3e-3 at 0.7 (30x6), <2% down to 0.4 (40x4). Pass a
+    pre-materialized `work` (from _cosine_lsh_work) to share it with the
+    caller's own downstream uses."""
+    if work is None:
+        work = _cosine_lsh_work(feat, thr)
     banded = work.select("__id", F.posexplode(F.col("__bands")).alias("b", "v"))
     cand = (
         banded.alias("l")
