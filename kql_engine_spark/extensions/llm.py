@@ -3813,8 +3813,16 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
     def ngram_hashes(col: Column) -> Column:
         return feat(col.cast("string"))["gh"]
 
+    # round 15 (sf10 profiling): the benchmark side also pays the per-byte
+    # n-gram kernel, and a compressed benchmark parquet can scan as 1-2
+    # tasks — self-vs-self decontamination at sf10 spent 90 of its 94 s
+    # running the bench kernel on 2 of 32 cores. Spread the narrow
+    # projection before the kernel, exactly like the fact side; for a
+    # genuinely dimension-sized eval set the repartition moves kilobytes
+    # and at cluster scale _spread_narrow_scan no-ops on width.
     bench_hashes = (
-        bench.select(F.explode(ngram_hashes(F.col(btext))).alias("__bh"))
+        _spread_narrow_scan(bench.select(F.col(btext).alias("__bt")))
+        .select(F.explode(ngram_hashes(F.col("__bt"))).alias("__bh"))
         .distinct()
     )
     if idx_path is not None:
