@@ -4530,7 +4530,30 @@ def _geojson_obj_to_wkt(g) -> str | None:
         return None
 
 
+_GEO_COORDS_CACHE: dict = {}
+
+
 def _geo_coords(s, want):
+    # round 15 (codegen-fallback sweep): the geo lookup plugins call this
+    # once per SURVIVING (point, geometry) pair inside their exact-check
+    # kernels — on a fact table where many points hit the same polygon's
+    # bbox that is O(matches) re-parses of the same handful of
+    # dimension-table strings. Memoize per worker (bounded; the key space
+    # is the lookup table's geometry column).
+    if isinstance(s, str):
+        key = (s, want)
+        hit = _GEO_COORDS_CACHE.get(key, _GEO_COORDS_CACHE)
+        if hit is not _GEO_COORDS_CACHE:
+            return hit
+        out = _geo_coords_uncached(s, want)
+        if len(_GEO_COORDS_CACHE) >= 4096:  # pragma: no cover - bound
+            _GEO_COORDS_CACHE.clear()
+        _GEO_COORDS_CACHE[key] = out
+        return out
+    return _geo_coords_uncached(s, want)
+
+
+def _geo_coords_uncached(s, want):
     import json
 
     try:

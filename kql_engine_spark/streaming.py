@@ -19,6 +19,7 @@ Scale notes: micro-batch only; state store size is bounded by watermarking
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .errors import KqlLimitError
@@ -107,6 +108,7 @@ def foreach_batch_kql(
     checkpoint: str,
     table: str = "batch",
     timeout: float = 120,
+    idempotent: bool = False,
 ) -> str:
     """The streaming recipe for BATCH-ONLY operators (round 14, SURVEY
     §2.11/§2.12): dedup_against, decontaminate('path') and the index
@@ -126,18 +128,34 @@ def foreach_batch_kql(
     store is served lazily (band values plus the candidate fraction's
     gram arrays move, never the reference bytes), so per-batch cost is
     O(batch), not O(reference). Delivery is Structured Streaming's
-    at-least-once for foreachBatch sinks: a retried batch can re-append —
-    pair with dedup_exact downstream (or an idempotent sink) where
-    retries matter. Processes all currently-available input
-    (availableNow) and stops; re-run to drain new arrivals."""
+    at-least-once for foreachBatch sinks: with the default
+    ``idempotent=False`` a retried batch can re-append — pair with
+    dedup_exact downstream where retries matter. ``idempotent=True``
+    (round 15) makes retries exact-once instead: each micro-batch's
+    result is written OVERWRITE into its own ``__batch_id=N`` hive
+    partition (dynamic partition overwrite — only the partitions present
+    in the data are replaced), so a redelivered batch replaces its own
+    prior output rather than duplicating it. The output then carries the
+    extra ``__batch_id`` partition column; at 100 TB this is also the
+    natural retention/compaction unit for a rolling crawl. Processes all
+    currently-available input (availableNow) and stops; re-run to drain
+    new arrivals."""
     from .translator import kql as _kql  # local import: translator is heavy
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         cat = Catalog(batch_df.sparkSession)
         cat.register(table, batch_df)
-        _kql(batch_df.sparkSession, text, catalog=cat).write.mode(
-            "append"
-        ).parquet(out_path)
+        out = _kql(batch_df.sparkSession, text, catalog=cat)
+        if idempotent:
+            (
+                out.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+        else:
+            out.write.mode("append").parquet(out_path)
 
     q = (
         sdf.writeStream.foreachBatch(run_batch)
