@@ -1356,6 +1356,54 @@ q(
 )
 
 q(
+    "llm_dedup_clusters",
+    # round 15: dedup_near's LABELING form — every row keeps its near-dup
+    # component's min-id canonical as cluster_id. Certified PER ROW (500
+    # labels hash-compared), which is strictly stronger than the survivor
+    # count: any banding recall loss, collapse mistake or label-join slip
+    # on the fixture hash-mismatches. The oracle reuses llm_dedup_near's
+    # brute-force recursive-CTE algebra (all pairs, exact Jaccard >= 0.8,
+    # transitive min-id reachability) and emits the per-node minimum.
+    """documents
+    | evaluate dedup_clusters(text, doc_id, 0.8)
+    | project doc_id, cluster_id, is_canonical""",
+    r"""WITH RECURSIVE docs AS (
+         SELECT doc_id AS id,
+                list_filter(string_split_regex(
+                    lower(COALESCE(CAST(text AS VARCHAR), ' ')), '\s+'),
+                    x -> x <> '') AS toks
+         FROM documents
+       ),
+       sh AS (
+         SELECT id,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> hash(toks[i] || chr(31) || toks[i+1]
+                                    || chr(31) || toks[i+2])))
+                     ELSE [hash(array_to_string(toks, chr(31)))] END AS g
+         FROM docs
+       ),
+       sized AS (SELECT id, g, len(g) AS sz FROM sh),
+       pairs AS (
+         SELECT a.id AS src, b.id AS dst
+         FROM sized a JOIN sized b
+           ON a.id < b.id
+          AND LEAST(a.sz, b.sz) >= 0.8 * GREATEST(a.sz, b.sz)
+          AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+       ),
+       edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       reach AS (
+         SELECT id AS node, id AS r FROM sh
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+       )
+       SELECT node AS doc_id, MIN(r) AS cluster_id,
+              node = MIN(r) AS is_canonical
+       FROM reach GROUP BY node""",
+)
+
+q(
     "llm_dedup_against",
     # round 13: CROSS-corpus near-dedup — planted synthetic docs: 9001 is
     # an exact copy of the reference (jaccard 1, dropped), 9002 differs in

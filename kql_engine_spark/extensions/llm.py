@@ -2711,6 +2711,35 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     # can never be canonical (its group rep is a strictly smaller dup).
     # Guarded on thr <= 1: above 1 NOTHING matches (Jaccard maxes at 1),
     # including exact duplicates, so the collapse must not merge them.
+    reps, labels = _minhash_components(work, thr)
+    keep = labels.filter(F.col("node") == F.col("comp")).select(F.col("node"))
+    return df.join(keep, df[idc] == keep["node"], "left_semi")
+
+
+def _minhash_components(work: DataFrame, thr: float):
+    """Shared candidate/verify/components stage over a signature frame
+    (__id, __gh, __bands) — extracted round 15 so dedup_near (keep the
+    canonical) and dedup_clusters (label every row) run the identical
+    plan: exact-dup collapse -> band equi-join -> EXACT Jaccard verify ->
+    min-id component labels over the representatives. Returns
+    (reps, labels): reps has one row per distinct shingle set (thr <= 1;
+    raw rows above — see the collapse comment in dedup_near), labels is
+    (node, comp) over the representatives."""
+    # Round 14 — EXACT-duplicate collapse before banding. Equal shingle
+    # SETS (gh equality; bands are a pure function of gh) mean Jaccard
+    # 1.0: every member of an exact-dup group is a near-dup of its group
+    # min at any threshold, so banding/verify/components only need ONE
+    # representative per distinct gh. This removes LSH's quadratic
+    # hazard for the dominant duplicate class of crawl corpora
+    # (identical boilerplate): a K-way exact clique used to emit
+    # n_bands*K^2/2 band pairs — on sf10 documents (500k docs, 4,992
+    # distinct texts) 540M candidate pairs and a >14-minute run; the
+    # collapsed plan emits 4.2k pairs. Semantics are preserved exactly:
+    # the representative is the group MIN id, so the component canonical
+    # (min over the whole component) is unchanged, and a non-rep member
+    # can never be canonical (its group rep is a strictly smaller dup).
+    # Guarded on thr <= 1: above 1 NOTHING matches (Jaccard maxes at 1),
+    # including exact duplicates, so the collapse must not merge them.
     if thr <= 1.0:
         reps = (
             work.groupBy("__gh")
@@ -2740,8 +2769,82 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
         .filter((inter / union_) >= F.lit(thr))
         .select("src", "dst")
     )
-    keep = _min_id_components(reps.select(F.col("__id").alias("node")), edges)
-    return df.join(keep, df[idc] == keep["node"], "left_semi")
+    labels = _component_labels(reps.select(F.col("__id").alias("node")), edges)
+    return reps, labels
+
+
+@plugin("dedup_clusters")
+def _dedup_clusters(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate dedup_clusters(textcol, idcol[, threshold=0.8]
+    [, 'index_path'])` — dedup_near's LABELING form (round 15): keeps
+    EVERY input row and appends
+
+      cluster_id    the min doc id of the row's near-duplicate component
+                    (its own id when the document is unique)
+      is_canonical  cluster_id == this row's id
+
+    so `where is_canonical` is exactly dedup_near (identity pinned in
+    tests), while the full output is what pipeline inspection actually
+    needs — cluster sizes, which boilerplate family a page fell into,
+    sampling one non-canonical per cluster for review. Same kernel,
+    banding, exact-Jaccard verify and min-id components as dedup_near
+    (shared _minhash_components); the optional 'index_path' form serves
+    the signatures from a minhash_index_build store like dedup_near's.
+    Rows whose id did not reach the signature stage (null id) keep a
+    null cluster_id.
+
+    Scale: identical to dedup_near plus one (__gh) member->representative
+    join and one id-only label join — both keyed, never all-pairs."""
+    what = "dedup_clusters"
+    text = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    thr = _const_float(args[2], what) if len(args) > 2 else 0.8
+    idx_path = _const_str(args[3], what) if len(args) > 3 else None
+
+    n_bands, rows_per_band = _minhash_shape(thr)
+    if idx_path is not None:
+        ptr._scan_unknown = True  # the signature store is an unsized scan
+        sigs, _meta = _minhash_load_index(
+            df, idc, text, idx_path, what,
+            n_bands=n_bands, rows_per_band=rows_per_band,
+        )
+        work = sigs.select("__id", "__gh", "__bands")
+    else:
+        feat = _jaccard_feature_udf(3, n_bands, rows_per_band, mode="token")
+        work = (
+            _spread_narrow_scan(
+                df.select(F.col(idc).alias("__id"), F.col(text).cast("string").alias("__s"))
+            )
+            .withColumn("__f", feat(F.coalesce(F.col("__s"), F.lit(" "))))
+            .select(
+                "__id",
+                F.col("__f.gh").alias("__gh"),
+                F.col("__f.bands").alias("__bands"),
+            )
+        )
+    reps, labels = _minhash_components(work, thr)
+    if thr <= 1.0:
+        # member -> its exact-dup representative (same-__gh group min id)
+        doc_rep = (
+            work.select(F.col("__id").alias("__did"), "__gh")
+            .join(reps.select(F.col("__id").alias("__rep"), "__gh"), "__gh")
+            .select("__did", "__rep")
+        )
+    else:  # no collapse above thr 1.0 — every doc is its own rep
+        doc_rep = work.select(
+            F.col("__id").alias("__did"), F.col("__id").alias("__rep")
+        )
+    lab = (
+        doc_rep.join(labels, doc_rep["__rep"] == labels["node"])
+        .select(F.col("__did"), F.col("comp").alias("__kql_cl"))
+        .dropDuplicates(["__did"])  # ids are unique by contract (dedup_near's)
+    )
+    out = df.join(lab, df[idc] == lab["__did"], "left")
+    return (
+        out.withColumn("cluster_id", F.col("__kql_cl"))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(idc))
+        .drop("__did", "__kql_cl")
+    )
 
 
 @plugin("dedup_against")

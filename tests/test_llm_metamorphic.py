@@ -2128,3 +2128,63 @@ def test_dedup_exact_clique_collapse_semantics(spark):
         ).collect()
     )
     assert ids == [900], ids
+
+
+def test_dedup_clusters_canonical_identity_and_index_form(spark, tmp_path):
+    # round 15: dedup_clusters is dedup_near's labeling form — the
+    # canonical-filtered output must equal dedup_near row-for-row, exact
+    # duplicates must share one cluster_id, and the index-served form
+    # must label identically to the in-session kernel.
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.translator import kql
+
+    docs = (
+        [(i, f"cluster doc {i} unique alpha beta gamma {i}") for i in range(6)]
+        + [(100 + i, "shared boilerplate page nav footer text") for i in range(4)]
+        + [(200, "shared boilerplate page nav footer text extra")]  # near-dup
+        + [(300, None), (301, "")]  # degenerate texts merge by contract
+    )
+    corpus = str(tmp_path / "c")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(corpus)
+    cat = Catalog(spark)
+    cat.register("cdocs", spark.read.parquet(corpus))
+
+    lab = kql(
+        spark,
+        "cdocs | evaluate dedup_clusters(text, doc_id, 0.8)",
+        catalog=cat,
+    ).collect()
+    assert len(lab) == len(docs)  # every row kept
+    by_id = {r.doc_id: r for r in lab}
+    # exact-dup clique 100..103 (+ the near-dup 200) collapses to min id
+    assert {by_id[i].cluster_id for i in (100, 101, 102, 103)} == {100}
+    assert by_id[100].is_canonical and not by_id[101].is_canonical
+    # null and empty text hash to the same empty shingle -> one cluster
+    assert by_id[300].cluster_id == by_id[301].cluster_id == 300
+    # canonical filter == dedup_near
+    canon = sorted(r.doc_id for r in lab if r.is_canonical)
+    near = sorted(
+        r.doc_id
+        for r in kql(
+            spark,
+            "cdocs | evaluate dedup_near(text, doc_id, 0.8)",
+            catalog=cat,
+        ).collect()
+    )
+    assert canon == near
+    # index-served form labels identically
+    idx = str(tmp_path / "idx")
+    kql(
+        spark,
+        f"cdocs | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8)",
+        catalog=cat,
+    ).collect()
+    lab_idx = kql(
+        spark,
+        f"cdocs | evaluate dedup_clusters(text, doc_id, 0.8, '{idx}')",
+        catalog=cat,
+    ).collect()
+    assert sorted((r.doc_id, r.cluster_id, r.is_canonical) for r in lab_idx) == \
+        sorted((r.doc_id, r.cluster_id, r.is_canonical) for r in lab)
