@@ -4364,6 +4364,26 @@ q(
 )
 
 q(
+    "llm_split_by_hash",
+    # round 15: deterministic labeled train/val/test split — the
+    # assignment is pure BIGINT LCG arithmetic, so the oracle reproduces
+    # every per-row label exactly (500 rows hash-compared), not just the
+    # proportions. Stability under growth is structural (each row's label
+    # depends only on its own id + the seed).
+    """documents
+    | evaluate split_by_hash(doc_id, 42, 'train', 90, 'val', 5, 'test', 5)
+    | project doc_id, split""",
+    """SELECT doc_id,
+              CASE WHEN b < 90 THEN 'train'
+                   WHEN b < 95 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    ((((doc_id % 2147483648) + 2147483648) % 2147483648
+                      + 42) * 1103515245 + 12345) % 2147483648 % 100 AS b
+             FROM documents)""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row

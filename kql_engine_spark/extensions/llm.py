@@ -284,6 +284,75 @@ def _take_stratified(ptr, df: DataFrame, args) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- split_by_hash
+@plugin("split_by_hash")
+def _split_by_hash(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate split_by_hash(IdCol, seed, label1, w1, label2, w2,
+    ...)` — deterministic labeled dataset splits (round 15): appends a
+    `split` column assigning each row to one of the labels with
+    probability w_i / sum(w), decided by a pure-integer hash of the id —
+    the train/validation/test split step of a training-data pipeline,
+    where the split must be (a) reproducible across runs and engines,
+    (b) stable under corpus growth (a document's split never changes
+    when other documents are added — no sorting, no sampling state),
+    and (c) joinable later from the id alone.
+
+    Mixer: the same Knuth/ANSI-C LCG arithmetic as take_stratified,
+    made non-negative for bucketing:
+
+        bucket = ((((id mod 2^31 + 2^31) mod 2^31) + seed)
+                  * 1103515245 + 12345) mod 2^31 mod sum(w)
+
+    all intermediates < 2^63 (pure BIGINT — any ANSI-SQL engine
+    reproduces the exact assignment; the DuckDB twin does). Labels
+    claim contiguous bucket ranges in argument order. Null ids get a
+    null split. Scale: one stateless column expression — no shuffle,
+    no UDF, streaming-safe."""
+    what = "split_by_hash"
+    if len(args) < 4 or len(args) % 2 != 0:
+        raise KqlSemanticError(
+            f"{what}(IdCol, seed, label1, w1[, label2, w2 ...]) needs an "
+            "id, a seed, and at least one (label, weight) pair"
+        )
+    idc = _colname(args[0], what)
+    seed = int(_const_float(args[1], what))
+    if not 0 <= seed < 2**31:
+        raise KqlSemanticError(f"{what}: seed must be in [0, 2^31)")
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[idc].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise KqlSemanticError(
+            f"{what}: IdCol must be an integer column (the deterministic "
+            "mixer is integer arithmetic)"
+        )
+    pairs: list[tuple[str, int]] = []
+    for i in range(2, len(args), 2):
+        label = _const_str(args[i], what)
+        w = int(_const_float(args[i + 1], what))
+        if w <= 0:
+            raise KqlSemanticError(f"{what}: weights must be positive")
+        pairs.append((label, w))
+    if len({p[0] for p in pairs}) != len(pairs):
+        raise KqlSemanticError(f"{what}: split labels must be distinct")
+    total = sum(w for _, w in pairs)
+    m = F.lit(2147483648)
+    idl = F.col(idc).cast("bigint")
+    key = (((idl % m) + m) % m + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    bucket = (key % m) % F.lit(total)
+    expr = None
+    cum = 0
+    for label, w in pairs:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    return df.withColumn("split", expr)
+
+
 # ---------------------------------------------------------------- ngram_stats
 @plugin("ngram_stats")
 def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:

@@ -2188,3 +2188,64 @@ def test_dedup_clusters_canonical_identity_and_index_form(spark, tmp_path):
     ).collect()
     assert sorted((r.doc_id, r.cluster_id, r.is_canonical) for r in lab_idx) == \
         sorted((r.doc_id, r.cluster_id, r.is_canonical) for r in lab)
+
+
+def test_split_by_hash_laws(spark, tmp_path):
+    # round 15: the split contract — exhaustive+disjoint labels, growth
+    # stability (a doc's label never changes when the corpus grows),
+    # seed sensitivity, null-id passthrough, typed arg errors.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    small = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    cat.register("sdocs", small)
+    qtext = ("sdocs | evaluate split_by_hash(doc_id, 7, 'train', 8, "
+             "'val', 1, 'test', 1) | project doc_id, split")
+    lab = {r.doc_id: r.split for r in kql(spark, qtext, catalog=cat).collect()}
+    assert set(lab.values()) <= {"train", "val", "test"}
+    assert len(lab) == 200  # every row labeled
+    # growth stability: add 200 more docs — original labels unchanged
+    grown = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    cat.register("sdocs", grown)
+    lab2 = {r.doc_id: r.split for r in kql(spark, qtext, catalog=cat).collect()}
+    assert all(lab2[i] == lab[i] for i in range(200))
+    # a different seed moves some assignments
+    other = {
+        r.doc_id: r.split
+        for r in kql(
+            spark,
+            "sdocs | evaluate split_by_hash(doc_id, 8, 'train', 8, "
+            "'val', 1, 'test', 1) | project doc_id, split",
+            catalog=cat,
+        ).collect()
+    }
+    assert any(other[i] != lab2[i] for i in lab2)
+    # null ids get a null split
+    cat.register(
+        "ndocs",
+        spark.createDataFrame([(None, "x"), (1, "y")], "doc_id long, text string"),
+    )
+    rows = kql(
+        spark,
+        "ndocs | evaluate split_by_hash(doc_id, 1, 'a', 1)",
+        catalog=cat,
+    ).collect()
+    by_text = {r.text: r.split for r in rows}
+    assert by_text["x"] is None and by_text["y"] == "a"
+    # typed errors: odd args, bad weight, dup labels, non-integer id
+    for bad in (
+        "sdocs | evaluate split_by_hash(doc_id, 1, 'a')",
+        "sdocs | evaluate split_by_hash(doc_id, 1, 'a', 0)",
+        "sdocs | evaluate split_by_hash(doc_id, 1, 'a', 1, 'a', 2)",
+        "sdocs | evaluate split_by_hash(text, 1, 'a', 1)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            kql(spark, bad, catalog=cat).collect()
