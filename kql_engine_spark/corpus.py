@@ -4384,6 +4384,28 @@ q(
 )
 
 q(
+    "llm_sample_weighted",
+    # round 15: deterministic importance sampling — keep-probability
+    # min(1, fraction * weight), decided by the same BIGINT LCG as
+    # split_by_hash; the LCG uniform is exact (power-of-two division)
+    # and the probability is one IEEE double multiply, so the oracle
+    # reproduces the exact row SET, not a statistical bound.
+    """documents
+    | extend w = strlen(text) / 40.0
+    | evaluate sample_weighted(doc_id, w, 0.02, 42)
+    | project doc_id""",
+    """SELECT doc_id FROM (
+         SELECT doc_id,
+                ((((doc_id % 2147483648) + 2147483648) % 2147483648
+                  + 42) * 1103515245 + 12345) % 2147483648
+                / 2147483648.0 AS u,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE LEAST(1.0, 0.02 * (length(text) / 40.0)) END AS p
+         FROM documents)
+       WHERE u < p""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row

@@ -353,6 +353,61 @@ def _split_by_hash(ptr, df: DataFrame, args) -> DataFrame:
     return df.withColumn("split", expr)
 
 
+# -------------------------------------------------------------- sample_weighted
+@plugin("sample_weighted")
+def _sample_weighted(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate sample_weighted(IdCol, WeightCol, fraction[, seed])`
+    — deterministic weighted (importance) sampling (round 15): keep each
+    row independently with probability min(1, fraction * weight) — the
+    quality-upsampling step of training-mix curation (keep high-scoring
+    documents at a higher rate), with the same portability contract as
+    split_by_hash: the decision is a pure function of (id, seed), so the
+    sample is reproducible across runs and engines and stable under
+    corpus growth.
+
+    Decision: u = LCG(id, seed) / 2^31 in [0, 1); keep iff
+    u < min(1, fraction * weight). The LCG value is an exact BIGINT, the
+    division is by a power of two (exact in double), and the product is
+    one IEEE double multiply — any ANSI-SQL engine reproduces the exact
+    row set (the DuckDB twin does). Null/negative weights and null ids
+    never pass (null comparisons are false under filter semantics).
+    Scale: one stateless column predicate — no shuffle, no UDF,
+    streaming-safe; Catalyst pushes it to the scan."""
+    what = "sample_weighted"
+    if not 3 <= len(args) <= 4:
+        raise KqlSemanticError(
+            f"{what}(IdCol, WeightCol, fraction[, seed]) takes 3-4 arguments"
+        )
+    idc = _colname(args[0], what)
+    wc = _colname(args[1], what)
+    frac = _const_float(args[2], what)
+    if frac < 0:
+        raise KqlSemanticError(f"{what}: fraction must be >= 0")
+    seed = int(_const_float(args[3], what)) if len(args) > 3 else 0
+    if not 0 <= seed < 2**31:
+        raise KqlSemanticError(f"{what}: seed must be in [0, 2^31)")
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[idc].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise KqlSemanticError(
+            f"{what}: IdCol must be an integer column (the deterministic "
+            "mixer is integer arithmetic)"
+        )
+    m = F.lit(2147483648)
+    idl = F.col(idc).cast("bigint")
+    key = (((idl % m) + m) % m + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    u = (key % m).cast("double") / F.lit(2147483648.0)
+    w = F.col(wc).cast("double")
+    # least() SKIPS nulls in both Spark and DuckDB (a null weight would
+    # silently become p = 1.0) — gate the null explicitly so null-weight
+    # rows never pass, as documented
+    p = F.when(w.isNotNull(), F.least(F.lit(1.0), F.lit(frac) * w))
+    return df.filter(u < p)
+
+
 # ---------------------------------------------------------------- ngram_stats
 @plugin("ngram_stats")
 def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:

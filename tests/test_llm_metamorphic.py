@@ -2249,3 +2249,62 @@ def test_split_by_hash_laws(spark, tmp_path):
     ):
         with pytest.raises(KqlSemanticError):
             kql(spark, bad, catalog=cat).collect()
+
+
+def test_sample_weighted_laws(spark):
+    # round 15: importance-sampling contract — monotone in fraction,
+    # saturated weights always kept, zero/null weights never kept,
+    # growth-stable (decision is per-row), typed errors.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    rows = [(i, 1.0 if i % 3 else 0.0) for i in range(300)] + [(1000, None)]
+    cat.register(
+        "wdocs", spark.createDataFrame(rows, "doc_id long, w double")
+    )
+
+    def kept(frac, seed=5):
+        return {
+            r.doc_id
+            for r in kql(
+                spark,
+                f"wdocs | evaluate sample_weighted(doc_id, w, {frac}, {seed})",
+                catalog=cat,
+            ).collect()
+        }
+
+    lo, hi = kept(0.2), kept(0.6)
+    assert lo <= hi  # monotone: raising the fraction only adds rows
+    assert kept(1.0) == {i for i in range(300) if i % 3}  # p=1 keeps all w=1
+    assert kept(0.0) == set()
+    assert 1000 not in kept(1.0)  # null weight never passes
+    assert all(i % 3 for i in hi)  # zero weight never passes
+    # growth stability: the decision for existing ids is unchanged when
+    # more rows are added
+    cat.register(
+        "wdocs2",
+        spark.createDataFrame(
+            rows + [(2000 + i, 1.0) for i in range(100)],
+            "doc_id long, w double",
+        ),
+    )
+    grown = {
+        r.doc_id
+        for r in kql(
+            spark,
+            "wdocs2 | evaluate sample_weighted(doc_id, w, 0.6, 5)",
+            catalog=cat,
+        ).collect()
+    }
+    assert {i for i in grown if i < 1000} == hi
+    for bad in (
+        "wdocs | evaluate sample_weighted(doc_id, w, -0.1)",
+        "wdocs | evaluate sample_weighted(w, w, 0.5)",
+        "wdocs | evaluate sample_weighted(doc_id, w)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            kql(spark, bad, catalog=cat).collect()
