@@ -2945,6 +2945,10 @@ def _dedup_clusters(ptr, df: DataFrame, args) -> DataFrame:
                 F.col("__f.gh").alias("__gh"),
                 F.col("__f.bands").alias("__bands"),
             )
+            # unlike dedup_near, work feeds TWO consumers here (the
+            # collapse inside _minhash_components AND the member->rep
+            # join) — checkpoint so the per-byte kernel runs once
+            .localCheckpoint(eager=True)
         )
     reps, labels = _minhash_components(work, thr)
     if thr <= 1.0:
