@@ -206,6 +206,22 @@ def _spread_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def _require_batch(df: DataFrame, what: str) -> None:
+    """Typed translate-time error for the self-join dedup/similarity ops
+    on streaming input (round 15): their component/expansion stages
+    localCheckpoint mid-plan, which Structured Streaming rejects with an
+    opaque 'must be executed with writeStream.start()' AnalysisException
+    only at query start. Same posture as dedup_against/the index
+    builders; the streaming recipe is foreach_batch_kql (dedupe per
+    micro-batch, optionally against a persisted reference store)."""
+    if df.isStreaming:
+        raise KqlSemanticError(
+            f"{what}: streaming input not supported — the candidate/"
+            "component stages need a batch snapshot; dedupe per "
+            "micro-batch via foreach_batch_kql instead"
+        )
+
+
 # ---------------------------------------------------------------- dedup_exact
 @plugin("dedup_exact")
 def _dedup_exact(ptr, df: DataFrame, args) -> DataFrame:
@@ -1925,6 +1941,7 @@ def _similarity_join(ptr, df: DataFrame, args) -> DataFrame:
     numpy matmul per Arrow batch) keys a bucket-local band join — never
     all-pairs — and the EXACT cosine filters the candidates. Output:
     left_id, right_id (left < right), sim (rounded 6dp)."""
+    _require_batch(df, "similarity_join")
     emb = _colname(args[0], "similarity_join")
     idc = _colname(args[1], "similarity_join")
     thr = _const_float(args[2], "similarity_join")
@@ -2019,6 +2036,7 @@ def _dedup_embedding(ptr, df: DataFrame, args) -> DataFrame:
 
     Scale: LSH buckets key the shuffle; the component fixpoint ships one
     changed-count row per round to the driver."""
+    _require_batch(df, "dedup_embedding")
     emb = _colname(args[0], "dedup_embedding")
     idc = _colname(args[1], "dedup_embedding")
     thr = _const_float(args[2], "dedup_embedding") if len(args) > 2 else 0.95
@@ -2787,6 +2805,7 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     block comment (id checksum + file snapshot by default, strict
     content scan opt-in). The signature kernel is deterministic (fixed
     seeds), so results are IDENTICAL to the in-session path."""
+    _require_batch(df, "dedup_near")
     text = _colname(args[0], "dedup_near")
     idc = _colname(args[1], "dedup_near")
     thr = _const_float(args[2], "dedup_near")
@@ -2920,6 +2939,7 @@ def _dedup_clusters(ptr, df: DataFrame, args) -> DataFrame:
     Scale: identical to dedup_near plus one (__gh) member->representative
     join and one id-only label join — both keyed, never all-pairs."""
     what = "dedup_clusters"
+    _require_batch(df, what)
     text = _colname(args[0], what)
     idc = _colname(args[1], what)
     thr = _const_float(args[2], what) if len(args) > 2 else 0.8
@@ -3156,6 +3176,7 @@ def _dedup_simhash(ptr, df: DataFrame, args) -> DataFrame:
     ADVICE fix — they used to vanish from the output entirely).
     Scale: banding keys the shuffle; components are localCheckpoint-bounded
     like dedup_near."""
+    _require_batch(df, "dedup_simhash")
     text = _colname(args[0], "dedup_simhash")
     idc = _colname(args[1], "dedup_simhash")
     maxham = int(_const_float(args[2], "dedup_simhash")) if len(args) > 2 else 3
@@ -3469,6 +3490,7 @@ def _dedup_jaccard(ptr, df: DataFrame, args) -> DataFrame:
     Docs whose text is null/empty pass through as their own canonicals
     (same rule as dedup_simhash). Scale: band join + component fixpoint,
     no driver-side data path."""
+    _require_batch(df, "dedup_jaccard")
     text = _colname(args[0], "dedup_jaccard")
     idc = _colname(args[1], "dedup_jaccard")
     thr = _const_float(args[2], "dedup_jaccard")

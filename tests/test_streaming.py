@@ -561,3 +561,53 @@ def test_foreach_batch_kql_idempotent_retry_replay(spark, tmp_path):
     foreach_batch_kql(stream(), text, out_a, str(tmp_path / "ck3"))
     foreach_batch_kql(stream(), text, out_a, str(tmp_path / "ck4"))
     assert spark.read.parquet(out_a).count() == 16
+
+
+def test_stream_self_join_dedup_family_fails_typed(spark, run_kql):
+    # round 15: the IN-SESSION self-join dedup/similarity ops
+    # localCheckpoint mid-plan, which streaming rejected with an opaque
+    # AnalysisException at translate; they must fail typed like
+    # dedup_against and the index-served paths.
+    import pytest
+
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.streaming import kql_stream
+
+    for q in (
+        "events | evaluate dedup_near(event_type, event_id, 0.8)",
+        "events | evaluate dedup_clusters(event_type, event_id, 0.8)",
+        "events | evaluate dedup_jaccard(event_type, event_id, 0.8)",
+        "events | evaluate dedup_simhash(event_type, event_id, 3)",
+        "events | extend e = pack_array(value) "
+        "| evaluate dedup_embedding(e, event_id, 0.9)",
+        "events | extend e = pack_array(value) "
+        "| evaluate similarity_join(e, event_id, 0.9)",
+    ):
+        with pytest.raises(KqlSemanticError, match="foreach_batch_kql"):
+            kql_stream(spark, q, sf_dir=SF_DIR)
+
+
+def test_stream_split_and_weighted_sample_safe(spark, tmp_path):
+    # round 15: split_by_hash and sample_weighted document themselves as
+    # streaming-safe (stateless column exprs) — drive them through a real
+    # stream and check the micro-batch results equal the batch answer.
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.streaming import kql_stream, run_to_memory
+    from kql_engine_spark.translator import kql
+
+    inp = str(tmp_path / "inp")
+    spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(40)], "doc_id long, w double"
+    ).write.parquet(inp)
+    cat = Catalog(spark)
+    cat.register("sdocs", spark.read.parquet(inp))
+    text = ("sdocs | evaluate split_by_hash(doc_id, 3, 'a', 3, 'b', 1) "
+            "| evaluate sample_weighted(doc_id, w, 0.4, 9) "
+            "| project doc_id, split")
+    want = sorted((r.doc_id, r.split) for r in kql(spark, text, catalog=cat).collect())
+    assert want  # the sample keeps something on this fixture
+    scat = Catalog(spark)
+    scat.register("sdocs", spark.readStream.schema("doc_id long, w double").parquet(inp))
+    sdf = kql_stream(spark, text, catalog=scat)
+    got = run_to_memory(sdf, "stream_split_sample", mode="append").collect()
+    assert sorted((r.doc_id, r.split) for r in got) == want
