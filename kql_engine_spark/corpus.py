@@ -4283,13 +4283,14 @@ q(
     | extend built_rows = tolong(built)
     | evaluate index_stats('/root/repo/spark-warehouse/mh_idx_stats')
     | project kind, rows, data_rows, rows_total, n_bands, rows_per_band,
-              shingle_k, ngram_n, in_progress""",
+              shingle_k, ngram_n, in_progress, store_chk_ok""",
     """SELECT 'minhash' AS kind,
               CAST(COUNT(*) AS BIGINT) AS rows,
               CAST(COUNT(*) AS BIGINT) AS data_rows,
               CAST(COUNT(*) AS BIGINT) AS rows_total,
               20 AS n_bands, 4 AS rows_per_band, 3 AS shingle_k,
-              5 AS ngram_n, FALSE AS in_progress
+              5 AS ngram_n, FALSE AS in_progress,
+              TRUE AS store_chk_ok
        FROM documents""",
 )
 

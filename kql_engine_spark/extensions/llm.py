@@ -2750,6 +2750,21 @@ def _index_stats(ptr, df: DataFrame, args) -> DataFrame:
         if cm is not None and cu is not None and float(cm) > 0
         else None
     )
+    # store_chk health (round 15): REPORTS the fingerprint guard's state
+    # instead of raising — false means the data files changed out of band
+    # since the meta was written (the serving paths fail typed on it);
+    # null when the meta predates the field or the listing is unavailable
+    want_chk = g("store_chk")
+    got_chk = (
+        _store_fingerprint(spark, path, "codes" if kind == "ann" else "sigs")
+        if want_chk is not None
+        else None
+    )
+    chk_ok = (
+        bool(int(got_chk) == int(want_chk))
+        if want_chk is not None and got_chk is not None
+        else None
+    )
     row = (
         kind, g("rows"), data_rows, g("rows_total"),
         g("nlist"), g("m"), g("dim"),
@@ -2757,7 +2772,7 @@ def _index_stats(ptr, df: DataFrame, args) -> DataFrame:
         (float(cm) if cm is not None else None),
         (float(cu) if cu is not None else None), drift,
         (len(g("src_files") or []) if "src_files" in fields else None),
-        in_prog,
+        in_prog, chk_ok,
     )
     return spark.createDataFrame(
         [row],
@@ -2766,7 +2781,7 @@ def _index_stats(ptr, df: DataFrame, args) -> DataFrame:
             "nlist int, m int, dim int, n_bands int, rows_per_band int, "
             "shingle_k int, ngram_n int, cdist_mean double, "
             "cdist_mean_update double, drift_ratio double, src_files int, "
-            "in_progress boolean"
+            "in_progress boolean, store_chk_ok boolean"
         ),
     )
 

@@ -2012,16 +2012,19 @@ def test_index_stats_reports_health_without_raising(spark, tmp_path):
     assert (r.n_bands, r.rows_per_band, r.shingle_k, r.ngram_n) == (20, 4, 3, 5)
     assert r.in_progress is False and r.src_files == 1
     assert r.nlist is None and r.drift_ratio is None
+    assert r.store_chk_ok is True  # round 15: fingerprint health bit
     # marker present -> reported, not raised
     (tmp_path / "idx" / ".kql-inprogress").write_text("")
     assert stats().in_progress is True
     (tmp_path / "idx" / ".kql-inprogress").unlink()
-    # torn store -> data_rows disagrees with rows, still no raise
+    # torn store -> data_rows disagrees with rows, still no raise; the
+    # round-15 fingerprint bit reports false for the same surgery
     spark.createDataFrame(
         [(99, [1], [2])], "__id long, __gh array<bigint>, __bands array<bigint>"
     ).write.mode("append").parquet(idx + "/sigs")
     r = stats()
     assert r.data_rows == 8 and r.rows == 7
+    assert r.store_chk_ok is False
     # not-a-store path is the only typed error
     with pytest.raises(KqlSemanticError, match="cannot read index meta"):
         kql(
