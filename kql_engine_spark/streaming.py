@@ -64,7 +64,12 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete", timeout: int
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):  # round 15: same posture as
+        q.stop()  # foreach_batch_kql — never hand back a partial table
+        raise KqlLimitError(
+            f"run_to_memory: query '{name}' did not drain available "
+            f"input within {timeout}s"
+        )
     return df.sparkSession.table(name)
 
 
@@ -95,7 +100,13 @@ def materialize_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):  # round 15: same posture as
+        q.stop()  # foreach_batch_kql — a partial matview must not register
+        raise KqlLimitError(
+            f"materialize_to_parquet: query did not drain available input "
+            f"within {timeout}s — stopped; re-run to resume from the "
+            f"checkpoint at '{checkpoint}'"
+        )
     if catalog is not None and name:
         catalog.register_matview(name, path)
     return path

@@ -397,7 +397,9 @@ def test_stream_index_served_paths_typed_errors(spark, tmp_path, run_kql):
     run_kql(
         f"documents | evaluate minhash_index_build(text, doc_id, '{idx}', 0.8, 5)"
     ).collect()
-    with pytest.raises(KqlSemanticError, match="STREAMING"):
+    # round 15: the shared _require_batch gate now fires before the
+    # loader's STREAMING-staleness message — still typed at translate
+    with pytest.raises(KqlSemanticError, match="(?i)streaming"):
         kql_stream(
             spark,
             f"events | evaluate dedup_near(event_type, event_id, 0.8, '{idx}')",
