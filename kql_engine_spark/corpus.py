@@ -4268,6 +4268,39 @@ q(
 )
 
 q(
+    "llm_decontaminate_bench_store",
+    # round 15: the 'bench_store' form — benchmark grams served from the
+    # persisted store instead of shingling the benchmark per run. The
+    # kernel is deterministic, so flags are IDENTICAL to the table form
+    # and the same DuckDB n-gram-algebra twin certifies it.
+    """let built = toscalar(documents
+        | evaluate minhash_index_build(text, doc_id, '/root/repo/spark-warehouse/mh_idx_bstore', 0.8, 5)
+        | project rows);
+    documents
+    | extend idx_rows = tolong(built)
+    | evaluate decontaminate(text, doc_id, '/root/repo/spark-warehouse/mh_idx_bstore', 5, 'flag')
+    | project doc_id, contaminated, contaminated_ngrams, idx_rows
+    | sort by doc_id asc""",
+    """WITH d AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), g AS (
+         SELECT doc_id,
+                CAST(COUNT(DISTINCT array_to_string(t[s:s+4], ' ')) AS BIGINT) AS n
+         FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(s)
+         WHERE len(t) >= 5
+         GROUP BY 1
+       )
+       SELECT d.doc_id, g.n IS NOT NULL AS contaminated,
+              COALESCE(g.n, 0) AS contaminated_ngrams,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS idx_rows
+       FROM d LEFT JOIN g USING (doc_id)
+       ORDER BY d.doc_id""",
+)
+
+q(
     "llm_index_stats_persisted",
     # round 14: index_stats over a freshly built shared minhash store.
     # The oracle pins the CONTRACT, not the store files: rows/data_rows/

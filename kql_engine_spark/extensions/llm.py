@@ -4027,13 +4027,19 @@ def _pii_redact(ptr, df: DataFrame, args) -> DataFrame:
 @plugin("decontaminate")
 def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate decontaminate(textcol, idcol, BenchmarkTable,
-    bench_textcol [, n] [, mode] [, 'index_path'])` — training-set
-    decontamination against an
+    bench_textcol [, n] [, mode] [, 'fact_store'])` or `... decontaminate(
+    textcol, idcol, 'bench_store' [, n] [, mode] [, 'fact_store'])` —
+    training-set decontamination against an
     evaluation/benchmark set: a document is contaminated when it shares ANY
     n-token n-gram (default n=13, the GPT-3 appendix-C rule) with any
     benchmark text. mode='remove' (default) drops contaminated documents;
     mode='flag' keeps all rows and appends `contaminated` (bool) +
-    `contaminated_ngrams` (long, distinct colliding n-grams).
+    `contaminated_ngrams` (long, distinct colliding n-grams). The
+    'bench_store' form (round 15) reads the benchmark grams from a
+    persisted minhash_index_build(..., ngram_n=n) store — with BOTH sides
+    persisted ('fact_store' covers the input since round 13) a run reads
+    only precomputed hashes; the store must carry a matching ngram_n
+    (typed error — mismatched widths would silently never collide).
 
     Lowering (all DataFrame ops):
       1. both sides tokenize with the shared whitespace tokenizer and roll
@@ -4045,30 +4051,46 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
          'remove' is a left_anti on doc ids — map-side after the broadcast.
 
     Docs shorter than n tokens have no n-grams and are trivially clean."""
-    if len(args) < 4:
+    if len(args) < 3:
         raise KqlSemanticError(
             "decontaminate(textcol, idcol, BenchmarkTable, bench_textcol"
-            " [, n] [, mode])"
+            " [, n] [, mode] [, 'fact_store']) or decontaminate(textcol,"
+            " idcol, 'bench_store' [, n] [, mode] [, 'fact_store'])"
         )
     text = _colname(args[0], "decontaminate")
     idc = _colname(args[1], "decontaminate")
-    if not isinstance(args[2], Col):
-        raise KqlSemanticError("decontaminate: third arg must be a table name")
-    bench = ptr._resolve_table(args[2].name)
-    btext = _colname(args[3], "decontaminate")
-    if btext not in bench.columns:
-        raise KqlSemanticError(
-            f"decontaminate: column {btext!r} not in {args[2].name!r}"
-        )
-    n = int(_const_float(args[4], "decontaminate")) if len(args) > 4 else 13
+    if isinstance(args[2], Col):
+        # table form: benchmark text shingled in-session
+        if len(args) < 4:
+            raise KqlSemanticError(
+                "decontaminate(textcol, idcol, BenchmarkTable, bench_textcol"
+                " [, n] [, mode])"
+            )
+        bench = ptr._resolve_table(args[2].name)
+        btext = _colname(args[3], "decontaminate")
+        if btext not in bench.columns:
+            raise KqlSemanticError(
+                f"decontaminate: column {btext!r} not in {args[2].name!r}"
+            )
+        bench_store, rest = None, list(args[4:])
+    else:
+        # round 15: 'bench_store' form — the benchmark side served from a
+        # persisted minhash_index_build(..., ngram_n=n) store, completing
+        # the round-13 fact-side story: with BOTH sides persisted, a
+        # decontaminate run reads only precomputed gram hashes (the
+        # benchmark store is the authority AS INDEXED, dedup_against's
+        # reference-side posture — no staleness guard vs the input).
+        bench, btext = None, None
+        bench_store, rest = _const_str(args[2], "decontaminate"), list(args[3:])
+    n = int(_const_float(rest[0], "decontaminate")) if rest else 13
     if n < 1:
         raise KqlSemanticError("decontaminate: n must be >= 1")
     mode = "remove"
-    if len(args) > 5:
-        if not isinstance(args[5], Lit) or args[5].value not in ("remove", "flag"):
+    if len(rest) > 1:
+        if not isinstance(rest[1], Lit) or rest[1].value not in ("remove", "flag"):
             raise KqlSemanticError("decontaminate: mode must be 'remove' or 'flag'")
-        mode = args[5].value
-    idx_path = _const_str(args[6], "decontaminate") if len(args) > 6 else None
+        mode = rest[1].value
+    idx_path = _const_str(rest[2], "decontaminate") if len(rest) > 2 else None
 
     # round 6: both sides' n-gram hashes come from the shared vectorized
     # numpy kernel (one Arrow batch pass instead of an O(tokens x n)
@@ -4081,18 +4103,55 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
     def ngram_hashes(col: Column) -> Column:
         return feat(col.cast("string"))["gh"]
 
-    # round 15 (sf10 profiling): the benchmark side also pays the per-byte
-    # n-gram kernel, and a compressed benchmark parquet can scan as 1-2
-    # tasks — self-vs-self decontamination at sf10 spent 90 of its 94 s
-    # running the bench kernel on 2 of 32 cores. Spread the narrow
-    # projection before the kernel, exactly like the fact side; for a
-    # genuinely dimension-sized eval set the repartition moves kilobytes
-    # and at cluster scale _spread_narrow_scan no-ops on width.
-    bench_hashes = (
-        _spread_narrow_scan(bench.select(F.col(btext).alias("__bt")))
-        .select(F.explode(ngram_hashes(F.col("__bt"))).alias("__bh"))
-        .distinct()
-    )
+    spark = df.sparkSession
+    if bench_store is not None:
+        # benchmark grams from the persisted store's __ngh column; the
+        # store's ngram width must match this query's n (the hashes are a
+        # pure function of n — a mismatch would silently never collide)
+        ptr._scan_unknown = True  # the signature store is an unsized scan
+        _store_check(spark, bench_store, "decontaminate")
+        try:
+            bmeta = spark.read.parquet(bench_store + "/meta").collect()[0]
+        except Exception as exc:
+            raise KqlSemanticError(
+                "decontaminate: cannot read minhash index meta at "
+                f"'{bench_store}/meta' — build it with "
+                "minhash_index_build(..., ngram_n) first"
+            ) from exc
+        _require_meta_fields(bmeta, ("rows", "ngram_n"), "decontaminate",
+                             bench_store)
+        if int(bmeta["ngram_n"] or 0) != n:
+            raise KqlSemanticError(
+                f"decontaminate: benchmark store at '{bench_store}' carries "
+                f"ngram_n={int(bmeta['ngram_n'] or 0)} gram hashes, this "
+                f"query needs n={n} — rebuild the store with ngram_n={n}"
+            )
+        if int(_meta_get(bmeta, "shingle_k", 3)) != 3:
+            raise KqlSemanticError(
+                f"decontaminate: benchmark store at '{bench_store}' was "
+                f"built over {int(bmeta['shingle_k'])}-token shingles; this "
+                "engine's kernel uses 3 — rebuild the store"
+            )
+        _store_count_check(spark, bench_store, "sigs", bmeta, "decontaminate")
+        bench_hashes = (
+            spark.read.parquet(bench_store + "/sigs")
+            .select(F.explode(F.col("__ngh")).alias("__bh"))
+            .distinct()
+        )
+    else:
+        # round 15 (sf10 profiling): the benchmark side also pays the
+        # per-byte n-gram kernel, and a compressed benchmark parquet can
+        # scan as 1-2 tasks — self-vs-self decontamination at sf10 spent
+        # 90 of its 94 s running the bench kernel on 2 of 32 cores. Spread
+        # the narrow projection before the kernel, exactly like the fact
+        # side; for a genuinely dimension-sized eval set the repartition
+        # moves kilobytes and at cluster scale _spread_narrow_scan no-ops
+        # on width.
+        bench_hashes = (
+            _spread_narrow_scan(bench.select(F.col(btext).alias("__bt")))
+            .select(F.explode(ngram_hashes(F.col("__bt"))).alias("__bh"))
+            .distinct()
+        )
     if idx_path is not None:
         # round 13: fact-side grams from the SHARED signature store
         # (minhash_index_build with a matching ngram_n) — the 100 TB

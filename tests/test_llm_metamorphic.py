@@ -2311,3 +2311,80 @@ def test_sample_weighted_laws(spark):
     ):
         with pytest.raises(KqlSemanticError):
             kql(spark, bad, catalog=cat).collect()
+
+
+def test_decontaminate_bench_store_identity_and_guards(spark, tmp_path):
+    # round 15: the 'bench_store' form must flag IDENTICALLY to the table
+    # form (deterministic kernel), and refuse stores whose gram width
+    # differs from the query's n (mismatched widths would silently never
+    # collide).
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    bench = [(i, f"benchmark question {i} alpha beta gamma delta epsilon")
+             for i in range(5)]
+    docs = (
+        [(100, "benchmark question 2 alpha beta gamma delta epsilon tail")]
+        + [(200 + i, f"clean training page {i} zeta eta theta iota kappa")
+           for i in range(4)]
+    )
+    cat = Catalog(spark)
+    bp, dp = str(tmp_path / "b"), str(tmp_path / "d")
+    spark.createDataFrame(bench, "q_id long, qtext string").write.parquet(bp)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(dp)
+    cat.register("bench", spark.read.parquet(bp))
+    cat.register("train", spark.read.parquet(dp))
+    store = str(tmp_path / "bstore")
+    kql(
+        spark,
+        f"bench | evaluate minhash_index_build(qtext, q_id, '{store}', 0.8, 5)",
+        catalog=cat,
+    ).collect()
+    want = sorted(
+        (r.doc_id, r.contaminated, r.contaminated_ngrams)
+        for r in kql(
+            spark,
+            "train | evaluate decontaminate(text, doc_id, bench, qtext, 5, 'flag')",
+            catalog=cat,
+        ).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.contaminated, r.contaminated_ngrams)
+        for r in kql(
+            spark,
+            f"train | evaluate decontaminate(text, doc_id, '{store}', 5, 'flag')",
+            catalog=cat,
+        ).collect()
+    )
+    assert got == want
+    assert any(c for _, c, _ in got) and not all(c for _, c, _ in got)
+    # remove mode through the store
+    kept = kql(
+        spark,
+        f"train | evaluate decontaminate(text, doc_id, '{store}', 5)",
+        catalog=cat,
+    ).count()
+    assert kept == sum(1 for _, c, _ in got if not c)
+    # gram-width mismatch fails typed
+    with pytest.raises(KqlSemanticError, match="ngram_n"):
+        kql(
+            spark,
+            f"train | evaluate decontaminate(text, doc_id, '{store}', 7, 'flag')",
+            catalog=cat,
+        ).collect()
+    # a store built WITHOUT ngram_n cannot serve the bench side
+    plain = str(tmp_path / "plain")
+    kql(
+        spark,
+        f"bench | evaluate minhash_index_build(qtext, q_id, '{plain}', 0.8)",
+        catalog=cat,
+    ).collect()
+    with pytest.raises(KqlSemanticError, match="ngram_n"):
+        kql(
+            spark,
+            f"train | evaluate decontaminate(text, doc_id, '{plain}', 5, 'flag')",
+            catalog=cat,
+        ).collect()
