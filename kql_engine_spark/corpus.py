@@ -1356,6 +1356,37 @@ q(
 )
 
 q(
+    "llm_similarity_join_cliques",
+    # round 15: certifies the distinct-vector decomposition's two paths
+    # on planted duplicate cliques — (1,2) identical raw vectors and
+    # (4,5) identical AFTER normalization (different magnitudes), plus
+    # the cross-clique expansion (1,3)/(2,3). Engine intra-clique sims
+    # come from the representative's self-dot; the oracle computes every
+    # pairwise dot from the literals with the same left-to-right float
+    # order, so sims hash-match exactly.
+    """datatable(id:long, e:dynamic)[
+        1, dynamic([1.0, 0.0, 0.0]), 2, dynamic([1.0, 0.0, 0.0]),
+        3, dynamic([0.9, 0.1, 0.0]), 4, dynamic([0.0, 1.0, 0.0]),
+        5, dynamic([0.0, 2.0, 0.0]), 6, dynamic([0.0, 0.0, 1.0])]
+    | evaluate similarity_join(e, id, 0.9)
+    | project left_id, right_id, sim
+    | sort by left_id asc, right_id asc""",
+    """WITH v(id, x, y, z) AS (VALUES
+         (1, 1.0, 0.0, 0.0), (2, 1.0, 0.0, 0.0), (3, 0.9, 0.1, 0.0),
+         (4, 0.0, 1.0, 0.0), (5, 0.0, 2.0, 0.0), (6, 0.0, 0.0, 1.0)),
+       u AS (SELECT id, x / sqrt(x*x + y*y + z*z) AS x,
+                    y / sqrt(x*x + y*y + z*z) AS y,
+                    z / sqrt(x*x + y*y + z*z) AS z
+             FROM v)
+       SELECT CAST(a.id AS BIGINT) AS left_id,
+              CAST(b.id AS BIGINT) AS right_id,
+              ROUND(a.x*b.x + a.y*b.y + a.z*b.z, 6) AS sim
+       FROM u a JOIN u b ON a.id < b.id
+       WHERE a.x*b.x + a.y*b.y + a.z*b.z >= 0.9
+       ORDER BY a.id, b.id""",
+)
+
+q(
     "llm_dedup_clusters",
     # round 15: dedup_near's LABELING form — every row keeps its near-dup
     # component's min-id canonical as cluster_id. Certified PER ROW (500
