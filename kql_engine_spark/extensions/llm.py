@@ -2833,7 +2833,7 @@ def _index_stats(ptr, df: DataFrame, args) -> DataFrame:
 
 @plugin("dedup_near")
 def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
-    """`T | evaluate dedup_near(textcol, idcol, threshold)` — near-duplicate
+    """`T | evaluate dedup_near(textcol, idcol[, threshold=0.8])` — near-duplicate
     removal: minhash BANDING over 3-token shingles (hashed to 64-bit longs
     once), band-value equi-join on ids only, EXACT Jaccard verify on the
     hashed shingle sets, connected components by smallest-id propagation
@@ -2866,9 +2866,18 @@ def _dedup_near(ptr, df: DataFrame, args) -> DataFrame:
     content scan opt-in). The signature kernel is deterministic (fixed
     seeds), so results are IDENTICAL to the in-session path."""
     _require_batch(df, "dedup_near")
+    if not 2 <= len(args) <= 4:
+        raise KqlSemanticError(
+            "dedup_near(textcol, idcol[, threshold=0.8][, index_path]) "
+            "takes 2-4 arguments"
+        )
     text = _colname(args[0], "dedup_near")
     idc = _colname(args[1], "dedup_near")
-    thr = _const_float(args[2], "dedup_near")
+    # same default as dedup_clusters — the labeling sibling; the pinned
+    # `dedup_clusters | where is_canonical` == dedup_near law only makes
+    # sense if both accept the same shapes (round 16, found by an
+    # arity probe: args[2] unguarded was an untyped IndexError)
+    thr = _const_float(args[2], "dedup_near") if len(args) > 2 else 0.8
     idx_path = _const_str(args[3], "dedup_near") if len(args) > 3 else None
 
     n_bands, rows_per_band = _minhash_shape(thr)

@@ -3345,7 +3345,18 @@ class PipeTranslator:
         impl = EVALUATE_REGISTRY.get(op.plugin)
         if impl is None:
             raise KqlUnsupportedError(f"evaluate plugin {op.plugin!r}")
-        out = impl(self, df, op.args)
+        try:
+            out = impl(self, df, op.args)
+        except IndexError as exc:
+            # unguarded args[i] in a plugin's translate-time arg parsing
+            # (round 16 — a systematic 0/1-arg probe found 22 plugins
+            # surfacing raw IndexError): the only-typed-KqlErrors
+            # contract holds at the dispatch boundary for every current
+            # and future plugin; the original traceback stays chained.
+            raise KqlSemanticError(
+                f"evaluate {op.plugin}: too few arguments — see the "
+                "plugin's documented signature"
+            ) from exc
         # row-filtering plugins keep the input's serialized order [KQL];
         # everything else re-shapes rows and invalidates it
         if op.plugin not in ("rows_near",):

@@ -2432,3 +2432,26 @@ def test_aqe_probe_result_parity_across_kinds(run_kql, spark, monkeypatch):
     finally:
         os.environ.pop("KQL_ENGINE_AQE_PROBE", None)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_every_plugin_fails_typed_on_short_arity(run_kql):
+    """Round 16: probe every registered evaluate plugin with 0 and 1
+    arguments through the KQL surface. The contract is only-typed
+    KqlErrors — an unguarded args[i] raises an untyped IndexError
+    instead (dedup_near did exactly that for the 2-arg form until this
+    round). Success is also fine (some plugins genuinely take 0-1
+    args); what must never happen is a non-Kql Python exception."""
+    from kql_engine_spark.errors import KqlError
+    from kql_engine_spark.extensions import EVALUATE_REGISTRY
+
+    failures = []
+    for name in sorted(EVALUATE_REGISTRY):
+        for arglist in ("", "text"):
+            q = f"documents | evaluate {name}({arglist})"
+            try:
+                run_kql(q)
+            except KqlError:
+                pass
+            except Exception as exc:  # noqa: BLE001 - the probe's point
+                failures.append(f"{name}({arglist}): {type(exc).__name__}: {exc}")
+    assert not failures, "untyped errors:\n" + "\n".join(failures)
