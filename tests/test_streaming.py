@@ -190,24 +190,32 @@ def test_stream_llm_plugins_match_batch(spark, run_kql):
     # streaming documents source unchanged
     from kql_engine_spark.streaming import kql_stream, run_to_memory
 
+    # round 16 (verdict item 6): split_by_hash + sample_weighted join the
+    # standing grid — they are pinned streaming-SAFE, so the per-round
+    # equivalence sweep now covers them automatically alongside the
+    # other stateless plugins
     text = (
         "documents | evaluate pii_redact(text)"
         " | evaluate quality_filter(text, 5, 10000)"
         " | evaluate repetition_filter(text)"
-        " | project doc_id, pii_found, qf_pass, rf_pass,"
+        " | evaluate split_by_hash(doc_id, 3, 'a', 3, 'b', 1)"
+        " | evaluate sample_weighted(doc_id, doc_id, 0.002, 9)"
+        " | project doc_id, pii_found, qf_pass, rf_pass, split,"
         "   t2 = rf_top_2gram_char_frac, n = count_tokens(text)"
     )
     sdf = kql_stream(spark, text, sf_dir=SF_DIR)
     assert sdf.isStreaming
     got = sorted(
-        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.t2, r.n)
+        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.split, r.t2, r.n)
         for r in run_to_memory(sdf, "stream_llm", mode="append").collect()
     )
     want = sorted(
-        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.t2, r.n)
+        (r.doc_id, r.pii_found, r.qf_pass, r.rf_pass, r.split, r.t2, r.n)
         for r in run_kql(text).collect()
     )
     assert got == want
+    assert got, "weighted sample kept nothing - fixture drifted"
+    assert len({g[4] for g in got}) >= 2, "expected both split labels in the grid"
 
 
 def test_random_pipelines_stream_equals_batch(spark, run_kql):
@@ -474,11 +482,15 @@ def test_stream_dedup_against_foreach_batch_recipe(spark, tmp_path):
         .parquet(incp)
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # round 16 (verdict item 6): the recipe runs in idempotent mode so
+    # the standing grid covers the per-batch hive-partition replay path
+    # every round, not just the dedicated retry-replay test
     foreach_batch_kql(
         sdf,
         f"batch | evaluate dedup_against(text, doc_id, '{store}', 0.8)",
         out,
         ckpt,
+        idempotent=True,
     )
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     want = sorted(
