@@ -4471,6 +4471,37 @@ q(
 )
 
 q(
+    "llm_sample_to_mixture",
+    # round 16: deterministic mixture resampling — the largest subset
+    # whose group proportions match the target weights (integer quota
+    # rule quota_g = min_h (n_h * w_g) div w_h), each group keeping its
+    # quota of smallest seeded-LCG keys, ties by id. Pure BIGINT
+    # arithmetic start to finish, so the twin reproduces the exact row
+    # SET (per-row ids certified, not just the counts).
+    """documents
+    | evaluate sample_to_mixture(source, doc_id, 11, 'src1', 3, 'src2', 2, 'src3', 1)
+    | project doc_id, source""",
+    """WITH t(g, w) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+       c AS (SELECT t.g, t.w, COALESCE(cnt.n, 0) AS n FROM t
+             LEFT JOIN (SELECT source AS g, COUNT(*) AS n FROM documents
+                        WHERE doc_id IS NOT NULL
+                          AND source IN ('src1','src2','src3')
+                        GROUP BY 1) cnt USING (g)),
+       qq AS (SELECT c1.g, MIN((c2.n * c1.w) // c2.w) AS quota
+              FROM c c1 CROSS JOIN c c2 GROUP BY c1.g),
+       r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                      ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                        + 11) * 1103515245 + 12345) % 2147483648,
+                      doc_id) AS rn
+             FROM documents
+             WHERE doc_id IS NOT NULL
+               AND source IN ('src1','src2','src3'))
+       SELECT doc_id, source FROM r JOIN qq ON r.source = qq.g
+       WHERE rn <= qq.quota""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row

@@ -437,6 +437,121 @@ def _sample_weighted(ptr, df: DataFrame, args) -> DataFrame:
     return df.filter(u < p)
 
 
+# ------------------------------------------------------------ sample_to_mixture
+@plugin("sample_to_mixture")
+def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate sample_to_mixture(GroupCol, IdCol, seed, label1, w1
+    [, label2, w2 ...])` — deterministic mixture resampling (round 16):
+    keep the LARGEST subset of T whose group proportions match the
+    target weights w_i / sum(w), subject to integrality — the
+    domain-mixing step of training-mix curation ("make the corpus 60%
+    web, 30% books, 10% code"), with the family's portability contract
+    (split_by_hash / sample_weighted / take_stratified): which rows
+    survive is a pure integer function of (id, seed), reproducible
+    across runs and engines and independent of physical row order.
+
+    Quota rule (pure BIGINT, any ANSI-SQL engine reproduces it — the
+    DuckDB twin does):
+
+        quota_g = min over target groups h of (n_h * w_g) div w_h
+
+    where n_h is the group's row count. Since n*/w* = min_h n_h/w_h and
+    floor is monotone, this equals floor(scale * w_g) for the binding
+    scale = n*/w* without ever leaving integer arithmetic. Each group
+    then keeps its quota_g rows of smallest seeded-LCG key (ties by
+    id) — take_stratified's portable order with split_by_hash's seeded
+    mixer. Rows whose group is not a target label, and null ids, are
+    dropped. A target group absent from T forces every quota to 0 —
+    the honest answer (that mixture cannot be built), documented.
+
+    Scale shape: one count aggregate per target group (a bounded
+    driver-side collect of len(labels) rows at translate time — never
+    O(corpus)), then one hash shuffle on the group + per-group
+    row_number, exactly take_stratified's plan. Weights are capped at
+    10^6 so n_h * w_g stays far inside int64 at 10^12-row corpora."""
+    what = "sample_to_mixture"
+    _require_batch(df, what)
+    if len(args) < 5 or (len(args) - 3) % 2 != 0:
+        raise KqlSemanticError(
+            f"{what}(GroupCol, IdCol, seed, label1, w1[, label2, w2 ...]) "
+            "needs a group column, an id, a seed, and at least one "
+            "(label, weight) pair"
+        )
+    gc = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    seed = int(_const_float(args[2], what))
+    if not 0 <= seed < 2**31:
+        raise KqlSemanticError(f"{what}: seed must be in [0, 2^31)")
+    _require_col(df, gc, what)
+    _require_col(df, idc, what)
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[idc].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise KqlSemanticError(
+            f"{what}: IdCol must be an integer column (the deterministic "
+            "mixer is integer arithmetic)"
+        )
+    pairs: list[tuple[str, int]] = []
+    for i in range(3, len(args), 2):
+        label = _const_str(args[i], what)
+        w = int(_const_float(args[i + 1], what))
+        if not 0 < w <= 10**6:
+            raise KqlSemanticError(
+                f"{what}: weights must be in [1, 10^6] (integer quota "
+                "arithmetic must stay inside int64)"
+            )
+        pairs.append((label, w))
+    if len({p[0] for p in pairs}) != len(pairs):
+        raise KqlSemanticError(f"{what}: mixture labels must be distinct")
+
+    labels = [p[0] for p in pairs]
+    # bounded collect: one row per TARGET label, never O(corpus)
+    cnt_rows = (
+        df.filter(F.col(gc).cast("string").isin(labels) & F.col(idc).isNotNull())
+        .groupBy(F.col(gc).cast("string").alias("__g"))
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    )
+    counts = {r["__g"]: int(r["__n"]) for r in cnt_rows}
+    quotas = {
+        g: min((counts.get(h, 0) * wg) // wh for h, wh in pairs)
+        for g, wg in pairs
+    }
+
+    m = F.lit(2147483648)
+    idl = F.col(idc).cast("bigint")
+    key = (((idl % m) + m) % m + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    key = (key % m)
+    w = Window.partitionBy(F.col(gc).cast("string")).orderBy(key.asc(), idl.asc())
+    quota_expr = None
+    for g in labels:
+        cond = F.col(gc).cast("string") == F.lit(g)
+        lim = F.lit(quotas[g])
+        quota_expr = (
+            F.when(cond, lim) if quota_expr is None else quota_expr.when(cond, lim)
+        )
+    # the CONSTANT bound (max quota) rides alongside the per-group CASE
+    # bound: Spark's WindowGroupLimit only fires on a literal rank
+    # limit, and with it each map partition ships at most max-quota rows
+    # per group into the exchange instead of the group's full population
+    # — the difference between a bounded and an unbounded shuffle on a
+    # hot group at 100 TB (verified in the plan; take_stratified's
+    # rationale)
+    maxq = max(quotas.values(), default=0)
+    return (
+        df.filter(F.col(gc).cast("string").isin(labels) & F.col(idc).isNotNull())
+        .withColumn("__sm_rn", F.row_number().over(w))
+        .filter(
+            (F.col("__sm_rn") <= F.lit(maxq))
+            & (F.col("__sm_rn") <= quota_expr)
+        )
+        .drop("__sm_rn")
+    )
+
+
 # ---------------------------------------------------------------- ngram_stats
 @plugin("ngram_stats")
 def _ngram_stats(ptr, df: DataFrame, args) -> DataFrame:

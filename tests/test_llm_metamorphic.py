@@ -2388,3 +2388,77 @@ def test_decontaminate_bench_store_identity_and_guards(spark, tmp_path):
             f"train | evaluate decontaminate(text, doc_id, '{plain}', 5, 'flag')",
             catalog=cat,
         ).collect()
+
+
+def test_sample_to_mixture_laws(spark):
+    # round 16: mixture-resampling contract — exact integer quotas
+    # (quota_g = min_h (n_h * w_g) div w_h), binding group kept whole,
+    # physical-order invariance, subset/selectivity rules, typed errors.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    # groups: a=60 rows, b=30, c=12, d=50 (not a target), plus a null id
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(12)]
+        + [(300 + i, "d") for i in range(50)]
+        + [(None, "a")]
+    )
+    cat.register(
+        "mdocs", spark.createDataFrame(rows, "doc_id long, g string")
+    )
+
+    def run(q):
+        return kql(spark, q, catalog=cat).collect()
+
+    base = "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 3, 'b', 2, 'c', 1)"
+    out = run(base + " | summarize n = count() by g | sort by g asc")
+    got = {r.g: r.n for r in out}
+    # binding group is c (12/1 < 30/2 < 60/3): quotas 36/24/12
+    assert got == {"a": 36, "b": 24, "c": 12}
+    ids = {r.doc_id for r in run(base + " | project doc_id")}
+    assert all(i is not None for i in ids)          # null ids dropped
+    assert not any(300 <= i < 400 for i in ids)     # non-target group dropped
+    assert {200 + i for i in range(12)} <= ids      # binding group kept whole
+    # physical-order invariance: a shuffled/repartitioned input keeps
+    # the identical row set (the LCG order is logical, not physical)
+    cat.register(
+        "mdocs_shuffled",
+        spark.createDataFrame(rows, "doc_id long, g string")
+        .repartition(13)
+        .sortWithinPartitions("g"),
+    )
+    ids2 = {
+        r.doc_id
+        for r in run(
+            "mdocs_shuffled | evaluate sample_to_mixture(g, doc_id, 7, "
+            "'a', 3, 'b', 2, 'c', 1) | project doc_id"
+        )
+    }
+    assert ids2 == ids
+    # same seed -> identical set; different seed -> same quotas
+    assert {r.doc_id for r in run(base + " | project doc_id")} == ids
+    out9 = run(
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 9, 'a', 3, 'b', 2, 'c', 1)"
+        " | summarize n = count() by g | sort by g asc"
+    )
+    assert {r.g: r.n for r in out9} == {"a": 36, "b": 24, "c": 12}
+    # a target label absent from the data zeroes every quota
+    assert run(
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 1, 'zz', 1)"
+    ) == []
+    for bad in (
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 3, 'b')",
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 0)",
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 1, 'a', 2)",
+        "mdocs | evaluate sample_to_mixture(nope, doc_id, 7, 'a', 1)",
+        "mdocs | evaluate sample_to_mixture(g, g, 7, 'a', 1)",
+        "mdocs | evaluate sample_to_mixture(g, doc_id, -1, 'a', 1)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            kql(spark, bad, catalog=cat).collect()
