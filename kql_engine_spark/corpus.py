@@ -4502,6 +4502,43 @@ q(
 )
 
 q(
+    "llm_upsample_to_mixture",
+    # round 16: the repeating dual — the smallest superset matching the
+    # target weights (quota_g = max_h (n_h * w_g) div w_h), each row of
+    # group g repeated quota div n times plus one extra repeat for the
+    # (quota mod n) smallest seeded-LCG keys, numbered 1..k in `rep`.
+    # Pure BIGINT, so the twin reproduces the exact row MULTISET
+    # including repetition indices.
+    """documents
+    | evaluate upsample_to_mixture(source, doc_id, 11, 'src1', 1, 'src2', 2, 'src3', 3)
+    | project doc_id, source, rep""",
+    """WITH t(g, w) AS (VALUES ('src1', 1), ('src2', 2), ('src3', 3)),
+       c AS (SELECT t.g, t.w, COALESCE(cnt.n, 0) AS n FROM t
+             LEFT JOIN (SELECT source AS g, COUNT(*) AS n FROM documents
+                        WHERE doc_id IS NOT NULL
+                          AND source IN ('src1','src2','src3')
+                        GROUP BY 1) cnt USING (g)),
+       qq AS (SELECT c1.g, MIN(c1.n) AS n,
+                     MAX((c2.n * c1.w) // c2.w) AS quota
+              FROM c c1 CROSS JOIN c c2 GROUP BY c1.g),
+       ok AS (SELECT COALESCE(MIN(n), 0) > 0 AS ok FROM c),
+       r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                      ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                        + 11) * 1103515245 + 12345) % 2147483648,
+                      doc_id) AS rn
+             FROM documents
+             WHERE doc_id IS NOT NULL
+               AND source IN ('src1','src2','src3')),
+       x AS (SELECT r.doc_id, r.source,
+                    (qq.quota // qq.n)
+                    + CASE WHEN r.rn <= (qq.quota % qq.n) THEN 1 ELSE 0 END
+                      AS rc
+             FROM r JOIN qq ON r.source = qq.g CROSS JOIN ok WHERE ok.ok)
+       SELECT doc_id, source, UNNEST(range(1, rc + 1)) AS rep FROM x""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row

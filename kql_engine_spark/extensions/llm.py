@@ -438,39 +438,11 @@ def _sample_weighted(ptr, df: DataFrame, args) -> DataFrame:
 
 
 # ------------------------------------------------------------ sample_to_mixture
-@plugin("sample_to_mixture")
-def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
-    """`T | evaluate sample_to_mixture(GroupCol, IdCol, seed, label1, w1
-    [, label2, w2 ...])` — deterministic mixture resampling (round 16):
-    keep the LARGEST subset of T whose group proportions match the
-    target weights w_i / sum(w), subject to integrality — the
-    domain-mixing step of training-mix curation ("make the corpus 60%
-    web, 30% books, 10% code"), with the family's portability contract
-    (split_by_hash / sample_weighted / take_stratified): which rows
-    survive is a pure integer function of (id, seed), reproducible
-    across runs and engines and independent of physical row order.
-
-    Quota rule (pure BIGINT, any ANSI-SQL engine reproduces it — the
-    DuckDB twin does):
-
-        quota_g = min over target groups h of (n_h * w_g) div w_h
-
-    where n_h is the group's row count. Since n*/w* = min_h n_h/w_h and
-    floor is monotone, this equals floor(scale * w_g) for the binding
-    scale = n*/w* without ever leaving integer arithmetic. Each group
-    then keeps its quota_g rows of smallest seeded-LCG key (ties by
-    id) — take_stratified's portable order with split_by_hash's seeded
-    mixer. Rows whose group is not a target label, and null ids, are
-    dropped. A target group absent from T forces every quota to 0 —
-    the honest answer (that mixture cannot be built), documented.
-
-    Scale shape: one count aggregate per target group (a bounded
-    driver-side collect of len(labels) rows at translate time — never
-    O(corpus)), then one hash shuffle on the group + per-group
-    row_number, exactly take_stratified's plan. Weights are capped at
-    10^6 so n_h * w_g stays far inside int64 at 10^12-row corpora."""
-    what = "sample_to_mixture"
-    _require_batch(df, what)
+def _parse_mixture_args(df: DataFrame, args, what: str):
+    """Shared argument contract of the mixture pair (sample_to_mixture /
+    upsample_to_mixture): (GroupCol, IdCol, seed, label1, w1[, ...]) ->
+    (group col, id col, seed, [(label, weight)]), every violation a
+    typed KqlSemanticError."""
     if len(args) < 5 or (len(args) - 3) % 2 != 0:
         raise KqlSemanticError(
             f"{what}(GroupCol, IdCol, seed, label1, w1[, label2, w2 ...]) "
@@ -506,25 +478,72 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
         pairs.append((label, w))
     if len({p[0] for p in pairs}) != len(pairs):
         raise KqlSemanticError(f"{what}: mixture labels must be distinct")
+    return gc, idc, seed, pairs
 
-    labels = [p[0] for p in pairs]
+
+def _mixture_counts(df: DataFrame, gc: str, idc: str, labels) -> dict[str, int]:
     # bounded collect: one row per TARGET label, never O(corpus)
-    cnt_rows = (
-        df.filter(F.col(gc).cast("string").isin(labels) & F.col(idc).isNotNull())
+    rows = (
+        df.filter(F.col(gc).cast("string").isin(list(labels)) & F.col(idc).isNotNull())
         .groupBy(F.col(gc).cast("string").alias("__g"))
         .agg(F.count("*").alias("__n"))
         .collect()
     )
-    counts = {r["__g"]: int(r["__n"]) for r in cnt_rows}
+    return {r["__g"]: int(r["__n"]) for r in rows}
+
+
+def _mixture_lcg_key(idc: str, seed: int):
+    # split_by_hash's portable mixer: pure BIGINT LCG over the id, so any
+    # ANSI-SQL engine reproduces the per-group order bit-for-bit
+    m = F.lit(2147483648)
+    idl = F.col(idc).cast("bigint")
+    key = (((idl % m) + m) % m + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    return key % m, idl
+
+
+@plugin("sample_to_mixture")
+def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate sample_to_mixture(GroupCol, IdCol, seed, label1, w1
+    [, label2, w2 ...])` — deterministic mixture resampling (round 16):
+    keep the LARGEST subset of T whose group proportions match the
+    target weights w_i / sum(w), subject to integrality — the
+    domain-mixing step of training-mix curation ("make the corpus 60%
+    web, 30% books, 10% code"), with the family's portability contract
+    (split_by_hash / sample_weighted / take_stratified): which rows
+    survive is a pure integer function of (id, seed), reproducible
+    across runs and engines and independent of physical row order.
+
+    Quota rule (pure BIGINT, any ANSI-SQL engine reproduces it — the
+    DuckDB twin does):
+
+        quota_g = min over target groups h of (n_h * w_g) div w_h
+
+    where n_h is the group's row count. Since n*/w* = min_h n_h/w_h and
+    floor is monotone, this equals floor(scale * w_g) for the binding
+    scale = n*/w* without ever leaving integer arithmetic. Each group
+    then keeps its quota_g rows of smallest seeded-LCG key (ties by
+    id) — take_stratified's portable order with split_by_hash's seeded
+    mixer. Rows whose group is not a target label, and null ids, are
+    dropped. A target group absent from T forces every quota to 0 —
+    the honest answer (that mixture cannot be built), documented.
+
+    Scale shape: one count aggregate per target group (a bounded
+    driver-side collect of len(labels) rows at translate time — never
+    O(corpus)), then one hash shuffle on the group + per-group
+    row_number, exactly take_stratified's plan. Weights are capped at
+    10^6 so n_h * w_g stays far inside int64 at 10^12-row corpora."""
+    what = "sample_to_mixture"
+    _require_batch(df, what)
+    gc, idc, seed, pairs = _parse_mixture_args(df, args, what)
+
+    labels = [p[0] for p in pairs]
+    counts = _mixture_counts(df, gc, idc, labels)
     quotas = {
         g: min((counts.get(h, 0) * wg) // wh for h, wh in pairs)
         for g, wg in pairs
     }
 
-    m = F.lit(2147483648)
-    idl = F.col(idc).cast("bigint")
-    key = (((idl % m) + m) % m + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
-    key = (key % m)
+    key, idl = _mixture_lcg_key(idc, seed)
     w = Window.partitionBy(F.col(gc).cast("string")).orderBy(key.asc(), idl.asc())
     quota_expr = None
     for g in labels:
@@ -550,6 +569,104 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
         )
         .drop("__sm_rn")
     )
+
+
+# ---------------------------------------------------------- upsample_to_mixture
+@plugin("upsample_to_mixture")
+def _upsample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate upsample_to_mixture(GroupCol, IdCol, seed, label1,
+    w1 [, label2, w2 ...])` — the repeating dual of sample_to_mixture
+    (round 16): produce the SMALLEST superset of T (rows repeated, none
+    dropped within target groups) whose group proportions match the
+    target weights — the "epochs per domain" form of training-mix
+    curation, where underrepresented domains are repeated rather than
+    overrepresented ones discarded. Appends a `rep` column (bigint,
+    1..k) numbering each row's repetitions so downstream shuffles/splits
+    see distinct rows. Same portability contract as the sibling: which
+    rows repeat an extra time is a pure integer function of (id, seed).
+
+    Quota rule is the sibling's dual (floor is monotone, so the max of
+    per-group integer ratios IS floor(scale*w_g) at the binding scale
+    = max_h n_h/w_h):
+
+        quota_g = max over target groups h of (n_h * w_g) div w_h  >= n_g
+
+    Each row of group g then repeats quota_g div n_g times, and the
+    (quota_g mod n_g) rows with the smallest seeded-LCG keys (ties by
+    id) repeat once more. Non-target groups and null ids are dropped. A
+    target group ABSENT from T makes the mixture unbuildable (nothing
+    to repeat) — the result is empty, mirroring the sibling's honest
+    zero-quota answer.
+
+    Scale shape: the bounded per-label count collect, then ONE of two
+    plans — when every quota divides evenly (pure "repeat web 2x, code
+    5x" mixes), the repeat count is a stateless per-group CASE and the
+    whole op is a shuffle-free scan + explode(sequence); otherwise the
+    sibling's single hash shuffle + per-group row_number picks the
+    extra-repeat rows. The explode is the output itself (the superset),
+    so no blow-up beyond what the user asked for; a per-row repeat
+    count above 10^6 fails typed rather than silently exploding a
+    skewed mix."""
+    what = "upsample_to_mixture"
+    _require_batch(df, what)
+    gc, idc, seed, pairs = _parse_mixture_args(df, args, what)
+    if "rep" in df.columns:
+        raise KqlSemanticError(
+            f"{what}: input already has a 'rep' column (the op appends "
+            "the repetition index under that name)"
+        )
+
+    labels = [p[0] for p in pairs]
+    counts = _mixture_counts(df, gc, idc, labels)
+    gcast = F.col(gc).cast("string")
+    filtered = df.filter(gcast.isin(labels) & F.col(idc).isNotNull())
+    empty = filtered.filter(F.lit(False)).withColumn(
+        "rep", F.lit(1).cast("bigint")
+    )
+    if any(counts.get(g, 0) == 0 for g in labels):
+        return empty  # a target group is absent: the mixture cannot be built
+    quotas = {
+        g: max((counts[h] * wg) // wh for h, wh in pairs) for g, wg in pairs
+    }
+    base = {g: quotas[g] // counts[g] for g in labels}
+    extra = {g: quotas[g] % counts[g] for g in labels}
+    if max(base.values()) > 10**6:
+        raise KqlSemanticError(
+            f"{what}: the requested mix repeats some rows more than 10^6 "
+            "times — rebalance the weights (or downsample with "
+            "sample_to_mixture instead)"
+        )
+
+    rep_cnt = None
+    if all(e == 0 for e in extra.values()):
+        # even mix: stateless per-group repeat count — no window, no
+        # shuffle, the 100 TB fast path
+        for g in labels:
+            lim = F.lit(base[g]).cast("bigint")
+            rep_cnt = (
+                F.when(gcast == F.lit(g), lim)
+                if rep_cnt is None
+                else rep_cnt.when(gcast == F.lit(g), lim)
+            )
+        staged = filtered
+    else:
+        key, idl = _mixture_lcg_key(idc, seed)
+        w = Window.partitionBy(gcast).orderBy(key.asc(), idl.asc())
+        rn = F.col("__um_rn")
+        for g in labels:
+            lim = (
+                F.lit(base[g]) + F.when(rn <= F.lit(extra[g]), 1).otherwise(0)
+            ).cast("bigint")
+            rep_cnt = (
+                F.when(gcast == F.lit(g), lim)
+                if rep_cnt is None
+                else rep_cnt.when(gcast == F.lit(g), lim)
+            )
+        staged = filtered.withColumn("__um_rn", F.row_number().over(w))
+    out = staged.withColumn(
+        "rep", F.explode(F.sequence(F.lit(1).cast("bigint"), rep_cnt))
+    )
+    return out.drop("__um_rn") if "__um_rn" in staged.columns else out
 
 
 # ---------------------------------------------------------------- ngram_stats

@@ -2462,3 +2462,108 @@ def test_sample_to_mixture_laws(spark):
     ):
         with pytest.raises(KqlSemanticError):
             kql(spark, bad, catalog=cat).collect()
+
+
+def test_upsample_to_mixture_laws(spark):
+    # round 16: the repeating dual's contract — dual quota rule
+    # (quota_g = max_h (n_h * w_g) div w_h), no row dropped inside a
+    # target group, rep indices dense 1..k, binding group repeated
+    # exactly once, physical-order invariance of WHICH rows get the
+    # extra repeat, even-mix fast path (no shuffle), typed errors.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    # groups: a=60, b=30, c=12, d=50 (not a target), e=1, plus a null id
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(12)]
+        + [(300 + i, "d") for i in range(50)]
+        + [(400, "e")]
+        + [(None, "a")]
+    )
+    cat.register(
+        "udocs", spark.createDataFrame(rows, "doc_id long, g string")
+    )
+
+    def run(q):
+        return kql(spark, q, catalog=cat).collect()
+
+    base = "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 3, 'b', 2, 'c', 2)"
+    out = run(base)
+    # binding scale = max(60/3, 30/2, 12/2) = 20 -> quotas (60, 40, 40)
+    from collections import Counter
+
+    per_group = Counter(r.g for r in out)
+    assert per_group == {"a": 60, "b": 40, "c": 40}
+    # binding group repeated exactly once; no row dropped in any target
+    a_rows = [r for r in out if r.g == "a"]
+    assert all(r.rep == 1 for r in a_rows)
+    assert {r.doc_id for r in a_rows} == set(range(60))
+    # b: 40 = 30*1 + 10 extras -> reps per id in {1, 2}, dense 1..k
+    b_reps = Counter(r.doc_id for r in out if r.g == "b")
+    assert set(b_reps.values()) == {1, 2} and sum(b_reps.values()) == 40
+    assert sorted(r.rep for r in out if r.g == "b" and b_reps[r.doc_id] == 2
+                  and r.doc_id == min(i for i, c in b_reps.items() if c == 2)
+                  ) == [1, 2]
+    # c: 40 = 12*3 + 4 extras -> reps in {3, 4}
+    c_reps = Counter(r.doc_id for r in out if r.g == "c")
+    assert set(c_reps.values()) == {3, 4} and sum(c_reps.values()) == 40
+    # non-target group dropped, null ids dropped
+    assert all(r.g in ("a", "b", "c") and r.doc_id is not None for r in out)
+    # physical-order invariance: the SAME ids get the extra repeats
+    cat.register(
+        "udocs_shuffled",
+        spark.createDataFrame(rows, "doc_id long, g string")
+        .repartition(13)
+        .sortWithinPartitions("g"),
+    )
+    out2 = run(
+        "udocs_shuffled | evaluate upsample_to_mixture(g, doc_id, 7, "
+        "'a', 3, 'b', 2, 'c', 2)"
+    )
+    assert sorted((r.doc_id, r.g, r.rep) for r in out2) == sorted(
+        (r.doc_id, r.g, r.rep) for r in out
+    )
+    # even mix (weights proportional to counts): stateless fast path —
+    # no Exchange/Window in the plan, every row repeated base times
+    import contextlib
+    import io
+
+    df_even = kql(
+        spark,
+        "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 60, 'c', 24)",
+        catalog=cat,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_even.explain()
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Window" not in plan
+    even = Counter((r.g, r.rep) for r in df_even.collect())
+    # scale = max(60/60, 12/24) = 1 -> quotas (60, 24): a x1, c x2
+    assert even == {("a", 1): 60, ("c", 1): 12, ("c", 2): 12}
+    # absent target label -> unbuildable -> empty (with the rep column)
+    df_absent = kql(
+        spark,
+        "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 1, 'zz', 1)",
+        catalog=cat,
+    )
+    assert df_absent.columns[-1] == "rep" and df_absent.count() == 0
+    for bad in (
+        "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 3, 'b')",
+        "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 0)",
+        "udocs | evaluate upsample_to_mixture(nope, doc_id, 7, 'a', 1)",
+        "udocs | evaluate upsample_to_mixture(g, g, 7, 'a', 1)",
+        # the 1-row group with a huge weight against a 60-row group:
+        # scale = 60, quota_e = 6*10^7, per-row repeat 6*10^7 > the cap
+        "udocs | evaluate upsample_to_mixture(g, doc_id, 7, 'e', 1000000, 'a', 1)",
+        # input already has a `rep` column
+        "udocs | extend rep = 1 | evaluate upsample_to_mixture(g, doc_id, 7, 'a', 1)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            kql(spark, bad, catalog=cat).collect()
