@@ -607,6 +607,13 @@ def test_ivf_quantizer_cached_across_calls(run_kql, spark):
     warm = time.time() - t0
     assert len(_IVF_MODEL_CACHE.get(spark, {})) == 1  # hit, no refit
     assert [r.vec_id for r in r1] == [r.vec_id for r in r2]
+    # round 16 (VERDICT nit): a semantically identical query through a
+    # DIFFERENT lineage — distinct query text defeats the translator's
+    # plan cache, so this is a fresh translation with new expression
+    # ids — still shares the fitted model (canonicalized-plan keying)
+    r3 = run_kql("embeddings  " + text[len("embeddings"):]).collect()
+    assert len(_IVF_MODEL_CACHE.get(spark, {})) == 1
+    assert [r.vec_id for r in r1] == [r.vec_id for r in r3]
     # a different source plan misses (new key), not a stale reuse
     run_kql(
         "embeddings | where vec_id > 10 | evaluate "
