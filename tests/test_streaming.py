@@ -435,6 +435,15 @@ def test_stream_index_served_paths_typed_errors(spark, tmp_path, run_kql):
             " documents, text, 0.8)",
             sf_dir=SF_DIR,
         )
+    # round 16: the mixture pair needs global per-group counts — typed
+    # batch gate, same recipe pointer as the dedup family
+    for op in ("sample_to_mixture", "upsample_to_mixture"):
+        with pytest.raises(KqlSemanticError, match="streaming"):
+            kql_stream(
+                spark,
+                f"events | evaluate {op}(event_type, event_id, 7, 'click', 1)",
+                sf_dir=SF_DIR,
+            )
 
 
 def test_stream_dedup_against_foreach_batch_recipe(spark, tmp_path):
