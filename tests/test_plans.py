@@ -949,3 +949,20 @@ def test_write_bucketed_never_deletes_index_stores(spark, tmp_path):
         assert spark.table(orphan).count() == 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {orphan}")
+
+
+def test_mixture_pair_bounded_plans(run_kql):
+    # round 16: sample_to_mixture's constant max-quota bound must keep
+    # Spark's WindowGroupLimit map-side pruning live (each map partition
+    # ships at most max-quota rows per group into the exchange — the
+    # bounded-shuffle shape at 100 TB). upsample_to_mixture's even-mix
+    # no-shuffle pin lives in its law test (fixture-count dependent).
+    df = run_kql(
+        "documents | evaluate sample_to_mixture(source, doc_id, 11,"
+        " 'src1', 3, 'src2', 2, 'src3', 1)"
+    )
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[1].splitlines()[0] or (
+        plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+    )
