@@ -3444,3 +3444,63 @@ def test_dedup_against_equals_brute_force(
         ).collect()
     )
     assert via_idx == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(0, 25), min_size=2, max_size=4),
+    weights=st.lists(st.integers(1, 5), min_size=4, max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+    up=st.booleans(),
+)
+def test_random_mixture_matches_integer_spec(run_kql, sizes, weights, seed, up):
+    # round 16: the mixture pair vs a from-scratch pure-Python replica of
+    # the published integer contract (quota = min/max_h (n_h*w_g) div w_h;
+    # per-group order by the seeded LCG key, ties by id) on random group
+    # shapes — including empty target groups (absent-label branches) and
+    # even mixes (upsample's stateless fast path).
+    labels = [f"g{i}" for i in range(len(sizes))]
+    wts = weights[: len(sizes)]
+    rows = [
+        (gi * 1000 + j, labels[gi])
+        for gi, size in enumerate(sizes)
+        for j in range(size)
+    ]
+    lits = ", ".join(f"{i}, '{g}'" for i, g in rows) or "0, 'zz'"
+    pairs_kql = ", ".join(f"'{g}', {w}" for g, w in zip(labels, wts))
+    op = "upsample_to_mixture" if up else "sample_to_mixture"
+    got = run_kql(
+        f"datatable(doc_id:long, g:string)[{lits}]"
+        f" | evaluate {op}(g, doc_id, {seed}, {pairs_kql})"
+    ).collect()
+
+    def lcg(i):
+        return ((((i % 2**31) + 2**31) % 2**31 + seed) * 1103515245 + 12345) % 2**31
+
+    counts = {g: s for g, s in zip(labels, sizes)}
+    by_group = {
+        g: sorted((i for i, gg in rows if gg == g), key=lambda i: (lcg(i), i))
+        for g in labels
+    }
+    if up:
+        if any(counts[g] == 0 for g in labels):
+            want = []
+        else:
+            want = []
+            for g, wg in zip(labels, wts):
+                quota = max((counts[h] * wg) // wh for h, wh in zip(labels, wts))
+                base, extra = quota // counts[g], quota % counts[g]
+                for rank, i in enumerate(by_group[g], start=1):
+                    reps = base + (1 if rank <= extra else 0)
+                    want.extend((i, g, r) for r in range(1, reps + 1))
+        assert sorted((r.doc_id, r.g, r.rep) for r in got) == sorted(want)
+    else:
+        want = []
+        for g, wg in zip(labels, wts):
+            quota = min((counts[h] * wg) // wh for h, wh in zip(labels, wts))
+            want.extend((i, g) for i in by_group[g][:quota])
+        assert sorted((r.doc_id, r.g) for r in got) == sorted(want)
