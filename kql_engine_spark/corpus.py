@@ -4539,6 +4539,42 @@ q(
 )
 
 q(
+    "llm_mixture_split_compose",
+    # round 16: the curation ops COMPOSE deterministically cross-engine —
+    # resample to a target mixture, then label train/val splits, every
+    # per-row (id, source, split) reproduced by pure BIGINT arithmetic in
+    # both engines. Certifies that piping one portable-contract op into
+    # another preserves the contract (the real pipeline shape).
+    """documents
+    | evaluate sample_to_mixture(source, doc_id, 11, 'src1', 3, 'src2', 2, 'src3', 1)
+    | evaluate split_by_hash(doc_id, 42, 'train', 9, 'val', 1)
+    | project doc_id, source, split""",
+    """WITH t(g, w) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+       c AS (SELECT t.g, t.w, COALESCE(cnt.n, 0) AS n FROM t
+             LEFT JOIN (SELECT source AS g, COUNT(*) AS n FROM documents
+                        WHERE doc_id IS NOT NULL
+                          AND source IN ('src1','src2','src3')
+                        GROUP BY 1) cnt USING (g)),
+       qq AS (SELECT c1.g, MIN((c2.n * c1.w) // c2.w) AS quota
+              FROM c c1 CROSS JOIN c c2 GROUP BY c1.g),
+       r AS (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                      ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                        + 11) * 1103515245 + 12345) % 2147483648,
+                      doc_id) AS rn
+             FROM documents
+             WHERE doc_id IS NOT NULL
+               AND source IN ('src1','src2','src3')),
+       kept AS (SELECT doc_id, source FROM r JOIN qq ON r.source = qq.g
+                WHERE rn <= qq.quota)
+       SELECT doc_id, source,
+              CASE WHEN ((((doc_id % 2147483648) + 2147483648) % 2147483648
+                         + 42) * 1103515245 + 12345) % 2147483648 % 10 < 9
+                   THEN 'train' ELSE 'val' END AS split
+       FROM kept""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row
