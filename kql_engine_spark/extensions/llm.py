@@ -584,6 +584,15 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
         g: min((counts.get(h, 0) * wg) // wh for h, wh in pairs)
         for g, wg in pairs
     }
+    if all(quotas[g] == counts.get(g, 0) for g in labels):
+        # the input already IS the requested mixture (the idempotent
+        # re-run case — re-applying the pipeline to its own output):
+        # every quota keeps its whole group, so the rank never decides
+        # anything — drop the window and its shuffle entirely, keep
+        # only the stateless target/null filter (plan-pinned)
+        return df.filter(
+            F.col(gc).cast("string").isin(labels) & F.col(idc).isNotNull()
+        )
 
     key, idl = _mixture_lcg_key(idc, seed)
     w = Window.partitionBy(F.col(gc).cast("string")).orderBy(key.asc(), idl.asc())

@@ -2459,6 +2459,26 @@ def test_sample_to_mixture_laws(spark):
     assert run(
         "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 1, 'zz', 1)"
     ) == []
+    # round 16: the identity mix (weights already proportional — the
+    # idempotent re-run case) keeps every target row AND compiles to a
+    # stateless filter: no window, no shuffle
+    import contextlib
+    import io
+
+    df_id = kql(
+        spark,
+        "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 60, 'b', 30, 'c', 12)",
+        catalog=cat,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_id.explain()
+    plan = buf.getvalue()
+    assert "Window" not in plan and "Exchange" not in plan
+    id_ids = {r.doc_id for r in df_id.collect()}
+    assert id_ids == set(range(60)) | {100 + i for i in range(30)} | {
+        200 + i for i in range(12)
+    }
     for bad in (
         "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 3, 'b')",
         "mdocs | evaluate sample_to_mixture(g, doc_id, 7, 'a', 0)",
