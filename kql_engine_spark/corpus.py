@@ -4575,6 +4575,35 @@ q(
 )
 
 q(
+    "llm_boilerplate_lines",
+    # round 16: CCNet-rule boilerplate removal — a trimmed non-empty line
+    # in >= min_docs DISTINCT docs is deleted from EVERY doc (unlike
+    # dedup_lines' keep-first C4 rule). Planted boilerplate: prefixing
+    # each text with its source name makes that line shared by the
+    # ~25 docs of each source, while text lines stay (mostly) unique.
+    """documents
+    | extend t = strcat(source, '\\n', text)
+    | evaluate boilerplate_lines(t, doc_id, 10)
+    | project doc_id, text_cleaned, lines_removed""",
+    """WITH d AS (SELECT doc_id, source || chr(10) || text AS t
+                  FROM documents),
+       l AS (SELECT doc_id,
+                    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+                    UNNEST(string_split(t, chr(10))) AS line
+             FROM d),
+       boiler AS (SELECT trim(line) AS ln FROM l WHERE trim(line) <> ''
+                  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10),
+       m AS (SELECT l.*, (trim(l.line) <> ''
+                          AND trim(l.line) IN (SELECT ln FROM boiler)) AS rm
+             FROM l)
+       SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                         FILTER (NOT rm), '') AS text_cleaned,
+              COUNT(*) FILTER (rm) AS lines_removed
+       FROM m GROUP BY doc_id""",
+)
+
+q(
     "mv_apply_empty_groups",
     # round 5 (fuzz-found fix): a record whose expanded rows all fail the
     # inner where still yields the global aggregate-on-empty row

@@ -4590,6 +4590,93 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
     return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")
 
 
+# ---------------------------------------------------------- boilerplate_lines
+@plugin("boilerplate_lines")
+def _boilerplate_lines(ptr, df: DataFrame, args) -> DataFrame:
+    """`T | evaluate boilerplate_lines(textcol, idcol, min_docs)` —
+    corpus-wide boilerplate removal (the CCNet rule, round 16): a
+    non-empty line (after trim) that occurs in at least `min_docs`
+    DISTINCT documents is boilerplate (navigation, cookie banners,
+    license headers) and is deleted from EVERY document — including its
+    first occurrence, which is what distinguishes this from dedup_lines
+    (the C4 rule: keep the first, delete the rest). Appends:
+
+      text_cleaned   the document with boilerplate lines removed
+      lines_removed  how many of its lines were deleted
+
+    Blank/whitespace lines are structure, not content: always kept and
+    never counted. min_docs must be >= 2 (1 would delete every line).
+
+    Scale shape — deliberately NOT dedup_lines' one-window plan: the
+    hot partitions here are the boilerplate lines themselves (a cookie
+    banner in 100M docs is one line-hash key), so per-line-hash windows
+    would sort the hottest keys in single tasks. Instead: distinct
+    (line-hash, doc) pairs (map-side partial dedup collapses each
+    document's repeats before the exchange) -> per-hash distinct-doc
+    count (partial-agg'able) -> the small >=min_docs hash set joins
+    back against the lines (AQE picks broadcast when it fits — the
+    boilerplate set is bounded by total lines / min_docs, orders of
+    magnitude under the corpus) -> per-doc reassembly, dedup_lines'
+    exact rebuild."""
+    what = "boilerplate_lines"
+    _require_batch(df, what)
+    if len(args) != 3:
+        raise KqlSemanticError(f"{what}(textcol, idcol, min_docs)")
+    text = _colname(args[0], what)
+    idc = _colname(args[1], what)
+    k = int(_const_float(args[2], what))
+    if k < 2:
+        raise KqlSemanticError(
+            f"{what}: min_docs must be >= 2 (1 would delete every "
+            "non-blank line)"
+        )
+    _require_col(df, text, what)
+    _require_col(df, idc, what)
+    lines = _spread_narrow_scan(df).select(
+        F.col(idc).alias("__id"),
+        F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    norm = F.trim(F.col("__line"))
+    blank = norm == ""
+    lines = lines.withColumn("__h", F.when(~blank, F.xxhash64(norm)))
+    boiler = (
+        lines.filter(F.col("__h").isNotNull())
+        .select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__ndocs"))
+        .filter(F.col("__ndocs") >= k)
+    )
+    marked = lines.join(boiler, "__h", "left_outer").withColumn(
+        "__keep", F.col("__ndocs").isNull()
+    )
+    rebuilt = (
+        marked.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("text_cleaned"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias(
+                "lines_removed"
+            ),
+        )
+    )
+    return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")
+
+
 # -------------------------------------------------------------- pack_sequences
 @plugin("pack_sequences")
 def _pack_sequences(ptr, df: DataFrame, args) -> DataFrame:

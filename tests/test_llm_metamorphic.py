@@ -2594,3 +2594,69 @@ def test_upsample_to_mixture_laws(spark):
     ):
         with pytest.raises(KqlSemanticError):
             kql(spark, bad, catalog=cat).collect()
+
+
+def test_boilerplate_lines_laws(spark):
+    # round 16: CCNet-rule laws — within-doc repeats count once toward
+    # min_docs, blank lines survive, threshold monotonicity, idempotence
+    # (removal can only shrink distinct-doc counts), conservation, and
+    # typed errors.
+    import pytest
+
+    from kql_engine_spark.catalog import Catalog
+    from kql_engine_spark.errors import KqlSemanticError
+    from kql_engine_spark.translator import kql
+
+    cat = Catalog(spark)
+    rows = [
+        (1, "NAV\nalpha\n\nbeta"),
+        (2, "NAV\ngamma\nNAV"),       # NAV twice here: one distinct doc
+        (3, "delta\nNAV"),
+        (4, "alpha\nepsilon"),        # alpha: docs {1,4} only
+        (5, "  NAV \nzeta"),          # trims to NAV: counts and removes
+        (6, None),
+    ]
+    cat.register("bp", spark.createDataFrame(rows, "id long, t string"))
+
+    def run(q):
+        return {r.id: r for r in kql(spark, q, catalog=cat).collect()}
+
+    out = run("bp | evaluate boilerplate_lines(t, id, 3)")
+    assert out[1].text_cleaned == "alpha\n\nbeta"      # blank line kept
+    assert out[1].lines_removed == 1
+    assert out[2].text_cleaned == "gamma" and out[2].lines_removed == 2
+    assert out[3].text_cleaned == "delta"
+    assert out[4].lines_removed == 0                   # alpha: only 2 docs
+    assert out[5].text_cleaned == "zeta"               # trimmed match
+    assert out[6].text_cleaned is None and out[6].lines_removed is None
+    # conservation: removed + kept == original line count
+    for i, t in rows:
+        if t is not None:
+            kept = out[i].text_cleaned.split("\n") if out[i].text_cleaned else []
+            assert len(kept) + out[i].lines_removed == len(t.split("\n")) or (
+                out[i].text_cleaned == "" and out[i].lines_removed == len(t.split("\n"))
+            )
+    # threshold monotonicity: k=4 removes a subset of k=3's removals
+    out4 = run("bp | evaluate boilerplate_lines(t, id, 4)")
+    assert all(
+        (out4[i].lines_removed or 0) <= (out[i].lines_removed or 0)
+        for i, _ in rows
+    )
+    # within-doc repeats count once: NAV is in 4 distinct docs, so k=5
+    # keeps it even though there are 5 NAV lines in total
+    out5 = run("bp | evaluate boilerplate_lines(t, id, 5)")
+    assert all((out5[i].lines_removed or 0) == 0 for i, _ in rows)
+    # idempotence: cleaning cleaned text removes nothing further
+    cleaned = [(i, out[i].text_cleaned) for i, t in rows if t is not None]
+    cat.register("bp2", spark.createDataFrame(cleaned, "id long, t string"))
+    again = run("bp2 | evaluate boilerplate_lines(t, id, 3)")
+    assert all(r.lines_removed == 0 for r in again.values())
+    assert all(again[i].text_cleaned == t for i, t in cleaned)
+    for bad in (
+        "bp | evaluate boilerplate_lines(t, id)",
+        "bp | evaluate boilerplate_lines(t, id, 1)",
+        "bp | evaluate boilerplate_lines(nope, id, 3)",
+        "bp | evaluate boilerplate_lines(t, nope, 3)",
+    ):
+        with pytest.raises(KqlSemanticError):
+            kql(spark, bad, catalog=cat).collect()

@@ -444,6 +444,13 @@ def test_stream_index_served_paths_typed_errors(spark, tmp_path, run_kql):
                 f"events | evaluate {op}(event_type, event_id, 7, 'click', 1)",
                 sf_dir=SF_DIR,
             )
+    # round 16: boilerplate_lines needs corpus-wide distinct-doc counts
+    with pytest.raises(KqlSemanticError, match="streaming"):
+        kql_stream(
+            spark,
+            "events | evaluate boilerplate_lines(event_type, event_id, 3)",
+            sf_dir=SF_DIR,
+        )
 
 
 def test_stream_dedup_against_foreach_batch_recipe(spark, tmp_path):
