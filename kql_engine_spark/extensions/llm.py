@@ -241,11 +241,14 @@ class _PlanKey:
         return self._h
 
     def __eq__(self, other) -> bool:
-        return (
-            isinstance(other, _PlanKey)
-            and self._h == other._h
-            and bool(self._plan.sameResult(other._plan))
-        )
+        try:
+            return (
+                isinstance(other, _PlanKey)
+                and self._h == other._h
+                and bool(self._plan.sameResult(other._plan))
+            )
+        except Exception:  # pragma: no cover — a JVM hiccup must cost a
+            return False  # refit, never kill the query inside a dict probe
 
 
 def _model_cache_key(df: DataFrame):
