@@ -3504,3 +3504,51 @@ def test_random_mixture_matches_integer_spec(run_kql, sizes, weights, seed, up):
             quota = min((counts[h] * wg) // wh for h, wh in zip(labels, wts))
             want.extend((i, g) for i in by_group[g][:quota])
         assert sorted((r.doc_id, r.g) for r in got) == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["nav", "foo", "bar", " nav ", "", "  ", "baz qux"]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 4),
+)
+def test_random_boilerplate_lines_matches_spec(run_kql, docs, k):
+    # round 16: boilerplate_lines vs a from-scratch Python replica of the
+    # CCNet rule on random corpora — trimmed matching, within-doc repeats
+    # counting once, blank lines always surviving, empty docs.
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    lits = ", ".join(
+        f"{i}, '" + t.replace("\n", "\\n") + "'" for i, t in rows
+    )
+    got = {
+        r.id: (r.text_cleaned, r.lines_removed)
+        for r in run_kql(
+            f"datatable(id:long, t:string)[{lits}]"
+            f" | evaluate boilerplate_lines(t, id, {k})"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    ndocs = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            if ln.strip():
+                ndocs[ln.strip()].add(i)
+    boiler = {ln for ln, ids in ndocs.items() if len(ids) >= k}
+    for i, t in rows:
+        kept = [
+            ln for ln in t.split("\n") if not ln.strip() or ln.strip() not in boiler
+        ]
+        removed = len(t.split("\n")) - len(kept)
+        assert got[i] == ("\n".join(kept), removed), (i, t, got[i])
