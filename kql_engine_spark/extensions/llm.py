@@ -546,6 +546,20 @@ def _mixture_lcg_key(idc: str, seed: int):
     return key % m, idl
 
 
+def _per_group_case(gcast, labels, lim):
+    """One CASE branch per target label: WHEN gcast == label THEN
+    lim(label). Shared by the mixture pair's quota filters and repeat
+    counts so the three chains can't drift structurally."""
+    expr = None
+    for g in labels:
+        expr = (
+            F.when(gcast == F.lit(g), lim(g))
+            if expr is None
+            else expr.when(gcast == F.lit(g), lim(g))
+        )
+    return expr
+
+
 @plugin("sample_to_mixture")
 def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate sample_to_mixture(GroupCol, IdCol, seed, label1, w1
@@ -576,7 +590,13 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
     driver-side collect of len(labels) rows at translate time — never
     O(corpus)), then one hash shuffle on the group + per-group
     row_number, exactly take_stratified's plan. Weights are capped at
-    10^6 so n_h * w_g stays far inside int64 at 10^12-row corpora."""
+    10^6 so n_h * w_g stays far inside int64 at 10^12-row corpora.
+
+    Precondition (whole family): ids should be unique per row. With
+    duplicate ids the surviving ID multiset is still deterministic, but
+    when a quota boundary falls between two rows sharing an id, WHICH
+    duplicate's other columns survive is partition-order dependent
+    (their LCG keys tie exactly)."""
     what = "sample_to_mixture"
     _require_batch(df, what)
     gc, idc, seed, pairs = _parse_mixture_args(df, args, what)
@@ -587,6 +607,10 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
         g: min((counts.get(h, 0) * wg) // wh for h, wh in pairs)
         for g, wg in pairs
     }
+    if all(quotas[g] == 0 for g in labels):
+        # an absent target label zeroes every quota: the result is known
+        # empty at translate time — skip the scan/window entirely
+        return df.filter(F.lit(False))
     if all(quotas[g] == counts.get(g, 0) for g in labels):
         # the input already IS the requested mixture (the idempotent
         # re-run case — re-applying the pipeline to its own output):
@@ -599,13 +623,9 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
 
     key, idl = _mixture_lcg_key(idc, seed)
     w = Window.partitionBy(F.col(gc).cast("string")).orderBy(key.asc(), idl.asc())
-    quota_expr = None
-    for g in labels:
-        cond = F.col(gc).cast("string") == F.lit(g)
-        lim = F.lit(quotas[g])
-        quota_expr = (
-            F.when(cond, lim) if quota_expr is None else quota_expr.when(cond, lim)
-        )
+    quota_expr = _per_group_case(
+        F.col(gc).cast("string"), labels, lambda g: F.lit(quotas[g])
+    )
     # the CONSTANT bound (max quota) rides alongside the per-group CASE
     # bound: Spark's WindowGroupLimit only fires on a literal rank
     # limit, and with it each map partition ships at most max-quota rows
@@ -660,7 +680,8 @@ def _upsample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
     extra-repeat rows. The explode is the output itself (the superset),
     so no blow-up beyond what the user asked for; a per-row repeat
     count above 10^6 fails typed rather than silently exploding a
-    skewed mix."""
+    skewed mix. Same unique-id precondition as the sibling (which rows
+    take the extra repeat ties on duplicate ids)."""
     what = "upsample_to_mixture"
     _require_batch(df, what)
     gc, idc, seed, pairs = _parse_mixture_args(df, args, what)
@@ -684,38 +705,33 @@ def _upsample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
     }
     base = {g: quotas[g] // counts[g] for g in labels}
     extra = {g: quotas[g] % counts[g] for g in labels}
-    if max(base.values()) > 10**6:
+    # the cap bounds the MAX per-row repeat, which is base + 1 wherever a
+    # nonzero remainder hands out extra repeats
+    if max(base[g] + (1 if extra[g] else 0) for g in labels) > 10**6:
         raise KqlSemanticError(
             f"{what}: the requested mix repeats some rows more than 10^6 "
             "times — rebalance the weights (or downsample with "
             "sample_to_mixture instead)"
         )
 
-    rep_cnt = None
     if all(e == 0 for e in extra.values()):
         # even mix: stateless per-group repeat count — no window, no
         # shuffle, the 100 TB fast path
-        for g in labels:
-            lim = F.lit(base[g]).cast("bigint")
-            rep_cnt = (
-                F.when(gcast == F.lit(g), lim)
-                if rep_cnt is None
-                else rep_cnt.when(gcast == F.lit(g), lim)
-            )
+        rep_cnt = _per_group_case(
+            gcast, labels, lambda g: F.lit(base[g]).cast("bigint")
+        )
         staged = filtered
     else:
         key, idl = _mixture_lcg_key(idc, seed)
         w = Window.partitionBy(gcast).orderBy(key.asc(), idl.asc())
         rn = F.col("__um_rn")
-        for g in labels:
-            lim = (
+        rep_cnt = _per_group_case(
+            gcast,
+            labels,
+            lambda g: (
                 F.lit(base[g]) + F.when(rn <= F.lit(extra[g]), 1).otherwise(0)
-            ).cast("bigint")
-            rep_cnt = (
-                F.when(gcast == F.lit(g), lim)
-                if rep_cnt is None
-                else rep_cnt.when(gcast == F.lit(g), lim)
-            )
+            ).cast("bigint"),
+        )
         staged = filtered.withColumn("__um_rn", F.row_number().over(w))
     out = staged.withColumn(
         "rep", F.explode(F.sequence(F.lit(1).cast("bigint"), rep_cnt))
@@ -4551,12 +4567,7 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
         raise KqlSemanticError("dedup_lines(textcol, idcol)")
     text = _colname(args[0], "dedup_lines")
     idc = _colname(args[1], "dedup_lines")
-    lines = _spread_narrow_scan(df).select(
-        F.col(idc).alias("__id"),
-        F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
-            "__pos", "__line"
-        ),
-    )
+    lines = _explode_lines(df, text, idc)
     norm = F.trim(F.col("__line"))
     # blank lines are always kept (structure, not content) and their rank is
     # never read — give them per-(id, pos) partition keys so the corpus-wide
@@ -4570,27 +4581,43 @@ def _dedup_lines(ptr, df: DataFrame, args) -> DataFrame:
     ranked = lines.withColumn(
         "__keep", blank | (F.row_number().over(w) == 1)
     )
-    rebuilt = (
-        ranked.groupBy("__id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("__pos"), F.col("__line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["__line"],
-                ),
-                "\n",
-            ).alias("text_deduped"),
-            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("lines_removed"),
-        )
-    )
+    rebuilt = _rebuild_lines(ranked, "text_deduped")
     return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")
+
+
+def _explode_lines(df: DataFrame, text: str, idc: str) -> DataFrame:
+    """(__id, __pos, __line) per newline-split line — the shared front of
+    dedup_lines and boilerplate_lines."""
+    return _spread_narrow_scan(df).select(
+        F.col(idc).alias("__id"),
+        F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+
+
+def _rebuild_lines(marked: DataFrame, out_col: str) -> DataFrame:
+    """Reassemble documents from a (__id, __pos, __line, __keep) frame:
+    kept lines re-joined in position order as `out_col`, dropped lines
+    counted as `lines_removed` — the shared back of dedup_lines and
+    boilerplate_lines."""
+    return marked.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("lines_removed"),
+    )
 
 
 # ---------------------------------------------------------- boilerplate_lines
@@ -4607,8 +4634,13 @@ def _boilerplate_lines(ptr, df: DataFrame, args) -> DataFrame:
       text_cleaned   the document with boilerplate lines removed
       lines_removed  how many of its lines were deleted
 
-    Blank/whitespace lines are structure, not content: always kept and
-    never counted. min_docs must be >= 2 (1 would delete every line).
+    Blank lines — empty after the SQL-default ASCII-space trim (tabs
+    and other whitespace are content, in both engines) — are structure:
+    always kept and never counted. Documents with a null id neither
+    count toward min_docs (COUNT DISTINCT semantics, matching the
+    certified twin) nor receive cleaned output — their appended columns
+    are null, dedup_lines' join semantics. min_docs must be >= 2
+    (1 would delete every line).
 
     Scale shape — deliberately NOT dedup_lines' one-window plan: the
     hot partitions here are the boilerplate lines themselves (a cookie
@@ -4617,10 +4649,13 @@ def _boilerplate_lines(ptr, df: DataFrame, args) -> DataFrame:
     (line-hash, doc) pairs (map-side partial dedup collapses each
     document's repeats before the exchange) -> per-hash distinct-doc
     count (partial-agg'able) -> the small >=min_docs hash set joins
-    back against the lines (AQE picks broadcast when it fits — the
-    boilerplate set is bounded by total lines / min_docs, orders of
-    magnitude under the corpus) -> per-doc reassembly, dedup_lines'
-    exact rebuild."""
+    back against the NON-BLANK lines only (AQE picks broadcast when it
+    fits — the boilerplate set is bounded by total lines / min_docs,
+    orders of magnitude under the corpus; blank lines union in around
+    the join so the corpus-wide blank population can never pile onto
+    the null-key shuffle partition — a second narrow scan is cheaper
+    than a skewed exchange) -> per-doc reassembly, dedup_lines' exact
+    rebuild."""
     what = "boilerplate_lines"
     _require_batch(df, what)
     if len(args) != 3:
@@ -4635,48 +4670,25 @@ def _boilerplate_lines(ptr, df: DataFrame, args) -> DataFrame:
         )
     _require_col(df, text, what)
     _require_col(df, idc, what)
-    lines = _spread_narrow_scan(df).select(
-        F.col(idc).alias("__id"),
-        F.posexplode(F.split(F.col(text).cast("string"), "\n")).alias(
-            "__pos", "__line"
-        ),
-    )
+    lines = _explode_lines(df, text, idc)
     norm = F.trim(F.col("__line"))
     blank = norm == ""
-    lines = lines.withColumn("__h", F.when(~blank, F.xxhash64(norm)))
+    nonblank = lines.filter(~blank).withColumn("__h", F.xxhash64(norm))
     boiler = (
-        lines.filter(F.col("__h").isNotNull())
+        nonblank.filter(F.col("__id").isNotNull())
         .select("__h", "__id")
         .distinct()
         .groupBy("__h")
         .agg(F.count("*").alias("__ndocs"))
         .filter(F.col("__ndocs") >= k)
     )
-    marked = lines.join(boiler, "__h", "left_outer").withColumn(
-        "__keep", F.col("__ndocs").isNull()
+    nb_marked = (
+        nonblank.join(boiler, "__h", "left_outer")
+        .withColumn("__keep", F.col("__ndocs").isNull())
+        .select("__id", "__pos", "__line", "__keep")
     )
-    rebuilt = (
-        marked.groupBy("__id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("__pos"), F.col("__line")),
-                            )
-                        )
-                    ),
-                    lambda s: s["__line"],
-                ),
-                "\n",
-            ).alias("text_cleaned"),
-            F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias(
-                "lines_removed"
-            ),
-        )
-    )
+    bl_marked = lines.filter(blank).withColumn("__keep", F.lit(True))
+    rebuilt = _rebuild_lines(nb_marked.unionByName(bl_marked), "text_cleaned")
     return df.join(rebuilt, df[idc] == rebuilt["__id"], "left_outer").drop("__id")
 
 

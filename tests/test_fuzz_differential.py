@@ -3514,7 +3514,9 @@ def test_random_mixture_matches_integer_spec(run_kql, sizes, weights, seed, up):
 @given(
     docs=st.lists(
         st.lists(
-            st.sampled_from(["nav", "foo", "bar", " nav ", "", "  ", "baz qux"]),
+            st.sampled_from(
+                ["nav", "foo", "bar", " nav ", "", "  ", "baz qux", "\\tnav"]
+            ),
             min_size=0,
             max_size=5,
         ),
@@ -3525,8 +3527,11 @@ def test_random_mixture_matches_integer_spec(run_kql, sizes, weights, seed, up):
 )
 def test_random_boilerplate_lines_matches_spec(run_kql, docs, k):
     # round 16: boilerplate_lines vs a from-scratch Python replica of the
-    # CCNet rule on random corpora — trimmed matching, within-doc repeats
-    # counting once, blank lines always surviving, empty docs.
+    # CCNet rule on random corpora — SQL-default space-only trimmed
+    # matching (a tab-prefixed line is content, distinct from its bare
+    # form), within-doc repeats counting once, blank lines always
+    # surviving, empty docs. The datatable lexer keeps '\\t' literal, so
+    # the tab sample reaches the engine as an escaped tab character.
     rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
     lits = ", ".join(
         f"{i}, '" + t.replace("\n", "\\n") + "'" for i, t in rows
@@ -3540,15 +3545,19 @@ def test_random_boilerplate_lines_matches_spec(run_kql, docs, k):
     }
     from collections import defaultdict
 
+    def trim(s):  # SQL TRIM default: ASCII space only, matching both engines
+        return s.strip(" ")
+
+    real_rows = [(i, t.replace("\\t", "\t")) for i, t in rows]
     ndocs = defaultdict(set)
-    for i, t in rows:
+    for i, t in real_rows:
         for ln in t.split("\n"):
-            if ln.strip():
-                ndocs[ln.strip()].add(i)
+            if trim(ln):
+                ndocs[trim(ln)].add(i)
     boiler = {ln for ln, ids in ndocs.items() if len(ids) >= k}
-    for i, t in rows:
+    for i, t in real_rows:
         kept = [
-            ln for ln in t.split("\n") if not ln.strip() or ln.strip() not in boiler
+            ln for ln in t.split("\n") if not trim(ln) or trim(ln) not in boiler
         ]
         removed = len(t.split("\n")) - len(kept)
         assert got[i] == ("\n".join(kept), removed), (i, t, got[i])

@@ -2615,6 +2615,7 @@ def test_boilerplate_lines_laws(spark):
         (4, "alpha\nepsilon"),        # alpha: docs {1,4} only
         (5, "  NAV \nzeta"),          # trims to NAV: counts and removes
         (6, None),
+        (None, "NAV\nsolo"),          # null id: cleaned, never counted
     ]
     cat.register("bp", spark.createDataFrame(rows, "id long, t string"))
 
@@ -2629,9 +2630,11 @@ def test_boilerplate_lines_laws(spark):
     assert out[4].lines_removed == 0                   # alpha: only 2 docs
     assert out[5].text_cleaned == "zeta"               # trimmed match
     assert out[6].text_cleaned is None and out[6].lines_removed is None
+    # null-id doc: null outputs (join semantics, as dedup_lines)
+    assert out[None].text_cleaned is None and out[None].lines_removed is None
     # conservation: removed + kept == original line count
     for i, t in rows:
-        if t is not None:
+        if t is not None and i is not None:
             kept = out[i].text_cleaned.split("\n") if out[i].text_cleaned else []
             assert len(kept) + out[i].lines_removed == len(t.split("\n")) or (
                 out[i].text_cleaned == "" and out[i].lines_removed == len(t.split("\n"))
@@ -2642,12 +2645,17 @@ def test_boilerplate_lines_laws(spark):
         (out4[i].lines_removed or 0) <= (out[i].lines_removed or 0)
         for i, _ in rows
     )
-    # within-doc repeats count once: NAV is in 4 distinct docs, so k=5
-    # keeps it even though there are 5 NAV lines in total
+    # within-doc repeats count once AND null-id docs never count: NAV is
+    # in 4 distinct NON-NULL docs (the null-id doc's NAV must not tip
+    # it), so k=5 keeps it even though 6 NAV lines exist in total
     out5 = run("bp | evaluate boilerplate_lines(t, id, 5)")
     assert all((out5[i].lines_removed or 0) == 0 for i, _ in rows)
     # idempotence: cleaning cleaned text removes nothing further
-    cleaned = [(i, out[i].text_cleaned) for i, t in rows if t is not None]
+    cleaned = [
+        (i, out[i].text_cleaned)
+        for i, t in rows
+        if t is not None and i is not None
+    ]
     cat.register("bp2", spark.createDataFrame(cleaned, "id long, t string"))
     again = run("bp2 | evaluate boilerplate_lines(t, id, 3)")
     assert all(r.lines_removed == 0 for r in again.values())
