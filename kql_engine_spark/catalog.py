@@ -30,6 +30,7 @@ class Catalog:
         self._streams: dict[str, DataFrame] = {}
         self._external: dict[str, tuple] = {}   # external_table() bindings
         self._matviews: dict[str, str] = {}     # materialized_view() paths
+        self._single_split: dict[str, bool] = {}  # single_split() memo
 
     def register(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
@@ -136,6 +137,31 @@ class Catalog:
                     for f in files
                 )
         return None
+
+    def single_split(self, name: str) -> bool:
+        """True iff the table is backed by ONE parquet file holding at most
+        one row group — i.e. Spark cannot parallelize the scan no matter
+        how small the split size is set (a parquet row group is the
+        minimum split unit), so a plan that trades scan parallelism for
+        fewer stages loses nothing. Footer-only driver-side read (same
+        class as _nanos_timestamp_columns), memoized per name; any doubt
+        (registered DataFrame, directory table, unreadable footer) returns
+        False so callers stay conservative."""
+        hit = self._single_split.get(name)
+        if hit is not None:
+            return hit
+        out = False
+        if name not in self._registered and self.base_dir:
+            path = os.path.join(self.base_dir, f"{name}.parquet")
+            if os.path.isfile(path):
+                try:
+                    import pyarrow.parquet as pq
+
+                    out = pq.ParquetFile(path).metadata.num_row_groups <= 1
+                except Exception:
+                    out = False
+        self._single_split[name] = out
+        return out
 
     def register_stream(self, name: str, df: DataFrame) -> None:
         """Bind a streaming DataFrame; the translator picks it over the batch

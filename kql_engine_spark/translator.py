@@ -747,6 +747,7 @@ class PipeTranslator:
         options: dict | None = None,
         streaming: bool = False,
         small_plan: bool = False,
+        single_task: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -755,6 +756,18 @@ class PipeTranslator:
         # global sorts become single-partition sorts (no range-partitioner
         # sampling job; the whole input fits in one task by construction)
         self.small_plan = small_plan
+        # single-task mode (round 17, guide §2.4 "remove shuffles
+        # outright"): small_plan AND every file source is a single parquet
+        # row group, so the scan runs as ONE real task no matter the split
+        # size — the exchanges after it buy zero parallelism and cost a
+        # full stage boundary (serialize + fetch + schedule) each. Each
+        # catalog scan is coalesced to 1 partition; SinglePartition
+        # satisfies every clustering requirement, so aggregations, windows
+        # and sort all plan with ZERO Exchange. Accumulation order equals
+        # the current plans' (the one real scan task already computed
+        # every partial aggregate), so results are bit-identical. Never
+        # taken at scale: a real table has many row groups.
+        self.single_task = single_task
         # (sorted_df, source_df, cols) of the latest small-plan sort, so a
         # directly-following take can rebuild as TakeOrderedAndProject
         self._small_sorted: tuple | None = None
@@ -1096,6 +1109,11 @@ class PipeTranslator:
                 .alias("__kql_ingest_ts"),
                 F.col("_metadata.file_path").alias("__kql_extent_path"),
             )
+        if self.single_task and not self.streaming:
+            # one real scan task by construction (single row group; see
+            # __init__) — fold the empty sibling splits into it so every
+            # downstream clustering requirement is already satisfied
+            df = df.coalesce(1)
         return df
 
     def _find_source(self, src: FindSource) -> DataFrame:
@@ -3756,6 +3774,17 @@ _SMALL_QUERY_BYTES = int(
     _os.environ.get("SPARK_GRAFT_SMALL_QUERY_BYTES", str(32 * 1024 * 1024))
 )
 
+# Single-task fused plans (round 17, guide §2.4): below this many on-disk
+# source bytes — at most one default scan split of data — AND with every
+# source a single parquet row group (scan unsplittable anyway), each scan
+# is coalesced to 1 partition so the whole query plans with ZERO Exchange
+# (SinglePartition satisfies every clustering requirement): one stage, one
+# task, no shuffle serialization, no reduce-task scheduling. Tune/disable
+# via SPARK_GRAFT_SINGLE_TASK_BYTES / SPARK_GRAFT_SINGLE_TASK=0.
+_SINGLE_TASK_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SINGLE_TASK_BYTES", str(8 * 1024 * 1024))
+)
+
 # Operators whose output size is not bounded by their input's source
 # bytes (row expansion or arbitrary sub-pipelines): they reset the
 # auto-broadcast source-bytes estimate to unknown (translate_op).
@@ -4034,14 +4063,18 @@ def _scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
-    """Sum of on-disk bytes for every table the query reads, or None when
-    any source's size is unknown (callers must then assume big)."""
+def _total_source_bytes(
+    q: Query, catalog: Catalog
+) -> tuple[int, list[str]] | None:
+    """(sum of on-disk bytes, table names) for every table the query
+    reads, or None when any source's size is unknown (callers must then
+    assume big)."""
     from .ast_nodes import Source
 
     let_names = {l.name for l in q.lets}
     sized_sources = (DataTable, PrintSource, PipeSource, UnionSource)
     total = 0
+    names: list[str] = []
     for node in _walk_ast(q):
         if isinstance(node, TableRef):
             if node.name in let_names or node.args is not None:
@@ -4052,6 +4085,7 @@ def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
             if sz is None:
                 return None
             total += sz
+            names.append(node.name)
         elif isinstance(node, FindSource):
             if not node.tables:
                 return None  # bare `find "term"` reads every catalog table
@@ -4060,6 +4094,7 @@ def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
                 if sz is None:
                     return None
                 total += sz
+                names.append(t)
         elif isinstance(node, SearchSource):
             if node.op.tables is None:
                 return None  # query-initial search over all catalog tables
@@ -4069,6 +4104,7 @@ def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
                 if sz is None:
                     return None
                 total += sz
+                names.append(t)
         elif isinstance(node, Source) and not isinstance(node, sized_sources):
             # RangeSource/ExternalData/future source kinds: unbounded or
             # unknown input — never claim small
@@ -4082,17 +4118,37 @@ def _total_source_bytes(q: Query, catalog: Catalog) -> int | None:
             # Never claim small for expanding queries; the latency cost
             # for genuinely tiny ones is a few extra scheduling ms.
             return None
-    return total
+    return total, names
 
 
 def _translate_pinning_small_plan(
     spark: SparkSession, q: Query, catalog: Catalog, options: dict | None
 ) -> DataFrame:
-    tiny = None
+    tiny = src_names = None
     if _SMALL_QUERY_BYTES > 0:
-        tiny = _total_source_bytes(q, catalog)
+        sized = _total_source_bytes(q, catalog)
+        if sized is not None:
+            tiny, src_names = sized
     if tiny is None or tiny >= _SMALL_QUERY_BYTES:
         return PipeTranslator(spark, catalog, options).translate_query(q)
+    # single-task gate (round 17): every file source must be a single
+    # parquet row group — then no split size can parallelize any scan and
+    # the fused zero-Exchange plan gives up nothing (see PipeTranslator
+    # __init__) — AND the total input must fit one default scan split
+    # (<=8MB): the Coalesce(1) node is a codegen boundary, so every
+    # pre-aggregation row crosses a generated-iterator edge that the
+    # unfused plan's scan+filter+partial-agg single codegen region does
+    # not pay. Measured interleaved at sf0.1 (round 17): <=2.7MB sources
+    # win 20-43% (argmax 0.60x, json 0.57x, bin 0.74x, make-series
+    # 0.78x, has-scan 0.80x); the 11MB lineitem aggs pay the boundary on
+    # 600k raw rows and lose (q1 1.40x) — hence the byte gate. A
+    # multi-row-group source (e.g. a CPU-heavy JSON scan at sf1) keeps
+    # its parallel scan and the 4-partition pin below either way.
+    fuse = (
+        _os.environ.get("SPARK_GRAFT_SINGLE_TASK", "1") != "0"
+        and tiny <= _SINGLE_TASK_BYTES
+        and all(catalog.single_split(n) for n in src_names)
+    )
     # serialize the conf flip: session conf is process-global, so a
     # concurrent translation must not observe (or clobber) the temporary
     # small-plan settings
@@ -4108,7 +4164,7 @@ def _translate_pinning_small_plan(
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             out = PipeTranslator(
-                spark, catalog, options, small_plan=True
+                spark, catalog, options, small_plan=True, single_task=fuse
             ).translate_query(q)
             # force physical planning NOW so the non-AQE choice is captured
             # in the QueryExecution this DataFrame will execute with

@@ -63,10 +63,22 @@ def test_no_python_udf_in_scalar_pipeline(run_kql):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_two_phase_aggregation(run_kql):
-    # partial (map-side) + final HashAggregate around one Exchange — the
-    # map-side-combine shape that makes summarize scale (SURVEY §4.1)
+def test_two_phase_aggregation(run_kql, monkeypatch):
+    # partial (map-side) + final HashAggregate — the map-side-combine
+    # shape that makes summarize scale (SURVEY §4.1). Round 17: on the
+    # single-row-group fixtures the single-task fused plan removes the
+    # Exchange outright (SinglePartition satisfies the clustering
+    # requirement; guide §2.4) while KEEPING the two-phase aggregate;
+    # the cluster-regime shape (Exchange present) is pinned with the
+    # fusion disabled.
     df = run_kql("lineitem | summarize s = sum(l_quantity) by l_returnflag")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" not in plan  # fused: zero-shuffle single task
+    monkeypatch.setenv("SPARK_GRAFT_SINGLE_TASK", "0")
+    df = run_kql(
+        "lineitem | summarize s = sum(l_quantity) by l_returnflag // unfused"
+    )
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
@@ -673,11 +685,14 @@ def test_runtime_bloom_filter_fires_on_smj_fact_scan(run_kql, spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "1KB",
         )
-        # force the SMJ regime the rule targets: no broadcast anywhere
+        # force the SMJ regime the rule targets: no broadcast anywhere,
+        # and no single-task fusion (round 17) — a coalesced
+        # single-partition join has no shuffle for the bloom to prune
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         import os
 
         os.environ["KQL_ENGINE_AUTO_BROADCAST"] = "0"
+        os.environ["SPARK_GRAFT_SINGLE_TASK"] = "0"
         df = run_kql(
             "lineitem | join kind=inner (orders | where o_totalprice < 1000.0)"
             " on $left.l_orderkey == $right.o_orderkey"
@@ -687,6 +702,7 @@ def test_runtime_bloom_filter_fires_on_smj_fact_scan(run_kql, spark):
         assert "might_contain" in plan, plan
     finally:
         os.environ.pop("KQL_ENGINE_AUTO_BROADCAST", None)
+        os.environ.pop("SPARK_GRAFT_SINGLE_TASK", None)
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app,
@@ -966,3 +982,60 @@ def test_mixture_pair_bounded_plans(run_kql):
     assert "Partial" in plan.split("WindowGroupLimit")[1].splitlines()[0] or (
         plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
     )
+
+
+def test_single_task_fused_small_plan(run_kql, spark, monkeypatch):
+    # Round 17 (guide §2.4, "remove shuffles outright"): when every file
+    # source is a single parquet row group (scan unsplittable — the
+    # fixtures here) AND the total input fits one default scan split,
+    # each scan coalesces to 1 partition, so the whole query plans with
+    # ZERO Exchange — aggregation, window and sort all run in one stage.
+    # Scale safety is pinned from both ends: the same query with the
+    # fusion disabled keeps the Exchange (the cluster shape), and both
+    # arms return identical rows (the one real scan task already drove
+    # every partial aggregate, so accumulation order is unchanged).
+    q = (
+        "events | where value > 0.0 "
+        "| summarize n = count(), s = sum(value) by event_type "
+        "| sort by event_type asc"
+    )
+    fused = run_kql(q)
+    plan = _plan(fused)
+    assert "Exchange" not in plan
+    assert "Coalesce" in plan
+    assert plan.count("HashAggregate") >= 2  # two-phase agg preserved
+    monkeypatch.setenv("SPARK_GRAFT_SINGLE_TASK", "0")
+    unfused = run_kql(q + " // single-task-off")
+    assert "Exchange" in _plan(unfused)
+    assert [tuple(r) for r in fused.collect()] == [
+        tuple(r) for r in unfused.collect()
+    ]
+
+
+def test_single_task_skips_oversized_and_multi_row_group(run_kql, spark, tmp_path):
+    # the byte gate: a query whose sources exceed one scan split keeps
+    # the 4-partition small-plan pin (codegen fusion of scan+partial-agg
+    # beats the removed stage once real row volume crosses the Coalesce
+    # boundary — measured q1 1.40x, BASELINE.md round 17) — and a
+    # multi-row-group source must never fuse (its scan CAN parallelize).
+    import kql_engine_spark.translator as TR
+
+    big = TR._SINGLE_TASK_BYTES + 1
+    orig = TR.Catalog.file_size
+    try:
+        TR.Catalog.file_size = lambda self, name: big
+        df = run_kql("lineitem | summarize s = sum(l_quantity) by l_returnflag"
+                     " // oversized-probe")
+        assert "Exchange" in _plan(df)
+    finally:
+        TR.Catalog.file_size = orig
+    # multi-row-group source: single_split() must say False
+    import pandas as pd
+
+    p = tmp_path / "multi_rg.parquet"
+    pd.DataFrame({"a": range(1000)}).to_parquet(p, row_group_size=100)
+    from kql_engine_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    assert cat.single_split("multi_rg") is False
+    assert cat.single_split("events") is False  # not in this base_dir
