@@ -634,6 +634,13 @@ def _sample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
     # hot group at 100 TB (verified in the plan; take_stratified's
     # rationale)
     maxq = max(quotas.values(), default=0)
+    if "__sm_rn" in df.columns:
+        # mirror upsample's `rep` guard (round-17 review): withColumn
+        # would silently overwrite-then-drop the user's column
+        raise KqlSemanticError(
+            f"{what}: input already has a '__sm_rn' column (reserved "
+            "for the op's internal rank)"
+        )
     return (
         df.filter(F.col(gc).cast("string").isin(labels) & F.col(idc).isNotNull())
         .withColumn("__sm_rn", F.row_number().over(w))
@@ -722,6 +729,12 @@ def _upsample_to_mixture(ptr, df: DataFrame, args) -> DataFrame:
         )
         staged = filtered
     else:
+        if "__um_rn" in df.columns:
+            # same reservation as sample_to_mixture's __sm_rn guard
+            raise KqlSemanticError(
+                f"{what}: input already has a '__um_rn' column (reserved "
+                "for the op's internal rank)"
+            )
         key, idl = _mixture_lcg_key(idc, seed)
         w = Window.partitionBy(gcast).orderBy(key.asc(), idl.asc())
         rn = F.col("__um_rn")
@@ -3655,7 +3668,6 @@ def _np_hash_helpers():
         for _ in range(6):
             MPI = MPI * (np.uint64(2) - MP * MPI)
     _pow_cache: dict = {"P": None, "Pi": None}
-    _WS = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint64)
 
     def _powers(upto):
         P = _pow_cache["P"]
@@ -3676,10 +3688,15 @@ def _np_hash_helpers():
             z = (z ^ (z >> np.uint64(27))) * M2
             return z ^ (z >> np.uint64(31))
 
-    def token_hashes(cp):
-        nonw = ~np.isin(cp, _WS)
+    def token_hashes(cp, with_starts=False):
+        # membership in _WS = {9..13, 32}, written as direct compares —
+        # np.isin's sort-based path was ~20% of the whole feature kernel
+        # (round-17 profile); identical boolean result
+        nonw = ~(((cp >= np.uint64(9)) & (cp <= np.uint64(13)))
+                 | (cp == np.uint64(32)))
         if not nonw.any():
-            return np.empty(0, dtype=np.uint64)
+            e = np.empty(0, dtype=np.uint64)
+            return (e, np.empty(0, dtype=np.int64)) if with_starts else e
         d = np.diff(nonw.astype(np.int8))
         starts = np.where(d == 1)[0] + 1
         ends = np.where(d == -1)[0] + 1
@@ -3694,7 +3711,12 @@ def _np_hash_helpers():
             # xor in the token length so unequal-length segments with
             # colliding sums stay distinct
             z = z ^ (ends - starts).astype(np.uint64)
-        return mix(z)
+        h = mix(z)
+        # position-invariance note (round 17, batched kernel): the segment
+        # hash (S0[e]-S0[s])*Pi[s] = sum_i cp[s+i]*MP^i depends only on the
+        # segment's own codepoints, so hashing a concatenation of documents
+        # (separated by whitespace) yields bit-identical per-token values.
+        return (h, starts.astype(np.int64)) if with_starts else h
 
     return mix, token_hashes
 
@@ -3718,7 +3740,23 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
     distinct extra_n-token n-gram hashes with decontaminate's
     short-doc-is-clean rule (docs shorter than extra_n tokens get an
     empty array) — computed from the SAME per-token hashes, so one
-    corpus pass feeds both the minhash signatures and decontaminate."""
+    corpus pass feeds both the minhash signatures and decontaminate.
+
+    Round-17 batch rewrite (guide §4.2): the r5 kernel looped over rows,
+    paying ~15 small-numpy-call overheads per document — at sf10 (500k
+    docs, ~50 tokens each) per-row dispatch was ~2/3 of the kernel's CPU
+    (cProfile: np.isin alone 21%). This version concatenates ~1k-doc
+    sub-blocks into ONE codepoint stream, tokenizes/hashes/windows the
+    stream with batch-wide ops, and reduces per-document results with one
+    lexsort + reduceat at doc boundaries. Sub-blocks (not the whole Arrow
+    batch) keep every working array a few MB so the allocator reuses warm
+    arenas — a whole-batch layout allocated ~150 MB of fresh mmaps per
+    worker, and first-touch page faults (measured ~8 MB/s on the bench
+    VM) cost more than the hashing. Every produced hash is bit-identical
+    to the row-wise kernel: the segment polynomial is position-invariant
+    (see token_hashes), and per-doc unique/min are order-insensitive set
+    reductions — pinned by the differential test against a frozen
+    row-wise reference (tests/test_llm_kernel_batch.py)."""
     if extra_n is not None and mode != "token":
         raise KqlSemanticError(
             "_jaccard_feature_udf: extra_n requires token mode"
@@ -3739,6 +3777,9 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
         import numpy as np
         import pandas as pd
 
+        MP = np.uint64(1099511628211)
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
         nperm = n_bands * rows_per_band
         # fixed seeds: splitmix64 stream from a constant
         seeds = np.empty(nperm, dtype=np.uint64)
@@ -3747,85 +3788,227 @@ def _jaccard_feature_udf(n: int, n_bands: int, rows_per_band: int,
             for i in range(nperm):
                 x = x + np.uint64(0x9E3779B97F4A7C15)
                 z = x
-                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z = (z ^ (z >> np.uint64(30))) * M1
+                z = (z ^ (z >> np.uint64(27))) * M2
                 seeds[i] = z ^ (z >> np.uint64(31))
-            powers = np.power(
-                np.uint64(1099511628211), np.arange(n, dtype=np.uint64)
-            )
+            powers = np.power(MP, np.arange(n, dtype=np.uint64))
             epowers = (
-                np.power(np.uint64(1099511628211),
-                         np.arange(extra_n, dtype=np.uint64))
+                np.power(MP, np.arange(extra_n, dtype=np.uint64))
                 if extra_n is not None else None
             )
-        ghs, bandss, nghs = [], [], []
-        mix, token_hashes = _np_hash_helpers()
-        with np.errstate(over="ignore"):
-            for s in texts:
-                s = "" if s is None else str(s).strip()
-                if not s and mode != "token":
-                    # char mode: empty docs are filtered upstream; token
-                    # mode hashes the empty shingle so identical empty
-                    # texts still merge (dedup_near's contract)
-                    ghs.append(None)
-                    bandss.append(None)
-                    continue
-                if mode == "token":
-                    # shared-tokenizer parity (ASCII \s+, lowercased,
-                    # empties dropped); per-token hash = segment polynomial
-                    # over codepoints, computed VECTORIZED from prefix sums
-                    # (odd multiplier is invertible mod 2^64). Python's
-                    # builtin hash() is process-randomized — never use it
-                    # for cross-executor join keys.
-                    cp = token_hashes(
-                        np.frombuffer(
-                            s.lower().encode("utf-32-le"), dtype="<u4"
-                        ).astype(np.uint64)
-                    )
-                    if len(cp) == 0:
-                        cp = np.zeros(1, dtype=np.uint64)
+        _, token_hashes = _np_hash_helpers()
+
+        k = len(texts)
+        ghs: list = [None] * k
+        bandss: list = [None] * k
+        nghs: list = (
+            [np.empty(0, dtype=np.int64)] * k if extra_n is not None else None
+        )
+        # phase-4 scratch, reused across sub-blocks and chunks
+        CH = 2048
+        buf4 = np.empty((CH, nperm), dtype=np.uint64)
+        tmp4 = np.empty((CH, nperm), dtype=np.uint64)
+
+        def doc_windows(units, off, ucounts, udoc, width, wpowers):
+            """(values, doc) of every width-unit window that stays inside
+            one document — batch equivalent of the per-doc
+            sliding_window_view + polynomial. The polynomial is summed as
+            `width` passes over contiguous 1D slices instead of a 2D
+            window gather: mod-2^64 addition is associative/commutative,
+            so the value is bit-identical, and the strided gather + its
+            (windows x width) temporaries were 3x slower on wide (char
+            n=5) windows."""
+            nw = len(units) - width + 1
+            if nw <= 0:
+                return (np.empty(0, dtype=np.uint64),
+                        np.empty(0, dtype=np.int64))
+            with np.errstate(over="ignore"):
+                acc = units[:nw] * wpowers[0]
+                for j in range(1, width):
+                    acc += units[j : nw + j] * wpowers[j]
+            wdoc = udoc[:nw]
+            valid = (np.arange(nw) - off[wdoc]) <= ucounts[wdoc] - width
+            return acc[valid], wdoc[valid]
+
+        def per_doc_unique(gv, gd):
+            """Concatenated sorted-unique per doc: one lexsort replaces d
+            np.unique calls — identical per-doc value sets and order."""
+            order = np.lexsort((gv, gd))
+            gv, gd = gv[order], gd[order]
+            if len(gv):
+                keep = np.concatenate(
+                    ([True], (gd[1:] != gd[:-1]) | (gv[1:] != gv[:-1]))
+                )
+                gv, gd = gv[keep], gd[keep]
+            return gv, gd
+
+        def feat_block(block, blk0):
+            # ---- phase 1: one unit stream for the sub-block ------------
+            # units = per-document hashing alphabet (token hashes in token
+            # mode, raw codepoints in char mode) laid out doc-after-doc;
+            # row_of[d] maps stream-doc d back to its batch row.
+            kb = len(block)
+            if mode == "token":
+                # shared-tokenizer parity (ASCII \s+, lowercased, empties
+                # dropped); per-token hash = segment polynomial over
+                # codepoints (position-invariant — see token_hashes), so
+                # hashing the space-joined block equals hashing each doc.
+                # Python's builtin hash() is process-randomized — never
+                # use it for cross-executor join keys.
+                bufs = []
+                for s in block:
+                    s = "" if s is None else str(s).strip()
+                    bufs.append(s.lower().encode("utf-32-le"))
+                blob = " ".encode("utf-32-le").join(bufs)
+                cp_all = np.frombuffer(blob, dtype="<u4").astype(np.uint64)
+                lens = np.fromiter(
+                    (len(b) >> 2 for b in bufs), dtype=np.int64, count=kb
+                )
+                doc_char0 = np.concatenate(([0], np.cumsum(lens + 1)))[:kb]
+                tok_h, tok_start = token_hashes(cp_all, with_starts=True)
+                tok_doc = (
+                    np.searchsorted(doc_char0, tok_start, side="right") - 1
+                )
+                counts = np.bincount(tok_doc, minlength=kb)
+                # a doc with zero tokens hashes the empty shingle
+                # (dedup_near's contract: identical empty texts still
+                # merge) — one 0-unit
+                ucounts = np.where(counts == 0, 1, counts)
+                off = np.concatenate(([0], np.cumsum(ucounts)))
+                units = np.zeros(off[-1], dtype=np.uint64)
+                first = np.concatenate(([0], np.cumsum(counts)))
+                units[
+                    off[tok_doc] + (np.arange(len(tok_doc)) - first[tok_doc])
+                ] = tok_h
+                row_of = np.arange(blk0, blk0 + kb)
+            else:
+                # char mode: empty docs are filtered upstream; gh/bands
+                # stay None (no separator units — doc-crossing windows
+                # are masked out below instead)
+                rows, bufs = [], []
+                for i, s in enumerate(block):
+                    s = "" if s is None else str(s).strip()
+                    if not s:
+                        continue
+                    rows.append(blk0 + i)
+                    bufs.append(s.encode("utf-32-le"))
+                if not bufs:
+                    return
+                units = np.frombuffer(b"".join(bufs), dtype="<u4").astype(
+                    np.uint64
+                )
+                ucounts = np.fromiter(
+                    (len(b) >> 2 for b in bufs), dtype=np.int64,
+                    count=len(bufs),
+                )
+                off = np.concatenate(([0], np.cumsum(ucounts)))
+                row_of = np.asarray(rows, dtype=np.int64)
+            d = len(ucounts)
+            udoc = np.repeat(np.arange(d), ucounts)  # doc index per unit
+
+            # ---- phase 2: decontaminate's extra_n grams (token mode) ---
+            if extra_n is not None:
+                ev, ed = doc_windows(units, off, ucounts, udoc,
+                                     extra_n, epowers)
+                ev, ed = per_doc_unique(ev, ed)
+                ecnt = np.bincount(ed, minlength=d)
+                eoff = np.cumsum(ecnt)[:-1]
+                for dd, arr in enumerate(np.split(ev.astype(np.int64), eoff)):
+                    nghs[row_of[dd]] = arr
+                # docs shorter than extra_n tokens keep the default empty
+                # array (decontaminate's short-doc-is-clean rule)
+
+            # ---- phase 3: main grams -----------------------------------
+            gv, gd = doc_windows(units, off, ucounts, udoc, n, powers)
+            short = np.where(ucounts < n)[0]
+            if len(short) and short_gram:
+                # whole-text singleton gram (dedup semantics: short docs
+                # can still merge with identical short docs) — one masked
+                # gather for ALL short docs:
+                # sum_j units[off[d]+j] * MP^j, j < len
+                width = max(n - 1, 1)
+                cols = np.arange(width)
+                L = ucounts[short]
+                gat = off[short][:, None] + np.minimum(
+                    cols[None, :], (L - 1)[:, None]
+                )
+                msk = (cols[None, :] < L[:, None]).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    sh = (units[gat] * powers[None, :width] * msk).sum(axis=1)
+                gv = np.concatenate((gv, sh))
+                gd = np.concatenate((gd, short))
+            gv, gd = per_doc_unique(gv, gd)
+            gcnt = np.bincount(gd, minlength=d)
+            gh_off = np.concatenate(([0], np.cumsum(gcnt)))
+            # every stream doc gets its slice; with short_gram=False a
+            # short doc's slice is the empty int64 array (decontaminate
+            # semantics: a doc shorter than n tokens is trivially clean)
+            # and its bands entry stays None — exactly the row-wise
+            # kernel's outputs
+            for dd, arr in enumerate(
+                np.split(gv.astype(np.int64), gh_off[1:-1])
+            ):
+                ghs[row_of[dd]] = arr
+
+            # ---- phase 4: minhash mins + band values -------------------
+            # mix gram x seed, min per permutation — chunked, with the
+            # two preallocated buffers and an in-place splitmix pipeline.
+            # The obvious mix(gv[:, None] ^ seeds) allocates seven full
+            # (grams x nperm) temporaries per call; in-place ops on a
+            # reused few-MB buffer run the identical operation sequence,
+            # so every value is bit-identical to mix()'s.
+            has = np.where(gcnt > 0)[0]
+            if not len(has):
+                return
+            mins = np.empty((len(has), nperm), dtype=np.uint64)
+            pos = 0  # index into `has`
+            while pos < len(has):
+                end = pos
+                while (
+                    end < len(has)
+                    and (end == pos
+                         or gh_off[has[end] + 1] - gh_off[has[pos]] <= CH)
+                ):
+                    end += 1
+                lo, hi = gh_off[has[pos]], gh_off[has[end - 1] + 1]
+                m = hi - lo
+                if m > CH:  # one doc with more grams than the buffer
+                    b = np.empty((m, nperm), dtype=np.uint64)
+                    t = np.empty((m, nperm), dtype=np.uint64)
                 else:
-                    cp = np.frombuffer(
-                        s.encode("utf-32-le"), dtype="<u4"
-                    ).astype(np.uint64)
-                if extra_n is not None:
-                    # decontaminate's grams, same per-token hashes, same
-                    # polynomial, same short-doc-is-clean rule as the
-                    # in-session short_gram=False path — bit-identical
-                    if len(cp) >= extra_n:
-                        winx = np.lib.stride_tricks.sliding_window_view(
-                            cp, extra_n
-                        )
-                        nghs.append(
-                            np.unique(
-                                (winx * epowers[None, :]).sum(axis=1)
-                            ).astype(np.int64)
-                        )
-                    else:
-                        nghs.append(np.empty(0, dtype=np.int64))
-                if len(cp) >= n:
-                    win = np.lib.stride_tricks.sliding_window_view(cp, n)
-                    gh = np.unique((win * powers[None, :]).sum(axis=1))
-                elif short_gram:
-                    # whole-text singleton gram (dedup semantics: short
-                    # docs can still merge with identical short docs)
-                    gh = (cp * powers[: len(cp)]).sum(keepdims=True)
-                else:
-                    # no n-gram exists (decontaminate semantics: a doc
-                    # shorter than n tokens is trivially clean)
-                    ghs.append(np.empty(0, dtype=np.int64))
-                    bandss.append(None)
-                    continue
-                # minhash: mix gram x seed, min per permutation
-                mins = mix(gh[:, None] ^ seeds[None, :]).min(axis=0)  # (nperm,)
-                # band value: polynomial-combine the band's row minima
-                # (reshape row-major: band b owns mins[b*r : (b+1)*r])
-                bm = mins.reshape(n_bands, rows_per_band)
-                bands = bm[:, 0].copy()
+                    b, t = buf4[:m], tmp4[:m]
+                with np.errstate(over="ignore"):
+                    np.bitwise_xor(gv[lo:hi, None], seeds[None, :], out=b)
+                    np.right_shift(b, 30, out=t)
+                    np.bitwise_xor(b, t, out=b)
+                    np.multiply(b, M1, out=b)
+                    np.right_shift(b, 27, out=t)
+                    np.bitwise_xor(b, t, out=b)
+                    np.multiply(b, M2, out=b)
+                    np.right_shift(b, 31, out=t)
+                    np.bitwise_xor(b, t, out=b)
+                mins[pos:end] = np.minimum.reduceat(
+                    b, gh_off[has[pos:end]] - lo, axis=0
+                )
+                pos = end
+            # band value: polynomial-combine the band's row minima
+            # (reshape row-major: band b owns mins[b*r : (b+1)*r]),
+            # vectorized over every doc at once
+            bm = mins.reshape(len(has), n_bands, rows_per_band)
+            bvals = bm[:, :, 0].copy()
+            with np.errstate(over="ignore"):
                 for r in range(1, rows_per_band):
-                    bands = bands * np.uint64(1099511628211) + bm[:, r]
-                ghs.append(gh.astype(np.int64))
-                bandss.append(bands.astype(np.int64))
+                    bvals = bvals * MP + bm[:, :, r]
+            bvals = bvals.astype(np.int64)
+            brows = row_of[has]
+            for j in range(len(has)):
+                bandss[brows[j]] = bvals[j]
+
+        # sub-block size (see docstring: arena reuse beats one big pass)
+        SUB = 1024
+        for blk0 in range(0, k, SUB):
+            feat_block(texts.iloc[blk0 : blk0 + SUB], blk0)
+
         out = {"gh": ghs, "bands": bandss}
         if extra_n is not None:
             out["ngh"] = nghs
@@ -4132,7 +4315,29 @@ def _repetition_metrics_udf():
         count keep the larger count*len score (order-independent);
       * rounding/capping stays in the COLUMN layer (F.round/F.least) so
         Spark's HALF_UP decimal rounding is byte-identical to before.
-    Null text yields all-null metrics (rf_pass coalesces to false)."""
+    Null text yields all-null metrics (rf_pass coalesces to false).
+
+    Round-17 batch rewrite (guide §4.2, same class as the jaccard feature
+    kernel): the round-14 kernel still looped the n-gram counting in
+    Python (tuple construction + Counter per doc, ~540 us/doc — 78% of
+    kernel CPU on sf10 docs, ~270 CPU-seconds per 500k docs). This
+    version runs the n=2..10 gram passes batch-wide on integer arrays
+    with EXACT identity end to end — no hashing anywhere:
+      * tokens get batch-global ids from pd.factorize over the actual
+        strings (hash-table on full contents, collision-free);
+      * level-n gram ids build iteratively as packed
+        (dense_{n-1} << 32 | token_id) uint64 keys — both halves < 2^32
+        (bounded by tokens per Arrow batch), so packing is injective,
+        and dense_{n-1} ids are unique per (doc, gram) so equal keys
+        imply equal grams in the same doc;
+      * duplicate counting is one sort per level; dense run ids come out
+        doc-major at every level by induction (level-2 sorts (doc, key)),
+        so per-doc top/dup reductions are reduceat over doc boundaries.
+    All scores are integer products (< 2^53, exact in float64) divided
+    by the same dc the row-wise code used, so every emitted double is
+    bit-identical — pinned by the frozen-reference differential in
+    tests/test_llm_rf_kernel_batch.py. Line/paragraph stats and
+    tokenization stay in the (cheap, ~15%) per-doc Python pass."""
     key = ("rf_metrics",)
     if key in _JACCARD_UDF_CACHE:
         return _JACCARD_UDF_CACHE[key]
@@ -4147,11 +4352,11 @@ def _repetition_metrics_udf():
         import re
         from collections import Counter
 
+        import numpy as np
         import pandas as pd
 
         ws = re.compile(r"\s+", re.ASCII)
         para_re = re.compile(r"\n\s*\n", re.ASCII)
-        rows = {f: [] for f in fields}
 
         def elem_stats(parts):
             vals = [v for v in (p.strip(" ") for p in parts) if v]
@@ -4162,49 +4367,124 @@ def _repetition_metrics_udf():
             return (extra_items / max(len(vals), 1.0),
                     extra_chars / max(total, 1.0))
 
-        for raw in texts:
+        k = len(texts)
+        out = {f: np.zeros(k, dtype=np.float64) for f in fields}
+        isnull = np.zeros(k, dtype=bool)
+        dc = np.ones(k, dtype=np.float64)
+        cnt_doc = np.zeros(k, dtype=np.int64)
+        tok_lists: list = []
+        # ---- per-doc Python pass: line/para stats + tokenization -------
+        for i, raw in enumerate(texts):
             if raw is None:
-                for f in fields:
-                    rows[f].append(None)
+                isnull[i] = True
                 continue
             src = raw.strip(" ")
-            dc = float(max(len(src), 1))
-            dlf, dlcf = elem_stats(src.split("\n"))
-            dpf, dpcf = elem_stats(para_re.split(src))
-            rows["dlf"].append(dlf)
-            rows["dlcf"].append(dlcf)
-            rows["dpf"].append(dpf)
-            rows["dpcf"].append(dpcf)
+            dc[i] = float(max(len(src), 1))
+            out["dlf"][i], out["dlcf"][i] = elem_stats(src.split("\n"))
+            out["dpf"][i], out["dpcf"][i] = elem_stats(para_re.split(src))
             toks = [t for t in ws.split(src.lower()) if t]
-            lens = [len(t) for t in toks]
+            cnt_doc[i] = len(toks)
+            if toks:
+                tok_lists.append(toks)
+        all_toks = [t for lst in tok_lists for t in lst]
+        doc_start_all = np.concatenate(([0], np.cumsum(cnt_doc)))
+
+        def gram_block(b0, b1):
+            """n=2..10 gram scores for batch rows [b0,b1). Sub-blocked
+            (like the jaccard feature kernel) so every working array is a
+            few hundred KB and the allocator reuses warm arenas — fresh
+            multi-MB allocations page-fault at ~8 MB/s on the bench VM."""
+            t0, t1 = int(doc_start_all[b0]), int(doc_start_all[b1])
+            T = t1 - t0
+            if T == 0:
+                return
+            toks_blk = all_toks[t0:t1]
+            # block-local exact token ids (full-string hash table; the id
+            # count is bounded by tokens-per-block << 2^32, so the 32-bit
+            # packing below is injective)
+            gid = pd.factorize(np.asarray(toks_blk, dtype=object))[0]
+            gid = gid.astype(np.uint64)
+            lens_all = np.fromiter(
+                (len(t) for t in toks_blk), dtype=np.int64, count=T
+            )
+            cs = np.concatenate(([0], np.cumsum(lens_all)))
+            cnt_b = cnt_doc[b0:b1]
+            tok_doc = np.repeat(np.arange(b1 - b0), cnt_b)
+            dstart = doc_start_all[b0:b1] - t0
+            pos = np.arange(T) - dstart[tok_doc]  # position within doc
+            D = np.zeros(T, dtype=np.uint64)  # dense gram id @ window start
             for n in range(2, 11):
-                m = len(toks) - n + 1
-                fname = f"t{n}" if n < 5 else f"d{n}"
-                if m <= 0:
-                    rows[fname].append(0.0)
+                nw = T - n + 1
+                if nw <= 0:
+                    break
+                # window starts whose n tokens stay inside one doc
+                s = np.where(pos[:nw] <= cnt_b[tok_doc[:nw]] - n)[0]
+                if not len(s):
                     continue
-                cnt: Counter = Counter()
-                glen: dict = {}
-                cur = sum(lens[:n]) + (n - 1)
-                for i in range(m):
-                    if i:
-                        cur += lens[i + n - 1] - lens[i - 1]
-                    g = tuple(toks[i:i + n])
-                    cnt[g] += 1
-                    glen[g] = cur
-                if n < 5:
-                    top = max(cnt.values())
-                    if top > 1:
-                        score = top * max(glen[g] for g, c in cnt.items()
-                                          if c == top)
-                        rows[fname].append(score / dc)
-                    else:
-                        rows[fname].append(0.0)
+                sdoc = tok_doc[s]
+                # gram chars = token lens + (n-1) joining spaces (ints)
+                glen_w = cs[s + n] - cs[s] + (n - 1)
+                if n == 2:
+                    key = (gid[s] << np.uint64(32)) | gid[s + 1]
+                    # token ids are block-global, so group by (doc, key)
+                    order = np.lexsort((key, sdoc))
                 else:
-                    dup = float(sum(c * glen[g] for g, c in cnt.items()
-                                    if c > 1))
-                    rows[fname].append(dup / dc)
-        return pd.DataFrame(rows)
+                    # dense_{n-1} is unique per (doc, gram), so the
+                    # packed key alone separates docs
+                    key = (D[s] << np.uint64(32)) | gid[s + n - 1]
+                    order = np.argsort(key)
+                sk = key[order]
+                new_run = np.empty(len(sk), dtype=bool)
+                new_run[0] = True
+                np.not_equal(sk[1:], sk[:-1], out=new_run[1:])
+                if n == 2:
+                    sd = sdoc[order]
+                    new_run[1:] |= sd[1:] != sd[:-1]
+                # dense run ids, scattered back to window starts for the
+                # next level (doc-major by induction: level 2 sorts by
+                # doc first, and later keys inherit that order through
+                # the dense high bits)
+                rid = np.cumsum(new_run) - 1
+                if n < 10:
+                    D[s[order]] = rid.astype(np.uint64)
+                run_starts = np.where(new_run)[0]
+                run_c = np.diff(np.append(run_starts, len(sk)))
+                run_doc = sdoc[order[run_starts]]
+                run_glen = glen_w[order[run_starts]]
+                # per-doc reductions over doc-contiguous runs
+                dnew = np.empty(len(run_doc), dtype=bool)
+                dnew[0] = True
+                np.not_equal(run_doc[1:], run_doc[:-1], out=dnew[1:])
+                drs = np.where(dnew)[0]
+                rows_present = run_doc[drs] + b0
+                fname = f"t{n}" if n < 5 else f"d{n}"
+                if n < 5:
+                    top = np.maximum.reduceat(run_c, drs)
+                    sel = (run_c > 1) & (run_c == np.repeat(
+                        top, np.diff(np.append(drs, len(run_c)))
+                    ))
+                    bg = np.maximum.reduceat(
+                        np.where(sel, run_glen, 0), drs
+                    )
+                    score = np.where(top > 1, top * bg, 0).astype(
+                        np.float64
+                    )
+                else:
+                    score = np.add.reduceat(
+                        np.where(run_c > 1, run_c * run_glen, 0).astype(
+                            np.float64
+                        ),
+                        drs,
+                    )
+                out[fname][rows_present] = score / dc[rows_present]
+
+        BLK = 2048
+        for b0 in range(0, k, BLK):
+            gram_block(b0, min(b0 + BLK, k))
+        if isnull.any():
+            for f in fields:
+                out[f][isnull] = np.nan
+        return pd.DataFrame(out)
 
     # The kernel IS deterministic, but must be DECLARED nondeterministic:
     # a `where rf_pass` predicate embeds it, and PushDownPredicates would

@@ -2589,7 +2589,21 @@ class PipeTranslator:
             )
             grouped = work.groupBy(*keys).agg(*[c.alias(n) for n, c in agg_out])
             if level.n is not None:
-                w = Window.partitionBy(*parents).orderBy(F.col(agg_name).desc()) if parents else Window.partitionBy(F.lit(1)).orderBy(F.col(agg_name).desc())
+                # tie-break on the `of` column (round 17): with the
+                # aggregate alone, row_number picks a plan-dependent winner
+                # among tied values — the round-17 fused single-task plans
+                # changed physical row order and flipped a tied top-nested
+                # result the r16 plans happened to get "right". Kusto
+                # leaves ties unspecified; pinning of-ASC makes the result
+                # plan-independent (and matches the differential twins).
+                # Tie-free queries (every certified corpus entry — the
+                # aggregates there are double sums) are bit-unchanged.
+                order = [F.col(agg_name).desc(), F.col(of_name).asc()]
+                w = (
+                    Window.partitionBy(*parents).orderBy(*order)
+                    if parents
+                    else Window.partitionBy(F.lit(1)).orderBy(*order)
+                )
                 grouped = (
                     grouped.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") <= level.n)
@@ -3371,9 +3385,13 @@ class PipeTranslator:
             # surfacing raw IndexError): the only-typed-KqlErrors
             # contract holds at the dispatch boundary for every current
             # and future plugin; the original traceback stays chained.
+            # neutral wording (round 17, ADVICE): an IndexError here is
+            # USUALLY a missing argument but can be any translate-time
+            # indexing bug in the plugin body; include the original text
+            # so a real bug isn't masked as an arity complaint.
             raise KqlSemanticError(
-                f"evaluate {op.plugin}: too few arguments — see the "
-                "plugin's documented signature"
+                f"evaluate {op.plugin}: argument parsing failed — see the "
+                f"plugin's documented signature ({exc})"
             ) from exc
         # row-filtering plugins keep the input's serialized order [KQL];
         # everything else re-shapes rows and invalidates it
