@@ -748,6 +748,7 @@ class PipeTranslator:
         streaming: bool = False,
         small_plan: bool = False,
         single_task: bool = False,
+        spread_parse: bool = False,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -768,6 +769,20 @@ class PipeTranslator:
         # every partial aggregate), so results are bit-identical. Never
         # taken at scale: a real table has many row groups.
         self.single_task = single_task
+        # single-task parse spread (round 17): sources are big enough that
+        # an expensive per-row parse dominates the fused single task —
+        # translate_pipe may insert one spread repartition below the first
+        # JSON-parse op when the tail is provably partitioning-insensitive
+        # (_single_task_spread_point). Gated by the caller on source bytes
+        # (>= _SPREAD_PARSE_MIN_BYTES) so 3-row datatable queries never
+        # pay the extra exchange for a trivial parse.
+        self.spread_parse = spread_parse
+        # the query's TOP-LEVEL pipe (set by translate_query): the spread
+        # only ever fires there, because only there does the tail analysis
+        # see every op that runs above the repartition — a nested pipe
+        # (join side, tabular-in subquery, pipe-parenthesized source)
+        # cannot know whether the OUTER ops select rows plan-dependently
+        self._top_pipe = None
         # (sorted_df, source_df, cols) of the latest small-plan sort, so a
         # directly-following take can rebuild as TakeOrderedAndProject
         self._small_sorted: tuple | None = None
@@ -875,6 +890,7 @@ class PipeTranslator:
             isinstance(n, FuncCall) and n.name.lower() in _INGEST_META_FUNCS
             for n in _walk_ast(q)
         )
+        self._top_pipe = q.pipe
         df = self.translate_pipe(q.pipe)
         # engine-internal helper columns never escape to the user
         internal = [c for c in df.columns if c.startswith(("__row_order", "__kql"))]
@@ -919,7 +935,23 @@ class PipeTranslator:
         self.json_shared, self.pending_prework = {}, {}
         try:
             df = self.translate_source(pipe.source)
-            for op in pipe.ops:
+            spread_at = None
+            if (
+                self.spread_parse
+                and not self.streaming
+                and pipe is self._top_pipe
+            ):
+                # single-task parse spread (round 17): redistribute the
+                # compact rows across the cores right below the first
+                # expensive per-row parse, instead of serializing it on
+                # the one real scan task — only when the tail is provably
+                # partitioning-insensitive (see _single_task_spread_point)
+                spread_at = _single_task_spread_point(pipe.ops)
+            for i, op in enumerate(pipe.ops):
+                if i == spread_at:
+                    df = df.repartition(
+                        self.spark.sparkContext.defaultParallelism
+                    )
                 df = self.translate_op(df, op)
             return df
         finally:
@@ -3803,6 +3835,146 @@ _SINGLE_TASK_BYTES = int(
     _os.environ.get("SPARK_GRAFT_SINGLE_TASK_BYTES", str(8 * 1024 * 1024))
 )
 
+# Single-task parse spread (round 17, guide §2.5/§4 "per-task work"): a
+# fused single-task plan serializes EVERY per-row expression on the one
+# real scan task. For cheap expressions that is the point of the fusion —
+# but a JSON parse per row dominates the task (b7: the get_json_object
+# pass is ~90% of the fused query), so redistributing the compact
+# pre-parse rows across the cores wins back the whole core count for the
+# parse despite the extra exchange (measured interleaved on the bench VM:
+# b7 fused 0.31 s -> spread 0.21-0.22 s, identical results; the unfused
+# r16 plan also ran the parse inside the single scan task, so this beats
+# BOTH prior shapes). Applied only in single-task mode (i.e. tiny
+# single-row-group local inputs — a cluster-scale scan parallelizes by
+# itself and never enters this mode) and only when the pipe tail above
+# the parse is provably partitioning-insensitive (see
+# _single_task_spread_point). Disable via SPARK_GRAFT_SPREAD_PARSE=0.
+_EXPENSIVE_ROW_FNS = frozenset(
+    {"extractjson", "extract_json", "parse_json", "todynamic", "toobject"}
+)
+# below this many on-disk source bytes the parse is too small to be worth
+# one extra exchange (literal datatables report a 4KB nominal size). 128KB
+# keeps the sf0.01 correctness fixtures ABOVE the floor, so the driver's
+# oracle runs certify the exact spread plan the sf0.1 bench executes.
+_SPREAD_PARSE_MIN_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_SPREAD_PARSE_MIN_BYTES", str(128 * 1024))
+)
+# integral casts: sum()/sumif() over these is exact integer arithmetic,
+# so partial-aggregation grouping cannot change the result
+_INT_CAST_FNS = frozenset({"tolong", "toint"})
+# aggregates whose final value is independent of row order AND of the
+# partial-aggregation grouping: counts are integer sums; dcount is
+# HyperLogLog++ (per-register max — insertion order and merge grouping
+# cannot change the sketch); min/max are idempotent-commutative. sum/avg
+# are NOT here: double accumulation order changes the last ulp, and a
+# certified hash must not move — they are admitted only with a provably
+# integral argument (see _single_task_spread_point).
+_ORDER_FREE_AGGS = frozenset(
+    {"count", "countif", "dcount", "dcountif", "min", "max", "minif",
+     "maxif"}
+)
+# serialized-order row functions: their value is the physical row order,
+# which a spread repartition scrambles — any use above the spread point
+# disqualifies the spread
+_ORDER_SENSITIVE_FNS = frozenset(
+    {"row_number", "prev", "next", "row_cumsum", "row_rank_min",
+     "row_rank_dense", "row_window_session"}
+)
+
+
+def _single_task_spread_point(ops) -> int | None:
+    """Index of the first Where/Project/Extend op whose expressions call
+    an expensive per-row function (JSON parse family), or None when there
+    is none — or when the pipe tail at/after that op is not PROVABLY
+    insensitive to the input partitioning, in which case the spread must
+    not fire (a repartition regroups partial aggregates and re-orders
+    float accumulation; only exact, order-free tails are eligible).
+
+    Ops BELOW the spread point are untouched — the repartition sits above
+    them, and the scan keeps its fused coalesce(1), so their behavior is
+    bit-identical to the certified single-task plan."""
+    idx = None
+    for i, op in enumerate(ops):
+        if isinstance(op, (Where, Project, Extend)) and any(
+            isinstance(n, FuncCall) and n.name.lower() in _EXPENSIVE_ROW_FNS
+            for n in _walk_ast(op)
+        ):
+            idx = i
+            break
+    if idx is None:
+        return None
+
+    # track which column names are provably integral (AST-level: defined
+    # by an integer cast, or by an exact-integer aggregate)
+    intcols: set[str] = set()
+
+    def is_int_expr(e) -> bool:
+        if isinstance(e, FuncCall) and e.name.lower() in _INT_CAST_FNS:
+            return True
+        return isinstance(e, Col) and e.side is None and e.name in intcols
+
+    def agg_safe(e) -> tuple[bool, bool]:
+        """(safe, result_is_integral) for one aggregate expression."""
+        if not isinstance(e, FuncCall):
+            return False, False
+        fn = e.name.lower()
+        if fn in ("count", "countif", "dcount", "dcountif"):
+            return True, True
+        if fn in _ORDER_FREE_AGGS:
+            return True, False
+        if fn in ("sum", "sumif") and e.args and is_int_expr(e.args[0]):
+            return True, True
+        return False, False
+
+    for j, op in enumerate(ops):
+        if isinstance(op, (Project, Extend)):
+            for item in op.items:
+                if item.names or not item.name:
+                    continue
+                if is_int_expr(item.expr):
+                    intcols.add(item.name)
+                else:
+                    intcols.discard(item.name)
+        if j < idx:
+            continue
+        # j == idx falls through: the host op is Where/Project/Extend by
+        # construction and must itself pass the order-sensitivity check
+        # (it evaluates on post-repartition rows)
+        # tail op above the spread: must be row-wise, an exact order-free
+        # aggregation, or a final display sort (ordering among tied keys
+        # is unspecified in KQL and hashed order-insensitively). Serialized
+        # -order row functions (row_number/prev/...) read the physical row
+        # order the repartition would scramble — any use disqualifies.
+        if isinstance(op, (Where, Project, Extend)):
+            if any(
+                isinstance(n, FuncCall)
+                and n.name.lower() in _ORDER_SENSITIVE_FNS
+                for n in _walk_ast(op)
+            ):
+                return None
+            continue
+        if isinstance(
+            op,
+            (ProjectAway, ProjectKeep, ProjectRename, ProjectReorder),
+        ):
+            continue
+        if isinstance(op, Sort) and j == len(ops) - 1:
+            continue
+        if isinstance(op, CountOp):
+            continue
+        if isinstance(op, Summarize):
+            new_int: set[str] = set()
+            for item in op.aggs:
+                ok, integral = agg_safe(item.expr)
+                if not ok:
+                    return None
+                if integral and item.name:
+                    new_int.add(item.name)
+            intcols = new_int
+            continue
+        return None
+    return idx
+
 # Operators whose output size is not bounded by their input's source
 # bytes (row expansion or arbitrary sub-pipelines): they reset the
 # auto-broadcast source-bytes estimate to unknown (translate_op).
@@ -4167,6 +4339,15 @@ def _translate_pinning_small_plan(
         and tiny <= _SINGLE_TASK_BYTES
         and all(catalog.single_split(n) for n in src_names)
     )
+    # parse-spread gate (round 17, see _single_task_spread_point): only
+    # when there is enough data for a per-row JSON parse to dominate the
+    # fused single task — literal datatable/print queries (4KB nominal)
+    # must not pay an extra exchange for a handful of rows
+    spread = (
+        fuse
+        and tiny >= _SPREAD_PARSE_MIN_BYTES
+        and _os.environ.get("SPARK_GRAFT_SPREAD_PARSE", "1") != "0"
+    )
     # serialize the conf flip: session conf is process-global, so a
     # concurrent translation must not observe (or clobber) the temporary
     # small-plan settings
@@ -4182,7 +4363,8 @@ def _translate_pinning_small_plan(
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             out = PipeTranslator(
-                spark, catalog, options, small_plan=True, single_task=fuse
+                spark, catalog, options, small_plan=True, single_task=fuse,
+                spread_parse=spread,
             ).translate_query(q)
             # force physical planning NOW so the non-AQE choice is captured
             # in the QueryExecution this DataFrame will execute with

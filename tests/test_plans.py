@@ -1039,3 +1039,79 @@ def test_single_task_skips_oversized_and_multi_row_group(run_kql, spark, tmp_pat
     cat = Catalog(spark, str(tmp_path))
     assert cat.single_split("multi_rg") is False
     assert cat.single_split("events") is False  # not in this base_dir
+
+
+def test_single_task_parse_spread(run_kql, spark, monkeypatch):
+    # Round 17 (guide §2.5/§4 "per-task work"): a fused single-task plan
+    # serializes a per-row JSON parse on the one real scan task; when the
+    # tail above the parse is provably partitioning-insensitive the
+    # translator spreads the compact rows across the cores below the
+    # parse (measured interleaved at sf0.1: b7 0.31 s -> 0.21 s).
+    # Pinned from both ends: the spread plan carries the RoundRobin
+    # exchange, the flag-off arm keeps the fused zero-Exchange shape,
+    # and both return identical rows.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SPREAD_PARSE_MIN_BYTES", 0)
+    q = (
+        "events | project event_id, k = tolong(extractjson('$.k', props)) "
+        "| summarize s = sum(k), n = count()"
+    )
+    spread = run_kql(q)
+    plan = _plan(spread)
+    assert "RoundRobinPartitioning" in plan
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_PARSE", "0")
+    fused = run_kql(q + " // spread-off")
+    assert "Exchange" not in _plan(fused)
+    assert [tuple(r) for r in spread.collect()] == [
+        tuple(r) for r in fused.collect()
+    ]
+
+
+def test_parse_spread_skips_unsafe_tails(run_kql, spark, monkeypatch):
+    # the spread must NOT fire when the tail above the parse could change
+    # under a repartition: float-sum aggregates (double accumulation
+    # order), serialized-order row functions, row-selecting ops, nested
+    # pipes under an outer tail, or sources below the byte floor.
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SPREAD_PARSE_MIN_BYTES", 0)
+    # float sum: not provably exact -> stay fused
+    df = run_kql(
+        "events | extend k = extractjson('$.k', props) "
+        "| summarize s = sum(value) // spread-floatsum"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
+    # serialized-order row function above the parse -> stay fused
+    df = run_kql(
+        "events | sort by event_id asc "
+        "| extend k = extractjson('$.k', props), r = row_number() "
+        "// spread-rowfn"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
+    # row-selecting tail -> stay fused
+    df = run_kql(
+        "events | extend k = extractjson('$.k', props) | take 5 "
+        "// spread-take"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
+    # nested pipe source with an outer row-selecting tail: the inner pipe
+    # must not spread either (only the top-level pipe is analyzed)
+    df = run_kql(
+        "(events | project event_id, k = tolong(extractjson('$.k', props)) "
+        "| summarize s = sum(k) by event_id) | take 5 // spread-nested"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
+    # integral sum through a projected cast IS safe -> spreads (control)
+    df = run_kql(
+        "events | project k = tolong(extractjson('$.k', props)) "
+        "| summarize s = sum(k) // spread-control"
+    )
+    assert "RoundRobinPartitioning" in _plan(df)
+    # byte floor: the default gate keeps tiny fixtures fused
+    monkeypatch.setattr(TR, "_SPREAD_PARSE_MIN_BYTES", 1 << 40)
+    df = run_kql(
+        "events | project k = tolong(extractjson('$.k', props)) "
+        "| summarize s = sum(k) // spread-floor"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
