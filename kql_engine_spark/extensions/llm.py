@@ -251,11 +251,30 @@ class _PlanKey:
             return False  # refit, never kill the query inside a dict probe
 
 
+_model_cache_fallback_warned = False
+
+
 def _model_cache_key(df: DataFrame):
     qe = df._jdf.queryExecution()  # noqa: SLF001
     try:
         return _PlanKey(qe.analyzed())
     except Exception:  # pragma: no cover - defensive
+        # str keys never match _PlanKey entries, so a session stuck on
+        # this path silently refits every query — warn ONCE so a
+        # persistently degraded JVM path is visible, not just slow
+        # (round-16 ADVICE #3)
+        global _model_cache_fallback_warned
+        if not _model_cache_fallback_warned:
+            _model_cache_fallback_warned = True
+            import warnings
+
+            warnings.warn(
+                "model-cache key fell back to the logical-plan string "
+                "(JVM analyzed() probe failed); fitted-model reuse is "
+                "degraded to exact-string matches for affected queries",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return qe.logical().toString()
 
 
@@ -5025,8 +5044,13 @@ def _sample_stratified(ptr, df: DataFrame, args) -> DataFrame:
     """`T | evaluate sample_stratified(keycol, fraction [, seed])` — EXACT
     per-stratum sampling: every distinct key keeps ceil(fraction * n_key)
     rows (plain Bernoulli sampling under- or over-represents small strata;
-    a training mix wants the proportions held exactly). Deterministic for
-    a given seed.
+    a training mix wants the proportions held exactly). The per-stratum
+    COUNT is an exact deterministic contract; WHICH rows are kept is
+    seed-random via rand(seed), which is deterministic only for a fixed
+    partition layout — repartitioning or input-split changes can select a
+    different (same-sized) subset. For a row-level portable guarantee use
+    take_stratified / split_by_hash, whose pure-BIGINT LCG depends only on
+    each row's id.
 
     Lowering: one row_number window per key ordered by (rand(seed),
     row identity) against a broadcast per-key count — a single shuffle on
