@@ -940,6 +940,9 @@ class PipeTranslator:
                 self.spread_parse
                 and not self.streaming
                 and pipe is self._top_pipe
+                # a 1-core session gains no parallelism from the spread
+                # and would still pay the exchange
+                and self.spark.sparkContext.defaultParallelism > 1
             ):
                 # single-task parse spread (round 17): redistribute the
                 # compact rows across the cores right below the first
@@ -3892,7 +3895,12 @@ def _single_task_spread_point(ops) -> int | None:
 
     Ops BELOW the spread point are untouched — the repartition sits above
     them, and the scan keeps its fused coalesce(1), so their behavior is
-    bit-identical to the certified single-task plan."""
+    bit-identical to the certified single-task plan. Their OUTPUT ORDER,
+    however, does not survive the repartition: if an order-establishing
+    op (sort/serialize/top/...) sits at or below the spread point, its
+    ordering is a user-visible contract, and the spread is allowed only
+    when the tail discards row order anyway (an aggregation) or
+    re-establishes it (a final sort)."""
     idx = None
     for i, op in enumerate(ops):
         if isinstance(op, (Where, Project, Extend)) and any(
@@ -3903,6 +3911,18 @@ def _single_task_spread_point(ops) -> int | None:
             break
     if idx is None:
         return None
+
+    # order contract (see docstring): an order-establishing op at or
+    # below the spread point requires the tail to discard row order
+    # (Summarize/CountOp) or to re-sort as the final op
+    if any(
+        isinstance(op, (Sort, Serialize, Top, TopNested, TopHitters))
+        for op in ops[: idx + 1]
+    ):
+        tail = ops[idx + 1 :]
+        reorders = any(isinstance(op, (Summarize, CountOp)) for op in tail)
+        if not reorders and not (tail and isinstance(tail[-1], Sort)):
+            return None
 
     # track which column names are provably integral (AST-level: defined
     # by an integer cast, or by an exact-integer aggregate)
@@ -3944,14 +3964,14 @@ def _single_task_spread_point(ops) -> int | None:
         # aggregation, or a final display sort (ordering among tied keys
         # is unspecified in KQL and hashed order-insensitively). Serialized
         # -order row functions (row_number/prev/...) read the physical row
-        # order the repartition would scramble — any use disqualifies.
+        # order the repartition would scramble — any use ANYWHERE in a
+        # tail op (projection, by-key, sort key) disqualifies.
+        if any(
+            isinstance(n, FuncCall) and n.name.lower() in _ORDER_SENSITIVE_FNS
+            for n in _walk_ast(op)
+        ):
+            return None
         if isinstance(op, (Where, Project, Extend)):
-            if any(
-                isinstance(n, FuncCall)
-                and n.name.lower() in _ORDER_SENSITIVE_FNS
-                for n in _walk_ast(op)
-            ):
-                return None
             continue
         if isinstance(
             op,

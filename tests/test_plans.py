@@ -1115,3 +1115,45 @@ def test_parse_spread_skips_unsafe_tails(run_kql, spark, monkeypatch):
         "| summarize s = sum(k) // spread-floor"
     )
     assert "RoundRobinPartitioning" not in _plan(df)
+
+
+def test_parse_spread_preserves_order_contracts(run_kql, spark, monkeypatch):
+    # an order-establishing op at/below the spread point is a
+    # user-visible ordering contract the repartition would scramble:
+    # the spread must fire only when the tail discards row order (an
+    # aggregation) or re-establishes it (a final sort).
+    import kql_engine_spark.translator as TR
+
+    monkeypatch.setattr(TR, "_SPREAD_PARSE_MIN_BYTES", 0)
+    # sort below the parse, row-wise tail -> ordered output, NO spread
+    df = run_kql(
+        "events | sort by ts asc "
+        "| extend k = extractjson('$.k', props) | project event_id, k "
+        "// spread-order1"
+    )
+    assert "RoundRobinPartitioning" not in _plan(df)
+    # sort below, but the tail aggregates (order discarded) -> spread OK
+    df = run_kql(
+        "events | sort by ts asc "
+        "| extend k = tolong(extractjson('$.k', props)) "
+        "| summarize s = sum(k) // spread-order2"
+    )
+    assert "RoundRobinPartitioning" in _plan(df)
+    # sort below, but a FINAL sort re-establishes order -> spread OK
+    df = run_kql(
+        "events | sort by ts asc "
+        "| extend k = extractjson('$.k', props) | project event_id, k "
+        "| sort by event_id asc // spread-order3"
+    )
+    assert "RoundRobinPartitioning" in _plan(df)
+    # and the re-sorted arm returns the same rows in the same order as
+    # the unspread arm
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_PARSE", "0")
+    df0 = run_kql(
+        "events | sort by ts asc "
+        "| extend k = extractjson('$.k', props) | project event_id, k "
+        "| sort by event_id asc // spread-order3-off"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in df0.collect()
+    ]
