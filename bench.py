@@ -73,6 +73,44 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     repeat: dict[str, float] = {}
+    # Scaling legibility (round 18, additions only — every pre-existing
+    # field keeps its exact definition): per query, one EXTRA untimed
+    # fresh execution runs inside a job group and reports how many tasks
+    # each of its stages actually launched. max_stage_tasks == 1 means the
+    # query is genuinely serial at this SF (single-row-group scan and/or
+    # fused single-task plan) — low-core/high-core ratios of ~1 are then
+    # the measured truth, not evidence that $SPARK_GRAFT_CPUS is ignored.
+    task_stats: dict[str, dict[str, int]] = {}
+    status = spark.sparkContext.statusTracker()
+
+    def profile_tasks(bench_id: str, text: str) -> None:
+        group = f"bench-tasks-{bench_id}"
+        d = kql(spark, f"{text}\n// bench-task-profile", sf_dir=sf_dir)
+        spark.sparkContext.setJobGroup(group, bench_id)
+        try:
+            d.collect()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        seen: set[int] = set()
+        mx = total = stages = 0
+        for jid in status.getJobIdsForGroup(group):
+            ji = status.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                si = status.getStageInfo(sid)
+                if si is None:
+                    continue
+                mx = max(mx, si.numTasks)
+                total += si.numTasks
+                stages += 1
+        task_stats[bench_id] = {
+            "max_stage_tasks": mx, "total_tasks": total, "n_stages": stages,
+        }
+
     for bench_id, corpus_name in bench_items:
         text = CORPUS[corpus_name][0]
         # first run = the COLD path: parse + translate + Catalyst analyze/
@@ -107,6 +145,8 @@ def main() -> None:
             df_cached.collect()
             reps.append(time.perf_counter() - t0)
         repeat[bench_id] = round(statistics.median(reps), 4)
+        # untimed instrumentation run, OUTSIDE every timed region
+        profile_tasks(bench_id, text)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -120,6 +160,9 @@ def main() -> None:
                 "repeat_cached_total_sec": round(sum(repeat.values()), 4),
                 "cold_first_run_sec": cold,
                 "cold_total_sec": round(sum(cold.values()), 4),
+                # round 18: scaling legibility (see profile_tasks)
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "task_stats": task_stats,
                 "sf": sf,
                 "engine": "kql_engine_spark",
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count(),

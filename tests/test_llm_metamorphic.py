@@ -562,6 +562,32 @@ def test_decontaminate_remove_flag_consistency(run_kql):
     assert removed == unflagged
 
 
+def test_decontaminate_corpus_sized_benchmark_warns(run_kql, monkeypatch):
+    # Round 18 (verdict item 5): a benchmark side above the broadcast-safe
+    # byte bound violates the dimension-sized-eval-set assumption — the
+    # query still runs (results unchanged) but must emit the typed scale
+    # warning instead of silently degrading to a corpus-vs-corpus shuffle.
+    import warnings
+
+    import pytest
+
+    from kql_engine_spark.errors import KqlScaleWarning
+
+    q = (
+        "documents | evaluate decontaminate(text, doc_id, documents, text, 8)"
+        " | summarize n = count()"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DECON_BENCH_WARN_BYTES", "1")
+    with pytest.warns(KqlScaleWarning, match="dimension-sized eval set"):
+        warned = run_kql(q + " // decon-warn").collect()[0].n
+    # a dimension-sized benchmark (bound at its default) stays silent
+    monkeypatch.delenv("SPARK_GRAFT_DECON_BENCH_WARN_BYTES")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", KqlScaleWarning)
+        quiet = run_kql(q + " // decon-quiet").collect()[0].n
+    assert warned == quiet
+
+
 def test_dedup_lines_idempotent_and_conserving(run_kql):
     # running dedup_lines on already-deduped text removes nothing more, and
     # (kept + removed) line counts conserve the original corpus
