@@ -2699,6 +2699,15 @@ def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 .groupBy("src")
                 .agg(F.min("comp").alias("nbmin"))
             )
+            # round 18 (guide §2.4): the convergence probe used to be a
+            # SECOND join of the new labels against the old ones — one
+            # extra shuffle join per round over the full node set. The
+            # label changed iff a neighbor minimum undercuts the old
+            # label, which this same projection already knows — carry it
+            # as a flag through the checkpoint and probe with a
+            # shuffle-free filter over the checkpointed partitions
+            # instead. One shuffle join per round removed; labels
+            # bit-identical (least(comp, nbmin) != comp <=> nbmin < comp).
             new_comp = (
                 comp.join(nb, comp["node"] == nb["src"], "left")
                 .select(
@@ -2707,17 +2716,12 @@ def _component_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                         F.col("comp"),
                         F.coalesce(F.col("nbmin"), F.col("comp")),
                     ).alias("comp"),
+                    (F.col("nbmin") < F.col("comp")).alias("__chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
-            comp = new_comp
+            changed = new_comp.filter(F.col("__chg")).limit(1).count()
+            comp = new_comp.drop("__chg")
             if changed == 0:
                 return comp
     return _component_labels_star(nodes, edges)
