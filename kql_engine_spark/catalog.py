@@ -31,6 +31,7 @@ class Catalog:
         self._external: dict[str, tuple] = {}   # external_table() bindings
         self._matviews: dict[str, str] = {}     # materialized_view() paths
         self._single_split: dict[str, bool] = {}  # single_split() memo
+        self._row_count: dict[str, int | None] = {}  # row_count() memo
 
     def register(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
@@ -137,6 +138,28 @@ class Catalog:
                     for f in files
                 )
         return None
+
+    def row_count(self, name: str) -> int | None:
+        """Footer num_rows of a single-file parquet table, or None when
+        unknowable (registered DataFrame, directory table, unreadable
+        footer). Driver-side footer read only, memoized — a row count is
+        a better scale proxy than on-disk bytes for highly compressible
+        text (round 18: a 500k-row corpus can zstd to under 5 MB)."""
+        hit = self._row_count.get(name)
+        if hit is not None or name in self._row_count:
+            return hit
+        out: int | None = None
+        if name not in self._registered and self.base_dir:
+            path = os.path.join(self.base_dir, f"{name}.parquet")
+            if os.path.isfile(path):
+                try:
+                    import pyarrow.parquet as pq
+
+                    out = pq.ParquetFile(path).metadata.num_rows
+                except Exception:
+                    out = None
+        self._row_count[name] = out
+        return out
 
     def single_split(self, name: str) -> bool:
         """True iff the table is backed by ONE parquet file holding at most

@@ -4736,32 +4736,48 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
         # join-side sizing): the contract assumes a DIMENSION-SIZED eval
         # set whose distinct n-gram hashes broadcast, so the 100 TB fact
         # side never shuffles for the join. A corpus-sized benchmark
-        # silently degrades to a full shuffle join of the fact side's
-        # exploded n-grams (measured sf10 self-vs-self: 50.8 s cold vs
-        # ~2 s with a real eval set). There is no cheaper generic plan to
-        # fall back to — the sort-merge join Spark picks IS the right
-        # shape for two corpus-sized gram sets — so the fix is
-        # VISIBILITY: warn when the benchmark side's on-disk estimate
-        # exceeds a broadcast-safe bound instead of assuming the user
-        # read the docstring.
+        # silently degrades: the benchmark side pays the per-row n-gram
+        # kernel over the whole corpus and the join side loses the
+        # broadcast (measured sf10 self-vs-self: 21-28 s vs 7 s with a
+        # 500-doc eval set, r17 contended window 50.8 s). There is no
+        # cheaper generic plan to fall back to — the sort-merge join
+        # Spark picks IS the right shape for two corpus-sized gram sets —
+        # so the fix is VISIBILITY: warn when the benchmark side exceeds
+        # a broadcast-safe bound. Two proxies, either trips: on-disk
+        # bytes, and the parquet-footer ROW COUNT — repetitive text
+        # compresses so well that a 500k-row corpus can sit under 5 MB
+        # on disk while its kernel pass costs tens of seconds.
         warn_bytes = int(os.environ.get(
             "SPARK_GRAFT_DECON_BENCH_WARN_BYTES", str(32 * 1024 * 1024)
         ))
-        if bench_bytes is not None and bench_bytes > warn_bytes:
+        warn_rows = int(os.environ.get(
+            "SPARK_GRAFT_DECON_BENCH_WARN_ROWS", str(100_000)
+        ))
+        bench_rows = ptr.catalog.row_count(args[2].name)
+        too_big = (bench_bytes is not None and bench_bytes > warn_bytes) or (
+            bench_rows is not None and bench_rows > warn_rows
+        )
+        if too_big:
             import warnings
 
             from ..errors import KqlScaleWarning
 
+            size = (
+                f"~{bench_bytes / (1 << 20):.0f} MB on disk"
+                if bench_bytes is not None else "of unknown size"
+            )
+            if bench_rows is not None:
+                size += f", {bench_rows:,} rows"
             warnings.warn(
-                f"decontaminate: benchmark side {args[2].name!r} is "
-                f"~{bench_bytes / (1 << 20):.0f} MB on disk — the operator "
-                "assumes a dimension-sized eval set whose distinct n-gram "
-                "hashes broadcast; a corpus-sized benchmark forces a full "
-                "shuffle join of the fact side's n-grams. For corpus-vs-"
-                "corpus matching use dedup_against, or serve both sides "
-                "from prebuilt minhash_index_build stores ('bench_store' / "
+                f"decontaminate: benchmark side {args[2].name!r} is {size} "
+                "— the operator assumes a dimension-sized eval set whose "
+                "distinct n-gram hashes broadcast; a corpus-sized benchmark "
+                "forces a full n-gram kernel pass over it and a shuffle "
+                "join of the fact side's n-grams. For corpus-vs-corpus "
+                "matching use dedup_against, or serve both sides from "
+                "prebuilt minhash_index_build stores ('bench_store' / "
                 "'fact_store' forms). Raise "
-                "SPARK_GRAFT_DECON_BENCH_WARN_BYTES to silence.",
+                "SPARK_GRAFT_DECON_BENCH_WARN_BYTES / _ROWS to silence.",
                 KqlScaleWarning,
                 stacklevel=2,
             )
