@@ -1,0 +1,70 @@
+"""Dump .explain('formatted') for the 12 bench queries + the round-18
+property-access spread variant into plans/r18/ (judge artifacts).
+
+Usage: python tools/dump_plans_r18.py <suffix>
+  suffix = 'before' (run at the pre-round HEAD) or 'after'.
+The bench queries run at sf0.1 exactly as bench.py plans them; the
+property variant is dumped twice — spread on (the round-18 plan) and
+spread off (the fused round-17 shape) — so the claim "string-backed
+property access now spreads" is checkable either way.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kql_engine_spark.corpus import BENCH_QUERIES, CORPUS  # noqa: E402
+from kql_engine_spark.session import get_spark  # noqa: E402
+from kql_engine_spark.translator import kql  # noqa: E402
+
+SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "after"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "plans", "r18")
+
+PROP_VARIANT = (
+    "events | project event_id, k = tolong(props.k) "
+    "| summarize s = sum(k), n = count()"
+)
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("plan-dump-r18")
+    for bench_id, corpus_name in BENCH_QUERIES.items():
+        df = kql(spark, CORPUS[corpus_name][0], sf_dir=SF_DIR)
+        path = os.path.join(OUT, f"{bench_id}_{SUFFIX}.txt")
+        with open(path, "w") as f:
+            f.write(plan_of(df))
+        print("wrote", path)
+    # property-access variant, both arms
+    df = kql(spark, PROP_VARIANT, sf_dir=SF_DIR)
+    with open(os.path.join(OUT, f"prop_json_extract_{SUFFIX}.txt"), "w") as f:
+        f.write(plan_of(df))
+    os.environ["SPARK_GRAFT_SPREAD_PARSE"] = "0"
+    df = kql(spark, PROP_VARIANT + " // spread-off", sf_dir=SF_DIR)
+    with open(
+        os.path.join(OUT, f"prop_json_extract_spreadoff_{SUFFIX}.txt"), "w"
+    ) as f:
+        f.write(plan_of(df))
+    del os.environ["SPARK_GRAFT_SPREAD_PARSE"]
+    print("wrote property-variant plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+
+
+def normalize(text: str) -> str:  # used by the comparison step in docs
+    return re.sub(r"#\d+L?", "#N", text)
