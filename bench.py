@@ -90,7 +90,11 @@ def main() -> None:
         try:
             d.collect()
         finally:
-            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            # clear every property setJobGroup set, so later (timed) jobs
+            # are not mislabeled in the UI/event logs
+            for prop in ("spark.jobGroup.id", "spark.job.description",
+                         "spark.job.interruptOnCancel"):
+                spark.sparkContext.setLocalProperty(prop, None)
         seen: set[int] = set()
         mx = total = stages = 0
         for jid in status.getJobIdsForGroup(group):

@@ -4753,7 +4753,17 @@ def _decontaminate(ptr, df: DataFrame, args) -> DataFrame:
         warn_rows = int(os.environ.get(
             "SPARK_GRAFT_DECON_BENCH_WARN_ROWS", str(100_000)
         ))
-        bench_rows = ptr.catalog.row_count(args[2].name)
+        # the footer row count describes the CATALOG table of that name —
+        # consult it only when _resolve_table actually fell through to the
+        # catalog (a let-bound view or `as`-named result shadows the name
+        # and may be a tiny slice of a big table; warning from the on-disk
+        # footer there would be spurious)
+        bench_rows = (
+            ptr.catalog.row_count(args[2].name)
+            if args[2].name not in ptr.lets
+            and args[2].name not in ptr.named_results
+            else None
+        )
         too_big = (bench_bytes is not None and bench_bytes > warn_bytes) or (
             bench_rows is not None and bench_rows > warn_rows
         )

@@ -1564,15 +1564,9 @@ class PipeTranslator:
                     out.append((name, c))
                 continue
             col = tr.to_col(item.expr)
-            if item.name:
-                name = item.name
-            elif isinstance(item.expr, Col) and item.expr.side is None:
-                name = item.expr.name
-            elif isinstance(item.expr, FuncCall) and item.expr.name == "bin" and isinstance(item.expr.args[0], Col):
-                name = item.expr.args[0].name
-            else:
-                auto_i += 1
-                name = f"{auto_prefix}{auto_i}"
+            # naming rules live in _projected_name — the spread gate's
+            # rebinding trackers share the same copy
+            name, _same, auto_i = _projected_name(item, auto_i, auto_prefix)
             env[name] = col
             out.append((name, col))
         return out
@@ -3905,6 +3899,31 @@ _SPREAD_NONDET_FNS = frozenset({"rand", "new_guid"})
 _SPREAD_TAIL_DISQUALIFIERS = _ORDER_SENSITIVE_FNS | _SPREAD_NONDET_FNS
 
 
+def _projected_name(item, auto_i: int, auto_prefix: str = "Column"):
+    """The output name a single-target Project/Extend NamedExpr binds,
+    under _named_items' exact naming rules (explicit name, bare-column
+    self-name, bin() source-column rebind, Column{n} auto-name) —
+    returns (name, value_preserving, auto_i). value_preserving is True
+    only for the bare `project x` form, which rebinds x to its own
+    unchanged value. This is THE single copy of the rule: _named_items
+    and both spread-gate trackers (trigger `assigned`, intcols) call it,
+    so the gate's rebinding model can never drift from the translator's
+    real naming (round 18 review)."""
+    if item.name:
+        return item.name, False, auto_i
+    if isinstance(item.expr, Col) and item.expr.side is None:
+        return item.expr.name, True, auto_i
+    if (
+        isinstance(item.expr, FuncCall)
+        and item.expr.name == "bin"
+        and item.expr.args
+        and isinstance(item.expr.args[0], Col)
+    ):
+        return item.expr.args[0].name, False, auto_i
+    auto_i += 1
+    return f"{auto_prefix}{auto_i}", False, auto_i
+
+
 def _walk_op_local(node):
     """_walk_ast, but does NOT descend into nested Pipe/Query subtrees: an
     expression inside a tabular subexpression (`in (T | ...)`,
@@ -4007,20 +4026,10 @@ def _single_task_spread_point(
                     break
                 if item.names:
                     assigned.update(item.names)
-                elif item.name:
-                    assigned.add(item.name)
-                elif isinstance(item.expr, Col) and item.expr.side is None:
-                    pass  # bare `project x`: same column, same dtype
-                elif (
-                    isinstance(item.expr, FuncCall)
-                    and item.expr.name == "bin"
-                    and item.expr.args
-                    and isinstance(item.expr.args[0], Col)
-                ):
-                    assigned.add(item.expr.args[0].name)
-                else:
-                    auto_i += 1
-                    assigned.add(f"Column{auto_i}")
+                    continue
+                name, same_value, auto_i = _projected_name(item, auto_i)
+                if not same_value:  # bare `project x` keeps x's dtype
+                    assigned.add(name)
             if hit:
                 idx = i
                 break
@@ -4084,20 +4093,9 @@ def _single_task_spread_point(
                     for n in item.names:
                         intcols.discard(n)
                     continue
-                name = item.name
-                if not name:
-                    if isinstance(item.expr, Col) and item.expr.side is None:
-                        continue  # bare `project x`: value unchanged
-                    if (
-                        isinstance(item.expr, FuncCall)
-                        and item.expr.name == "bin"
-                        and item.expr.args
-                        and isinstance(item.expr.args[0], Col)
-                    ):
-                        name = item.expr.args[0].name
-                    else:
-                        auto_i += 1
-                        name = f"Column{auto_i}"
+                name, same_value, auto_i = _projected_name(item, auto_i)
+                if same_value:
+                    continue  # bare `project x`: value unchanged
                 if is_int_expr(item.expr):
                     intcols.add(name)
                 else:

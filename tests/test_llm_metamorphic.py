@@ -586,6 +586,19 @@ def test_decontaminate_corpus_sized_benchmark_warns(run_kql, monkeypatch):
         warnings.simplefilter("error", KqlScaleWarning)
         quiet = run_kql(q + " // decon-quiet").collect()[0].n
     assert warned == quiet
+    # a let-bound view SHADOWS the on-disk table of the same name: the
+    # row proxy must describe the view (5 rows), not the footer of the
+    # 500-row documents.parquet the name also matches
+    monkeypatch.setenv("SPARK_GRAFT_DECON_BENCH_WARN_ROWS", "100")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", KqlScaleWarning)
+        run_kql(
+            "let documents = events | take 5"
+            " | project doc_id = event_id, text = event_type;"
+            " documents"
+            " | evaluate decontaminate(text, doc_id, documents, text, 8)"
+            " | summarize n = count() // decon-let-shadow"
+        ).collect()
 
 
 def test_dedup_lines_idempotent_and_conserving(run_kql):

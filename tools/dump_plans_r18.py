@@ -12,7 +12,6 @@ property access now spreads" is checkable either way.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -64,7 +63,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def normalize(text: str) -> str:  # used by the comparison step in docs
-    return re.sub(r"#\d+L?", "#N", text)
